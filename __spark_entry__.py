@@ -1,10 +1,20 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline on sf0.001;
+``queries()`` exposes one named DataFrame-builder per implemented
+operator from SURVEY.md §2 (keys carry the operator id); and
+``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL for each
+hash-checkable query. Non-SQL-expressible ops (uuid generation,
+LSH candidate pairs, streaming) intentionally have no oracle entry
+→ rows-only check.
+
+Cross-engine parity conventions (SURVEY §7.4):
+* money/double aggregates rounded to 2 decimals on BOTH sides so
+  distributed summation order can't flip the hash;
+* timestamps are serialized to ISO strings — Spark session TZ is
+  pinned UTC, DuckDB is UTC-naive;
+* every computed column is aliased identically on both sides;
+* year()/floor()/count() results cast to BIGINT on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +22,704 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pac_data_pipeline_spark.functions.cleaning import (
+    drop_all_null_rows,
+    with_metadata,
+)
+from pac_data_pipeline_spark.functions.scalar import (
+    bin_amount,
+    classify_membership,
+    composite_key,
+    iso_timestamp,
+    party_label,
+    to_double_coerce,
+    to_double_coerce_zero,
+)
+from pac_data_pipeline_spark.operators.aggregates import (
+    distinct_values,
+    frequency_table,
+    global_summary,
+    groupby_sum,
+)
+from pac_data_pipeline_spark.operators.dedup import dedup_keep_first, reconcile_counts
+from pac_data_pipeline_spark.operators.joins import dim_lookup, lookup_misses
+from pac_data_pipeline_spark.operators.topk import top_k, top_k_groups
+from pac_data_pipeline_spark.plans.pipelines import party_rollup_pipeline
+from pac_data_pipeline_spark.session import tune_session
+from pac_data_pipeline_spark.sinks.documents import (
+    keyed_json_tree,
+    nested_path_records,
+    to_doc_records,
+    with_batch_id,
+)
+from pac_data_pipeline_spark.sources.readers import load_events, scan_parquet
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return scan_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (SURVEY §3.3 A4+F7+J1) on sf0.001."""
+    tune_session(spark)
+    return party_rollup_pipeline(spark, SF001)
+
+
+# --------------------------------------------------------------------------
+# Reference-parity queries (SURVEY §2, ✔ rows)
+# --------------------------------------------------------------------------
+
+
+def q_p1_normalize_project(spark, sf_dir):
+    """P1/P3/E4/E5/E6: projection + trim/lower/cast-to-string."""
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.trim(F.col("c_name")).alias("name_trim"),
+        F.lower(F.col("c_mktsegment")).alias("segment"),
+        F.col("c_nationkey").cast("string").alias("nation_str"),
+    )
+
+
+def q_p5_literal_metadata(spark, sf_dir):
+    """P5: literal metadata columns (timestamp variant excluded from
+    hashing, so only the deterministic literals appear here)."""
+    df = with_metadata(
+        _t(spark, sf_dir, "orders"), data_source="csv_import", record_type="company_pac"
+    )
+    return df.select("o_orderkey", "data_source", "record_type")
+
+
+def q_p7_doc_records(spark, sf_dir):
+    """P7/E9/K1: row → {collection, document_id, data-json} doc."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    return to_doc_records(
+        orders, collection="pac_orders", id_col="o_orderkey",
+        iso_date_cols=("o_orderdate",),
+    )
+
+
+def q_f1_filter_positive(spark, sf_dir):
+    """F1/F2: positive-amount + non-null predicate, pushed to scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_extendedprice").isNotNull() & (F.col("l_extendedprice") > 0)
+        & (F.col("l_quantity") > 0)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+def q_f3_filter_nonempty_key(spark, sf_dir):
+    """F3: drop null/empty group key before aggregation."""
+    c = _t(spark, sf_dir, "customer")
+    return c.filter(
+        F.col("c_mktsegment").isNotNull() & (F.col("c_mktsegment") != "")
+    ).select("c_custkey", "c_mktsegment")
+
+
+def q_f4_drop_all_null(spark, sf_dir):
+    """F4: dropna(how='all')."""
+    return drop_all_null_rows(load_events(spark, sf_dir)).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+def q_f5_filter_eq(spark, sf_dir):
+    """F5: equality mask filter (election-cycle analogue)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("total")
+    )
+
+
+def q_e1_bin_amounts(spark, sf_dir):
+    """E1: pd.cut-parity binning (left-open/right-closed, out-of-
+    range → null)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("amount"),
+        bin_amount("o_totalprice").alias("amount_category"),
+    )
+
+
+def q_e2_membership_classify(spark, sf_dir):
+    """E2/F6: isin membership → label."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        classify_membership(
+            "p_brand", ["Brand#1", "Brand#2", "Brand#3"], "Tech", "Other"
+        ).alias("brand_class"),
+    )
+
+
+def q_e3_party_keywords(spark, sf_dir):
+    """E3: ordered keyword-set classification (first branch wins)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        party_label(
+            "o_orderpriority",
+            republican_keywords=("urgent", "high"),
+            democrat_keywords=("medium", "low"),
+        ).alias("party"),
+    )
+
+
+def q_e7_coerce_casts(spark, sf_dir):
+    """E7/E12: strict cast, coerce→null, coerce→0 on real garbage
+    (document text is unparseable → exercises the null path)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("chars_strict"),
+        to_double_coerce(F.col("text")).alias("text_coerced"),
+        to_double_coerce_zero(F.col("text")).alias("text_coerced_zero"),
+        to_double_coerce(F.col("lang")).alias("lang_coerced"),
+    )
+
+
+def q_e8_date_parse(spark, sf_dir):
+    """E8: to_datetime(errors='coerce') — garbage → null, valid
+    string → timestamp (round-tripped through a string column)."""
+    e = load_events(spark, sf_dir)
+    parsed = F.try_to_timestamp(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+    bad = F.try_to_timestamp(F.col("props"))
+    return e.select(
+        "event_id",
+        F.date_format(parsed, "yyyy-MM-dd'T'HH:mm:ss").alias("parsed_iso"),
+        bad.cast("string").alias("bad_parse"),
+    )
+
+
+def q_e9_iso_format(spark, sf_dir):
+    """E9: datetime → ISO-8601 string."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_orderkey", iso_timestamp("o_orderdate").alias("order_date_iso"))
+
+
+def q_e10_fillna(spark, sf_dir):
+    """E10: null replacement (fillna 0 / '')."""
+    e = load_events(spark, sf_dir)
+    return e.select(
+        "event_id",
+        F.coalesce(F.round("value", 6), F.lit(0.0)).alias("value_filled"),
+        F.coalesce(F.col("props"), F.lit("")).alias("props_filled"),
+    )
+
+
+def q_e11_composite_key(spark, sf_dir):
+    """E11: composite business key via concat_ws."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        composite_key("l_orderkey", "l_partkey", "l_suppkey").alias("business_key"),
+    )
+
+
+def q_a1_groupby_sum(spark, sf_dir):
+    """A1: single-key group-by sum."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = groupby_sum(li, ["l_returnflag"], "l_extendedprice", sum_alias="total")
+    return out.select("l_returnflag", F.round("total", 2).alias("total"))
+
+
+def q_a2_groupby_sum_entity(spark, sf_dir):
+    """A2: group-by sum on the entity analogue."""
+    c = _t(spark, sf_dir, "customer")
+    out = groupby_sum(c, ["c_mktsegment"], "c_acctbal", sum_alias="total")
+    return out.select("c_mktsegment", F.round("total", 2).alias("total"))
+
+
+def q_a3_groupby_cycle(spark, sf_dir):
+    """A3: composite aggregate per cycle (sum + count)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").cast("bigint").alias("cycle"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def q_a4_party_rollup(spark, sf_dir):
+    """A4+F7+J1 flagship: conditional pivot agg → HAVING →
+    broadcast dim lookup."""
+    return party_rollup_pipeline(spark, sf_dir)
+
+
+def q_a5_distinct_count(spark, sf_dir):
+    """A5: exact distinct count."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+def q_a6_distinct_values(spark, sf_dir):
+    """A6: sorted distinct values."""
+    return distinct_values(_t(spark, sf_dir, "lineitem"), "l_returnflag")
+
+
+def q_a7_global_summary(spark, sf_dir):
+    """A7: global count + sum."""
+    out = global_summary(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
+    return out.select("n_rows", F.round("total", 2).alias("total"))
+
+
+def q_a8_value_counts(spark, sf_dir):
+    """A8: frequency table, most frequent first."""
+    o = _t(spark, sf_dir, "orders").select(
+        bin_amount("o_totalprice").alias("amount_category")
+    )
+    return frequency_table(o, "amount_category")
+
+
+def q_a10_nested_rollup(spark, sf_dir):
+    """A10/K4: per-path nested JSON records from the flagship
+    rollup (payload compared as JSON text)."""
+    return nested_path_records(party_rollup_pipeline(spark, sf_dir))
+
+
+def q_o1_top5_orders(spark, sf_dir):
+    """O1: top-k rows by column with deterministic tiebreak."""
+    o = _t(spark, sf_dir, "orders")
+    out = top_k(o, "o_totalprice", 5, tiebreak=("o_orderkey",))
+    return out.select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+
+
+def q_o2_top_groups(spark, sf_dir):
+    """O2: top-k groups by aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = top_k_groups(li, ["l_partkey"], "l_extendedprice", 10)
+    return out.select(
+        "l_partkey", F.round("sum_l_extendedprice", 2).alias("total")
+    )
+
+
+def q_o3_orderby(spark, sf_dir):
+    """O3/O4: full ascending sort of a dimension."""
+    return _t(spark, sf_dir, "supplier").orderBy("s_name").select(
+        "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal")
+    )
+
+
+def q_j1_dim_join(spark, sf_dir):
+    """J1: two-hop broadcast dimension lookup (customer→nation→
+    region) + aggregate per region."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = dim_lookup(
+        dim_lookup(c, n, on=c.c_nationkey == n.n_nationkey),
+        r,
+        on=F.col("n_regionkey") == r.r_regionkey,
+    )
+    return joined.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+    )
+
+
+def q_j1_anti_misses(spark, sf_dir):
+    """J1 miss path / J3: orders with no lineitems (left-anti)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    misses = lookup_misses(o, li, on="o_orderkey", broadcast=False)
+    return misses.agg(F.count(F.lit(1)).alias("n_missing"))
+
+
+def q_j2_dedup_keep_first(spark, sf_dir):
+    """J2: keep-first dedup by composite key with explicit order."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = dedup_keep_first(
+        li,
+        key_cols=("l_orderkey", "l_linenumber"),
+        order_cols=("l_partkey", "l_suppkey"),
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        F.round("l_extendedprice", 2).alias("price"),
+    )
+
+
+def q_j3_reconcile_counts(spark, sf_dir):
+    """J3: incoming-vs-existing reconciliation counts."""
+    o = _t(spark, sf_dir, "orders")
+    existing = o.filter(F.col("o_orderstatus") == "F")
+    return reconcile_counts(o, existing)
+
+
+def q_k3_batch_id(spark, sf_dir):
+    """K3: fixed-size batch assignment — rows per 1000-row batch."""
+    li = _t(spark, sf_dir, "lineitem")
+    batched = with_batch_id(
+        li, batch_size=1000, order_cols=("l_orderkey", "l_linenumber", "l_partkey")
+    )
+    return batched.groupBy("batch_id").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_k5_keyed_tree(spark, sf_dir):
+    """K5/A10: whole-tree keyed JSON document (rows-only: JSON key
+    ordering inside the tree is engine-specific)."""
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    return keyed_json_tree(sup, id_col="s_suppkey")
+
+
+def q_p6_uuid_records(spark, sf_dir):
+    """P6: synthetic per-row uuid (nondeterministic → rows-only)."""
+    o = _t(spark, sf_dir, "orders")
+    return with_metadata(o, record_id=True, processed_ts=True).select(
+        "o_orderkey", "record_id", "processed_date"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    base = {
+        "p1_normalize_project": q_p1_normalize_project,
+        "p5_literal_metadata": q_p5_literal_metadata,
+        "p6_uuid_records": q_p6_uuid_records,
+        "p7_doc_records": q_p7_doc_records,
+        "f1_filter_positive": q_f1_filter_positive,
+        "f3_filter_nonempty_key": q_f3_filter_nonempty_key,
+        "f4_drop_all_null": q_f4_drop_all_null,
+        "f5_filter_eq": q_f5_filter_eq,
+        "e1_bin_amounts": q_e1_bin_amounts,
+        "e2_membership_classify": q_e2_membership_classify,
+        "e3_party_keywords": q_e3_party_keywords,
+        "e7_coerce_casts": q_e7_coerce_casts,
+        "e8_date_parse": q_e8_date_parse,
+        "e9_iso_format": q_e9_iso_format,
+        "e10_fillna": q_e10_fillna,
+        "e11_composite_key": q_e11_composite_key,
+        "a1_groupby_sum": q_a1_groupby_sum,
+        "a2_groupby_sum_entity": q_a2_groupby_sum_entity,
+        "a3_groupby_cycle": q_a3_groupby_cycle,
+        "a4_party_rollup": q_a4_party_rollup,
+        "a5_distinct_count": q_a5_distinct_count,
+        "a6_distinct_values": q_a6_distinct_values,
+        "a7_global_summary": q_a7_global_summary,
+        "a8_value_counts": q_a8_value_counts,
+        "a10_nested_rollup": q_a10_nested_rollup,
+        "o1_top5_orders": q_o1_top5_orders,
+        "o2_top_groups": q_o2_top_groups,
+        "o3_orderby": q_o3_orderby,
+        "j1_dim_join": q_j1_dim_join,
+        "j1_anti_misses": q_j1_anti_misses,
+        "j2_dedup_keep_first": q_j2_dedup_keep_first,
+        "j3_reconcile_counts": q_j3_reconcile_counts,
+        "k3_batch_id": q_k3_batch_id,
+        "k5_keyed_tree": q_k5_keyed_tree,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def _wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune_session(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: _wrap(fn) for name, fn in base.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "p1_normalize_project": """
+            SELECT c_custkey,
+                   trim(c_name) AS name_trim,
+                   lower(c_mktsegment) AS segment,
+                   CAST(c_nationkey AS VARCHAR) AS nation_str
+            FROM customer
+        """,
+        "p5_literal_metadata": """
+            SELECT o_orderkey,
+                   'csv_import' AS data_source,
+                   'company_pac' AS record_type
+            FROM orders
+        """,
+        "p7_doc_records": """
+            SELECT 'pac_orders' AS collection,
+                   CAST(o_orderkey AS VARCHAR) AS document_id,
+                   to_json(struct_pack(
+                       o_orderkey := o_orderkey,
+                       o_orderstatus := o_orderstatus,
+                       o_totalprice := o_totalprice,
+                       o_orderdate := strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S')
+                   ))::VARCHAR AS data
+            FROM orders
+        """,
+        "f1_filter_positive": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL
+              AND l_extendedprice > 0 AND l_quantity > 0
+        """,
+        "f3_filter_nonempty_key": """
+            SELECT c_custkey, c_mktsegment
+            FROM customer
+            WHERE c_mktsegment IS NOT NULL AND c_mktsegment <> ''
+        """,
+        "f4_drop_all_null": """
+            SELECT event_id, user_id, event_type
+            FROM events
+            WHERE NOT (event_id IS NULL AND ts IS NULL AND user_id IS NULL
+                       AND event_type IS NULL AND value IS NULL AND props IS NULL)
+        """,
+        "f5_filter_eq": """
+            SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS total
+            FROM orders WHERE o_orderstatus = 'F'
+        """,
+        "e1_bin_amounts": """
+            SELECT o_orderkey,
+                   round(o_totalprice, 2) AS amount,
+                   CASE
+                     WHEN o_totalprice > 0 AND o_totalprice <= 10000
+                       THEN 'Small (<$10K)'
+                     WHEN o_totalprice > 10000 AND o_totalprice <= 100000
+                       THEN 'Medium ($10K-$100K)'
+                     WHEN o_totalprice > 100000 AND o_totalprice <= 500000
+                       THEN 'Large ($100K-$500K)'
+                     WHEN o_totalprice > 500000 THEN 'Very Large (>$500K)'
+                     ELSE NULL
+                   END AS amount_category
+            FROM orders
+        """,
+        "e2_membership_classify": """
+            SELECT p_partkey,
+                   CASE WHEN p_brand IN ('Brand#1','Brand#2','Brand#3')
+                        THEN 'Tech' ELSE 'Other' END AS brand_class
+            FROM part
+        """,
+        "e3_party_keywords": """
+            SELECT o_orderkey,
+                   CASE
+                     WHEN regexp_matches(lower(o_orderpriority), 'urgent|high')
+                       THEN 'republican'
+                     WHEN regexp_matches(lower(o_orderpriority), 'medium|low')
+                       THEN 'democrat'
+                     ELSE NULL
+                   END AS party
+            FROM orders
+        """,
+        "e7_coerce_casts": """
+            SELECT doc_id,
+                   CAST(n_chars AS DOUBLE) AS chars_strict,
+                   TRY_CAST(text AS DOUBLE) AS text_coerced,
+                   coalesce(TRY_CAST(text AS DOUBLE), 0.0) AS text_coerced_zero,
+                   TRY_CAST(lang AS DOUBLE) AS lang_coerced
+            FROM documents
+        """,
+        "e8_date_parse": """
+            SELECT event_id,
+                   strftime(try_strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'),
+                                         '%Y-%m-%d %H:%M:%S'),
+                            '%Y-%m-%dT%H:%M:%S') AS parsed_iso,
+                   CAST(try_strptime(props, '%Y-%m-%d %H:%M:%S') AS VARCHAR)
+                       AS bad_parse
+            FROM events
+        """,
+        "e9_iso_format": """
+            SELECT o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS order_date_iso
+            FROM orders
+        """,
+        "e10_fillna": """
+            SELECT event_id,
+                   coalesce(round(value, 6), 0.0) AS value_filled,
+                   coalesce(props, '') AS props_filled
+            FROM events
+        """,
+        "e11_composite_key": """
+            SELECT l_orderkey, l_linenumber,
+                   concat_ws('_', CAST(l_orderkey AS VARCHAR),
+                             CAST(l_partkey AS VARCHAR),
+                             CAST(l_suppkey AS VARCHAR)) AS business_key
+            FROM lineitem
+        """,
+        "a1_groupby_sum": """
+            SELECT l_returnflag, round(sum(l_extendedprice), 2) AS total
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "a2_groupby_sum_entity": """
+            SELECT c_mktsegment, round(sum(c_acctbal), 2) AS total
+            FROM customer GROUP BY c_mktsegment
+        """,
+        "a3_groupby_cycle": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS cycle,
+                   round(sum(o_totalprice), 2) AS total,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1
+        """,
+        "a4_party_rollup": """
+            WITH classified AS (
+                SELECT l.l_suppkey,
+                       l.l_extendedprice,
+                       CASE
+                         WHEN regexp_matches(lower(o.o_orderpriority),
+                                             'urgent|high') THEN 'republican'
+                         WHEN regexp_matches(lower(o.o_orderpriority),
+                                             'medium|low') THEN 'democrat'
+                         ELSE NULL
+                       END AS party,
+                       CAST(year(o.o_orderdate) AS BIGINT) AS cycle
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE l.l_extendedprice > 0
+            ),
+            rolled AS (
+                SELECT l_suppkey, cycle,
+                       coalesce(sum(CASE WHEN party = 'democrat'
+                                         THEN l_extendedprice END), 0.0)
+                           AS democrat_total,
+                       coalesce(sum(CASE WHEN party = 'republican'
+                                         THEN l_extendedprice END), 0.0)
+                           AS republican_total
+                FROM classified
+                WHERE party IS NOT NULL
+                GROUP BY l_suppkey, cycle
+                HAVING democrat_total > 0 OR republican_total > 0
+            )
+            SELECT s.s_name AS brand, r.cycle,
+                   round(r.democrat_total, 2) AS democrat_total,
+                   round(r.republican_total, 2) AS republican_total
+            FROM rolled r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        """,
+        "a5_distinct_count": """
+            SELECT count(DISTINCT l_partkey) AS n_parts,
+                   count(DISTINCT l_suppkey) AS n_supps
+            FROM lineitem
+        """,
+        "a6_distinct_values": """
+            SELECT DISTINCT l_returnflag FROM lineitem ORDER BY l_returnflag
+        """,
+        "a7_global_summary": """
+            SELECT count(*) AS n_rows, round(sum(l_extendedprice), 2) AS total
+            FROM lineitem
+        """,
+        "a8_value_counts": """
+            WITH binned AS (
+                SELECT CASE
+                         WHEN o_totalprice > 0 AND o_totalprice <= 10000
+                           THEN 'Small (<$10K)'
+                         WHEN o_totalprice > 10000 AND o_totalprice <= 100000
+                           THEN 'Medium ($10K-$100K)'
+                         WHEN o_totalprice > 100000 AND o_totalprice <= 500000
+                           THEN 'Large ($100K-$500K)'
+                         WHEN o_totalprice > 500000 THEN 'Very Large (>$500K)'
+                         ELSE NULL
+                       END AS amount_category
+                FROM orders
+            )
+            SELECT amount_category, count(*) AS n
+            FROM binned GROUP BY amount_category
+            ORDER BY n DESC, amount_category
+        """,
+        "a10_nested_rollup": """
+            WITH classified AS (
+                SELECT l.l_suppkey,
+                       l.l_extendedprice,
+                       CASE
+                         WHEN regexp_matches(lower(o.o_orderpriority),
+                                             'urgent|high') THEN 'republican'
+                         WHEN regexp_matches(lower(o.o_orderpriority),
+                                             'medium|low') THEN 'democrat'
+                         ELSE NULL
+                       END AS party,
+                       CAST(year(o.o_orderdate) AS BIGINT) AS cycle
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE l.l_extendedprice > 0
+            ),
+            rolled AS (
+                SELECT l_suppkey, cycle,
+                       coalesce(sum(CASE WHEN party = 'democrat'
+                                         THEN l_extendedprice END), 0.0)
+                           AS democrat_total,
+                       coalesce(sum(CASE WHEN party = 'republican'
+                                         THEN l_extendedprice END), 0.0)
+                           AS republican_total
+                FROM classified
+                WHERE party IS NOT NULL
+                GROUP BY l_suppkey, cycle
+                HAVING democrat_total > 0 OR republican_total > 0
+            )
+            SELECT concat_ws('/', 'brands', s.s_name, 'records',
+                             CAST(r.cycle AS VARCHAR), 'pac') AS path,
+                   to_json(struct_pack(
+                       democrat := round(r.democrat_total, 2),
+                       republican := round(r.republican_total, 2)
+                   ))::VARCHAR AS payload
+            FROM rolled r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        """,
+        "o1_top5_orders": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS total
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 5
+        """,
+        "o2_top_groups": """
+            SELECT l_partkey, round(sum(l_extendedprice), 2) AS total
+            FROM lineitem GROUP BY l_partkey
+            ORDER BY sum(l_extendedprice) DESC, l_partkey LIMIT 10
+        """,
+        "o3_orderby": """
+            SELECT s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+            FROM supplier ORDER BY s_name
+        """,
+        "j1_dim_join": """
+            SELECT r.r_name, count(*) AS n_customers,
+                   round(sum(c.c_acctbal), 2) AS total_acctbal
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
+        "j1_anti_misses": """
+            SELECT count(*) AS n_missing
+            FROM orders o
+            WHERE NOT EXISTS (
+                SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        """,
+        "j2_dedup_keep_first": """
+            SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                   round(l_extendedprice, 2) AS price
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY l_orderkey, l_linenumber
+                    ORDER BY l_partkey, l_suppkey) AS rn
+                FROM lineitem
+            ) WHERE rn = 1
+        """,
+        "j3_reconcile_counts": """
+            SELECT 'incoming' AS side, count(*) AS n FROM orders
+            UNION ALL
+            SELECT 'existing' AS side, count(*) AS n
+            FROM orders WHERE o_orderstatus = 'F'
+            UNION ALL
+            SELECT 'new' AS side, count(*) AS n
+            FROM orders o WHERE NOT EXISTS (
+                SELECT 1 FROM orders e
+                WHERE e.o_orderstatus = 'F'
+                  AND e.o_orderkey = o.o_orderkey
+                  AND e.o_custkey = o.o_custkey
+                  AND e.o_orderstatus = o.o_orderstatus
+                  AND e.o_totalprice = o.o_totalprice
+                  AND e.o_orderdate = o.o_orderdate
+                  AND e.o_orderpriority = o.o_orderpriority)
+        """,
+        "k3_batch_id": """
+            SELECT CAST(floor((rn - 1) / 1000) AS BIGINT) AS batch_id,
+                   count(*) AS n
+            FROM (
+                SELECT row_number() OVER (
+                    ORDER BY l_orderkey, l_linenumber, l_partkey) AS rn
+                FROM lineitem
+            ) GROUP BY 1
+        """,
+    }

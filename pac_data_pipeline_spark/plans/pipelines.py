@@ -1,0 +1,120 @@
+"""End-to-end pipeline compositions (SURVEY §3).
+
+Each reference ``main()`` becomes one lazy DataFrame plan — scan →
+clean → derive → aggregate → join → (sink), handed to Catalyst as a
+whole so pushdown/pruning/broadcast decisions see every stage.
+
+The synthetic star schema stands in for the PAC domain (FIXTURES.md
+§4): lineitem = contributions detail, l_extendedprice =
+receipt_amount, o_orderpriority = committee_name (keyword
+classification target), year(o_orderdate) = election_cycle,
+supplier = the brand-lookup dimension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pac_data_pipeline_spark.functions.cleaning import clean, with_metadata
+from pac_data_pipeline_spark.functions.scalar import (
+    bin_amount,
+    composite_key,
+    party_label,
+)
+from pac_data_pipeline_spark.operators.aggregates import conditional_party_rollup
+from pac_data_pipeline_spark.operators.dedup import dedup_keep_first
+from pac_data_pipeline_spark.operators.joins import dim_lookup
+from pac_data_pipeline_spark.sources.readers import scan_parquet
+
+#: Keyword sets for classifying o_orderpriority, exercising the
+#: reference's ordered keyword matching (pac_snowflake_realtime.py:
+#: 103-113): first branch tested first; no match → row skipped.
+PRIORITY_REP = ("urgent", "high")
+PRIORITY_DEM = ("medium", "low")
+
+
+def party_rollup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (SURVEY §3.3): filtered scan → keyword classify →
+    conditional pivot agg per (supplier, cycle) → HAVING → broadcast
+    dim lookup.
+
+    Physical shape: parquet scans with the amount filter pushed
+    down; one shuffle for the lineitem⋈orders join (both sides
+    hash-partitioned on orderkey); partial+final hash agg for the
+    rollup (one more shuffle, on the group key); broadcast hash join
+    for the 10-row supplier dim — the fact side never moves for it.
+    """
+    li = scan_parquet(spark, f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_extendedprice") > 0
+    )
+    orders = scan_parquet(spark, f"{sf_dir}/orders.parquet")
+    supplier = scan_parquet(spark, f"{sf_dir}/supplier.parquet")
+
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_suppkey",
+        "l_extendedprice",
+        party_label(
+            "o_orderpriority",
+            republican_keywords=PRIORITY_REP,
+            democrat_keywords=PRIORITY_DEM,
+        ).alias("party"),
+        F.year("o_orderdate").cast("bigint").alias("cycle"),
+    )
+    rolled = conditional_party_rollup(
+        joined.filter(F.col("party").isNotNull()),
+        group_keys=("l_suppkey", "cycle"),
+        party_col="party",
+        amount_col="l_extendedprice",
+    )
+    return (
+        dim_lookup(rolled, supplier, on=rolled.l_suppkey == supplier.s_suppkey)
+        .select(
+            F.col("s_name").alias("brand"),
+            "cycle",
+            F.round("democrat_total", 2).alias("democrat_total"),
+            F.round("republican_total", 2).alias("republican_total"),
+        )
+    )
+
+
+def csv_report_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.1 shape: scan → clean → derive (bin + composite key) →
+    dedup keep-first. Returns the cleaned, deduplicated detail set
+    the reference would upload; report aggregates run as separate
+    actions over it (see __spark_entry__ queries)."""
+    orders = scan_parquet(spark, f"{sf_dir}/orders.parquet")
+    derived = (
+        clean(orders)
+        .withColumn("amount_category", bin_amount("o_totalprice"))
+        .withColumn(
+            "business_key",
+            composite_key("o_custkey", "o_orderstatus", "o_totalprice"),
+        )
+    )
+    return dedup_keep_first(
+        derived, key_cols=("business_key",), order_cols=("o_orderkey",)
+    )
+
+
+def snowflake_batch_pipeline(
+    spark: SparkSession, sf_dir: str, batch_size: int = 1000
+) -> DataFrame:
+    """§3.2 shape: SQL scan through Catalyst → generic clean →
+    batch-id assignment → dedup. The reference slices pandas frames
+    into 1000-row upload batches (pac_snowflake_pipeline.py:163-207);
+    distributed, the batch id is a column derived from a global
+    row_number so the sink can group without a driver-side loop."""
+    from pac_data_pipeline_spark.sinks.documents import with_batch_id
+
+    li = scan_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    cleaned = clean(li)
+    deduped = dedup_keep_first(
+        cleaned,
+        key_cols=("l_orderkey", "l_linenumber"),
+        order_cols=("l_partkey", "l_suppkey"),
+    )
+    batched = with_batch_id(
+        deduped, batch_size=batch_size, order_cols=("l_orderkey", "l_linenumber")
+    )
+    return with_metadata(batched, data_source="snowflake", record_type="pac_contribution")

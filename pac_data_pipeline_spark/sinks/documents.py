@@ -1,0 +1,179 @@
+"""Sinks: document-record assembly and distributed writers
+(SURVEY §2.2 K1-K8, §2.3 P7, §2.6 A10).
+
+The reference uploads row-by-row (or in 1000-row batches) to a
+document store. Distributed, the sink contract is:
+
+* record assembly (struct/JSON shaping) is a **transform** — lazy,
+  codegen'd, testable;
+* the only side effect is ``foreachPartition`` with client-side
+  batching, or a parquet write partitioned by the path columns —
+  each executor writes its partitions independently, no driver
+  funnel.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pac_data_pipeline_spark.functions.scalar import iso_timestamp
+
+
+def to_doc_records(
+    df: DataFrame,
+    collection: str,
+    id_col: str,
+    iso_date_cols: Sequence[str] = (),
+) -> DataFrame:
+    """P7/E9/K1: row → ``{collection, document_id, data}`` document
+    (reference pac_data_processor.py:113-127). Timestamps named in
+    ``iso_date_cols`` are ISO-8601 serialized; ``data`` is a JSON
+    object of every column."""
+    body = df
+    for c in iso_date_cols:
+        body = body.withColumn(c, iso_timestamp(c))
+    payload_cols = [c for c in body.columns]
+    return body.select(
+        F.lit(collection).alias("collection"),
+        F.col(id_col).cast("string").alias("document_id"),
+        F.to_json(F.struct(*payload_cols)).alias("data"),
+    )
+
+
+def with_batch_id(
+    df: DataFrame, batch_size: int, order_cols: Sequence[str]
+) -> DataFrame:
+    """K3: fixed-size upload batches (pac_snowflake_pipeline.py:
+    163-207). ``batch_id = floor((row_number-1)/size)`` over an
+    explicit global order.
+
+    Scale note: a single global row_number serializes into ONE
+    window partition — fine for sink batching at upload volumes,
+    but at 100 TB use ``df.repartition(n)`` + per-partition batching
+    in :func:`foreach_partition_write` instead (no total order is
+    actually required by the sink; the reference's batches exist
+    only to bound request size)."""
+    w = Window.orderBy(*[F.col(c).asc() for c in order_cols])
+    return df.withColumn(
+        "batch_id",
+        F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(batch_size)),
+    )
+
+
+def nested_path_records(
+    df: DataFrame,
+    brand_col: str = "brand",
+    cycle_col: str = "cycle",
+    democrat_col: str = "democrat_total",
+    republican_col: str = "republican_total",
+) -> DataFrame:
+    """K4: ``brands/{brand}/records/{cycle}/pac → {democrat,
+    republican}`` (pac_snowflake_realtime.py:200). The write path
+    becomes columns + a JSON payload; a partitioned write on
+    (brand, cycle) reproduces the tree layout."""
+    return df.select(
+        F.concat_ws(
+            "/",
+            F.lit("brands"),
+            F.col(brand_col),
+            F.lit("records"),
+            F.col(cycle_col).cast("string"),
+            F.lit("pac"),
+        ).alias("path"),
+        F.to_json(
+            F.struct(
+                F.col(democrat_col).alias("democrat"),
+                F.col(republican_col).alias("republican"),
+            )
+        ).alias("payload"),
+    )
+
+
+def keyed_json_tree(df: DataFrame, id_col: str) -> DataFrame:
+    """K5/A10: whole-tree keyed write ``{id: {...}}``
+    (index_align_to_firebase.py:240-259) — map_from_entries over
+    collect_list. Returns a 1-row DataFrame with the JSON document.
+
+    Driver-size warning by design: this materializes the whole tree
+    into one value, exactly like the reference; only for small
+    dimensional payloads."""
+    payload_cols = [c for c in df.columns if c != id_col]
+    entry = F.struct(
+        F.col(id_col).cast("string").alias("key"),
+        F.to_json(F.struct(*payload_cols)).alias("value"),
+    )
+    return df.agg(
+        F.to_json(F.map_from_entries(F.sort_array(F.collect_list(entry)))).alias(
+            "tree"
+        )
+    )
+
+
+def write_parquet(
+    df: DataFrame, path: str, partition_by: Sequence[str] = (), mode: str = "overwrite"
+) -> None:
+    """K1 at scale: keyed parquet layout; partition columns become
+    the directory tree (= the reference's document paths), enabling
+    partition pruning on read-back."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def foreach_partition_write(
+    df: DataFrame,
+    write_batch: Callable[[list[dict]], int],
+    batch_size: int = 1000,
+    success_threshold: float = 0.8,
+) -> dict:
+    """K2: batched atomic writes with the reference's ≥80% success
+    gate (pac_snowflake_pipeline.py:292-312, :365). ``write_batch``
+    receives up to ``batch_size`` row-dicts and returns how many it
+    committed. Runs on executors — the driver only sees counters."""
+    sc = df.sparkSession.sparkContext
+    attempted = sc.accumulator(0)
+    written = sc.accumulator(0)
+
+    def run(partition):
+        buf: list[dict] = []
+
+        def flush():
+            if buf:
+                attempted.add(len(buf))
+                written.add(int(write_batch(list(buf))))
+                buf.clear()
+
+        for row in partition:
+            buf.append(row.asDict(recursive=True))
+            if len(buf) >= batch_size:
+                flush()
+        flush()
+
+    df.foreachPartition(run)
+    total, ok = attempted.value, written.value
+    rate = (ok / total) if total else 1.0
+    return {
+        "attempted": total,
+        "written": ok,
+        "success_rate": rate,
+        "success": rate >= success_threshold,
+    }
+
+
+def dry_run(df: DataFrame, n: int = 5) -> dict:
+    """K8: plan without side effects — sample rows, count, and the
+    formatted physical plan (the reference prints samples + counts;
+    we add the plan because that's the thing worth reviewing)."""
+    try:
+        plan = df._jdf.queryExecution().explainString("formatted")
+    except Exception:  # Spark Connect has no _jdf; plan preview is best-effort
+        plan = ""
+    return {
+        "sample": [r.asDict(recursive=True) for r in df.limit(n).collect()],
+        "count": df.count(),
+        "plan": plan,
+    }
