@@ -55,6 +55,37 @@ from pac_data_pipeline_spark.sinks.documents import (
     with_batch_id,
 )
 from pac_data_pipeline_spark.sources.readers import load_events, scan_parquet
+from pac_data_pipeline_spark.ext.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    text_stats,
+)
+from pac_data_pipeline_spark.ext.dedup_text import (
+    exact_dedup,
+    exact_dedup_groups,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from pac_data_pipeline_spark.ext.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    embedding_near_dup_pairs,
+    queries_from_corpus,
+)
+from pac_data_pipeline_spark.ext.multimodal import (
+    extract_features,
+    frame_sample_stub,
+    media_table_from_documents,
+)
+from pac_data_pipeline_spark.streaming.windows import (
+    run_streaming_tumbling,
+    session_stats_per_user,
+    sessionize_batch,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
 
 SF001 = "/root/testdata/sf0.001"
 
@@ -384,6 +415,144 @@ def q_p6_uuid_records(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# Extension queries (SURVEY §2.10): LLM-pipeline operators
+# --------------------------------------------------------------------------
+
+
+def q_x_text_stats(spark, sf_dir):
+    """Token statistics per document (scan-stage, shuffle-free)."""
+    return text_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_x_quality_score(spark, sf_dir):
+    """Composite document quality score (pure arithmetic)."""
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_x_lang_id(spark, sf_dir):
+    """Stopword-hit language identification."""
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_x_fingerprint(spark, sf_dir):
+    """Normalized-text md5 fingerprint."""
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_x_dedup_exact_groups(spark, sf_dir):
+    """Exact dedup groups: sha256(text) → keeper id + copy count."""
+    return exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+def q_x_dedup_exact(spark, sf_dir):
+    """Exact dedup keeping min-id row per content hash."""
+    return exact_dedup(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def q_x_minhash_near_dup(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs with estimated Jaccard
+    (rows-only: xxhash64 seeds are Spark-specific). bands=8 → r=8:
+    collision prob s^8 per band keeps candidate volume proportional
+    to true near-dups on this high-overlap synthetic corpus."""
+    return minhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, bands=8
+    )
+
+
+def q_x_simhash(spark, sf_dir):
+    """64-bit SimHash per document (rows-only: engine hash)."""
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_x_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard for consecutive-id candidate pairs."""
+    d = _t(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id").alias("id_a"))
+    b = d.select(F.col("doc_id").alias("id_b"))
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    return ngram_jaccard_pairs(d, pairs)
+
+
+def q_x_cosine_topk(spark, sf_dir):
+    """Exact embedding cosine top-10 for the first 5 vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_topk_bruteforce(emb, queries_from_corpus(emb, n=5), k=10)
+    return out.select(
+        "query_id", "vec_id", "cosine", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+def q_x_cosine_topk_lsh(spark, sf_dir):
+    """LSH-bucketed approximate cosine top-10 (rows-only: recall
+    depends on bucketing)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh(emb, queries_from_corpus(emb, n=5), k=10)
+
+
+def q_x_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via sign-LSH buckets
+    (rows-only)."""
+    return embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.9
+    )
+
+
+def q_x_window_tumbling(spark, sf_dir):
+    """Tumbling 1-hour event-time windows (batch)."""
+    return tumbling_window_agg(load_events(spark, sf_dir))
+
+
+def q_x_window_sliding(spark, sf_dir):
+    """Sliding 1-hour windows every 15 minutes (batch)."""
+    return sliding_window_agg(load_events(spark, sf_dir))
+
+
+def q_x_sessionize(spark, sf_dir):
+    """Inactivity-gap sessionization (30 min) per user."""
+    return sessionize_batch(load_events(spark, sf_dir)).select(
+        "user_id",
+        F.col("session_id").cast("bigint").alias("session_id"),
+        "n_events",
+        "session_start",
+        "session_value",
+    )
+
+
+def q_x_session_stats(spark, sf_dir):
+    """Per-user session count + event count."""
+    out = session_stats_per_user(load_events(spark, sf_dir))
+    return out.select(
+        "user_id", "n_sessions", F.col("n_events").cast("bigint").alias("n_events")
+    )
+
+
+def q_x_stream_tumbling(spark, sf_dir):
+    """Structured Streaming tumbling windows with watermark, driven
+    to completion (rows-only: streaming sink)."""
+    return run_streaming_tumbling(spark, sf_dir)
+
+
+def q_x_multimodal_features(spark, sf_dir):
+    """Binary media column → Arrow-batched feature extraction
+    (rows-only: stubbed decode)."""
+    media = media_table_from_documents(_t(spark, sf_dir, "documents"))
+    return extract_features(media)
+
+
+def q_x_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing: one row per sampled frame index."""
+    media = media_table_from_documents(_t(spark, sf_dir, "documents"))
+    out = frame_sample_stub(media, every_n=10)
+    return out.select(
+        "doc_id",
+        "frame_idx",
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "p1_normalize_project": q_p1_normalize_project,
@@ -420,6 +589,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j3_reconcile_counts": q_j3_reconcile_counts,
         "k3_batch_id": q_k3_batch_id,
         "k5_keyed_tree": q_k5_keyed_tree,
+        "x_text_stats": q_x_text_stats,
+        "x_quality_score": q_x_quality_score,
+        "x_lang_id": q_x_lang_id,
+        "x_fingerprint": q_x_fingerprint,
+        "x_dedup_exact_groups": q_x_dedup_exact_groups,
+        "x_dedup_exact": q_x_dedup_exact,
+        "x_minhash_near_dup": q_x_minhash_near_dup,
+        "x_simhash": q_x_simhash,
+        "x_ngram_jaccard": q_x_ngram_jaccard,
+        "x_cosine_topk": q_x_cosine_topk,
+        "x_cosine_topk_lsh": q_x_cosine_topk_lsh,
+        "x_embedding_near_dup": q_x_embedding_near_dup,
+        "x_window_tumbling": q_x_window_tumbling,
+        "x_window_sliding": q_x_window_sliding,
+        "x_sessionize": q_x_sessionize,
+        "x_session_stats": q_x_session_stats,
+        "x_stream_tumbling": q_x_stream_tumbling,
+        "x_multimodal_features": q_x_multimodal_features,
+        "x_frame_sample": q_x_frame_sample,
     }
 
     def _wrap(fn):
@@ -721,5 +909,224 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY l_orderkey, l_linenumber, l_partkey) AS rn
                 FROM lineitem
             ) GROUP BY 1
+        """,
+
+        "x_text_stats": """
+            WITH t AS (
+                SELECT doc_id, text,
+                       string_split_regex(trim(text), '\\s+') AS toks
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq_tokens,
+                   round((length(text) - len(toks) + 1)
+                         / nullif(len(toks), 0), 6) AS mean_token_len,
+                   round((length(text) - length(regexp_replace(text,
+                              '[^\\w\\s]', '', 'g')))
+                         / nullif(length(text), 0), 6) AS punct_ratio
+            FROM t
+        """,
+        "x_quality_score": """
+            WITH t AS (
+                SELECT doc_id, text,
+                       string_split_regex(trim(text), '\\s+') AS toks,
+                       length(text) AS n_char
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id,
+                       len(list_filter(toks, t -> list_contains(
+                           ['the','and','of','to','a','in','is','for'],
+                           lower(t)))) * 1.0
+                           / nullif(len(toks), 0) AS sw_ratio,
+                       (n_char - length(regexp_replace(text, '[^\\w\\s]',
+                                                       '', 'g'))) * 1.0
+                           / nullif(n_char, 0) AS punct_ratio,
+                       len(toks) AS n_tok
+                FROM t
+            )
+            SELECT doc_id,
+                   round(sw_ratio, 6) AS stopword_ratio,
+                   round(0.5 * sw_ratio
+                         + 0.3 * least(n_tok / 100.0, 1.0)
+                         + 0.2 * (1.0 - punct_ratio), 6) AS quality_score
+            FROM m
+        """,
+        "x_lang_id": """
+            WITH t AS (
+                SELECT doc_id, lang,
+                       string_split_regex(trim(text), '\\s+') AS toks
+                FROM documents
+            ),
+            h AS (
+                SELECT doc_id, lang,
+                       len(list_filter(toks, t -> list_contains(
+                           ['the','and','of','to','a'], lower(t)))) AS hits_en,
+                       len(list_filter(toks, t -> list_contains(
+                           ['der','die','das','und','zu'], lower(t)))) AS hits_de,
+                       len(list_filter(toks, t -> list_contains(
+                           ['le','les','des','et','une'], lower(t)))) AS hits_fr,
+                       len(list_filter(toks, t -> list_contains(
+                           ['el','los','de','y','una'], lower(t)))) AS hits_es
+                FROM t
+            )
+            SELECT doc_id, lang,
+                   CAST(hits_en AS BIGINT) AS hits_en,
+                   CAST(hits_de AS BIGINT) AS hits_de,
+                   CAST(hits_fr AS BIGINT) AS hits_fr,
+                   CAST(hits_es AS BIGINT) AS hits_es,
+                   CASE
+                     WHEN greatest(hits_en, hits_de, hits_fr, hits_es) = 0
+                       THEN 'und'
+                     WHEN hits_en = greatest(hits_en, hits_de, hits_fr, hits_es)
+                       THEN 'en'
+                     WHEN hits_de = greatest(hits_en, hits_de, hits_fr, hits_es)
+                       THEN 'de'
+                     WHEN hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es)
+                       THEN 'fr'
+                     WHEN hits_es = greatest(hits_en, hits_de, hits_fr, hits_es)
+                       THEN 'es'
+                     ELSE 'und'
+                   END AS lang_guess
+            FROM h
+        """,
+        "x_fingerprint": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g')))
+                       AS fingerprint
+            FROM documents
+        """,
+        "x_dedup_exact_groups": """
+            SELECT sha256(text) AS content_hash,
+                   min(doc_id) AS keeper_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY sha256(text)
+        """,
+        "x_dedup_exact": """
+            SELECT doc_id, lang, source, n_chars FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+                FROM documents
+            ) WHERE rn = 1
+        """,
+        "x_ngram_jaccard": """
+            WITH g AS (
+                SELECT doc_id,
+                       list_distinct([
+                           array_to_string(toks[i : i + 2], ' ')
+                           FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)
+                       ]) AS grams
+                FROM (SELECT doc_id,
+                             string_split_regex(trim(text), '\\s+') AS toks
+                      FROM documents)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.grams, b.grams))
+                         / nullif(len(list_distinct(
+                               list_concat(a.grams, b.grams))), 0), 6) AS jaccard
+            FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+        """,
+        "x_cosine_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id,
+                       CAST(embedding AS DOUBLE[]) AS q_vec
+                FROM embeddings WHERE vec_id < 5
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), q.q_vec) AS cosine
+                FROM embeddings e CROSS JOIN q
+            ),
+            ranked AS (
+                SELECT query_id, vec_id, cosine,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, vec_id) AS rank
+                FROM scored
+            )
+            SELECT query_id, vec_id, round(cosine, 6) AS cosine,
+                   CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 10
+        """,
+        "x_window_tumbling": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%dT%H:%M:%S')
+                       AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "x_window_sliding": """
+            WITH expanded AS (
+                SELECT to_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // 900)
+                                    * 900 - k.k * 900) AS win_start,
+                       value
+                FROM events
+                CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+            )
+            SELECT strftime(win_start, '%Y-%m-%dT%H:%M:%S') AS window_start,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM expanded GROUP BY 1
+        """,
+        "x_sessionize": """
+            WITH o AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                                 - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                                     PARTITION BY user_id
+                                     ORDER BY ts, event_id) > 1800
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+            ),
+            s AS (
+                SELECT *, sum(brk) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM o
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   count(*) AS n_events,
+                   strftime(min(ts), '%Y-%m-%dT%H:%M:%S') AS session_start,
+                   round(sum(value), 2) AS session_value
+            FROM s GROUP BY user_id, session_id
+        """,
+        "x_session_stats": """
+            WITH o AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                                 - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                                     PARTITION BY user_id
+                                     ORDER BY ts, event_id) > 1800
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+            ),
+            s AS (
+                SELECT *, sum(brk) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM o
+            ),
+            per_session AS (
+                SELECT user_id, session_id, count(*) AS n_events
+                FROM s GROUP BY user_id, session_id
+            )
+            SELECT user_id, count(*) AS n_sessions,
+                   CAST(sum(n_events) AS BIGINT) AS n_events
+            FROM per_session GROUP BY user_id
+        """,
+        "x_frame_sample": """
+            SELECT doc_id,
+                   CAST(f.frame_idx AS INT) AS frame_idx,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents
+            CROSS JOIN LATERAL (
+                SELECT unnest(range(0,
+                    CAST(floor(octet_length(encode(text)) / 64) AS BIGINT) + 1,
+                    10)) AS frame_idx
+            ) f
         """,
     }

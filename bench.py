@@ -1,0 +1,59 @@
+"""Benchmark harness: runs every declared query at the bench scale
+factor and prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {...}, "sf": <sf>}
+
+Each query executes to completion through the noop sink (full
+computation, no driver collect) on local[$SPARK_GRAFT_CPUS] over
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from pac_data_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_spark(app_name="bench")
+    # JVM/codegen warmup outside the timed region
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # record, keep benching
+            failures[name] = str(exc).split("\n")[0][:200]
+            continue
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "total_query_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if failures:
+        result["failures"] = failures
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,327 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard — the scale path for LLM corpus dedup.
+
+Shuffle budget at 100 TB:
+* exact dedup: ONE shuffle on a 32-byte hash (not the document!) —
+  map-side the doc collapses to (sha256, id), so shuffle bytes are
+  ~48/doc regardless of document size;
+* MinHash LSH: signatures are computed map-side (no shuffle), then
+  one shuffle on (band_id, band_hash) buckets; candidate pairs come
+  from within-bucket joins, never a corpus×corpus cross join;
+* SimHash: explode-tokens shuffle is bounded by token count, and the
+  band-bucket join mirrors MinHash.
+
+Everything is pure column expressions (xxhash64 / bit ops /
+higher-order array functions) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the cluster's parallelism when
+    the scan produced fewer splits than cores — shingle/hash stages
+    are compute-bound, and a 3-split file would idle 29 of 32 local
+    cores. No-op (and no shuffle) when splits already ≥ cores, which
+    is the normal state at production scale."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup by content hash: per sha256(text) keep the
+    smallest id, count the duplicates."""
+    return (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup keeping the min-id row per content hash."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# -- MinHash + LSH -----------------------------------------------------------
+
+
+def char_shingles(name: str, k: int = 5) -> Column:
+    """Character k-shingles of column ``name`` as a distinct array —
+    computed with ``sequence``+``transform``, no explode, no Python."""
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length({name}) - {k} + 1, 1)),"
+            f" i -> substring({name}, i, {k}))"
+        )
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """One-permutation-hashing MinHash signature (Li et al., NIPS'12):
+    hash every shingle ONCE, route it to bucket ``hash mod n``, take
+    the min per bucket, densify empty buckets with the global min.
+
+    Why OPH instead of n seeded hash functions: one xxhash64 per
+    shingle instead of n (64× less compute at equal variance), and
+    the shuffle stays tiny — a document's exploded shingles sit in
+    the partition that read it, so the partial (id, bucket) min
+    collapses to ≤n rows per doc before the exchange."""
+    # NOTE: no array_distinct — min() is idempotent under duplicate
+    # shingles, and deduplicating 300-element string arrays per row
+    # costs more than hashing the duplicates.
+    sh = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {shingle_k} + 1, 1)),"
+        f" i -> substring({text_col}, i, {shingle_k}))"
+    )
+    exploded = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(sh).alias("s")
+    )
+    hashed = exploded.select(
+        F.col(id_col), F.xxhash64("s").alias("h")
+    ).withColumn("b", F.pmod("h", F.lit(num_hashes)))
+    mins = hashed.groupBy(id_col, "b").agg(F.min("h").alias("mh"))
+    assembled = mins.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("b", "mh"))).alias("__m"),
+        F.min("mh").alias("__gmin"),
+    )
+    # empty-bucket probability ≈ (1-1/n)^|shingles| — negligible for
+    # real documents; densify with the global min so identical
+    # shingle sets still yield identical signatures.
+    sig = F.expr(
+        f"transform(sequence(0, {num_hashes - 1}),"
+        f" i -> coalesce(__m[CAST(i AS BIGINT)], __gmin))"
+    )
+    return assembled.select(F.col(id_col), sig.alias("minhash"))
+
+
+def minhash_signature_multiseed(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Classic n-seeded-hash MinHash — kept as the reference
+    implementation for tests; O(n·|shingles|) compute per doc, zero
+    shuffle. Prefer :func:`minhash_signature` (OPH) in pipelines."""
+    sh = char_shingles(text_col, shingle_k)
+    df = df.select(F.col(id_col), sh.alias("__sh"))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.expr(f"transform(__sh, s -> xxhash64(s, {seed}))")
+            )
+            for seed in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("minhash"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Band the signatures (b×r = signature length) and emit
+    candidate pairs that collide in ≥1 band.
+
+    Plan shape: explode to (band_id, band_hash, id) — one shuffle on
+    the bucket key; self-join within buckets with id<id to orient
+    pairs; distinct to collapse multi-band collisions. Probability a
+    pair with Jaccard s collides: 1-(1-s^r)^b (s=0.8 → 0.986)."""
+    band_cols = []
+    for b in range(bands):
+        lo = b * rows_per_band
+        elems = [F.col("minhash")[i] for i in range(lo, lo + rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_id"), F.xxhash64(*elems).alias("band_hash"))
+        )
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_hash")
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full MinHash near-dup pipeline: signature → LSH buckets →
+    candidate pairs → estimated-Jaccard filter (fraction of equal
+    signature components — unbiased estimator, avoids re-reading
+    the documents)."""
+    # signatures are consumed three times (banding + both pair
+    # sides); persist the tiny (id, 64×long) frame instead of
+    # recomputing the shingle pipeline per consumer
+    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_k).persist()
+    pairs = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("sig_a"))
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("sig_b"))
+    est = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)),"
+        " 0, (acc, v) -> acc + v)"
+    ) / F.lit(float(num_hashes))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+# -- SimHash -----------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per document, computed without leaving the JVM:
+    token → xxhash64, then per-bit signed vote via explode +
+    ONE hash aggregation (64 conditional sums), then bit
+    reassembly. Shuffle volume = distinct (doc, token) pairs."""
+    toks = F.explode(
+        F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+    ).alias("tok")
+    exploded = ensure_parallelism(df).select(F.col(id_col), toks).withColumn(
+        "h", F.xxhash64(F.col("tok"))
+    )
+    votes = exploded.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"getbit(h, {i})") == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        acc = acc + F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select(F.col(id_col), acc.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """SimHash near-dup: band the 64-bit hash into 4×16-bit chunks
+    (pigeonhole: hamming ≤ 3 guarantees one chunk equal; wider
+    distances are still usually caught), bucket-join per chunk, then
+    exact hamming filter via bit_count(xor)."""
+    hashes = simhash(df, text_col, id_col)
+    chunks = hashes.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.expr(f"(simhash >> {c * 16}) & 65535").alias("chunk"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select(id_col, "simhash", "ck.chunk_id", "ck.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# -- n-gram Jaccard ----------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact token n-gram Jaccard for given candidate pairs
+    (id_a, id_b) — the verification stage after LSH narrows
+    candidates. array_intersect/array_union on distinct n-gram
+    sets; per-pair cost linear in document length."""
+    grams = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(size(split(trim({text_col}),"
+            f" '\\\\s+')) - {n} + 1, 1)),"
+            f" i -> concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), i, {n})))"
+        )
+    )
+    docs = ensure_parallelism(df).select(F.col(id_col), grams.alias("grams"))
+    a = docs.select(F.col(id_col).alias("id_a"), F.col("grams").alias("g_a"))
+    b = docs.select(F.col(id_col).alias("id_b"), F.col("grams").alias("g_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size(F.array_union("g_a", "g_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / F.nullif(union, F.lit(0)), 6).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,207 @@
+"""Embedding similarity search over ``array<float>`` columns.
+
+Two tiers:
+* :func:`cosine_topk_bruteforce` — exact top-k, broadcast the query
+  set against the corpus; per-row dot products via higher-order
+  array functions (JVM, codegen). Exact and oracle-checkable.
+* :func:`cosine_topk_lsh` — the scale path: random-hyperplane LSH
+  buckets shrink the candidate set so the corpus×queries product
+  never materializes; same scoring inside buckets.
+
+At 100 TB the brute-force variant is only sane with a small query
+set (it's corpus×|Q| work but zero shuffles — scan-side compute,
+TakeOrderedAndProject per query); the LSH variant trades recall for
+a bucket-join whose width is the collision rate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: str, b: str) -> Column:
+    """Sequential fold — deterministic summation order, so any
+    engine folding left-to-right in double reproduces it exactly."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _norm(a: str) -> Column:
+    return F.sqrt(
+        F.expr(
+            f"aggregate({a}, CAST(0.0 AS DOUBLE),"
+            f" (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        )
+    )
+
+
+def cosine_topk_bruteforce(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    ``queries`` is (query_id, q_vec). Plan: broadcast-nested-loop
+    join (corpus never shuffles), dot/norms as array folds, then a
+    per-query window for the top k with vec_id tiebreak."""
+    q = F.broadcast(
+        queries.select(
+            F.col("query_id"), F.col("q_vec")
+        )
+    )
+    scored = (
+        embeddings.select(F.col(id_col), F.col(vec_col).alias("e_vec"))
+        .crossJoin(q)
+        .select(
+            "query_id",
+            F.col(id_col),
+            (
+                _dot("e_vec", "q_vec")
+                / F.nullif(_norm("e_vec") * _norm("q_vec"), F.lit(0.0))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def queries_from_corpus(
+    embeddings: DataFrame, n: int = 5, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Use the first ``n`` corpus vectors (by id) as the query set."""
+    return (
+        embeddings.filter(F.col(id_col) < n)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    )
+
+
+# -- LSH-bucketed ANN --------------------------------------------------------
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes for sign-LSH."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def _sign_signature(vec_col: str, planes: list[list[float]]) -> Column:
+    """Sign-bit signature: bit i = (v · plane_i) >= 0. Built as a
+    JVM expression over array literals — no UDF."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        arr = "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in plane) + ")"
+        dot = F.expr(
+            f"aggregate(zip_with({vec_col}, {arr},"
+            f" (x, y) -> CAST(x AS DOUBLE) * y),"
+            f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        sig = sig + F.when(
+            dot >= 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 12,
+    n_probe_bits: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: sign-LSH signatures bucket the
+    corpus; each query probes its own bucket plus all buckets within
+    ``n_probe_bits`` hamming distance (multi-probe trades compute
+    for recall). Join on bucket id → exact cosine inside buckets →
+    per-query top-k.
+
+    Scale shape: corpus signatures are scan-side; the bucket join is
+    an equi-join on a long key (shuffle ∝ corpus, not corpus×|Q|)."""
+    planes = random_hyperplanes(dim, n_planes, seed)
+    corpus = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col).alias("e_vec"),
+        _sign_signature(vec_col, planes).alias("bucket"),
+    )
+    q_sig = queries.select(
+        "query_id", "q_vec", _sign_signature("q_vec", planes).alias("q_bucket")
+    )
+    # multi-probe: original bucket + single-bit flips up to n_probe_bits
+    probes = [F.col("q_bucket")]
+    if n_probe_bits >= 1:
+        probes += [
+            F.expr(f"q_bucket ^ {1 << i}").cast("long") for i in range(n_planes)
+        ]
+    probed = q_sig.select(
+        "query_id", "q_vec", F.explode(F.array(*probes)).alias("bucket")
+    )
+    scored = (
+        corpus.join(F.broadcast(probed), "bucket")
+        .select(
+            "query_id",
+            F.col(id_col),
+            (
+                _dot("e_vec", "q_vec")
+                / F.nullif(_norm("e_vec") * _norm("q_vec"), F.lit(0.0))
+            ).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", id_col])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup: bucket by sign-LSH, compare within
+    buckets only (id_a < id_b), keep pairs above ``threshold``."""
+    planes = random_hyperplanes(dim, n_planes, seed)
+    sigs = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        _sign_signature(vec_col, planes).alias("bucket"),
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col("a.v").alias("v_a"),
+        F.col("b.v").alias("v_b"),
+    )
+    cos = _dot("v_a", "v_b") / F.nullif(_norm("v_a") * _norm("v_b"), F.lit(0.0))
+    return pairs.select(
+        "id_a", "id_b", F.round(cos, 6).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)

@@ -1,0 +1,159 @@
+"""Text analysis operators for LLM training-data pipelines.
+
+All hot-path operators are pure column expressions (JVM-side,
+whole-stage codegen) over the ``documents`` table: tokenization,
+token statistics, quality scoring, stopword-based language ID, and
+document fingerprinting. At 100 TB these run in the scan stage with
+zero shuffles — every one is a per-row map.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Minimal per-language stopword seeds for the language-ID heuristic.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "die", "das", "und", "zu"),
+    "fr": ("le", "les", "des", "et", "une"),
+    "es": ("el", "los", "de", "y", "una"),
+}
+
+#: English stopwords used by the quality score.
+QUALITY_STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "for")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization → array<string>. (A BPE-ish regex
+    tokenizer is :func:`bpe_ish_tokens`.)"""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """Subword-ish tokenization: split on whitespace AND at
+    letter/digit/punctuation boundaries, the cheap regex stand-in
+    for a BPE pre-tokenizer."""
+    c = F.col(col) if isinstance(col, str) else col
+    # insert breaks between character-class transitions, then split
+    marked = F.regexp_replace(
+        F.regexp_replace(c, r"([a-zA-Z])([0-9])", r"$1 $2"),
+        r"([a-zA-Z0-9])([^a-zA-Z0-9\s])",
+        r"$1 $2",
+    )
+    return F.split(F.trim(marked), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def stopword_ratio(
+    col: Column | str, stopwords: tuple[str, ...] = QUALITY_STOPWORDS
+) -> Column:
+    """Fraction of tokens that are stopwords — a classic fluency
+    signal (higher ≈ natural prose, near-zero ≈ tag soup)."""
+    toks = tokens(col)
+    sw = ", ".join(f"'{w}'" for w in stopwords)
+    hits = F.expr(
+        f"size(filter(split(trim({_name(col)}), '\\\\s+'), t -> lower(t) IN ({sw})))"
+    )
+    return hits / F.nullif(F.size(toks), F.lit(0))
+
+
+def _name(col: Column | str) -> str:
+    if isinstance(col, str):
+        return col
+    raise ValueError("expression-based stopword_ratio needs a column name")
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token statistics: counts, distinct counts, mean
+    token length, punctuation ratio."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_char = F.length(F.col(text_col))
+    n_punct = n_char - F.length(
+        F.regexp_replace(F.col(text_col), r"[^\w\s]", "")
+    )
+    return df.select(
+        "doc_id",
+        n_char.cast("bigint").alias("n_chars"),
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq_tokens"),
+        F.round(
+            (n_char - F.size(toks) + 1) / F.nullif(n_tok, F.lit(0)), 6
+        ).alias("mean_token_len"),
+        F.round(n_punct / F.nullif(n_char, F.lit(0)), 6).alias("punct_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality score in [0,1]:
+    0.5·stopword_ratio + 0.3·min(n_tokens/100, 1) + 0.2·(1 − punct_ratio).
+
+    Pure arithmetic (no exp/log) so any engine reproduces it
+    bit-for-bit — the oracle runs the identical formula."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_char = F.length(F.col(text_col))
+    n_punct = n_char - F.length(
+        F.regexp_replace(F.col(text_col), r"[^\w\s]", "")
+    )
+    sw = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    hits = F.expr(
+        f"size(filter(split(trim({text_col}), '\\\\s+'), t -> lower(t) IN ({sw})))"
+    )
+    sw_ratio = hits / F.nullif(n_tok, F.lit(0))
+    punct_ratio = n_punct / F.nullif(n_char, F.lit(0))
+    score = (
+        F.lit(0.5) * sw_ratio
+        + F.lit(0.3) * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.2) * (F.lit(1.0) - punct_ratio)
+    )
+    return df.select(
+        "doc_id",
+        F.round(sw_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language ID: count seed-stopword hits per
+    language, argmax with a fixed tie order (en, de, fr, es, else
+    'und'). An n-gram model would drop in the same shape; the point
+    is the scan-stage, shuffle-free classification."""
+    cols = {}
+    for lang, words in LANG_STOPWORDS.items():
+        sw = ", ".join(f"'{w}'" for w in words)
+        cols[lang] = F.expr(
+            f"size(filter(split(trim({text_col}), '\\\\s+'), t -> lower(t) IN ({sw})))"
+        )
+    best = F.greatest(*cols.values())
+    guess = F.when(best == 0, F.lit("und"))
+    for lang in LANG_STOPWORDS:  # insertion order = tie order
+        guess = guess.when(cols[lang] == best, F.lit(lang))
+    return df.select(
+        "doc_id",
+        "lang",
+        *[c.cast("bigint").alias(f"hits_{lang}") for lang, c in cols.items()],
+        guess.otherwise(F.lit("und")).alias("lang_guess"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of the casefolded, punctuation-
+    stripped, whitespace-collapsed text — the key for exact near-
+    normalization dedup."""
+    normalized = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    return df.select(
+        "doc_id",
+        F.md5(normalized).alias("fingerprint"),
+    )

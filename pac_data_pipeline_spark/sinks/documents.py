@@ -168,10 +168,16 @@ def dry_run(df: DataFrame, n: int = 5) -> dict:
     """K8: plan without side effects — sample rows, count, and the
     formatted physical plan (the reference prints samples + counts;
     we add the plan because that's the thing worth reviewing)."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
     try:
-        plan = df._jdf.queryExecution().explainString("formatted")
-    except Exception:  # Spark Connect has no _jdf; plan preview is best-effort
-        plan = ""
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+    except Exception:  # plan preview is best-effort
+        pass
+    plan = buf.getvalue()
     return {
         "sample": [r.asDict(recursive=True) for r in df.limit(n).collect()],
         "count": df.count(),

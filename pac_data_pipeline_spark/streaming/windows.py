@@ -1,0 +1,165 @@
+"""Event-time window analytics — batch and Structured Streaming.
+
+The batch variants (`F.window` over a static DataFrame) are
+SQL-checkable against the DuckDB oracle; the streaming variant runs
+the same logical plan through ``readStream`` with a watermark, so
+late-data semantics are real (SURVEY §2.10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pac_data_pipeline_spark.sources.readers import load_events
+
+#: Raw parquet schema of the events table under nanosAsLong
+#: (ts arrives as raw-nanosecond long; see readers.load_events).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def tumbling_window_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling event-time windows: count + sum per (window,
+    event_type). Map-side partial aggregation applies — the shuffle
+    carries one row per (window, type) per partition."""
+    return (
+        events.groupBy(F.window("ts", width), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd'T'HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_window_agg(
+    events: DataFrame, width: str = "1 hour", slide: str = "15 minutes"
+) -> DataFrame:
+    """Sliding windows: each event lands in width/slide windows
+    (Spark explodes window instances before the aggregation)."""
+    return (
+        events.groupBy(F.window("ts", width, slide))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd'T'HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize_batch(
+    events: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Batch sessionization: per-user sessions split at inactivity
+    gaps > ``gap_minutes`` — lag + cumulative-sum-of-breaks, the
+    classic two-window formulation. One shuffle on user_id; both
+    windows share the partitioning so the sort is reused."""
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_user)
+    is_break = F.when(gap > gap_minutes * 60, 1).otherwise(0)
+    with_session = events.withColumn(
+        "session_id",
+        F.sum(is_break).over(
+            w_user.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        with_session.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd'T'HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+
+
+def session_stats_per_user(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user session summary: session count + event count."""
+    sessions = sessionize_batch(events, gap_minutes)
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
+def run_streaming_tumbling(
+    spark: SparkSession,
+    sf_dir: str,
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+    query_name: str = "stream_tumbling",
+) -> DataFrame:
+    """Structured Streaming variant of :func:`tumbling_window_agg`:
+    file-source readStream over the events parquet, event-time
+    watermark bounding state, complete-mode memory sink, driven to
+    completion with processAllAvailable (availableNow semantics for
+    tests). Returns the sink table.
+
+    In production the source is Kafka and the sink is a parquet/
+    Delta writeStream with checkpointing; the transformation is
+    byte-identical."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file source needs a directory; glob-filter to the events file
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd'T'HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    query = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.table(query_name)
+
+
+def load_events_for_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared batch loader (nanos-normalized timestamps)."""
+    return load_events(spark, sf_dir)

@@ -1,0 +1,135 @@
+"""Extension operators: dedup recall on planted duplicates,
+similarity self-match, windows, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pac_data_pipeline_spark.ext.dedup_text import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    simhash_near_dup_pairs,
+)
+from pac_data_pipeline_spark.ext.multimodal import (
+    extract_features,
+    frame_sample_stub,
+    media_table_from_documents,
+    resize_stub,
+)
+from pac_data_pipeline_spark.ext.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    queries_from_corpus,
+)
+from pac_data_pipeline_spark.ext.text import fingerprint, lang_id
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away "
+    "into the deep green forest while the sun sets slowly behind hills"
+)
+
+
+def _docs(spark):
+    rows = [
+        (0, BASE, "en", "s", len(BASE)),
+        (1, BASE, "en", "s", len(BASE)),  # exact dup of 0
+        (2, BASE.replace("quick", "speedy"), "en", "s", 1),  # near dup
+        (3, "completely different text about spark query engines and "
+            "distributed columnar execution at scale", "en", "s", 1),
+        (4, "der die das und zu hause gehen wir heute abend", "de", "s", 1),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    out = exact_dedup(_docs(spark))
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [0, 2, 3, 4]
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    pairs = {(r.id_a, r.id_b): r.est_jaccard
+             for r in minhash_near_dup_pairs(_docs(spark), threshold=0.5).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0  # exact dup
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup caught
+    assert all(3 not in p and 4 not in p for p in pairs)  # no false pairs
+
+
+def test_simhash_near_dups(spark):
+    pairs = {(r.id_a, r.id_b)
+             for r in simhash_near_dup_pairs(_docs(spark), max_hamming=8).collect()}
+    assert (0, 1) in pairs
+    assert (3, 4) not in pairs
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello,   World!"), (1, "hello world"), (2, "other")],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: r.fingerprint for r in fingerprint(df).collect()}
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]
+
+
+def test_lang_id_heuristic(spark):
+    out = {r.doc_id: r.lang_guess for r in lang_id(_docs(spark)).collect()}
+    assert out[0] == "en"
+    assert out[4] == "de"
+
+
+def test_cosine_topk_self_match_first(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((20, 8)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], 0) for i in range(20)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = cosine_topk_bruteforce(emb, queries_from_corpus(emb, n=3), k=5)
+    top1 = {r.query_id: r.vec_id for r in out.filter(F.col("rank") == 1).collect()}
+    assert top1 == {0: 0, 1: 1, 2: 2}  # cosine(v, v) = 1 is rank 1
+    # LSH variant must also self-match (same bucket trivially)
+    lsh = cosine_topk_lsh(emb, queries_from_corpus(emb, n=3), k=5, dim=8)
+    lsh_top1 = {r.query_id: r.vec_id
+                for r in lsh.filter(F.col("rank") == 1).collect()}
+    assert lsh_top1 == {0: 0, 1: 1, 2: 2}
+
+
+def test_multimodal_plumbing(spark):
+    media = media_table_from_documents(_docs(spark))
+    feats = extract_features(media, dim=4).collect()
+    assert len(feats) == 5
+    assert all(len(r.feature) == 4 for r in feats)
+    # determinism: same payload → same features
+    by_id = {r.doc_id: list(r.feature) for r in feats}
+    assert by_id[0] == by_id[1]
+
+    resized = resize_stub(media, 64, 64).collect()
+    assert all(r.meta.width == 64 and r.meta.height == 64 for r in resized)
+
+    frames = frame_sample_stub(media, every_n=10)
+    assert frames.count() >= 5
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    """Streaming tumbling agg over the sf0.001 events must equal the
+    batch computation — same logical plan, two execution modes."""
+    from pac_data_pipeline_spark.sources.readers import load_events
+    from pac_data_pipeline_spark.streaming.windows import (
+        run_streaming_tumbling,
+        tumbling_window_agg,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    try:
+        stream = run_streaming_tumbling(
+            spark, sf_dir, query_name="t_stream_batch_parity"
+        ).collect()
+    except Exception as exc:  # pragma: no cover
+        pytest.skip(f"streaming unavailable: {exc}")
+    batch = tumbling_window_agg(load_events(spark, sf_dir)).collect()
+    assert sorted(map(tuple, stream)) == sorted(map(tuple, batch))

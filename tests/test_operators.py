@@ -1,0 +1,103 @@
+"""Operator-level properties: dedup idempotence/keep-first ties,
+rollup totals under repartitioning, top-k determinism, sink
+record shaping."""
+
+from pyspark.sql import functions as F
+
+from pac_data_pipeline_spark.operators.aggregates import conditional_party_rollup
+from pac_data_pipeline_spark.operators.dedup import dedup_keep_first
+from pac_data_pipeline_spark.operators.topk import top_k
+from pac_data_pipeline_spark.sinks.documents import (
+    foreach_partition_write,
+    to_doc_records,
+    with_batch_id,
+)
+
+
+def _pac_df(spark):
+    rows = [
+        # (ticker, cycle, committee, amount) with a duplicate key and a tie
+        ("AAPL", 2024, "Progressive Fund", 100.0),
+        ("AAPL", 2024, "GOP Fund", 50.0),
+        ("AAPL", 2024, "Progressive Fund", 100.0),  # exact dup
+        ("MSFT", 2024, "Liberal PAC", 30.0),
+        ("MSFT", 2026, "Conservative PAC", 70.0),
+        ("TSLA", 2024, "Neutral PAC", 10.0),  # no party → dropped by rollup
+    ]
+    return spark.createDataFrame(
+        rows, "ticker string, cycle long, committee string, amount double"
+    )
+
+
+def test_dedup_keep_first_deterministic_and_idempotent(spark):
+    df = _pac_df(spark)
+    once = dedup_keep_first(
+        df, key_cols=("ticker", "cycle"), order_cols=("amount", "committee")
+    )
+    twice = dedup_keep_first(
+        once, key_cols=("ticker", "cycle"), order_cols=("amount", "committee")
+    )
+    got = {(r.ticker, r.cycle): r.amount for r in once.collect()}
+    # smallest amount wins per (ticker, cycle)
+    assert got == {("AAPL", 2024): 50.0, ("MSFT", 2024): 30.0,
+                   ("MSFT", 2026): 70.0, ("TSLA", 2024): 10.0}
+    assert sorted(once.collect()) == sorted(twice.collect())
+
+
+def test_rollup_totals_stable_under_repartition(spark):
+    from pac_data_pipeline_spark.functions.scalar import party_label
+
+    df = _pac_df(spark).withColumn("party", party_label("committee"))
+    base = conditional_party_rollup(
+        df.filter(F.col("party").isNotNull()),
+        ("ticker", "cycle"), "party", "amount",
+    )
+    shuffled = conditional_party_rollup(
+        df.filter(F.col("party").isNotNull()).repartition(7, "committee"),
+        ("ticker", "cycle"), "party", "amount",
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, shuffled.collect()))
+    row = {(r.ticker, r.cycle): (r.democrat_total, r.republican_total)
+           for r in base.collect()}
+    assert row[("AAPL", 2024)] == (200.0, 50.0)
+    assert ("TSLA", 2024) not in row  # HAVING drops the no-party group
+
+
+def test_top_k_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 5.0), (3, 4.0)], "id long, v double"
+    )
+    got = [r.id for r in top_k(df, "v", 2, tiebreak=("id",)).collect()]
+    assert got == [1, 2]
+
+
+def test_with_batch_id_sizes(spark):
+    df = spark.range(2500).withColumnRenamed("id", "k")
+    out = with_batch_id(df, batch_size=1000, order_cols=("k",))
+    sizes = {r.batch_id: r.n for r in
+             out.groupBy("batch_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes == {0: 1000, 1: 1000, 2: 500}
+
+
+def test_to_doc_records_shape(spark):
+    df = spark.createDataFrame([(1, "x")], "id long, payload string")
+    row = to_doc_records(df, collection="c", id_col="id").collect()[0]
+    assert row.collection == "c"
+    assert row.document_id == "1"
+    assert '"payload":"x"' in row.data
+
+
+def test_foreach_partition_write_gate(spark):
+    df = spark.range(100).repartition(4)
+    stats = foreach_partition_write(
+        df, write_batch=lambda rows: len(rows), batch_size=30
+    )
+    assert stats["attempted"] == 100
+    assert stats["written"] == 100
+    assert stats["success"] is True
+
+    flaky = foreach_partition_write(
+        df, write_batch=lambda rows: 0, batch_size=30
+    )
+    assert flaky["written"] == 0
+    assert flaky["success"] is False
