@@ -79,6 +79,8 @@ from pac_data_pipeline_spark.ext.multimodal import (
     frame_sample_stub,
     media_table_from_documents,
 )
+from pac_data_pipeline_spark.sources.readers import register_views
+from pac_data_pipeline_spark.streaming.stateful import run_streaming_sessions
 from pac_data_pipeline_spark.streaming.windows import (
     run_streaming_tumbling,
     session_stats_per_user,
@@ -420,6 +422,44 @@ def q_p6_uuid_records(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
+#: TPC-H-Q1-style aggregation used verbatim by BOTH engines — the
+#: S2 "SQL source" path: text SQL through the full Catalyst
+#: parse → analyze → optimize → physical pipeline.
+TPCH_Q1_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+               AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_s2_sql_source(spark, sf_dir):
+    """S2: SQL text through Catalyst over registered views — the
+    in-engine equivalent of the reference's Snowflake SQL scans
+    (pac_snowflake_pipeline.py:38-69)."""
+    register_views(spark, sf_dir)
+    return spark.sql(TPCH_Q1_SQL)
+
+
+def q_x_stream_sessions(spark, sf_dir):
+    """Custom STATEFUL streaming operator: per-user sessionization
+    via applyInPandasWithState (state = open session per user).
+    Output matches the batch sessionization oracle exactly."""
+    out = run_streaming_sessions(spark, sf_dir)
+    return out.select(
+        "user_id", "session_id", "n_events", "session_start", "session_value"
+    )
+
+
 def q_x_text_stats(spark, sf_dir):
     """Token statistics per document (scan-stage, shuffle-free)."""
     return text_stats(_t(spark, sf_dir, "documents"))
@@ -589,6 +629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j3_reconcile_counts": q_j3_reconcile_counts,
         "k3_batch_id": q_k3_batch_id,
         "k5_keyed_tree": q_k5_keyed_tree,
+        "s2_sql_source": q_s2_sql_source,
+        "x_stream_sessions": q_x_stream_sessions,
         "x_text_stats": q_x_text_stats,
         "x_quality_score": q_x_quality_score,
         "x_lang_id": q_x_lang_id,
@@ -621,7 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    oracles = {
         "p1_normalize_project": """
             SELECT c_custkey,
                    trim(c_name) AS name_trim,
@@ -1130,3 +1172,8 @@ def oracle_sql() -> dict[str, str]:
             ) f
         """,
     }
+    oracles["s2_sql_source"] = TPCH_Q1_SQL
+    # the stateful streaming sessionizer reproduces the batch
+    # sessionization exactly -> same oracle
+    oracles["x_stream_sessions"] = oracles["x_sessionize"]
+    return oracles

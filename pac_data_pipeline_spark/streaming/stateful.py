@@ -1,0 +1,142 @@
+"""Custom stateful streaming operator: per-user sessionization with
+``applyInPandasWithState`` (SURVEY §2.10 streaming extension).
+
+The batch equivalent (windows.sessionize_batch) is a two-window
+plan; streaming needs explicit state because sessions span
+micro-batches: per user we keep the open session (start, last event
+time, running aggregates) in the state store, emit sessions as the
+inactivity gap closes them, and carry the still-open session
+forward. State size is O(users), not O(events) — the property that
+makes this viable on an unbounded stream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from pac_data_pipeline_spark.streaming.windows import EVENTS_RAW_SCHEMA
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("session_start", T.StringType()),
+        T.StructField("session_value", T.DoubleType()),
+        T.StructField("closed", T.BooleanType()),
+    ]
+)
+
+#: (next_session_id, open_start_us, open_last_us, open_n, open_value)
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("next_session_id", T.LongType()),
+        T.StructField("open_start", T.LongType()),
+        T.StructField("open_last", T.LongType()),
+        T.StructField("open_n", T.LongType()),
+        T.StructField("open_value", T.DoubleType()),
+    ]
+)
+
+
+def _iso(us: int) -> str:
+    return pd.Timestamp(us, unit="us").strftime("%Y-%m-%dT%H:%M:%S")
+
+
+def make_sessionizer(gap_minutes: int = 30, emit_open: bool = True):
+    """Build the per-group state function. Events inside a batch are
+    sorted by event time; a gap > ``gap_minutes`` closes the open
+    session (emitted with closed=true). The trailing open session
+    stays in state and, with ``emit_open``, is also emitted with
+    closed=false so bounded-input runs surface every session."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sessionize(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"], ignore_index=True)
+        ts_us = batch["ts"].astype("int64") // 1000  # ns → µs
+        values = batch["value"].fillna(0.0)
+
+        if state.exists:
+            next_sid, start, last, n, val = state.get
+        else:
+            next_sid, start, last, n, val = 0, None, None, 0, 0.0
+
+        out_rows = []
+        for t, v in zip(ts_us, values):
+            t = int(t)
+            if start is None:
+                start, last, n, val = t, t, 1, float(v)
+            elif t - last > gap_us:
+                out_rows.append((user_id, next_sid, n, _iso(start), round(val, 2), True))
+                next_sid += 1
+                start, last, n, val = t, t, 1, float(v)
+            else:
+                last, n, val = t, n + 1, val + float(v)
+
+        state.update((next_sid, start, last, n, val))
+        if emit_open and start is not None:
+            out_rows.append(
+                (user_id, next_sid, n, _iso(start), round(val, 2), False)
+            )
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows,
+                columns=[
+                    "user_id",
+                    "session_id",
+                    "n_events",
+                    "session_start",
+                    "session_value",
+                    "closed",
+                ],
+            )
+
+    return sessionize
+
+
+def run_streaming_sessions(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_minutes: int = 30,
+    query_name: str = "stream_sessions",
+) -> DataFrame:
+    """Drive the stateful sessionizer over the events parquet as a
+    stream (single availableNow-style batch in tests; identical
+    semantics on a live source with multiple batches)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    events = raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    ).select("user_id", "event_id", "ts", "value")
+    sessions = events.groupBy("user_id").applyInPandasWithState(
+        make_sessionizer(gap_minutes),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    query = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.table(query_name)
