@@ -25,8 +25,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pac_data_pipeline_spark.functions.cleaning import (
+    clean,
     drop_all_null_rows,
     with_metadata,
+)
+from pac_data_pipeline_spark.plans.analytics import (
+    local_supplier_volume,
+    promo_revenue_share,
+    returned_items,
+    revenue_forecast,
+    shipping_priority,
 )
 from pac_data_pipeline_spark.functions.scalar import (
     bin_amount,
@@ -450,6 +458,62 @@ def q_s2_sql_source(spark, sf_dir):
     return spark.sql(TPCH_Q1_SQL)
 
 
+def q_p2_generic_clean(spark, sf_dir):
+    """P2 + the reference's whole generic clean stage
+    (clean_snowflake_data, pac_snowflake_pipeline.py:71-135): messy
+    column names normalized, then name-pattern coercion — *value*/
+    *amount* → double-or-0, *date* strings → timestamp-or-null,
+    strings trimmed — all emitted as one Catalyst projection."""
+    e = load_events(spark, sf_dir)
+    messy = e.select(
+        F.col("event_id").alias(" Event ID "),
+        F.col("value").cast("string").alias("Total Value"),
+        F.col("props").alias("Amount Props"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("Event Date"),
+        F.col("value").alias("Value Raw"),
+    )
+    out = clean(messy)
+    return out.select(
+        "event_id",
+        F.round("total_value", 6).alias("total_value"),
+        F.round("amount_props", 6).alias("amount_props"),
+        F.date_format("event_date", "yyyy-MM-dd'T'HH:mm:ss").alias(
+            "event_date_iso"
+        ),
+        F.round("value_raw", 6).alias("value_raw"),
+    )
+
+
+def q_h3_shipping_priority(spark, sf_dir):
+    """Multi-join analytic: Q3 shape (segment-filtered top-k order
+    revenue)."""
+    return shipping_priority(spark, sf_dir)
+
+
+def q_h5_local_volume(spark, sf_dir):
+    """Multi-join analytic: Q5 shape (co-nation customer/supplier
+    revenue per nation, fixed dims broadcast)."""
+    return local_supplier_volume(spark, sf_dir)
+
+
+def q_h6_revenue_forecast(spark, sf_dir):
+    """Scan-filter-agg analytic: Q6 shape (all predicates pushed to
+    the parquet scan)."""
+    return revenue_forecast(spark, sf_dir)
+
+
+def q_h10_returned_items(spark, sf_dir):
+    """Multi-join analytic: Q10 shape (returns revenue per customer,
+    top-20)."""
+    return returned_items(spark, sf_dir)
+
+
+def q_h14_promo_share(spark, sf_dir):
+    """Join + conditional-agg analytic: Q14 shape (promo revenue
+    share)."""
+    return promo_revenue_share(spark, sf_dir)
+
+
 def q_x_stream_sessions(spark, sf_dir):
     """Custom STATEFUL streaming operator: per-user sessionization
     via applyInPandasWithState (state = open session per user).
@@ -630,6 +694,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k3_batch_id": q_k3_batch_id,
         "k5_keyed_tree": q_k5_keyed_tree,
         "s2_sql_source": q_s2_sql_source,
+        "p2_generic_clean": q_p2_generic_clean,
+        "h3_shipping_priority": q_h3_shipping_priority,
+        "h5_local_volume": q_h5_local_volume,
+        "h6_revenue_forecast": q_h6_revenue_forecast,
+        "h10_returned_items": q_h10_returned_items,
+        "h14_promo_share": q_h14_promo_share,
         "x_stream_sessions": q_x_stream_sessions,
         "x_text_stats": q_x_text_stats,
         "x_quality_score": q_x_quality_score,
@@ -1172,6 +1242,86 @@ def oracle_sql() -> dict[str, str]:
             ) f
         """,
     }
+    oracles["p2_generic_clean"] = """
+        SELECT event_id,
+               round(coalesce(TRY_CAST(trim(CAST(value AS VARCHAR)) AS DOUBLE),
+                              0.0), 6) AS total_value,
+               round(coalesce(TRY_CAST(trim(props) AS DOUBLE), 0.0), 6)
+                   AS amount_props,
+               strftime(try_strptime(trim(strftime(ts, '%Y-%m-%d %H:%M:%S')),
+                                     '%Y-%m-%d %H:%M:%S'),
+                        '%Y-%m-%dT%H:%M:%S') AS event_date_iso,
+               round(coalesce(CAST(value AS DOUBLE), 0.0), 6) AS value_raw
+        FROM events
+    """
+    oracles["h3_shipping_priority"] = """
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS order_date
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """
+    oracles["h5_local_volume"] = """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """
+    oracles["h6_revenue_forecast"] = """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """
+    oracles["h10_returned_items"] = """
+        SELECT c_custkey, c_name, n_name,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+               round(max(c_acctbal), 2) AS acctbal
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """
+    oracles["h14_promo_share"] = """
+        WITH sums AS (
+            SELECT round(sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END), 2) AS promo_rev,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS total_rev
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+              AND l_shipdate < TIMESTAMP '1997-04-01'
+        )
+        SELECT promo_rev, total_rev,
+               round(100.0 * promo_rev / total_rev, 6) AS promo_share_pct
+        FROM sums
+    """
     oracles["s2_sql_source"] = TPCH_Q1_SQL
     # the stateful streaming sessionizer reproduces the batch
     # sessionization exactly -> same oracle

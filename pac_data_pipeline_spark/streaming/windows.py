@@ -113,6 +113,7 @@ def run_streaming_tumbling(
     width: str = "1 hour",
     watermark: str = "2 hours",
     query_name: str = "stream_tumbling",
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Structured Streaming variant of :func:`tumbling_window_agg`:
     file-source readStream over the events parquet, event-time
@@ -147,16 +148,25 @@ def run_streaming_tumbling(
             "total_value",
         )
     )
-    query = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
+    # state partitions track aggregate-key cardinality (windows ×
+    # types here), not the batch shuffle default — see
+    # stateful.run_streaming_sessions for the measured rationale.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        query.processAllAvailable()
+        query = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
     finally:
-        query.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(query_name)
 
 

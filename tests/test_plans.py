@@ -1,0 +1,88 @@
+"""Physical-plan assertions: lock in the scale-critical properties
+(broadcast joins for fixed dims, predicate pushdown into the parquet
+scan, JVM-only hot paths, map-side partial aggregation). A
+regression here means a 100 TB run got slower even though results
+are still correct — exactly the class of bug a correctness gate
+can't see."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pac_data_pipeline_spark.plans.analytics import (
+    local_supplier_volume,
+    revenue_forecast,
+    shipping_priority,
+)
+from pac_data_pipeline_spark.plans.pipelines import party_rollup_pipeline
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df, mode: str = "formatted") -> str:
+    sc = df.sparkSession.sparkContext
+    return sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def test_fixed_dims_broadcast_in_q5(spark):
+    p = plan(local_supplier_volume(spark, SF))
+    assert "BroadcastHashJoin" in p, p
+    # the lineitem fact side must NOT be the build side of any
+    # broadcast: no BroadcastExchange directly over the lineitem scan
+    for section in p.split("\n\n"):
+        if "BroadcastExchange" in section and "lineitem" in section.lower():
+            pytest.fail("fact table broadcast!\n" + p)
+
+
+def test_supplier_dim_broadcast_in_flagship(spark):
+    assert "BroadcastHashJoin" in plan(party_rollup_pipeline(spark, SF))
+
+
+def test_filters_pushed_to_scan_q6(spark):
+    p = plan(revenue_forecast(spark, SF))
+    assert "PushedFilters: [" in p
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    # the range + quantity predicates reach the parquet reader
+    assert any("l_shipdate" in ln for ln in pushed), p
+    assert any("l_quantity" in ln for ln in pushed), p
+
+
+def test_column_pruning_q6(spark):
+    p = plan(revenue_forecast(spark, SF))
+    schema_lines = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert schema_lines, p
+    # only the 4 referenced columns are read from the 11-column table
+    assert "l_returnflag" not in schema_lines[0]
+    assert "l_orderkey" not in schema_lines[0]
+
+
+def test_no_python_eval_in_core_queries(spark):
+    """Reference-parity queries must stay inside the JVM — a Python
+    UDF sneaking into a hot path is a 10-100x regression at scale."""
+    for df in (
+        party_rollup_pipeline(spark, SF),
+        shipping_priority(spark, SF),
+        local_supplier_volume(spark, SF),
+    ):
+        p = plan(df)
+        assert "BatchEvalPython" not in p, p
+        assert "ArrowEvalPython" not in p, p
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    """groupBy sum must run partial (map-side) + final hash agg —
+    the shuffle carries one row per key per partition, not the raw
+    data."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = li.groupBy("l_returnflag").agg(F.sum("l_extendedprice"))
+    p = plan(df)
+    assert p.count("HashAggregate") >= 2, p
+    assert "hashpartitioning(l_returnflag" in p, p
+
+
+def test_topk_uses_take_ordered(spark):
+    """orderBy().limit(k) must compile to TakeOrderedAndProject
+    (per-partition heaps), never a global Sort."""
+    p = plan(shipping_priority(spark, SF), mode="simple")
+    assert "TakeOrderedAndProject" in p, p

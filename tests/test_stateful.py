@@ -1,0 +1,110 @@
+"""Unit tests for the stateful streaming sessionizer's state
+machine, driven directly (no Spark): multi-micro-batch carry-over is
+the path a single-batch oracle run never exercises."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pac_data_pipeline_spark.streaming.stateful import make_sessionizer
+
+MIN_US = 60 * 1_000_000
+
+
+class FakeState:
+    """Minimal stand-in for pyspark GroupState."""
+
+    def __init__(self):
+        self._value = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, value):
+        self._value = value
+
+
+def _batch(rows):
+    return pd.DataFrame(
+        {
+            "user_id": [1] * len(rows),
+            "event_id": list(range(len(rows))),
+            "ts": pd.to_datetime([t for t, _ in rows], unit="m", utc=False),
+            "value": [v for _, v in rows],
+        }
+    )
+
+
+def _run(fn, state, rows, emit=True):
+    out = list(fn((1,), iter([_batch(rows)]), state))
+    return pd.concat(out, ignore_index=True) if out else pd.DataFrame()
+
+
+def test_single_batch_multiple_sessions():
+    fn = make_sessionizer(gap_minutes=30)
+    state = FakeState()
+    # minutes: 0,10 | 60,70,75 | 200  (gaps 50 and 125 close sessions)
+    out = _run(fn, state, [(0, 1.0), (10, 2.0), (60, 4.0), (70, 8.0), (75, 16.0), (200, 32.0)])
+    closed = out[out.closed]
+    assert list(closed.n_events) == [2, 3]
+    assert list(closed.session_value) == [3.0, 28.0]
+    open_ = out[~out.closed]
+    assert list(open_.n_events) == [1]
+    assert list(open_.session_value) == [32.0]
+    # state carries the open session
+    next_sid, start, last, n, val = state.get
+    assert (next_sid, n, val) == (2, 1, 32.0)
+    assert start == last == 200 * MIN_US
+
+
+def test_continuation_across_batches():
+    fn = make_sessionizer(gap_minutes=30)
+    state = FakeState()
+    _run(fn, state, [(0, 1.0), (10, 2.0)])
+    # next batch continues within the gap (25 min after event at 10)
+    out = _run(fn, state, [(35, 4.0), (45, 8.0)])
+    open_ = out[~out.closed]
+    assert list(open_.n_events) == [4]  # 2 carried + 2 new
+    assert list(open_.session_value) == [15.0]
+    assert list(open_.session_id) == [0]
+    # a later batch past the gap closes it and opens session 1
+    out = _run(fn, state, [(200, 16.0)])
+    closed = out[out.closed]
+    assert list(closed.n_events) == [4]
+    assert list(closed.session_id) == [0]
+    assert list(out[~out.closed].session_id) == [1]
+
+
+def test_break_exactly_at_gap_boundary_continues():
+    fn = make_sessionizer(gap_minutes=30)
+    state = FakeState()
+    _run(fn, state, [(0, 1.0)])
+    # exactly 30 min later: gap is NOT > 30 min → same session
+    out = _run(fn, state, [(30, 2.0)])
+    assert list(out[~out.closed].n_events) == [2]
+
+
+def test_batch_with_continuation_then_breaks():
+    fn = make_sessionizer(gap_minutes=30)
+    state = FakeState()
+    _run(fn, state, [(0, 1.0)])
+    # batch: 10 (continues) | 100, 105 | 300
+    out = _run(fn, state, [(10, 2.0), (100, 4.0), (105, 8.0), (300, 16.0)])
+    closed = out[out.closed]
+    assert list(closed.n_events) == [2, 2]
+    assert list(closed.session_value) == [3.0, 12.0]
+    assert list(closed.session_id) == [0, 1]
+    assert list(out[~out.closed].n_events) == [1]
+
+
+def test_empty_state_empty_start():
+    fn = make_sessionizer(gap_minutes=30)
+    state = FakeState()
+    out = _run(fn, state, [(5, 1.0)])
+    assert list(out[~out.closed].n_events) == [1]
+    assert len(out[out.closed]) == 0
