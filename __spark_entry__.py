@@ -78,6 +78,7 @@ from pac_data_pipeline_spark.ext.dedup_text import (
 )
 from pac_data_pipeline_spark.ext.similarity import (
     cosine_topk_bruteforce,
+    cosine_topk_ivf,
     cosine_topk_lsh,
     embedding_near_dup_pairs,
     queries_from_corpus,
@@ -92,6 +93,7 @@ from pac_data_pipeline_spark.streaming.stateful import run_streaming_sessions
 from pac_data_pipeline_spark.streaming.windows import (
     run_streaming_tumbling,
     session_stats_per_user,
+    session_window_agg,
     sessionize_batch,
     sliding_window_agg,
     tumbling_window_agg,
@@ -596,6 +598,20 @@ def q_x_cosine_topk_lsh(spark, sf_dir):
     return cosine_topk_lsh(emb, queries_from_corpus(emb, n=5), k=10)
 
 
+def q_x_cosine_topk_ivf(spark, sf_dir):
+    """IVF approximate cosine top-10: k-means coarse quantizer,
+    n_probe nearest cells per query (rows-only: recall depends on
+    the learned quantizer)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf(emb, queries_from_corpus(emb, n=5), k=10)
+
+
+def q_x_session_window(spark, sf_dir):
+    """Native F.session_window sessionization (batch mode — the same
+    operator drops into a readStream plan unchanged)."""
+    return session_window_agg(load_events(spark, sf_dir))
+
+
 def q_x_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs via sign-LSH buckets
     (rows-only)."""
@@ -712,7 +728,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_ngram_jaccard": q_x_ngram_jaccard,
         "x_cosine_topk": q_x_cosine_topk,
         "x_cosine_topk_lsh": q_x_cosine_topk_lsh,
+        "x_cosine_topk_ivf": q_x_cosine_topk_ivf,
         "x_embedding_near_dup": q_x_embedding_near_dup,
+        "x_session_window": q_x_session_window,
         "x_window_tumbling": q_x_window_tumbling,
         "x_window_sliding": q_x_window_sliding,
         "x_sessionize": q_x_sessionize,
@@ -1242,6 +1260,31 @@ def oracle_sql() -> dict[str, str]:
             ) f
         """,
     }
+    # session_window semantics: windows are half-open [ts, ts+gap),
+    # so the break condition is >= gap (the lag formulation in
+    # x_sessionize breaks strictly-greater) — diffs in exact
+    # microseconds via epoch_us.
+    oracles["x_session_window"] = """
+        WITH o AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                        >= 1800000000
+                        THEN 1 ELSE 0 END AS brk
+            FROM events WHERE ts IS NOT NULL
+        ),
+        s AS (
+            SELECT *, sum(brk) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM o
+        )
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%dT%H:%M:%S') AS session_start,
+               count(*) AS n_events,
+               round(sum(value), 2) AS session_value
+        FROM s GROUP BY user_id, sid
+    """
     oracles["p2_generic_clean"] = """
         SELECT event_id,
                round(coalesce(TRY_CAST(trim(CAST(value AS VARCHAR)) AS DOUBLE),

@@ -28,8 +28,13 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
     spark = get_spark(app_name="bench")
-    # JVM/codegen warmup outside the timed region
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # JVM/codegen/noop-sink warmup outside the timed region
+    spark.range(1_000_000).selectExpr("sum(id) as s").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    spark.read.parquet(f"{sf_dir}/region.parquet").write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}

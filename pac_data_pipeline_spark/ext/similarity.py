@@ -173,6 +173,84 @@ def cosine_topk_lsh(
     )
 
 
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means coarse
+    quantizer partitions the corpus into ``n_centroids`` cells; each
+    query scans only its ``n_probe`` nearest cells.
+
+    Scale shape: the quantizer is trained once (sampled k-means) and
+    its centroid table is O(n_centroids · dim) — broadcastable by
+    construction. Assignment is a map-side transform; the probe join
+    is corpus ⨝ broadcast(query probes) on the cell id, so the
+    scored candidate set is ~(n_probe / n_centroids) of the corpus
+    per query instead of all of it. Recall is tunable via n_probe.
+    At 100 TB, persist `assigned` partitioned by centroid_id so a
+    query's probes prune to n_probe/n_centroids of the files."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus = embeddings.select(F.col(id_col), F.col(vec_col).alias("e_vec"))
+    feat = corpus.withColumn(
+        "features", array_to_vector(F.col("e_vec").cast("array<double>"))
+    )
+    model = KMeans(
+        k=n_centroids,
+        seed=seed,
+        maxIter=max_iter,
+        featuresCol="features",
+        predictionCol="centroid_id",
+    ).fit(feat)
+    assigned = model.transform(feat).select(id_col, "e_vec", "centroid_id")
+
+    centers_df = embeddings.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "centroid_id int, c_vec array<double>",
+    )
+    q_cells = queries.crossJoin(F.broadcast(centers_df)).select(
+        "query_id",
+        "q_vec",
+        "centroid_id",
+        (
+            _dot("q_vec", "c_vec")
+            / F.nullif(_norm("q_vec") * _norm("c_vec"), F.lit(0.0))
+        ).alias("c_cos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("c_cos").desc(), F.col("centroid_id")
+    )
+    probes = (
+        q_cells.withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= n_probe)
+        .select("query_id", "q_vec", "centroid_id")
+    )
+    scored = assigned.join(F.broadcast(probes), "centroid_id").select(
+        "query_id",
+        F.col(id_col),
+        (
+            _dot("e_vec", "q_vec")
+            / F.nullif(_norm("e_vec") * _norm("q_vec"), F.lit(0.0))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

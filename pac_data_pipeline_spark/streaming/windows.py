@@ -98,6 +98,36 @@ def sessionize_batch(
     )
 
 
+def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native ``F.session_window`` sessionization — Spark's built-in
+    gap-window operator, usable identically in batch and streaming.
+
+    Boundary semantics differ from :func:`sessionize_batch`: windows
+    are half-open ``[ts, ts+gap)``, so an event exactly ``gap`` after
+    the previous one starts a NEW session (the lag formulation breaks
+    only when the gap is exceeded strictly). The oracle encodes the
+    ``>=`` break.
+
+    One shuffle on (user_id, merged window); partial aggregation
+    applies before the exchange like any hash agg."""
+    return (
+        events.filter(F.col("ts").isNotNull())
+        .groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd'T'HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 def session_stats_per_user(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Per-user session summary: session count + event count."""
     sessions = sessionize_batch(events, gap_minutes)
