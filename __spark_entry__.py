@@ -54,7 +54,11 @@ from pac_data_pipeline_spark.operators.aggregates import (
 from pac_data_pipeline_spark.operators.dedup import dedup_keep_first, reconcile_counts
 from pac_data_pipeline_spark.operators.joins import dim_lookup, lookup_misses
 from pac_data_pipeline_spark.operators.topk import top_k, top_k_groups
-from pac_data_pipeline_spark.plans.pipelines import party_rollup_pipeline
+from pac_data_pipeline_spark.plans.pipelines import (
+    csv_report_pipeline,
+    party_rollup_pipeline,
+    snowflake_batch_pipeline,
+)
 from pac_data_pipeline_spark.session import tune_session
 from pac_data_pipeline_spark.sinks.documents import (
     keyed_json_tree,
@@ -460,6 +464,35 @@ def q_s2_sql_source(spark, sf_dir):
     return spark.sql(TPCH_Q1_SQL)
 
 
+def q_pipe_csv_report(spark, sf_dir):
+    """§3.1 end-to-end: scan → clean → derive (bin + composite key)
+    → dedup keep-first, as ONE lazy plan (the whole CSV-pipeline
+    main() of the reference)."""
+    out = csv_report_pipeline(spark, sf_dir)
+    return out.select(
+        "o_orderkey",
+        "business_key",
+        "amount_category",
+        F.round("o_totalprice", 2).alias("total"),
+        F.col("o_orderstatus").alias("status"),
+    )
+
+
+def q_pipe_snowflake_batch(spark, sf_dir):
+    """§3.2 end-to-end: generic clean → dedup → batch-id assignment
+    → literal metadata, as one plan."""
+    out = snowflake_batch_pipeline(spark, sf_dir)
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "batch_id",
+        "data_source",
+        "record_type",
+        F.round("l_extendedprice", 2).alias("price"),
+        F.round("l_quantity", 2).alias("qty"),
+    )
+
+
 def q_p2_generic_clean(spark, sf_dir):
     """P2 + the reference's whole generic clean stage
     (clean_snowflake_data, pac_snowflake_pipeline.py:71-135): messy
@@ -716,6 +749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h6_revenue_forecast": q_h6_revenue_forecast,
         "h10_returned_items": q_h10_returned_items,
         "h14_promo_share": q_h14_promo_share,
+        "pipe_csv_report": q_pipe_csv_report,
+        "pipe_snowflake_batch": q_pipe_snowflake_batch,
         "x_stream_sessions": q_x_stream_sessions,
         "x_text_stats": q_x_text_stats,
         "x_quality_score": q_x_quality_score,
@@ -1296,6 +1331,60 @@ def oracle_sql() -> dict[str, str]:
                         '%Y-%m-%dT%H:%M:%S') AS event_date_iso,
                round(coalesce(CAST(value AS DOUBLE), 0.0), 6) AS value_raw
         FROM events
+    """
+    oracles["pipe_csv_report"] = """
+        WITH cleaned AS (
+            SELECT o_orderkey, o_custkey,
+                   trim(o_orderstatus) AS o_orderstatus,
+                   coalesce(CAST(o_totalprice AS DOUBLE), 0.0) AS o_totalprice
+            FROM orders
+        ),
+        derived AS (
+            SELECT *,
+                   CASE
+                     WHEN o_totalprice > 0 AND o_totalprice <= 10000
+                       THEN 'Small (<$10K)'
+                     WHEN o_totalprice > 10000 AND o_totalprice <= 100000
+                       THEN 'Medium ($10K-$100K)'
+                     WHEN o_totalprice > 100000 AND o_totalprice <= 500000
+                       THEN 'Large ($100K-$500K)'
+                     WHEN o_totalprice > 500000 THEN 'Very Large (>$500K)'
+                     ELSE NULL
+                   END AS amount_category,
+                   concat_ws('_', CAST(o_custkey AS VARCHAR), o_orderstatus,
+                             CAST(o_totalprice AS VARCHAR)) AS business_key
+            FROM cleaned
+        ),
+        dedup AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY business_key ORDER BY o_orderkey) AS rn
+            FROM derived
+        )
+        SELECT o_orderkey, business_key, amount_category,
+               round(o_totalprice, 2) AS total, o_orderstatus AS status
+        FROM dedup WHERE rn = 1
+    """
+    oracles["pipe_snowflake_batch"] = """
+        WITH dedup AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY l_orderkey, l_linenumber
+                ORDER BY l_partkey, l_suppkey) AS rn
+            FROM lineitem
+        ),
+        kept AS (SELECT * FROM dedup WHERE rn = 1),
+        batched AS (
+            SELECT *, CAST(floor((row_number() OVER (
+                ORDER BY l_orderkey, l_linenumber) - 1) / 1000) AS BIGINT)
+                AS batch_id
+            FROM kept
+        )
+        SELECT l_orderkey, l_linenumber, batch_id,
+               'snowflake' AS data_source,
+               'pac_contribution' AS record_type,
+               round(coalesce(CAST(l_extendedprice AS DOUBLE), 0.0), 2)
+                   AS price,
+               round(l_quantity, 2) AS qty
+        FROM batched
     """
     oracles["h3_shipping_priority"] = """
         SELECT l_orderkey,

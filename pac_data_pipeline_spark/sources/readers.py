@@ -128,6 +128,32 @@ def register_views(
         df.createOrReplaceTempView(n)
 
 
+def save_bucketed(
+    df: DataFrame,
+    name: str,
+    path: str,
+    bucket_cols: tuple[str, ...],
+    n_buckets: int,
+    sort_cols: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Persist a bucketed (and optionally sorted) table.
+
+    This is the 100 TB answer to repeated equi-joins/aggregations on
+    the same key: both sides bucketed on the join key with equal
+    bucket counts co-locate matching rows, deleting the shuffle from
+    every subsequent join (asserted in tests/test_plans.py). The
+    reference re-sorts and re-groups the same keys per run
+    (pac_snowflake_realtime.py:94, :250) — bucketing amortizes that
+    across runs."""
+    writer = df.write.mode(mode).option("path", path).bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(name)
+
+
 def table_exists(spark: SparkSession, name: str) -> bool:
     """S7 existence probe (reference ``SHOW TABLES LIKE``)."""
     if spark.catalog.tableExists(name):

@@ -1,0 +1,97 @@
+"""Scale-pattern verification: bucketed co-located joins delete the
+join shuffle; skew-resistant aggregations match their naive
+formulations."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pac_data_pipeline_spark.operators.skew import (
+    distinct_count_per_key,
+    salted_groupby_sum,
+)
+from pac_data_pipeline_spark.sources.readers import save_bucketed
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df, mode: str = "formatted") -> str:
+    sc = df.sparkSession.sparkContext
+    return sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def test_bucketed_join_deletes_shuffle(spark, tmp_path):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    save_bucketed(
+        li, "li_bucketed", str(tmp_path / "li"), ("l_orderkey",), 4,
+        sort_cols=("l_orderkey",),
+    )
+    save_bucketed(
+        o, "o_bucketed", str(tmp_path / "o"), ("o_orderkey",), 4,
+        sort_cols=("o_orderkey",),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("li_bucketed").join(
+            spark.table("o_bucketed"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        p = plan(j)
+        assert "SortMergeJoin" in p, p
+        # co-located buckets: no exchange on either join key
+        assert "hashpartitioning(l_orderkey" not in p, p
+        assert "hashpartitioning(o_orderkey" not in p, p
+        # and the result is still correct
+        n = j.count()
+        expected = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).count()
+        assert n == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS o_bucketed")
+
+
+def test_distinct_count_per_key_matches_naive(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    fast = distinct_count_per_key(li, ["l_returnflag"], "l_partkey")
+    naive = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_distinct")
+    )
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_distinct_count_shuffles_on_pair_first(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    p = plan(distinct_count_per_key(li, ["l_returnflag"], "l_partkey"))
+    # first exchange must be keyed by (key, value) — the skew spread
+    assert "hashpartitioning(l_returnflag" in p, p
+    first_ex = p.index("hashpartitioning(l_returnflag")
+    assert "l_partkey" in p[first_ex : first_ex + 120], p
+
+
+def test_salted_sum_matches_naive(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    fast = salted_groupby_sum(li, ["l_returnflag"], "l_quantity", n_salts=8)
+    naive = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("total"),
+        F.count("l_quantity").cast("bigint").alias("n"),
+    )
+    f = {r["l_returnflag"]: (round(r["total"], 4), r["n"]) for r in fast.collect()}
+    g = {r["l_returnflag"]: (round(r["total"], 4), r["n"]) for r in naive.collect()}
+    assert f == g
+
+
+def test_salted_sum_null_values_counted_like_naive(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("b", 2.0)], "k string, v double"
+    )
+    out = {r["k"]: (r["total"], r["n"]) for r in
+           salted_groupby_sum(df, ["k"], "v", n_salts=4).collect()}
+    assert out == {"a": (1.0, 1), "b": (2.0, 1)}
