@@ -549,6 +549,72 @@ def q_h14_promo_share(spark, sf_dir):
     return promo_revenue_share(spark, sf_dir)
 
 
+def q_h_rank_window(spark, sf_dir):
+    """Window functions: top-3 orders per customer by price
+    (row_number), plus running total per customer (range-framed
+    sum). One shuffle on the partition key; both windows share it."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    running = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total"),
+            F.row_number().over(w).alias("rnk"),
+            F.round(F.sum("o_totalprice").over(running), 2).alias("running_total"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+def q_h_set_except(spark, sf_dir):
+    """Set operations: orders present in the full set but absent
+    from the 'existing' snapshot (EXCEPT ALL) — the J3 reconcile as
+    a true set difference instead of counts."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    existing = o.filter(F.col("o_orderstatus") == "F")
+    return o.exceptAll(existing)
+
+
+def q_x_approx_stats(spark, sf_dir):
+    """Sketch aggregates — the 100 TB substitutes for exact distinct
+    counts and percentiles (HLL++ / Greenwald-Khanna). Rows-only:
+    approximate answers are engine-specific by design; the unit test
+    bounds their error against exact values."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10_000).alias(
+            "price_quantiles"
+        ),
+    )
+
+
+def q_x_token_regex(spark, sf_dir):
+    """Regex tokenization (BPE-style word/number/punct classes) —
+    token count per class per document, shuffle-free."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.size(F.expr(r"regexp_extract_all(text, '[A-Za-z]+', 0)"))
+    nums = F.size(F.expr(r"regexp_extract_all(text, '[0-9]+', 0)"))
+    puncts = F.size(F.expr(r"regexp_extract_all(text, '[^A-Za-z0-9\\s]', 0)"))
+    return d.select(
+        "doc_id",
+        words.cast("bigint").alias("n_word_tokens"),
+        nums.cast("bigint").alias("n_num_tokens"),
+        puncts.cast("bigint").alias("n_punct_tokens"),
+    )
+
+
 def q_x_stream_sessions(spark, sf_dir):
     """Custom STATEFUL streaming operator: per-user sessionization
     via applyInPandasWithState (state = open session per user).
@@ -751,6 +817,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h14_promo_share": q_h14_promo_share,
         "pipe_csv_report": q_pipe_csv_report,
         "pipe_snowflake_batch": q_pipe_snowflake_batch,
+        "h_rank_window": q_h_rank_window,
+        "h_set_except": q_h_set_except,
+        "x_approx_stats": q_x_approx_stats,
+        "x_token_regex": q_x_token_regex,
         "x_stream_sessions": q_x_stream_sessions,
         "x_text_stats": q_x_text_stats,
         "x_quality_score": q_x_quality_score,
@@ -1331,6 +1401,37 @@ def oracle_sql() -> dict[str, str]:
                         '%Y-%m-%dT%H:%M:%S') AS event_date_iso,
                round(coalesce(CAST(value AS DOUBLE), 0.0), 6) AS value_raw
         FROM events
+    """
+    oracles["h_rank_window"] = """
+        SELECT o_custkey, o_orderkey, total, rnk, running_total
+        FROM (
+            SELECT o_custkey, o_orderkey,
+                   round(o_totalprice, 2) AS total,
+                   row_number() OVER w AS rnk,
+                   round(sum(o_totalprice) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey
+                       ROWS UNBOUNDED PRECEDING), 2) AS running_total
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey)
+        ) WHERE rnk <= 3
+    """
+    oracles["h_set_except"] = """
+        SELECT o_orderkey, o_orderstatus FROM orders
+        EXCEPT ALL
+        SELECT o_orderkey, o_orderstatus FROM orders
+        WHERE o_orderstatus = 'F'
+    """
+    oracles["x_token_regex"] = """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+                   AS n_word_tokens,
+               CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+                   AS n_num_tokens,
+               CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT)
+                   AS n_punct_tokens
+        FROM documents
     """
     oracles["pipe_csv_report"] = """
         WITH cleaned AS (

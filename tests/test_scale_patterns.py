@@ -95,3 +95,15 @@ def test_salted_sum_null_values_counted_like_naive(spark):
     out = {r["k"]: (r["total"], r["n"]) for r in
            salted_groupby_sum(df, ["k"], "v", n_salts=4).collect()}
     assert out == {"a": (1.0, 1), "b": (2.0, 1)}
+
+
+def test_approx_stats_error_bounds(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    exact_parts = li.select("l_partkey").distinct().count()
+    row = li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("a"),
+        F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("p50"),
+    ).collect()[0]
+    assert abs(row["a"] - exact_parts) <= max(3, 0.05 * exact_parts)
+    exact_p50 = li.approxQuantile("l_extendedprice", [0.5], 0.0)[0]
+    assert abs(row["p50"] - exact_p50) / exact_p50 < 0.02
