@@ -93,7 +93,10 @@ from pac_data_pipeline_spark.ext.multimodal import (
     media_table_from_documents,
 )
 from pac_data_pipeline_spark.sources.readers import register_views
-from pac_data_pipeline_spark.streaming.stateful import run_streaming_sessions
+from pac_data_pipeline_spark.streaming.stateful import (
+    run_streaming_dedup,
+    run_streaming_sessions,
+)
 from pac_data_pipeline_spark.streaming.windows import (
     run_streaming_tumbling,
     session_stats_per_user,
@@ -625,6 +628,13 @@ def q_x_stream_sessions(spark, sf_dir):
     )
 
 
+def q_x_stream_dedup(spark, sf_dir):
+    """Streaming exactly-once dedup on (user_id, event_type): the
+    emitted key set equals batch DISTINCT (state = one entry per
+    key)."""
+    return run_streaming_dedup(spark, sf_dir)
+
+
 def q_x_text_stats(spark, sf_dir):
     """Token statistics per document (scan-stage, shuffle-free)."""
     return text_stats(_t(spark, sf_dir, "documents"))
@@ -822,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_approx_stats": q_x_approx_stats,
         "x_token_regex": q_x_token_regex,
         "x_stream_sessions": q_x_stream_sessions,
+        "x_stream_dedup": q_x_stream_dedup,
         "x_text_stats": q_x_text_stats,
         "x_quality_score": q_x_quality_score,
         "x_lang_id": q_x_lang_id,
@@ -1554,6 +1565,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT promo_rev, total_rev,
                round(100.0 * promo_rev / total_rev, 6) AS promo_share_pct
         FROM sums
+    """
+    oracles["x_stream_dedup"] = """
+        SELECT DISTINCT user_id, event_type FROM events
     """
     oracles["s2_sql_source"] = TPCH_Q1_SQL
     # the stateful streaming sessionizer reproduces the batch

@@ -182,7 +182,8 @@ def cosine_topk_ivf(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 42,
-    max_iter: int = 10,
+    max_iter: int = 8,
+    fit_sample_rows: int = 4096,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means coarse
     quantizer partitions the corpus into ``n_centroids`` cells; each
@@ -203,13 +204,18 @@ def cosine_topk_ivf(
     feat = corpus.withColumn(
         "features", array_to_vector(F.col("e_vec").cast("array<double>"))
     )
+    # IVF trains its coarse quantizer on a SAMPLE: centroid quality
+    # converges long before the corpus is exhausted, and fitting on
+    # 100 TB would mean max_iter full passes. n_centroids cells need
+    # only O(100·n_centroids) training points.
+    fit_df = feat.select("features").limit(fit_sample_rows)
     model = KMeans(
         k=n_centroids,
         seed=seed,
         maxIter=max_iter,
         featuresCol="features",
         predictionCol="centroid_id",
-    ).fit(feat)
+    ).fit(fit_df)
     assigned = model.transform(feat).select(id_col, "e_vec", "centroid_id")
 
     centers_df = embeddings.sparkSession.createDataFrame(

@@ -49,6 +49,48 @@ def _iso(us: int) -> str:
     return pd.Timestamp(us, unit="us").strftime("%Y-%m-%dT%H:%M:%S")
 
 
+def run_streaming_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    query_name: str = "stream_dedup",
+    state_partitions: int | None = 8,
+) -> DataFrame:
+    """Streaming exactly-once dedup: ``dropDuplicates`` on the key
+    columns keeps one state entry per distinct key, so each key is
+    emitted exactly once across all micro-batches.
+
+    On an unbounded stream pair this with ``withWatermark`` +
+    ``dropDuplicatesWithinWatermark`` so state ages out; the bounded
+    test keeps full state (distinct keys ≪ events). Output is just
+    the key columns — which physical row "arrives first" is
+    race-dependent, the key set is not."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    deduped = raw.select(*keys).dropDuplicates(list(keys))
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        query = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(query_name)
+
+
 def make_sessionizer(gap_minutes: int = 30, emit_open: bool = True):
     """Build the per-group state function. Events inside a batch are
     sorted by event time; a gap > ``gap_minutes`` closes the open

@@ -1,0 +1,152 @@
+"""Property-based tests (hypothesis) for the pure state machines —
+the pieces whose edge cases (batch boundaries, gap ties, empty
+segments) are hard to enumerate by hand.
+
+The streaming sessionizer is checked against a trivially-correct
+single-pass reference loop over arbitrary event streams split into
+arbitrary micro-batches: total order of events is fixed, the batch
+boundaries are the adversarial input."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pac_data_pipeline_spark.streaming.stateful import make_sessionizer
+
+GAP_US = 30 * 60 * 1_000_000
+
+
+def naive_sessions(ts_list: list[int], values: list[float]):
+    """Reference sessionizer: plain loop, one event at a time."""
+    sessions = []
+    start = last = None
+    n, val = 0, 0.0
+    for t, v in zip(ts_list, values):
+        if start is None:
+            start, last, n, val = t, t, 1, v
+        elif t - last > GAP_US:
+            sessions.append((n, start, round(val, 2)))
+            start, last, n, val = t, t, 1, v
+        else:
+            last, n, val = t, n + 1, val + v
+    if start is not None:
+        sessions.append((n, start, round(val, 2)))
+    return sessions
+
+
+class FakeState:
+    def __init__(self):
+        self._value = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, value):
+        self._value = value
+
+
+@st.composite
+def event_stream_with_batches(draw):
+    """Sorted event times (µs, second resolution to provoke exact
+    gap ties) + random micro-batch split points."""
+    n = draw(st.integers(min_value=1, max_value=40))
+    deltas = draw(
+        st.lists(
+            # skew towards the 30-min boundary: 0..45 min gaps
+            st.integers(min_value=0, max_value=45 * 60),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    ts = []
+    t = 1_600_000_000  # seconds
+    for d in deltas:
+        t += d
+        ts.append(t * 1_000_000)
+    values = draw(
+        st.lists(
+            st.floats(min_value=0.0, max_value=100.0, allow_nan=False),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    n_cuts = draw(st.integers(min_value=0, max_value=min(5, n - 1)))
+    cuts = sorted(
+        draw(
+            st.lists(
+                st.integers(min_value=1, max_value=n - 1),
+                min_size=n_cuts,
+                max_size=n_cuts,
+                unique=True,
+            )
+        )
+        if n > 1
+        else []
+    )
+    return ts, values, cuts
+
+
+@given(event_stream_with_batches())
+@settings(max_examples=200, deadline=None)
+def test_sessionizer_equals_naive_under_any_batching(data):
+    ts, values, cuts = data
+    fn = make_sessionizer(gap_minutes=30)
+    state = FakeState()
+
+    bounds = [0, *cuts, len(ts)]
+    emitted = []
+    for lo, hi in zip(bounds, bounds[1:]):
+        batch = pd.DataFrame(
+            {
+                "user_id": [7] * (hi - lo),
+                "event_id": list(range(lo, hi)),
+                "ts": pd.to_datetime([t * 1000 for t in ts[lo:hi]], unit="ns"),
+                "value": values[lo:hi],
+            }
+        )
+        out = list(fn((7,), iter([batch]), state))
+        if out:
+            emitted.append(pd.concat(out, ignore_index=True))
+
+    result = pd.concat(emitted, ignore_index=True)
+    # closed sessions from every batch + open sessions only from the
+    # final batch state
+    closed = result[result.closed]
+    final_open = emitted[-1][~emitted[-1].closed] if emitted else result.iloc[0:0]
+    got = [
+        (int(r.n_events), round(float(r.session_value), 2))
+        for _, r in pd.concat([closed, final_open]).iterrows()
+    ]
+    want = [(n, v) for n, _, v in naive_sessions(ts, values)]
+    assert got == want
+
+
+@given(event_stream_with_batches())
+@settings(max_examples=100, deadline=None)
+def test_sessionizer_session_ids_are_sequential(data):
+    ts, values, cuts = data
+    fn = make_sessionizer(gap_minutes=30)
+    state = FakeState()
+    bounds = [0, *cuts, len(ts)]
+    frames = []
+    for lo, hi in zip(bounds, bounds[1:]):
+        batch = pd.DataFrame(
+            {
+                "user_id": [7] * (hi - lo),
+                "event_id": list(range(lo, hi)),
+                "ts": pd.to_datetime([t * 1000 for t in ts[lo:hi]], unit="ns"),
+                "value": values[lo:hi],
+            }
+        )
+        out = list(fn((7,), iter([batch]), state))
+        frames.extend(out)
+    all_rows = pd.concat(frames, ignore_index=True)
+    closed_ids = list(all_rows[all_rows.closed].session_id)
+    assert closed_ids == list(range(len(closed_ids)))
