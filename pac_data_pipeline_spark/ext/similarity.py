@@ -173,6 +173,60 @@ def cosine_topk_lsh(
     )
 
 
+def _lloyd_kmeans(
+    x: "np.ndarray", k: int, seed: int, max_iter: int, tol: float = 1e-4
+) -> "np.ndarray":
+    """Driver-side Lloyd's k-means with kmeans++ seeding (numpy).
+    Input is the bounded training SAMPLE, never the corpus."""
+    rng = np.random.default_rng(seed)
+    # kmeans++ init
+    centers = [x[rng.integers(len(x))]]
+    for _ in range(1, k):
+        d2 = np.min(
+            [np.sum((x - c) ** 2, axis=1) for c in centers], axis=0
+        )
+        probs = d2 / d2.sum() if d2.sum() > 0 else None
+        centers.append(x[rng.choice(len(x), p=probs)])
+    c = np.array(centers)
+    for _ in range(max_iter):
+        d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        new_c = np.array(
+            [
+                x[assign == j].mean(axis=0) if np.any(assign == j) else c[j]
+                for j in range(k)
+            ]
+        )
+        shift = float(np.abs(new_c - c).max())
+        c = new_c
+        if shift < tol:
+            break
+    return c
+
+
+def _nearest_centroid(vec_col: str, centers: "np.ndarray") -> Column:
+    """argmin-L2 centroid id as a pure JVM expression: ONE nested
+    higher-order fold over a single array<array<double>> centroid
+    literal (a per-centroid expression list would blow up the
+    expression tree k-fold and with it codegen time), then
+    array_position of the minimum. O(k·dim) per row, scan-side, no
+    shuffle — the irreducible IVF assignment cost."""
+    c_lit = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in c) + ")"
+            for c in centers
+        )
+        + ")"
+    )
+    d = F.expr(
+        f"transform({c_lit}, c -> aggregate(zip_with({vec_col}, c,"
+        f" (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+        f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    return (F.array_position(d, F.array_min(d)) - 1).cast("int")
+
+
 def cosine_topk_ivf(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -180,46 +234,43 @@ def cosine_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = 16,
-    n_probe: int = 4,
+    n_probe: int = 6,
     seed: int = 42,
-    max_iter: int = 8,
+    max_iter: int = 20,
     fit_sample_rows: int = 4096,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means coarse
     quantizer partitions the corpus into ``n_centroids`` cells; each
     query scans only its ``n_probe`` nearest cells.
 
-    Scale shape: the quantizer is trained once (sampled k-means) and
-    its centroid table is O(n_centroids · dim) — broadcastable by
-    construction. Assignment is a map-side transform; the probe join
-    is corpus ⨝ broadcast(query probes) on the cell id, so the
-    scored candidate set is ~(n_probe / n_centroids) of the corpus
-    per query instead of all of it. Recall is tunable via n_probe.
-    At 100 TB, persist `assigned` partitioned by centroid_id so a
-    query's probes prune to n_probe/n_centroids of the files."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
+    Scale shape: the quantizer trains ONCE on a driver-side sample —
+    ``fit_sample_rows × dim`` doubles, bounded regardless of corpus
+    size (n_centroids cells need O(100·k) training points; iterating
+    Lloyd's over 100 TB would be max_iter full passes for no recall
+    gain). Cell assignment stays distributed as a scan-side JVM
+    expression (no shuffle); the probe join is corpus ⨝
+    broadcast(query probes) on the cell id, so the scored candidate
+    set is ~(n_probe / n_centroids) of the corpus per query. Recall
+    is tunable via n_probe. At 100 TB, persist `assigned` partitioned
+    by centroid_id so a query's probes prune to n_probe/n_centroids
+    of the files."""
     corpus = embeddings.select(F.col(id_col), F.col(vec_col).alias("e_vec"))
-    feat = corpus.withColumn(
-        "features", array_to_vector(F.col("e_vec").cast("array<double>"))
+    sample = np.array(
+        [
+            r[0]
+            for r in corpus.select(F.col("e_vec").cast("array<double>"))
+            .limit(fit_sample_rows)
+            .collect()
+        ],
+        dtype="float64",
     )
-    # IVF trains its coarse quantizer on a SAMPLE: centroid quality
-    # converges long before the corpus is exhausted, and fitting on
-    # 100 TB would mean max_iter full passes. n_centroids cells need
-    # only O(100·n_centroids) training points.
-    fit_df = feat.select("features").limit(fit_sample_rows)
-    model = KMeans(
-        k=n_centroids,
-        seed=seed,
-        maxIter=max_iter,
-        featuresCol="features",
-        predictionCol="centroid_id",
-    ).fit(fit_df)
-    assigned = model.transform(feat).select(id_col, "e_vec", "centroid_id")
+    centers = _lloyd_kmeans(sample, n_centroids, seed, max_iter)
+    assigned = corpus.withColumn(
+        "centroid_id", _nearest_centroid("e_vec", centers)
+    )
 
     centers_df = embeddings.sparkSession.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
         "centroid_id int, c_vec array<double>",
     )
     q_cells = queries.crossJoin(F.broadcast(centers_df)).select(

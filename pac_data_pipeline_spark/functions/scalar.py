@@ -98,6 +98,14 @@ def iso_timestamp(col: Column | str) -> Column:
     return F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss")
 
 
+def format_currency(col: Column | str, decimals: int = 0) -> Column:
+    """E13: display-layer currency rendering ``f"${x:,.0f}"``
+    (pac_data_processor.py:60,66,71) → ``$`` + format_number.
+    Excluded from correctness hashing like every render-only op."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.concat(F.lit("$"), F.format_number(c, decimals))
+
+
 def to_double_strict(col: Column | str) -> Column:
     """E7 strict: ``pd.to_numeric`` raising on garbage → plain cast
     (ANSI mode surfaces the error, matching pandas)."""

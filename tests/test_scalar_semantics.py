@@ -117,3 +117,12 @@ def test_drop_all_null_rows(spark):
         [(None, None), ("a", None), (None, 1.0)], "s string, v double"
     )
     assert drop_all_null_rows(df).count() == 2
+
+
+def test_format_currency_rendering(spark):
+    from pac_data_pipeline_spark.functions.scalar import format_currency
+
+    df = spark.createDataFrame(
+        [(1234567.891,), (0.4,), (None,)], "x double"
+    ).select(format_currency("x").alias("s"))
+    assert [r.s for r in df.collect()] == ["$1,234,568", "$0", None]

@@ -107,3 +107,20 @@ def test_approx_stats_error_bounds(spark):
     assert abs(row["a"] - exact_parts) <= max(3, 0.05 * exact_parts)
     exact_p50 = li.approxQuantile("l_extendedprice", [0.5], 0.0)[0]
     assert abs(row["p50"] - exact_p50) / exact_p50 < 0.02
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    from pac_data_pipeline_spark.ext.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+        queries_from_corpus,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = queries_from_corpus(emb, n=5)
+    exact = {(r.query_id, r.vec_id) for r in cosine_topk_bruteforce(emb, q, k=10).collect()}
+    approx = {(r.query_id, r.vec_id) for r in cosine_topk_ivf(emb, q, k=10).collect()}
+    recall = len(exact & approx) / len(exact)
+    # quasi-uniform synthetic embeddings are the worst case for IVF;
+    # n_probe=6/16 must still recover the majority of true neighbors
+    assert recall >= 0.5, recall
