@@ -85,4 +85,15 @@ def tune_session(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:  # immutable conf on this build — keep going
             pass
+    # an externally-created session often carries the 200-partition
+    # default — wasteful fan-out at local scale (AQE coalesces, but
+    # each query still plans 200 tasks). Right-size to the actual
+    # parallelism unless the caller already tuned it down.
+    try:
+        cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        par = spark.sparkContext.defaultParallelism
+        if cur == 200 and par < 200:
+            spark.conf.set("spark.sql.shuffle.partitions", str(par))
+    except Exception:
+        pass
     return spark

@@ -164,6 +164,20 @@ def foreach_partition_write(
     }
 
 
+def verify_write(
+    spark, path: str, expected_count: int, fmt: str = "parquet"
+) -> dict:
+    """K7: write-verification read-back (reference
+    index_align_to_firebase.py:249-251) — re-read the sink and
+    compare counts."""
+    actual = spark.read.format(fmt).load(path).count()
+    return {
+        "expected": expected_count,
+        "actual": actual,
+        "ok": actual == expected_count,
+    }
+
+
 def dry_run(df: DataFrame, n: int = 5) -> dict:
     """K8: plan without side effects — sample rows, count, and the
     formatted physical plan (the reference prints samples + counts;

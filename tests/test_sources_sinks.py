@@ -66,3 +66,14 @@ def test_table_exists_probe(spark):
     )
     assert table_exists(spark, "probe_region")
     assert not table_exists(spark, "no_such_table")
+
+
+def test_verify_write_readback(spark, tmp_path):
+    from pac_data_pipeline_spark.sinks.documents import verify_write
+
+    df = spark.read.parquet(f"{SF}/region.parquet")
+    out = str(tmp_path / "verify")
+    write_parquet(df, out)
+    res = verify_write(spark, out, df.count())
+    assert res["ok"] and res["actual"] == res["expected"]
+    assert not verify_write(spark, out, df.count() + 1)["ok"]
