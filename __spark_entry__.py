@@ -77,6 +77,7 @@ from pac_data_pipeline_spark.ext.dedup_text import (
     exact_dedup,
     exact_dedup_groups,
     minhash_near_dup_pairs,
+    near_dup_clusters,
     ngram_jaccard_pairs,
     simhash,
 )
@@ -691,6 +692,13 @@ def q_x_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(d, pairs)
 
 
+def q_x_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING: pairwise candidates → connected
+    components → keeper label per doc (iterative min-label
+    propagation; exact recursive-CTE oracle)."""
+    return near_dup_clusters(_t(spark, sf_dir, "documents"), threshold=0.4)
+
+
 def q_x_cosine_topk(spark, sf_dir):
     """Exact embedding cosine top-10 for the first 5 vectors."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -842,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_minhash_near_dup": q_x_minhash_near_dup,
         "x_simhash": q_x_simhash,
         "x_ngram_jaccard": q_x_ngram_jaccard,
+        "x_dedup_clusters": q_x_dedup_clusters,
         "x_cosine_topk": q_x_cosine_topk,
         "x_cosine_topk_lsh": q_x_cosine_topk_lsh,
         "x_cosine_topk_ivf": q_x_cosine_topk_ivf,
@@ -1565,6 +1574,42 @@ def oracle_sql() -> dict[str, str]:
         SELECT promo_rev, total_rev,
                round(100.0 * promo_rev / total_rev, 6) AS promo_share_pct
         FROM sums
+    """
+    # exact transitive closure over the deterministic candidate
+    # graph: DuckDB's recursive CTE IS the oracle for the iterative
+    # min-label propagation.
+    oracles["x_dedup_clusters"] = """
+        WITH RECURSIVE
+        g AS (
+            SELECT doc_id,
+                   list_distinct([
+                       array_to_string(toks[i : i + 2], ' ')
+                       FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)
+                   ]) AS grams
+            FROM (SELECT doc_id,
+                         string_split_regex(trim(text), '\\s+') AS toks
+                  FROM documents)
+        ),
+        edges AS (
+            SELECT a.doc_id AS src, b.doc_id AS dst
+            FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+            WHERE round(len(list_intersect(a.grams, b.grams))
+                  / nullif(len(list_distinct(
+                        list_concat(a.grams, b.grams))), 0), 6) >= 0.4
+        ),
+        sym AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT dst AS src, src AS dst FROM edges
+        ),
+        reach AS (
+            SELECT doc_id AS id, doc_id AS label FROM documents
+            UNION
+            SELECT s.dst AS id, r.label
+            FROM reach r JOIN sym s ON s.src = r.id
+        )
+        SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS component_id
+        FROM reach GROUP BY id
     """
     oracles["x_stream_dedup"] = """
         SELECT DISTINCT user_id, event_type FROM events

@@ -290,6 +290,84 @@ def simhash_near_dup_pairs(
     )
 
 
+# -- connected components (dedup clustering) ---------------------------------
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge set — the step
+    that turns pairwise near-dup candidates into dedup GROUPS (keep
+    one doc per component).
+
+    Min-label propagation: every node starts labeled with its own
+    id; each round pushes labels across edges and keeps the minimum;
+    fixpoint = components labeled by their smallest member. Each
+    round is one join + one aggregation (both shuffle on the node
+    id, so the partitioning is reused); `localCheckpoint` truncates
+    the growing lineage — without it the plan doubles every round.
+    Rounds needed = component diameter; near-dup components are
+    shallow (pairs/small clusters), so this converges in 2-4 rounds
+    where a pathological chain would need its length (use
+    large-star/small-star if that ever becomes the workload)."""
+    sym = (
+        edges.selectExpr("id_a AS src", "id_b AS dst")
+        .union(edges.selectExpr("id_b AS src", "id_a AS dst"))
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        msgs = (
+            sym.join(labels, sym.src == labels.id)
+            .select(F.col("dst").alias("id"), "label")
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(
+        F.col("id").alias(id_col), F.col("label").alias("component_id")
+    )
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    threshold: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup clustering on a deterministic candidate graph:
+    consecutive-id pairs with exact n-gram Jaccard ≥ threshold form
+    the edges (LSH would propose the pairs at scale; consecutive
+    pairs keep the oracle exact), then connected components label
+    each doc with its keeper (= min id in the component)."""
+    a = df.select(F.col(id_col).alias("id_a"))
+    b = df.select(F.col(id_col).alias("id_b"))
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    edges = ngram_jaccard_pairs(df, pairs, text_col, id_col).filter(
+        F.col("jaccard") >= threshold
+    )
+    return connected_components(df, edges.select("id_a", "id_b"), id_col)
+
+
 # -- n-gram Jaccard ----------------------------------------------------------
 
 

@@ -133,3 +133,19 @@ def test_streaming_matches_batch(spark, tmp_path):
         pytest.skip(f"streaming unavailable: {exc}")
     batch = tumbling_window_agg(load_events(spark, sf_dir)).collect()
     assert sorted(map(tuple, stream)) == sorted(map(tuple, batch))
+
+
+def test_connected_components_chain_and_islands(spark):
+    from pac_data_pipeline_spark.ext.dedup_text import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    # chain 0-1-2-3 (diameter > 1 forces multi-round propagation),
+    # pair 5-6, islands 4 and 7
+    edges = spark.createDataFrame(
+        [(1, 0), (1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    out = {
+        r.doc_id: r.component_id
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7}

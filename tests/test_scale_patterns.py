@@ -124,3 +124,32 @@ def test_ivf_recall_vs_bruteforce(spark):
     # quasi-uniform synthetic embeddings are the worst case for IVF;
     # n_probe=6/16 must still recover the majority of true neighbors
     assert recall >= 0.5, recall
+
+
+def test_warehouse_layout_end_to_end(spark, tmp_path):
+    from pac_data_pipeline_spark.sources.layout import (
+        materialize_warehouse,
+        read_warehouse_table,
+    )
+
+    written = materialize_warehouse(spark, SF, str(tmp_path / "wh"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = read_warehouse_table(spark, written, "lineitem")
+        o = read_warehouse_table(spark, written, "orders")
+        j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        p = plan(j)
+        # the workload's dominant join is shuffle-free on this layout
+        assert "hashpartitioning(l_orderkey" not in p, p
+        assert "hashpartitioning(o_orderkey" not in p, p
+
+        ev = read_warehouse_table(spark, written, "events")
+        one_day = ev.filter(F.col("event_date") == "1995-06-01")
+        pev = plan(one_day)
+        pf_line = next(ln for ln in pev.splitlines() if "PartitionFilters" in ln)
+        assert "event_date" in pf_line, pev
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS lineitem_w")
+        spark.sql("DROP TABLE IF EXISTS orders_w")
