@@ -67,7 +67,12 @@ from pac_data_pipeline_spark.sinks.documents import (
     with_batch_id,
 )
 from pac_data_pipeline_spark.sources.readers import load_events, scan_parquet
+from pac_data_pipeline_spark.ext.sampling import (
+    hash_sample,
+    stratified_hash_sample,
+)
 from pac_data_pipeline_spark.ext.text import (
+    chunk_documents,
     fingerprint,
     lang_id,
     quality_score,
@@ -692,6 +697,45 @@ def q_x_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(d, pairs)
 
 
+def q_x_doc_chunks(spark, sf_dir):
+    """Fixed-token training chunks with overlap (128/32), one row
+    per chunk, pure JVM expressions."""
+    return chunk_documents(_t(spark, sf_dir, "documents"))
+
+
+def q_x_hash_sample(spark, sf_dir):
+    """Deterministic 10% corpus sample via md5 bucket — identical
+    membership on any engine/partitioning (reproducible training
+    subsets)."""
+    return hash_sample(_t(spark, sf_dir, "documents"), pct=10).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q_x_stratified_sample(spark, sf_dir):
+    """Per-language sampling rates (en 50%, de 20%, others 5%)."""
+    return stratified_hash_sample(
+        _t(spark, sf_dir, "documents"),
+        "lang",
+        {"en": 50, "de": 20},
+        default_pct=5,
+    ).select("doc_id", "lang")
+
+
+def q_x_top_tokens(spark, sf_dir):
+    """Corpus-wide token frequency top-50: explode → two-phase count
+    (partial agg collapses per-partition duplicates before the
+    shuffle) → TakeOrderedAndProject."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(50)
+    )
+
+
 def q_x_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERING: pairwise candidates → connected
     components → keeper label per doc (iterative min-label
@@ -851,6 +895,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_simhash": q_x_simhash,
         "x_ngram_jaccard": q_x_ngram_jaccard,
         "x_dedup_clusters": q_x_dedup_clusters,
+        "x_doc_chunks": q_x_doc_chunks,
+        "x_hash_sample": q_x_hash_sample,
+        "x_stratified_sample": q_x_stratified_sample,
+        "x_top_tokens": q_x_top_tokens,
         "x_cosine_topk": q_x_cosine_topk,
         "x_cosine_topk_lsh": q_x_cosine_topk_lsh,
         "x_cosine_topk_ivf": q_x_cosine_topk_ivf,
@@ -1574,6 +1622,45 @@ def oracle_sql() -> dict[str, str]:
         SELECT promo_rev, total_rev,
                round(100.0 * promo_rev / total_rev, 6) AS promo_share_pct
         FROM sums
+    """
+    oracles["x_doc_chunks"] = """
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(trim(text), '\\s+') AS toks,
+                   len(string_split_regex(trim(text), '\\s+')) AS n
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, toks, n,
+                   greatest(CAST(ceil((n - 32) / 96.0) AS INT), 1) AS n_chunks
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_tokens,
+               CAST(i AS BIGINT) AS chunk_id,
+               CAST(i * 96 AS BIGINT) AS start_token,
+               array_to_string(toks[i * 96 + 1 : i * 96 + 128], ' ')
+                   AS chunk_text
+        FROM c, LATERAL (SELECT unnest(range(0, n_chunks)) AS i) u
+    """
+    oracles["x_hash_sample"] = """
+        SELECT doc_id, lang, source FROM documents
+        WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 100 < 10
+    """
+    oracles["x_stratified_sample"] = """
+        SELECT doc_id, lang FROM documents
+        WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 100
+              < CASE WHEN lang = 'de' THEN 20
+                     WHEN lang = 'en' THEN 50
+                     ELSE 5 END
+    """
+    oracles["x_top_tokens"] = """
+        SELECT token, count(*) AS n
+        FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+              FROM documents)
+        GROUP BY token ORDER BY n DESC, token LIMIT 50
     """
     # exact transitive closure over the deterministic candidate
     # graph: DuckDB's recursive CTE IS the oracle for the iterative

@@ -1,0 +1,76 @@
+"""Deterministic corpus sampling and dataset mixing for training
+pipelines.
+
+Training-data pipelines need samples that are REPRODUCIBLE across
+runs and clusters — `df.sample()` depends on partition layout and
+seed plumbing, so the scale idiom is hash-based selection: a row is
+in the p% sample iff ``hash(id) mod 100 < p``. Same rows selected on
+any engine, any partitioning, any run; downstream joins of sampled
+tables stay consistent because membership is a pure function of the
+key.
+
+md5 (not xxhash64) so an external SQL engine reproduces the exact
+sample byte-for-byte — md5 is standardized, engine hash functions
+are not.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(col: Column | str, n_buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, n_buckets): first 8 hex chars of
+    md5(key) as an int, mod n_buckets. Uniform for any key type
+    (cast to string first)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("bigint"),
+        F.lit(n_buckets),
+    )
+
+
+def hash_sample(
+    df: DataFrame, pct: int, id_col: str = "doc_id", n_buckets: int = 100
+) -> DataFrame:
+    """Keep rows whose hash bucket < pct — a stable pct% sample."""
+    return df.filter(hash_bucket(id_col, n_buckets) < pct)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, int],
+    id_col: str = "doc_id",
+    default_pct: int = 0,
+) -> DataFrame:
+    """Per-stratum sampling rates (e.g. lang → pct): the hash-bucket
+    threshold varies by stratum. Unlisted strata get default_pct.
+    This is `sampleBy` without its run-to-run nondeterminism."""
+    expr = F.lit(default_pct)
+    for value, pct in fractions.items():
+        expr = F.when(F.col(strata_col) == value, F.lit(pct)).otherwise(expr)
+    return df.filter(hash_bucket(id_col) < expr)
+
+
+def interleave(
+    sources: Sequence[tuple[DataFrame, int]], id_col: str = "doc_id"
+) -> DataFrame:
+    """Mix datasets at declared per-source percentages: each source
+    is hash-sampled at its rate and tagged, then unioned. The union
+    is a zero-shuffle narrow op; total output rate = Σ pct_i·|src_i|.
+    Schemas must align (select the shared columns first)."""
+    parts = []
+    for i, (df, pct) in enumerate(sources):
+        parts.append(
+            hash_sample(df, pct, id_col).withColumn(
+                "source_idx", F.lit(i).cast("int")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -157,3 +157,51 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         F.md5(normalized).alias("fingerprint"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-token training chunks with overlap
+    — one output row per (doc, chunk), entirely in JVM expressions:
+    token array once, `sequence` of chunk start offsets, posexplode,
+    `slice` + `concat_ws` per chunk. Zero shuffles; output order is
+    (doc_id, chunk_id) deterministic.
+
+    The last chunk may be short (tail tokens); stride =
+    chunk_tokens - overlap. A doc shorter than one chunk yields
+    exactly one chunk."""
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be < chunk_tokens")
+    toks = tokens(text_col)
+    with_toks = df.select(F.col(id_col), toks.alias("__t")).withColumn(
+        "__n", F.size("__t")
+    )
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.expr(f"CAST(ceil((__n - {overlap}) / {stride}) AS INT) - 1"),
+            F.lit(0),
+        )
+        * stride,
+        F.lit(stride),
+    )
+    return with_toks.select(
+        F.col(id_col),
+        F.col("__n").cast("bigint").alias("n_tokens"),
+        F.col("__t"),
+        F.posexplode(starts).alias("chunk_id", "start"),
+    ).select(
+        id_col,
+        "n_tokens",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.col("start").cast("bigint").alias("start_token"),
+        F.concat_ws(
+            " ", F.slice("__t", F.col("start").cast("int") + 1, chunk_tokens)
+        ).alias("chunk_text"),
+    )

@@ -149,3 +149,56 @@ def test_connected_components_chain_and_islands(spark):
         for r in connected_components(nodes, edges).collect()
     }
     assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from pac_data_pipeline_spark.ext.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(300))
+    df = spark.createDataFrame([(1, text), (2, "a b")], "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=128, overlap=32).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 300 tokens, stride 96 -> ceil((300-32)/96)=3 chunks at 0/96/192
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [r.start_token for r in c1] == [0, 96, 192]
+    toks = text.split()
+    assert c1[0].chunk_text == " ".join(toks[0:128])
+    assert c1[1].chunk_text == " ".join(toks[96:224])
+    assert c1[2].chunk_text == " ".join(toks[192:300])  # short tail
+    # overlap: last 32 tokens of chunk 0 = first 32 of chunk 1
+    assert c1[0].chunk_text.split()[-32:] == c1[1].chunk_text.split()[:32]
+    # short doc -> exactly one chunk
+    assert [r.chunk_text for r in by_doc[2]] == ["a b"]
+
+
+def test_hash_sample_stable_and_disjoint(spark):
+    from pac_data_pipeline_spark.ext.sampling import hash_bucket, hash_sample
+
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s10a = {r.doc_id for r in hash_sample(docs, 10).collect()}
+    s10b = {r.doc_id for r in hash_sample(docs, 10).collect()}
+    assert s10a == s10b  # reproducible
+    s30 = {r.doc_id for r in hash_sample(docs, 30).collect()}
+    assert s10a <= s30  # monotone: growing pct only adds rows
+    assert 0.05 < len(s10a) / 2000 < 0.15  # roughly 10%
+    # buckets cover [0, 100)
+    rng = docs.select(hash_bucket("doc_id").alias("b")).agg(
+        F.min("b").alias("lo"), F.max("b").alias("hi")
+    ).collect()[0]
+    assert rng.lo >= 0 and rng.hi <= 99
+
+
+def test_interleave_tags_sources(spark):
+    from pac_data_pipeline_spark.ext.sampling import interleave
+
+    a = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    b = spark.range(100, 200).withColumnRenamed("id", "doc_id")
+    out = interleave([(a, 100), (b, 50)]).collect()
+    idx = {r.doc_id: r.source_idx for r in out}
+    assert all(v == 0 for k, v in idx.items() if k < 100)
+    assert all(v == 1 for k, v in idx.items() if k >= 100)
+    n_b = sum(1 for k in idx if k >= 100)
+    assert len([k for k in idx if k < 100]) == 100  # 100% of a
+    assert 30 <= n_b <= 70  # ~50% of b
