@@ -77,6 +77,7 @@ from pac_data_pipeline_spark.ext.text import (
     lang_id,
     quality_score,
     text_stats,
+    tf_idf_top_terms,
 )
 from pac_data_pipeline_spark.ext.dedup_text import (
     exact_dedup,
@@ -736,6 +737,11 @@ def q_x_top_tokens(spark, sf_dir):
     )
 
 
+def q_x_tfidf_terms(spark, sf_dir):
+    """Top-5 characteristic terms per doc by smoothed TF-IDF."""
+    return tf_idf_top_terms(_t(spark, sf_dir, "documents"), k=5)
+
+
 def q_x_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERING: pairwise candidates → connected
     components → keeper label per doc (iterative min-label
@@ -899,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_hash_sample": q_x_hash_sample,
         "x_stratified_sample": q_x_stratified_sample,
         "x_top_tokens": q_x_top_tokens,
+        "x_tfidf_terms": q_x_tfidf_terms,
         "x_cosine_topk": q_x_cosine_topk,
         "x_cosine_topk_lsh": q_x_cosine_topk_lsh,
         "x_cosine_topk_ivf": q_x_cosine_topk_ivf,
@@ -1622,6 +1629,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT promo_rev, total_rev,
                round(100.0 * promo_rev / total_rev, 6) AS promo_share_pct
         FROM sums
+    """
+    oracles["x_tfidf_terms"] = """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+'))
+                       AS token
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, token, count(*) AS tf
+            FROM toks GROUP BY doc_id, token
+        ),
+        dfreq AS (
+            SELECT token, count(*) AS df FROM tf GROUP BY token
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+                   round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0))
+                                  + 1.0), 6) AS tfidf
+            FROM tf JOIN dfreq USING (token) CROSS JOIN n
+        )
+        SELECT doc_id, token, tf, df, tfidf, CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rnk
+            FROM scored
+        ) WHERE rnk <= 5
     """
     oracles["x_doc_chunks"] = """
         WITH t AS (

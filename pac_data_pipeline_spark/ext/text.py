@@ -205,3 +205,55 @@ def chunk_documents(
             " ", F.slice("__t", F.col("start").cast("int") + 1, chunk_tokens)
         ).alias("chunk_text"),
     )
+
+
+def tf_idf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF:
+    ``tf · (ln((N+1)/(df+1)) + 1)``.
+
+    Plan shape: explode → (doc, token) counts [shuffle 1, the pair
+    key spreads hot tokens like the skew-safe distinct pattern] →
+    token document-frequency [shuffle 2, |vocab| rows] → broadcast
+    the vocab stats back onto the per-doc counts → per-doc top-k
+    window [reuses shuffle 1's partitioning]. The corpus size joins
+    in as a broadcast 1-row aggregate, keeping the whole plan lazy.
+    Scores are rounded before ranking so cross-engine log ULP noise
+    can't flip the order (tiebreak: token)."""
+    from pyspark.sql import Window
+
+    toks = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "token",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "token", "tf", "df", "tfidf",
+                F.col("rnk").cast("bigint").alias("rnk"))
+    )
