@@ -80,6 +80,7 @@ from pac_data_pipeline_spark.ext.text import (
     tf_idf_top_terms,
 )
 from pac_data_pipeline_spark.ext.dedup_text import (
+    decontaminate,
     exact_dedup,
     exact_dedup_groups,
     minhash_near_dup_pairs,
@@ -737,6 +738,15 @@ def q_x_top_tokens(spark, sf_dir):
     )
 
 
+def q_x_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing ≥1
+    3-gram with the 'eval set' (every 20th doc stands in); the eval
+    n-gram set broadcasts, the corpus side never shuffles."""
+    d = _t(spark, sf_dir, "documents")
+    eval_set = d.filter(F.col("doc_id") % 20 == 0)
+    return decontaminate(d, eval_set, n=3)
+
+
 def q_x_tfidf_terms(spark, sf_dir):
     """Top-5 characteristic terms per doc by smoothed TF-IDF."""
     return tf_idf_top_terms(_t(spark, sf_dir, "documents"), k=5)
@@ -906,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_stratified_sample": q_x_stratified_sample,
         "x_top_tokens": q_x_top_tokens,
         "x_tfidf_terms": q_x_tfidf_terms,
+        "x_decontaminate": q_x_decontaminate,
         "x_cosine_topk": q_x_cosine_topk,
         "x_cosine_topk_lsh": q_x_cosine_topk_lsh,
         "x_cosine_topk_ivf": q_x_cosine_topk_ivf,
@@ -1629,6 +1640,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT promo_rev, total_rev,
                round(100.0 * promo_rev / total_rev, 6) AS promo_share_pct
         FROM sums
+    """
+    oracles["x_decontaminate"] = """
+        WITH g AS (
+            SELECT doc_id,
+                   unnest(list_distinct([
+                       array_to_string(toks[i : i + 2], ' ')
+                       FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)
+                   ])) AS gram
+            FROM (SELECT doc_id,
+                         string_split_regex(trim(text), '\\s+') AS toks
+                  FROM documents)
+        ),
+        bad AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+        hits AS (
+            SELECT g.doc_id, count(*) AS n_hits
+            FROM g JOIN bad USING (gram)
+            GROUP BY g.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               coalesce(h.n_hits, 0) >= 1 AS contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
     """
     oracles["x_tfidf_terms"] = """
         WITH toks AS (

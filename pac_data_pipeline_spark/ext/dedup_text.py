@@ -403,3 +403,53 @@ def ngram_jaccard_pairs(
             F.round(inter / F.nullif(union, F.lit(0)), 6).alias("jaccard"),
         )
     )
+
+
+# -- decontamination ----------------------------------------------------------
+
+
+def decontaminate(
+    df: DataFrame,
+    contamination: DataFrame,
+    n: int = 3,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag training documents that overlap an evaluation/benchmark
+    set: a doc is contaminated when >= ``min_hits`` of its token
+    n-grams appear in the contamination corpus' n-gram set.
+
+    Plan shape: the contamination set collapses to DISTINCT n-grams
+    (it is the eval set — small by definition) and BROADCASTS; the
+    corpus explodes to (doc, gram) and inner-joins the broadcast
+    set, so the fact side never shuffles for the probe. Returns
+    (doc_id, n_hits, contaminated); compose with a filter on
+    ``NOT contaminated`` to clean the corpus."""
+    grams = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(size(split(trim({text_col}),"
+            f" '\\\\s+')) - {n} + 1, 1)),"
+            f" i -> concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), i, {n})))"
+        )
+    )
+    bad = (
+        contamination.select(F.explode(grams).alias("gram")).distinct()
+    )
+    doc_grams = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(grams).alias("gram")
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bad), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )

@@ -202,3 +202,24 @@ def test_interleave_tags_sources(spark):
     n_b = sum(1 for k in idx if k >= 100)
     assert len([k for k in idx if k < 100]) == 100  # 100% of a
     assert 30 <= n_b <= 70  # ~50% of b
+
+
+def test_decontaminate_flags_overlap(spark):
+    from pac_data_pipeline_spark.ext.dedup_text import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),     # shares 3-grams with eval
+            (2, "totally different words here"),  # clean
+            (3, "quick brown fox runs away"),     # shares "quick brown fox"
+        ],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [(100, "a the quick brown fox sat")], "doc_id long, text string"
+    )
+    out = {r.doc_id: (r.n_hits, r.contaminated)
+           for r in decontaminate(docs, eval_set, n=3).collect()}
+    assert out[1][1] and out[1][0] >= 1
+    assert out[3] == (1, True)  # exactly "quick brown fox"
+    assert out[2] == (0, False)
