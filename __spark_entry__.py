@@ -52,7 +52,11 @@ from pac_data_pipeline_spark.operators.aggregates import (
     groupby_sum,
 )
 from pac_data_pipeline_spark.operators.dedup import dedup_keep_first, reconcile_counts
-from pac_data_pipeline_spark.operators.joins import dim_lookup, lookup_misses
+from pac_data_pipeline_spark.operators.joins import (
+    asof_join,
+    dim_lookup,
+    lookup_misses,
+)
 from pac_data_pipeline_spark.operators.topk import top_k, top_k_groups
 from pac_data_pipeline_spark.plans.pipelines import (
     csv_report_pipeline,
@@ -560,6 +564,36 @@ def q_h14_promo_share(spark, sf_dir):
     return promo_revenue_share(spark, sf_dir)
 
 
+def q_h_asof_join(spark, sf_dir):
+    """As-of join: each click matched to the user's latest
+    prior-or-simultaneous purchase (union + window carry-forward —
+    one shuffle, no range-join explosion)."""
+    e = load_events(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("purchase_value"))
+    )
+    out = asof_join(
+        clicks, purchases, time_col="ts", by_cols=("user_id",),
+        value_cols=("purchase_value",),
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts"),
+        F.date_format("ts_matched", "yyyy-MM-dd'T'HH:mm:ss").alias(
+            "purchase_ts"
+        ),
+        F.col("purchase_value_matched").alias("purchase_value"),
+    )
+
+
 def q_h_rank_window(spark, sf_dir):
     """Window functions: top-3 orders per customer by price
     (row_number), plus running total per customer (range-framed
@@ -895,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h14_promo_share": q_h14_promo_share,
         "pipe_csv_report": q_pipe_csv_report,
         "pipe_snowflake_batch": q_pipe_snowflake_batch,
+        "h_asof_join": q_h_asof_join,
         "h_rank_window": q_h_rank_window,
         "h_set_except": q_h_set_except,
         "x_approx_stats": q_x_approx_stats,
@@ -1487,6 +1522,26 @@ def oracle_sql() -> dict[str, str]:
                         '%Y-%m-%dT%H:%M:%S') AS event_date_iso,
                round(coalesce(CAST(value AS DOUBLE), 0.0), 6) AS value_raw
         FROM events
+    """
+    oracles["h_asof_join"] = """
+        WITH l AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'click'
+              AND ts IS NOT NULL AND user_id IS NOT NULL
+        ),
+        r AS (
+            SELECT user_id, ts, round(max(value), 2) AS purchase_value
+            FROM events
+            WHERE event_type = 'purchase'
+              AND ts IS NOT NULL AND user_id IS NOT NULL
+            GROUP BY user_id, ts
+        )
+        SELECT l.event_id, l.user_id,
+               strftime(l.ts, '%Y-%m-%dT%H:%M:%S') AS ts,
+               strftime(r.ts, '%Y-%m-%dT%H:%M:%S') AS purchase_ts,
+               r.purchase_value
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
     """
     oracles["h_rank_window"] = """
         SELECT o_custkey, o_orderkey, total, rnk, running_total

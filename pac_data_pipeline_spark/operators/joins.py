@@ -28,6 +28,51 @@ def dim_lookup(
     return fact.join(right, on=on, how=how)
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    time_col: str = "ts",
+    by_cols: tuple[str, ...] = ("user_id",),
+    value_cols: tuple[str, ...] = ("value",),
+    suffix: str = "_matched",
+) -> DataFrame:
+    """Backward as-of join: each left row picks the LATEST right row
+    with ``right.time <= left.time`` within the same ``by`` group —
+    the trades⋈quotes pattern Spark has no built-in operator for.
+
+    Distributed expression: union both sides tagged, ONE window per
+    by-group ordered by (time, right-before-left-on-ties), and a
+    ``last(..., ignorenulls)`` carry-forward of the right columns;
+    then keep only left rows. Cost = one shuffle on the by-key +
+    one sort — identical to what a native as-of merge would pay, and
+    no range-join row explosion. Ties (equal timestamps) match, like
+    SQL ASOF ``>=``.
+
+    ``right`` must be unique per (by, time) — pre-aggregate it
+    otherwise, or which duplicate wins is undefined."""
+    r = right.select(
+        *by_cols,
+        F.col(time_col),
+        F.col(time_col).alias(f"{time_col}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+    ).withColumn("__side", F.lit(1))
+    l = left.withColumn("__side", F.lit(0))
+    merged = l.unionByName(r, allowMissingColumns=True)
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*by_cols)
+        .orderBy(F.col(time_col).asc(), F.col("__side").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = [f"{time_col}{suffix}"] + [f"{c}{suffix}" for c in value_cols]
+    out = merged
+    for c in carried:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out.filter(F.col("__side") == 0).drop("__side")
+
+
 def lookup_misses(
     fact: DataFrame, dim: DataFrame, on: str | list[str], broadcast: bool = True
 ) -> DataFrame:

@@ -101,3 +101,27 @@ def test_foreach_partition_write_gate(spark):
     )
     assert flaky["written"] == 0
     assert flaky["success"] is False
+
+
+def test_asof_join_ties_and_no_match(spark):
+    from pac_data_pipeline_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 205), (3, 10, 50), (4, 20, 300)],
+        "event_id long, user_id long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(10, 100, 1.0), (10, 200, 2.0), (20, 400, 9.0)],
+        "user_id long, ts long, price double",
+    )
+    out = {
+        r.event_id: (r.ts_matched, r.price_matched)
+        for r in asof_join(
+            left, right, time_col="ts", by_cols=("user_id",),
+            value_cols=("price",),
+        ).collect()
+    }
+    assert out[1] == (100, 1.0)   # tie: equal ts matches
+    assert out[2] == (200, 2.0)   # latest prior
+    assert out[3] == (None, None)  # before any right row
+    assert out[4] == (None, None)  # right exists only later
