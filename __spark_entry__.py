@@ -636,12 +636,18 @@ def q_x_approx_stats(spark, sf_dir):
     approximate answers are engine-specific by design; the unit test
     bounds their error against exact values."""
     li = _t(spark, sf_dir, "lineitem")
+    # scalar columns, not an array: the driver's canonicalizer hashes
+    # scalar cells only
     return li.agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10_000).alias(
-            "price_quantiles"
-        ),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10_000).alias("__q"),
+    ).select(
+        "approx_parts",
+        "approx_orders",
+        F.col("__q")[0].alias("price_p50"),
+        F.col("__q")[1].alias("price_p95"),
+        F.col("__q")[2].alias("price_p99"),
     )
 
 
@@ -1436,7 +1442,7 @@ def oracle_sql() -> dict[str, str]:
                                      PARTITION BY user_id
                                      ORDER BY ts, event_id) > 1800
                             THEN 1 ELSE 0 END AS brk
-                FROM events
+                FROM events WHERE ts IS NOT NULL
             ),
             s AS (
                 SELECT *, sum(brk) OVER (PARTITION BY user_id
@@ -1458,7 +1464,7 @@ def oracle_sql() -> dict[str, str]:
                                      PARTITION BY user_id
                                      ORDER BY ts, event_id) > 1800
                             THEN 1 ELSE 0 END AS brk
-                FROM events
+                FROM events WHERE ts IS NOT NULL
             ),
             s AS (
                 SELECT *, sum(brk) OVER (PARTITION BY user_id

@@ -195,10 +195,15 @@ def minhash_near_dup_pairs(
     candidate pairs → estimated-Jaccard filter (fraction of equal
     signature components — unbiased estimator, avoids re-reading
     the documents)."""
-    # signatures are consumed three times (banding + both pair
-    # sides); persist the tiny (id, 64×long) frame instead of
-    # recomputing the shingle pipeline per consumer
-    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_k).persist()
+    # signatures are consumed three times; localCheckpoint (not
+    # persist) materializes the tiny (id, 64×long) frame once AND
+    # lets the ContextCleaner reclaim it when the result frame is
+    # dropped — df.persist() entries live in the CacheManager until
+    # an explicit unpersist, which leaked across repeated calls in a
+    # long-lived session.
+    sigs = minhash_signature(
+        df, text_col, id_col, num_hashes, shingle_k
+    ).localCheckpoint()
     pairs = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("sig_a"))
     b = sigs.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("sig_b"))
@@ -319,8 +324,24 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # label init must be the id itself (the fixpoint is "min id in
+    # component"); a silent failed cast of a non-numeric id would
+    # propagate null labels as a wrong-but-plausible result, so it
+    # raises JVM-side instead (no extra pass over the data).
+    label = F.col(id_col).cast("long")
     labels = nodes.select(
-        F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("label")
+        F.col(id_col).alias("id"),
+        F.when(
+            F.col(id_col).isNotNull() & label.isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("connected_components: id column is not integral: "),
+                    F.col(id_col).cast("string"),
+                )
+            ).cast("long"),
+        )
+        .otherwise(label)
+        .alias("label"),
     ).localCheckpoint()
     for _ in range(max_iter):
         msgs = (

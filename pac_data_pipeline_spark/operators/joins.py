@@ -35,42 +35,77 @@ def asof_join(
     by_cols: tuple[str, ...] = ("user_id",),
     value_cols: tuple[str, ...] = ("value",),
     suffix: str = "_matched",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: each left row picks the LATEST right row
-    with ``right.time <= left.time`` within the same ``by`` group —
-    the trades⋈quotes pattern Spark has no built-in operator for.
+    """As-of join — the trades⋈quotes pattern Spark has no built-in
+    operator for. Per ``by`` group, each left row picks the
+
+    * ``backward``: LATEST right row with ``right.time <= left.time``;
+    * ``forward``: EARLIEST right row with ``right.time >= left.time``;
+    * ``nearest``: whichever of the two is closer in time (ties →
+      backward, matching pandas ``merge_asof``).
 
     Distributed expression: union both sides tagged, ONE window per
-    by-group ordered by (time, right-before-left-on-ties), and a
-    ``last(..., ignorenulls)`` carry-forward of the right columns;
-    then keep only left rows. Cost = one shuffle on the by-key +
-    one sort — identical to what a native as-of merge would pay, and
-    no range-join row explosion. Ties (equal timestamps) match, like
-    SQL ASOF ``>=``.
+    by-group ordered by time, and a ``last``/``first`` carry of a
+    SINGLE struct that is non-null only on right rows — so the
+    matched row's columns always travel together even when some of
+    its value columns are null (carrying each column through its own
+    ``ignorenulls`` window would stitch columns from different right
+    rows). Cost = one shuffle on the by-key + one sort — what a
+    native as-of merge would pay, and no range-join row explosion.
+    Ties (equal timestamps) match, like SQL ASOF ``>=``.
 
     ``right`` must be unique per (by, time) — pre-aggregate it
     otherwise, or which duplicate wins is undefined."""
-    r = right.select(
-        *by_cols,
-        F.col(time_col),
+    from pyspark.sql import Window
+
+    matched = F.struct(
         F.col(time_col).alias(f"{time_col}{suffix}"),
         *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
-    ).withColumn("__side", F.lit(1))
+    )
+    r = right.select(*by_cols, F.col(time_col), matched.alias("__match")).withColumn(
+        "__side", F.lit(1)
+    )
     l = left.withColumn("__side", F.lit(0))
     merged = l.unionByName(r, allowMissingColumns=True)
 
-    from pyspark.sql import Window
-
-    w = (
+    # backward: right rows sort BEFORE left at equal ts so the
+    # trailing frame sees them; forward: right rows sort AFTER left
+    # so the leading frame sees them.
+    w_back = (
         Window.partitionBy(*by_cols)
         .orderBy(F.col(time_col).asc(), F.col("__side").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    w_fwd = (
+        Window.partitionBy(*by_cols)
+        .orderBy(F.col(time_col).asc(), F.col("__side").asc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    back = F.last("__match", ignorenulls=True).over(w_back)
+    fwd = F.first("__match", ignorenulls=True).over(w_fwd)
+    if direction == "backward":
+        picked = back
+    elif direction == "forward":
+        picked = fwd
+    elif direction == "nearest":
+        t = F.unix_micros(F.col(time_col).cast("timestamp"))
+        back_d = t - F.unix_micros(back[f"{time_col}{suffix}"].cast("timestamp"))
+        fwd_d = F.unix_micros(fwd[f"{time_col}{suffix}"].cast("timestamp")) - t
+        picked = (
+            F.when(back.isNull(), fwd)
+            .when(fwd.isNull(), back)
+            .when(back_d <= fwd_d, back)
+            .otherwise(fwd)
+        )
+    else:
+        raise ValueError(f"direction must be backward|forward|nearest: {direction}")
+
+    out = merged.withColumn("__picked", picked).filter(F.col("__side") == 0)
     carried = [f"{time_col}{suffix}"] + [f"{c}{suffix}" for c in value_cols]
-    out = merged
     for c in carried:
-        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return out.filter(F.col("__side") == 0).drop("__side")
+        out = out.withColumn(c, F.col(f"__picked.{c}"))
+    return out.drop("__side", "__match", "__picked")
 
 
 def lookup_misses(

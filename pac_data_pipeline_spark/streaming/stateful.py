@@ -194,9 +194,14 @@ def run_streaming_sessions(
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    events = raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    ).select("user_id", "event_id", "ts", "value")
+    events = (
+        raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # null event-time would reach the state fn as NaT and
+        # int64-min into a garbage session — drop it like the batch
+        # sessionizer and the oracle do
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "event_id", "ts", "value")
+    )
     sessions = events.groupBy("user_id").applyInPandasWithState(
         make_sessionizer(gap_minutes),
         outputStructType=OUTPUT_SCHEMA,

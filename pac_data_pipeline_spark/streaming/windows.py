@@ -76,7 +76,10 @@ def sessionize_batch(
     """Batch sessionization: per-user sessions split at inactivity
     gaps > ``gap_minutes`` — lag + cumulative-sum-of-breaks, the
     classic two-window formulation. One shuffle on user_id; both
-    windows share the partitioning so the sort is reused."""
+    windows share the partitioning so the sort is reused. Null
+    timestamps carry no event-time and are dropped (they would
+    otherwise sort first and silently merge into session 0)."""
+    events = events.filter(F.col("ts").isNotNull())
     w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_user)
     is_break = F.when(gap > gap_minutes * 60, 1).otherwise(0)
