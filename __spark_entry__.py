@@ -494,13 +494,14 @@ def q_pipe_csv_report(spark, sf_dir):
 
 
 def q_pipe_snowflake_batch(spark, sf_dir):
-    """§3.2 end-to-end: generic clean → dedup → batch-id assignment
-    → literal metadata, as one plan."""
+    """§3.2 end-to-end: generic clean → dedup → deterministic shard
+    assignment → literal metadata, as one plan (no global-order
+    window: the only Exchange is the dedup's, on the business key)."""
     out = snowflake_batch_pipeline(spark, sf_dir)
     return out.select(
         "l_orderkey",
         "l_linenumber",
-        "batch_id",
+        "upload_shard",
         "data_source",
         "record_type",
         F.round("l_extendedprice", 2).alias("price"),
@@ -1621,12 +1622,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         kept AS (SELECT * FROM dedup WHERE rn = 1),
         batched AS (
-            SELECT *, CAST(floor((row_number() OVER (
-                ORDER BY l_orderkey, l_linenumber) - 1) / 1000) AS BIGINT)
-                AS batch_id
+            SELECT *, CAST(('0x' || substr(md5(concat_ws('|',
+                       CAST(l_orderkey AS VARCHAR),
+                       CAST(l_linenumber AS VARCHAR))), 1, 15)) AS BIGINT) % 32
+                AS upload_shard
             FROM kept
         )
-        SELECT l_orderkey, l_linenumber, batch_id,
+        SELECT l_orderkey, l_linenumber, upload_shard,
                'snowflake' AS data_source,
                'pac_contribution' AS record_type,
                round(coalesce(CAST(l_extendedprice AS DOUBLE), 0.0), 2)

@@ -98,14 +98,18 @@ def csv_report_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def snowflake_batch_pipeline(
-    spark: SparkSession, sf_dir: str, batch_size: int = 1000
+    spark: SparkSession, sf_dir: str, n_shards: int = 32
 ) -> DataFrame:
     """§3.2 shape: SQL scan through Catalyst → generic clean →
-    batch-id assignment → dedup. The reference slices pandas frames
+    dedup → shard assignment. The reference slices pandas frames
     into 1000-row upload batches (pac_snowflake_pipeline.py:163-207);
-    distributed, the batch id is a column derived from a global
-    row_number so the sink can group without a driver-side loop."""
-    from pac_data_pipeline_spark.sinks.documents import with_batch_id
+    distributed, rows get a deterministic hash shard (no global
+    order, no single-partition window — the one shuffle in this plan
+    is the dedup's, on the business key) and the sink enforces the
+    per-request row cap by chunking inside
+    ``foreach_partition_write``. The global-row_number variant lives
+    on in ``with_batch_id`` for the K3 oracle query."""
+    from pac_data_pipeline_spark.sinks.documents import with_upload_shard
 
     li = scan_parquet(spark, f"{sf_dir}/lineitem.parquet")
     cleaned = clean(li)
@@ -114,7 +118,7 @@ def snowflake_batch_pipeline(
         key_cols=("l_orderkey", "l_linenumber"),
         order_cols=("l_partkey", "l_suppkey"),
     )
-    batched = with_batch_id(
-        deduped, batch_size=batch_size, order_cols=("l_orderkey", "l_linenumber")
+    sharded = with_upload_shard(
+        deduped, key_cols=("l_orderkey", "l_linenumber"), n_shards=n_shards
     )
-    return with_metadata(batched, data_source="snowflake", record_type="pac_contribution")
+    return with_metadata(sharded, data_source="snowflake", record_type="pac_contribution")

@@ -63,6 +63,46 @@ def with_batch_id(
     )
 
 
+def with_partition_batch_id(df: DataFrame, batch_size: int) -> DataFrame:
+    """K3 at scale: fixed-size batches with ZERO shuffle. The sink
+    never needed a total order — batches exist only to bound request
+    size — so the batch id packs (partition, local batch) decoded
+    from ``monotonically_increasing_id`` (pid in the high 31 bits,
+    per-partition offset in the low 33). Every task numbers its own
+    rows; no Exchange, no single-partition window.
+
+    Ids are unique and stable within one materialization but depend
+    on partitioning — use :func:`with_batch_id` when the id itself
+    must be reproducible (and affordable: it is a global sort), or
+    :func:`with_upload_shard` for a deterministic orderless
+    assignment."""
+    mid = F.monotonically_increasing_id()
+    pid = F.shiftrightunsigned(mid, 33)
+    off = mid.bitwiseAND(F.lit((1 << 33) - 1))
+    # pid < 2^31 partitions and < 2^33/batch_size batches each; the
+    # 28-bit pack keeps both in a single positive long at any
+    # realistic partition count (2^31 * 2^28 < 2^63 requires
+    # pid < 2^35 — always true: Spark caps partitions well below).
+    return df.withColumn(
+        "batch_id", F.shiftleft(pid, 28) + F.floor(off / F.lit(batch_size))
+    )
+
+
+def with_upload_shard(
+    df: DataFrame, key_cols: Sequence[str], n_shards: int = 32
+) -> DataFrame:
+    """Deterministic orderless batch assignment: shard = md5 of the
+    business key, mod ``n_shards``. Engine- and partitioning-
+    independent (reruns and other engines agree), computed in the
+    scan stage with no shuffle; shard sizes are ~n/n_shards. The
+    per-request 1000-row cap is enforced downstream by
+    :func:`foreach_partition_write`, which chunks whatever partition
+    it sees — fixed-size REQUESTS never required a global order."""
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    shard = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long") % n_shards
+    return df.withColumn("upload_shard", shard)
+
+
 def nested_path_records(
     df: DataFrame,
     brand_col: str = "brand",
@@ -92,14 +132,24 @@ def nested_path_records(
     )
 
 
-def keyed_json_tree(df: DataFrame, id_col: str) -> DataFrame:
+def keyed_json_tree(df: DataFrame, id_col: str, max_rows: int = 100_000) -> DataFrame:
     """K5/A10: whole-tree keyed write ``{id: {...}}``
     (index_align_to_firebase.py:240-259) — map_from_entries over
     collect_list. Returns a 1-row DataFrame with the JSON document.
 
     Driver-size warning by design: this materializes the whole tree
     into one value, exactly like the reference; only for small
-    dimensional payloads."""
+    dimensional payloads. The ``max_rows`` guard refuses fact-table
+    input (the probe scans at most ``max_rows + 1`` rows, so it is
+    cheap even when the input is huge); raise it explicitly if a
+    bigger tree is truly intended."""
+    probed = df.limit(max_rows + 1).count()
+    if probed > max_rows:
+        raise ValueError(
+            f"keyed_json_tree: input exceeds max_rows={max_rows} — this "
+            "operator builds ONE driver-sized value; point it at a "
+            "dimension or raise max_rows deliberately"
+        )
     payload_cols = [c for c in df.columns if c != id_col]
     entry = F.struct(
         F.col(id_col).cast("string").alias("key"),

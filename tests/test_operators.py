@@ -79,6 +79,45 @@ def test_with_batch_id_sizes(spark):
     assert sizes == {0: 1000, 1: 1000, 2: 500}
 
 
+def test_with_partition_batch_id_bounds_and_coverage(spark):
+    from pac_data_pipeline_spark.sinks.documents import with_partition_batch_id
+
+    df = spark.range(5000).repartition(4)
+    out = with_partition_batch_id(df, batch_size=300)
+    sizes = out.groupBy("batch_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert sum(r.n for r in sizes) == 5000  # every row batched
+    assert all(r.n <= 300 for r in sizes)  # request cap respected
+    assert all(r.batch_id >= 0 for r in sizes)  # no sign overflow
+
+
+def test_with_upload_shard_deterministic_and_orderless(spark):
+    from pac_data_pipeline_spark.sinks.documents import with_upload_shard
+
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    a = with_upload_shard(df, ("k",), n_shards=8)
+    b = with_upload_shard(df.repartition(7).orderBy(F.rand(seed=1)), ("k",), 8)
+    got_a = {r.k: r.upload_shard for r in a.collect()}
+    got_b = {r.k: r.upload_shard for r in b.collect()}
+    assert got_a == got_b  # partitioning/order independent
+    assert set(got_a.values()) <= set(range(8))
+    import hashlib
+
+    h = int(hashlib.md5(b"7").hexdigest()[:15], 16) % 8
+    assert got_a[7] == h  # matches the cross-engine md5 formula
+
+
+def test_keyed_json_tree_guard(spark):
+    import pytest
+
+    from pac_data_pipeline_spark.sinks.documents import keyed_json_tree
+
+    small = spark.createDataFrame([(1, "a")], "id long, v string")
+    assert keyed_json_tree(small, "id").count() == 1
+    big = spark.range(50).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="max_rows"):
+        keyed_json_tree(big, "k", max_rows=10)
+
+
 def test_to_doc_records_shape(spark):
     df = spark.createDataFrame([(1, "x")], "id long, payload string")
     row = to_doc_records(df, collection="c", id_col="id").collect()[0]

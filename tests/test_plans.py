@@ -86,3 +86,24 @@ def test_topk_uses_take_ordered(spark):
     (per-partition heaps), never a global Sort."""
     p = plan(shipping_priority(spark, SF), mode="simple")
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_snowflake_pipeline_has_no_global_window(spark):
+    """The upload pipeline must not serialize into a single-partition
+    window Exchange — batch/shard assignment is orderless. The only
+    Exchange allowed is the dedup's hash partitioning on the key."""
+    from pac_data_pipeline_spark.plans.pipelines import snowflake_batch_pipeline
+
+    p = plan(snowflake_batch_pipeline(spark, SF))
+    assert "SinglePartition" not in p, p
+    assert "rangepartitioning" not in p.lower(), p
+
+
+def test_partition_batch_id_is_shuffle_free(spark):
+    """with_partition_batch_id adds no Exchange at all — every task
+    numbers its own rows."""
+    from pac_data_pipeline_spark.sinks.documents import with_partition_batch_id
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    p = plan(with_partition_batch_id(li, 1000))
+    assert "Exchange" not in p, p
