@@ -100,6 +100,7 @@ from pac_data_pipeline_spark.ext.similarity import (
     queries_from_corpus,
 )
 from pac_data_pipeline_spark.ext.multimodal import (
+    bmp_media_from_documents,
     extract_features,
     frame_sample_stub,
     media_table_from_documents,
@@ -874,9 +875,10 @@ def q_x_stream_tumbling(spark, sf_dir):
 
 
 def q_x_multimodal_features(spark, sf_dir):
-    """Binary media column → Arrow-batched feature extraction
-    (rows-only: stubbed decode)."""
-    media = media_table_from_documents(_t(spark, sf_dir, "documents"))
+    """Binary media column → Arrow-batched REAL BMP decode: payloads
+    are genuine 24-bpp bitmaps; width/height and channel statistics
+    come from parsing the bytes (rows-only: float features)."""
+    media = bmp_media_from_documents(_t(spark, sf_dir, "documents"))
     return extract_features(media)
 
 

@@ -104,6 +104,7 @@ def test_multimodal_plumbing(spark):
     feats = extract_features(media, dim=4).collect()
     assert len(feats) == 5
     assert all(len(r.feature) == 4 for r in feats)
+    assert all(r.decoded is False for r in feats)  # raw text ≠ BMP
     # determinism: same payload → same features
     by_id = {r.doc_id: list(r.feature) for r in feats}
     assert by_id[0] == by_id[1]
@@ -113,6 +114,40 @@ def test_multimodal_plumbing(spark):
 
     frames = frame_sample_stub(media, every_n=10)
     assert frames.count() >= 5
+
+
+def test_bmp_encode_decode_roundtrip():
+    import numpy as np
+
+    from pac_data_pipeline_spark.ext.multimodal import decode_bmp, encode_bmp
+
+    payload = encode_bmp(5, 3, b"abcdefg")  # width forces 1-byte row pad
+    w, h, px = decode_bmp(payload)
+    assert (w, h) == (5, 3)
+    assert px.shape == (3, 5, 3)
+    # bottom-up flip: decoded top row is the LAST stored row
+    seed = np.tile(np.frombuffer(b"abcdefg", dtype=np.uint8), 7)[: 3 * 15]
+    stored = seed.reshape(3, 15)
+    assert (px[0].reshape(15) == stored[2]).all()
+    with pytest.raises(ValueError):
+        decode_bmp(b"PNG not a bmp at all" * 4)
+
+
+def test_multimodal_real_bmp_decode(spark):
+    from pac_data_pipeline_spark.ext.multimodal import bmp_media_from_documents
+
+    media = bmp_media_from_documents(_docs(spark))
+    rows = extract_features(media).collect()
+    assert len(rows) == 5
+    meta = {r.doc_id: (r.meta.width, r.meta.height)
+            for r in media.collect()}
+    for r in rows:
+        assert r.decoded is True
+        # dimensions DECODED from the BMP header match the declared meta
+        assert (r.width, r.height) == meta[r.doc_id]
+        assert list(r.feature)[:2] == [float(r.width), float(r.height)]
+        # channel means are real pixel statistics: printable ASCII range
+        assert all(31.0 < v < 123.0 for v in list(r.feature)[2:5])
 
 
 def test_streaming_matches_batch(spark, tmp_path):
