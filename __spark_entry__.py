@@ -91,6 +91,11 @@ from pac_data_pipeline_spark.ext.dedup_text import (
     near_dup_clusters,
     ngram_jaccard_pairs,
     simhash,
+    simhash_near_dup_pairs,
+)
+from pac_data_pipeline_spark.operators.skew import (
+    distinct_count_per_key,
+    salted_groupby_sum,
 )
 from pac_data_pipeline_spark.ext.similarity import (
     cosine_topk_bruteforce,
@@ -570,6 +575,15 @@ def q_h_asof_join(spark, sf_dir):
     """As-of join: each click matched to the user's latest
     prior-or-simultaneous purchase (union + window carry-forward —
     one shuffle, no range-join explosion)."""
+    clicks, purchases = _asof_clicks_purchases(spark, sf_dir)
+    out = asof_join(
+        clicks, purchases, time_col="ts", by_cols=("user_id",),
+        value_cols=("purchase_value",),
+    )
+    return _asof_formatted(out)
+
+
+def _asof_clicks_purchases(spark, sf_dir):
     e = load_events(spark, sf_dir).filter(
         F.col("ts").isNotNull() & F.col("user_id").isNotNull()
     )
@@ -581,10 +595,10 @@ def q_h_asof_join(spark, sf_dir):
         .groupBy("user_id", "ts")
         .agg(F.round(F.max("value"), 2).alias("purchase_value"))
     )
-    out = asof_join(
-        clicks, purchases, time_col="ts", by_cols=("user_id",),
-        value_cols=("purchase_value",),
-    )
+    return clicks, purchases
+
+
+def _asof_formatted(out):
     return out.select(
         "event_id",
         "user_id",
@@ -593,6 +607,45 @@ def q_h_asof_join(spark, sf_dir):
             "purchase_ts"
         ),
         F.col("purchase_value_matched").alias("purchase_value"),
+    )
+
+
+def q_h_asof_forward(spark, sf_dir):
+    """Forward as-of join: each click matched to the user's EARLIEST
+    at-or-after purchase (same union + single-window plan as
+    backward; only the carry direction flips)."""
+    clicks, purchases = _asof_clicks_purchases(spark, sf_dir)
+    out = asof_join(
+        clicks, purchases, time_col="ts", by_cols=("user_id",),
+        value_cols=("purchase_value",), direction="forward",
+    )
+    return _asof_formatted(out)
+
+
+def q_h_asof_nearest(spark, sf_dir):
+    """Nearest as-of join: closest purchase in either direction,
+    ties → backward (pandas merge_asof semantics). Both carries come
+    from the same sorted window — still one shuffle."""
+    clicks, purchases = _asof_clicks_purchases(spark, sf_dir)
+    out = asof_join(
+        clicks, purchases, time_col="ts", by_cols=("user_id",),
+        value_cols=("purchase_value",), direction="nearest",
+    )
+    return _asof_formatted(out)
+
+
+def q_h_rollup(spark, sf_dir):
+    """ROLLUP hierarchy totals (status → priority → grand total) in
+    one pass — Catalyst expands the grouping sets into a single
+    Expand + hash aggregate, so the data is read and shuffled once,
+    not once per level."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
     )
 
 
@@ -728,8 +781,52 @@ def q_x_minhash_near_dup(spark, sf_dir):
 
 
 def q_x_simhash(spark, sf_dir):
-    """64-bit SimHash per document (rows-only: engine hash)."""
-    return simhash(_t(spark, sf_dir, "documents"))
+    """60-bit PORTABLE SimHash per document: token hash = first 15
+    md5 hex chars, reproducible bit-for-bit by any engine with md5 —
+    so the whole signature is hash-checked against the oracle. The
+    production default (xxhash64, 64-bit) shares every line but the
+    token-hash expression and is unit-tested separately."""
+    return simhash(_t(spark, sf_dir, "documents"), bits=60, portable=True)
+
+
+def q_x_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs via banding: 60-bit portable hash, 4
+    chunks of 15 bits, max hamming 3 — pigeonhole makes the banded
+    equi-join EXACTLY equal to the all-pairs filter the oracle
+    computes, while the Spark plan never forms the cross product."""
+    return simhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"),
+        max_hamming=3,
+        bits=60,
+        n_chunks=4,
+        portable=True,
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def q_x_skew_distinct(spark, sf_dir):
+    """Skew-safe exact distinct count per key: two-phase aggregation
+    keyed by (key, value) first, so one hot event_type spreads over
+    the cluster instead of funnelling to a single reducer."""
+    e = load_events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    return distinct_count_per_key(
+        e, ["event_type"], "user_id", alias="n_users"
+    )
+
+
+def q_x_salted_sum(spark, sf_dir):
+    """Explicitly salted two-phase sum/count per key — the
+    documented skew pattern for aggregates without map-side combine;
+    results identical to a plain group-by."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_groupby_sum(
+        li, ["l_returnflag"], "l_quantity", n_salts=16,
+        sum_alias="total_qty", count_alias="n_items",
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("total_qty", 2).alias("total_qty"),
+        "n_items",
+    )
 
 
 def q_x_ngram_jaccard(spark, sf_dir):
@@ -895,56 +992,13 @@ def q_x_frame_sample(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
-        "p1_normalize_project": q_p1_normalize_project,
-        "p5_literal_metadata": q_p5_literal_metadata,
-        "p6_uuid_records": q_p6_uuid_records,
-        "p7_doc_records": q_p7_doc_records,
-        "f1_filter_positive": q_f1_filter_positive,
-        "f3_filter_nonempty_key": q_f3_filter_nonempty_key,
-        "f4_drop_all_null": q_f4_drop_all_null,
-        "f5_filter_eq": q_f5_filter_eq,
-        "e1_bin_amounts": q_e1_bin_amounts,
-        "e2_membership_classify": q_e2_membership_classify,
-        "e3_party_keywords": q_e3_party_keywords,
-        "e7_coerce_casts": q_e7_coerce_casts,
-        "e8_date_parse": q_e8_date_parse,
-        "e9_iso_format": q_e9_iso_format,
-        "e10_fillna": q_e10_fillna,
-        "e11_composite_key": q_e11_composite_key,
-        "a1_groupby_sum": q_a1_groupby_sum,
-        "a2_groupby_sum_entity": q_a2_groupby_sum_entity,
-        "a3_groupby_cycle": q_a3_groupby_cycle,
-        "a4_party_rollup": q_a4_party_rollup,
-        "a5_distinct_count": q_a5_distinct_count,
-        "a6_distinct_values": q_a6_distinct_values,
-        "a7_global_summary": q_a7_global_summary,
-        "a8_value_counts": q_a8_value_counts,
-        "a10_nested_rollup": q_a10_nested_rollup,
-        "o1_top5_orders": q_o1_top5_orders,
-        "o2_top_groups": q_o2_top_groups,
-        "o3_orderby": q_o3_orderby,
-        "j1_dim_join": q_j1_dim_join,
-        "j1_anti_misses": q_j1_anti_misses,
-        "j2_dedup_keep_first": q_j2_dedup_keep_first,
-        "j3_reconcile_counts": q_j3_reconcile_counts,
-        "k3_batch_id": q_k3_batch_id,
-        "k5_keyed_tree": q_k5_keyed_tree,
-        "s2_sql_source": q_s2_sql_source,
-        "p2_generic_clean": q_p2_generic_clean,
-        "h3_shipping_priority": q_h3_shipping_priority,
-        "h5_local_volume": q_h5_local_volume,
-        "h6_revenue_forecast": q_h6_revenue_forecast,
-        "h10_returned_items": q_h10_returned_items,
-        "h14_promo_share": q_h14_promo_share,
-        "pipe_csv_report": q_pipe_csv_report,
-        "pipe_snowflake_batch": q_pipe_snowflake_batch,
-        "h_asof_join": q_h_asof_join,
-        "h_rank_window": q_h_rank_window,
-        "h_set_except": q_h_set_except,
-        "x_approx_stats": q_x_approx_stats,
-        "x_token_regex": q_x_token_regex,
-        "x_stream_sessions": q_x_stream_sessions,
-        "x_stream_dedup": q_x_stream_dedup,
+        # Dict ORDER is load-bearing: the round driver's correctness
+        # gate checks the first 50 entries. Round 2 rotation — (a)
+        # queries with no r1 CORRECTNESS row, (b) queries added this
+        # round, (c) implementations changed since r1, (d) flagship
+        # re-checks. Everything after position 50 hash-passed in r1
+        # with unchanged code, so the r1+r2 union covers every query.
+        # -- (a) no r1 verdict ------------------------------------
         "x_text_stats": q_x_text_stats,
         "x_quality_score": q_x_quality_score,
         "x_lang_id": q_x_lang_id,
@@ -973,6 +1027,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_stream_tumbling": q_x_stream_tumbling,
         "x_multimodal_features": q_x_multimodal_features,
         "x_frame_sample": q_x_frame_sample,
+        # -- (b) new in round 2 -----------------------------------
+        "x_simhash_pairs": q_x_simhash_pairs,
+        "x_skew_distinct": q_x_skew_distinct,
+        "x_salted_sum": q_x_salted_sum,
+        "h_asof_forward": q_h_asof_forward,
+        "h_asof_nearest": q_h_asof_nearest,
+        "h_rollup": q_h_rollup,
+        # -- (c) implementation changed since r1 ------------------
+        "h_asof_join": q_h_asof_join,
+        "x_approx_stats": q_x_approx_stats,
+        "pipe_snowflake_batch": q_pipe_snowflake_batch,
+        "k3_batch_id": q_k3_batch_id,
+        "x_stream_sessions": q_x_stream_sessions,
+        "x_stream_dedup": q_x_stream_dedup,
+        # -- (d) flagship re-checks -------------------------------
+        "a4_party_rollup": q_a4_party_rollup,
+        "h3_shipping_priority": q_h3_shipping_priority,
+        "h5_local_volume": q_h5_local_volume,
+        "h6_revenue_forecast": q_h6_revenue_forecast,
+        "h10_returned_items": q_h10_returned_items,
+        "h14_promo_share": q_h14_promo_share,
+        "s2_sql_source": q_s2_sql_source,
+        "j1_dim_join": q_j1_dim_join,
+        "j2_dedup_keep_first": q_j2_dedup_keep_first,
+        "pipe_csv_report": q_pipe_csv_report,
+        # -- hash-passed in r1, code unchanged --------------------
+        "p1_normalize_project": q_p1_normalize_project,
+        "p5_literal_metadata": q_p5_literal_metadata,
+        "p6_uuid_records": q_p6_uuid_records,
+        "p7_doc_records": q_p7_doc_records,
+        "f1_filter_positive": q_f1_filter_positive,
+        "f3_filter_nonempty_key": q_f3_filter_nonempty_key,
+        "f4_drop_all_null": q_f4_drop_all_null,
+        "f5_filter_eq": q_f5_filter_eq,
+        "e1_bin_amounts": q_e1_bin_amounts,
+        "e2_membership_classify": q_e2_membership_classify,
+        "e3_party_keywords": q_e3_party_keywords,
+        "e7_coerce_casts": q_e7_coerce_casts,
+        "e8_date_parse": q_e8_date_parse,
+        "e9_iso_format": q_e9_iso_format,
+        "e10_fillna": q_e10_fillna,
+        "e11_composite_key": q_e11_composite_key,
+        "a1_groupby_sum": q_a1_groupby_sum,
+        "a2_groupby_sum_entity": q_a2_groupby_sum_entity,
+        "a3_groupby_cycle": q_a3_groupby_cycle,
+        "a5_distinct_count": q_a5_distinct_count,
+        "a6_distinct_values": q_a6_distinct_values,
+        "a7_global_summary": q_a7_global_summary,
+        "a8_value_counts": q_a8_value_counts,
+        "a10_nested_rollup": q_a10_nested_rollup,
+        "o1_top5_orders": q_o1_top5_orders,
+        "o2_top_groups": q_o2_top_groups,
+        "o3_orderby": q_o3_orderby,
+        "j1_anti_misses": q_j1_anti_misses,
+        "j3_reconcile_counts": q_j3_reconcile_counts,
+        "k5_keyed_tree": q_k5_keyed_tree,
+        "p2_generic_clean": q_p2_generic_clean,
+        "h_rank_window": q_h_rank_window,
+        "h_set_except": q_h_set_except,
+        "x_token_regex": q_x_token_regex,
     }
 
     def _wrap(fn):
@@ -1837,4 +1951,118 @@ def oracle_sql() -> dict[str, str]:
     # the stateful streaming sessionizer reproduces the batch
     # sessionization exactly -> same oracle
     oracles["x_stream_sessions"] = oracles["x_sessionize"]
+
+    # Portable 60-bit simhash, reproduced in pure SQL: token hash =
+    # first 15 md5 hex chars ('0x...' cast), one signed vote per bit,
+    # bit reassembly. Shared CTE for x_simhash and x_simhash_pairs.
+    _votes = ",\n                   ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(60)
+    )
+    _acc = "\n                 + ".join(
+        f"(CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)"
+        for i in range(60)
+    )
+    _simhash_cte = f"""
+        WITH toks AS (
+            SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                FROM documents
+            )
+        ),
+        hashed AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+            FROM toks
+        ),
+        votes AS (
+            SELECT doc_id,
+                   {_votes}
+            FROM hashed GROUP BY doc_id
+        ),
+        sim AS (
+            SELECT doc_id,
+                   {_acc} AS simhash
+            FROM votes
+        )
+    """
+    oracles["x_simhash"] = _simhash_cte + """
+        SELECT doc_id, simhash FROM sim
+    """
+    # ground truth for the banded join: exact all-pairs hamming
+    # filter (the band guarantee makes them equal at max_hamming=3)
+    oracles["x_simhash_pairs"] = _simhash_cte + """
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+                   AS hamming
+        FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+    oracles["x_skew_distinct"] = """
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY event_type
+    """
+    oracles["x_salted_sum"] = """
+        SELECT l_returnflag,
+               round(sum(l_quantity), 2) AS total_qty,
+               count(l_quantity) AS n_items
+        FROM lineitem GROUP BY l_returnflag
+    """
+    _asof_cte = """
+        WITH l AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'click'
+              AND ts IS NOT NULL AND user_id IS NOT NULL
+        ),
+        r AS (
+            SELECT user_id, ts, round(max(value), 2) AS purchase_value
+            FROM events
+            WHERE event_type = 'purchase'
+              AND ts IS NOT NULL AND user_id IS NOT NULL
+            GROUP BY user_id, ts
+        )
+    """
+    oracles["h_asof_forward"] = _asof_cte + """
+        SELECT l.event_id, l.user_id,
+               strftime(l.ts, '%Y-%m-%dT%H:%M:%S') AS ts,
+               strftime(r.ts, '%Y-%m-%dT%H:%M:%S') AS purchase_ts,
+               r.purchase_value
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts <= r.ts
+    """
+    oracles["h_asof_nearest"] = _asof_cte + """,
+        b AS (
+            SELECT l.event_id, l.user_id, l.ts,
+                   r.ts AS bts, r.purchase_value AS bval
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        ),
+        f AS (
+            SELECT l.event_id, r.ts AS fts, r.purchase_value AS fval
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts <= r.ts
+        ),
+        m AS (
+            SELECT b.event_id, b.user_id, b.ts, b.bts, b.bval, f.fts, f.fval,
+                   (f.fts IS NULL OR (b.bts IS NOT NULL AND
+                        epoch_us(b.ts) - epoch_us(b.bts)
+                     <= epoch_us(f.fts) - epoch_us(b.ts))) AS pick_back
+            FROM b JOIN f USING (event_id)
+        )
+        SELECT event_id, user_id,
+               strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts,
+               strftime(CASE WHEN pick_back THEN bts ELSE fts END,
+                        '%Y-%m-%dT%H:%M:%S') AS purchase_ts,
+               CASE WHEN pick_back THEN bval ELSE fval END AS purchase_value
+        FROM m
+    """
+    oracles["h_rollup"] = """
+        SELECT o_orderstatus, o_orderpriority,
+               round(sum(o_totalprice), 2) AS total,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """
     return oracles

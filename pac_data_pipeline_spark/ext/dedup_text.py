@@ -223,17 +223,34 @@ def minhash_near_dup_pairs(
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
-    """64-bit SimHash per document, computed without leaving the JVM:
-    token → xxhash64, then per-bit signed vote via explode +
-    ONE hash aggregation (64 conditional sums), then bit
-    reassembly. Shuffle volume = distinct (doc, token) pairs."""
+    """SimHash per document, computed without leaving the JVM:
+    token → hash, then per-bit signed vote via explode +
+    ONE hash aggregation (``bits`` conditional sums), then bit
+    reassembly. Shuffle volume = distinct (doc, token) pairs.
+
+    ``portable=False`` (production): xxhash64 token hash, 64 bits.
+    ``portable=True``: the token hash is the first 15 hex chars of
+    md5 (60 bits, engine-independent — any SQL engine with md5 can
+    reproduce it bit-for-bit), so results are differential-testable
+    across engines. Requires ``bits <= 60``."""
+    if portable and bits > 60:
+        raise ValueError("portable simhash carries 60 hash bits max")
     toks = F.explode(
         F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
     ).alias("tok")
+    token_hash = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+        if portable
+        else F.xxhash64(F.col("tok"))
+    )
     exploded = ensure_parallelism(df).select(F.col(id_col), toks).withColumn(
-        "h", F.xxhash64(F.col("tok"))
+        "h", token_hash
     )
     votes = exploded.groupBy(id_col).agg(
         *[
@@ -256,12 +273,22 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 8,
+    bits: int = 64,
+    n_chunks: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
-    """SimHash near-dup: band the 64-bit hash into 4×16-bit chunks
-    (pigeonhole: hamming ≤ 3 guarantees one chunk equal; wider
+    """SimHash near-dup: band the ``bits``-bit hash into
+    ``n_chunks`` equal chunks (pigeonhole: hamming < n_chunks
+    guarantees one chunk equal, so with ``max_hamming <= n_chunks-1``
+    the banded result EQUALS the exact all-pairs filter; wider
     distances are still usually caught), bucket-join per chunk, then
-    exact hamming filter via bit_count(xor)."""
-    hashes = simhash(df, text_col, id_col)
+    exact hamming filter via bit_count(xor). Never all-pairs: the
+    join is an equi-join on (chunk_id, chunk value)."""
+    if bits % n_chunks:
+        raise ValueError("bits must divide evenly into n_chunks")
+    width = bits // n_chunks
+    mask = (1 << width) - 1
+    hashes = simhash(df, text_col, id_col, bits=bits, portable=portable)
     chunks = hashes.select(
         F.col(id_col),
         F.col("simhash"),
@@ -270,9 +297,9 @@ def simhash_near_dup_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_id"),
-                        F.expr(f"(simhash >> {c * 16}) & 65535").alias("chunk"),
+                        F.expr(f"(simhash >> {c * width}) & {mask}").alias("chunk"),
                     )
-                    for c in range(4)
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("ck"),

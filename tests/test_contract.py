@@ -35,7 +35,6 @@ def test_rows_only_set_is_intentional():
     expected_rows_only = {
         "p6_uuid_records",  # uuid() nondeterministic
         "k5_keyed_tree",  # JSON key order engine-specific
-        "x_simhash",  # engine hash function
         "x_minhash_near_dup",  # engine hash function
         "x_cosine_topk_lsh",  # recall depends on bucketing
         "x_cosine_topk_ivf",  # recall depends on quantizer

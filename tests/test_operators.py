@@ -164,3 +164,98 @@ def test_asof_join_ties_and_no_match(spark):
     assert out[2] == (200, 2.0)   # latest prior
     assert out[3] == (None, None)  # before any right row
     assert out[4] == (None, None)  # right exists only later
+
+
+def test_asof_join_forward_and_nearest(spark):
+    from pac_data_pipeline_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 140), (3, 10, 160), (4, 10, 250),
+         (5, 20, 300)],
+        "event_id long, user_id long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(10, 100, 1.0), (10, 200, 2.0), (20, 250, 9.0)],
+        "user_id long, ts long, price double",
+    )
+
+    def run(direction):
+        return {
+            r.event_id: (r.ts_matched, r.price_matched)
+            for r in asof_join(
+                left, right, time_col="ts", by_cols=("user_id",),
+                value_cols=("price",), direction=direction,
+            ).collect()
+        }
+
+    fwd = run("forward")
+    assert fwd[1] == (100, 1.0)   # tie: equal ts matches
+    assert fwd[2] == (200, 2.0)   # earliest at-or-after
+    assert fwd[4] == (None, None)  # nothing after
+    assert fwd[5] == (None, None)  # right exists only earlier
+
+    near = run("nearest")
+    assert near[1] == (100, 1.0)   # exact hit
+    assert near[2] == (100, 1.0)   # 40 back < 60 forward
+    assert near[3] == (200, 2.0)   # 40 forward < 60 back
+    assert near[4] == (200, 2.0)   # only backward exists
+    assert near[5] == (250, 9.0)   # only backward exists (other key)
+
+    # equidistant -> backward wins (pandas merge_asof semantics)
+    mid = spark.createDataFrame(
+        [(9, 10, 150)], "event_id long, user_id long, ts long"
+    )
+    tie = {
+        r.event_id: (r.ts_matched, r.price_matched)
+        for r in asof_join(
+            mid, right, time_col="ts", by_cols=("user_id",),
+            value_cols=("price",), direction="nearest",
+        ).collect()
+    }
+    assert tie[9] == (100, 1.0)
+
+
+def test_simhash_portable_banding_equals_exact(spark):
+    """max_hamming <= n_chunks-1 -> the banded join must return
+    exactly the pairs an all-pairs hamming filter would."""
+    from pyspark.sql import functions as F
+
+    from pac_data_pipeline_spark.ext.dedup_text import (
+        simhash,
+        simhash_near_dup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "the quick brown fox leaps over the lazy dog"),
+            (4, "completely unrelated text about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    banded = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_dup_pairs(
+            docs, max_hamming=3, bits=60, n_chunks=4, portable=True
+        ).collect()
+    }
+    sigs = simhash(docs, bits=60, portable=True).collect()
+    exact = set()
+    for a in sigs:
+        for b in sigs:
+            if a.doc_id < b.doc_id:
+                h = bin(a.simhash ^ b.simhash).count("1")
+                if h <= 3:
+                    exact.add((a.doc_id, b.doc_id, h))
+    assert banded == exact
+    assert (1, 2, 0) in banded  # identical docs -> hamming 0
+    # portable hash must be md5-derived, engine-independent
+    import hashlib
+
+    tok_hash = int(hashlib.md5(b"the").hexdigest()[:15], 16)
+    assert tok_hash == spark.range(1).select(
+        F.conv(F.substring(F.md5(F.lit("the")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h")
+    ).collect()[0].h
