@@ -57,7 +57,16 @@ def main() -> None:
     }
     if failures:
         result["failures"] = failures
-    print(json.dumps(result))
+    # persist a machine-diffable copy next to the script: the stdout
+    # line can get truncated by log capture, and round-over-round
+    # regression checks need the per-query numbers intact
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_results.json"
+    )
+    with open(out_path, "w") as fh:
+        json.dump(result, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(json.dumps(result, separators=(",", ":")))
 
 
 if __name__ == "__main__":
