@@ -56,6 +56,7 @@ from pac_data_pipeline_spark.operators.joins import (
     asof_join,
     dim_lookup,
     lookup_misses,
+    range_join_binned,
 )
 from pac_data_pipeline_spark.operators.topk import top_k, top_k_groups
 from pac_data_pipeline_spark.plans.pipelines import (
@@ -73,6 +74,7 @@ from pac_data_pipeline_spark.sinks.documents import (
 from pac_data_pipeline_spark.sources.readers import load_events, scan_parquet
 from pac_data_pipeline_spark.ext.sampling import (
     hash_sample,
+    interleave,
     stratified_hash_sample,
 )
 from pac_data_pipeline_spark.ext.text import (
@@ -649,6 +651,64 @@ def q_h_rollup(spark, sf_dir):
     )
 
 
+def q_h_range_join(spark, sf_dir):
+    """Keyless point-in-interval join (clicks inside 2-hour
+    high-value-purchase campaign windows) via time-bin quantization
+    + equi-join — the plan Spark would otherwise execute as a
+    nested-loop product over every (click, window) pair."""
+    e = load_events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "ts"
+    )
+    windows = (
+        e.filter((F.col("event_type") == "purchase") & (F.col("value") > 250))
+        .select(
+            F.col("event_id").alias("campaign_id"),
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"),
+        )
+    )
+    out = range_join_binned(
+        clicks, windows, point_ts="ts", start_col="start", end_col="end",
+        bin_seconds=7200,
+    )
+    return out.select(
+        "click_id",
+        "campaign_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("click_ts"),
+        F.date_format("start", "yyyy-MM-dd'T'HH:mm:ss").alias("window_start"),
+    )
+
+
+def q_h_median(spark, sf_dir):
+    """Exact grouped percentiles (median + p90) — the holistic
+    aggregate that cannot map-side combine; Spark's percentile
+    matches ANSI percentile_cont interpolation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias(
+            "median_price"
+        ),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 2).alias(
+            "p90_price"
+        ),
+    )
+
+
+def q_x_interleave(spark, sf_dir):
+    """Deterministic corpus mixing: even doc_ids sampled at 80%,
+    odd at 25%, tagged by source — membership is md5-bucket based,
+    so any engine reproduces the exact mix."""
+    d = _t(spark, sf_dir, "documents")
+    mixed = interleave(
+        [
+            (d.filter(F.col("doc_id") % 2 == 0), 80),
+            (d.filter(F.col("doc_id") % 2 == 1), 25),
+        ]
+    )
+    return mixed.select("doc_id", "lang", "source_idx")
+
+
 def q_h_rank_window(spark, sf_dir):
     """Window functions: top-3 orders per customer by price
     (row_number), plus running total per customer (range-framed
@@ -1034,6 +1094,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h_asof_forward": q_h_asof_forward,
         "h_asof_nearest": q_h_asof_nearest,
         "h_rollup": q_h_rollup,
+        "h_range_join": q_h_range_join,
+        "h_median": q_h_median,
+        "x_interleave": q_x_interleave,
         # -- (c) implementation changed since r1 ------------------
         "h_asof_join": q_h_asof_join,
         "x_approx_stats": q_x_approx_stats,
@@ -2057,6 +2120,45 @@ def oracle_sql() -> dict[str, str]:
                         '%Y-%m-%dT%H:%M:%S') AS purchase_ts,
                CASE WHEN pick_back THEN bval ELSE fval END AS purchase_value
         FROM m
+    """
+    oracles["h_range_join"] = """
+        WITH clicks AS (
+            SELECT event_id AS click_id, ts FROM events
+            WHERE event_type = 'click' AND ts IS NOT NULL
+        ),
+        w AS (
+            SELECT event_id AS campaign_id,
+                   ts AS start_ts,
+                   ts + INTERVAL 2 HOUR AS end_ts
+            FROM events
+            WHERE event_type = 'purchase' AND ts IS NOT NULL
+              AND value > 250
+        )
+        SELECT c.click_id, w.campaign_id,
+               strftime(c.ts, '%Y-%m-%dT%H:%M:%S') AS click_ts,
+               strftime(w.start_ts, '%Y-%m-%dT%H:%M:%S') AS window_start
+        FROM clicks c JOIN w
+          ON c.ts >= w.start_ts AND c.ts <= w.end_ts
+    """
+    oracles["h_median"] = """
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
+               round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price
+        FROM lineitem GROUP BY l_returnflag
+    """
+    oracles["x_interleave"] = """
+        WITH b AS (
+            SELECT doc_id, lang,
+                   CAST(concat('0x',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 100 AS bucket
+            FROM documents
+        )
+        SELECT doc_id, lang, 0 AS source_idx FROM b
+        WHERE doc_id % 2 = 0 AND bucket < 80
+        UNION ALL
+        SELECT doc_id, lang, 1 AS source_idx FROM b
+        WHERE doc_id % 2 = 1 AND bucket < 25
     """
     oracles["h_rollup"] = """
         SELECT o_orderstatus, o_orderpriority,

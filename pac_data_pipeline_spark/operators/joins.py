@@ -108,6 +108,53 @@ def asof_join(
     return out.drop("__side", "__match", "__picked")
 
 
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bin_seconds: int = 3600,
+    extra_keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """Point-in-interval join without an equality key — the case
+    OSS Spark plans as a broadcast-nested-loop / cartesian product
+    (every point × every interval). The scale expression: quantize
+    time into ``bin_seconds`` bins, explode each interval over the
+    bins it covers, equi-join points to interval copies on the bin
+    (plus any ``extra_keys``), then apply the exact range filter.
+
+    Cost model: points shuffle once; intervals replicate by
+    ``ceil(len / bin_seconds) + 1`` copies. Pick ``bin_seconds``
+    near the median interval length so the blow-up stays ~2×. A
+    point lands in exactly ONE bin, so no dedup pass is needed —
+    each (point, interval) match is produced once. Degenerate
+    months-long intervals explode into many copies: split those
+    into their own broadcast pass rather than lowering the bin
+    width for everyone.
+
+    Matches are inclusive on both endpoints, like SQL BETWEEN.
+    Reference analogue: per-row time-window membership checks done
+    in a Python loop (pac_snowflake_realtime.py batch windows);
+    here the check is a distributed hash join on the quantized
+    key."""
+    p_bin = F.floor(F.unix_timestamp(F.col(point_ts)) / bin_seconds)
+    i_bins = F.sequence(
+        F.floor(F.unix_timestamp(F.col(start_col)) / bin_seconds),
+        F.floor(F.unix_timestamp(F.col(end_col)) / bin_seconds),
+    )
+    pb = points.withColumn("__bin", p_bin)
+    ib = intervals.withColumn("__bin", F.explode(i_bins))
+    return (
+        pb.join(ib, ["__bin", *extra_keys])
+        .filter(
+            (F.col(point_ts) >= F.col(start_col))
+            & (F.col(point_ts) <= F.col(end_col))
+        )
+        .drop("__bin")
+    )
+
+
 def lookup_misses(
     fact: DataFrame, dim: DataFrame, on: str | list[str], broadcast: bool = True
 ) -> DataFrame:

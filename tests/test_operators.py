@@ -259,3 +259,33 @@ def test_simhash_portable_banding_equals_exact(spark):
         .cast("long")
         .alias("h")
     ).collect()[0].h
+
+
+def test_range_join_binned_boundaries(spark):
+    """Inclusive endpoints, cross-bin intervals, and exactly-once
+    match production (no dedup pass needed)."""
+    from pac_data_pipeline_spark.operators.joins import range_join_binned
+
+    points = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 01:30:00"),
+         (3, "2024-01-01 02:00:00"), (4, "2024-01-01 02:00:01")],
+        "pid long, ts string",
+    ).select("pid", F.col("ts").cast("timestamp").alias("ts"))
+    intervals = spark.createDataFrame(
+        [(100, "2024-01-01 00:00:00", "2024-01-01 02:00:00"),
+         (200, "2024-01-01 01:00:00", "2024-01-01 01:59:59")],
+        "iid long, start string, end string",
+    ).select(
+        "iid",
+        F.col("start").cast("timestamp").alias("start"),
+        F.col("end").cast("timestamp").alias("end"),
+    )
+    out = range_join_binned(
+        points, intervals, point_ts="ts", start_col="start",
+        end_col="end", bin_seconds=1800,
+    )
+    pairs = sorted((r.pid, r.iid) for r in out.collect())
+    # pid 1: start boundary inclusive; pid 3: end boundary inclusive;
+    # pid 4: one second past the end -> excluded; each pair ONCE even
+    # though interval 100 spans 5 bins
+    assert pairs == [(1, 100), (2, 100), (2, 200), (3, 100)]

@@ -107,3 +107,15 @@ def test_partition_batch_id_is_shuffle_free(spark):
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
     p = plan(with_partition_batch_id(li, 1000))
     assert "Exchange" not in p, p
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    """The binned range join must plan as a hash/sort-merge
+    equi-join on the quantized bin — never a nested-loop or
+    cartesian product, which is what a raw BETWEEN join becomes."""
+    import __spark_entry__ as entry
+
+    p = plan(entry.queries()["h_range_join"](spark, SF))
+    assert "NestedLoop" not in p, p
+    assert "Cartesian" not in p, p
+    assert "Join" in p, p
