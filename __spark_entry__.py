@@ -82,9 +82,11 @@ from pac_data_pipeline_spark.ext.text import (
     fingerprint,
     lang_id,
     quality_score,
+    redact_pii,
     text_stats,
     tf_idf_top_terms,
 )
+from pac_data_pipeline_spark.streaming.joins import run_streaming_interval_join
 from pac_data_pipeline_spark.ext.dedup_text import (
     decontaminate,
     exact_dedup,
@@ -709,6 +711,19 @@ def q_x_interleave(spark, sf_dir):
     return mixed.select("doc_id", "lang", "source_idx")
 
 
+def q_x_redact_pii(spark, sf_dir):
+    """PII scrub over the corpus: per-pattern counts + global
+    replacement, shuffle-free scan-stage expressions."""
+    return redact_pii(_t(spark, sf_dir, "documents"))
+
+
+def q_x_stream_join(spark, sf_dir):
+    """Watermarked stream-stream interval join (clicks × same-user
+    purchases within 30 min) — state bounded by the watermark, and
+    on bounded input the emitted set equals the batch range join."""
+    return run_streaming_interval_join(spark, sf_dir)
+
+
 def q_h_rank_window(spark, sf_dir):
     """Window functions: top-3 orders per customer by price
     (row_number), plus running total per customer (range-framed
@@ -1097,6 +1112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h_range_join": q_h_range_join,
         "h_median": q_h_median,
         "x_interleave": q_x_interleave,
+        "x_redact_pii": q_x_redact_pii,
+        "x_stream_join": q_x_stream_join,
         # -- (c) implementation changed since r1 ------------------
         "h_asof_join": q_h_asof_join,
         "x_approx_stats": q_x_approx_stats,
@@ -2159,6 +2176,43 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT doc_id, lang, 1 AS source_idx FROM b
         WHERE doc_id % 2 = 1 AND bucket < 25
+    """
+    oracles["x_redact_pii"] = r"""
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '[REDACTED]', 'g'),
+                   '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[REDACTED]', 'g'),
+                 '\b\d{3}-\d{2}-\d{4}\b', '[REDACTED]', 'g') AS clean_text,
+               CAST(len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                 AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(text,
+                 '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phone,
+               CAST(len(regexp_extract_all(text,
+                 '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn
+        FROM documents
+    """
+    oracles["x_stream_join"] = """
+        WITH c AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'click'
+              AND ts IS NOT NULL AND user_id IS NOT NULL
+        ),
+        p AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'
+              AND ts IS NOT NULL AND user_id IS NOT NULL
+        )
+        SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+               c.user_id,
+               strftime(c.ts, '%Y-%m-%dT%H:%M:%S') AS click_ts,
+               strftime(p.ts, '%Y-%m-%dT%H:%M:%S') AS purchase_ts
+        FROM c JOIN p
+          ON c.user_id = p.user_id
+         AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 30 MINUTE
     """
     oracles["h_rollup"] = """
         SELECT o_orderstatus, o_orderpriority,

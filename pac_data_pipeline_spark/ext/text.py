@@ -257,3 +257,37 @@ def tf_idf_top_terms(
         .select(id_col, "token", "tf", "df", "tfidf",
                 F.col("rnk").cast("bigint").alias("rnk"))
     )
+
+
+#: PII regexes kept to the RE2-compatible subset so the same pattern
+#: runs on Spark (Java regex) and any RE2-based SQL engine verbatim.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+)
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token: str = "[REDACTED]",
+) -> DataFrame:
+    """Training-data PII scrub: count and replace emails, phone
+    numbers, and SSN-shaped ids. Pure scan-stage column expressions
+    (regexp_extract_all / regexp_replace) — shuffle-free, runs at
+    parquet-read speed. Counts are taken on the ORIGINAL text, then
+    replacements apply in PII_PATTERNS order, so the semantics are
+    engine-reproducible. Replacement is global per pattern (Java
+    regexp_replace default)."""
+    counts = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+        .cast("bigint")
+        .alias(f"n_{name}")
+        for name, pat in PII_PATTERNS
+    ]
+    clean = F.col(text_col)
+    for _, pat in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, token)
+    return df.select(F.col(id_col), clean.alias("clean_text"), *counts)

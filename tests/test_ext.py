@@ -258,3 +258,22 @@ def test_decontaminate_flags_overlap(spark):
     assert out[1][1] and out[1][0] >= 1
     assert out[3] == (1, True)  # exactly "quick brown fox"
     assert out[2] == (0, False)
+
+
+def test_redact_pii_counts_and_replacement(spark):
+    from pac_data_pipeline_spark.ext.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@test.org or call 555-867-5309 x2"),
+            (2, "ssn 123-45-6789 and email a@b.io and b@c.co"),
+            (3, "no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert got[1].n_email == 1 and got[1].n_phone == 1
+    assert "jo.doe" not in got[1].clean_text
+    assert got[2].n_email == 2 and got[2].n_ssn == 1
+    assert got[2].clean_text.count("[REDACTED]") == 3
+    assert got[3].clean_text == "no pii here"
