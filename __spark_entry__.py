@@ -724,6 +724,40 @@ def q_x_stream_join(spark, sf_dir):
     return run_streaming_interval_join(spark, sf_dir)
 
 
+def q_h_lag_delta(spark, sf_dir):
+    """Day-over-day revenue delta via lag(). The window partitions
+    by YEAR and orders by day inside it — a global orderBy window
+    would serialize to one partition; partitioning by a coarse time
+    bucket keeps the sort distributed (year-boundary rows get null
+    deltas, handled identically by the oracle)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.partitionBy(F.year("day")).orderBy("day")
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "revenue",
+        F.lag("revenue").over(w).alias("prev_revenue"),
+        F.round(F.col("revenue") - F.lag("revenue").over(w), 2).alias(
+            "delta"
+        ),
+    )
+
+
+def q_h_intersect(spark, sf_dir):
+    """Set intersection (distinct semantics): customers that placed
+    at least one order — INTERSECT plans as a hash-distinct +
+    equi-join, one shuffle per side."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return c.intersect(o)
+
+
 def q_h_rank_window(spark, sf_dir):
     """Window functions: top-3 orders per customer by price
     (row_number), plus running total per customer (range-framed
@@ -1042,7 +1076,9 @@ def q_x_session_stats(spark, sf_dir):
 
 def q_x_stream_tumbling(spark, sf_dir):
     """Structured Streaming tumbling windows with watermark, driven
-    to completion (rows-only: streaming sink)."""
+    to completion. Complete-mode sink holds every window, so on
+    bounded input the result equals the batch tumbling aggregation
+    and shares its oracle."""
     return run_streaming_tumbling(spark, sf_dir)
 
 
@@ -1114,6 +1150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_interleave": q_x_interleave,
         "x_redact_pii": q_x_redact_pii,
         "x_stream_join": q_x_stream_join,
+        "h_lag_delta": q_h_lag_delta,
+        "h_intersect": q_h_intersect,
         # -- (c) implementation changed since r1 ------------------
         "h_asof_join": q_h_asof_join,
         "x_approx_stats": q_x_approx_stats,
@@ -2031,6 +2069,9 @@ def oracle_sql() -> dict[str, str]:
     # the stateful streaming sessionizer reproduces the batch
     # sessionization exactly -> same oracle
     oracles["x_stream_sessions"] = oracles["x_sessionize"]
+    # complete-mode streaming tumbling == batch tumbling on bounded
+    # input -> same oracle
+    oracles["x_stream_tumbling"] = oracles["x_window_tumbling"]
 
     # Portable 60-bit simhash, reproduced in pure SQL: token hash =
     # first 15 md5 hex chars ('0x...' cast), one signed vote per bit,
@@ -2176,6 +2217,24 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT doc_id, lang, 1 AS source_idx FROM b
         WHERE doc_id % 2 = 1 AND bucket < 25
+    """
+    oracles["h_lag_delta"] = """
+        WITH daily AS (
+            SELECT date_trunc('day', o_orderdate) AS day,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               revenue,
+               lag(revenue) OVER w AS prev_revenue,
+               round(revenue - lag(revenue) OVER w, 2) AS delta
+        FROM daily
+        WINDOW w AS (PARTITION BY year(day) ORDER BY day)
+    """
+    oracles["h_intersect"] = """
+        SELECT c_custkey FROM customer
+        INTERSECT
+        SELECT o_custkey FROM orders
     """
     oracles["x_redact_pii"] = r"""
         SELECT doc_id,
