@@ -81,8 +81,10 @@ from pac_data_pipeline_spark.ext.text import (
     chunk_documents,
     fingerprint,
     lang_id,
+    pack_sequences,
     quality_score,
     redact_pii,
+    repetition_score,
     text_stats,
     tf_idf_top_terms,
 )
@@ -711,6 +713,19 @@ def q_x_interleave(spark, sf_dir):
     return mixed.select("doc_id", "lang", "source_idx")
 
 
+def q_x_pack_sequences(spark, sf_dir):
+    """Sequence packing for pretraining: md5-sharded running token
+    offsets, split at 512-token boundaries — deterministic on any
+    engine, window sort stays distributed."""
+    return pack_sequences(_t(spark, sf_dir, "documents"))
+
+
+def q_x_repetition(spark, sf_dir):
+    """Within-doc 2-gram repetition ratio (quality signal) — pure
+    array expressions, shuffle-free."""
+    return repetition_score(_t(spark, sf_dir, "documents"))
+
+
 def q_x_redact_pii(spark, sf_dir):
     """PII scrub over the corpus: per-pattern counts + global
     replacement, shuffle-free scan-stage expressions."""
@@ -1152,6 +1167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_stream_join": q_x_stream_join,
         "h_lag_delta": q_h_lag_delta,
         "h_intersect": q_h_intersect,
+        "x_pack_sequences": q_x_pack_sequences,
+        "x_repetition": q_x_repetition,
         # -- (c) implementation changed since r1 ------------------
         "h_asof_join": q_h_asof_join,
         "x_approx_stats": q_x_approx_stats,
@@ -2217,6 +2234,45 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT doc_id, lang, 1 AS source_idx FROM b
         WHERE doc_id % 2 = 1 AND bucket < 25
+    """
+    oracles["x_pack_sequences"] = """
+        WITH sharded AS (
+            SELECT doc_id,
+                   CAST(concat('0x',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 8 AS shard,
+                   CAST(len(string_split_regex(trim(text), '\\s+'))
+                        AS BIGINT) AS n_tokens
+            FROM documents
+        )
+        SELECT doc_id, shard, n_tokens,
+               CAST(floor((sum(n_tokens) OVER w - n_tokens) / 512)
+                    AS BIGINT) AS seq_id
+        FROM sharded
+        WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING)
+    """
+    oracles["x_repetition"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split_regex(trim(text), '\\s+') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   CAST(len(t) AS BIGINT) AS n_tokens,
+                   list_transform(
+                       range(1, greatest(len(t), 1)),
+                       i -> t[i] || ' ' || t[i + 1]) AS g
+            FROM toks
+        )
+        SELECT doc_id, n_tokens,
+               CAST(len(g) AS BIGINT) AS n_2grams,
+               CASE WHEN len(g) > 0
+                    THEN round(1.0 - CAST(len(list_distinct(g)) AS DOUBLE)
+                               / len(g), 6)
+               END AS rep_2gram_ratio
+        FROM grams
     """
     oracles["h_lag_delta"] = """
         WITH daily AS (

@@ -291,3 +291,90 @@ def redact_pii(
     for _, pat in PII_PATTERNS:
         clean = F.regexp_replace(clean, pat, token)
     return df.select(F.col(id_col), clean.alias("clean_text"), *counts)
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 512,
+    n_shards: int = 8,
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in a
+    deterministic order and split at ``max_tokens`` boundaries; a
+    document's sequence id is its starting token offset // max_len.
+
+    The running token-count window partitions by an md5 SHARD, not
+    globally — a global orderBy window is a single-partition sort.
+    Real pretraining pipelines pack within shards for exactly this
+    reason; packing quality is unaffected (each shard is its own
+    corpus stream) and every value is a pure function of (doc_id,
+    text), reproducible on any engine."""
+    from pyspark.sql import Window
+
+    from pac_data_pipeline_spark.ext.sampling import hash_bucket
+
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            hash_bucket(id_col, n_shards).cast("bigint").alias("shard"),
+            n_tokens.cast("bigint").alias("n_tokens"),
+        )
+        .withColumn("cum_end", F.sum("n_tokens").over(w))
+        .select(
+            id_col,
+            "shard",
+            "n_tokens",
+            F.floor((F.col("cum_end") - F.col("n_tokens")) / max_tokens)
+            .cast("bigint")
+            .alias("seq_id"),
+        )
+    )
+
+
+def repetition_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition (Gopher-style quality signal): the
+    fraction of word 2-grams that are duplicates of an earlier
+    2-gram in the same document. Entirely scan-side array
+    expressions — tokenize, build 2-grams with transform/sequence,
+    count distinct with array_distinct — no shuffle, no UDF."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # zip_with(slice, slice) instead of transform(sequence(...)):
+    # sequence(1, 0) would DESCEND for 1-token docs, while
+    # slice(x, 1, 0) degrades safely to an empty array
+    grams = F.expr(
+        "zip_with("
+        "slice(__toks, 1, greatest(size(__toks) - 1, 0)), "
+        "slice(__toks, 2, greatest(size(__toks) - 1, 0)), "
+        "(a, b) -> concat(a, ' ', b))"
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .select(
+            id_col,
+            F.size("__toks").cast("bigint").alias("n_tokens"),
+            grams.alias("__grams"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.size("__grams").cast("bigint").alias("n_2grams"),
+            F.when(
+                F.size("__grams") > 0,
+                F.round(
+                    1.0
+                    - F.size(F.array_distinct("__grams"))
+                    / F.size("__grams"),
+                    6,
+                ),
+            ).alias("rep_2gram_ratio"),
+        )
+    )

@@ -277,3 +277,34 @@ def test_redact_pii_counts_and_replacement(spark):
     assert got[2].n_email == 2 and got[2].n_ssn == 1
     assert got[2].clean_text.count("[REDACTED]") == 3
     assert got[3].clean_text == "no pii here"
+
+
+def test_repetition_score_edges(spark):
+    from pac_data_pipeline_spark.ext.text import repetition_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),       # grams: ab ba ab ba ab -> 2/5 distinct
+            (2, "all words differ"),  # no repeated grams
+            (3, "single"),            # 1 token -> no grams, null ratio
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_score(docs).collect()}
+    assert got[1].n_2grams == 5 and abs(got[1].rep_2gram_ratio - 0.6) < 1e-9
+    assert got[2].rep_2gram_ratio == 0.0
+    assert got[3].n_2grams == 0 and got[3].rep_2gram_ratio is None
+
+
+def test_pack_sequences_boundaries(spark):
+    from pac_data_pipeline_spark.ext.text import pack_sequences
+
+    # one shard (n_shards=1) so the packing order is just doc_id;
+    # 3 docs x 300 tokens with max 512: offsets 0/300/600 -> seqs 0/0/1
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 300)) for i in range(3)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.seq_id for r in
+           pack_sequences(docs, max_tokens=512, n_shards=1).collect()}
+    assert got == {0: 0, 1: 0, 2: 1}
