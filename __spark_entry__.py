@@ -87,6 +87,7 @@ from pac_data_pipeline_spark.ext.text import (
     repetition_score,
     text_stats,
     tf_idf_top_terms,
+    token_logfreq_score,
 )
 from pac_data_pipeline_spark.streaming.joins import run_streaming_interval_join
 from pac_data_pipeline_spark.ext.dedup_text import (
@@ -726,6 +727,13 @@ def q_x_repetition(spark, sf_dir):
     return repetition_score(_t(spark, sf_dir, "documents"))
 
 
+def q_x_logfreq_score(spark, sf_dir):
+    """Unigram log-likelihood quality proxy: mean ln(corpus relative
+    token frequency) per document — vocab broadcasts back, corpus
+    shuffles once."""
+    return token_logfreq_score(_t(spark, sf_dir, "documents"))
+
+
 def q_x_redact_pii(spark, sf_dir):
     """PII scrub over the corpus: per-pattern counts + global
     replacement, shuffle-free scan-stage expressions."""
@@ -1169,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h_intersect": q_h_intersect,
         "x_pack_sequences": q_x_pack_sequences,
         "x_repetition": q_x_repetition,
+        "x_logfreq_score": q_x_logfreq_score,
         # -- (c) implementation changed since r1 ------------------
         "h_asof_join": q_h_asof_join,
         "x_approx_stats": q_x_approx_stats,
@@ -2234,6 +2243,21 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT doc_id, lang, 1 AS source_idx FROM b
         WHERE doc_id % 2 = 1 AND bucket < 25
+    """
+    oracles["x_logfreq_score"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS token
+            FROM documents
+        ),
+        freq AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+        tot AS (SELECT sum(n) AS total FROM freq)
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               round(avg(ln(CAST(f.n AS DOUBLE) / tot.total)), 6)
+                   AS logfreq_score
+        FROM toks t JOIN freq f USING (token) CROSS JOIN tot
+        GROUP BY t.doc_id
     """
     oracles["x_pack_sequences"] = """
         WITH sharded AS (

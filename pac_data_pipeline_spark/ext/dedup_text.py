@@ -288,7 +288,14 @@ def simhash_near_dup_pairs(
         raise ValueError("bits must divide evenly into n_chunks")
     width = bits // n_chunks
     mask = (1 << width) - 1
-    hashes = simhash(df, text_col, id_col, bits=bits, portable=portable)
+    # the signature feeds BOTH sides of the self-join; localCheckpoint
+    # materializes the tiny (id, long) frame once instead of running
+    # the explode + bit-vote aggregation twice, and the
+    # ContextCleaner reclaims it when the result is dropped (same
+    # rationale as minhash_near_dup_pairs above)
+    hashes = simhash(
+        df, text_col, id_col, bits=bits, portable=portable
+    ).localCheckpoint()
     chunks = hashes.select(
         F.col(id_col),
         F.col("simhash"),

@@ -378,3 +378,35 @@ def repetition_score(
             ).alias("rep_2gram_ratio"),
         )
     )
+
+
+def token_logfreq_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unigram log-likelihood quality score — the cheap stand-in for
+    LM-perplexity filtering: mean ln(corpus relative frequency) of
+    the document's tokens. Gibberish and boilerplate-free text score
+    low; common-word prose scores high.
+
+    Plan: one (doc, token) explode feeds BOTH the corpus frequency
+    table (pair-keyed aggregate, hot tokens spread) and the per-doc
+    average; the vocab-sized frequency table and the 1-row total
+    broadcast back onto the exploded stream, so the corpus side
+    shuffles once on doc_id only. Scores round to 6 before hashing
+    so summation order can't flip the value."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = freq.agg(F.sum("n").alias("total"))
+    return (
+        toks.join(F.broadcast(freq), "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("n") / F.col("total"))), 6).alias(
+                "logfreq_score"
+            ),
+        )
+    )
