@@ -119,3 +119,25 @@ def test_range_join_is_equi_join_not_nested_loop(spark):
     assert "NestedLoop" not in p, p
     assert "Cartesian" not in p, p
     assert "Join" in p, p
+
+
+def test_asof_nearest_single_window_shuffle(spark):
+    """Nearest-direction as-of: both carries share one window
+    Exchange — the differing tie-orders cost a second in-partition
+    SORT pass, never a second shuffle or a range join. Exchanges =
+    purchase pre-agg + the window partitioning, nothing more."""
+    import __spark_entry__ as entry
+
+    p = plan(entry.queries()["h_asof_nearest"](spark, SF))
+    assert "NestedLoop" not in p, p
+    assert p.count("Exchange (") <= 2, p
+    assert p.count("Window (") == 2, p  # back + fwd over same keys
+
+
+def test_logfreq_vocab_broadcasts(spark):
+    """The token-frequency table joins back by broadcast — the
+    exploded corpus stream must not shuffle on the (skewed) token."""
+    import __spark_entry__ as entry
+
+    p = plan(entry.queries()["x_logfreq_score"](spark, SF))
+    assert "BroadcastHashJoin" in p, p
