@@ -153,3 +153,49 @@ def test_warehouse_layout_end_to_end(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS lineitem_w")
         spark.sql("DROP TABLE IF EXISTS orders_w")
+
+
+def test_range_join_replication_bounded(spark):
+    """Interval explode replicates each interval by exactly
+    ceil(len/bin)+1 copies at most — the knob that keeps the binned
+    range join's shuffle volume ~2x when bin ~= interval length."""
+    from pyspark.sql import functions as F
+
+    intervals = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "2024-01-01 02:00:00")],
+        "iid long, start string, end string",
+    ).select(
+        "iid",
+        F.col("start").cast("timestamp").alias("start"),
+        F.col("end").cast("timestamp").alias("end"),
+    )
+    bins = intervals.select(
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp("start") / 7200),
+                F.floor(F.unix_timestamp("end") / 7200),
+            )
+        )
+    ).count()
+    assert bins == 2  # 2h interval, 2h bins -> at most len/bin + 1
+
+
+def test_pack_sequences_is_shard_local(spark):
+    """Sequence ids must depend only on rows WITHIN a shard: packing
+    a corpus and packing one shard's slice give identical ids — the
+    property that lets 1000 executors pack independently."""
+    from pyspark.sql import functions as F
+
+    from pac_data_pipeline_spark.ext.sampling import hash_bucket
+    from pac_data_pipeline_spark.ext.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (50 + i % 97))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    full = {r.doc_id: r.seq_id for r in
+            pack_sequences(docs, max_tokens=256, n_shards=4).collect()}
+    one_shard = docs.filter(hash_bucket("doc_id", 4) == 2)
+    alone = {r.doc_id: r.seq_id for r in
+             pack_sequences(one_shard, max_tokens=256, n_shards=4).collect()}
+    assert alone and all(full[k] == v for k, v in alone.items())
