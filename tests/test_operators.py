@@ -289,3 +289,96 @@ def test_range_join_binned_boundaries(spark):
     # pid 4: one second past the end -> excluded; each pair ONCE even
     # though interval 100 spans 5 bins
     assert pairs == [(1, 100), (2, 100), (2, 200), (3, 100)]
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Randomized differential check: all three directions against
+    pandas merge_asof on seeded data with duplicate timestamps,
+    unmatched groups, and ties."""
+    import numpy as np
+    import pandas as pd
+
+    from pac_data_pipeline_spark.operators.joins import asof_join
+
+    rng = np.random.default_rng(7)
+    left_pd = pd.DataFrame({
+        "event_id": np.arange(120),
+        "user_id": rng.integers(0, 6, 120),
+        "ts": rng.integers(0, 1000, 120).astype("int64"),
+    })
+    right_pd = (
+        pd.DataFrame({
+            "user_id": rng.integers(0, 5, 40),
+            "ts": rng.integers(0, 1000, 40).astype("int64"),
+            "price": np.round(rng.random(40), 3),
+        })
+        .drop_duplicates(["user_id", "ts"])  # asof contract: unique (by, ts)
+        .reset_index(drop=True)
+    )
+    left = spark.createDataFrame(left_pd)
+    right = spark.createDataFrame(right_pd)
+    for direction in ("backward", "forward", "nearest"):
+        got = (
+            asof_join(
+                left, right, time_col="ts", by_cols=("user_id",),
+                value_cols=("price",), direction=direction,
+            )
+            .toPandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        want = pd.merge_asof(
+            left_pd.sort_values("ts", kind="stable"),
+            right_pd.sort_values("ts", kind="stable"),
+            on="ts", by="user_id", direction=direction,
+        ).sort_values("event_id").reset_index(drop=True)
+        g = got["price_matched"].astype("float64")
+        w = want["price"].astype("float64")
+        ok = (g == w) | (g.isna() & w.isna())
+        assert ok.all(), (
+            direction,
+            pd.concat(
+                [got, want.add_suffix("_want")], axis=1
+            )[~ok].head(),
+        )
+
+
+def test_range_join_binned_matches_naive(spark):
+    """Randomized differential check against the naive (cartesian)
+    BETWEEN join across bin widths that divide, exceed, and straddle
+    the interval lengths."""
+    import numpy as np
+
+    from pac_data_pipeline_spark.operators.joins import range_join_binned
+
+    rng = np.random.default_rng(11)
+    points = spark.createDataFrame(
+        [(int(i), int(t)) for i, t in enumerate(rng.integers(0, 5000, 150))],
+        "pid long, epoch long",
+    ).select("pid", F.timestamp_seconds("epoch").alias("ts"))
+    iv = []
+    for j in range(40):
+        s = int(rng.integers(0, 4800))
+        iv.append((j, s, s + int(rng.integers(1, 600))))
+    intervals = spark.createDataFrame(
+        iv, "iid long, s long, e long"
+    ).select(
+        "iid",
+        F.timestamp_seconds("s").alias("start"),
+        F.timestamp_seconds("e").alias("end"),
+    )
+    naive = sorted(
+        (r.pid, r.iid)
+        for r in points.crossJoin(intervals)
+        .filter((F.col("ts") >= F.col("start")) & (F.col("ts") <= F.col("end")))
+        .collect()
+    )
+    for bin_s in (60, 256, 1024):
+        got = sorted(
+            (r.pid, r.iid)
+            for r in range_join_binned(
+                points, intervals, point_ts="ts", start_col="start",
+                end_col="end", bin_seconds=bin_s,
+            ).collect()
+        )
+        assert got == naive, bin_s
