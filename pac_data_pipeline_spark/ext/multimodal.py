@@ -244,27 +244,51 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+def resize_bmp(arr, width: int, height: int):
+    """Nearest-neighbor resample of an (h, w, 3) pixel matrix —
+    index arithmetic only, no codec library."""
+    h0, w0 = arr.shape[:2]
+    rows = (np.arange(height) * h0) // height
+    cols = (np.arange(width) * w0) // width
+    return arr[rows][:, cols]
+
+
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize plumbing: passes payloads through ``mapInPandas``
-    batch-wise and rewrites metadata; the pixel work is a stub
-    (payload returned unchanged) pending a real codec."""
+    """Resize via ``mapInPandas``: BMP payloads are REALLY resized —
+    decode, nearest-neighbor resample, re-encode — so the output
+    payload is a valid BMP at the target dimensions. Codec formats
+    (JPEG/PNG) pass through with rewritten metadata only (see
+    ``_decode_real`` for the honest stub boundary)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            meta = pd.DataFrame(
-                {
-                    "n_bytes": pdf["meta"].map(lambda m: m["n_bytes"]),
-                    "format": pdf["meta"].map(lambda m: m["format"]),
-                    "width": width,
-                    "height": height,
-                }
-            )
+            contents, metas = [], []
+            for payload, m in zip(pdf["content"], pdf["meta"]):
+                b = bytes(payload)
+                try:
+                    _, _, px = decode_bmp(b)
+                    resized = resize_bmp(px, width, height)
+                    # encode expects bottom-up rows; flip back and
+                    # rebuild via the tiling encoder's fast path
+                    flat = resized[::-1].reshape(-1).tobytes()
+                    out = encode_bmp(width, height, flat)
+                except ValueError:
+                    out = b  # non-BMP: metadata-only rewrite
+                contents.append(out)
+                metas.append(
+                    {
+                        "n_bytes": len(out),
+                        "format": m["format"],
+                        "width": width,
+                        "height": height,
+                    }
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
-                    "content": pdf["content"],
-                    "meta": meta.to_dict("records"),
+                    "content": contents,
+                    "meta": metas,
                 }
             )
 

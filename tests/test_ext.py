@@ -308,3 +308,35 @@ def test_pack_sequences_boundaries(spark):
     got = {r.doc_id: r.seq_id for r in
            pack_sequences(docs, max_tokens=512, n_shards=1).collect()}
     assert got == {0: 0, 1: 0, 2: 1}
+
+
+def test_resize_bmp_real_roundtrip(spark):
+    from pac_data_pipeline_spark.ext.multimodal import (
+        bmp_media_from_documents,
+        decode_bmp,
+        resize_stub,
+    )
+
+    media = bmp_media_from_documents(_docs(spark))
+    out = resize_stub(media, 8, 6).collect()
+    assert len(out) == 5
+    for r in out:
+        w, h, px = decode_bmp(bytes(r.content))  # output is a REAL BMP
+        assert (w, h) == (8, 6)
+        assert px.shape == (6, 8, 3)
+        assert r.meta.width == 8 and r.meta.height == 6
+        assert r.meta.n_bytes == len(bytes(r.content))
+
+
+def test_resize_bmp_nearest_neighbor_exact():
+    import numpy as np
+
+    from pac_data_pipeline_spark.ext.multimodal import resize_bmp
+
+    arr = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    half = resize_bmp(arr, 2, 2)
+    # nearest-neighbor with floor mapping picks rows/cols 0 and 2
+    assert (half == arr[[0, 2]][:, [0, 2]]).all()
+    double = resize_bmp(arr, 8, 8)
+    assert double.shape == (8, 8, 3)
+    assert (double[::2, ::2] == arr).all()  # upsample repeats pixels
