@@ -114,8 +114,8 @@ from pac_data_pipeline_spark.ext.similarity import (
 from pac_data_pipeline_spark.ext.multimodal import (
     bmp_media_from_documents,
     extract_features,
-    frame_sample_stub,
-    media_table_from_documents,
+    frame_sample,
+    video_media_from_documents,
 )
 from pac_data_pipeline_spark.sources.readers import register_views
 from pac_data_pipeline_spark.streaming.stateful import (
@@ -1114,14 +1114,13 @@ def q_x_multimodal_features(spark, sf_dir):
 
 
 def q_x_frame_sample(spark, sf_dir):
-    """Frame-sampling plumbing: one row per sampled frame index."""
-    media = media_table_from_documents(_t(spark, sf_dir, "documents"))
-    out = frame_sample_stub(media, every_n=10)
-    return out.select(
-        "doc_id",
-        "frame_idx",
-        F.col("meta.n_bytes").alias("n_bytes"),
-    )
+    """REAL frame sampling: multi-frame BMP-stack containers are
+    parsed (length-prefixed walk) and every 2nd frame's BMP header
+    is decoded — widths/heights come from the sampled frame's
+    bytes. The oracle recomputes the deterministic generative
+    formulas; the Spark side only ever reads the payload."""
+    media = video_media_from_documents(_t(spark, sf_dir, "documents"))
+    return frame_sample(media, every_n=2)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1743,13 +1742,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "x_frame_sample": """
             SELECT doc_id,
+                   CAST(2 + doc_id % 4 AS INT) AS n_frames,
                    CAST(f.frame_idx AS INT) AS frame_idx,
-                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+                   CAST(4 + (doc_id + f.frame_idx) % 5 AS INT) AS width,
+                   CAST(4 + (doc_id * 3 + f.frame_idx) % 5 AS INT) AS height
             FROM documents
             CROSS JOIN LATERAL (
-                SELECT unnest(range(0,
-                    CAST(floor(octet_length(encode(text)) / 64) AS BIGINT) + 1,
-                    10)) AS frame_idx
+                SELECT unnest(range(0, 2 + doc_id % 4, 2)) AS frame_idx
             ) f
         """,
     }

@@ -169,6 +169,105 @@ def bmp_media_from_documents(documents: DataFrame, max_side: int = 24) -> DataFr
     )
 
 
+#: magic prefix for the deterministic multi-frame test container:
+#: b"VID0" + u32 frame count + per frame (u32 length + BMP bytes)
+_VID_MAGIC = b"VID0"
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def video_media_from_documents(documents: DataFrame) -> DataFrame:
+    """Synthesize multi-frame video-like payloads: a length-prefixed
+    container of REAL BMP frames (2 + doc_id % 4 frames, dimensions
+    deterministic per doc and frame). A real demuxer (ffmpeg) would
+    replace the container parse; the per-frame decode path is the
+    same BMP machinery."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                n_frames = 2 + d % 4
+                frames = []
+                for f in range(n_frames):
+                    w = 4 + (d + f) % 5
+                    h = 4 + (d * 3 + f) % 5
+                    frames.append(
+                        encode_bmp(w, h, str(text).encode("utf-8") or b"x")
+                    )
+                payload = _VID_MAGIC + struct.pack("<I", n_frames)
+                for fr in frames:
+                    payload += struct.pack("<I", len(fr)) + fr
+                out.append(
+                    {
+                        "doc_id": d,
+                        "media_type": "video",
+                        "content": payload,
+                        "meta": {
+                            "n_bytes": len(payload),
+                            "format": "video/x-bmp-stack",
+                            "width": 0,
+                            "height": 0,
+                        },
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return documents.select("doc_id", "text").mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
+
+
+def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame sampling: parse the container header, walk the
+    length-prefixed frame table, and decode the BMP header of every
+    ``every_n``-th frame — widths/heights come from the sampled
+    frame's bytes, not metadata. Arrow-batched; one output row per
+    sampled frame."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                b = bytes(payload)
+                if b[:4] != _VID_MAGIC:
+                    continue  # not a frame container
+                (n_frames,) = struct.unpack_from("<I", b, 4)
+                off = 8
+                for idx in range(n_frames):
+                    (flen,) = struct.unpack_from("<I", b, off)
+                    off += 4
+                    if idx % every_n == 0:
+                        w, h, _ = decode_bmp(b[off : off + flen])
+                        rows.append(
+                            {
+                                "doc_id": int(doc_id),
+                                "n_frames": n_frames,
+                                "frame_idx": idx,
+                                "width": w,
+                                "height": h,
+                            }
+                        )
+                    off += flen
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "frame_idx", "width", "height",
+                ],
+            )
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
 def _decode_real(payload: bytes):  # pragma: no cover - env has no PIL
     try:
         import PIL.Image  # noqa: F401

@@ -340,3 +340,25 @@ def test_resize_bmp_nearest_neighbor_exact():
     double = resize_bmp(arr, 8, 8)
     assert double.shape == (8, 8, 3)
     assert (double[::2, ::2] == arr).all()  # upsample repeats pixels
+
+
+def test_video_container_frame_sample(spark):
+    from pac_data_pipeline_spark.ext.multimodal import (
+        frame_sample,
+        video_media_from_documents,
+    )
+
+    media = video_media_from_documents(_docs(spark))
+    rows = frame_sample(media, every_n=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d in range(5):
+        n_frames = 2 + d % 4
+        sampled = sorted(r.frame_idx for r in by_doc[d])
+        assert sampled == list(range(0, n_frames, 2))
+        for r in by_doc[d]:
+            # dims decoded from the frame's BMP header match the
+            # generative formula
+            assert r.width == 4 + (d + r.frame_idx) % 5
+            assert r.height == 4 + (d * 3 + r.frame_idx) % 5
