@@ -352,7 +352,7 @@ def resize_bmp(arr, width: int, height: int):
     return arr[rows][:, cols]
 
 
-def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize via ``mapInPandas``: BMP payloads are REALLY resized —
     decode, nearest-neighbor resample, re-encode — so the output
     payload is a valid BMP at the target dimensions. Codec formats

@@ -13,7 +13,7 @@ from pac_data_pipeline_spark.ext.multimodal import (
     extract_features,
     frame_sample_stub,
     media_table_from_documents,
-    resize_stub,
+    resize_media,
 )
 from pac_data_pipeline_spark.ext.similarity import (
     cosine_topk_bruteforce,
@@ -109,7 +109,7 @@ def test_multimodal_plumbing(spark):
     by_id = {r.doc_id: list(r.feature) for r in feats}
     assert by_id[0] == by_id[1]
 
-    resized = resize_stub(media, 64, 64).collect()
+    resized = resize_media(media, 64, 64).collect()
     assert all(r.meta.width == 64 and r.meta.height == 64 for r in resized)
 
     frames = frame_sample_stub(media, every_n=10)
@@ -314,11 +314,11 @@ def test_resize_bmp_real_roundtrip(spark):
     from pac_data_pipeline_spark.ext.multimodal import (
         bmp_media_from_documents,
         decode_bmp,
-        resize_stub,
+        resize_media,
     )
 
     media = bmp_media_from_documents(_docs(spark))
-    out = resize_stub(media, 8, 6).collect()
+    out = resize_media(media, 8, 6).collect()
     assert len(out) == 5
     for r in out:
         w, h, px = decode_bmp(bytes(r.content))  # output is a REAL BMP
