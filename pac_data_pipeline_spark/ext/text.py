@@ -410,3 +410,44 @@ def token_logfreq_score(
             ),
         )
     )
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Character-level Shannon entropy per document (nats) — the
+    classic gibberish/minified-content filter: natural prose lands
+    ~2.8-3.2, base64 blobs and key-mash land >4, 'aaaa…' lands ~0.
+
+    Shuffle-free scan-stage computation: sort the codepoints, find
+    run boundaries with an index-lambda `filter`, derive run counts,
+    and fold Σ c·ln c — entropy = ln(N) − Σc·ln(c)/N. The naive
+    explode-to-(doc,char)-rows formulation multiplies 100 TB of text
+    into ~100× that many shuffle rows; this stays a per-row map with
+    O(len·log len) local cost. Rounded to 6 so both engines' float
+    fold orders agree.
+    """
+    cs = f"array_sort(split({text_col}, ''))"
+    starts = (
+        f"filter(sequence(1, size({cs})), i -> i = 1 OR "
+        f"element_at({cs}, i) <> element_at({cs}, i - 1))"
+    )
+    expr = f"""
+    CASE WHEN length({text_col}) = 0 THEN NULL ELSE
+      round(
+        ln(length({text_col})) -
+        aggregate(
+          zip_with(
+            {starts},
+            slice({starts}, 2, size({starts})),
+            (s, nxt) -> coalesce(nxt, length({text_col}) + 1) - s
+          ),
+          cast(0.0 AS double),
+          (acc, c) -> acc + c * ln(c)
+        ) / length({text_col}),
+      6)
+    END
+    """
+    return df.select(
+        F.col(id_col), F.expr(expr).alias("char_entropy")
+    )

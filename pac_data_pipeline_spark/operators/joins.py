@@ -163,3 +163,51 @@ def lookup_misses(
     broadcast left-anti join, so the miss count costs no shuffle."""
     right = F.broadcast(dim) if broadcast else dim
     return fact.join(right, on=on, how="left_anti")
+
+
+def fuzzy_join_banded(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str,
+    id_col: str,
+    band_len: int = 16,
+    max_distance: int = 1,
+) -> DataFrame:
+    """Fuzzy self/pair join on string similarity: candidate pairs
+    share a fixed-length prefix band, survivors are verified with
+    exact Levenshtein distance <= ``max_distance``.
+
+    The reference matches entity names across systems by exact
+    normalized keys (lowercase/trim, pac_to_firebase.py:60); this is
+    the approximate-match generalization every entity-resolution
+    pipeline eventually needs.
+
+    Scale shape: banding turns the O(n^2) all-pairs product into an
+    equi-join on the band key — only rows sharing a prefix meet, and
+    `levenshtein()` (a JVM intrinsic) runs per candidate pair, never
+    per cross-product pair. Recall is bounded by the band choice
+    (edits inside the first ``band_len`` chars split a true pair
+    into different bands); production stacks widen recall with
+    multiple bands (prefix + suffix + length), exactly like MinHash
+    LSH in `ext.dedup_text`. The id inequality keeps each unordered
+    pair once.
+    """
+    lhs = left.select(
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("text_a"),
+        F.substring(text_col, 1, band_len).alias("__band"),
+    )
+    rhs = right.select(
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("text_b"),
+        F.substring(text_col, 1, band_len).alias("__band"),
+    )
+    return (
+        lhs.join(rhs, "__band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "distance", F.levenshtein(F.col("text_a"), F.col("text_b"))
+        )
+        .filter(F.col("distance") <= max_distance)
+        .drop("__band")
+    )

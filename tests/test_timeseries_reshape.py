@@ -1,0 +1,104 @@
+"""Time-series, reshape, fuzzy-join, and entropy operator
+semantics: calendar gap-fill boundaries, SCD2 tie determinism,
+z-score flagging, unpivot shape, banded Levenshtein recall, and
+entropy closed-form values."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from pac_data_pipeline_spark.ext.text import char_entropy
+from pac_data_pipeline_spark.operators.joins import fuzzy_join_banded
+from pac_data_pipeline_spark.operators.reshape import unpivot_long
+from pac_data_pipeline_spark.operators.timeseries import (
+    gap_fill_daily,
+    scd2_history,
+    zscore_anomalies,
+)
+
+
+def test_gap_fill_fills_and_forward_fills(spark):
+    df = spark.createDataFrame(
+        [("a", "2024-01-01", 1.0), ("a", "2024-01-04", 4.0),
+         ("b", "2024-02-01", 5.0)],
+        "k string, d string, v double",
+    ).select("k", F.to_date("d").alias("d"), "v")
+    out = gap_fill_daily(df, "k", "d", "v")
+    rows = {(r.k, str(r.day)): (r.value, r.last_known)
+            for r in out.collect()}
+    # the two interior days exist, carry 0 value + last known 1.0
+    assert rows[("a", "2024-01-02")] == (0.0, 1.0)
+    assert rows[("a", "2024-01-03")] == (0.0, 1.0)
+    assert rows[("a", "2024-01-04")] == (4.0, 4.0)
+    # keys never cross-pollinate: b has exactly its single day
+    assert [k for k in rows if k[0] == "b"] == [("b", "2024-02-01")]
+    assert len(rows) == 5
+
+
+def test_scd2_versions_and_tie_order(spark):
+    df = spark.createDataFrame(
+        # uid 1 has two changes at the SAME ts — event_id must break the tie
+        [(1, "2024-01-01 00:00:00", 10, "x"),
+         (1, "2024-01-01 00:00:00", 11, "y"),
+         (1, "2024-01-02 00:00:00", 12, "z")],
+        "uid long, ts string, eid long, attr string",
+    ).select("uid", F.to_timestamp("ts").alias("ts"), "eid", "attr")
+    out = scd2_history(df, "uid", "ts", ("attr",), tiebreak_cols=("eid",))
+    got = {r.eid: (r.version, r.is_current, r.valid_to is None)
+           for r in out.collect()}
+    assert got[10] == (1, False, False)
+    assert got[11] == (2, False, False)
+    assert got[12] == (3, True, True)
+
+
+def test_zscore_flags_only_outliers_and_skips_tiny_keys(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0), (1, 1.1), (1, 0.9), (1, 1.0), (1, 1.1), (1, 0.9),
+         (1, 100.0),  # the outlier
+         (2, 5.0)],   # single row → null stddev → never flagged
+        "k long, v double",
+    )
+    out = zscore_anomalies(df, "k", "v").collect()
+    assert [(r.k, r.v) for r in out] == [(1, 100.0)]
+    assert out[0].z > 2
+
+
+def test_unpivot_shape_and_no_shuffle(spark):
+    df = spark.createDataFrame([(1, 2.0, 3.0), (2, 4.0, 5.0)],
+                               "id long, qty double, price double")
+    out = unpivot_long(df, ("id",), ("qty", "price"))
+    assert out.columns == ["id", "metric", "value"]
+    assert out.count() == 4
+    got = {(r.id, r.metric): r.value for r in out.collect()}
+    assert got[(1, "qty")] == 2.0 and got[(2, "price")] == 5.0
+    # Expand node, not Exchange: unpivot must stay scan-local
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_fuzzy_join_banded_verifies_distance(spark):
+    names = spark.createDataFrame(
+        [(1, "Customer#000000001"), (2, "Customer#000000002"),
+         (3, "Customer#000000091"),  # distance 2 from #..002 → dropped
+         (4, "Different#00000001")],  # other band → never a candidate
+        "id long, name string",
+    )
+    out = fuzzy_join_banded(names, names, "name", "id",
+                            band_len=16, max_distance=1)
+    pairs = {(r.id_a, r.id_b): r.distance for r in out.collect()}
+    assert pairs == {(1, 2): 1, (1, 3): 1}
+
+
+def test_char_entropy_closed_forms(spark):
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abcd"), (3, ""), (4, "hello world")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.char_entropy for r in char_entropy(df).collect()}
+    assert got[1] == 0.0                       # single symbol
+    assert got[2] == round(math.log(4), 6)     # uniform over 4
+    assert got[3] is None                      # empty → null
+    expect = round(
+        math.log(11) - (3 * math.log(3) + 2 * math.log(2)) / 11, 6
+    )
+    assert got[4] == expect
