@@ -60,6 +60,13 @@ from pac_data_pipeline_spark.operators.joins import (
 )
 from pac_data_pipeline_spark.operators.joins import fuzzy_join_banded
 from pac_data_pipeline_spark.operators.reshape import unpivot_long
+from pac_data_pipeline_spark.operators.stats import (
+    grouped_corr,
+    histogram_fixed_width,
+    mode_per_key,
+    ntile_buckets,
+    running_total,
+)
 from pac_data_pipeline_spark.operators.timeseries import (
     gap_fill_daily,
     scd2_history,
@@ -1227,6 +1234,63 @@ def q_x_zscore(spark, sf_dir):
     return zscore_anomalies(e, "user_id", "value", threshold=2.0)
 
 
+def q_h_ntile(spark, sf_dir):
+    """Order-value quartiles WITHIN each priority segment — the
+    window partitions by priority, so each key sorts locally after
+    one shuffle (a global ntile would funnel the table through a
+    single task). o_orderkey breaks value ties deterministically."""
+    o = _t(spark, sf_dir, "orders")
+    out = ntile_buckets(
+        o, "o_orderpriority", "o_totalprice",
+        n=4, tiebreak_cols=("o_orderkey",),
+    )
+    return out.select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "bucket"
+    )
+
+
+def q_h_corr(spark, sf_dir):
+    """Per-returnflag Pearson correlation of quantity vs price —
+    algebraic aggregate, map-side partials, |groups|-row shuffle."""
+    return grouped_corr(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_returnflag"], "l_quantity", "l_extendedprice",
+    )
+
+
+def q_h_histogram(spark, sf_dir):
+    """20-bin fixed-width histogram of order value: scan-stage
+    bucket arithmetic + ONE 20-row hash aggregate — constant shuffle
+    volume at any input size (the scale-safe alternative to exact
+    quantile binning)."""
+    return histogram_fixed_width(
+        _t(spark, sf_dir, "orders"), "o_totalprice",
+        lo=0.0, hi=500_000.0, nbins=20,
+    )
+
+
+def q_h_mode(spark, sf_dir):
+    """Most frequent order priority per status, smallest-value
+    tiebreak — count per (key, value) first (hot keys spread over
+    their distinct values), then a key-partitioned rank-1 window."""
+    return mode_per_key(
+        _t(spark, sf_dir, "orders"), "o_orderstatus", "o_orderpriority"
+    )
+
+
+def q_h_running_total(spark, sf_dir):
+    """Revenue-to-date per order priority: pre-aggregated daily
+    revenue (one hash agg) + a key-partitioned cumulative window —
+    the running frame never sees raw orders, only |key × day|
+    rows."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    return running_total(daily, "o_orderpriority", "day", "rev")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # Dict ORDER is load-bearing: the round driver's correctness
@@ -1292,6 +1356,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # position > 50 from here: locally hash-verified via
         # tools/check_oracle.py (exact-oracle, code unchanged);
         # these rotate into the driver's checked window in r3.
+        "h_ntile": q_h_ntile,
+        "h_corr": q_h_corr,
+        "h_histogram": q_h_histogram,
+        "h_mode": q_h_mode,
+        "h_running_total": q_h_running_total,
         "x_session_window": q_x_session_window,
         "x_window_tumbling": q_x_window_tumbling,
         "x_window_sliding": q_x_window_sliding,
@@ -2561,6 +2630,64 @@ def oracle_sql() -> dict[str, str]:
                (lead(ts) OVER w IS NULL) AS is_current
         FROM p
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+    oracles["h_ntile"] = """
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               CAST(ntile(4) OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS INTEGER) AS bucket
+        FROM orders
+    """
+    oracles["h_corr"] = """
+        SELECT l_returnflag,
+               round(corr(l_quantity, l_extendedprice), 4) AS corr,
+               round(covar_samp(l_quantity, l_extendedprice), 4) AS covar,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+    """
+    oracles["h_histogram"] = """
+        WITH b AS (
+            SELECT CAST(least(greatest(
+                       floor(o_totalprice / 25000.0), 0), 19) AS INTEGER
+                   ) AS bucket
+            FROM orders WHERE o_totalprice IS NOT NULL
+        )
+        SELECT bucket,
+               round(bucket * 25000.0, 2) AS bucket_lo,
+               round((bucket + 1) * 25000.0, 2) AS bucket_hi,
+               count(*) AS n
+        FROM b GROUP BY bucket
+    """
+    oracles["h_mode"] = """
+        WITH c AS (
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n
+            FROM orders GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY o_orderstatus
+                ORDER BY n DESC, o_orderpriority
+            ) AS rk FROM c
+        )
+        SELECT o_orderstatus, o_orderpriority AS mode_value,
+               n AS mode_count
+        FROM r WHERE rk = 1
+    """
+    oracles["h_running_total"] = """
+        WITH daily AS (
+            SELECT o_orderpriority,
+                   strftime(o_orderdate, '%Y-%m-%d') AS day,
+                   round(sum(o_totalprice), 2) AS rev
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT o_orderpriority, day, rev,
+               round(sum(rev) OVER (
+                   PARTITION BY o_orderpriority ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 2) AS running_total
+        FROM daily
     """
     oracles["x_zscore"] = """
         WITH p AS (

@@ -1,0 +1,168 @@
+"""Distribution statistics operators: quantile bucketing, grouped
+correlation, fixed-width histograms, per-key mode, running totals.
+
+The reference's statistical surface stops at sum/count rollups
+(``pac_data_processor.py:347-360``); these are the descriptive-stats
+operators an analytics warehouse grows next, each expressed as a
+single aggregation or a key-partitioned window so the shuffle count
+stays at one:
+
+- ntile/mode/running-total windows always PARTITION BY a key — a
+  global ORDER BY window funnels the table through one task, which
+  is the known scale-killer this module refuses to ship;
+- corr/covar and histograms are plain hash aggregations with
+  map-side partials, so shuffle volume is |groups|, not |rows|.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ntile_buckets(
+    df: DataFrame,
+    partition_col: str,
+    order_col: str,
+    n: int = 4,
+    tiebreak_cols: Sequence[str] = (),
+    descending: bool = True,
+    alias: str = "bucket",
+) -> DataFrame:
+    """Assign each row its n-tile bucket WITHIN its partition key
+    (e.g. spend quartile per order priority).
+
+    The window partitions by ``partition_col``, so each key sorts
+    locally after one shuffle — never a global single-task sort. A
+    truly global ntile needs a two-phase rank (partition-local sort
+    + cumulative partition offsets); partition-scoped tiles are the
+    form that both scales and is what segment-level analytics ask
+    for. ``tiebreak_cols`` pins tie order, otherwise ntile over
+    equal keys is partition-order-dependent.
+    """
+    first = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    w = Window.partitionBy(partition_col).orderBy(
+        first, *[F.col(c).asc() for c in tiebreak_cols]
+    )
+    return df.withColumn(alias, F.ntile(n).over(w))
+
+
+def grouped_corr(
+    df: DataFrame,
+    keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+    digits: int = 4,
+) -> DataFrame:
+    """Per-group Pearson correlation + sample covariance + n.
+
+    One partial+final hash aggregation: corr/covar are algebraic
+    aggregates (running sums of x, y, x², y², xy), so map-side
+    combine shrinks the shuffle to |groups| rows. Rounded so both
+    engines' float accumulation orders agree.
+    """
+    return df.groupBy(*keys).agg(
+        F.round(F.corr(x_col, y_col), digits).alias("corr"),
+        F.round(F.covar_samp(x_col, y_col), digits).alias("covar"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def histogram_fixed_width(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+) -> DataFrame:
+    """Fixed-width histogram: bucket index (0..nbins-1, clamped) +
+    row count + bucket bounds.
+
+    The bucket index is a scan-stage arithmetic expression feeding
+    one hash aggregation — the whole histogram costs a single
+    |nbins|-row shuffle regardless of input size, which is why
+    fixed-width beats exact quantile binning at 100 TB (no global
+    sort, no holistic aggregate).
+    """
+    width = (hi - lo) / nbins
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)),
+            F.lit(0),
+        ),
+        F.lit(nbins - 1),
+    ).cast("int")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            F.round(F.lit(lo) + F.col("bucket") * F.lit(width), 2).alias(
+                "bucket_lo"
+            ),
+            F.round(F.lit(lo) + (F.col("bucket") + 1) * F.lit(width), 2).alias(
+                "bucket_hi"
+            ),
+            "n",
+        )
+    )
+
+
+def mode_per_key(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Most frequent value per key; ties resolve to the smallest
+    value so the answer is deterministic on any engine.
+
+    Two single-shuffle stages: count per (key, value) — skew-safe,
+    a hot key spreads over its distinct values — then a window
+    partitioned by key picks rank 1. No self-join against a max
+    subquery (the textbook SQL form, which shuffles twice and
+    rescans).
+    """
+    counts = df.groupBy(key_col, value_col).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("n").desc(), F.col(value_col).asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            key_col,
+            F.col(value_col).alias("mode_value"),
+            F.col("n").alias("mode_count"),
+        )
+    )
+
+
+def running_total(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    alias: str = "running_total",
+    digits: int = 2,
+) -> DataFrame:
+    """Cumulative sum of ``value_col`` per key in ``order_col``
+    order (e.g. revenue-to-date per segment).
+
+    One key-partitioned window — the input should already be one
+    row per (key, order) (pre-aggregate first); then the running
+    frame is unambiguous and the rounding makes the prefix sums
+    engine-comparable. Cost: one shuffle on the key.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        alias, F.round(F.sum(value_col).over(w), digits)
+    )

@@ -1,0 +1,85 @@
+"""Distribution-stats operator semantics: ntile partition scoping
+and tie determinism, corr/covar values, histogram clamping, mode
+tiebreak, running-total frames — plus the no-global-window plan
+guarantee."""
+
+from pyspark.sql import functions as F
+
+from pac_data_pipeline_spark.operators.stats import (
+    grouped_corr,
+    histogram_fixed_width,
+    mode_per_key,
+    ntile_buckets,
+    running_total,
+)
+
+
+def test_ntile_is_partition_scoped_and_deterministic(spark):
+    df = spark.createDataFrame(
+        # key a: 4 rows → one per quartile; the two 30.0 ties must
+        # order by id. key b: 2 rows → buckets 1 and 2 only.
+        [("a", 1, 40.0), ("a", 2, 30.0), ("a", 3, 30.0), ("a", 4, 10.0),
+         ("b", 5, 9.0), ("b", 6, 8.0)],
+        "k string, id long, v double",
+    )
+    out = ntile_buckets(df, "k", "v", n=4, tiebreak_cols=("id",))
+    got = {r.id: r.bucket for r in out.collect()}
+    assert got == {1: 1, 2: 2, 3: 3, 4: 4, 5: 1, 6: 2}
+
+
+def test_ntile_plan_has_no_global_sort(spark):
+    df = spark.createDataFrame([("a", 1, 1.0)], "k string, id long, v double")
+    plan = ntile_buckets(df, "k", "v", tiebreak_cols=("id",))._jdf \
+        .queryExecution().executedPlan().toString()
+    # window exchange must be hash-partitioned on the key, never a
+    # single-partition range sort
+    assert "SinglePartition" not in plan
+
+
+def test_grouped_corr_perfect_line(spark):
+    df = spark.createDataFrame(
+        [("g", 1.0, 2.0), ("g", 2.0, 4.0), ("g", 3.0, 6.0),
+         ("h", 1.0, 5.0), ("h", 2.0, 3.0)],
+        "k string, x double, y double",
+    )
+    got = {r.k: (r.corr, r.covar, r.n)
+           for r in grouped_corr(df, ["k"], "x", "y").collect()}
+    assert got["g"] == (1.0, 2.0, 3)      # y = 2x exactly
+    assert got["h"] == (-1.0, -1.0, 2)    # perfectly anti-correlated
+
+
+def test_histogram_clamps_out_of_range(spark):
+    df = spark.createDataFrame(
+        [(r,) for r in (-5.0, 0.0, 9.9, 10.0, 55.0, 99.9, 100.0, 250.0)]
+        + [(None,)],
+        "v double",
+    )
+    out = histogram_fixed_width(df, "v", lo=0.0, hi=100.0, nbins=10)
+    got = {r.bucket: (r.bucket_lo, r.bucket_hi, r.n) for r in out.collect()}
+    assert got[0] == (0.0, 10.0, 3)   # -5 clamps into bucket 0
+    assert got[9] == (90.0, 100.0, 3)  # 100 and 250 clamp into bucket 9
+    assert got[1] == (10.0, 20.0, 1)
+    assert got[5] == (50.0, 60.0, 1)
+    assert sum(v[2] for v in got.values()) == 8  # null dropped
+
+
+def test_mode_tiebreak_smallest_value(spark):
+    df = spark.createDataFrame(
+        [("k", "b"), ("k", "b"), ("k", "a"), ("k", "a"), ("k", "c")],
+        "k string, v string",
+    )
+    rows = mode_per_key(df, "k", "v").collect()
+    assert len(rows) == 1
+    assert (rows[0].mode_value, rows[0].mode_count) == ("a", 2)
+
+
+def test_running_total_per_key_prefix_sums(spark):
+    df = spark.createDataFrame(
+        [("a", "d1", 1.0), ("a", "d2", 2.0), ("a", "d3", 4.0),
+         ("b", "d1", 10.0)],
+        "k string, d string, v double",
+    )
+    out = running_total(df, "k", "d", "v")
+    got = {(r.k, r.d): r.running_total for r in out.collect()}
+    assert got == {("a", "d1"): 1.0, ("a", "d2"): 3.0,
+                   ("a", "d3"): 7.0, ("b", "d1"): 10.0}
