@@ -74,6 +74,10 @@ from pac_data_pipeline_spark.operators.timeseries import (
 )
 from pac_data_pipeline_spark.ext.text import char_entropy
 from pac_data_pipeline_spark.operators.topk import top_k, top_k_groups
+from pac_data_pipeline_spark.plans.behavior import (
+    cohort_retention,
+    funnel_counts,
+)
 from pac_data_pipeline_spark.plans.pipelines import (
     csv_report_pipeline,
     party_rollup_pipeline,
@@ -1291,6 +1295,56 @@ def q_h_running_total(spark, sf_dir):
     return running_total(daily, "o_orderpriority", "day", "rev")
 
 
+def q_h_funnel(spark, sf_dir):
+    """Ordered conversion funnel view → click → purchase: each stage
+    is a filtered per-user min-aggregation joined to the previous
+    stage's conversion times — every shuffle is on user_id, the raw
+    stream never self-joins."""
+    return funnel_counts(
+        load_events(spark, sf_dir), stages=("view", "click", "purchase")
+    )
+
+
+def q_h_cohort(spark, sf_dir):
+    """Weekly cohort retention over the event stream: integer
+    epoch-days//7 arithmetic keeps the offset exact on any engine;
+    two user-key shuffles + one small pair rollup."""
+    return cohort_retention(load_events(spark, sf_dir), grain="week")
+
+
+def q_h_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS ((status), (priority)): two
+    independent one-column rollups from ONE scan + ONE Expand +
+    hash aggregate — the level-list form that rollup/cube can't
+    express (no grand total, no cross level)."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               round(sum(o_totalprice), 2) AS total,
+               count(1) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """)
+
+
+def q_h_pivot(spark, sf_dir):
+    """Native pivot (long → wide): per returnflag, quantity totals
+    by linestatus as columns. Explicit pivot values keep the plan a
+    single pass — Spark skips the extra distinct-values job and
+    compiles straight to conditional aggregates."""
+    out = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("F").alias("qty_f"),
+        F.col("O").alias("qty_o"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # Dict ORDER is load-bearing: the round driver's correctness
@@ -1356,6 +1410,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # position > 50 from here: locally hash-verified via
         # tools/check_oracle.py (exact-oracle, code unchanged);
         # these rotate into the driver's checked window in r3.
+        "h_funnel": q_h_funnel,
+        "h_cohort": q_h_cohort,
+        "h_grouping_sets": q_h_grouping_sets,
+        "h_pivot": q_h_pivot,
         "h_ntile": q_h_ntile,
         "h_corr": q_h_corr,
         "h_histogram": q_h_histogram,
@@ -2630,6 +2688,69 @@ def oracle_sql() -> dict[str, str]:
                (lead(ts) OVER w IS NULL) AS is_current
         FROM p
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+    oracles["h_funnel"] = """
+        WITH ev AS (
+            SELECT user_id, event_type, ts FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ),
+        s1 AS (
+            SELECT user_id, min(ts) AS t_prev FROM ev
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, min(e.ts) AS t_prev
+            FROM ev e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts >= s1.t_prev
+            GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, min(e.ts) AS t_prev
+            FROM ev e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= s2.t_prev
+            GROUP BY e.user_id
+        )
+        SELECT 1 AS stage, 'view' AS stage_name,
+               count(*) AS n_users FROM s1
+        UNION ALL
+        SELECT 2, 'click', count(*) FROM s2
+        UNION ALL
+        SELECT 3, 'purchase', count(*) FROM s3
+    """
+    oracles["h_cohort"] = """
+        WITH ev AS (
+            SELECT user_id,
+                   date_diff('day', DATE '1970-01-01',
+                             CAST(ts AS DATE)) // 7 AS wk
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ),
+        first AS (
+            SELECT user_id, min(wk) AS wk0 FROM ev GROUP BY user_id
+        ),
+        active AS (SELECT DISTINCT user_id, wk FROM ev)
+        SELECT strftime(DATE '1970-01-01' + INTERVAL (f.wk0 * 7) DAY,
+                        '%Y-%m-%d') AS cohort,
+               a.wk - f.wk0 AS period_offset,
+               count(DISTINCT a.user_id) AS n_users
+        FROM active a JOIN first f ON a.user_id = f.user_id
+        GROUP BY 1, 2
+    """
+    oracles["h_grouping_sets"] = """
+        SELECT o_orderstatus, o_orderpriority,
+               round(sum(o_totalprice), 2) AS total,
+               count(1) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """
+    oracles["h_pivot"] = """
+        SELECT l_returnflag,
+               round(sum(CASE WHEN l_linestatus = 'F'
+                              THEN l_quantity END), 2) AS qty_f,
+               round(sum(CASE WHEN l_linestatus = 'O'
+                              THEN l_quantity END), 2) AS qty_o
+        FROM lineitem
+        GROUP BY l_returnflag
     """
     oracles["h_ntile"] = """
         SELECT o_orderkey, o_orderpriority, o_totalprice,
