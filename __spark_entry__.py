@@ -73,6 +73,11 @@ from pac_data_pipeline_spark.operators.timeseries import (
     zscore_anomalies,
 )
 from pac_data_pipeline_spark.ext.text import char_entropy
+from pac_data_pipeline_spark.ext.vectors import (
+    avg_pool_by_key,
+    l2_normalize,
+    quantize_int8,
+)
 from pac_data_pipeline_spark.operators.topk import top_k, top_k_groups
 from pac_data_pipeline_spark.plans.behavior import (
     cohort_retention,
@@ -1345,6 +1350,47 @@ def q_h_pivot(spark, sf_dir):
     )
 
 
+def q_x_vec_pool(spark, sf_dir):
+    """Per-label mean embedding (long form): posexplode feeding a
+    map-side-combined hash aggregate — shuffle carries
+    |labels × dim| rows regardless of corpus size."""
+    return avg_pool_by_key(
+        _t(spark, sf_dir, "embeddings"), "label", "embedding"
+    )
+
+
+def q_x_vec_norm(spark, sf_dir):
+    """L2 norms + unit-vector checksum per embedding: zero-shuffle
+    array folds; the checksum (sum of normalized components) pins
+    the whole normalized vector cross-engine without array-typed
+    output."""
+    out = l2_normalize(_t(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id",
+        F.round("l2_norm", 6).alias("l2_norm"),
+        F.round(
+            F.aggregate(
+                "unit_vec",
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("unit_sum"),
+    )
+
+
+def q_x_vec_quantize(spark, sf_dir):
+    """Symmetric int8 quantization, exploded to (vec_id, pos, q):
+    floor(x*scale+0.5) is bit-identical on any engine, so the full
+    quantized payload hash-checks against the oracle."""
+    out = quantize_int8(_t(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.posexplode("qvec").alias("pos", "q"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # Dict ORDER is load-bearing: the round driver's correctness
@@ -1410,6 +1456,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # position > 50 from here: locally hash-verified via
         # tools/check_oracle.py (exact-oracle, code unchanged);
         # these rotate into the driver's checked window in r3.
+        "x_vec_pool": q_x_vec_pool,
+        "x_vec_norm": q_x_vec_norm,
+        "x_vec_quantize": q_x_vec_quantize,
         "h_funnel": q_h_funnel,
         "h_cohort": q_h_cohort,
         "h_grouping_sets": q_h_grouping_sets,
@@ -2688,6 +2737,48 @@ def oracle_sql() -> dict[str, str]:
                (lead(ts) OVER w IS NULL) AS is_current
         FROM p
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+    oracles["x_vec_pool"] = """
+        SELECT label, pos, round(avg(CAST(x AS DOUBLE)), 6) AS mean_val
+        FROM (
+            SELECT label,
+                   unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) - 1 AS pos
+            FROM embeddings WHERE embedding IS NOT NULL
+        )
+        GROUP BY 1, 2
+    """
+    oracles["x_vec_norm"] = """
+        WITH n AS (
+            SELECT vec_id,
+                   sqrt(list_sum(list_transform(
+                       embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                   ))) AS norm,
+                   list_sum(list_transform(
+                       embedding, x -> CAST(x AS DOUBLE)
+                   )) AS s
+            FROM embeddings
+        )
+        SELECT vec_id,
+               round(norm, 6) AS l2_norm,
+               CASE WHEN norm > 0 THEN round(s / norm, 6) END AS unit_sum
+        FROM n
+    """
+    oracles["x_vec_quantize"] = """
+        WITH s AS (
+            SELECT vec_id, embedding,
+                   127.0 / nullif(list_max(list_transform(
+                       embedding, x -> abs(CAST(x AS DOUBLE))
+                   )), 0.0) AS scale
+            FROM embeddings
+        )
+        SELECT vec_id,
+               round(scale, 6) AS scale,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * scale
+                          + 0.5) AS INTEGER) AS q
+        FROM s WHERE scale IS NOT NULL
     """
     oracles["h_funnel"] = """
         WITH ev AS (
