@@ -147,6 +147,7 @@ from pac_data_pipeline_spark.streaming.stateful import (
     run_streaming_sessions,
 )
 from pac_data_pipeline_spark.streaming.windows import (
+    run_streaming_sliding,
     run_streaming_tumbling,
     session_stats_per_user,
     session_window_agg,
@@ -1350,6 +1351,27 @@ def q_h_pivot(spark, sf_dir):
     )
 
 
+def q_x_stream_sliding(spark, sf_dir):
+    """Structured Streaming sliding windows (1h every 15min) with
+    watermark, driven to completion — complete-mode sink holds every
+    window instance, so on bounded input the result equals the batch
+    sliding aggregation and shares its oracle."""
+    return run_streaming_sliding(spark, sf_dir)
+
+
+def q_x_hll_distinct(spark, sf_dir):
+    """HyperLogLog++ approximate distinct users per event type
+    (2% target rsd) next to the exact count — the sketch is the
+    100 TB path (fixed-size state, map-side combinable, no
+    (key, value) expansion like exact distinct). Rows-only check:
+    HLL estimates are engine-specific by construction."""
+    e = load_events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+
+
 def q_x_vec_pool(spark, sf_dir):
     """Per-label mean embedding (long form): posexplode feeding a
     map-side-combined hash aggregate — shuffle carries
@@ -1456,6 +1478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # position > 50 from here: locally hash-verified via
         # tools/check_oracle.py (exact-oracle, code unchanged);
         # these rotate into the driver's checked window in r3.
+        "x_stream_sliding": q_x_stream_sliding,
+        "x_hll_distinct": q_x_hll_distinct,
         "x_vec_pool": q_x_vec_pool,
         "x_vec_norm": q_x_vec_norm,
         "x_vec_quantize": q_x_vec_quantize,
@@ -2388,6 +2412,7 @@ def oracle_sql() -> dict[str, str]:
     # complete-mode streaming tumbling == batch tumbling on bounded
     # input -> same oracle
     oracles["x_stream_tumbling"] = oracles["x_window_tumbling"]
+    oracles["x_stream_sliding"] = oracles["x_window_sliding"]
 
     # Portable 60-bit simhash, reproduced in pure SQL: token hash =
     # first 15 md5 hex chars ('0x...' cast), one signed vote per bit,

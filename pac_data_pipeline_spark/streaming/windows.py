@@ -203,6 +203,62 @@ def run_streaming_tumbling(
     return spark.table(query_name)
 
 
+def run_streaming_sliding(
+    spark: SparkSession,
+    sf_dir: str,
+    width: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+    query_name: str = "stream_sliding",
+    state_partitions: int | None = 8,
+) -> DataFrame:
+    """Structured Streaming variant of :func:`sliding_window_agg`:
+    each event lands in width/slide overlapping window instances
+    (state holds width/slide × more keys than tumbling — the
+    watermark is what keeps that bounded). Complete-mode memory sink
+    driven to completion, so on bounded input the result equals the
+    batch sliding aggregation and shares its oracle."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd'T'HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        query = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(query_name)
+
+
 def load_events_for_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared batch loader (nanos-normalized timestamps)."""
     return load_events(spark, sf_dir)

@@ -170,6 +170,26 @@ def test_streaming_matches_batch(spark, tmp_path):
     assert sorted(map(tuple, stream)) == sorted(map(tuple, batch))
 
 
+def test_streaming_sliding_matches_batch(spark):
+    """Streaming sliding agg must equal the batch sliding windows —
+    every overlapping window instance, not just the aligned ones."""
+    from pac_data_pipeline_spark.sources.readers import load_events
+    from pac_data_pipeline_spark.streaming.windows import (
+        run_streaming_sliding,
+        sliding_window_agg,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    try:
+        stream = run_streaming_sliding(
+            spark, sf_dir, query_name="t_slide_parity"
+        ).collect()
+    except Exception as exc:  # pragma: no cover
+        pytest.skip(f"streaming unavailable: {exc}")
+    batch = sliding_window_agg(load_events(spark, sf_dir)).collect()
+    assert sorted(map(tuple, stream)) == sorted(map(tuple, batch))
+
+
 def test_connected_components_chain_and_islands(spark):
     from pac_data_pipeline_spark.ext.dedup_text import connected_components
 
