@@ -60,6 +60,7 @@ from pac_data_pipeline_spark.operators.joins import (
 )
 from pac_data_pipeline_spark.operators.joins import fuzzy_join_banded
 from pac_data_pipeline_spark.operators.reshape import unpivot_long
+from pac_data_pipeline_spark.operators.merge import merge_upsert
 from pac_data_pipeline_spark.operators.stats import (
     grouped_corr,
     histogram_fixed_width,
@@ -87,6 +88,7 @@ from pac_data_pipeline_spark.plans.pipelines import (
     csv_report_pipeline,
     party_rollup_pipeline,
     snowflake_batch_pipeline,
+    train_corpus_pipeline,
 )
 from pac_data_pipeline_spark.session import tune_session
 from pac_data_pipeline_spark.sinks.documents import (
@@ -1351,6 +1353,61 @@ def q_h_pivot(spark, sf_dir):
     )
 
 
+def q_x_merge_upsert(spark, sf_dir):
+    """MERGE customer dim USING an updates feed (every 3rd customer
+    gets a new balance and segment): matched → update, new key →
+    insert, untouched → keep. One full-outer key join; presence
+    markers, not payload-null probing."""
+    c = _t(spark, sf_dir, "customer")
+    target = c.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    source = c.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+    )
+    out = merge_upsert(
+        target, source,
+        key_cols=("c_custkey",),
+        update_cols=("c_acctbal",),
+    )
+    return out.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "merge_action",
+    )
+
+
+def q_h_moving_avg(spark, sf_dir):
+    """7-row trailing moving average of daily revenue per priority:
+    window over pre-aggregated |key × day| rows — the rolling frame
+    never sees raw orders."""
+    o = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    daily = o.groupBy(
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(-6, 0)
+    )
+    return daily.withColumn("ma7", F.round(F.avg("rev").over(w), 2))
+
+
+def q_pipe_train_corpus(spark, sf_dir):
+    """Flagship LLM-data-prep composition, one lazy plan: quality
+    filter → language filter → exact dedup → 4-gram benchmark
+    decontamination → training manifest. Scan-stage filters feed
+    the parquet reader; only the dedup window and the decon probe
+    shuffle the corpus."""
+    return train_corpus_pipeline(spark, sf_dir)
+
+
 def q_x_stream_sliding(spark, sf_dir):
     """Structured Streaming sliding windows (1h every 15min) with
     watermark, driven to completion — complete-mode sink holds every
@@ -1478,6 +1535,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # position > 50 from here: locally hash-verified via
         # tools/check_oracle.py (exact-oracle, code unchanged);
         # these rotate into the driver's checked window in r3.
+        "pipe_train_corpus": q_pipe_train_corpus,
+        "x_merge_upsert": q_x_merge_upsert,
+        "h_moving_avg": q_h_moving_avg,
         "x_stream_sliding": q_x_stream_sliding,
         "x_hll_distinct": q_x_hll_distinct,
         "x_vec_pool": q_x_vec_pool,
@@ -2762,6 +2822,116 @@ def oracle_sql() -> dict[str, str]:
                (lead(ts) OVER w IS NULL) AS is_current
         FROM p
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+    oracles["x_merge_upsert"] = """
+        WITH t AS (
+            SELECT c_custkey, c_acctbal FROM customer
+            WHERE c_custkey % 2 = 0
+        ),
+        s AS (
+            SELECT c_custkey, round(c_acctbal + 100.0, 2) AS c_acctbal
+            FROM customer WHERE c_custkey % 3 = 0
+        )
+        SELECT coalesce(t.c_custkey, s.c_custkey) AS c_custkey,
+               round(CASE WHEN s.c_custkey IS NOT NULL
+                          THEN s.c_acctbal ELSE t.c_acctbal END, 2)
+                   AS c_acctbal,
+               CASE WHEN s.c_custkey IS NOT NULL
+                         AND t.c_custkey IS NOT NULL THEN 'update'
+                    WHEN s.c_custkey IS NOT NULL THEN 'insert'
+                    ELSE 'keep' END AS merge_action
+        FROM t FULL OUTER JOIN s ON t.c_custkey = s.c_custkey
+    """
+    oracles["h_moving_avg"] = """
+        WITH daily AS (
+            SELECT o_orderpriority,
+                   strftime(o_orderdate, '%Y-%m-%d') AS day,
+                   round(sum(o_totalprice), 2) AS rev
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT o_orderpriority, day, rev,
+               round(avg(rev) OVER (
+                   PARTITION BY o_orderpriority ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+               ), 2) AS ma7
+        FROM daily
+    """
+    oracles["pipe_train_corpus"] = """
+        WITH t AS (
+            SELECT doc_id, text, n_chars,
+                   string_split_regex(trim(text), '\\s+') AS toks,
+                   length(text) AS n_char
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, text, n_chars,
+                   round(0.5 * (len(list_filter(toks, t -> list_contains(
+                             ['the','and','of','to','a','in','is','for'],
+                             lower(t)))) * 1.0 / nullif(len(toks), 0))
+                       + 0.3 * least(len(toks) / 100.0, 1.0)
+                       + 0.2 * (1.0 - (n_char - length(regexp_replace(
+                             text, '[^\\w\\s]', '', 'g'))) * 1.0
+                             / nullif(n_char, 0)), 6) AS quality_score,
+                   CASE
+                     WHEN greatest(
+                         len(list_filter(toks, t -> list_contains(
+                             ['the','and','of','to','a'], lower(t)))),
+                         len(list_filter(toks, t -> list_contains(
+                             ['der','die','das','und','zu'], lower(t)))),
+                         len(list_filter(toks, t -> list_contains(
+                             ['le','les','des','et','une'], lower(t)))),
+                         len(list_filter(toks, t -> list_contains(
+                             ['el','los','de','y','una'], lower(t))))) = 0
+                       THEN 'und'
+                     WHEN len(list_filter(toks, t -> list_contains(
+                             ['the','and','of','to','a'], lower(t)))) =
+                          greatest(
+                         len(list_filter(toks, t -> list_contains(
+                             ['the','and','of','to','a'], lower(t)))),
+                         len(list_filter(toks, t -> list_contains(
+                             ['der','die','das','und','zu'], lower(t)))),
+                         len(list_filter(toks, t -> list_contains(
+                             ['le','les','des','et','une'], lower(t)))),
+                         len(list_filter(toks, t -> list_contains(
+                             ['el','los','de','y','una'], lower(t)))))
+                       THEN 'en'
+                     ELSE 'other'
+                   END AS lang_guess
+            FROM t
+        ),
+        kept AS (
+            SELECT * FROM scored
+            WHERE quality_score >= 0.40 AND lang_guess = 'en'
+        ),
+        dedup AS (
+            SELECT doc_id, text, n_chars, quality_score, lang_guess
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+                FROM kept
+            ) WHERE rn = 1
+        ),
+        all_g AS (
+            SELECT doc_id,
+                   unnest(list_distinct([
+                       array_to_string(toks[i : i + 3], ' ')
+                       FOR i IN range(1, greatest(len(toks) - 4 + 1, 1) + 1)
+                   ])) AS gram
+            FROM t
+        ),
+        bad AS (SELECT DISTINCT gram FROM all_g WHERE doc_id % 20 = 0),
+        hits AS (
+            SELECT g.doc_id, count(*) AS n_hits
+            FROM all_g g
+            JOIN dedup d ON g.doc_id = d.doc_id
+            JOIN bad USING (gram)
+            GROUP BY g.doc_id
+        )
+        SELECT d.doc_id, d.lang_guess, d.quality_score,
+               d.n_chars,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
+        FROM dedup d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        WHERE coalesce(h.n_hits, 0) < 1
     """
     oracles["x_vec_pool"] = """
         SELECT label, pos, round(avg(CAST(x AS DOUBLE)), 6) AS mean_val

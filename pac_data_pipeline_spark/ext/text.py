@@ -89,12 +89,10 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Composite quality score in [0,1]:
-    0.5·stopword_ratio + 0.3·min(n_tokens/100, 1) + 0.2·(1 − punct_ratio).
-
-    Pure arithmetic (no exp/log) so any engine reproduces it
-    bit-for-bit — the oracle runs the identical formula."""
+def quality_parts(text_col: str = "text") -> tuple[Column, Column]:
+    """(stopword_ratio, composite score) column expressions — shared
+    by :func:`quality_score` and the training-corpus pipeline so
+    the filter stage and the reporting stage can never drift."""
     toks = tokens(text_col)
     n_tok = F.size(toks)
     n_char = F.length(F.col(text_col))
@@ -112,6 +110,16 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.lit(0.3) * F.least(n_tok / F.lit(100.0), F.lit(1.0))
         + F.lit(0.2) * (F.lit(1.0) - punct_ratio)
     )
+    return sw_ratio, score
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality score in [0,1]:
+    0.5·stopword_ratio + 0.3·min(n_tokens/100, 1) + 0.2·(1 − punct_ratio).
+
+    Pure arithmetic (no exp/log) so any engine reproduces it
+    bit-for-bit — the oracle runs the identical formula."""
+    sw_ratio, score = quality_parts(text_col)
     return df.select(
         "doc_id",
         F.round(sw_ratio, 6).alias("stopword_ratio"),
@@ -119,11 +127,9 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-hit language ID: count seed-stopword hits per
-    language, argmax with a fixed tie order (en, de, fr, es, else
-    'und'). An n-gram model would drop in the same shape; the point
-    is the scan-stage, shuffle-free classification."""
+def lang_parts(text_col: str = "text") -> tuple[dict, Column]:
+    """(per-language hit-count exprs, argmax guess expr) — shared by
+    :func:`lang_id` and the training-corpus pipeline."""
     cols = {}
     for lang, words in LANG_STOPWORDS.items():
         sw = ", ".join(f"'{w}'" for w in words)
@@ -134,11 +140,20 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     guess = F.when(best == 0, F.lit("und"))
     for lang in LANG_STOPWORDS:  # insertion order = tie order
         guess = guess.when(cols[lang] == best, F.lit(lang))
+    return cols, guess.otherwise(F.lit("und"))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language ID: count seed-stopword hits per
+    language, argmax with a fixed tie order (en, de, fr, es, else
+    'und'). An n-gram model would drop in the same shape; the point
+    is the scan-stage, shuffle-free classification."""
+    cols, guess = lang_parts(text_col)
     return df.select(
         "doc_id",
         "lang",
         *[c.cast("bigint").alias(f"hits_{lang}") for lang, c in cols.items()],
-        guess.otherwise(F.lit("und")).alias("lang_guess"),
+        guess.alias("lang_guess"),
     )
 
 

@@ -122,3 +122,64 @@ def snowflake_batch_pipeline(
         deduped, key_cols=("l_orderkey", "l_linenumber"), n_shards=n_shards
     )
     return with_metadata(sharded, data_source="snowflake", record_type="pac_contribution")
+
+
+def train_corpus_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    quality_min: float = 0.40,
+    lang: str = "en",
+    eval_mod: int = 20,
+    ngram_n: int = 4,
+) -> DataFrame:
+    """The LLM-training-data prep chain as ONE lazy plan:
+    quality filter → language filter → exact dedup → benchmark
+    decontamination → training-ready manifest.
+
+    Stage shapes (total: two shuffles touch the corpus):
+    - quality + language are scan-stage column expressions
+      (`ext.text.quality_parts` / `lang_parts`) — filters compose
+      into the parquet scan, no joins against score frames;
+    - exact dedup is one window on sha256(text) over the already-
+      filtered survivors (filter-before-dedup: identical texts have
+      identical scores, so the orders commute, and the shuffle
+      carries only kept rows);
+    - decontamination explodes survivors to ``ngram_n``-grams and probes the
+      BROADCAST eval n-gram set (built from the full corpus, doc_id
+      % eval_mod == 0 — the benchmark exists independently of the
+      filters), then the flag frame joins back on doc_id.
+
+    Returns (doc_id, lang_guess, quality_score, n_chars, n_hits) for
+    the clean survivors — the manifest a downstream tokenizer run
+    would consume.
+    """
+    from pac_data_pipeline_spark.ext.dedup_text import (
+        decontaminate,
+        exact_dedup,
+    )
+    from pac_data_pipeline_spark.ext.text import lang_parts, quality_parts
+
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet")
+    _, score = quality_parts("text")
+    _, guess = lang_parts("text")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        "n_chars",
+        F.round(score, 6).alias("quality_score"),
+        guess.alias("lang_guess"),
+    )
+    kept = scored.filter(
+        (F.col("quality_score") >= quality_min)
+        & (F.col("lang_guess") == lang)
+    )
+    deduped = exact_dedup(kept)
+    eval_set = docs.filter(F.col("doc_id") % eval_mod == 0)
+    flags = decontaminate(deduped, eval_set, n=ngram_n)
+    return (
+        deduped.join(flags, "doc_id")
+        .filter(~F.col("contaminated"))
+        .select(
+            "doc_id", "lang_guess", "quality_score", "n_chars", "n_hits"
+        )
+    )

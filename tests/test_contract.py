@@ -41,6 +41,7 @@ def test_rows_only_set_is_intentional():
         "x_embedding_near_dup",  # engine hash function
         "x_multimodal_features",  # float features; dims ARE decoded
         "x_approx_stats",  # sketches are engine-specific
+        "x_hll_distinct",  # HLL estimates are engine-specific
     }
     assert q - o == expected_rows_only
 

@@ -1,0 +1,62 @@
+"""MERGE upsert semantics (null-valued updates, insert/keep/update
+classification, key uniqueness hazard) and the training-corpus
+pipeline's stage composition."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pac_data_pipeline_spark.operators.merge import merge_upsert
+
+
+def test_merge_update_insert_keep(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k long, name string, bal double"
+    )
+    source = spark.createDataFrame(
+        [(2, 99.0), (3, 30.0)], "k long, bal double"
+    )
+    out = {r.k: r for r in merge_upsert(
+        target, source, key_cols=("k",), update_cols=("bal",)
+    ).collect()}
+    assert (out[1].bal, out[1].merge_action) == (10.0, "keep")
+    assert (out[2].bal, out[2].merge_action) == (99.0, "update")
+    assert (out[3].bal, out[3].merge_action) == (30.0, "insert")
+    # non-update target payload persists on update, is null on insert
+    assert out[2].name == "b" and out[3].name is None
+
+
+def test_merge_null_source_value_still_updates(spark):
+    """A legitimately-null source value must overwrite (marker-based
+    presence), not silently keep the target value."""
+    target = spark.createDataFrame([(1, 10.0)], "k long, bal double")
+    source = spark.createDataFrame([(1, None)], "k long, bal double")
+    row = merge_upsert(
+        target, source, key_cols=("k",), update_cols=("bal",)
+    ).collect()[0]
+    assert row.merge_action == "update"
+    assert row.bal is None
+
+
+def test_merge_rejects_unknown_update_col(spark):
+    target = spark.createDataFrame([(1, 1.0)], "k long, bal double")
+    with pytest.raises(ValueError, match="update col"):
+        merge_upsert(target, target, ("k",), ("nope",))
+
+
+def test_train_corpus_pipeline_stages_compose(spark):
+    from pac_data_pipeline_spark.plans.pipelines import (
+        train_corpus_pipeline,
+    )
+
+    out = train_corpus_pipeline(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert out.columns == [
+        "doc_id", "lang_guess", "quality_score", "n_chars", "n_hits"
+    ]
+    # every survivor satisfies every stage's predicate
+    assert all(r.lang_guess == "en" for r in rows)
+    assert all(r.quality_score >= 0.40 for r in rows)
+    assert all(r.n_hits == 0 for r in rows)
+    # eval-set members (doc_id % 20 == 0) are self-contaminated by
+    # construction and can never survive
+    assert all(r.doc_id % 20 != 0 for r in rows)
