@@ -442,27 +442,49 @@ def char_entropy(
     O(len·log len) local cost. Rounded to 6 so both engines' float
     fold orders agree.
     """
-    cs = f"array_sort(split({text_col}, ''))"
-    starts = (
-        f"filter(sequence(1, size({cs})), i -> i = 1 OR "
-        f"element_at({cs}, i) <> element_at({cs}, i - 1))"
+    # STAGED intermediates, one withColumn each: a lambda body
+    # re-evaluates any non-attribute subtree per element (HOFs run
+    # interpreted, outside codegen's subexpression elimination), so
+    # inlining the sorted array into element_at() would cost
+    # O(n² log n) per row — measured as a 20+ minute single task at
+    # sf0.1. CollapseProject keeps multi-referenced non-cheap
+    # columns materialized, making each stage once-per-row.
+    from pac_data_pipeline_spark.ext.dedup_text import ensure_parallelism
+
+    out = (
+        ensure_parallelism(df)
+        .withColumn("__cs", F.expr(f"array_sort(split({text_col}, ''))"))
+        .withColumn(
+            "__starts",
+            F.expr(
+                "filter(sequence(1, size(__cs)), i -> i = 1 OR "
+                "element_at(__cs, i) <> element_at(__cs, i - 1))"
+            ),
+        )
+        .withColumn(
+            "__counts",
+            F.expr(
+                f"""zip_with(
+                    __starts,
+                    slice(__starts, 2, size(__starts)),
+                    (s, nxt) -> coalesce(nxt, length({text_col}) + 1) - s
+                )"""
+            ),
+        )
+        .withColumn(
+            "char_entropy",
+            F.expr(
+                f"""CASE WHEN length({text_col}) = 0 THEN NULL ELSE
+                  round(
+                    ln(length({text_col})) -
+                    aggregate(
+                      __counts,
+                      cast(0.0 AS double),
+                      (acc, c) -> acc + c * ln(c)
+                    ) / length({text_col}),
+                  6)
+                END"""
+            ),
+        )
     )
-    expr = f"""
-    CASE WHEN length({text_col}) = 0 THEN NULL ELSE
-      round(
-        ln(length({text_col})) -
-        aggregate(
-          zip_with(
-            {starts},
-            slice({starts}, 2, size({starts})),
-            (s, nxt) -> coalesce(nxt, length({text_col}) + 1) - s
-          ),
-          cast(0.0 AS double),
-          (acc, c) -> acc + c * ln(c)
-        ) / length({text_col}),
-      6)
-    END
-    """
-    return df.select(
-        F.col(id_col), F.expr(expr).alias("char_entropy")
-    )
+    return out.select(F.col(id_col), "char_entropy")
