@@ -60,7 +60,9 @@ from pac_data_pipeline_spark.operators.joins import (
 )
 from pac_data_pipeline_spark.operators.joins import fuzzy_join_banded
 from pac_data_pipeline_spark.operators.reshape import unpivot_long
+from pac_data_pipeline_spark.ext.text import corpus_report
 from pac_data_pipeline_spark.operators.merge import merge_upsert
+from pac_data_pipeline_spark.operators.profile import profile_columns
 from pac_data_pipeline_spark.operators.stats import (
     grouped_corr,
     histogram_fixed_width,
@@ -1399,6 +1401,24 @@ def q_h_moving_avg(spark, sf_dir):
     return daily.withColumn("ma7", F.round(F.avg("rev").over(w), 2))
 
 
+def q_x_profile(spark, sf_dir):
+    """Data-quality profile of orders: nulls, cardinality, value
+    range per column in ONE table pass (multi-distinct Expand);
+    approx_count_distinct is the documented 100 TB swap."""
+    return profile_columns(
+        _t(spark, sf_dir, "orders"),
+        cols=("o_orderkey", "o_custkey", "o_orderstatus",
+              "o_totalprice", "o_orderpriority"),
+    )
+
+
+def q_x_corpus_report(spark, sf_dir):
+    """Per-source corpus report card: volume, mean quality, mean
+    length, English share — the same scan-stage signal expressions
+    the pipeline filters use, one |sources|-row aggregation."""
+    return corpus_report(_t(spark, sf_dir, "documents"))
+
+
 def q_pipe_train_corpus(spark, sf_dir):
     """Flagship LLM-data-prep composition, one lazy plan: quality
     filter → language filter → exact dedup → 4-gram benchmark
@@ -1538,6 +1558,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_train_corpus": q_pipe_train_corpus,
         "x_merge_upsert": q_x_merge_upsert,
         "h_moving_avg": q_h_moving_avg,
+        "x_profile": q_x_profile,
+        "x_corpus_report": q_x_corpus_report,
         "x_stream_sliding": q_x_stream_sliding,
         "x_hll_distinct": q_x_hll_distinct,
         "x_vec_pool": q_x_vec_pool,
@@ -2822,6 +2844,84 @@ def oracle_sql() -> dict[str, str]:
                (lead(ts) OVER w IS NULL) AS is_current
         FROM p
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+    oracles["x_profile"] = """
+        SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+               count(*) - count(o_orderkey) AS n_null,
+               count(DISTINCT o_orderkey) AS n_distinct,
+               CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+               CAST(max(o_orderkey) AS VARCHAR) AS max_value
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+               count(DISTINCT o_custkey),
+               CAST(min(o_custkey) AS VARCHAR),
+               CAST(max(o_custkey) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+               count(DISTINCT o_orderstatus),
+               CAST(min(o_orderstatus) AS VARCHAR),
+               CAST(max(o_orderstatus) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+               count(DISTINCT o_totalprice),
+               CAST(min(o_totalprice) AS VARCHAR),
+               CAST(max(o_totalprice) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', count(*),
+               count(*) - count(o_orderpriority),
+               count(DISTINCT o_orderpriority),
+               CAST(min(o_orderpriority) AS VARCHAR),
+               CAST(max(o_orderpriority) AS VARCHAR)
+        FROM orders
+    """
+    oracles["x_corpus_report"] = """
+        WITH t AS (
+            SELECT source,
+                   string_split_regex(trim(text), '\\s+') AS toks,
+                   length(text) AS n_char, text
+            FROM documents
+        ),
+        m AS (
+            SELECT source, n_char,
+                   0.5 * (len(list_filter(toks, t -> list_contains(
+                       ['the','and','of','to','a','in','is','for'],
+                       lower(t)))) * 1.0 / nullif(len(toks), 0))
+                   + 0.3 * least(len(toks) / 100.0, 1.0)
+                   + 0.2 * (1.0 - (n_char - length(regexp_replace(
+                         text, '[^\\w\\s]', '', 'g'))) * 1.0
+                         / nullif(n_char, 0)) AS q,
+                   CASE WHEN greatest(
+                       len(list_filter(toks, t -> list_contains(
+                           ['the','and','of','to','a'], lower(t)))),
+                       len(list_filter(toks, t -> list_contains(
+                           ['der','die','das','und','zu'], lower(t)))),
+                       len(list_filter(toks, t -> list_contains(
+                           ['le','les','des','et','une'], lower(t)))),
+                       len(list_filter(toks, t -> list_contains(
+                           ['el','los','de','y','una'], lower(t))))) > 0
+                     AND len(list_filter(toks, t -> list_contains(
+                           ['the','and','of','to','a'], lower(t)))) =
+                         greatest(
+                       len(list_filter(toks, t -> list_contains(
+                           ['the','and','of','to','a'], lower(t)))),
+                       len(list_filter(toks, t -> list_contains(
+                           ['der','die','das','und','zu'], lower(t)))),
+                       len(list_filter(toks, t -> list_contains(
+                           ['le','les','des','et','une'], lower(t)))),
+                       len(list_filter(toks, t -> list_contains(
+                           ['el','los','de','y','una'], lower(t)))))
+                     THEN 1.0 ELSE 0.0 END AS is_en
+            FROM t
+        )
+        SELECT source, count(*) AS n_docs,
+               round(avg(q), 4) AS mean_quality,
+               round(avg(n_char), 2) AS mean_chars,
+               round(avg(is_en), 4) AS en_share
+        FROM m GROUP BY source
     """
     oracles["x_merge_upsert"] = """
         WITH t AS (

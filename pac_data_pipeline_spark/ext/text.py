@@ -488,3 +488,34 @@ def char_entropy(
         )
     )
     return out.select(F.col(id_col), "char_entropy")
+
+
+def corpus_report(
+    df: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-source corpus report card: volume, mean quality, mean
+    length, English share — the go/no-go summary a data-curation
+    run prints per crawl/source before mixing.
+
+    The quality/language signals are the same scan-stage column
+    expressions the filters use (`quality_parts` / `lang_parts`),
+    so the report describes exactly what the pipeline would keep;
+    one |sources|-row hash aggregation after a pure map stage.
+    """
+    _, score = quality_parts(text_col)
+    _, guess = lang_parts(text_col)
+    return (
+        df.select(
+            F.col(source_col),
+            F.length(F.col(text_col)).alias("__len"),
+            score.alias("__q"),
+            (guess == "en").cast("double").alias("__en"),
+        )
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("__q"), 4).alias("mean_quality"),
+            F.round(F.avg("__len"), 2).alias("mean_chars"),
+            F.round(F.avg("__en"), 4).alias("en_share"),
+        )
+    )
