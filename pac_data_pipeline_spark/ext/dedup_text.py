@@ -426,6 +426,30 @@ def near_dup_clusters(
 # -- n-gram Jaccard ----------------------------------------------------------
 
 
+def _with_token_ngrams(
+    df: DataFrame, text_col: str, n: int, out_col: str = "grams"
+) -> DataFrame:
+    """Stage the token array as its own column, THEN build n-grams
+    from the attribute: a lambda body re-evaluates any non-attribute
+    subtree per element (HOFs run interpreted), so inlining
+    split(trim(text)) into the slice() would tokenize the document
+    once per n-gram index — O(tokens²) characters per row. Staged,
+    the tokenization is once-per-row and the lambda only slices an
+    attribute. CollapseProject keeps the multi-referenced non-cheap
+    column materialized."""
+    return df.withColumn(
+        "__toks", F.expr(f"split(trim({text_col}), '\\\\s+')")
+    ).withColumn(
+        out_col,
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, greatest(size(__toks) - {n} + 1, 1)),"
+                f" i -> concat_ws(' ', slice(__toks, i, {n})))"
+            )
+        ),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,
@@ -437,14 +461,9 @@ def ngram_jaccard_pairs(
     (id_a, id_b) — the verification stage after LSH narrows
     candidates. array_intersect/array_union on distinct n-gram
     sets; per-pair cost linear in document length."""
-    grams = F.array_distinct(
-        F.expr(
-            f"transform(sequence(1, greatest(size(split(trim({text_col}),"
-            f" '\\\\s+')) - {n} + 1, 1)),"
-            f" i -> concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), i, {n})))"
-        )
-    )
-    docs = ensure_parallelism(df).select(F.col(id_col), grams.alias("grams"))
+    docs = _with_token_ngrams(
+        ensure_parallelism(df), text_col, n
+    ).select(F.col(id_col), "grams")
     a = docs.select(F.col(id_col).alias("id_a"), F.col("grams").alias("g_a"))
     b = docs.select(F.col(id_col).alias("id_b"), F.col("grams").alias("g_b"))
     inter = F.size(F.array_intersect("g_a", "g_b"))
@@ -481,19 +500,21 @@ def decontaminate(
     set, so the fact side never shuffles for the probe. Returns
     (doc_id, n_hits, contaminated); compose with a filter on
     ``NOT contaminated`` to clean the corpus."""
-    grams = F.array_distinct(
-        F.expr(
-            f"transform(sequence(1, greatest(size(split(trim({text_col}),"
-            f" '\\\\s+')) - {n} + 1, 1)),"
-            f" i -> concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), i, {n})))"
-        )
-    )
+    # explode_outer, deliberately: plain explode over the staged
+    # attribute lets InferFiltersFromGenerate add `size(grams) > 0`,
+    # and filter pushdown re-inlines the full gram expression below
+    # the parallelizing exchange — the whole corpus then tokenizes
+    # on the scan's (possibly single) input split, twice. The gram
+    # array is never empty (sequence lower bound 1), so outer
+    # semantics are identical and the inference is suppressed.
     bad = (
-        contamination.select(F.explode(grams).alias("gram")).distinct()
+        _with_token_ngrams(ensure_parallelism(contamination), text_col, n)
+        .select(F.explode_outer("grams").alias("gram"))
+        .distinct()
     )
-    doc_grams = ensure_parallelism(df).select(
-        F.col(id_col), F.explode(grams).alias("gram")
-    )
+    doc_grams = _with_token_ngrams(
+        ensure_parallelism(df), text_col, n
+    ).select(F.col(id_col), F.explode_outer("grams").alias("gram"))
     hits = (
         doc_grams.join(F.broadcast(bad), "gram")
         .groupBy(id_col)
