@@ -64,6 +64,7 @@ from pac_data_pipeline_spark.ext.text import corpus_report
 from pac_data_pipeline_spark.operators.merge import merge_upsert
 from pac_data_pipeline_spark.operators.profile import profile_columns
 from pac_data_pipeline_spark.operators.stats import (
+    cumulative_distinct,
     grouped_corr,
     histogram_fixed_width,
     mode_per_key,
@@ -1401,6 +1402,73 @@ def q_h_moving_avg(spark, sf_dir):
     return daily.withColumn("ma7", F.round(F.avg("rev").over(w), 2))
 
 
+def q_h_semi(spark, sf_dir):
+    """LEFT SEMI join: orders containing at least one big-quantity
+    line — existence probe without duplicating orders per matching
+    line (the EXISTS plan, one shuffle, no post-join dedup)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return o.join(
+        li, o.o_orderkey == li.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_totalprice")
+
+
+def q_h_except_all(spark, sf_dir):
+    """EXCEPT ALL (multiset difference, Spark exceptAll): order
+    priorities of open orders minus fulfilled ones — duplicates
+    subtract per-occurrence instead of collapsing, which EXCEPT
+    DISTINCT would hide."""
+    o = _t(spark, sf_dir, "orders")
+    open_p = o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderpriority"
+    )
+    done_p = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderpriority"
+    )
+    return (
+        open_p.exceptAll(done_p)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_h_nullsafe_join(spark, sf_dir):
+    """Null-safe equi-join (<=>): event pairs matched on possibly-
+    null user_id where plain equality silently drops the null
+    stratum — counts per join bucket prove the nulls matched."""
+    e = load_events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"), F.col("value").alias("v")
+    )
+    signups = e.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("u2")
+    ).distinct()
+    return (
+        purchases.join(
+            signups, purchases.u.eqNullSafe(signups.u2), "inner"
+        )
+        .groupBy(F.coalesce(F.col("u"), F.lit(-1)).alias("user_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("v"), 2).alias("total_value"),
+        )
+    )
+
+
+def q_h_window_distinct(spark, sf_dir):
+    """Cumulative distinct users per event type by day — Spark has
+    no COUNT(DISTINCT) OVER; the first-occurrence rewrite keeps
+    window state at one long per row instead of a growing
+    collect_set."""
+    e = load_events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    daily = e.select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "user_id",
+    )
+    return cumulative_distinct(daily, "event_type", "day", "user_id")
+
+
 def q_x_profile(spark, sf_dir):
     """Data-quality profile of orders: nulls, cardinality, value
     range per column in ONE table pass (multi-distinct Expand);
@@ -1560,6 +1628,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h_moving_avg": q_h_moving_avg,
         "x_profile": q_x_profile,
         "x_corpus_report": q_x_corpus_report,
+        "h_semi": q_h_semi,
+        "h_except_all": q_h_except_all,
+        "h_nullsafe_join": q_h_nullsafe_join,
+        "h_window_distinct": q_h_window_distinct,
         "x_stream_sliding": q_x_stream_sliding,
         "x_hll_distinct": q_x_hll_distinct,
         "x_vec_pool": q_x_vec_pool,
@@ -2844,6 +2916,53 @@ def oracle_sql() -> dict[str, str]:
                (lead(ts) OVER w IS NULL) AS is_current
         FROM p
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+    oracles["h_semi"] = """
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45
+        )
+    """
+    oracles["h_except_all"] = """
+        SELECT o_orderpriority, count(*) AS n FROM (
+            SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+            EXCEPT ALL
+            SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+        ) GROUP BY o_orderpriority
+    """
+    oracles["h_nullsafe_join"] = """
+        WITH p AS (
+            SELECT user_id AS u, value AS v FROM events
+            WHERE event_type = 'purchase'
+        ),
+        s AS (
+            SELECT DISTINCT user_id AS u2 FROM events
+            WHERE event_type = 'signup'
+        )
+        SELECT coalesce(p.u, -1) AS user_bucket,
+               count(*) AS n,
+               round(sum(p.v), 2) AS total_value
+        FROM p JOIN s ON p.u IS NOT DISTINCT FROM s.u2
+        GROUP BY 1
+    """
+    oracles["h_window_distinct"] = """
+        WITH f AS (
+            SELECT event_type, user_id,
+                   min(strftime(ts, '%Y-%m-%d')) AS day
+            FROM events WHERE user_id IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        p AS (
+            SELECT event_type, day, count(*) AS n_new
+            FROM f GROUP BY 1, 2
+        )
+        SELECT event_type, day, n_new,
+               sum(n_new) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS n_distinct_cum
+        FROM p
     """
     oracles["x_profile"] = """
         SELECT 'o_orderkey' AS "column", count(*) AS n_rows,

@@ -166,3 +166,40 @@ def running_total(
     return df.withColumn(
         alias, F.round(F.sum(value_col).over(w), digits)
     )
+
+
+def cumulative_distinct(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Running distinct count of ``value_col`` per key in
+    ``order_col`` order (e.g. cumulative unique users per event
+    type by day).
+
+    Spark has no COUNT(DISTINCT) OVER — and the collect_set-over-
+    window workaround holds every distinct value in every frame
+    (state explodes with cardinality). The scalable rewrite: mark
+    each value's FIRST occurrence (one min-aggregation on
+    (key, value)), then the running distinct count is a plain
+    cumulative SUM of first-occurrence markers per (key, order) —
+    two single-key shuffles, window state is one long per row.
+    """
+    first_seen = df.groupBy(key_col, value_col).agg(
+        F.min(order_col).alias("__first")
+    )
+    per_period = first_seen.groupBy(
+        key_col, F.col("__first").alias(order_col)
+    ).agg(F.count(F.lit(1)).alias("__new"))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_period.select(
+        key_col,
+        order_col,
+        F.col("__new").alias("n_new"),
+        F.sum("__new").over(w).alias("n_distinct_cum"),
+    )

@@ -83,3 +83,21 @@ def test_running_total_per_key_prefix_sums(spark):
     got = {(r.k, r.d): r.running_total for r in out.collect()}
     assert got == {("a", "d1"): 1.0, ("a", "d2"): 3.0,
                    ("a", "d3"): 7.0, ("b", "d1"): 10.0}
+
+
+def test_cumulative_distinct_counts_first_occurrences_only(spark):
+    from pac_data_pipeline_spark.operators.stats import (
+        cumulative_distinct,
+    )
+
+    df = spark.createDataFrame(
+        [("t", "d1", 1), ("t", "d1", 2), ("t", "d2", 1),  # 1 repeats
+         ("t", "d2", 3), ("t", "d3", 1), ("u", "d1", 9)],
+        "k string, d string, v long",
+    )
+    out = {(r.k, r.d): (r.n_new, r.n_distinct_cum)
+           for r in cumulative_distinct(df, "k", "d", "v").collect()}
+    # d2: only v=3 is new (v=1 first seen d1); d3 adds nothing and
+    # produces NO row (no first occurrence that day)
+    assert out == {("t", "d1"): (2, 2), ("t", "d2"): (1, 3),
+                   ("u", "d1"): (1, 1)}
