@@ -60,7 +60,7 @@ from pac_data_pipeline_spark.operators.joins import (
 )
 from pac_data_pipeline_spark.operators.joins import fuzzy_join_banded
 from pac_data_pipeline_spark.operators.reshape import unpivot_long
-from pac_data_pipeline_spark.ext.text import corpus_report
+from pac_data_pipeline_spark.ext.text import corpus_report, pmi_collocations
 from pac_data_pipeline_spark.operators.merge import merge_upsert
 from pac_data_pipeline_spark.operators.profile import profile_columns
 from pac_data_pipeline_spark.operators.stats import (
@@ -1402,6 +1402,14 @@ def q_h_moving_avg(spark, sf_dir):
     return daily.withColumn("ma7", F.round(F.avg("rev").over(w), 2))
 
 
+def q_x_collocations(spark, sf_dir):
+    """Top-20 bigram collocations by PMI (min count 5): staged
+    tokens, zip_with bigrams, two count aggs + count-frame joins,
+    TakeOrdered top-k. Rounded before ranking, bigram-text
+    tiebreak."""
+    return pmi_collocations(_t(spark, sf_dir, "documents"))
+
+
 def q_h_semi(spark, sf_dir):
     """LEFT SEMI join: orders containing at least one big-quantity
     line — existence probe without duplicating orders per matching
@@ -1632,6 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h_except_all": q_h_except_all,
         "h_nullsafe_join": q_h_nullsafe_join,
         "h_window_distinct": q_h_window_distinct,
+        "x_collocations": q_x_collocations,
         "x_stream_sliding": q_x_stream_sliding,
         "x_hll_distinct": q_x_hll_distinct,
         "x_vec_pool": q_x_vec_pool,
@@ -2916,6 +2925,40 @@ def oracle_sql() -> dict[str, str]:
                (lead(ts) OVER w IS NULL) AS is_current
         FROM p
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+    oracles["x_collocations"] = """
+        WITH t AS (
+            SELECT string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents
+        ),
+        bg AS (
+            SELECT unnest(
+                       [struct_pack(w1 := toks[i], w2 := toks[i + 1])
+                        FOR i IN range(1, len(toks))]
+                   ) AS b
+            FROM t WHERE len(toks) >= 2
+        ),
+        bi AS (
+            SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS c_xy
+            FROM bg GROUP BY 1, 2 HAVING count(*) >= 5
+        ),
+        uni AS (
+            SELECT w, count(*) AS c FROM (
+                SELECT unnest(toks) AS w FROM t
+            ) GROUP BY w
+        ),
+        n AS (SELECT count(*) AS n_total FROM bg),
+        scored AS (
+            SELECT concat(bi.w1, ' ', bi.w2) AS bigram, bi.c_xy,
+                   round(ln(n.n_total * bi.c_xy * 1.0
+                            / (ux.c * uy.c)), 6) AS pmi
+            FROM bi
+            JOIN uni ux ON bi.w1 = ux.w
+            JOIN uni uy ON bi.w2 = uy.w
+            CROSS JOIN n
+        )
+        SELECT bigram, c_xy, pmi FROM scored
+        ORDER BY pmi DESC, bigram ASC LIMIT 20
     """
     oracles["h_semi"] = """
         SELECT o_orderkey, o_totalprice FROM orders o

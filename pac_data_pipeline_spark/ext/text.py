@@ -519,3 +519,91 @@ def corpus_report(
             F.round(F.avg("__en"), 4).alias("en_share"),
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information:
+    PMI = ln(N_bi · c_xy / (c_x · c_y)) over adjacent token pairs —
+    the classic phrase-mining signal ("new york" scores high, "of
+    the" scores low despite its count).
+
+    Plan shape: the token array stages once per row, bigrams come
+    from zip_with(toks, slice(toks, 2, ...)) — attribute-only
+    lambdas, no per-element re-tokenization. One hash agg for bigram
+    counts [pair key spreads hot heads], one for unigrams [|vocab|
+    rows], two broadcast-sized joins of count frames, then a global
+    top-k that compiles to TakeOrderedAndProject (never a full
+    sort). ``min_count`` prunes the noise floor BEFORE the joins —
+    PMI is unstable on rare pairs and the filter shrinks the join
+    probe to the frequent tail. Scores round before ranking so
+    cross-engine ln ULP noise cannot flip the order; ties break on
+    the bigram text.
+    """
+    toked = ensure_parallelism_text(df).withColumn(
+        "__toks", F.expr(f"split(trim({text_col}), '\\\\s+')")
+    )
+    bigrams = toked.select(
+        F.explode_outer(
+            F.expr(
+                "zip_with(__toks, slice(__toks, 2, size(__toks)),"
+                " (a, b) -> CASE WHEN b IS NOT NULL"
+                " THEN struct(a AS w1, b AS w2) END)"
+            )
+        ).alias("bg")
+    ).filter(F.col("bg").isNotNull())
+    bi_counts = (
+        bigrams.select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    uni_counts = (
+        toked.select(F.explode_outer("__toks").alias("w"))
+        .filter(F.col("w").isNotNull())
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_bi = bigrams.agg(F.count(F.lit(1)).alias("n_total"))
+    scored = (
+        bi_counts.join(
+            uni_counts.select(
+                F.col("w").alias("w1"), F.col("c").alias("c_x")
+            ),
+            "w1",
+        )
+        .join(
+            uni_counts.select(
+                F.col("w").alias("w2"), F.col("c").alias("c_y")
+            ),
+            "w2",
+        )
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            "c_xy",
+            F.round(
+                F.log(
+                    F.col("n_total")
+                    * F.col("c_xy")
+                    / (F.col("c_x") * F.col("c_y"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("bigram").asc()
+    ).limit(k)
+
+
+def ensure_parallelism_text(df: DataFrame) -> DataFrame:
+    """Local import indirection for the shared repartition helper
+    (avoids a circular import at module load)."""
+    from pac_data_pipeline_spark.ext.dedup_text import ensure_parallelism
+
+    return ensure_parallelism(df)

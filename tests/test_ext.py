@@ -382,3 +382,19 @@ def test_video_container_frame_sample(spark):
             # generative formula
             assert r.width == 4 + (d + r.frame_idx) % 5
             assert r.height == 4 + (d * 3 + r.frame_idx) % 5
+
+
+def test_pmi_collocations_scores_phrases_over_fillers(spark):
+    from pac_data_pipeline_spark.ext.text import pmi_collocations
+
+    # "new york" always co-occurs (high PMI); "of the" is frequent
+    # but both words appear everywhere (low PMI)
+    docs = [(i, "the city of new york is of the best of the world")
+            for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = pmi_collocations(df, k=5, min_count=5).collect()
+    assert out[0].bigram == "new york"
+    pmi = {r.bigram: r.pmi for r in out}
+    assert pmi["new york"] > pmi.get("of the", -99)
+    # counts: 10 docs x 1 occurrence
+    assert out[0].c_xy == 10
