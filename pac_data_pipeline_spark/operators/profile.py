@@ -37,7 +37,13 @@ def profile_columns(
     row per partition — flip it for production profiling, keep
     exact for differential testing.
     """
+    from pac_data_pipeline_spark.ext.dedup_text import ensure_parallelism
+
     cols = list(cols) if cols is not None else list(df.columns)
+    # the exact multi-distinct Expand multiplies rows by |cols|+1
+    # before the partial aggregate — spread a small-split scan over
+    # the cores first (no-op when splits already ≥ cores)
+    df = ensure_parallelism(df)
     distinct = (
         F.count_distinct if exact_distinct else F.approx_count_distinct
     )
