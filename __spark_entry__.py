@@ -61,7 +61,10 @@ from pac_data_pipeline_spark.operators.joins import (
 from pac_data_pipeline_spark.operators.joins import fuzzy_join_banded
 from pac_data_pipeline_spark.operators.reshape import unpivot_long
 from pac_data_pipeline_spark.ext.text import corpus_report, pmi_collocations
-from pac_data_pipeline_spark.operators.merge import merge_upsert
+from pac_data_pipeline_spark.operators.merge import (
+    merge_upsert,
+    merge_upsert_latest,
+)
 from pac_data_pipeline_spark.operators.profile import profile_columns
 from pac_data_pipeline_spark.operators.stats import (
     cumulative_distinct,
@@ -1402,6 +1405,61 @@ def q_h_moving_avg(spark, sf_dir):
     return daily.withColumn("ma7", F.round(F.avg("rev").over(w), 2))
 
 
+def q_x_merge_cdc(spark, sf_dir):
+    """Two-wave CDC ingestion: purchase events split at mid-month
+    arrive as wave 1 then wave 2; each wave dedups to its latest row
+    per user and conditionally merges (update only if newer). Final
+    state must equal 'latest purchase per user' regardless of wave
+    boundaries — the idempotent-replay property, hash-checked."""
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir).filter(
+        (F.col("event_type") == "purchase")
+        & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    cut = "2024-01-15 00:00:00"
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def latest(df):
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "user_id",
+                F.round("value", 2).alias("value"),
+                F.col("ts").alias("version_ts"),
+                "event_id",
+            )
+        )
+
+    wave1 = latest(e.filter(F.col("ts") < cut))
+    wave2 = latest(e.filter(F.col("ts") >= cut))
+    state = merge_upsert_latest(
+        wave1.limit(0), wave1,
+        key_cols=("user_id",),
+        update_cols=("value", "event_id"),
+        version_col="version_ts",
+    ).drop("merge_action")
+    state = merge_upsert_latest(
+        state, wave2,
+        key_cols=("user_id",),
+        update_cols=("value", "event_id"),
+        version_col="version_ts",
+    )
+    return state.select(
+        "user_id",
+        "value",
+        F.date_format("version_ts", "yyyy-MM-dd'T'HH:mm:ss").alias(
+            "version_ts"
+        ),
+        "event_id",
+        "merge_action",
+    )
+
+
 def q_x_collocations(spark, sf_dir):
     """Top-20 bigram collocations by PMI (min count 5): staged
     tokens, zip_with bigrams, two count aggs + count-frame joins,
@@ -1641,6 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h_nullsafe_join": q_h_nullsafe_join,
         "h_window_distinct": q_h_window_distinct,
         "x_collocations": q_x_collocations,
+        "x_merge_cdc": q_x_merge_cdc,
         "x_stream_sliding": q_x_stream_sliding,
         "x_hll_distinct": q_x_hll_distinct,
         "x_vec_pool": q_x_vec_pool,
@@ -2925,6 +2984,34 @@ def oracle_sql() -> dict[str, str]:
                (lead(ts) OVER w IS NULL) AS is_current
         FROM p
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+    oracles["x_merge_cdc"] = """
+        WITH p AS (
+            SELECT user_id, event_id, value, ts FROM events
+            WHERE event_type = 'purchase' AND user_id IS NOT NULL
+              AND ts IS NOT NULL
+        ),
+        l AS (
+            SELECT user_id, event_id, round(value, 2) AS value, ts,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM p
+        ),
+        h1 AS (SELECT DISTINCT user_id FROM p
+               WHERE ts < TIMESTAMP '2024-01-15 00:00:00'),
+        h2 AS (SELECT DISTINCT user_id FROM p
+               WHERE ts >= TIMESTAMP '2024-01-15 00:00:00')
+        SELECT l.user_id, l.value,
+               strftime(l.ts, '%Y-%m-%dT%H:%M:%S') AS version_ts,
+               l.event_id,
+               CASE WHEN l.user_id IN (SELECT user_id FROM h2)
+                     AND l.user_id IN (SELECT user_id FROM h1)
+                    THEN 'update'
+                    WHEN l.user_id IN (SELECT user_id FROM h2)
+                    THEN 'insert'
+                    ELSE 'keep' END AS merge_action
+        FROM l WHERE rn = 1
     """
     oracles["x_collocations"] = """
         WITH t AS (

@@ -64,3 +64,62 @@ def merge_upsert(
         for c in non_key
     ]
     return joined.select(*out_cols, action.alias("merge_action"))
+
+
+def merge_upsert_latest(
+    target: DataFrame,
+    source: DataFrame,
+    key_cols: Sequence[str],
+    update_cols: Sequence[str],
+    version_col: str,
+) -> DataFrame:
+    """CDC-style conditional MERGE: a matched source row wins only
+    when its ``version_col`` (event time / sequence number) is
+    strictly newer than the target's — the idempotent ingestion
+    rule that makes replays and out-of-order feeds safe. Unmatched
+    source keys insert; stale source rows leave the target
+    untouched (action 'keep').
+
+    Same single full-outer key join as :func:`merge_upsert`; the
+    version comparison is a scan-stage predicate on the joined row.
+    Chain one call per ingestion wave: state converges to the
+    row with the max version per key regardless of arrival order.
+    """
+    non_key = [c for c in target.columns if c not in key_cols]
+    if version_col not in non_key:
+        raise ValueError("version col must be a target payload column")
+    for c in update_cols:
+        if c not in non_key:
+            raise ValueError(f"update col {c!r} not in target payload")
+    upd = list(dict.fromkeys(list(update_cols) + [version_col]))
+    tgt = target.withColumn("__tgt", F.lit(True))
+    src = source.select(
+        *key_cols,
+        *[F.col(c).alias(f"__src_{c}") for c in upd],
+        F.lit(True).alias("__src"),
+    )
+    joined = tgt.join(src, on=list(key_cols), how="full_outer")
+    src_present = F.col("__src").isNotNull()
+    tgt_present = F.col("__tgt").isNotNull()
+    src_ver = F.col(f"__src_{version_col}")
+    tgt_ver = F.col(version_col)
+    newer = src_present & (
+        ~tgt_present
+        # a versionless target row loses to any versioned source row
+        | (tgt_ver.isNull() & src_ver.isNotNull())
+        | (src_ver > tgt_ver)
+    )
+    action = (
+        F.when(newer & tgt_present, F.lit("update"))
+        .when(newer, F.lit("insert"))
+        .otherwise(F.lit("keep"))
+    )
+    out_cols = list(key_cols) + [
+        (
+            F.when(newer, F.col(f"__src_{c}")).otherwise(F.col(c)).alias(c)
+            if c in upd
+            else F.col(c)
+        )
+        for c in non_key
+    ]
+    return joined.select(*out_cols, action.alias("merge_action"))

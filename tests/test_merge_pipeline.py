@@ -60,3 +60,47 @@ def test_train_corpus_pipeline_stages_compose(spark):
     # eval-set members (doc_id % 20 == 0) are self-contaminated by
     # construction and can never survive
     assert all(r.doc_id % 20 != 0 for r in rows)
+
+
+def test_merge_upsert_latest_stale_rows_lose(spark):
+    from pac_data_pipeline_spark.operators.merge import (
+        merge_upsert_latest,
+    )
+
+    target = spark.createDataFrame(
+        [(1, 10.0, 100), (2, 20.0, 200), (4, 40.0, None)],
+        "k long, bal double, ver long",
+    )
+    source = spark.createDataFrame(
+        [(1, 99.0, 150),   # newer → update
+         (2, 88.0, 50),    # STALE → keep target values
+         (3, 30.0, 300),   # new key → insert
+         (4, 44.0, 400)],  # target has null version → update
+        "k long, bal double, ver long",
+    )
+    out = {r.k: r for r in merge_upsert_latest(
+        target, source, ("k",), ("bal",), "ver"
+    ).collect()}
+    assert (out[1].bal, out[1].ver, out[1].merge_action) == (99.0, 150, "update")
+    assert (out[2].bal, out[2].ver, out[2].merge_action) == (20.0, 200, "keep")
+    assert (out[3].bal, out[3].ver, out[3].merge_action) == (30.0, 300, "insert")
+    assert (out[4].bal, out[4].ver, out[4].merge_action) == (44.0, 400, "update")
+
+
+def test_merge_upsert_latest_replay_is_idempotent(spark):
+    from pac_data_pipeline_spark.operators.merge import (
+        merge_upsert_latest,
+    )
+
+    base = spark.createDataFrame(
+        [(1, 1.0, 10), (2, 2.0, 20)], "k long, bal double, ver long"
+    )
+    wave = spark.createDataFrame(
+        [(1, 5.0, 30)], "k long, bal double, ver long"
+    )
+    once = merge_upsert_latest(base, wave, ("k",), ("bal",), "ver") \
+        .drop("merge_action")
+    twice = merge_upsert_latest(once, wave, ("k",), ("bal",), "ver")
+    got = {r.k: (r.bal, r.ver, r.merge_action) for r in twice.collect()}
+    # replaying the same wave changes nothing: versions equal → keep
+    assert got == {1: (5.0, 30, "keep"), 2: (2.0, 20, "keep")}
