@@ -1405,6 +1405,40 @@ def q_h_moving_avg(spark, sf_dir):
     return daily.withColumn("ma7", F.round(F.avg("rev").over(w), 2))
 
 
+def q_x_entity_resolution(spark, sf_dir):
+    """End-to-end entity resolution: banded fuzzy candidate pairs
+    (prefix band + Levenshtein ≤ 1) → connected components →
+    cluster id + size + keeper flag per customer. The all-pairs
+    product never materializes; clustering is iterative min-label
+    propagation (exact recursive-CTE oracle)."""
+    from pac_data_pipeline_spark.ext.dedup_text import (
+        connected_components,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    edges = fuzzy_join_banded(
+        c, c, text_col="c_name", id_col="c_custkey",
+        band_len=16, max_distance=1,
+    ).select("id_a", "id_b")
+    comp = connected_components(
+        c.select("c_custkey"), edges, id_col="c_custkey"
+    )
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        comp.join(sizes, "component_id")
+        .select(
+            "c_custkey",
+            "component_id",
+            "n_members",
+            (F.col("c_custkey") == F.col("component_id")).alias(
+                "is_keeper"
+            ),
+        )
+    )
+
+
 def q_x_merge_cdc(spark, sf_dir):
     """Two-wave CDC ingestion: purchase events split at mid-month
     arrive as wave 1 then wave 2; each wave dedups to its latest row
@@ -1700,6 +1734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h_window_distinct": q_h_window_distinct,
         "x_collocations": q_x_collocations,
         "x_merge_cdc": q_x_merge_cdc,
+        "x_entity_resolution": q_x_entity_resolution,
         "x_stream_sliding": q_x_stream_sliding,
         "x_hll_distinct": q_x_hll_distinct,
         "x_vec_pool": q_x_vec_pool,
@@ -2984,6 +3019,39 @@ def oracle_sql() -> dict[str, str]:
                (lead(ts) OVER w IS NULL) AS is_current
         FROM p
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+    oracles["x_entity_resolution"] = """
+        WITH RECURSIVE
+        edges AS (
+            SELECT a.c_custkey AS src, b.c_custkey AS dst
+            FROM customer a JOIN customer b
+              ON substring(a.c_name, 1, 16) = substring(b.c_name, 1, 16)
+             AND a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
+        ),
+        sym AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT dst AS src, src AS dst FROM edges
+        ),
+        reach AS (
+            SELECT c_custkey AS id, c_custkey AS label FROM customer
+            UNION
+            SELECT s.dst AS id, r.label
+            FROM reach r JOIN sym s ON s.src = r.id
+        ),
+        comp AS (
+            SELECT id AS c_custkey,
+                   CAST(min(label) AS BIGINT) AS component_id
+            FROM reach GROUP BY id
+        ),
+        sizes AS (
+            SELECT component_id, count(*) AS n_members
+            FROM comp GROUP BY 1
+        )
+        SELECT c.c_custkey, c.component_id, s.n_members,
+               c.c_custkey = c.component_id AS is_keeper
+        FROM comp c JOIN sizes s USING (component_id)
     """
     oracles["x_merge_cdc"] = """
         WITH p AS (
