@@ -1405,6 +1405,27 @@ def q_h_moving_avg(spark, sf_dir):
     return daily.withColumn("ma7", F.round(F.avg("rev").over(w), 2))
 
 
+def q_x_stream_cdc(spark, sf_dir):
+    """Streaming CDC: foreachBatch drives each micro-batch through
+    latest-per-user dedup + conditional merge (update-if-newer).
+    Final materialized state equals latest-purchase-per-user no
+    matter how the stream batched — the at-least-once-safe
+    ingestion pattern, hash-checked against the batch oracle."""
+    from pac_data_pipeline_spark.streaming.cdc import (
+        run_streaming_cdc_merge,
+    )
+
+    out = run_streaming_cdc_merge(spark, sf_dir)
+    return out.select(
+        "user_id",
+        "value",
+        F.date_format("version_ts", "yyyy-MM-dd'T'HH:mm:ss").alias(
+            "version_ts"
+        ),
+        "event_id",
+    )
+
+
 def q_x_entity_resolution(spark, sf_dir):
     """End-to-end entity resolution: banded fuzzy candidate pairs
     (prefix band + Levenshtein ≤ 1) → connected components →
@@ -1735,6 +1756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_collocations": q_x_collocations,
         "x_merge_cdc": q_x_merge_cdc,
         "x_entity_resolution": q_x_entity_resolution,
+        "x_stream_cdc": q_x_stream_cdc,
         "x_stream_sliding": q_x_stream_sliding,
         "x_hll_distinct": q_x_hll_distinct,
         "x_vec_pool": q_x_vec_pool,
@@ -3019,6 +3041,24 @@ def oracle_sql() -> dict[str, str]:
                (lead(ts) OVER w IS NULL) AS is_current
         FROM p
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+    oracles["x_stream_cdc"] = """
+        WITH p AS (
+            SELECT user_id, event_id, value, ts FROM events
+            WHERE event_type = 'purchase' AND user_id IS NOT NULL
+              AND ts IS NOT NULL
+        ),
+        l AS (
+            SELECT user_id, event_id, round(value, 2) AS value, ts,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM p
+        )
+        SELECT user_id, value,
+               strftime(ts, '%Y-%m-%dT%H:%M:%S') AS version_ts,
+               event_id
+        FROM l WHERE rn = 1
     """
     oracles["x_entity_resolution"] = """
         WITH RECURSIVE

@@ -104,3 +104,35 @@ def test_merge_upsert_latest_replay_is_idempotent(spark):
     got = {r.k: (r.bal, r.ver, r.merge_action) for r in twice.collect()}
     # replaying the same wave changes nothing: versions equal → keep
     assert got == {1: (5.0, 30, "keep"), 2: (2.0, 20, "keep")}
+
+
+def test_streaming_cdc_merge_matches_batch_argmax(spark):
+    import pytest
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pac_data_pipeline_spark.sources.readers import load_events
+    from pac_data_pipeline_spark.streaming.cdc import (
+        run_streaming_cdc_merge,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    try:
+        state = run_streaming_cdc_merge(spark, sf_dir).collect()
+    except Exception as exc:  # pragma: no cover
+        pytest.skip(f"streaming unavailable: {exc}")
+    e = load_events(spark, sf_dir).filter(
+        (F.col("event_type") == "purchase")
+        & F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    batch = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", F.round("value", 2).alias("value"),
+                F.col("ts").alias("version_ts"), "event_id")
+        .collect()
+    )
+    assert sorted(map(tuple, state)) == sorted(map(tuple, batch))
