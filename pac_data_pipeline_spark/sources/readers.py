@@ -94,17 +94,23 @@ def scan_jdbc(
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events scan with timestamp normalization.
 
-    The synthetic ``events`` table stores TIMESTAMP(NANOS), which
-    Spark's vectorized parquet reader rejects; under
-    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a raw
-    nanosecond long, converted here with exact integer division to
-    a microsecond TimestampType column."""
+    The synthetic ``events`` table has shipped in two layouts:
+    TIMESTAMP(NANOS) (arrives as a raw nanosecond long under
+    ``spark.sql.legacy.parquet.nanosAsLong``) and TIMESTAMP(MICROS)
+    with ``isAdjustedToUTC=false`` (arrives as TIMESTAMP_NTZ). Both
+    are normalized to session-local TimestampType here — the session
+    timezone is pinned to UTC (session.py), so the NTZ cast is
+    wall-clock exact — and downstream operators can rely on
+    ``ts.cast("long")`` for epoch-second arithmetic."""
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = scan_parquet(spark, f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pac_data_pipeline_spark.operators.merge import merge_upsert_latest
-from pac_data_pipeline_spark.streaming.windows import EVENTS_RAW_SCHEMA
+from pac_data_pipeline_spark.streaming.windows import events_stream
 
 STATE_SCHEMA = (
     "user_id long, value double, version_ts timestamp, event_id long"
@@ -61,14 +61,9 @@ def run_streaming_cdc_merge(
     state equals 'latest change per key' no matter how the stream
     was batched — hash-checked against that batch oracle.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    raw = events_stream(spark, sf_dir)
     changes = (
-        raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        raw
         .filter(
             (F.col("event_type") == event_type)
             & F.col("user_id").isNotNull()

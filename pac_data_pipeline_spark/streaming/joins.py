@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pac_data_pipeline_spark.streaming.windows import EVENTS_RAW_SCHEMA
+from pac_data_pipeline_spark.streaming.windows import events_stream
 
 
 def run_streaming_interval_join(
@@ -38,16 +38,11 @@ def run_streaming_interval_join(
     emitted as soon as both rows are buffered and
     ``processAllAvailable`` drains everything; the watermark only
     governs state EVICTION, never correctness of emitted matches."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def _side(event_type: str, prefix: str) -> DataFrame:
-        raw = (
-            spark.readStream.schema(EVENTS_RAW_SCHEMA)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
+        raw = events_stream(spark, sf_dir)
         return (
-            raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            raw
             .filter(
                 F.col("ts").isNotNull()
                 & F.col("user_id").isNotNull()

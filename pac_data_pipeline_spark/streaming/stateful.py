@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from pac_data_pipeline_spark.streaming.windows import EVENTS_RAW_SCHEMA
+from pac_data_pipeline_spark.streaming.windows import events_stream
 
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -65,12 +65,7 @@ def run_streaming_dedup(
     test keeps full state (distinct keys ≪ events). Output is just
     the key columns — which physical row "arrives first" is
     race-dependent, the key set is not."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    raw = events_stream(spark, sf_dir)
     deduped = raw.select(*keys).dropDuplicates(list(keys))
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions:
@@ -187,15 +182,10 @@ def run_streaming_sessions(
     slower than 8. At production stream volume raise it — the knob
     is the streaming analogue of ``spark.sql.shuffle.partitions``
     and is pinned at the FIRST run by the checkpoint."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    raw = events_stream(spark, sf_dir)
     events = (
-        raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        raw
         # null event-time would reach the state fn as NaT and
         # int64-min into a garbage session — drop it like the batch
         # sessionizer and the oracle do

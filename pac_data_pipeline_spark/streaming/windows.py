@@ -10,22 +10,29 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from pac_data_pipeline_spark.sources.readers import load_events
 
-#: Raw parquet schema of the events table under nanosAsLong
-#: (ts arrives as raw-nanosecond long; see readers.load_events).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source ``readStream`` over the events parquet with the
+    same timestamp normalization as the batch loader
+    (readers.load_events). The file source requires an explicit
+    schema, taken from a static probe scan so both historical
+    testdata layouts (TIMESTAMP(NANOS)-as-long and TIMESTAMP(MICROS)
+    NTZ) stream identically as TimestampType event time."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw = (
+        spark.readStream.schema(probe.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_window_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
@@ -157,14 +164,7 @@ def run_streaming_tumbling(
     In production the source is Kafka and the sink is a parquet/
     Delta writeStream with checkpointing; the transformation is
     byte-identical."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # the file source needs a directory; glob-filter to the events file
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = events_stream(spark, sf_dir)
     agg = (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", width), "event_type")
@@ -218,13 +218,7 @@ def run_streaming_sliding(
     watermark is what keeps that bounded). Complete-mode memory sink
     driven to completion, so on bounded input the result equals the
     batch sliding aggregation and shares its oracle."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = events_stream(spark, sf_dir)
     agg = (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", width, slide))
