@@ -1,0 +1,186 @@
+"""Corpus-level cleaning operators for training-data pipelines.
+
+Two families the LLM-data literature treats as table stakes beyond
+document-level dedup:
+
+- **Chunk-level exact dedup** (Lee et al., "Deduplicating Training
+  Data Makes Language Models Better"): repeated *spans* are removed
+  even when the containing documents differ. The scalable exact
+  formulation is fixed-width token windows hashed corpus-wide; the
+  suffix-array formulation finds arbitrary-length repeats but is a
+  single-machine algorithm — the windowed one is embarrassingly
+  parallel and shuffle-bounded, which is what survives 100 TB.
+- **Unicode normalization** (CCNet-style cleanup): NFC-normalize,
+  strip control characters, collapse whitespace. Python's
+  ``unicodedata`` (stdlib, no extra deps) inside an Arrow-batched
+  ``mapInPandas`` — the canonical "Python only where the JVM has no
+  equivalent" escape hatch.
+
+Both stages are scan-shaped except the chunk window: chunk dedup
+shuffles once on the chunk text (same budget as exact document
+dedup, ~corpus size), unicode cleanup shuffles nothing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def chunk_dedup(
+    df: DataFrame,
+    chunk_tokens: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact span dedup over non-overlapping ``chunk_tokens``-token
+    windows: a chunk survives iff it is the corpus-wide FIRST
+    occurrence of that exact token window (order: id, then position).
+    Returns one row per document with the reconstructed text and
+    kept/dropped counts.
+
+    Plan shape: scan → posexplode (narrow) → one shuffle partitioned
+    by chunk text for the first-occurrence window → shuffle back on
+    the id for reassembly. Both exchanges carry ~corpus volume —
+    identical budget to document-level exact dedup, no all-pairs
+    anywhere. At 100 TB swap the window for a groupBy(chunk_hash)
+    min-position self-join if chunk-value skew (a hugely repeated
+    boilerplate chunk) concentrates a partition; AQE skew-join
+    handles the moderate case.
+    """
+    # stage tokenization ONCE per row (a Project below the Generate):
+    # referencing the split through a materialized column keeps the
+    # per-chunk lambda from re-tokenizing the whole document — the
+    # difference between O(len) and O(len²/W) character work per doc.
+    staged = df.select(
+        id_col,
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
+    )
+    toks = F.col("__toks")
+    n_chunks = F.greatest(
+        F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int"), F.lit(1)
+    )
+    chunk_ids = F.sequence(F.lit(0), n_chunks - 1)
+    chunk_of = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)
+    )
+    chunks = staged.select(
+        id_col,
+        F.posexplode(F.transform(chunk_ids, chunk_of)).alias(
+            "chunk_id", "chunk_text"
+        ),
+    )
+    w = Window.partitionBy("chunk_text").orderBy(id_col, "chunk_id")
+    flagged = chunks.withColumn(
+        "keep", F.row_number().over(w) == F.lit(1)
+    )
+    kept_structs = F.collect_list(
+        F.when(F.col("keep"), F.struct("chunk_id", "chunk_text"))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(kept_structs), lambda s: s["chunk_text"]
+            ),
+        ).alias("clean_text"),
+    )
+
+
+def boilerplate_chunks(
+    df: DataFrame,
+    chunk_tokens: int = 32,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Boilerplate detector: token windows that recur in at least
+    ``min_docs`` DISTINCT documents, with their document frequency.
+    The dual view of :func:`chunk_dedup` — what it drops, aggregated
+    by content. One shuffle on the chunk text; the distinct-doc
+    count is a partial-aggregated groupBy, never a window."""
+    staged = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
+    )
+    toks = F.col("__toks")
+    n_chunks = F.greatest(
+        F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int"), F.lit(1)
+    )
+    chunk_of = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)
+    )
+    chunks = staged.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(F.sequence(F.lit(0), n_chunks - 1), chunk_of)
+        ).alias("chunk_text"),
+    )
+    return (
+        chunks.groupBy("chunk_text")
+        .agg(F.countDistinct(id_col).cast("bigint").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+#: Control characters stripped by unicode_clean (C0 minus \t\n\r,
+#: plus DEL). Kept as an explicit class so the oracle SQL can use
+#: the byte-identical regex.
+CONTROL_CLASS = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+
+def unicode_clean(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """NFC-normalize + strip control chars + collapse whitespace.
+
+    NFC has no JVM-side Spark builtin, so this is the textbook
+    Arrow-batched escape hatch: ``mapInPandas`` with stdlib
+    ``unicodedata``, vectorized over whole record batches — zero
+    shuffle, scan-stage only. Returns (id, clean_text, changed).
+    """
+    import unicodedata
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("clean_text", T.StringType()),
+            T.StructField("changed", T.BooleanType()),
+        ]
+    )
+
+    def clean_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import re
+
+        ctrl = re.compile(CONTROL_CLASS)
+        ws = re.compile(r"\s+")
+
+        def clean_one(s: str | None) -> str | None:
+            if s is None:
+                return None
+            c = unicodedata.normalize("NFC", s)
+            c = ctrl.sub("", c)
+            return ws.sub(" ", c).strip()
+
+        for pdf in batches:
+            cleaned = pdf[text_col].map(clean_one)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "clean_text": cleaned,
+                    "changed": cleaned != pdf[text_col],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        clean_batches, schema=out_schema
+    )

@@ -56,6 +56,52 @@ def stratified_hash_sample(
     return df.filter(hash_bucket(id_col) < expr)
 
 
+def domain_mix(
+    df: DataFrame,
+    targets: dict[str, float],
+    budget: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Rebalance a corpus to target per-domain shares of a total row
+    budget (DoReMi/Pile-style dataset mixing): domain ``s`` is
+    hash-sampled at rate ``min(1, targets[s]·budget / count_s)``.
+    Domains absent from ``targets`` are dropped.
+
+    Two-pass but cheap: pass 1 is a partial-aggregated per-domain
+    count (output rows = #domains, tiny); the thresholds broadcast
+    back onto the scan, so the sample itself is a zero-shuffle
+    filter. Membership is a pure function of the id (md5 bucket) —
+    the same rows are selected on any engine, partitioning, or run,
+    and threshold arithmetic sticks to IEEE doubles in a fixed
+    expression order so external engines reproduce it exactly."""
+    tgt = F.create_map(
+        *[
+            x
+            for k, v in targets.items()
+            for x in (F.lit(k), F.lit(float(v)))
+        ]
+    )
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    thresholds = counts.select(
+        source_col,
+        F.least(
+            F.lit(n_buckets).cast("bigint"),
+            F.floor(
+                tgt[F.col(source_col)]
+                * F.lit(budget)
+                * F.lit(n_buckets)
+                / F.col("__cnt")
+            ),
+        ).alias("__thr"),
+    )
+    joined = df.join(F.broadcast(thresholds), source_col, "inner")
+    return joined.filter(
+        hash_bucket(id_col, n_buckets) < F.col("__thr")
+    ).drop("__thr")
+
+
 def interleave(
     sources: Sequence[tuple[DataFrame, int]], id_col: str = "doc_id"
 ) -> DataFrame:

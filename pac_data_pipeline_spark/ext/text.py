@@ -490,6 +490,69 @@ def char_entropy(
     return out.select(F.col(id_col), "char_entropy")
 
 
+#: Gopher rule thresholds (Rae et al. 2021, Table A1 subset) —
+#: module-level so the filter and any report stage share one source
+#: of truth. (min_words lowered from the paper's 50 to 20: the
+#: reference-scale synthetic docs are short.)
+GOPHER_RULES = {
+    "min_words": 20,
+    "max_words": 100_000,
+    "min_mean_word_len": 2.0,
+    "max_mean_word_len": 10.0,
+    "min_alpha_word_frac": 0.8,
+    "min_stopword_hits": 2,
+}
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rules: dict | None = None,
+) -> DataFrame:
+    """Gopher-style document quality gates: word-count bounds, mean
+    word length bounds, fraction of words containing a letter, and a
+    minimum stopword hit count. Emits every metric plus per-rule
+    flags and the conjunction — keeping the metrics in the output is
+    what makes threshold tuning a reporting query instead of a
+    rerun.
+
+    Scan-stage only (higher-order functions over the token array,
+    whole-stage codegen, zero shuffle) — the 100 TB cost is exactly
+    one pass over the text bytes."""
+    r = {**GOPHER_RULES, **(rules or {})}
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        toks, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    mean_len = sum_len / F.nullif(n_words, F.lit(0))
+    alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = alpha_words / F.nullif(n_words, F.lit(0))
+    sw = F.array(*[F.lit(w) for w in QUALITY_STOPWORDS])
+    sw_hits = F.size(
+        F.filter(toks, lambda w: F.array_contains(sw, F.lower(w)))
+    )
+    ok_words = (n_words >= r["min_words"]) & (n_words <= r["max_words"])
+    ok_len = (mean_len >= r["min_mean_word_len"]) & (
+        mean_len <= r["max_mean_word_len"]
+    )
+    ok_alpha = alpha_frac >= r["min_alpha_word_frac"]
+    ok_sw = sw_hits >= r["min_stopword_hits"]
+    return df.select(
+        id_col,
+        n_words.cast("bigint").alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        sw_hits.cast("bigint").alias("stopword_hits"),
+        ok_words.alias("ok_word_count"),
+        ok_len.alias("ok_word_len"),
+        ok_alpha.alias("ok_alpha"),
+        ok_sw.alias("ok_stopwords"),
+        (ok_words & ok_len & ok_alpha & ok_sw).alias("keep"),
+    )
+
+
 def corpus_report(
     df: DataFrame, source_col: str = "source", text_col: str = "text"
 ) -> DataFrame:

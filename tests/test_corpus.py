@@ -1,0 +1,137 @@
+"""Unit tests for corpus-cleaning operators (ext/corpus.py,
+gopher_rules, domain_mix) — planted fixtures with hand-computed
+expectations; the oracle differential gate covers the full-table
+versions."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pac_data_pipeline_spark.ext.corpus import (
+    boilerplate_chunks,
+    chunk_dedup,
+    unicode_clean,
+)
+from pac_data_pipeline_spark.ext.sampling import domain_mix, hash_bucket
+from pac_data_pipeline_spark.ext.text import gopher_rules
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_dedup_drops_repeated_window(spark):
+    # doc 1 and doc 2 share an identical 4-token chunk; doc 1 wins
+    # (lower id), doc 2 keeps only its unique second chunk.
+    shared = "a b c d"
+    df = _docs(
+        spark,
+        [(1, shared + " e f g h"), (2, shared + " x y z w")],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in chunk_dedup(df, chunk_tokens=4).collect()
+    }
+    assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["clean_text"] == "a b c d e f g h"
+    assert out[2]["n_chunks"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["clean_text"] == "x y z w"
+
+
+def test_chunk_dedup_within_doc_repeat(spark):
+    # the same window repeated INSIDE one doc is also deduped
+    df = _docs(spark, [(7, "p q r s p q r s")])
+    row = chunk_dedup(df, chunk_tokens=4).collect()[0]
+    assert row["n_chunks"] == 2
+    assert row["n_kept"] == 1
+    assert row["clean_text"] == "p q r s"
+
+
+def test_boilerplate_chunks_doc_frequency(spark):
+    shared = "nav home about contact"
+    df = _docs(
+        spark,
+        [
+            (1, shared + " aaa bbb ccc ddd"),
+            (2, shared + " eee fff ggg hhh"),
+            (3, "unique text only here"),
+        ],
+    )
+    rows = boilerplate_chunks(df, chunk_tokens=4, min_docs=2).collect()
+    assert len(rows) == 1
+    assert rows[0]["chunk_text"] == shared
+    assert rows[0]["n_docs"] == 2
+
+
+def test_gopher_rules_flags(spark):
+    good = " ".join(
+        ["the", "and", "of"] + [f"word{i}" for i in range(30)]
+    )
+    short = "too short"
+    no_alpha = " ".join(["123"] * 40)
+    df = _docs(spark, [(1, good), (2, short), (3, no_alpha)])
+    out = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["ok_word_count"] is False
+    assert out[3]["keep"] is False
+    assert out[3]["ok_alpha"] is False
+    assert out[3]["ok_stopwords"] is False
+    # metric sanity: mean word length of "123"*40 is exactly 3
+    assert out[3]["mean_word_len"] == pytest.approx(3.0)
+
+
+def test_unicode_clean_nfc_and_controls(spark):
+    # e + combining acute (NFD) must normalize to precomposed é;
+    # control chars stripped; whitespace runs collapsed.
+    nfd = "café"
+    df = _docs(
+        spark,
+        [(1, nfd + "  x\x00y\tz"), (2, "already clean")],
+    )
+    out = {r["doc_id"]: r for r in unicode_clean(df).collect()}
+    assert out[1]["clean_text"] == "café xy z"
+    assert out[1]["changed"] is True
+    assert out[2]["clean_text"] == "already clean"
+    assert out[2]["changed"] is False
+
+
+def test_domain_mix_rates_and_determinism(spark):
+    rows = [(i, "src0" if i < 400 else "src1") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # budget 100: src0 target 0.5 -> rate 50/400, src1 0.5 -> 50/100;
+    # src2 absent from data, srcX absent from targets -> dropped
+    out = domain_mix(
+        df, targets={"src0": 0.5, "src1": 0.5}, budget=100
+    )
+    got = out.groupBy("source").count().collect()
+    by_src = {r["source"]: r["count"] for r in got}
+    # md5-bucket sampling is exact-threshold, approximate-rate:
+    # expect ~50 per source, and an identical set on a second run
+    assert 25 <= by_src["src0"] <= 75
+    assert 25 <= by_src["src1"] <= 75
+    first = {r["doc_id"] for r in out.collect()}
+    second = {
+        r["doc_id"]
+        for r in domain_mix(
+            df, targets={"src0": 0.5, "src1": 0.5}, budget=100
+        ).collect()
+    }
+    assert first == second
+
+
+def test_domain_mix_caps_rate_at_one(spark):
+    df = spark.createDataFrame(
+        [(i, "src0") for i in range(20)], "doc_id long, source string"
+    )
+    # target share implies more rows than exist -> rate capped at 1,
+    # every row kept
+    out = domain_mix(df, targets={"src0": 1.0}, budget=1000)
+    assert out.count() == 20
+
+
+def test_hash_bucket_range(spark):
+    df = spark.range(1000).select(
+        hash_bucket(F.col("id"), 100).alias("b")
+    )
+    mm = df.agg(F.min("b"), F.max("b")).collect()[0]
+    assert mm[0] >= 0 and mm[1] < 100
