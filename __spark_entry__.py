@@ -147,6 +147,7 @@ from pac_data_pipeline_spark.ext.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_ivf,
     cosine_topk_lsh,
+    cosine_topk_pq,
     embedding_near_dup_pairs,
     queries_from_corpus,
 )
@@ -1686,6 +1687,15 @@ def q_x_vec_quantize(spark, sf_dir):
     )
 
 
+def q_x_cosine_topk_pq(spark, sf_dir):
+    """PQ-compressed ANN with exact rerank (8 subspaces × 16 codes,
+    4× shortlist). Rows-only: the shortlist depends on the trained
+    codebooks; emitted cosines are exact. Recall vs brute force is
+    pinned by a unit test."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_pq(emb, queries_from_corpus(emb), k=10)
+
+
 def q_x_chunk_dedup(spark, sf_dir):
     """Chunk-level exact span dedup (Lee et al. fixed-window
     formulation): 32-token windows, corpus-wide first occurrence
@@ -1873,6 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_stream_sessions": q_x_stream_sessions,
         "x_stream_dedup": q_x_stream_dedup,
         "x_boilerplate": q_x_boilerplate,
+        "x_cosine_topk_pq": q_x_cosine_topk_pq,
         "h_window_funcs": q_h_window_funcs,
         "h_exists_late": q_h_exists_late,
         "h18_large_orders": q_h18_large_orders,

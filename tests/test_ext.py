@@ -398,3 +398,43 @@ def test_pmi_collocations_scores_phrases_over_fillers(spark):
     assert pmi["new york"] > pmi.get("of the", -99)
     # counts: 10 docs x 1 occurrence
     assert out[0].c_xy == 10
+
+
+def test_pq_topk_recall_and_exact_scores(spark):
+    from pac_data_pipeline_spark.ext.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_pq,
+        queries_from_corpus,
+    )
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((80, 16)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], 0) for i in range(80)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    q = queries_from_corpus(emb, n=3)
+    exact = cosine_topk_bruteforce(emb, q, k=5)
+    pq = cosine_topk_pq(
+        emb, q, k=5, m=4, n_codes=8, fit_sample_rows=80
+    )
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    pq_rows = pq.collect()
+    pq_sets: dict = {}
+    for r in pq_rows:
+        pq_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    # self-match survives shortlist + rerank for every query
+    top1 = {r.query_id: r.vec_id for r in pq_rows if r.rank == 1}
+    assert top1 == {0: 0, 1: 1, 2: 2}
+    # recall@5 >= 0.6 on random data with a 4x shortlist
+    hits = sum(len(exact_sets[q_] & pq_sets[q_]) for q_ in exact_sets)
+    assert hits / (5 * len(exact_sets)) >= 0.6
+    # reported cosines are EXACT: every (query, vec) score matches
+    # the brute-force value for rows present in both
+    exact_scores = {(r.query_id, r.vec_id): r.cosine for r in exact.collect()}
+    for r in pq_rows:
+        if (r.query_id, r.vec_id) in exact_scores:
+            assert abs(r.cosine - exact_scores[(r.query_id, r.vec_id)]) < 1e-9
