@@ -1687,6 +1687,76 @@ def q_x_vec_quantize(spark, sf_dir):
     )
 
 
+def q_x_dq_checks(spark, sf_dir):
+    """Declarative data-quality gate (deequ/dbt-test shape): key
+    uniqueness, FK integrity, null rate, range and accepted-values
+    checks compiled to partial-aggregated scans + one broadcast
+    anti-join; output is the per-check violations report."""
+    from pac_data_pipeline_spark.operators.quality import (
+        check_accepted_values,
+        check_expression,
+        check_in_range,
+        check_not_null,
+        check_referential,
+        check_unique,
+        dq_report,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e = load_events(spark, sf_dir)
+    return dq_report(
+        [
+            check_unique(c, ("c_custkey",), "customer_pk_unique"),
+            check_referential(
+                o, "o_custkey", c, "c_custkey", "orders_fk_customer"
+            ),
+            check_not_null(e, "user_id", "events_user_not_null"),
+            check_in_range(li, "l_discount", 0.0, 0.1, "discount_range"),
+            check_accepted_values(
+                o, "o_orderstatus", ("O", "F", "P"), "status_domain"
+            ),
+            check_expression(
+                li,
+                F.col("l_extendedprice") <= 0,
+                "price_positive",
+            ),
+        ]
+    )
+
+
+def q_h_min_by(spark, sf_dir):
+    """Argmin/argmax aggregation: per part, the supplier offering
+    the cheapest (and priciest) line. min_by/max_by over a
+    (price, suppkey) struct — the struct ordering makes ties
+    deterministic, so the whole result hash-checks. One
+    partial-aggregated shuffle on l_partkey; no window, no join."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_partkey").agg(
+        F.expr(
+            "min_by(l_suppkey, struct(l_extendedprice, l_suppkey))"
+        ).alias("cheapest_supp"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.expr(
+            "max_by(l_suppkey, struct(l_extendedprice, l_suppkey))"
+        ).alias("priciest_supp"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+def q_pipe_partitioned(spark, sf_dir):
+    """Hive-partitioned warehouse round trip: write orders
+    partitioned by year (repartition first for small-file control),
+    read back filtered to one year — partition pruning, pinned in
+    test_plans — and aggregate."""
+    from pac_data_pipeline_spark.plans.pipelines import (
+        partitioned_layout_pipeline,
+    )
+
+    return partitioned_layout_pipeline(spark, sf_dir, year=1997)
+
+
 def q_x_cosine_topk_pq(spark, sf_dir):
     """PQ-compressed ANN with exact rerank (8 subspaces × 16 codes,
     4× shortlist). Rows-only: the shortlist depends on the trained
@@ -1887,6 +1957,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h_window_funcs": q_h_window_funcs,
         "h_exists_late": q_h_exists_late,
         "h18_large_orders": q_h18_large_orders,
+        "x_dq_checks": q_x_dq_checks,
+        "h_min_by": q_h_min_by,
+        "pipe_partitioned": q_pipe_partitioned,
         "pipe_train_corpus": q_pipe_train_corpus,
         "x_merge_upsert": q_x_merge_upsert,
         "h_moving_avg": q_h_moving_avg,
@@ -3854,6 +3927,73 @@ def oracle_sql() -> dict[str, str]:
               AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
         )
         GROUP BY o_orderpriority
+    """
+    oracles["x_dq_checks"] = """
+        SELECT 'customer_pk_unique' AS check_name,
+               count(*) - count(DISTINCT c_custkey) AS n_violations,
+               (count(*) - count(DISTINCT c_custkey)) = 0 AS passed
+        FROM customer
+        UNION ALL
+        SELECT 'orders_fk_customer',
+               count(*) FILTER (WHERE o_custkey IS NOT NULL
+                   AND o_custkey NOT IN (SELECT c_custkey FROM customer)),
+               count(*) FILTER (WHERE o_custkey IS NOT NULL
+                   AND o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0
+        FROM orders
+        UNION ALL
+        SELECT 'events_user_not_null',
+               count(*) FILTER (WHERE user_id IS NULL),
+               count(*) FILTER (WHERE user_id IS NULL) = 0
+        FROM events
+        UNION ALL
+        SELECT 'discount_range',
+               count(*) FILTER (WHERE l_discount IS NOT NULL
+                   AND (l_discount < 0.0 OR l_discount > 0.1)),
+               count(*) FILTER (WHERE l_discount IS NOT NULL
+                   AND (l_discount < 0.0 OR l_discount > 0.1)) = 0
+        FROM lineitem
+        UNION ALL
+        SELECT 'status_domain',
+               count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                   AND o_orderstatus NOT IN ('O', 'F', 'P')),
+               count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                   AND o_orderstatus NOT IN ('O', 'F', 'P')) = 0
+        FROM orders
+        UNION ALL
+        SELECT 'price_positive',
+               count(*) FILTER (WHERE l_extendedprice <= 0),
+               count(*) FILTER (WHERE l_extendedprice <= 0) = 0
+        FROM lineitem
+    """
+    oracles["h_min_by"] = """
+        WITH r AS (
+            SELECT l_partkey, l_suppkey, l_extendedprice,
+                   row_number() OVER (
+                       PARTITION BY l_partkey
+                       ORDER BY l_extendedprice, l_suppkey
+                   ) AS rn_min,
+                   row_number() OVER (
+                       PARTITION BY l_partkey
+                       ORDER BY l_extendedprice DESC, l_suppkey DESC
+                   ) AS rn_max
+            FROM lineitem
+        )
+        SELECT l_partkey,
+               max(CASE WHEN rn_min = 1 THEN l_suppkey END)
+                   AS cheapest_supp,
+               round(min(l_extendedprice), 2) AS min_price,
+               max(CASE WHEN rn_max = 1 THEN l_suppkey END)
+                   AS priciest_supp,
+               round(max(l_extendedprice), 2) AS max_price
+        FROM r GROUP BY l_partkey
+    """
+    oracles["pipe_partitioned"] = """
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        WHERE year(o_orderdate) = 1997
+        GROUP BY o_orderstatus
     """
     oracles["h18_large_orders"] = """
         WITH big AS (

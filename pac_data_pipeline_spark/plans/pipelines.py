@@ -183,3 +183,45 @@ def train_corpus_pipeline(
             "doc_id", "lang_guess", "quality_score", "n_chars", "n_hits"
         )
     )
+
+
+def partitioned_layout_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    year: int = 1997,
+    base_dir: str | None = None,
+) -> DataFrame:
+    """Partitioned-warehouse round trip: write orders hive-
+    partitioned by order year, read back with a partition-key
+    filter, aggregate.
+
+    This is the layout decision that matters most at 100 TB: a
+    year-partitioned table turns the read-back's ``o_year = 1997``
+    into PARTITION PRUNING — Spark lists only that year's directory
+    and the other years are never opened (the plan shows it under
+    PartitionFilters, pinned in tests/test_plans.py). The write side
+    repartitions by the partition column first so each output
+    directory is written by as few tasks as possible (small-file
+    control: without it, every task writes a sliver of every year).
+    """
+    import tempfile
+
+    out = base_dir or tempfile.mkdtemp(prefix="orders_by_year_")
+    orders = scan_parquet(spark, f"{sf_dir}/orders.parquet")
+    with_year = orders.withColumn(
+        "o_year", F.year("o_orderdate").cast("int")
+    )
+    (
+        with_year.repartition("o_year")
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(F.col("o_year") == year)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )

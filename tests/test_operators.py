@@ -382,3 +382,48 @@ def test_range_join_binned_matches_naive(spark):
             ).collect()
         )
         assert got == naive, bin_s
+
+
+def test_dq_checks_find_planted_violations(spark):
+    from pac_data_pipeline_spark.operators.quality import (
+        check_in_range,
+        check_not_null,
+        check_referential,
+        check_unique,
+        dq_report,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (2, 99), (3, None)], "id long, fk int"
+    )
+    parent = spark.createDataFrame([(10,)], "pk int")
+    rep = {
+        r["check_name"]: (r["n_violations"], r["passed"])
+        for r in dq_report(
+            [
+                check_unique(child, ("id",), "id_unique"),
+                check_referential(child, "fk", parent, "pk", "fk_ok"),
+                check_not_null(child, "fk", "fk_not_null"),
+                check_in_range(child, "fk", 0, 50, "fk_range"),
+            ]
+        ).collect()
+    }
+    assert rep["id_unique"] == (1, False)   # id=2 duplicated
+    assert rep["fk_ok"] == (1, False)       # fk=99 orphaned (null skipped)
+    assert rep["fk_not_null"] == (1, False)
+    assert rep["fk_range"] == (1, False)    # 99 out of [0, 50]
+
+
+def test_min_by_struct_tiebreak(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 5, 2.0), (1, 3, 2.0), (1, 9, 7.0)],
+        "k long, supp long, price double",
+    )
+    row = df.groupBy("k").agg(
+        F.expr("min_by(supp, struct(price, supp))").alias("lo"),
+        F.expr("max_by(supp, struct(price, supp))").alias("hi"),
+    ).collect()[0]
+    assert row["lo"] == 3   # tie at price 2.0 broken by min supp
+    assert row["hi"] == 9

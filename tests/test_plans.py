@@ -141,3 +141,22 @@ def test_logfreq_vocab_broadcasts(spark):
 
     p = plan(entry.queries()["x_logfreq_score"](spark, SF))
     assert "BroadcastHashJoin" in p, p
+
+
+def test_partitioned_readback_prunes_partitions(spark, tmp_path):
+    """The year filter on a hive-partitioned layout must become a
+    PartitionFilter (directory pruning), not a row-level Filter."""
+    from pac_data_pipeline_spark.plans.pipelines import (
+        partitioned_layout_pipeline,
+    )
+
+    df = partitioned_layout_pipeline(
+        spark, "/root/testdata/sf0.001", year=1997,
+        base_dir=str(tmp_path / "by_year"),
+    )
+    p = plan(df)
+    assert "PartitionFilters" in p
+    # the o_year predicate lives in PartitionFilters, and the
+    # pruned scan does not read o_year as a data column
+    pf_line = [ln for ln in p.splitlines() if "PartitionFilters" in ln][0]
+    assert "o_year" in pf_line
