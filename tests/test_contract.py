@@ -42,6 +42,7 @@ def test_rows_only_set_is_intentional():
         "x_multimodal_features",  # float features; dims ARE decoded
         "x_approx_stats",  # sketches are engine-specific
         "x_hll_distinct",  # HLL estimates are engine-specific
+        "x_cosine_topk_pq",  # shortlist depends on trained codebooks
     }
     assert q - o == expected_rows_only
 
