@@ -1757,6 +1757,96 @@ def q_pipe_partitioned(spark, sf_dir):
     return partitioned_layout_pipeline(spark, sf_dir, year=1997)
 
 
+def q_h22_idle_rich(spark, sf_dir):
+    """TPC-H Q22 shape: customers with above-average account balance
+    and low engagement (≤5 orders; the synthetic data has no
+    zero-order customers). The scalar subquery (global avg) is a
+    one-row broadcast; low engagement is an anti-join against the
+    aggregated high-engagement key set — the balance filter runs
+    scan-side FIRST so the anti-join probes only the rich
+    minority."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = c.agg(F.avg("c_acctbal").alias("__avg"))
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("__avg")
+    )
+    engaged = (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 5)
+        .select("o_custkey")
+    )
+    idle = rich.join(
+        engaged, rich.c_custkey == engaged.o_custkey, "left_anti"
+    )
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+    )
+
+
+def q_h_equidepth(spark, sf_dir):
+    """Equi-depth (quantile) histogram: exact quartile boundaries
+    via percentile(), then a second pass bins each row with a
+    boundary-array literal-free broadcast join. Two passes by
+    design — exact quantiles of 100 TB are a two-scan problem
+    (sketches trade exactness; see x_approx_stats for that tier)."""
+    li = _t(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.expr(
+            "percentile(l_extendedprice, array(0.25, 0.5, 0.75))"
+        ).alias("q")
+    ).select(
+        F.col("q")[0].alias("q1"),
+        F.col("q")[1].alias("q2"),
+        F.col("q")[2].alias("q3"),
+    )
+    binned = li.crossJoin(F.broadcast(bounds)).select(
+        F.when(F.col("l_extendedprice") <= F.col("q1"), "q1")
+        .when(F.col("l_extendedprice") <= F.col("q2"), "q2")
+        .when(F.col("l_extendedprice") <= F.col("q3"), "q3")
+        .otherwise("q4")
+        .alias("bucket"),
+        "l_extendedprice",
+    )
+    return binned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg("l_extendedprice"), 2).alias("mean_price"),
+    )
+
+
+def q_x_docstore_roundtrip(spark, sf_dir):
+    """Document-store connector round trip through the custom
+    ``pac_docstore`` Python DataSource (S5/K1 as a REAL connector,
+    not plumbing): nation rows → keyed JSON docs → distributed
+    per-partition write → sharded read-back → from_json parse."""
+    import tempfile
+
+    from pac_data_pipeline_spark.sources.docstore import register_docstore
+
+    register_docstore(spark)
+    out = tempfile.mkdtemp(prefix="docstore_")
+    n = _t(spark, sf_dir, "nation")
+    docs = n.select(
+        F.concat(F.lit("nation_"), F.col("n_nationkey")).alias("doc_key"),
+        F.to_json(
+            F.struct("n_nationkey", "n_name", "n_regionkey")
+        ).alias("payload"),
+    )
+    docs.write.format("pac_docstore").mode("overwrite").save(out)
+    back = (
+        spark.read.format("pac_docstore")
+        .option("shards", "4")
+        .load(out)
+    )
+    return back.select(
+        F.from_json(
+            "payload", "n_nationkey long, n_name string, n_regionkey long"
+        ).alias("d")
+    ).select("d.*")
+
+
 def q_x_cosine_topk_pq(spark, sf_dir):
     """PQ-compressed ANN with exact rerank (8 subspaces × 16 codes,
     4× shortlist). Rows-only: the shortlist depends on the trained
@@ -1960,6 +2050,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dq_checks": q_x_dq_checks,
         "h_min_by": q_h_min_by,
         "pipe_partitioned": q_pipe_partitioned,
+        "h22_idle_rich": q_h22_idle_rich,
+        "h_equidepth": q_h_equidepth,
+        "x_docstore_roundtrip": q_x_docstore_roundtrip,
         "pipe_train_corpus": q_pipe_train_corpus,
         "x_merge_upsert": q_x_merge_upsert,
         "h_moving_avg": q_h_moving_avg,
@@ -3994,6 +4087,40 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         WHERE year(o_orderdate) = 1997
         GROUP BY o_orderstatus
+    """
+    oracles["x_docstore_roundtrip"] = """
+        SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """
+    oracles["h22_idle_rich"] = """
+        WITH engaged AS (
+            SELECT o_custkey FROM orders
+            GROUP BY o_custkey HAVING count(*) > 5
+        )
+        SELECT c_mktsegment,
+               count(*) AS n_customers,
+               round(sum(c_acctbal), 2) AS total_balance
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+          AND NOT EXISTS (
+              SELECT 1 FROM engaged e WHERE e.o_custkey = c.c_custkey
+          )
+        GROUP BY c_mktsegment
+    """
+    oracles["h_equidepth"] = """
+        WITH b AS (
+            SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+                   quantile_cont(l_extendedprice, 0.5) AS q2,
+                   quantile_cont(l_extendedprice, 0.75) AS q3
+            FROM lineitem
+        )
+        SELECT CASE WHEN l_extendedprice <= q1 THEN 'q1'
+                    WHEN l_extendedprice <= q2 THEN 'q2'
+                    WHEN l_extendedprice <= q3 THEN 'q3'
+                    ELSE 'q4' END AS bucket,
+               count(*) AS n_rows,
+               round(avg(l_extendedprice), 2) AS mean_price
+        FROM lineitem, b
+        GROUP BY 1
     """
     oracles["h18_large_orders"] = """
         WITH big AS (
