@@ -108,3 +108,55 @@ def test_empty_state_empty_start():
     out = _run(fn, state, [(5, 1.0)])
     assert list(out[~out.closed].n_events) == [1]
     assert len(out[out.closed]) == 0
+
+
+def test_streaming_dedup_checkpoint_recovery(spark, tmp_path):
+    """Exactly-once across restart: streaming dropDuplicates with a
+    file sink + checkpoint, stopped after wave 1 and RESTARTED for
+    wave 2, must emit each key exactly once overall — state and sink
+    offsets recover from the checkpoint, so nothing is re-emitted."""
+    from pyspark.sql import functions as F
+
+    from pac_data_pipeline_spark.sources.readers import load_events
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    events = load_events(spark, "/root/testdata/sf0.001").select(
+        "event_id", "user_id", "event_type"
+    )
+    events.filter(F.col("event_id") % 2 == 0).write.parquet(src)
+
+    def run_wave():
+        stream = (
+            spark.readStream.schema(events.schema)
+            .parquet(src)
+            .select("user_id", "event_type")
+            .dropDuplicates(["user_id", "event_type"])
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_wave()
+    n_wave1 = spark.read.parquet(out).count()
+    events.filter(F.col("event_id") % 2 == 1).write.mode(
+        "append"
+    ).parquet(src)
+    run_wave()  # fresh query object, SAME checkpoint -> recovery
+
+    final = spark.read.parquet(out)
+    expected = events.select("user_id", "event_type").distinct()
+    assert n_wave1 <= expected.count()
+    assert final.count() == expected.count()  # no dupes, no loss
+    assert final.distinct().count() == final.count()
+    assert (
+        final.exceptAll(expected).count() == 0
+        and expected.exceptAll(final).count() == 0
+    )
