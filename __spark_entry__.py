@@ -1816,6 +1816,28 @@ def q_h_equidepth(spark, sf_dir):
     )
 
 
+def q_pipe_zorder(spark, sf_dir):
+    """Z-order clustering round trip: lineitem rewritten
+    Z-ordered on (l_orderkey, l_partkey), read back with predicates
+    on BOTH clustered dimensions — the layout whose per-file min/max
+    stats let parquet skip most files for either predicate (bounds
+    tightness verified objectively in test_scale_patterns)."""
+    import tempfile
+
+    from pac_data_pipeline_spark.sources.layout import write_z_ordered
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = tempfile.mkdtemp(prefix="li_zorder_")
+    write_z_ordered(li, out, ("l_orderkey", "l_partkey"), n_files=8)
+    back = spark.read.parquet(out).filter(
+        (F.col("l_orderkey") % 10 == 3) & (F.col("l_partkey") % 7 == 2)
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )
+
+
 def q_x_docstore_roundtrip(spark, sf_dir):
     """Document-store connector round trip through the custom
     ``pac_docstore`` Python DataSource (S5/K1 as a REAL connector,
@@ -2053,6 +2075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h22_idle_rich": q_h22_idle_rich,
         "h_equidepth": q_h_equidepth,
         "x_docstore_roundtrip": q_x_docstore_roundtrip,
+        "pipe_zorder": q_pipe_zorder,
         "pipe_train_corpus": q_pipe_train_corpus,
         "x_merge_upsert": q_x_merge_upsert,
         "h_moving_avg": q_h_moving_avg,
@@ -4087,6 +4110,14 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         WHERE year(o_orderdate) = 1997
         GROUP BY o_orderstatus
+    """
+    oracles["pipe_zorder"] = """
+        SELECT l_returnflag,
+               count(*) AS n_rows,
+               round(sum(l_extendedprice), 2) AS total_price
+        FROM lineitem
+        WHERE l_orderkey % 10 = 3 AND l_partkey % 7 = 2
+        GROUP BY l_returnflag
     """
     oracles["x_docstore_roundtrip"] = """
         SELECT n_nationkey, n_name, n_regionkey FROM nation

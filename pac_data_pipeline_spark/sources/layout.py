@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pac_data_pipeline_spark.sources.readers import (
@@ -114,3 +114,98 @@ def read_warehouse_table(
     if ref.endswith("_w"):
         return spark.table(ref)
     return spark.read.parquet(ref)
+
+
+def z_order_value(
+    cols: tuple[str, ...], bounds_prefix: str = "__b", bits: int = 12
+) -> Column:
+    """Bit-interleaved Z-curve value over 2+ quantized columns.
+
+    Each column is min-max scaled to ``bits`` bits using bounds
+    columns named ``{bounds_prefix}_{col}_min/max`` (joined on
+    beforehand — see :func:`write_z_ordered`), then the bits are
+    interleaved. Sorting by the result clusters rows so every file's
+    bounding box is tight in ALL dimensions at once — multi-column
+    min/max data skipping, where a plain sort only prunes its one
+    leading column. Pure bit arithmetic, whole-stage codegen."""
+    quantized = []
+    for c in cols:
+        lo = F.col(f"{bounds_prefix}_{c}_min").cast("double")
+        hi = F.col(f"{bounds_prefix}_{c}_max").cast("double")
+        span = F.nullif(hi - lo, F.lit(0.0))
+        scaled = F.coalesce(
+            (F.col(c).cast("double") - lo) / span, F.lit(0.0)
+        ) * F.lit((1 << bits) - 1)
+        quantized.append(F.floor(scaled).cast("long"))
+    z = F.lit(0).cast("long")
+    n = len(cols)
+    for i in range(bits):
+        for j, q in enumerate(quantized):
+            bit = F.shiftright(q, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return z
+
+
+def write_z_ordered(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, ...],
+    bits: int = 12,
+    n_files: int = 16,
+) -> None:
+    """Write ``df`` Z-ordered on ``cols`` into ~``n_files`` files.
+
+    One bounds aggregate (1 row, broadcast back — no driver
+    collect), Z-value computation scan-side, then
+    ``repartitionByRange`` + in-partition sort on the Z-value so
+    parquet row-group min/max stats are tight in every clustered
+    dimension. The 100 TB payoff is file/row-group skipping for
+    queries filtering on ANY subset of the clustered columns —
+    verified objectively in tests by reading per-file parquet stats.
+    """
+    bounds = df.agg(
+        *[
+            m
+            for c in cols
+            for m in (
+                F.min(c).alias(f"__b_{c}_min"),
+                F.max(c).alias(f"__b_{c}_max"),
+            )
+        ]
+    )
+    with_z = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "__z", z_order_value(cols, bits=bits)
+    )
+    (
+        with_z.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z", *[f"__b_{c}_{m}" for c in cols for m in ("min", "max")])
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def compact_small_files(
+    df: DataFrame,
+    path: str,
+    target_rows_per_file: int,
+    sort_cols: tuple[str, ...] = (),
+) -> None:
+    """Small-file compaction: rewrite into files of
+    ~``target_rows_per_file`` rows (optionally range-clustered on
+    ``sort_cols`` so min/max stats stay useful). At 100 TB this is
+    the maintenance job that keeps scan-task counts sane after
+    streaming/CDC ingestion sprays slivers; maxRecordsPerFile bounds
+    the upper end, the repartition bounds the file count."""
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // target_rows_per_file))
+    out = (
+        df.repartitionByRange(n_files, *sort_cols)
+        if sort_cols
+        else df.repartition(n_files)
+    )
+    (
+        out.write.mode("overwrite")
+        .option("maxRecordsPerFile", target_rows_per_file)
+        .parquet(path)
+    )

@@ -199,3 +199,62 @@ def test_pack_sequences_is_shard_local(spark):
     alone = {r.doc_id: r.seq_id for r in
              pack_sequences(one_shard, max_tokens=256, n_shards=4).collect()}
     assert alone and all(full[k] == v for k, v in alone.items())
+
+
+def test_z_order_tightens_file_bounds_in_both_dims(spark, tmp_path):
+    """Objective data-skipping evidence: after Z-ordering lineitem on
+    (l_orderkey, l_partkey), every file's min/max bounding box must
+    be tight in BOTH dimensions — a plain sort would leave the
+    second dimension spanning the full range in every file."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pac_data_pipeline_spark.sources.layout import write_z_ordered
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    out = str(tmp_path / "li_z")
+    write_z_ordered(li, out, ("l_orderkey", "l_partkey"), n_files=16)
+
+    spans = {"l_orderkey": [], "l_partkey": []}
+    glo = {c: [float("inf"), float("-inf")] for c in spans}
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) >= 8
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        cols = {
+            md.row_group(0).column(i).path_in_schema: i
+            for i in range(md.row_group(0).num_columns)
+        }
+        for c in spans:
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(cols[c]).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            lo, hi = min(mins), max(maxs)
+            spans[c].append(hi - lo)
+            glo[c][0] = min(glo[c][0], lo)
+            glo[c][1] = max(glo[c][1], hi)
+    for c in spans:
+        global_span = glo[c][1] - glo[c][0]
+        mean_span = sum(spans[c]) / len(spans[c])
+        # each file covers a small fraction of the range in BOTH
+        # dims (16 files on a 2-d z-curve => ~1/4 per dim ideally)
+        assert mean_span < 0.55 * global_span, (c, mean_span, global_span)
+
+
+def test_compact_small_files_bounds_count(spark, tmp_path):
+    import glob
+
+    from pac_data_pipeline_spark.sources.layout import compact_small_files
+
+    df = spark.range(10_000).withColumnRenamed("id", "k")
+    # simulate sliver ingestion: 64 tiny input partitions
+    df = df.repartition(64)
+    out = str(tmp_path / "compacted")
+    compact_small_files(df, out, target_rows_per_file=2_500, sort_cols=("k",))
+    files = glob.glob(out + "/*.parquet")
+    assert 3 <= len(files) <= 6
+    back = spark.read.parquet(out)
+    assert back.count() == 10_000
