@@ -1838,6 +1838,45 @@ def q_pipe_zorder(spark, sf_dir):
     )
 
 
+def q_x_jdbc_roundtrip(spark, sf_dir):
+    """S4 JDBC exercised for real: nation written to an EMBEDDED
+    Derby database (driver ships with Spark), read back through
+    ``scan_jdbc`` with a partitioned fetch (4 bound ranges) and a
+    source-pushed predicate — the plan shows
+    ``PushedFilters: [*EqualTo(n_regionkey, ...)]``, i.e. the
+    filter executes in the database, not in Spark. The same code
+    path speaks to Snowflake/MySQL (the reference's sources) by URL
+    swap."""
+    import tempfile
+
+    from pac_data_pipeline_spark.sources.readers import scan_jdbc
+
+    db = tempfile.mkdtemp(prefix="derby_") + "/db"
+    url = f"jdbc:derby:{db};create=true"
+    n = _t(spark, sf_dir, "nation")
+    (
+        n.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "nation")
+        .mode("overwrite")
+        .save()
+    )
+    back = scan_jdbc(
+        spark,
+        url,
+        table="nation",
+        partition_column="n_nationkey",
+        num_partitions=4,
+        lower_bound=0,
+        upper_bound=25,
+    )
+    return back.filter(F.col("n_regionkey") < 3).select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("long").alias("n_regionkey"),
+    )
+
+
 def q_x_docstore_roundtrip(spark, sf_dir):
     """Document-store connector round trip through the custom
     ``pac_docstore`` Python DataSource (S5/K1 as a REAL connector,
@@ -2076,6 +2115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h_equidepth": q_h_equidepth,
         "x_docstore_roundtrip": q_x_docstore_roundtrip,
         "pipe_zorder": q_pipe_zorder,
+        "x_jdbc_roundtrip": q_x_jdbc_roundtrip,
         "pipe_train_corpus": q_pipe_train_corpus,
         "x_merge_upsert": q_x_merge_upsert,
         "h_moving_avg": q_h_moving_avg,
@@ -4110,6 +4150,10 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         WHERE year(o_orderdate) = 1997
         GROUP BY o_orderstatus
+    """
+    oracles["x_jdbc_roundtrip"] = """
+        SELECT n_nationkey, n_name, n_regionkey FROM nation
+        WHERE n_regionkey < 3
     """
     oracles["pipe_zorder"] = """
         SELECT l_returnflag,

@@ -116,3 +116,34 @@ def test_docstore_datasource_roundtrip(spark, tmp_path):
         .select("d.a")
     )
     assert {r.a for r in parsed.collect()} == {99, 2}
+
+
+def test_jdbc_derby_roundtrip_with_pushdown(spark, tmp_path):
+    """scan_jdbc against embedded Derby: partitioned fetch honors
+    numPartitions; the filter is pushed INTO the database."""
+    from pyspark.sql import functions as F
+
+    from pac_data_pipeline_spark.sources.readers import scan_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("g")
+    )
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "t")
+        .mode("overwrite")
+        .save()
+    )
+    back = scan_jdbc(
+        spark, url, table="t",
+        partition_column="k", num_partitions=4,
+        lower_bound=0, upper_bound=100,
+    )
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == 100
+    filtered = back.filter(F.col("g") == 2)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "EqualTo" in plan
+    assert filtered.count() == 20
