@@ -42,6 +42,18 @@ def main() -> None:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").write.format("noop").mode(
             "overwrite"
         ).save()
+    from pac_data_pipeline_spark.sources.readers import load_events
+
+    load_events(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # compile the higher-order-function codegen shapes the text
+    # queries share, on a 64-row slice — whole-stage codegen compiles
+    # per plan shape, and the dict-order rotation means cold text
+    # queries otherwise pay ~0.5-1 s of JIT that later ones don't
+    from pac_data_pipeline_spark.ext.text import quality_score, text_stats
+
+    tiny = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(64)
+    text_stats(tiny).write.format("noop").mode("overwrite").save()
+    quality_score(tiny).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
