@@ -1838,6 +1838,38 @@ def q_pipe_zorder(spark, sf_dir):
     )
 
 
+def q_x_schema_evolution(spark, sf_dir):
+    """Schema drift across ingestion waves: wave 1 lands orders
+    without o_orderpriority, wave 2 adds it (the reference's
+    schema-agnostic 'works with whatever columns you have' stance,
+    index_align_to_firebase.py:107). ``mergeSchema`` unions the file
+    schemas on read; missing columns surface as nulls and the
+    aggregate accounts both waves. At 100 TB keep mergeSchema OFF by
+    default (it footer-reads every file) and declare the evolved
+    schema in the catalog — this query is the drift-tolerant read
+    path itself."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="schema_evo_")
+    o = _t(spark, sf_dir, "orders")
+    w1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    w2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    w1.write.mode("overwrite").parquet(out)
+    w2.write.mode("append").parquet(out)
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_orderpriority").isNull().cast("int"))
+        .cast("bigint")
+        .alias("n_missing_priority"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
 def q_x_jdbc_roundtrip(spark, sf_dir):
     """S4 JDBC exercised for real: nation written to an EMBEDDED
     Derby database (driver ships with Spark), read back through
@@ -2120,6 +2152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_docstore_roundtrip": q_x_docstore_roundtrip,
         "pipe_zorder": q_pipe_zorder,
         "x_jdbc_roundtrip": q_x_jdbc_roundtrip,
+        "x_schema_evolution": q_x_schema_evolution,
         "pipe_train_corpus": q_pipe_train_corpus,
         "x_merge_upsert": q_x_merge_upsert,
         "h_moving_avg": q_h_moving_avg,
@@ -4153,6 +4186,15 @@ def oracle_sql() -> dict[str, str]:
                round(sum(o_totalprice), 2) AS total
         FROM orders
         WHERE year(o_orderdate) = 1997
+        GROUP BY o_orderstatus
+    """
+    oracles["x_schema_evolution"] = """
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                   AS n_missing_priority,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
         GROUP BY o_orderstatus
     """
     oracles["x_jdbc_roundtrip"] = """

@@ -13,17 +13,27 @@ from pyspark.sql import functions as F
 
 from pac_data_pipeline_spark.sources.readers import load_events
 
+#: sf_dir → probed events schema (the layout is fixed per dir; the
+#: probe is an extra driver-side footer read per streaming query
+#: otherwise).
+_EVENTS_SCHEMA_CACHE: dict = {}
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source ``readStream`` over the events parquet with the
     same timestamp normalization as the batch loader
     (readers.load_events). The file source requires an explicit
-    schema, taken from a static probe scan so both historical
-    testdata layouts (TIMESTAMP(NANOS)-as-long and TIMESTAMP(MICROS)
-    NTZ) stream identically as TimestampType event time."""
+    schema, taken from a static probe scan (cached per directory) so
+    both historical testdata layouts (TIMESTAMP(NANOS)-as-long and
+    TIMESTAMP(MICROS) NTZ) stream identically as TimestampType
+    event time."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    probe = spark.read.parquet(f"{sf_dir}/events.parquet")
+    schema = _EVENTS_SCHEMA_CACHE.get(sf_dir)
+    if schema is None:
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        _EVENTS_SCHEMA_CACHE[sf_dir] = schema
     raw = (
-        spark.readStream.schema(probe.schema)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )

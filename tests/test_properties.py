@@ -17,6 +17,14 @@ from pac_data_pipeline_spark.streaming.stateful import make_sessionizer
 
 GAP_US = 30 * 60 * 1_000_000
 
+import pytest
+
+
+@pytest.fixture(scope="session")
+def spark_session_holder(spark):
+    """Session-scoped alias so @given examples reuse one SparkSession."""
+    return spark
+
 
 def naive_sessions(ts_list: list[int], values: list[float]):
     """Reference sessionizer: plain loop, one event at a time."""
@@ -150,3 +158,49 @@ def test_sessionizer_session_ids_are_sequential(data):
     all_rows = pd.concat(frames, ignore_index=True)
     closed_ids = list(all_rows[all_rows.closed].session_id)
     assert closed_ids == list(range(len(closed_ids)))
+
+
+# -- chunk-level dedup vs naive reference ------------------------------------
+
+
+def naive_chunk_dedup(docs: list[tuple[int, list[str]]], w: int):
+    """Reference implementation: first corpus-wide occurrence of each
+    w-token window (by doc id, then position) survives."""
+    seen = set()
+    out = {}
+    for doc_id, toks in sorted(docs):
+        chunks = [
+            " ".join(toks[i : i + w]) for i in range(0, max(len(toks), 1), w)
+        ]
+        kept = [c for c in chunks if c not in seen]
+        seen.update(chunks)
+        out[doc_id] = (len(chunks), len(kept), " ".join(kept))
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_chunk_dedup_matches_naive(spark_session_holder, token_lists):
+    from pac_data_pipeline_spark.ext.corpus import chunk_dedup
+
+    spark = spark_session_holder
+    docs = [(i, toks) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in docs],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["clean_text"])
+        for r in chunk_dedup(df, chunk_tokens=3).collect()
+    }
+    assert got == naive_chunk_dedup(docs, 3)

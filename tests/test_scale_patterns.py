@@ -258,3 +258,49 @@ def test_compact_small_files_bounds_count(spark, tmp_path):
     assert 3 <= len(files) <= 6
     back = spark.read.parquet(out)
     assert back.count() == 10_000
+
+
+def test_z_order_value_interleaves_bijectively(spark):
+    """De-interleaving the Z-value must recover both quantized
+    coordinates exactly (the curve is a bijection on the grid)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from pac_data_pipeline_spark.sources.layout import z_order_value
+
+    bits = 8
+    rng = np.random.default_rng(3)
+    xs = rng.integers(0, 1000, 200)
+    ys = rng.integers(0, 1000, 200)
+    df = spark.createDataFrame(
+        [(int(x), int(y)) for x, y in zip(xs, ys)], "x long, y long"
+    )
+    bounds = df.agg(
+        F.min("x").alias("__b_x_min"), F.max("x").alias("__b_x_max"),
+        F.min("y").alias("__b_y_min"), F.max("y").alias("__b_y_max"),
+    )
+    rows = (
+        df.crossJoin(F.broadcast(bounds))
+        .select(
+            "x", "y", "__b_x_min", "__b_x_max", "__b_y_min", "__b_y_max",
+            z_order_value(("x", "y"), bits=bits).alias("z"),
+        )
+        .collect()
+    )
+    for r in rows:
+        qx = int(
+            (r.x - r['__b_x_min'])
+            / (r['__b_x_max'] - r['__b_x_min'])
+            * ((1 << bits) - 1)
+        )
+        qy = int(
+            (r.y - r['__b_y_min'])
+            / (r['__b_y_max'] - r['__b_y_min'])
+            * ((1 << bits) - 1)
+        )
+        dx = dy = 0
+        for i in range(bits):
+            dx |= ((r.z >> (2 * i)) & 1) << i
+            dy |= ((r.z >> (2 * i + 1)) & 1) << i
+        assert (dx, dy) == (qx, qy)
