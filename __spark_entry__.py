@@ -1838,6 +1838,27 @@ def q_pipe_zorder(spark, sf_dir):
     )
 
 
+def q_x_json_props(spark, sf_dir):
+    """Semi-structured payload handling: the events ``props`` JSON
+    column parsed with a declared schema (``from_json``, JVM-side —
+    never a Python json.loads loop) and aggregated by the extracted
+    field. Schema-on-read for the payload column is the 100 TB
+    idiom: the parse is scan-stage, the malformed-row policy is
+    explicit (nulls), and column pruning still drops ``props``
+    entirely for queries that don't touch it."""
+    e = load_events(spark, sf_dir)
+    parsed = e.select(
+        "event_type",
+        F.from_json("props", "k int").alias("p"),
+    ).select(
+        "event_type",
+        (F.col("p.k") >= 50).alias("high_k"),
+    )
+    return parsed.groupBy("event_type", "high_k").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
 def q_x_schema_evolution(spark, sf_dir):
     """Schema drift across ingestion waves: wave 1 lands orders
     without o_orderpriority, wave 2 adds it (the reference's
@@ -2153,6 +2174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_zorder": q_pipe_zorder,
         "x_jdbc_roundtrip": q_x_jdbc_roundtrip,
         "x_schema_evolution": q_x_schema_evolution,
+        "x_json_props": q_x_json_props,
         "pipe_train_corpus": q_pipe_train_corpus,
         "x_merge_upsert": q_x_merge_upsert,
         "h_moving_avg": q_h_moving_avg,
@@ -4187,6 +4209,14 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         WHERE year(o_orderdate) = 1997
         GROUP BY o_orderstatus
+    """
+    oracles["x_json_props"] = """
+        SELECT event_type,
+               (CAST(json_extract(props, '$.k') AS INT) >= 50)
+                   AS high_k,
+               count(*) AS n_events
+        FROM events
+        GROUP BY event_type, high_k
     """
     oracles["x_schema_evolution"] = """
         SELECT o_orderstatus,
