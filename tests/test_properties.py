@@ -172,8 +172,11 @@ def naive_chunk_dedup(docs: list[tuple[int, list[str]]], w: int):
         chunks = [
             " ".join(toks[i : i + w]) for i in range(0, max(len(toks), 1), w)
         ]
-        kept = [c for c in chunks if c not in seen]
-        seen.update(chunks)
+        kept = []
+        for c in chunks:  # within-doc repeats dedup too
+            if c not in seen:
+                kept.append(c)
+                seen.add(c)
         out[doc_id] = (len(chunks), len(kept), " ".join(kept))
     return out
 
