@@ -1838,6 +1838,39 @@ def q_pipe_zorder(spark, sf_dir):
     )
 
 
+def q_x_variant(spark, sf_dir):
+    """Spark 4 VARIANT semi-structured type: ``parse_json`` the
+    props payload to a variant column, extract typed fields with
+    ``variant_get`` — the open-schema path (vs x_json_props'
+    declared-schema from_json) for payloads whose shape drifts.
+    Variant stores a parsed binary form, so repeated extractions
+    skip re-tokenizing the JSON text."""
+    e = load_events(spark, sf_dir)
+    v = e.select(
+        "event_type",
+        F.parse_json(F.col("props")).alias("v"),
+    ).select(
+        "event_type",
+        F.variant_get(F.col("v"), "$.k", "int").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("k"), 6).alias("avg_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+def q_x_stream_enrich(spark, sf_dir):
+    """Stream-static broadcast enrichment: events stream decorated
+    with the customer dimension, rolled up per (segment, type).
+    Bounded input ⇒ equals the batch join, hash-checked."""
+    from pac_data_pipeline_spark.streaming.joins import (
+        run_streaming_enrich,
+    )
+
+    return run_streaming_enrich(spark, sf_dir)
+
+
 def q_x_json_props(spark, sf_dir):
     """Semi-structured payload handling: the events ``props`` JSON
     column parsed with a declared schema (``from_json``, JVM-side —
@@ -2175,6 +2208,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_jdbc_roundtrip": q_x_jdbc_roundtrip,
         "x_schema_evolution": q_x_schema_evolution,
         "x_json_props": q_x_json_props,
+        "x_variant": q_x_variant,
+        "x_stream_enrich": q_x_stream_enrich,
         "pipe_train_corpus": q_pipe_train_corpus,
         "x_merge_upsert": q_x_merge_upsert,
         "h_moving_avg": q_h_moving_avg,
@@ -4209,6 +4244,24 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         WHERE year(o_orderdate) = 1997
         GROUP BY o_orderstatus
+    """
+    oracles["x_variant"] = """
+        SELECT event_type,
+               count(*) AS n_events,
+               round(avg(CAST(json_extract(props, '$.k') AS INT)), 6)
+                   AS avg_k,
+               max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+        FROM events
+        GROUP BY event_type
+    """
+    oracles["x_stream_enrich"] = """
+        SELECT c.c_mktsegment, e.event_type,
+               count(*) AS n_events,
+               round(sum(e.value), 2) AS total_value
+        FROM events e
+        JOIN customer c ON e.user_id = c.c_custkey
+        WHERE e.user_id IS NOT NULL
+        GROUP BY c.c_mktsegment, e.event_type
     """
     oracles["x_json_props"] = """
         SELECT event_type,

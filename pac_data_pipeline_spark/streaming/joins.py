@@ -94,3 +94,50 @@ def run_streaming_interval_join(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(query_name)
+
+
+def run_streaming_enrich(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "stream_enrich",
+    state_partitions: int | None = 8,
+) -> DataFrame:
+    """Stream-static enrichment: the event stream joined to the
+    customer dimension (static DataFrame) — Spark re-plans the
+    static side per micro-batch, and a dimension-sized side stays a
+    BROADCAST join, so enrichment adds zero streaming state and zero
+    stream-side shuffle. This is the canonical 'decorate events with
+    dimension attributes' stage of a CDC/ingestion pipeline; the
+    rollup after it is the only stateful operator."""
+    from pac_data_pipeline_spark.sources.readers import scan_parquet
+
+    events = events_stream(spark, sf_dir)
+    dim = F.broadcast(
+        scan_parquet(spark, f"{sf_dir}/customer.parquet").select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+    )
+    enriched = events.filter(F.col("user_id").isNotNull()).join(
+        dim, "user_id"
+    )
+    agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        query = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(query_name)

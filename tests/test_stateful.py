@@ -160,3 +160,46 @@ def test_streaming_dedup_checkpoint_recovery(spark, tmp_path):
         final.exceptAll(expected).count() == 0
         and expected.exceptAll(final).count() == 0
     )
+
+
+def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
+    """Event-time correctness under lateness: once the watermark has
+    passed a window's end, rows for that window arriving later are
+    DROPPED — the finalized window's aggregate must not change."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    jan1 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    feb1 = dt.datetime(2024, 2, 1, 12, 0, 0)
+    feb2 = dt.datetime(2024, 2, 2, 12, 0, 0)
+    schema = "ts timestamp, user_id long"
+    wave1 = spark.createDataFrame(
+        [(jan1, i) for i in range(10)] + [(feb1, 99)], schema
+    )
+    wave1.write.parquet(src)
+    stream = (
+        spark.readStream.schema(wave1.schema)
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("w.start", "yyyy-MM-dd").alias("day"), "n")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_drop")
+        .start()
+    )
+    q.processAllAvailable()  # watermark advances past Jan windows
+    # wave 2: 5 LATE rows for Jan 1 (beyond watermark) + 1 on-time
+    spark.createDataFrame(
+        [(jan1, i) for i in range(5)] + [(feb2, 100)], schema
+    ).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    out = {r.day: r.n for r in spark.table("late_drop").collect()}
+    # Jan 1 was finalized with exactly the on-time 10; late 5 dropped
+    assert out.get("2024-01-01") == 10
