@@ -1838,6 +1838,31 @@ def q_pipe_zorder(spark, sf_dir):
     )
 
 
+def q_h_moving_median(spark, sf_dir):
+    """7-row trailing moving MEDIAN of daily revenue per priority —
+    the holistic-aggregate window case: median cannot partially
+    aggregate, so the frame's raw values are re-evaluated per row.
+    Affordable exactly because it runs over pre-aggregated
+    |key × day| rows, never raw orders; on raw data this is where
+    you switch to percentile_approx or a t-digest sketch."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(-6, 0)
+    )
+    return daily.withColumn(
+        "mm7",
+        F.round(F.expr("percentile(rev, 0.5)").over(w), 2),
+    )
+
+
 def q_x_variant(spark, sf_dir):
     """Spark 4 VARIANT semi-structured type: ``parse_json`` the
     props payload to a variant column, extract typed fields with
@@ -2210,6 +2235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_json_props": q_x_json_props,
         "x_variant": q_x_variant,
         "x_stream_enrich": q_x_stream_enrich,
+        "h_moving_median": q_h_moving_median,
         "pipe_train_corpus": q_pipe_train_corpus,
         "x_merge_upsert": q_x_merge_upsert,
         "h_moving_avg": q_h_moving_avg,
@@ -4244,6 +4270,20 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         WHERE year(o_orderdate) = 1997
         GROUP BY o_orderstatus
+    """
+    oracles["h_moving_median"] = """
+        WITH daily AS (
+            SELECT o_orderpriority,
+                   strftime(o_orderdate, '%Y-%m-%d') AS day,
+                   round(sum(o_totalprice), 2) AS rev
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT o_orderpriority, day, rev,
+               round(quantile_cont(rev, 0.5) OVER (
+                   PARTITION BY o_orderpriority ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2)
+                   AS mm7
+        FROM daily
     """
     oracles["x_variant"] = """
         SELECT event_type,
