@@ -1963,6 +1963,10 @@ def q_x_jdbc_roundtrip(spark, sf_dir):
     from pac_data_pipeline_spark.sources.readers import scan_jdbc
 
     db = tempfile.mkdtemp(prefix="derby_") + "/db"
+    # keep Derby's log next to the database, not in the cwd
+    spark.sparkContext._jvm.System.setProperty(
+        "derby.stream.error.file", db + ".log"
+    )
     url = f"jdbc:derby:{db};create=true"
     n = _t(spark, sf_dir, "nation")
     (
