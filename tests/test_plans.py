@@ -160,3 +160,54 @@ def test_partitioned_readback_prunes_partitions(spark, tmp_path):
     # pruned scan does not read o_year as a data column
     pf_line = [ln for ln in p.splitlines() if "PartitionFilters" in ln][0]
     assert "o_year" in pf_line
+
+
+def test_chunk_dedup_exactly_two_exchanges(spark):
+    """Chunk dedup budget: one shuffle on the chunk text (first-
+    occurrence window) + one back on the doc id (reassembly) — the
+    same volume as document-level exact dedup, and nothing else."""
+    import __spark_entry__ as entry
+
+    p = plan(entry.q_x_chunk_dedup(spark, SF), "simple")
+    n_exchanges = p.count("Exchange hashpartitioning")
+    assert n_exchanges == 2, p
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+
+
+def test_dq_fk_probe_uses_broadcast_anti_join(spark):
+    import __spark_entry__ as entry
+
+    p = plan(entry.q_x_dq_checks(spark, SF))
+    assert "LeftAnti" in p, p
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p, p
+
+
+def test_h18_aggregates_before_join(spark):
+    """The HAVING aggregate must run below the joins so only
+    qualifying orderkeys reach the wide rows."""
+    import __spark_entry__ as entry
+
+    p = plan(entry.q_h18_large_orders(spark, SF), "simple")
+    # in the plan tree, the aggregate over lineitem appears deeper
+    # than (after, textually) the join operators that consume it
+    agg_pos = p.find("l_quantity")
+    join_pos = p.find("Join")
+    assert agg_pos != -1 and join_pos != -1 and join_pos < agg_pos, p
+
+
+def test_domain_mix_broadcasts_thresholds(spark):
+    import __spark_entry__ as entry
+
+    p = plan(entry.q_x_domain_mix(spark, SF))
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_min_by_is_single_shuffle_hash_agg(spark):
+    import __spark_entry__ as entry
+
+    p = plan(entry.q_h_min_by(spark, SF), "simple")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "Window" not in p, p
+    # partial + final aggregate nodes straddle the exchange (min_by
+    # over a struct ordering plans as SortAggregate, still two-phase)
+    assert p.count("Aggregate") >= 2, p
