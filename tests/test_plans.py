@@ -211,3 +211,54 @@ def test_min_by_is_single_shuffle_hash_agg(spark):
     # partial + final aggregate nodes straddle the exchange (min_by
     # over a struct ordering plans as SortAggregate, still two-phase)
     assert p.count("Aggregate") >= 2, p
+
+
+def test_no_scale_antipatterns_across_registry(spark):
+    """Sweep EVERY registered query's plan for scale anti-patterns:
+    row-at-a-time Python eval, non-broadcast cartesian products, and
+    single-partition windows. Broadcast-nested-loop is allowed only
+    where the broadcast side is a documented tiny frame (query sets,
+    1-row bounds/counts); k3_batch_id's global window is the
+    reference-faithful oracle variant by design."""
+    import __spark_entry__ as entry
+
+    ALLOWED_BNL = {
+        "x_cosine_topk",      # 5-row query set vs corpus (documented)
+        "x_cosine_topk_ivf",  # 1-row centroid-probe broadcast
+        "x_cosine_topk_pq",   # 5-row query set, ADC scoring
+        "x_logfreq_score",    # 1-row corpus-total broadcast
+        "x_collocations",     # 1-row bigram-total broadcast
+        "h22_idle_rich",      # 1-row global-average broadcast
+        "h_equidepth",        # 1-row quantile-bounds broadcast
+        "x_tfidf_terms",      # 1-row corpus doc-count broadcast
+    }
+    # the Window+SinglePartition heuristic is coarse (it ANDs two
+    # independent plan facts): k3's window IS globally ordered by
+    # design; tfidf's SinglePartition belongs to its 1-row global
+    # count aggregate while the window is doc-partitioned.
+    ALLOWED_GLOBAL_WINDOW = {"k3_batch_id", "x_tfidf_terms"}
+    sc = spark.sparkContext
+    bad = {}
+    for name, fn in entry.queries().items():
+        if "stream" in name:
+            continue  # streaming queries execute eagerly; covered elsewhere
+        df = fn(spark, SF)
+        p = sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+        hits = []
+        if "BatchEvalPython" in p:
+            hits.append("row-python")
+        if "CartesianProduct" in p:
+            hits.append("cartesian")
+        if "BroadcastNestedLoopJoin" in p and name not in ALLOWED_BNL:
+            hits.append("bnl")
+        if (
+            "Window" in p
+            and "Exchange SinglePartition" in p
+            and name not in ALLOWED_GLOBAL_WINDOW
+        ):
+            hits.append("global-window")
+        if hits:
+            bad[name] = hits
+    assert not bad, bad
