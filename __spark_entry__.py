@@ -1838,6 +1838,17 @@ def q_pipe_zorder(spark, sf_dir):
     )
 
 
+def q_x_stream_dedup_wm(spark, sf_dir):
+    """Bounded-state streaming dedup (dropDuplicatesWithinWatermark):
+    state ages out past the watermark — the unbounded-stream
+    production path; equals DISTINCT on the bounded corpus."""
+    from pac_data_pipeline_spark.streaming.stateful import (
+        run_streaming_dedup_within_watermark,
+    )
+
+    return run_streaming_dedup_within_watermark(spark, sf_dir)
+
+
 def q_h_moving_median(spark, sf_dir):
     """7-row trailing moving MEDIAN of daily revenue per priority —
     the holistic-aggregate window case: median cannot partially
@@ -2240,6 +2251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_variant": q_x_variant,
         "x_stream_enrich": q_x_stream_enrich,
         "h_moving_median": q_h_moving_median,
+        "x_stream_dedup_wm": q_x_stream_dedup_wm,
         "pipe_train_corpus": q_pipe_train_corpus,
         "x_merge_upsert": q_x_merge_upsert,
         "h_moving_avg": q_h_moving_avg,
@@ -4274,6 +4286,10 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         WHERE year(o_orderdate) = 1997
         GROUP BY o_orderstatus
+    """
+    oracles["x_stream_dedup_wm"] = """
+        SELECT DISTINCT user_id, event_type FROM events
+        WHERE ts IS NOT NULL
     """
     oracles["h_moving_median"] = """
         WITH daily AS (

@@ -215,3 +215,46 @@ def run_streaming_sessions(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(query_name)
+
+
+def run_streaming_dedup_within_watermark(
+    spark: SparkSession,
+    sf_dir: str,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    watermark: str = "2 hours",
+    query_name: str = "stream_dedup_wm",
+    state_partitions: int | None = 8,
+) -> DataFrame:
+    """Bounded-state streaming dedup: ``dropDuplicatesWithinWatermark``
+    ages each key out of the state store once the watermark passes it
+    — the production path for unbounded streams, where plain
+    ``dropDuplicates`` state grows forever. The guarantee weakens
+    accordingly (duplicates separated by more than the watermark can
+    re-emit); on the bounded test corpus every duplicate pair is
+    inside the watermark, so the emitted key set equals DISTINCT and
+    shares the exact oracle."""
+    raw = events_stream(spark, sf_dir)
+    deduped = (
+        raw.filter(F.col("ts").isNotNull())
+        .withWatermark("ts", watermark)
+        .select(*keys, "ts")
+        .dropDuplicatesWithinWatermark(list(keys))
+        .select(*keys)
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        query = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(query_name)
