@@ -1838,6 +1838,105 @@ def q_pipe_zorder(spark, sf_dir):
     )
 
 
+def q_x_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: for each
+    anchor vector, the top-5 most-cosine-similar corpus vectors with
+    a DIFFERENT label — the negatives that actually teach the
+    margin. Same broadcast-scored plan as exact ANN (corpus never
+    shuffles) with a label-mismatch predicate before the per-anchor
+    top-k window; at scale swap the scorer for the IVF/PQ tiers."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    scored = (
+        emb.select("vec_id", F.col("embedding").alias("e_vec"), "label")
+        .crossJoin(F.broadcast(anchors))
+        .filter(F.col("label") != F.col("q_label"))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.expr(
+                "aggregate(zip_with(e_vec, q_vec,"
+                " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+                " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+                " / nullif(sqrt(aggregate(e_vec, CAST(0.0 AS DOUBLE),"
+                " (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+                " * sqrt(aggregate(q_vec, CAST(0.0 AS DOUBLE),"
+                " (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0.0)"
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def q_x_negative_pairs(spark, sf_dir):
+    """Deterministic random negative sampling: each document draws 3
+    pseudo-random partners via md5(doc_id, j) mod corpus-size — a
+    pure function of the ids, so the pairing is reproducible on any
+    engine/partitioning (the same property as hash sampling). The
+    partner fetch is one equi-join; self-pairs are dropped."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    n_docs = d.agg(F.count(F.lit(1)).alias("__n"))
+    drawn = (
+        d.crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j"),
+            "__n",
+        )
+        .select(
+            "doc_id",
+            "source",
+            "j",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.col("doc_id").cast("string"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.col("__n"),
+            ).alias("neg_id"),
+        )
+        .filter(F.col("neg_id") != F.col("doc_id"))
+    )
+    partners = d.select(
+        F.col("doc_id").alias("neg_id"), F.col("source").alias("neg_source")
+    )
+    return drawn.join(partners, "neg_id").select(
+        "doc_id", "j", "neg_id", "source", "neg_source"
+    )
+
+
 def q_x_stream_dedup_wm(spark, sf_dir):
     """Bounded-state streaming dedup (dropDuplicatesWithinWatermark):
     state ages out past the watermark — the unbounded-stream
@@ -2252,6 +2351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_stream_enrich": q_x_stream_enrich,
         "h_moving_median": q_h_moving_median,
         "x_stream_dedup_wm": q_x_stream_dedup_wm,
+        "x_hard_negatives": q_x_hard_negatives,
+        "x_negative_pairs": q_x_negative_pairs,
         "pipe_train_corpus": q_pipe_train_corpus,
         "x_merge_upsert": q_x_merge_upsert,
         "h_moving_avg": q_h_moving_avg,
@@ -4286,6 +4387,48 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         WHERE year(o_orderdate) = 1997
         GROUP BY o_orderstatus
+    """
+    oracles["x_hard_negatives"] = """
+        WITH q AS (
+            SELECT vec_id AS query_id,
+                   CAST(embedding AS DOUBLE[]) AS q_vec,
+                   label AS q_label
+            FROM embeddings WHERE vec_id < 5
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id, e.label,
+                   list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), q.q_vec) AS cosine
+            FROM embeddings e CROSS JOIN q
+            WHERE e.label <> q.q_label
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, label, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, label, round(cosine, 6) AS cosine,
+               CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 5
+    """
+    oracles["x_negative_pairs"] = """
+        WITH n AS (SELECT count(*) AS c FROM documents),
+        drawn AS (
+            SELECT d.doc_id, d.source, j,
+                   CAST('0x' || substring(
+                       md5(CAST(d.doc_id AS VARCHAR) || ':'
+                           || CAST(j AS VARCHAR)), 1, 8) AS BIGINT)
+                       % n.c AS neg_id
+            FROM documents d
+            CROSS JOIN n
+            CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) u
+        )
+        SELECT drawn.doc_id, drawn.j, drawn.neg_id, drawn.source,
+               p.source AS neg_source
+        FROM drawn
+        JOIN documents p ON p.doc_id = drawn.neg_id
+        WHERE drawn.neg_id <> drawn.doc_id
     """
     oracles["x_stream_dedup_wm"] = """
         SELECT DISTINCT user_id, event_type FROM events
