@@ -1838,6 +1838,54 @@ def q_pipe_zorder(spark, sf_dir):
     )
 
 
+def q_pipe_csv_roundtrip(spark, sf_dir):
+    """S1's CSV half exercised live: orders written as
+    header-bearing gzip CSV (ISO-formatted dates so the text form is
+    unambiguous), read back through ``scan_csv`` with an EXPLICIT
+    schema — at scale schema inference is a full extra pass over the
+    data, so the declared-schema path is the one that matters — then
+    aggregated. The date survives a text round trip only because the
+    write side pins the format; that's the reference's CSV ingestion
+    contract (pac_data_processor.py:19) made explicit."""
+    import tempfile
+
+    from pac_data_pipeline_spark.sources.readers import scan_csv
+
+    out = tempfile.mkdtemp(prefix="orders_csv_")
+    o = _t(spark, sf_dir, "orders")
+    (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+                "o_orderdate"
+            ),
+            "o_orderpriority",
+        )
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("compression", "gzip")
+        .csv(out)
+    )
+    back = scan_csv(
+        spark,
+        out,
+        schema=(
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, "
+            "o_orderpriority string"
+        ),
+    )
+    return back.groupBy(
+        "o_orderstatus", F.year("o_orderdate").alias("yr")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
 def q_x_hard_negatives(spark, sf_dir):
     """Hard-negative mining for contrastive training: for each
     anchor vector, the top-5 most-cosine-similar corpus vectors with
@@ -2353,6 +2401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_stream_dedup_wm": q_x_stream_dedup_wm,
         "x_hard_negatives": q_x_hard_negatives,
         "x_negative_pairs": q_x_negative_pairs,
+        "pipe_csv_roundtrip": q_pipe_csv_roundtrip,
         "pipe_train_corpus": q_pipe_train_corpus,
         "x_merge_upsert": q_x_merge_upsert,
         "h_moving_avg": q_h_moving_avg,
@@ -4387,6 +4436,14 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         WHERE year(o_orderdate) = 1997
         GROUP BY o_orderstatus
+    """
+    oracles["pipe_csv_roundtrip"] = """
+        SELECT o_orderstatus,
+               year(o_orderdate) AS yr,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY o_orderstatus, yr
     """
     oracles["x_hard_negatives"] = """
         WITH q AS (
