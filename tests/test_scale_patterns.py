@@ -304,3 +304,46 @@ def test_z_order_value_interleaves_bijectively(spark):
             dx |= ((r.z >> (2 * i)) & 1) << i
             dy |= ((r.z >> (2 * i + 1)) & 1) << i
         assert (dx, dy) == (qx, qy)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """Runtime skew handling: a 95%-one-key join under AQE must come
+    out of execution with the sort-merge join marked skew=true —
+    the skewed partition was split into parallel subtasks instead of
+    serializing on one reducer. (Thresholds lowered to make the
+    local dataset 'big'; at production defaults the same mechanics
+    trigger at 256 MB partitions.)"""
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(500_000).select(
+            F.when(F.col("id") % 50 != 0, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.concat(F.lit("p" * 64), F.col("id").cast("string")).alias(
+                "pad"
+            ),
+        )
+        right = spark.range(10_000).select(
+            F.col("id").alias("k"), F.lit("r").alias("rv")
+        )
+        j = left.join(right, "k").groupBy().count()
+        j.collect()
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in p
+        assert "skew=true" in p, p
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
