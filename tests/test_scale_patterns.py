@@ -347,3 +347,55 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_aqe_converts_shuffle_join_to_broadcast_at_runtime(spark, tmp_path):
+    """When runtime shuffle stats reveal a small build side the
+    static planner couldn't size, AQE must replace the sort-merge
+    join with a broadcast join mid-query."""
+    from pyspark.sql import functions as F
+
+    small_path = str(tmp_path / "small_dim")
+    spark.range(100).select(
+        F.col("id").alias("k"), F.lit("d").alias("dv")
+    ).write.parquet(small_path)
+    small = spark.read.parquet(small_path)
+    big = spark.range(300_000).select(
+        F.pmod(F.col("id"), F.lit(100)).alias("k"), F.col("id").alias("v")
+    )
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10KB")
+    try:
+        j = big.join(small, "k").groupBy().count()
+        j.collect()
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in p
+        assert "BroadcastHashJoin" in p, p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """A partitioned fact joined to a filtered dim must plan a
+    dynamic-pruning subquery: only the dim-selected partitions of
+    the fact are listed/read — the join-driven analogue of static
+    partition pruning, essential when the partition filter is only
+    known via the dimension."""
+    from pyspark.sql import functions as F
+
+    fact_path = str(tmp_path / "fact")
+    spark.range(100_000).select(
+        (F.col("id") % 10).alias("part_k"), F.col("id").alias("v")
+    ).write.partitionBy("part_k").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = (
+        spark.range(10)
+        .select(F.col("id").alias("part_k"), F.lit("x").alias("attr"))
+        .filter(F.col("part_k") == 3)
+    )
+    q = fact.join(dim, "part_k").groupBy().count()
+    sc = spark.sparkContext
+    p = sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    assert "dynamicpruning" in p.lower(), p
