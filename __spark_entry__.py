@@ -1838,6 +1838,82 @@ def q_pipe_zorder(spark, sf_dir):
     )
 
 
+def q_x_incremental_dedup(spark, sf_dir):
+    """Incremental-ingestion dedup: a NEW batch (doc_id % 3 == 0)
+    deduped against the HISTORICAL corpus (the rest) and against
+    itself — the production shape where yesterday's fingerprint
+    table is huge and today's batch is small. The historical side
+    reduces to (hash → min id) before the join, and the batch joins
+    it once; nothing re-reads historical text. Verdict per new doc:
+    'historical' dup, 'batch' dup, or 'unique'."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    hist = d.filter(F.col("doc_id") % 3 != 0)
+    new = d.filter(F.col("doc_id") % 3 == 0)
+    hist_fp = (
+        hist.select(F.sha2(F.col("text"), 256).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select("h")
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    flagged = (
+        new.select("doc_id", F.sha2(F.col("text"), 256).alias("h"))
+        .withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(hist_fp.withColumn("__in_hist", F.lit(True))),
+              "h", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("__in_hist"), "historical")
+            .when(F.col("__rn") > 1, "batch")
+            .otherwise("unique")
+            .alias("verdict"),
+        )
+    )
+    return flagged
+
+
+def q_x_token_budget(spark, sf_dir):
+    """Greedy token-budget selection WITHOUT a global row sort:
+    docs bucket by rounded quality score (~100 buckets), the
+    running token total over bucket AGGREGATES (tiny frame) picks
+    the cutoff bucket, and the corpus filter is score ≥ cutoff —
+    best-first selection whose only full-corpus ops are scans.
+    Whole buckets are taken, so the selected set overshoots the
+    budget by at most one bucket's tokens (documented tolerance);
+    per-row greedy inside the boundary bucket would need the global
+    sort this avoids."""
+    from pyspark.sql import Window
+
+    budget = 200_000
+    d = _t(spark, sf_dir, "documents")
+    from pac_data_pipeline_spark.ext.text import quality_parts, token_count
+
+    _, score = quality_parts("text")
+    scored = d.select(
+        "doc_id",
+        F.round(score, 2).alias("qbucket"),
+        token_count("text").cast("bigint").alias("n_tokens"),
+    )
+    buckets = scored.groupBy("qbucket").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
+    )
+    w = Window.orderBy(F.col("qbucket").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cutoff = (
+        buckets.withColumn("running", F.sum("bucket_tokens").over(w))
+        .filter(F.col("running") <= budget)
+        .agg(F.min("qbucket").alias("cut"))
+    )
+    return (
+        scored.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("qbucket") >= F.col("cut"))
+        .select("doc_id", "qbucket", "n_tokens")
+    )
+
+
 def q_pipe_csv_roundtrip(spark, sf_dir):
     """S1's CSV half exercised live: orders written as
     header-bearing gzip CSV (ISO-formatted dates so the text form is
@@ -2402,6 +2478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_hard_negatives": q_x_hard_negatives,
         "x_negative_pairs": q_x_negative_pairs,
         "pipe_csv_roundtrip": q_pipe_csv_roundtrip,
+        "x_incremental_dedup": q_x_incremental_dedup,
+        "x_token_budget": q_x_token_budget,
         "pipe_train_corpus": q_pipe_train_corpus,
         "x_merge_upsert": q_x_merge_upsert,
         "h_moving_avg": q_h_moving_avg,
@@ -4436,6 +4514,71 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         WHERE year(o_orderdate) = 1997
         GROUP BY o_orderstatus
+    """
+    oracles["x_incremental_dedup"] = """
+        WITH newb AS (
+            SELECT doc_id, sha256(text) AS h FROM documents
+            WHERE doc_id % 3 = 0
+        ),
+        hist AS (
+            SELECT DISTINCT sha256(text) AS h FROM documents
+            WHERE doc_id % 3 <> 0
+        ),
+        r AS (
+            SELECT doc_id, h,
+                   row_number() OVER (PARTITION BY h ORDER BY doc_id)
+                       AS rn
+            FROM newb
+        )
+        SELECT r.doc_id,
+               CASE WHEN hist.h IS NOT NULL THEN 'historical'
+                    WHEN rn > 1 THEN 'batch'
+                    ELSE 'unique' END AS verdict
+        FROM r LEFT JOIN hist ON r.h = hist.h
+    """
+    oracles["x_token_budget"] = """
+        WITH t AS (
+            SELECT doc_id, text,
+                   string_split_regex(trim(text), '\\s+') AS toks,
+                   length(text) AS n_char
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   len(list_filter(toks, t -> list_contains(
+                       ['the','and','of','to','a','in','is','for'],
+                       lower(t)))) * 1.0
+                       / nullif(len(toks), 0) AS sw_ratio,
+                   (n_char - length(regexp_replace(text, '[^\\w\\s]',
+                                                   '', 'g'))) * 1.0
+                       / nullif(n_char, 0) AS punct_ratio,
+                   len(toks) AS n_tok
+            FROM t
+        ),
+        scored AS (
+            SELECT doc_id,
+                   round(0.5 * sw_ratio
+                         + 0.3 * least(n_tok / 100.0, 1.0)
+                         + 0.2 * (1.0 - punct_ratio), 2) AS qbucket,
+                   CAST(n_tok AS BIGINT) AS n_tokens
+            FROM m
+        ),
+        buckets AS (
+            SELECT qbucket, sum(n_tokens) AS bucket_tokens
+            FROM scored GROUP BY qbucket
+        ),
+        cut AS (
+            SELECT min(qbucket) AS c FROM (
+                SELECT qbucket,
+                       sum(bucket_tokens) OVER (
+                           ORDER BY qbucket DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS running
+                FROM buckets
+            ) WHERE running <= 200000
+        )
+        SELECT s.doc_id, s.qbucket, s.n_tokens
+        FROM scored s, cut WHERE s.qbucket >= cut.c
     """
     oracles["pipe_csv_roundtrip"] = """
         SELECT o_orderstatus,

@@ -231,12 +231,15 @@ def test_no_scale_antipatterns_across_registry(spark):
         "h22_idle_rich",      # 1-row global-average broadcast
         "h_equidepth",        # 1-row quantile-bounds broadcast
         "x_tfidf_terms",      # 1-row corpus doc-count broadcast
+        "x_token_budget",     # 1-row cutoff broadcast
     }
     # the Window+SinglePartition heuristic is coarse (it ANDs two
     # independent plan facts): k3's window IS globally ordered by
     # design; tfidf's SinglePartition belongs to its 1-row global
     # count aggregate while the window is doc-partitioned.
-    ALLOWED_GLOBAL_WINDOW = {"k3_batch_id", "x_tfidf_terms"}
+    # x_token_budget's running sum windows over ~100 bucket
+    # aggregates, not corpus rows — the tiny-frame exception.
+    ALLOWED_GLOBAL_WINDOW = {"k3_batch_id", "x_tfidf_terms", "x_token_budget"}
     sc = spark.sparkContext
     bad = {}
     for name, fn in entry.queries().items():
