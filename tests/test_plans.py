@@ -232,6 +232,8 @@ def test_no_scale_antipatterns_across_registry(spark):
         "h_equidepth",        # 1-row quantile-bounds broadcast
         "x_tfidf_terms",      # 1-row corpus doc-count broadcast
         "x_token_budget",     # 1-row cutoff broadcast
+        "x_hard_negatives",   # 5-row anchor set vs corpus
+        "x_negative_pairs",   # 1-row corpus-count broadcast
     }
     # the Window+SinglePartition heuristic is coarse (it ANDs two
     # independent plan facts): k3's window IS globally ordered by
