@@ -1838,6 +1838,60 @@ def q_pipe_zorder(spark, sf_dir):
     )
 
 
+def q_x_catalog_probe(spark, sf_dir):
+    """S6 schema introspection as a checked query: every table's
+    (table, column, ordinal, ANSI type) from the scan schemas —
+    Spark type names translated to the ANSI spellings an external
+    catalog would show, so the whole catalog hash-checks against
+    information_schema."""
+    from pac_data_pipeline_spark.sources.readers import (
+        TABLES,
+        describe_schema,
+    )
+
+    ansi = {
+        "string": "varchar",
+        "int": "integer",
+        "float": "real",
+        "array<float>": "float[]",
+        # parquet micros with isAdjustedToUTC=false arrive as NTZ;
+        # the ANSI catalog spelling for naive wall-clock is TIMESTAMP
+        "timestamp_ntz": "timestamp",
+    }
+    rows = []
+    for t in sorted(TABLES):
+        df = (
+            load_events(spark, sf_dir)
+            if t == "events"
+            else _t(spark, sf_dir, t)
+        )
+        for i, (col, dtype) in enumerate(describe_schema(df)):
+            rows.append((t, col, i, ansi.get(dtype, dtype)))
+    return spark.createDataFrame(
+        rows, "table_name string, column_name string, ordinal int, "
+        "data_type string"
+    )
+
+
+def q_x_write_verify(spark, sf_dir):
+    """K7 write-verification as a checked query: write the nation
+    dim, re-read the sink, report expected vs actual counts + the
+    ok verdict (reference index_align_to_firebase.py:249-251)."""
+    import tempfile
+
+    from pac_data_pipeline_spark.sinks.documents import verify_write
+
+    out = tempfile.mkdtemp(prefix="verify_write_")
+    n = _t(spark, sf_dir, "nation")
+    expected = n.count()
+    n.write.mode("overwrite").parquet(out)
+    v = verify_write(spark, out, expected)
+    return spark.createDataFrame(
+        [(expected, v["actual"], v["ok"])],
+        "expected long, actual long, ok boolean",
+    )
+
+
 def q_x_incremental_dedup(spark, sf_dir):
     """Incremental-ingestion dedup: a NEW batch (doc_id % 3 == 0)
     deduped against the HISTORICAL corpus (the rest) and against
@@ -2480,6 +2534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_csv_roundtrip": q_pipe_csv_roundtrip,
         "x_incremental_dedup": q_x_incremental_dedup,
         "x_token_budget": q_x_token_budget,
+        "x_catalog_probe": q_x_catalog_probe,
+        "x_write_verify": q_x_write_verify,
         "pipe_train_corpus": q_pipe_train_corpus,
         "x_merge_upsert": q_x_merge_upsert,
         "h_moving_avg": q_h_moving_avg,
@@ -4514,6 +4570,21 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         WHERE year(o_orderdate) = 1997
         GROUP BY o_orderstatus
+    """
+    oracles["x_catalog_probe"] = """
+        SELECT table_name, column_name,
+               CAST(ordinal_position - 1 AS INTEGER) AS ordinal,
+               lower(data_type) AS data_type
+        FROM information_schema.columns
+        WHERE table_name IN ('region', 'nation', 'customer',
+            'supplier', 'part', 'orders', 'lineitem', 'events',
+            'documents', 'embeddings')
+    """
+    oracles["x_write_verify"] = """
+        SELECT CAST(count(*) AS BIGINT) AS expected,
+               CAST(count(*) AS BIGINT) AS actual,
+               TRUE AS ok
+        FROM nation
     """
     oracles["x_incremental_dedup"] = """
         WITH newb AS (
