@@ -1838,6 +1838,18 @@ def q_pipe_zorder(spark, sf_dir):
     )
 
 
+def q_x_bpe_train(spark, sf_dir):
+    """BPE tokenizer training (8 merges) over the documents corpus:
+    corpus-wide vocab aggregation once, then per-round JVM pair
+    counting + Arrow-batched merge application on the vocab frame.
+    Rows-only: the merge loop is inherently iterative (no single
+    SQL oracle); equality with a plain-Python reference trainer is
+    pinned in tests/test_ext.py."""
+    from pac_data_pipeline_spark.ext.text import bpe_train
+
+    return bpe_train(_t(spark, sf_dir, "documents"), n_merges=8)
+
+
 def q_x_catalog_probe(spark, sf_dir):
     """S6 schema introspection as a checked query: every table's
     (table, column, ordinal, ANSI type) from the scan schemas —
@@ -2536,6 +2548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_token_budget": q_x_token_budget,
         "x_catalog_probe": q_x_catalog_probe,
         "x_write_verify": q_x_write_verify,
+        "x_bpe_train": q_x_bpe_train,
         "pipe_train_corpus": q_pipe_train_corpus,
         "x_merge_upsert": q_x_merge_upsert,
         "h_moving_avg": q_h_moving_avg,

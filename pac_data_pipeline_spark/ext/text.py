@@ -670,3 +670,96 @@ def ensure_parallelism_text(df: DataFrame) -> DataFrame:
     from pac_data_pipeline_spark.ext.dedup_text import ensure_parallelism
 
     return ensure_parallelism(df)
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Byte-pair-encoding tokenizer training: learn the top
+    ``n_merges`` symbol merges over the corpus vocabulary.
+
+    Classic word-level BPE: the vocabulary is (word, frequency) —
+    ONE aggregation over the corpus, after which every round works
+    on the vocab frame (|unique words|, thousands of rows, NOT
+    corpus-sized). Each round: (1) count adjacent symbol pairs
+    weighted by word frequency — exploded zip_with pairs into a
+    partial-aggregated groupBy, all JVM; (2) take the argmax pair
+    (1-row driver fetch, the BPE sequential dependency); (3) apply
+    the merge to the symbol sequences — vectorized pandas string
+    replace inside mapInPandas (the merge rewrite has no clean
+    JVM-expression form; Arrow batching keeps it off the row path).
+
+    Returns the merge table (rank, left, right, pair_count) —
+    deterministic given the corpus: ties on count break
+    lexicographically. At 100 TB only step (1)'s FIRST vocab
+    aggregation touches the corpus; training itself runs on the
+    vocab frame, which is why single-machine BPE trainers survive —
+    this version just keeps the vocab distributed too."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # symbol sequence as a space-joined string: "h e l l o"
+    vocab = words.select(
+        F.concat_ws(
+            " ", F.split(F.col("w"), "(?!$)")
+        ).alias("syms"),
+        "freq",
+    ).localCheckpoint()
+
+    merges = []
+    for rank in range(n_merges):
+        pairs = vocab.select(
+            F.explode(
+                F.expr(
+                    "zip_with(split(syms, ' '),"
+                    " slice(split(syms, ' '), 2, size(split(syms, ' '))),"
+                    " (a, b) -> struct(a AS l, b AS r))"
+                )
+            ).alias("p"),
+            "freq",
+        ).filter(F.col("p.r").isNotNull())
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("l"), F.col("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
+        merges.append((rank, left, right, int(cnt)))
+
+        def apply_merge(batches, _l=left, _r=right):
+            import re
+
+            pat = re.compile(
+                r"(?<!\S)" + re.escape(_l) + " " + re.escape(_r) + r"(?!\S)"
+            )
+            rep = _l + _r
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["syms"] = pdf["syms"].map(lambda s: pat.sub(rep, s))
+                yield pdf
+
+        schema = T.StructType(
+            [
+                T.StructField("syms", T.StringType()),
+                T.StructField("freq", T.LongType()),
+            ]
+        )
+        vocab = vocab.mapInPandas(apply_merge, schema).localCheckpoint()
+
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count long"
+    )

@@ -438,3 +438,52 @@ def test_pq_topk_recall_and_exact_scores(spark):
     for r in pq_rows:
         if (r.query_id, r.vec_id) in exact_scores:
             assert abs(r.cosine - exact_scores[(r.query_id, r.vec_id)]) < 1e-9
+
+
+def test_bpe_train_matches_reference(spark):
+    """BPE merges must equal a plain-Python reference trainer
+    (count-weighted argmax, lexicographic tie-break)."""
+    from collections import Counter
+
+    from pac_data_pipeline_spark.ext.text import bpe_train
+
+    corpus = ["low low lower lowest", "new newer newest low"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+
+    def naive_bpe(texts, n):
+        vocab = Counter()
+        for t in texts:
+            for w in t.split():
+                vocab[" ".join(w)] += 1
+        out = []
+        for rank in range(n):
+            pairs = Counter()
+            for syms, freq in vocab.items():
+                s = syms.split(" ")
+                for a, b in zip(s, s[1:]):
+                    pairs[(a, b)] += freq
+            if not pairs:
+                break
+            # max count, ties lexicographic (l, r) ascending
+            best = sorted(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )[0]
+            (l, r), cnt = best
+            out.append((rank, l, r, cnt))
+            import re
+
+            pat = re.compile(
+                r"(?<!\S)" + re.escape(l) + " " + re.escape(r) + r"(?!\S)"
+            )
+            vocab = Counter(
+                {pat.sub(l + r, syms): f for syms, f in vocab.items()}
+            )
+        return out
+
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_train(df, n_merges=5).orderBy("rank").collect()
+    ]
+    assert got == naive_bpe(corpus, 5)
