@@ -731,11 +731,19 @@ def q_h_median(spark, sf_dir):
     aggregate that cannot map-side combine; Spark's percentile
     matches ANSI percentile_cont interpolation."""
     li = _t(spark, sf_dir, "lineitem")
+    # floor(x*100+0.5)/100 instead of round(): Spark's round() on
+    # doubles goes through the shortest-decimal string (HALF_UP on
+    # Double.toString) while other engines round the binary value —
+    # they disagree exactly at .xx5 boundaries. The floor form is a
+    # pure IEEE expression, bit-identical everywhere.
+    def _r2(c):
+        return F.floor(c * 100 + F.lit(0.5)) / F.lit(100.0)
+
     return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias(
+        _r2(F.expr("percentile(l_extendedprice, 0.5)")).alias(
             "median_price"
         ),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 2).alias(
+        _r2(F.expr("percentile(l_extendedprice, 0.9)")).alias(
             "p90_price"
         ),
     )
@@ -1410,7 +1418,18 @@ def q_h_moving_avg(spark, sf_dir):
         .orderBy("day")
         .rowsBetween(-6, 0)
     )
-    return daily.withColumn("ma7", F.round(F.avg("rev").over(w), 2))
+    # integer-cents average: the frame sum is exact (no double
+    # summation-order jitter), so the rounded mean is reproducible
+    # bit-for-bit on any engine
+    cents = F.round(F.col("rev") * 100).cast("long")
+    # exact integer frame-sum, then one fixed-order double division:
+    # bit-identical on any engine, no rounding-boundary jitter
+    return daily.withColumn(
+        "ma7",
+        F.sum(cents).over(w).cast("double")
+        / F.count(cents).over(w)
+        / F.lit(100.0),
+    )
 
 
 def q_x_stream_cdc(spark, sf_dir):
@@ -1732,7 +1751,9 @@ def q_h_min_by(spark, sf_dir):
     (price, suppkey) struct — the struct ordering makes ties
     deterministic, so the whole result hash-checks. One
     partial-aggregated shuffle on l_partkey; no window, no join."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+    )
     return li.groupBy("l_partkey").agg(
         F.expr(
             "min_by(l_suppkey, struct(l_extendedprice, l_suppkey))"
@@ -1959,7 +1980,11 @@ def q_x_token_budget(spark, sf_dir):
     _, score = quality_parts("text")
     scored = d.select(
         "doc_id",
-        F.round(score, 2).alias("qbucket"),
+        # floor-based 2-decimal bucketing (engine-portable rounding;
+        # see q_h_median)
+        (F.floor(score * 100 + F.lit(0.5)) / F.lit(100.0)).alias(
+            "qbucket"
+        ),
         token_count("text").cast("bigint").alias("n_tokens"),
     )
     buckets = scored.groupBy("qbucket").agg(
@@ -2038,13 +2063,18 @@ def q_x_hard_negatives(spark, sf_dir):
     from pyspark.sql import Window
 
     emb = _t(spark, sf_dir, "embeddings")
-    anchors = emb.filter(F.col("vec_id") < 5).select(
+    anchors = emb.filter(
+        (F.col("vec_id") < 5)
+        & F.col("embedding").isNotNull()
+        & F.col("label").isNotNull()
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_vec"),
         F.col("label").alias("q_label"),
     )
     scored = (
-        emb.select("vec_id", F.col("embedding").alias("e_vec"), "label")
+        emb.filter(F.col("embedding").isNotNull())
+        .select("vec_id", F.col("embedding").alias("e_vec"), "label")
         .crossJoin(F.broadcast(anchors))
         .filter(F.col("label") != F.col("q_label"))
         .select(
@@ -2157,9 +2187,11 @@ def q_h_moving_median(spark, sf_dir):
         .orderBy("day")
         .rowsBetween(-6, 0)
     )
+    mm = F.expr("percentile(rev, 0.5)").over(w)
+    # floor-based rounding: bit-identical across engines (see
+    # q_h_median for the Double.toString HALF_UP divergence)
     return daily.withColumn(
-        "mm7",
-        F.round(F.expr("percentile(rev, 0.5)").over(w), 2),
+        "mm7", F.floor(mm * 100 + F.lit(0.5)) / F.lit(100.0)
     )
 
 
@@ -2901,7 +2933,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (
                 SELECT *, row_number() OVER (
                     PARTITION BY l_orderkey, l_linenumber
-                    ORDER BY l_partkey, l_suppkey) AS rn
+                    ORDER BY l_partkey NULLS FIRST, l_suppkey NULLS FIRST) AS rn
                 FROM lineitem
             ) WHERE rn = 1
         """,
@@ -3036,31 +3068,37 @@ def oracle_sql() -> dict[str, str]:
         "x_ngram_jaccard": """
             WITH g AS (
                 SELECT doc_id,
-                       list_distinct([
-                           array_to_string(toks[i : i + 2], ' ')
-                           FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)
-                       ]) AS grams
+                       CASE WHEN toks IS NULL THEN NULL
+                            ELSE list_distinct([
+                                array_to_string(toks[i : i + 2], ' ')
+                                FOR i IN range(1,
+                                    greatest(len(toks) - 2, 1) + 1)
+                            ]) END AS grams
                 FROM (SELECT doc_id,
                              string_split_regex(trim(text), '\\s+') AS toks
                       FROM documents)
             )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   round(len(list_intersect(a.grams, b.grams))
-                         / nullif(len(list_distinct(
-                               list_concat(a.grams, b.grams))), 0), 6) AS jaccard
+                   CASE WHEN a.grams IS NULL OR b.grams IS NULL THEN NULL
+                        ELSE round(len(list_intersect(a.grams, b.grams))
+                             / nullif(len(list_distinct(
+                                   list_concat(a.grams, b.grams))), 0), 6)
+                   END AS jaccard
             FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
         """,
         "x_cosine_topk": """
             WITH q AS (
                 SELECT vec_id AS query_id,
                        CAST(embedding AS DOUBLE[]) AS q_vec
-                FROM embeddings WHERE vec_id < 5
+                FROM embeddings
+                WHERE vec_id < 5 AND embedding IS NOT NULL
             ),
             scored AS (
                 SELECT q.query_id, e.vec_id,
                        list_cosine_similarity(
                            CAST(e.embedding AS DOUBLE[]), q.q_vec) AS cosine
                 FROM embeddings e CROSS JOIN q
+                WHERE e.embedding IS NOT NULL
             ),
             ranked AS (
                 SELECT query_id, vec_id, cosine,
@@ -3078,7 +3116,7 @@ def oracle_sql() -> dict[str, str]:
                    event_type,
                    count(*) AS n_events,
                    round(sum(value), 2) AS total_value
-            FROM events GROUP BY 1, 2
+            FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
         """,
         "x_window_sliding": """
             WITH expanded AS (
@@ -3087,6 +3125,7 @@ def oracle_sql() -> dict[str, str]:
                        value
                 FROM events
                 CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+                WHERE ts IS NOT NULL
             )
             SELECT strftime(win_start, '%Y-%m-%dT%H:%M:%S') AS window_start,
                    count(*) AS n_events,
@@ -3275,7 +3314,7 @@ def oracle_sql() -> dict[str, str]:
         WITH dedup AS (
             SELECT *, row_number() OVER (
                 PARTITION BY l_orderkey, l_linenumber
-                ORDER BY l_partkey, l_suppkey) AS rn
+                ORDER BY l_partkey NULLS FIRST, l_suppkey NULLS FIRST) AS rn
             FROM lineitem
         ),
         kept AS (SELECT * FROM dedup WHERE rn = 1),
@@ -3625,8 +3664,10 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["h_median"] = """
         SELECT l_returnflag,
-               round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
-               round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price
+               floor(quantile_cont(l_extendedprice, 0.5) * 100 + 0.5)
+                   / 100.0 AS median_price,
+               floor(quantile_cont(l_extendedprice, 0.9) * 100 + 0.5)
+                   / 100.0 AS p90_price
         FROM lineitem GROUP BY l_returnflag
     """
     oracles["x_interleave"] = """
@@ -3689,9 +3730,11 @@ def oracle_sql() -> dict[str, str]:
                        i -> t[i] || ' ' || t[i + 1]) AS g
             FROM toks
         )
-        SELECT doc_id, n_tokens,
-               CAST(len(g) AS BIGINT) AS n_2grams,
-               CASE WHEN len(g) > 0
+        SELECT doc_id,
+               n_tokens,
+               CASE WHEN n_tokens IS NULL THEN NULL
+                    ELSE CAST(len(g) AS BIGINT) END AS n_2grams,
+               CASE WHEN n_tokens IS NOT NULL AND len(g) > 0
                     THEN round(1.0 - CAST(len(list_distinct(g)) AS DOUBLE)
                                / len(g), 6)
                END AS rep_2gram_ratio
@@ -3805,7 +3848,7 @@ def oracle_sql() -> dict[str, str]:
                strftime(day, '%Y-%m-%d') AS day,
                coalesce(rev, 0) AS revenue,
                last_value(rev IGNORE NULLS) OVER (
-                   PARTITION BY o_orderpriority ORDER BY day
+                   PARTITION BY o_orderpriority ORDER BY day NULLS FIRST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS last_known
         FROM j
@@ -4112,11 +4155,14 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY 1, 2
         )
         SELECT o_orderpriority, day, rev,
-               round(avg(rev) OVER (
-                   PARTITION BY o_orderpriority ORDER BY day
-                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
-               ), 2) AS ma7
+               CAST(sum(CAST(round(rev * 100) AS BIGINT)) OVER w
+                    AS DOUBLE)
+                   / count(CAST(round(rev * 100) AS BIGINT)) OVER w
+                   / 100.0 AS ma7
         FROM daily
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY day NULLS FIRST
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     """
     oracles["pipe_train_corpus"] = """
         WITH t AS (
@@ -4353,7 +4399,7 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT o_orderpriority, day, rev,
                round(sum(rev) OVER (
-                   PARTITION BY o_orderpriority ORDER BY day
+                   PARTITION BY o_orderpriority ORDER BY day NULLS FIRST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ), 2) AS running_total
         FROM daily
@@ -4499,13 +4545,13 @@ def oracle_sql() -> dict[str, str]:
                ntile(4) OVER w AS quartile,
                round(nth_value(o_totalprice, 2) OVER (
                    PARTITION BY o_custkey
-                   ORDER BY o_totalprice, o_orderkey
+                   ORDER BY o_totalprice NULLS FIRST, o_orderkey
                    ROWS BETWEEN UNBOUNDED PRECEDING
                         AND UNBOUNDED FOLLOWING), 2)
                    AS second_smallest
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey
-                     ORDER BY o_totalprice, o_orderkey)
+                     ORDER BY o_totalprice NULLS FIRST, o_orderkey)
     """
     oracles["h_exists_late"] = """
         SELECT o_orderpriority, count(*) AS n_orders
@@ -4559,13 +4605,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_partkey, l_suppkey, l_extendedprice,
                    row_number() OVER (
                        PARTITION BY l_partkey
-                       ORDER BY l_extendedprice, l_suppkey
+                       ORDER BY l_extendedprice,
+                                l_suppkey NULLS FIRST
                    ) AS rn_min,
                    row_number() OVER (
                        PARTITION BY l_partkey
-                       ORDER BY l_extendedprice DESC, l_suppkey DESC
+                       ORDER BY l_extendedprice DESC,
+                                l_suppkey DESC
                    ) AS rn_max
-            FROM lineitem
+            FROM lineitem WHERE l_extendedprice IS NOT NULL
         )
         SELECT l_partkey,
                max(CASE WHEN rn_min = 1 THEN l_suppkey END)
@@ -4641,9 +4689,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         scored AS (
             SELECT doc_id,
-                   round(0.5 * sw_ratio
-                         + 0.3 * least(n_tok / 100.0, 1.0)
-                         + 0.2 * (1.0 - punct_ratio), 2) AS qbucket,
+                   floor((0.5 * sw_ratio
+                          + 0.3 * least(n_tok / 100.0, 1.0)
+                          + 0.2 * (1.0 - punct_ratio)) * 100 + 0.5)
+                       / 100.0 AS qbucket,
                    CAST(n_tok AS BIGINT) AS n_tokens
             FROM m
         ),
@@ -4677,14 +4726,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id AS query_id,
                    CAST(embedding AS DOUBLE[]) AS q_vec,
                    label AS q_label
-            FROM embeddings WHERE vec_id < 5
+            FROM embeddings
+            WHERE vec_id < 5 AND embedding IS NOT NULL
+              AND label IS NOT NULL
         ),
         scored AS (
             SELECT q.query_id, e.vec_id, e.label,
                    list_cosine_similarity(
                        CAST(e.embedding AS DOUBLE[]), q.q_vec) AS cosine
             FROM embeddings e CROSS JOIN q
-            WHERE e.label <> q.q_label
+            WHERE e.label <> q.q_label AND e.embedding IS NOT NULL
         ),
         ranked AS (
             SELECT query_id, vec_id, label, cosine,
@@ -4726,10 +4777,10 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY 1, 2
         )
         SELECT o_orderpriority, day, rev,
-               round(quantile_cont(rev, 0.5) OVER (
-                   PARTITION BY o_orderpriority ORDER BY day
-                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2)
-                   AS mm7
+               floor(quantile_cont(rev, 0.5) OVER (
+                   PARTITION BY o_orderpriority ORDER BY day NULLS FIRST
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 100
+                   + 0.5) / 100.0 AS mm7
         FROM daily
     """
     oracles["x_variant"] = """
@@ -4761,8 +4812,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["x_schema_evolution"] = """
         SELECT o_orderstatus,
                count(*) AS n_orders,
-               sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
-                   AS n_missing_priority,
+               sum(CASE WHEN o_orderkey % 2 = 0
+                             OR o_orderpriority IS NULL
+                        THEN 1 ELSE 0 END) AS n_missing_priority,
                round(sum(o_totalprice), 2) AS total
         FROM orders
         GROUP BY o_orderstatus

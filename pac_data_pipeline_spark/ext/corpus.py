@@ -173,11 +173,16 @@ def unicode_clean(
 
         for pdf in batches:
             cleaned = pdf[text_col].map(clean_one)
+            # SQL null semantics: null text -> null verdict, never True
+            changed = [
+                None if orig is None else (c != orig)
+                for orig, c in zip(pdf[text_col], cleaned)
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "clean_text": cleaned,
-                    "changed": cleaned != pdf[text_col],
+                    "changed": pd.array(changed, dtype="boolean"),
                 }
             )
 

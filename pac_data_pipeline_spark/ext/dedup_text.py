@@ -441,11 +441,17 @@ def _with_token_ngrams(
         "__toks", F.expr(f"split(trim({text_col}), '\\\\s+')")
     ).withColumn(
         out_col,
-        F.array_distinct(
-            F.expr(
-                f"transform(sequence(1, greatest(size(__toks) - {n} + 1, 1)),"
-                f" i -> concat_ws(' ', slice(__toks, i, {n})))"
-            )
+        # null text must yield a NULL gram set, not [""]: concat_ws
+        # swallows the null slice into an empty string otherwise,
+        # and every pair of null docs would "match" with jaccard 1.0
+        F.when(
+            F.col("__toks").isNotNull(),
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(__toks) - {n} + 1, 1)),"
+                    f" i -> concat_ws(' ', slice(__toks, i, {n})))"
+                )
+            ),
         ),
     )
 
@@ -468,14 +474,18 @@ def ngram_jaccard_pairs(
     b = docs.select(F.col(id_col).alias("id_b"), F.col("grams").alias("g_b"))
     inter = F.size(F.array_intersect("g_a", "g_b"))
     union = F.size(F.array_union("g_a", "g_b"))
+    # null text -> null gram set -> UNKNOWN similarity, never a
+    # match: without the guard, size(array_intersect(null, null))
+    # arithmetic can score two null docs as identical and fuse them
+    # into one dedup cluster (caught by the null-fuzz gate)
+    jac = F.when(
+        F.col("g_a").isNotNull() & F.col("g_b").isNotNull(),
+        F.round(inter / F.nullif(union, F.lit(0)), 6),
+    )
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(inter / F.nullif(union, F.lit(0)), 6).alias("jaccard"),
-        )
+        .select("id_a", "id_b", jac.alias("jaccard"))
     )
 
 

@@ -39,6 +39,16 @@ def _norm(a: str) -> Column:
     )
 
 
+def drop_null_vectors(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """A null vector has no geometry: every similarity operator
+    drops such rows up front (scan-stage IsNotNull, pushed to the
+    reader) instead of propagating null cosines into rankings or
+    crashing the driver-side quantizer fit on ragged samples."""
+    return df.filter(F.col(vec_col).isNotNull())
+
+
 def cosine_topk_bruteforce(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -52,12 +62,13 @@ def cosine_topk_bruteforce(
     join (corpus never shuffles), dot/norms as array folds, then a
     per-query window for the top k with vec_id tiebreak."""
     q = F.broadcast(
-        queries.select(
+        queries.filter(F.col("q_vec").isNotNull()).select(
             F.col("query_id"), F.col("q_vec")
         )
     )
     scored = (
-        embeddings.select(F.col(id_col), F.col(vec_col).alias("e_vec"))
+        drop_null_vectors(embeddings, vec_col)
+        .select(F.col(id_col), F.col(vec_col).alias("e_vec"))
         .crossJoin(q)
         .select(
             "query_id",
@@ -83,7 +94,8 @@ def queries_from_corpus(
 ) -> DataFrame:
     """Use the first ``n`` corpus vectors (by id) as the query set."""
     return (
-        embeddings.filter(F.col(id_col) < n)
+        drop_null_vectors(embeddings, vec_col)
+        .filter(F.col(id_col) < n)
         .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     )
 
@@ -134,12 +146,12 @@ def cosine_topk_lsh(
     Scale shape: corpus signatures are scan-side; the bucket join is
     an equi-join on a long key (shuffle ∝ corpus, not corpus×|Q|)."""
     planes = random_hyperplanes(dim, n_planes, seed)
-    corpus = embeddings.select(
+    corpus = drop_null_vectors(embeddings, vec_col).select(
         F.col(id_col),
         F.col(vec_col).alias("e_vec"),
         _sign_signature(vec_col, planes).alias("bucket"),
     )
-    q_sig = queries.select(
+    q_sig = queries.filter(F.col("q_vec").isNotNull()).select(
         "query_id", "q_vec", _sign_signature("q_vec", planes).alias("q_bucket")
     )
     # multi-probe: original bucket + single-bit flips up to n_probe_bits
@@ -254,7 +266,9 @@ def cosine_topk_ivf(
     is tunable via n_probe. At 100 TB, persist `assigned` partitioned
     by centroid_id so a query's probes prune to n_probe/n_centroids
     of the files."""
-    corpus = embeddings.select(F.col(id_col), F.col(vec_col).alias("e_vec"))
+    corpus = drop_null_vectors(embeddings, vec_col).select(
+        F.col(id_col), F.col(vec_col).alias("e_vec")
+    )
     sample = np.array(
         [
             r[0]
@@ -409,7 +423,9 @@ def cosine_topk_pq(
     cosines are TRUE values — approximation affects only which rows
     make the shortlist, never the reported score. Combine with IVF
     cell pruning for the full FAISS-style IVF-PQ layout."""
-    corpus = embeddings.select(F.col(id_col), F.col(vec_col).alias("e_vec"))
+    corpus = drop_null_vectors(embeddings, vec_col).select(
+        F.col(id_col), F.col(vec_col).alias("e_vec")
+    )
     sample = np.array(
         [
             r[0]
@@ -471,7 +487,7 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-dup: bucket by sign-LSH, compare within
     buckets only (id_a < id_b), keep pairs above ``threshold``."""
     planes = random_hyperplanes(dim, n_planes, seed)
-    sigs = embeddings.select(
+    sigs = drop_null_vectors(embeddings, vec_col).select(
         F.col(id_col),
         F.col(vec_col).alias("v"),
         _sign_signature(vec_col, planes).alias("bucket"),

@@ -36,10 +36,15 @@ def to_doc_records(
     for c in iso_date_cols:
         body = body.withColumn(c, iso_timestamp(c))
     payload_cols = [c for c in body.columns]
+    # keep null fields in the payload (ignoreNullFields=false): the
+    # reference serializes None values rather than dropping keys, and
+    # a stable key set is what downstream consumers index on
     return body.select(
         F.lit(collection).alias("collection"),
         F.col(id_col).cast("string").alias("document_id"),
-        F.to_json(F.struct(*payload_cols)).alias("data"),
+        F.to_json(
+            F.struct(*payload_cols), {"ignoreNullFields": "false"}
+        ).alias("data"),
     )
 
 

@@ -33,7 +33,9 @@ OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
-#: (next_session_id, open_start_us, open_last_us, open_n, open_value)
+#: (next_session_id, open_start_us, open_last_us, open_n, open_value,
+#: open_nonnull) — open_nonnull counts non-null values so an
+#: all-null session emits NULL like SQL sum(), not 0.0
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("next_session_id", T.LongType()),
@@ -41,6 +43,7 @@ STATE_SCHEMA = T.StructType(
         T.StructField("open_last", T.LongType()),
         T.StructField("open_n", T.LongType()),
         T.StructField("open_value", T.DoubleType()),
+        T.StructField("open_nonnull", T.LongType()),
     ]
 )
 
@@ -103,12 +106,14 @@ def make_sessionizer(gap_minutes: int = 30, emit_open: bool = True):
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values(["ts", "event_id"], ignore_index=True)
         ts_us = (batch["ts"].astype("int64") // 1000).to_numpy()  # ns → µs
-        values = batch["value"].fillna(0.0).to_numpy(dtype="float64")
+        raw_values = batch["value"].to_numpy(dtype="float64")
+        nn_mask = ~np.isnan(raw_values)
+        values = np.nan_to_num(raw_values)
 
         if state.exists:
-            next_sid, start, last, n, val = state.get
+            next_sid, start, last, n, val, nnz = state.get
         else:
-            next_sid, start, last, n, val = 0, None, None, 0, 0.0
+            next_sid, start, last, n, val, nnz = 0, None, None, 0, 0.0, 0
 
         out_rows = []
         if len(ts_us):
@@ -122,17 +127,25 @@ def make_sessionizer(gap_minutes: int = 30, emit_open: bool = True):
             seg = np.cumsum(breaks)  # 0 = continuation of open state
             counts = np.bincount(seg)
             sums = np.bincount(seg, weights=values)
+            nonnulls = np.bincount(seg, weights=nn_mask.astype("float64"))
             first_idx = np.flatnonzero(breaks)
+
+            def _emit_val(v, k):
+                # SQL sum() semantics: no non-null inputs -> NULL
+                return round(v, 2) if k > 0 else None
+
             # fold the continuation segment into the open session
             if seg[0] == 0:
                 n += int(counts[0])
                 val += float(sums[0])
+                nnz += int(nonnulls[0])
                 last = int(ts_us[np.flatnonzero(seg == 0)[-1]])
             # close every session that precedes a new segment start
             for idx in first_idx:
                 if start is not None:
                     out_rows.append(
-                        (user_id, next_sid, n, _iso(start), round(val, 2), True)
+                        (user_id, next_sid, n, _iso(start),
+                         _emit_val(val, nnz), True)
                     )
                     next_sid += 1
                 s = int(seg[idx])
@@ -140,12 +153,14 @@ def make_sessionizer(gap_minutes: int = 30, emit_open: bool = True):
                 start = int(ts_us[idx])
                 n = int(counts[s])
                 val = float(sums[s])
+                nnz = int(nonnulls[s])
                 last = int(ts_us[-1] if seg_end is None else ts_us[seg_end - 1])
 
-        state.update((next_sid, start, last, n, val))
+        state.update((next_sid, start, last, n, val, nnz))
         if emit_open and start is not None:
             out_rows.append(
-                (user_id, next_sid, n, _iso(start), round(val, 2), False)
+                (user_id, next_sid, n, _iso(start),
+                 _emit_val(val, nnz), False)
             )
         if out_rows:
             yield pd.DataFrame(

@@ -50,7 +50,8 @@ def tumbling_window_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
     event_type). Map-side partial aggregation applies — the shuffle
     carries one row per (window, type) per partition."""
     return (
-        events.groupBy(F.window("ts", width), "event_type")
+        events.filter(F.col("ts").isNotNull())
+        .groupBy(F.window("ts", width), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),
@@ -72,7 +73,8 @@ def sliding_window_agg(
     """Sliding windows: each event lands in width/slide windows
     (Spark explodes window instances before the aggregation)."""
     return (
-        events.groupBy(F.window("ts", width, slide))
+        events.filter(F.col("ts").isNotNull())
+        .groupBy(F.window("ts", width, slide))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),

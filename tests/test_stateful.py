@@ -57,7 +57,7 @@ def test_single_batch_multiple_sessions():
     assert list(open_.n_events) == [1]
     assert list(open_.session_value) == [32.0]
     # state carries the open session
-    next_sid, start, last, n, val = state.get
+    next_sid, start, last, n, val, nnz = state.get
     assert (next_sid, n, val) == (2, 1, 32.0)
     assert start == last == 200 * MIN_US
 
