@@ -278,6 +278,12 @@ def cosine_topk_ivf(
         ],
         dtype="float64",
     )
+    if sample.size == 0:
+        # empty corpus (or all-null vectors): nothing to quantize,
+        # nothing to return — mirror the exact scorer's empty result
+        return corpus.sparkSession.createDataFrame(
+            [], f"query_id long, {id_col} long, cosine double, rank int"
+        )
     centers = _lloyd_kmeans(sample, n_centroids, seed, max_iter)
     assigned = corpus.withColumn(
         "centroid_id", _nearest_centroid("e_vec", centers)
@@ -435,6 +441,10 @@ def cosine_topk_pq(
         ],
         dtype="float64",
     )
+    if sample.size == 0:
+        return corpus.sparkSession.createDataFrame(
+            [], f"query_id long, {id_col} long, cosine double, rank int"
+        )
     books = _pq_codebooks(sample, m, n_codes, seed, max_iter)
     encoded = corpus.withColumn("codes", _pq_encode("e_vec", books))
 

@@ -51,7 +51,10 @@ def profile_columns(
     for c in cols:
         aggs += [
             F.count(F.lit(1)).alias(f"__rows_{c}"),
-            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
+            # coalesce: a null COUNT on empty input must read as 0
+            F.coalesce(
+                F.sum(F.col(c).isNull().cast("long")), F.lit(0)
+            ).alias(f"__nulls_{c}"),
             distinct(F.col(c)).alias(f"__nd_{c}"),
             F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
             F.max(F.col(c)).cast("string").alias(f"__max_{c}"),

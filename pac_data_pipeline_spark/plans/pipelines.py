@@ -217,7 +217,14 @@ def partitioned_layout_pipeline(
         .partitionBy("o_year")
         .parquet(out)
     )
-    back = spark.read.parquet(out).filter(F.col("o_year") == year)
+    # declared read-back schema: robust to an empty write (no data
+    # files to infer from) and the right habit anyway — inference
+    # costs a footer pass and can widen types
+    back = (
+        spark.read.schema(with_year.schema)
+        .parquet(out)
+        .filter(F.col("o_year") == year)
+    )
     return (
         back.groupBy("o_orderstatus")
         .agg(

@@ -2,6 +2,7 @@
 differential gate against it:
 
     python tools/nullfuzz.py [src_sf_dir] [out_dir]
+    python tools/nullfuzz.py --empty [src_sf_dir] [out_dir]
     python tools/check_oracle.py <out_dir>
 
 Deterministically nulls ~5% of every non-key column (md5 of
@@ -9,8 +10,10 @@ table.column:rownum), leaving join/primary keys intact. The gate
 passing on the fuzzed clone proves engine-vs-oracle agreement on
 NULL semantics — null ordering in windows, null event-time rows,
 sum-over-all-null, null text in similarity/dedup — not just on the
-generator's happy path. Every query passed this gate on
-2026-08-13 (148 ok / 11 rows-only, 0 failed).
+generator's happy path. ``--empty`` writes zero-row clones instead
+(schema only) — the empty-partition degenerate case. Every query
+passes both gates with the same verdict set as clean data
+(148 ok / 11 rows-only, 0 failed).
 """
 
 from __future__ import annotations
@@ -33,10 +36,23 @@ KEYS = {
 
 
 def main() -> None:
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf_nullfuzz"
+    args = [a for a in sys.argv[1:] if a != "--empty"]
+    empty = "--empty" in sys.argv[1:]
+    src = args[0] if len(args) > 0 else "/root/testdata/sf0.001"
+    dst = args[1] if len(args) > 1 else (
+        "/tmp/sf_empty" if empty else "/tmp/sf_nullfuzz"
+    )
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
+    if empty:
+        for t in TABLES:
+            con.execute(
+                f"COPY (SELECT * FROM '{src}/{t}.parquet' WHERE 1=0) "
+                f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+            )
+            print(f"[empty] {t}")
+        print(f"wrote {dst}; now run: python tools/check_oracle.py {dst}")
+        return
     for t in TABLES:
         cols = con.execute(
             f"DESCRIBE SELECT * FROM '{src}/{t}.parquet'"
