@@ -60,3 +60,22 @@ def test_query_builds_and_runs_on_smallest_sf(spark, name):
 def test_entry_returns_rows(spark):
     out = entry.entry(spark)
     assert out.count() > 0
+
+
+def test_cli_list_and_run(tmp_path):
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "pac_data_pipeline_spark", "list", "dedup"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0
+    assert "j2_dedup_keep_first" in r.stdout
+    r = subprocess.run(
+        [sys.executable, "-m", "pac_data_pipeline_spark", "run",
+         "a6_distinct_values", "-n", "5"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert "a6_distinct_values" in r.stdout
