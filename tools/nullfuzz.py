@@ -3,6 +3,7 @@ differential gate against it:
 
     python tools/nullfuzz.py [src_sf_dir] [out_dir]
     python tools/nullfuzz.py --empty [src_sf_dir] [out_dir]
+    python tools/nullfuzz.py --unicode [src_sf_dir] [out_dir]
     python tools/check_oracle.py <out_dir>
 
 Deterministically nulls ~5% of every non-key column (md5 of
@@ -11,8 +12,11 @@ passing on the fuzzed clone proves engine-vs-oracle agreement on
 NULL semantics — null ordering in windows, null event-time rows,
 sum-over-all-null, null text in similarity/dedup — not just on the
 generator's happy path. ``--empty`` writes zero-row clones instead
-(schema only) — the empty-partition degenerate case. Every query
-passes both gates with the same verdict set as clean data
+(schema only) — the empty-partition degenerate case. ``--unicode``
+appends non-ASCII payloads (combining chars, CJK, emoji, Latin-1
+supplements) to 10% of document texts — the Java-regex vs RE2 vs
+codepoint-length parity check for the text operators. Every query
+passes all three gates with the same verdict set as clean data
 (148 ok / 11 rows-only, 0 failed).
 """
 
@@ -36,11 +40,15 @@ KEYS = {
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--empty"]
+    flags = {"--empty", "--unicode"}
+    args = [a for a in sys.argv[1:] if a not in flags]
     empty = "--empty" in sys.argv[1:]
+    unicode_mode = "--unicode" in sys.argv[1:]
     src = args[0] if len(args) > 0 else "/root/testdata/sf0.001"
     dst = args[1] if len(args) > 1 else (
-        "/tmp/sf_empty" if empty else "/tmp/sf_nullfuzz"
+        "/tmp/sf_empty" if empty
+        else "/tmp/sf_unifuzz" if unicode_mode
+        else "/tmp/sf_nullfuzz"
     )
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
@@ -52,6 +60,31 @@ def main() -> None:
             )
             print(f"[empty] {t}")
         print(f"wrote {dst}; now run: python tools/check_oracle.py {dst}")
+        return
+    if unicode_mode:
+        import shutil
+
+        for t in TABLES:
+            if t != "documents":
+                shutil.copy(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+        con.execute(
+            f"""
+            COPY (
+                WITH n AS (
+                    SELECT *, row_number() OVER () AS rid
+                    FROM '{src}/documents.parquet'
+                )
+                SELECT doc_id,
+                       CASE WHEN rid % 10 = 0
+                            THEN text ||
+                                 ' déjà vu 漢字テスト Ωμέγα 🙂 naïve ½²'
+                            ELSE text END AS text,
+                       lang, source, n_chars
+                FROM n
+            ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
+            """
+        )
+        print(f"[unicode] documents; wrote {dst}")
         return
     for t in TABLES:
         cols = con.execute(
