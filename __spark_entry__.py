@@ -1859,6 +1859,68 @@ def q_pipe_zorder(spark, sf_dir):
     )
 
 
+def q_pipe_index_align(spark, sf_dir):
+    """§3.4 end-to-end (index_align_to_firebase.py): SQL source →
+    schema-agnostic transform → keyed JSON documents → doc store,
+    with BOTH connectors real — the source is an embedded-Derby
+    JDBC scan (the reference's tunnelled MySQL), the sink is the
+    ``pac_docstore`` Python DataSource (the reference's Firebase
+    keyed upload), and the returned frame is the store read back and
+    parsed. The transform never names columns explicitly: it
+    lowercases whatever arrives and serializes every column, the
+    reference's 'works with whatever columns you have' contract."""
+    import tempfile
+
+    from pac_data_pipeline_spark.sources.docstore import register_docstore
+    from pac_data_pipeline_spark.sources.readers import scan_jdbc
+
+    register_docstore(spark)
+    base = tempfile.mkdtemp(prefix="index_align_")
+    db = base + "/db"
+    spark.sparkContext._jvm.System.setProperty(
+        "derby.stream.error.file", db + ".log"
+    )
+    url = f"jdbc:derby:{db};create=true"
+    (
+        _t(spark, sf_dir, "supplier")
+        .write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "issues")
+        .mode("overwrite")
+        .save()
+    )
+    rows = scan_jdbc(spark, url, table="issues")
+    # schema-agnostic: lowercase every column, discover the id column
+    lowered = rows.select(
+        *[F.col(c).alias(c.lower()) for c in rows.columns]
+    )
+    id_col = next(
+        c for c in lowered.columns if c in ("id", "issue_id", "s_suppkey")
+    )
+    docs = lowered.select(
+        F.concat(F.lit("issue_"), F.col(id_col)).alias("doc_key"),
+        F.to_json(
+            F.struct(*lowered.columns), {"ignoreNullFields": "false"}
+        ).alias("payload"),
+    )
+    store = base + "/collection"
+    docs.write.format("pac_docstore").mode("overwrite").save(store)
+    back = spark.read.format("pac_docstore").option("shards", "4").load(store)
+    parsed = back.select(
+        F.from_json(
+            "payload",
+            "s_suppkey long, s_name string, s_nationkey long, "
+            "s_acctbal double",
+        ).alias("d")
+    ).select("d.*")
+    return parsed.select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        F.round("s_acctbal", 2).alias("s_acctbal"),
+    )
+
+
 def q_x_bpe_train(spark, sf_dir):
     """BPE tokenizer training (8 merges) over the documents corpus:
     corpus-wide vocab aggregation once, then per-round JVM pair
@@ -2581,6 +2643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_catalog_probe": q_x_catalog_probe,
         "x_write_verify": q_x_write_verify,
         "x_bpe_train": q_x_bpe_train,
+        "pipe_index_align": q_pipe_index_align,
         "pipe_train_corpus": q_pipe_train_corpus,
         "x_merge_upsert": q_x_merge_upsert,
         "h_moving_avg": q_h_moving_avg,
@@ -4636,6 +4699,11 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         WHERE year(o_orderdate) = 1997
         GROUP BY o_orderstatus
+    """
+    oracles["pipe_index_align"] = """
+        SELECT s_suppkey, s_name, s_nationkey,
+               round(s_acctbal, 2) AS s_acctbal
+        FROM supplier
     """
     oracles["x_catalog_probe"] = """
         SELECT table_name, column_name,
