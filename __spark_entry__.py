@@ -1859,6 +1859,86 @@ def q_pipe_zorder(spark, sf_dir):
     )
 
 
+def q_h7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: shipping volume between supplier-nation and
+    customer-nation pairs by year. Five-way join where BOTH nation
+    legs are broadcast dims; the only wide exchange is
+    lineitem⋈orders (AQE picks the strategy at real scale). The
+    nation-pair filter runs scan-side on the broadcast copies, so
+    non-qualifying suppliers/customers never reach the fact join."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("yr"),
+        )
+        .agg(
+            # per-row cents, exact integer sum: distributed summation
+            # order cannot move the rounded total (engine-portable)
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 100
+                    ).cast("long")
+                )
+                / F.lit(100.0)
+            ).alias("volume"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_h9_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit by supplier nation and order year over
+    parts whose name matches a pattern. The part filter broadcasts a
+    pre-filtered dim, pruning the fact scan's join probe to matching
+    parts only — predicate-through-dim, the join-order property Q9
+    exists to test."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part")
+    n = _t(spark, sf_dir, "nation")
+    p_sel = p.filter(F.col("p_name").contains("a")).select("p_partkey")
+    profit_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(F.broadcast(p_sel), li.l_partkey == F.col("p_partkey"))
+        .join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")), li.l_suppkey == F.col("s_suppkey"))
+        .join(
+            F.broadcast(
+                n.select(
+                    F.col("n_nationkey"), F.col("n_name").alias("nation")
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("nation", F.year("o_orderdate").alias("yr"))
+        .agg((F.sum(profit_cents) / F.lit(100.0)).alias("profit"))
+    )
+
+
 def q_pipe_index_align(spark, sf_dir):
     """§3.4 end-to-end (index_align_to_firebase.py): SQL source →
     schema-agnostic transform → keyed JSON documents → doc store,
@@ -2644,6 +2724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_write_verify": q_x_write_verify,
         "x_bpe_train": q_x_bpe_train,
         "pipe_index_align": q_pipe_index_align,
+        "h7_nation_volume": q_h7_nation_volume,
+        "h9_profit": q_h9_profit,
         "pipe_train_corpus": q_pipe_train_corpus,
         "x_merge_upsert": q_x_merge_upsert,
         "h_moving_avg": q_h_moving_avg,
@@ -4699,6 +4781,35 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         WHERE year(o_orderdate) = 1997
         GROUP BY o_orderstatus
+    """
+    oracles["h7_nation_volume"] = """
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               year(l.l_shipdate) AS yr,
+               sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                              * 100) AS BIGINT)) / 100.0 AS volume,
+               count(*) AS n_lines
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE n1.n_name <> n2.n_name
+        GROUP BY 1, 2, 3
+    """
+    oracles["h9_profit"] = """
+        SELECT n.n_name AS nation,
+               year(o.o_orderdate) AS yr,
+               sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                              * 100) AS BIGINT)) / 100.0 AS profit
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_name LIKE '%a%'
+        GROUP BY 1, 2
     """
     oracles["pipe_index_align"] = """
         SELECT s_suppkey, s_name, s_nationkey,
