@@ -1859,6 +1859,24 @@ def q_pipe_zorder(spark, sf_dir):
     )
 
 
+def q_h13_count_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of customers by order count —
+    the double aggregation (per-customer count, then histogram of
+    counts) with a left join so zero-order customers land in bucket
+    0. Both aggregations partial-combine; the second one's input is
+    |customers| rows, already tiny relative to the fact."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
 def q_h7_nation_volume(spark, sf_dir):
     """TPC-H Q7 shape: shipping volume between supplier-nation and
     customer-nation pairs by year. Five-way join where BOTH nation
@@ -2726,6 +2744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_index_align": q_pipe_index_align,
         "h7_nation_volume": q_h7_nation_volume,
         "h9_profit": q_h9_profit,
+        "h13_count_distribution": q_h13_count_distribution,
         "pipe_train_corpus": q_pipe_train_corpus,
         "x_merge_upsert": q_x_merge_upsert,
         "h_moving_avg": q_h_moving_avg,
@@ -4781,6 +4800,16 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         WHERE year(o_orderdate) = 1997
         GROUP BY o_orderstatus
+    """
+    oracles["h13_count_distribution"] = """
+        WITH per_cust AS (
+            SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+            FROM customer c
+            LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey
+        )
+        SELECT n_orders, count(*) AS n_customers
+        FROM per_cust GROUP BY n_orders
     """
     oracles["h7_nation_volume"] = """
         SELECT n1.n_name AS supp_nation,
