@@ -1859,6 +1859,27 @@ def q_pipe_zorder(spark, sf_dir):
     )
 
 
+def q_x_udaf_geomean(spark, sf_dir):
+    """Custom aggregate via grouped-agg pandas_udf (the UDAF tier of
+    the Python integration, alongside mapInPandas and
+    applyInPandasWithState): per-returnflag geometric mean of
+    extended price. Arrow ships each group's column once; the UDAF
+    computes exp(mean(log x)) vectorized. Rounded to 4 decimals:
+    the log-sum's floating error across 10⁴⁺ terms sits far below
+    that, so the value hash-checks against exp(avg(ln)) in SQL."""
+    from pac_data_pipeline_spark.functions.udafs import geomean
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice") > 0
+    )
+    # a grouped-agg pandas UDF cannot share an agg() with JVM
+    # aggregates — the group's column ships to Python whole, so
+    # Spark requires the aggregation to be all-pandas
+    return li.groupBy("l_returnflag").agg(
+        F.round(geomean("l_extendedprice"), 4).alias("geomean_price"),
+    )
+
+
 def q_h13_count_distribution(spark, sf_dir):
     """TPC-H Q13 shape: distribution of customers by order count —
     the double aggregation (per-customer count, then histogram of
@@ -2745,6 +2766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h7_nation_volume": q_h7_nation_volume,
         "h9_profit": q_h9_profit,
         "h13_count_distribution": q_h13_count_distribution,
+        "x_udaf_geomean": q_x_udaf_geomean,
         "pipe_train_corpus": q_pipe_train_corpus,
         "x_merge_upsert": q_x_merge_upsert,
         "h_moving_avg": q_h_moving_avg,
@@ -4800,6 +4822,12 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         WHERE year(o_orderdate) = 1997
         GROUP BY o_orderstatus
+    """
+    oracles["x_udaf_geomean"] = """
+        SELECT l_returnflag,
+               round(exp(avg(ln(l_extendedprice))), 4) AS geomean_price
+        FROM lineitem WHERE l_extendedprice > 0
+        GROUP BY l_returnflag
     """
     oracles["h13_count_distribution"] = """
         WITH per_cust AS (
