@@ -1859,6 +1859,73 @@ def q_pipe_zorder(spark, sf_dir):
     )
 
 
+def q_h15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: suppliers achieving the maximum revenue in
+    a shipping year — aggregate, then compare each group to the
+    aggregate-of-aggregates (a 1-row broadcast, never a self-join
+    on the fact)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(F.year("l_shipdate") == 1998)
+        .groupBy("l_suppkey")
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 100
+                    ).cast("long")
+                )
+                / F.lit(100.0)
+            ).alias("revenue")
+        )
+    )
+    top = rev.agg(F.max("revenue").alias("__max"))
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("revenue") == F.col("__max"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "revenue")
+    )
+
+
+def q_h19_bracket_filter(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive bracket predicates spanning the
+    part⋈lineitem join — (small parts & small quantities) OR (large
+    parts & large quantities). Catalyst extracts the common
+    join key while keeping the OR residual; the dim side broadcasts
+    pre-filtered to parts matching EITHER bracket."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    bracket = (
+        (
+            (F.col("p_size") <= 10)
+            & (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 20)
+        )
+        | (
+            (F.col("p_size") > 40)
+            & (F.col("l_quantity") > 30)
+        )
+    )
+    return joined.filter(bracket).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        (
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * 100
+                ).cast("long")
+            )
+            / F.lit(100.0)
+        ).alias("revenue"),
+    )
+
+
 def q_x_udaf_geomean(spark, sf_dir):
     """Custom aggregate via grouped-agg pandas_udf (the UDAF tier of
     the Python integration, alongside mapInPandas and
@@ -2767,6 +2834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h9_profit": q_h9_profit,
         "h13_count_distribution": q_h13_count_distribution,
         "x_udaf_geomean": q_x_udaf_geomean,
+        "h15_top_supplier": q_h15_top_supplier,
+        "h19_bracket_filter": q_h19_bracket_filter,
         "pipe_train_corpus": q_pipe_train_corpus,
         "x_merge_upsert": q_x_merge_upsert,
         "h_moving_avg": q_h_moving_avg,
@@ -4822,6 +4891,26 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         WHERE year(o_orderdate) = 1997
         GROUP BY o_orderstatus
+    """
+    oracles["h15_top_supplier"] = """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                  * 100) AS BIGINT)) / 100.0 AS revenue
+            FROM lineitem WHERE year(l_shipdate) = 1998
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, rev.revenue
+        FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+        WHERE rev.revenue = (SELECT max(revenue) FROM rev)
+    """
+    oracles["h19_bracket_filter"] = """
+        SELECT count(*) AS n_lines,
+               sum(CAST(round(l_extendedprice * (1 - l_discount)
+                              * 100) AS BIGINT)) / 100.0 AS revenue
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_size <= 10 AND l.l_quantity BETWEEN 1 AND 20)
+           OR (p.p_size > 40 AND l.l_quantity > 30)
     """
     oracles["x_udaf_geomean"] = """
         SELECT l_returnflag,
