@@ -2193,11 +2193,14 @@ def q_x_incremental_dedup(spark, sf_dir):
         .select("h")
     )
     w = Window.partitionBy("h").orderBy("doc_id")
+    # no broadcast hint: the HISTORICAL side is the big one at scale
+    # (yesterday's corpus vs today's batch) — a forced broadcast
+    # would OOM exactly when it matters; AQE broadcasts it only
+    # while it is genuinely small
     flagged = (
         new.select("doc_id", F.sha2(F.col("text"), 256).alias("h"))
         .withColumn("__rn", F.row_number().over(w))
-        .join(F.broadcast(hist_fp.withColumn("__in_hist", F.lit(True))),
-              "h", "left")
+        .join(hist_fp.withColumn("__in_hist", F.lit(True)), "h", "left")
         .select(
             "doc_id",
             F.when(F.col("__in_hist"), "historical")
