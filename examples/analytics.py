@@ -36,10 +36,12 @@ def main() -> None:
 
     print("-- per-customer order ranking (window functions)")
     spark.sql("""
-        SELECT o_custkey, o_orderkey, o_totalprice,
-               rank() OVER (PARTITION BY o_custkey
-                            ORDER BY o_totalprice DESC) AS rnk
-        FROM orders QUALIFY rnk <= 2
+        SELECT * FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   rank() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC) AS rnk
+            FROM orders
+        ) WHERE rnk <= 2
     """).show(8)
     spark.stop()
 
