@@ -79,3 +79,10 @@ def test_cli_list_and_run(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-1500:]
     assert "a6_distinct_values" in r.stdout
+    r = subprocess.run(
+        [sys.executable, "-m", "pac_data_pipeline_spark", "explain",
+         "a1_groupby_sum"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert "Physical Plan" in r.stdout

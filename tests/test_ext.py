@@ -487,3 +487,15 @@ def test_bpe_train_matches_reference(spark):
         for r in bpe_train(df, n_merges=5).orderBy("rank").collect()
     ]
     assert got == naive_bpe(corpus, 5)
+
+
+def test_bpe_train_empty_and_single_char_corpus(spark):
+    from pac_data_pipeline_spark.ext.text import bpe_train
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bpe_train(empty, n_merges=3).count() == 0
+    # single-char words have no pairs -> no merges
+    singles = spark.createDataFrame(
+        [(1, "a b c a b")], "doc_id long, text string"
+    )
+    assert bpe_train(singles, n_merges=3).count() == 0
