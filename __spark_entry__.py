@@ -1859,6 +1859,21 @@ def q_pipe_zorder(spark, sf_dir):
     )
 
 
+def q_x_audio_features(spark, sf_dir):
+    """Audio leg of the multimodal path: REAL WAV/PCM synthesis per
+    document (RIFF headers, playable bytes), headerwise decode, and
+    numpy signal features (duration, RMS, zero-crossing rate) over
+    Arrow batches. Rows-only like the image path: float features;
+    the exact values are pinned by unit tests on known signals."""
+    from pac_data_pipeline_spark.ext.multimodal import (
+        audio_features,
+        audio_media_from_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return audio_features(audio_media_from_documents(docs))
+
+
 def q_h15_top_supplier(spark, sf_dir):
     """TPC-H Q15 shape: suppliers achieving the maximum revenue in
     a shipping year — aggregate, then compare each group to the
@@ -2839,6 +2854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_udaf_geomean": q_x_udaf_geomean,
         "h15_top_supplier": q_h15_top_supplier,
         "h19_bracket_filter": q_h19_bracket_filter,
+        "x_audio_features": q_x_audio_features,
         "pipe_train_corpus": q_pipe_train_corpus,
         "x_merge_upsert": q_x_merge_upsert,
         "h_moving_avg": q_h_moving_avg,

@@ -406,3 +406,135 @@ def frame_sample_stub(media: DataFrame, every_n: int = 10) -> DataFrame:
         )
         .select("doc_id", "media_type", "frame_idx", "meta")
     )
+
+
+# -- audio (WAV/PCM) ---------------------------------------------------------
+
+_WAV_HEADER_SIZE = 44  # RIFF + fmt + data chunk headers
+
+
+def encode_wav(sample_rate: int, samples: "np.ndarray") -> bytes:
+    """Build a real 16-bit mono PCM WAV (RIFF) — stdlib struct only,
+    playable by any audio stack. The audio sibling of encode_bmp."""
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(pcm), b"WAVE")
+        + struct.pack(
+            "<4sIHHIIHH",
+            b"fmt ",
+            16,
+            1,  # PCM
+            1,  # mono
+            sample_rate,
+            sample_rate * 2,
+            2,
+            16,
+        )
+        + struct.pack("<4sI", b"data", len(pcm))
+        + pcm
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """Parse a 16-bit mono PCM WAV headerwise: (sample_rate,
+    samples int16). Raises ValueError on anything else."""
+    if len(payload) < _WAV_HEADER_SIZE or payload[:4] != b"RIFF":
+        raise ValueError("not a WAV payload")
+    if payload[8:12] != b"WAVE" or payload[12:16] != b"fmt ":
+        raise ValueError("not a WAVE/fmt stream")
+    fmt, channels, sr = struct.unpack_from("<HHI", payload, 20)
+    (bits,) = struct.unpack_from("<H", payload, 34)
+    if fmt != 1 or channels != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV: fmt={fmt} ch={channels} bits={bits}")
+    (n_bytes,) = struct.unpack_from("<I", payload, 40)
+    data = payload[_WAV_HEADER_SIZE : _WAV_HEADER_SIZE + n_bytes]
+    return sr, np.frombuffer(data, dtype="<i2")
+
+
+def audio_media_from_documents(
+    documents: DataFrame, sample_rate: int = 8000
+) -> DataFrame:
+    """Synthesize a REAL audio table from the documents fixture:
+    per doc, a short sine burst whose frequency/duration derive from
+    the doc id — deterministic bytes, decodable by any WAV reader.
+    Arrow-batched mapInPandas, scan-shaped."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("audio", T.BinaryType()),
+            T.StructField("sample_rate", T.IntegerType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in it:
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                freq = 200 + (d % 200)
+                n = sample_rate // 10 + (d % 5) * sample_rate // 20
+                t = np.arange(n, dtype="float64") / sample_rate
+                wave = (np.sin(2 * np.pi * freq * t) * 12000).astype("<i2")
+                rows.append((d, encode_wav(sample_rate, wave), sample_rate))
+        yield pd.DataFrame(rows, columns=["doc_id", "audio", "sample_rate"])
+
+    return documents.select("doc_id").mapInPandas(batches, out_schema)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Decode WAV payloads and compute real signal features:
+    duration, RMS amplitude, zero-crossing rate — numpy over Arrow
+    batches, the audio analogue of extract_features' BMP path."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("duration_s", T.DoubleType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("zero_cross_rate", T.DoubleType()),
+            T.StructField("decoded", T.BooleanType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in it:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["audio"]):
+                try:
+                    sr, x = decode_wav(bytes(payload))
+                    xf = x.astype("float64") / 32768.0
+                    zc = (
+                        float(np.mean(np.diff(np.signbit(xf)) != 0))
+                        if len(xf) > 1
+                        else 0.0
+                    )
+                    rows.append(
+                        (
+                            int(doc_id),
+                            sr,
+                            len(x),
+                            round(len(x) / sr, 6),
+                            round(float(np.sqrt(np.mean(xf**2))), 6),
+                            round(zc, 6),
+                            True,
+                        )
+                    )
+                except ValueError:
+                    rows.append(
+                        (int(doc_id), None, None, None, None, None, False)
+                    )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "sample_rate",
+                "n_samples",
+                "duration_s",
+                "rms",
+                "zero_cross_rate",
+                "decoded",
+            ],
+        )
+
+    return media.mapInPandas(batches, out_schema)
