@@ -407,8 +407,124 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # an unconverged label set is wrong-but-plausible output
+        # (labels = "min id within max_iter hops", not per
+        # component) — refuse rather than return it. Deep graphs
+        # belong on connected_components_star (O(log n) rounds).
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components: no fixpoint in {max_iter} rounds "
+            "— component diameter exceeds max_iter; use "
+            "connected_components_star for deep/chained graphs"
+        )
     sym.unpersist()
     return labels.unionByName(singletons).select(
+        F.col("id").alias(id_col), F.col("label").alias("component_id")
+    )
+
+
+def connected_components_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond")
+    — the logarithmic-round alternative to min-label propagation
+    (:func:`connected_components`), for graphs whose diameter is NOT
+    shallow (long chains, big merged crawl clusters).
+
+    Each round rewires edges toward component minima:
+
+    * large-star: per node u, attach every strictly-larger neighbor
+      to m = min(N(u) ∪ {u});
+    * small-star: orient edges large→small, then attach each node's
+      smaller-or-equal neighborhood (and itself) to its minimum.
+
+    Both steps are one groupBy(min) + one join keyed on the SAME
+    node column, so the shuffle partitioning is reused within a
+    round, and the edge set shrinks monotonically toward a star per
+    component (root = component minimum). Convergence needs
+    O(log n) rounds vs O(diameter) for label propagation — on a
+    1000-chain it is ~10 rounds instead of 1000. Per-round state is
+    the edge list only (never node labels for the whole corpus), so
+    isolated nodes cost nothing until the final union.
+
+    Output schema matches :func:`connected_components`:
+    ``(id_col, component_id)`` with component_id = min member id —
+    the two algorithms are interchangeable and equality-tested.
+    """
+    cur = (
+        edges.selectExpr("id_a AS u", "id_b AS v")
+        .union(edges.selectExpr("id_b AS u", "id_a AS v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_count = cur.count()
+    for _ in range(max_iter):
+        # large-star: symmetrize, then per node u attach every
+        # strictly-larger neighbor to m = min(N(u) ∪ {u}).
+        sym = cur.union(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", F.col("u")).alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: orient big→small, attach N(u) ∪ {u} to min(N(u))
+        directed = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        smins = directed.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            directed.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(smins.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # fixpoint = edge set unchanged by the round. Structural
+        # shortcuts ("is it star-shaped?") false-positive on a node
+        # pointing at two still-unmerged roots, so compare the sets:
+        # equal count + no new row ⟺ equal (both sides distinct).
+        n = small.count()
+        grew = (
+            n != prev_count
+            or small.join(cur, ["u", "v"], "left_anti").limit(1).count() > 0
+        )
+        cur = small
+        prev_count = n
+        if not grew:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint in {max_iter} "
+            "rounds — raise max_iter (rounds needed ≈ log2 of the "
+            "largest component)"
+        )
+    member = cur.select(F.col("u").alias("id"), F.col("v").alias("label"))
+    roots = cur.select(F.col("v").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    labeled = member.unionByName(roots)
+    singles = (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(labeled.select("id"), "id", "left_anti")
+        .withColumn("label", F.col("id"))
+    )
+    return labeled.unionByName(singles).select(
         F.col("id").alias(id_col), F.col("label").alias("component_id")
     )
 
@@ -418,19 +534,31 @@ def near_dup_clusters(
     threshold: float = 0.4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    algorithm: str = "label",
 ) -> DataFrame:
     """Dedup clustering on a deterministic candidate graph:
     consecutive-id pairs with exact n-gram Jaccard ≥ threshold form
     the edges (LSH would propose the pairs at scale; consecutive
     pairs keep the oracle exact), then connected components label
-    each doc with its keeper (= min id in the component)."""
+    each doc with its keeper (= min id in the component).
+
+    ``algorithm``: ``label`` = min-label propagation (O(diameter)
+    rounds, right for shallow near-dup clusters); ``star`` =
+    large-star/small-star (O(log n) rounds, right for deep/chained
+    components). Identical output, exercised against the same
+    recursive-CTE oracle."""
     a = df.select(F.col(id_col).alias("id_a"))
     b = df.select(F.col(id_col).alias("id_b"))
     pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
     edges = ngram_jaccard_pairs(df, pairs, text_col, id_col).filter(
         F.col("jaccard") >= threshold
     )
-    return connected_components(df, edges.select("id_a", "id_b"), id_col)
+    cc = (
+        connected_components_star
+        if algorithm == "star"
+        else connected_components
+    )
+    return cc(df, edges.select("id_a", "id_b"), id_col)
 
 
 # -- n-gram Jaccard ----------------------------------------------------------

@@ -206,6 +206,93 @@ def test_connected_components_chain_and_islands(spark):
     assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7}
 
 
+def test_connected_components_raises_on_unconverged(spark):
+    from pac_data_pipeline_spark.ext.dedup_text import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a long, id_b long"
+    )
+    # diameter 11 > max_iter 3: must refuse, never return partial labels
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(nodes, chain, max_iter=3).collect()
+
+
+def test_cc_star_matches_label_propagation(spark):
+    import random
+
+    from pac_data_pipeline_spark.ext.dedup_text import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(11)
+    n = 120
+    cases = [
+        # long chain: the shape where star's O(log n) rounds matter
+        [(i, i + 1) for i in range(60)],
+        # bridge node seen from two still-unmerged roots (the shape
+        # a naive "is it star-shaped yet" convergence test gets wrong)
+        [(10, 1), (10, 3), (20, 2), (20, 3)],
+        # random graph
+        [
+            (a, b)
+            for a, b in (
+                (rng.randrange(n), rng.randrange(n)) for _ in range(90)
+            )
+            if a != b
+        ],
+    ]
+    for edges_py in cases:
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        edges = spark.createDataFrame(edges_py, "id_a long, id_b long")
+        ref = sorted(
+            map(tuple, connected_components(nodes, edges, max_iter=80).collect())
+        )
+        got = sorted(
+            map(tuple, connected_components_star(nodes, edges).collect())
+        )
+        assert got == ref
+        assert len(got) == n  # exactly one label per node
+
+
+def test_cc_star_empty_edges(spark):
+    from pac_data_pipeline_spark.ext.dedup_text import (
+        connected_components_star,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    out = {
+        r.doc_id: r.component_id
+        for r in connected_components_star(nodes, edges).collect()
+    }
+    assert out == {i: i for i in range(5)}
+
+
+def test_udtf_token_stream_contract(spark):
+    from pac_data_pipeline_spark.functions.udtfs import token_stream
+
+    df = spark.createDataFrame(
+        [
+            (1, "  a bb   ccc "),  # leading/trailing/multi-space
+            (2, None),  # null text -> no rows
+            (3, "   "),  # whitespace-only -> no rows
+            (4, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        map(tuple, token_stream(df).collect())
+    )
+    assert rows == [
+        (1, 1, "a", 1),
+        (1, 2, "bb", 2),
+        (1, 3, "ccc", 3),
+        (4, 1, "solo", 4),
+    ]
+
+
 def test_chunk_documents_overlap_and_tail(spark):
     from pac_data_pipeline_spark.ext.text import chunk_documents
 

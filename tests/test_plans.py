@@ -213,6 +213,49 @@ def test_min_by_is_single_shuffle_hash_agg(spark):
     assert p.count("Aggregate") >= 2, p
 
 
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
+    """Spark's runtime bloom-filter join (on by default in 4.x)
+    builds a bloom filter from the filtered dimension side and
+    applies might_contain on the fact scan — rows that can't join
+    die before the shuffle. At 100 TB the default size thresholds
+    (creation ≤ 10 MB build side, application ≥ 10 GB scan) make
+    this fire on exactly the joins that need it; locally we lower
+    the application threshold to prove the plan shape is available
+    and uncompromised by our session conf."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        assert (
+            spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+            == "true"
+        )
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .count()
+        )
+        p = plan(j)
+        assert "bloom_filter_agg" in p, p
+        # and it feeds the probe side, not just a dangling aggregate
+        assert "might_contain" in p.lower() or "bloomFilter" in p, p
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_no_scale_antipatterns_across_registry(spark):
     """Sweep EVERY registered query's plan for scale anti-patterns:
     row-at-a-time Python eval, non-broadcast cartesian products, and

@@ -17,7 +17,7 @@ appends non-ASCII payloads (combining chars, CJK, emoji, Latin-1
 supplements) to 10% of document texts — the Java-regex vs RE2 vs
 codepoint-length parity check for the text operators. Every query
 passes all three gates with the same verdict set as clean data
-(155 ok / 11 rows-only, 0 failed).
+(161 ok / 12 rows-only, 0 failed).
 """
 
 from __future__ import annotations
