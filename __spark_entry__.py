@@ -2916,6 +2916,21 @@ def q_x_cc_largestar(spark, sf_dir):
     )
 
 
+def q_x_jaccard_join(spark, sf_dir):
+    """EXACT Jaccard-threshold set-similarity self-join via prefix
+    filtering (AllPairs/PPJoin family): every doc pair with 3-gram
+    Jaccard ≥ 0.4, no all-pairs product, no LSH false negatives —
+    the exact-answer sibling of x_minhash_near_dup. Brute-force
+    pairwise oracle proves completeness, not just precision."""
+    from pac_data_pipeline_spark.ext.dedup_text import (
+        jaccard_similarity_join,
+    )
+
+    return jaccard_similarity_join(
+        _t(spark, sf_dir, "documents"), threshold=0.4
+    )
+
+
 def q_x_udtf_tokens(spark, sf_dir):
     """Python UDTF tier (lateral table function): one row per
     (document, token position) via a registered UDTF. The
@@ -2965,13 +2980,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h21_waiting": q_h21_waiting,
         "x_cc_largestar": q_x_cc_largestar,
         "x_udtf_tokens": q_x_udtf_tokens,
+        "x_jaccard_join": q_x_jaccard_join,
         # -- (b) new in round 2 -----------------------------------
         "x_unpivot": q_x_unpivot,
         "x_gap_fill": q_x_gap_fill,
         "x_entropy": q_x_entropy,
         "x_fuzzy_join": q_x_fuzzy_join,
         "x_scd2": q_x_scd2,
-        "x_zscore": q_x_zscore,
         "x_simhash_pairs": q_x_simhash_pairs,
         "x_skew_distinct": q_x_skew_distinct,
         "x_salted_sum": q_x_salted_sum,
@@ -3009,6 +3024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the local gate, unit tests, and (for the shared streaming
         # source) the checked x_stream_tumbling.
         "h_cube": q_h_cube,
+        "x_zscore": q_x_zscore,
         "x_minhash_near_dup": q_x_minhash_near_dup,
         "x_cosine_topk_lsh": q_x_cosine_topk_lsh,
         "x_cosine_topk_ivf": q_x_cosine_topk_ivf,
@@ -5513,6 +5529,28 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY s.s_name
     """
     oracles["x_cc_largestar"] = oracles["x_dedup_clusters"]
+    oracles["x_jaccard_join"] = """
+        WITH d AS (
+            SELECT doc_id,
+                   list_distinct([
+                       array_to_string(toks[i : i + 2], ' ')
+                       FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)
+                   ]) AS grams
+            FROM (SELECT doc_id,
+                         string_split_regex(trim(text), '\\s+') AS toks
+                  FROM documents
+                  WHERE text IS NOT NULL AND trim(text) <> '')
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.grams, b.grams))
+                     / (1.0 * nullif(len(list_distinct(
+                           list_concat(a.grams, b.grams))), 0)),
+                     6) AS jaccard
+        FROM d a JOIN d b ON b.doc_id > a.doc_id
+        WHERE len(list_intersect(a.grams, b.grams))
+              / (1.0 * nullif(len(list_distinct(
+                    list_concat(a.grams, b.grams))), 0)) >= 0.4
+    """
     oracles["x_udtf_tokens"] = """
         SELECT doc_id,
                generate_subscripts(toks, 1) AS idx,

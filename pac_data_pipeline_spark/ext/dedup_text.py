@@ -627,6 +627,106 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_similarity_join(
+    df: DataFrame,
+    threshold: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """EXACT Jaccard-threshold self-join via prefix filtering (the
+    AllPairs/PPJoin family, Bayardo et al. / Xiao et al.) — finds
+    EVERY pair of documents with n-gram Jaccard ≥ threshold without
+    ever forming the all-pairs product, and without LSH's false
+    negatives.
+
+    The theorem: sort every document's gram set by one global total
+    order; if |x ∩ y| / |x ∪ y| ≥ t then x and y must share at
+    least one gram among each side's first |x| − ⌈t·|x|⌉ + 1 grams.
+    So candidates = docs sharing a PREFIX gram — and ordering the
+    vocabulary rarest-first makes prefixes carry the rarest grams,
+    keeping every bucket small.
+
+    Shuffle budget: gram-frequency aggregate (pair-keyed, skew-free)
+    → frequency join back (AQE broadcasts the vocab side when it
+    fits) → per-doc re-aggregation → equi-join on prefix grams →
+    exact verify on the candidates only. Every stage is keyed or
+    bounded; the only pairwise work is on prefix-bucket candidates,
+    which the size filter (t·max(|x|,|y|) ≤ min(|x|,|y|)) prunes
+    further. This is the exact-answer sibling of MinHash-LSH
+    (minhash_near_dup_pairs): LSH when approximate recall is
+    acceptable, prefix filtering when the contract is exactness.
+    """
+    grams = (
+        _with_token_ngrams(ensure_parallelism(df), text_col, n)
+        .filter(F.col("grams").isNotNull() & (F.size("grams") > 0))
+        .select(F.col(id_col).alias("id"), "grams")
+    )
+    tok = grams.select("id", F.explode("grams").alias("g"))
+    freq = tok.groupBy("g").agg(F.count(F.lit(1)).alias("f"))
+    # global total order = (frequency, gram): rarest-first with a
+    # deterministic tiebreak, identical on every executor
+    ordered = (
+        tok.join(freq, "g")
+        .groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("f"), F.col("g")))
+            ).alias("st")
+        )
+        .select(
+            "id",
+            F.expr("transform(st, s -> s.g)").alias("toks"),
+            F.size("st").alias("n"),
+        )
+    )
+    prefix_len = (
+        F.col("n")
+        - F.ceil(F.lit(threshold) * F.col("n")).cast("int")
+        + F.lit(1)
+    )
+    # slice() takes the length as a column: stage it first
+    pref = (
+        ordered.withColumn("__plen", prefix_len.cast("int"))
+        .select(
+            "id",
+            "n",
+            F.explode(F.expr("slice(toks, 1, __plen)")).alias("g"),
+        )
+    )
+    a = pref.select(
+        F.col("id").alias("id_a"), F.col("n").alias("n_a"), "g"
+    )
+    b = pref.select(
+        F.col("id").alias("id_b"), F.col("n").alias("n_b"), "g"
+    )
+    cand = (
+        a.join(b, "g")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.lit(threshold) * F.greatest("n_a", "n_b")
+                <= F.least("n_a", "n_b")
+            )
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ga = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("g_a"))
+    gb = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("g_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size(F.array_union("g_a", "g_b"))
+    jac = inter / F.nullif(union, F.lit(0))
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        # threshold on the raw ratio (exact-int division, engine-
+        # portable); round only the emitted column
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
 # -- decontamination ----------------------------------------------------------
 
 

@@ -270,6 +270,29 @@ def test_cc_star_empty_edges(spark):
     assert out == {i: i for i in range(5)}
 
 
+def test_jaccard_similarity_join_exact(spark):
+    from pac_data_pipeline_spark.ext.dedup_text import (
+        jaccard_similarity_join,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),  # grams {abc,bcd,cde,def}
+            (2, "a b c d e g"),  # 3 shared grams of 5 union -> 0.6
+            (3, "x y z x y z x"),  # disjoint vocabulary
+            (4, None),  # null text never matches
+            (5, "   "),  # empty text never matches
+            (6, "a b c d e f"),  # exact dup of 1 -> jaccard 1.0
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_similarity_join(df, threshold=0.4).collect()
+    )
+    assert got == [(1, 2, 0.6), (1, 6, 1.0), (2, 6, 0.6)]
+
+
 def test_udtf_token_stream_contract(spark):
     from pac_data_pipeline_spark.functions.udtfs import token_stream
 
