@@ -163,6 +163,15 @@ def write_z_ordered(
     queries filtering on ANY subset of the clustered columns —
     verified objectively in tests by reading per-file parquet stats.
     """
+    # fan a narrow scan out to the cluster's parallelism before the
+    # per-row bit math: a small input that arrives as 1-2 splits
+    # would otherwise compute every Z-value (and repartitionByRange's
+    # sampling pass over the same plan) on 1-2 cores. At production
+    # scale the scan already has thousands of splits and this is a
+    # no-op — the check costs one plan conversion, no data movement.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
     bounds = df.agg(
         *[
             m
