@@ -49,11 +49,37 @@ def main() -> None:
     # queries share, on a 64-row slice — whole-stage codegen compiles
     # per plan shape, and the dict-order rotation means cold text
     # queries otherwise pay ~0.5-1 s of JIT that later ones don't
-    from pac_data_pipeline_spark.ext.text import quality_score, text_stats
+    from pac_data_pipeline_spark.ext.dedup_text import (
+        exact_dedup_groups,
+        ngram_jaccard_pairs,
+    )
+    from pac_data_pipeline_spark.ext.text import (
+        fingerprint,
+        lang_id,
+        quality_score,
+        text_stats,
+    )
 
     tiny = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(64)
     text_stats(tiny).write.format("noop").mode("overwrite").save()
     quality_score(tiny).write.format("noop").mode("overwrite").save()
+    # ...and the other first-query plan shapes the rotation puts at
+    # the head of the registry: hash-groupBy dedup, stopword-array
+    # language ID, md5 fingerprinting, and the n-gram HOF + array
+    # intersect/union used by the jaccard family. Everything runs on
+    # the 64-row slice — we are buying JIT'd codegen classes, not
+    # results.
+    exact_dedup_groups(tiny).write.format("noop").mode("overwrite").save()
+    lang_id(tiny).write.format("noop").mode("overwrite").save()
+    fingerprint(tiny).write.format("noop").mode("overwrite").save()
+    import pyspark.sql.functions as _F
+
+    _pairs = tiny.select(_F.col("doc_id").alias("id_a")).crossJoin(
+        tiny.select(_F.col("doc_id").alias("id_b")).limit(1)
+    )
+    ngram_jaccard_pairs(tiny, _pairs).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
