@@ -657,8 +657,21 @@ def jaccard_similarity_join(
     (minhash_near_dup_pairs): LSH when approximate recall is
     acceptable, prefix filtering when the contract is exactness.
     """
+    # empty/whitespace-only text must be EXCLUDED, not tokenized:
+    # split(trim('')) yields [''] whose gram set is {''} — two empty
+    # docs would otherwise "match" at jaccard 1.0 (found by the
+    # hypothesis completeness test, invisible on generator data)
     grams = (
-        _with_token_ngrams(ensure_parallelism(df), text_col, n)
+        _with_token_ngrams(
+            ensure_parallelism(
+                df.filter(
+                    F.col(text_col).isNotNull()
+                    & (F.trim(F.col(text_col)) != "")
+                )
+            ),
+            text_col,
+            n,
+        )
         .filter(F.col("grams").isNotNull() & (F.size("grams") > 0))
         .select(F.col(id_col).alias("id"), "grams")
     )

@@ -207,3 +207,57 @@ def test_chunk_dedup_matches_naive(spark_session_holder, token_lists):
         for r in chunk_dedup(df, chunk_tokens=3).collect()
     }
     assert got == naive_chunk_dedup(docs, 3)
+
+
+def naive_jaccard_join(docs: list[tuple[int, str]], t: float, n: int = 3):
+    """Reference: brute-force all-pairs n-gram Jaccard ≥ t."""
+    import re
+
+    gram_sets = {}
+    for doc_id, text in docs:
+        if text is None or not text.strip():
+            continue
+        toks = re.split(r"\s+", text.strip())
+        upper = max(len(toks) - n + 1, 1)
+        grams = {" ".join(toks[i : i + n]) for i in range(upper)}
+        gram_sets[doc_id] = grams
+    out = set()
+    ids = sorted(gram_sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ga, gb = gram_sets[a], gram_sets[b]
+            union = len(ga | gb)
+            if union and len(ga & gb) / union >= t:
+                out.add((a, b, round(len(ga & gb) / union, 6)))
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e"]),
+            min_size=0,
+            max_size=10,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_jaccard_join_complete_vs_bruteforce(spark_session_holder, token_lists):
+    """Prefix filtering must be COMPLETE: every qualifying pair the
+    all-pairs product would find, including boundary jaccards from a
+    tiny shared vocabulary — the adversarial case for candidate
+    pruning."""
+    from pac_data_pipeline_spark.ext.dedup_text import (
+        jaccard_similarity_join,
+    )
+
+    spark = spark_session_holder
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_similarity_join(df, threshold=0.4).collect()
+    }
+    assert got == naive_jaccard_join(docs, 0.4)
