@@ -4355,6 +4355,9 @@ def oracle_sql() -> dict[str, str]:
             FROM (
                 SELECT doc_id, unnest(string_split(text, '')) AS c
                 FROM documents
+                -- '' splits to [''] in DuckDB; entropy of an empty
+                -- document is UNDEFINED (NULL), matching the engine
+                WHERE length(text) > 0
             ) GROUP BY doc_id, c
         ),
         ent AS (

@@ -4,6 +4,7 @@ differential gate against it:
     python tools/nullfuzz.py [src_sf_dir] [out_dir]
     python tools/nullfuzz.py --empty [src_sf_dir] [out_dir]
     python tools/nullfuzz.py --unicode [src_sf_dir] [out_dir]
+    python tools/nullfuzz.py --blank [src_sf_dir] [out_dir]
     python tools/check_oracle.py <out_dir>
 
 Deterministically nulls ~5% of every non-key column (md5 of
@@ -15,8 +16,10 @@ generator's happy path. ``--empty`` writes zero-row clones instead
 (schema only) — the empty-partition degenerate case. ``--unicode``
 appends non-ASCII payloads (combining chars, CJK, emoji, Latin-1
 supplements) to 10% of document texts — the Java-regex vs RE2 vs
-codepoint-length parity check for the text operators. Every query
-passes all three gates with the same verdict set as clean data
+codepoint-length parity check for the text operators. ``--blank``
+replaces ~12% of document texts with empty/whitespace-only strings
+— the tokenizes-to-[''] class that NULL fuzzing cannot reach. Every query
+passes all four gates with the same verdict set as clean data
 (161 ok / 12 rows-only, 0 failed).
 """
 
@@ -40,14 +43,16 @@ KEYS = {
 
 
 def main() -> None:
-    flags = {"--empty", "--unicode"}
+    flags = {"--empty", "--unicode", "--blank"}
     args = [a for a in sys.argv[1:] if a not in flags]
     empty = "--empty" in sys.argv[1:]
     unicode_mode = "--unicode" in sys.argv[1:]
+    blank_mode = "--blank" in sys.argv[1:]
     src = args[0] if len(args) > 0 else "/root/testdata/sf0.001"
     dst = args[1] if len(args) > 1 else (
         "/tmp/sf_empty" if empty
         else "/tmp/sf_unifuzz" if unicode_mode
+        else "/tmp/sf_blank" if blank_mode
         else "/tmp/sf_nullfuzz"
     )
     os.makedirs(dst, exist_ok=True)
@@ -60,6 +65,34 @@ def main() -> None:
             )
             print(f"[empty] {t}")
         print(f"wrote {dst}; now run: python tools/check_oracle.py {dst}")
+        return
+    if blank_mode:
+        import shutil
+
+        for t in TABLES:
+            if t != "documents":
+                shutil.copy(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+        # empty-STRING text (and whitespace-only) is a different bug
+        # class from NULL text: split(trim('')) tokenizes to ['']
+        # whose gram set is {''} — operators must decide (and agree
+        # with their oracles on) whether blank docs match each other
+        con.execute(
+            f"""
+            COPY (
+                WITH n AS (
+                    SELECT *, row_number() OVER () AS rid
+                    FROM '{src}/documents.parquet'
+                )
+                SELECT doc_id,
+                       CASE WHEN rid % 17 = 0 THEN ''
+                            WHEN rid % 17 = 1 THEN '   '
+                            ELSE text END AS text,
+                       lang, source, n_chars
+                FROM n
+            ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
+            """
+        )
+        print(f"[blank] documents; wrote {dst}")
         return
     if unicode_mode:
         import shutil
