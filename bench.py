@@ -50,6 +50,7 @@ def main() -> None:
     # per plan shape, and the dict-order rotation means cold text
     # queries otherwise pay ~0.5-1 s of JIT that later ones don't
     from pac_data_pipeline_spark.ext.dedup_text import (
+        exact_dedup,
         exact_dedup_groups,
         ngram_jaccard_pairs,
     )
@@ -70,6 +71,9 @@ def main() -> None:
     # the 64-row slice — we are buying JIT'd codegen classes, not
     # results.
     exact_dedup_groups(tiny).write.format("noop").mode("overwrite").save()
+    # window + WindowGroupLimit keep-first shape (distinct codegen
+    # classes from the groupBy shape above — measured ~4 s first-run)
+    exact_dedup(tiny).write.format("noop").mode("overwrite").save()
     lang_id(tiny).write.format("noop").mode("overwrite").save()
     fingerprint(tiny).write.format("noop").mode("overwrite").save()
     import pyspark.sql.functions as _F
@@ -80,6 +84,32 @@ def main() -> None:
     ngram_jaccard_pairs(tiny, _pairs).write.format("noop").mode(
         "overwrite"
     ).save()
+
+    # Structured Streaming machinery (StreamExecution, state-store
+    # provider, commit-log classes) costs ~1-2 s the first time any
+    # stream runs — warm it with a 1-batch rate stream + stateful
+    # window agg so the first *registry* streaming query isn't
+    # charged for engine startup the later ones skip
+    import tempfile
+
+    import pyspark.sql.functions as _F2
+
+    ckpt = tempfile.mkdtemp(prefix="bench_stream_warm_")
+    (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "100")
+        .option("numPartitions", "1")
+        .load()
+        .withWatermark("timestamp", "0 seconds")
+        .groupBy(_F2.window("timestamp", "1 second"))
+        .count()
+        .writeStream.format("noop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+        .awaitTermination()
+    )
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
