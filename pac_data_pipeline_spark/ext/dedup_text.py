@@ -387,6 +387,14 @@ def connected_components(
     touched = sym.select(F.col("src").alias("id")).distinct()
     labels = all_labels.join(touched, "id").localCheckpoint()
     singletons = all_labels.join(touched, "id", "left_anti")
+    if labels.isEmpty():
+        # no edges at all — the common case for an already-clean
+        # corpus; skip the iteration's per-round job overhead
+        # (labels is checkpointed, so the probe is metadata-cheap)
+        sym.unpersist()
+        return singletons.select(
+            F.col("id").alias(id_col), F.col("label").alias("component_id")
+        )
     for _ in range(max_iter):
         msgs = (
             sym.join(labels, sym.src == labels.id)
@@ -464,6 +472,11 @@ def connected_components_star(
         .localCheckpoint()
     )
     prev_count = cur.count()
+    if prev_count == 0:
+        return nodes.select(
+            F.col(id_col).alias(id_col),
+            F.col(id_col).alias("component_id"),
+        )
     for _ in range(max_iter):
         # large-star: symmetrize, then per node u attach every
         # strictly-larger neighbor to m = min(N(u) ∪ {u}).
