@@ -1610,8 +1610,14 @@ def q_h_window_distinct(spark, sf_dir):
     """Cumulative distinct users per event type by day — Spark has
     no COUNT(DISTINCT) OVER; the first-occurrence rewrite keeps
     window state at one long per row instead of a growing
-    collect_set."""
-    e = load_events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    collect_set. Null event times are excluded (same convention as
+    sessionize): an unknown-time event has no place on a cumulative
+    timeline, and engines disagree on where a NULL day sorts
+    (Spark NULLS FIRST vs DuckDB NULLS LAST — caught by the
+    null-fuzz gate at sf0.01)."""
+    e = load_events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     daily = e.select(
         "event_type",
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
@@ -4535,7 +4541,7 @@ def oracle_sql() -> dict[str, str]:
         WITH f AS (
             SELECT event_type, user_id,
                    min(strftime(ts, '%Y-%m-%d')) AS day
-            FROM events WHERE user_id IS NOT NULL
+            FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
             GROUP BY 1, 2
         ),
         p AS (
