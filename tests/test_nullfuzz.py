@@ -12,6 +12,7 @@ import pytest
 
 REPRESENTATIVES = [
     "h_window_funcs",      # window ORDER BY null placement
+    "h_window_distinct",   # cumulative window: null-day exclusion
     "j2_dedup_keep_first", # keep-first ordering with null keys
     "x_sessionize",        # null event-time exclusion
     "x_stream_sessions",   # stateful sum-over-all-null
