@@ -261,3 +261,99 @@ def test_jaccard_join_complete_vs_bruteforce(spark_session_holder, token_lists):
         for r in jaccard_similarity_join(df, threshold=0.4).collect()
     }
     assert got == naive_jaccard_join(docs, 0.4)
+
+
+def naive_asof(left, right, direction):
+    """Reference as-of: per left row scan all right rows of its
+    group. left/right: list of (by, t, v)."""
+    out = []
+    for by, t, _ in left:
+        cands = [(rt, rv) for rby, rt, rv in right if rby == by]
+        back = max(((rt, rv) for rt, rv in cands if rt <= t), default=None)
+        fwd = min(((rt, rv) for rt, rv in cands if rt >= t), default=None)
+        if direction == "backward":
+            pick = back
+        elif direction == "forward":
+            pick = fwd
+        elif back is None:
+            pick = fwd
+        elif fwd is None:
+            pick = back
+        else:
+            pick = back if (t - back[0]) <= (fwd[0] - t) else fwd
+        out.append((by, t, pick[0] if pick else None,
+                    pick[1] if pick else None))
+    return sorted(out, key=lambda r: (r[0], r[1]))
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.data(),
+)
+def test_asof_join_matches_naive(spark_session_holder, data):
+    """All three directions against a brute-force reference, with
+    NULL value columns (the struct-carry case a per-column
+    ignorenulls window gets wrong) and left/right timestamp ties."""
+    import datetime
+
+    from pac_data_pipeline_spark.operators.joins import asof_join
+
+    spark = spark_session_holder
+    ts_strategy = st.integers(min_value=0, max_value=12)
+    left = data.draw(
+        st.lists(
+            st.tuples(st.integers(0, 1), ts_strategy),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    # right side unique per (by, ts) — the operator's contract
+    right_keys = data.draw(
+        st.lists(
+            st.tuples(st.integers(0, 1), ts_strategy),
+            min_size=0,
+            max_size=8,
+            unique=True,
+        )
+    )
+    vals = data.draw(
+        st.lists(
+            st.one_of(st.none(), st.floats(0, 10, width=32)),
+            min_size=len(right_keys),
+            max_size=len(right_keys),
+        )
+    )
+    base = datetime.datetime(2024, 1, 1)
+
+    def mk_ts(i):
+        return base + datetime.timedelta(minutes=i)
+
+    left_rows = [(by, mk_ts(t), float(i)) for i, (by, t) in enumerate(left)]
+    right_rows = [
+        (by, mk_ts(t), float(v) if v is not None else None)
+        for (by, t), v in zip(right_keys, vals)
+    ]
+    ldf = spark.createDataFrame(
+        left_rows, "user_id int, ts timestamp, lv double"
+    )
+    rdf = spark.createDataFrame(
+        right_rows or [(0, mk_ts(0), None)][:0],
+        "user_id int, ts timestamp, value double",
+    )
+    for direction in ("backward", "forward", "nearest"):
+        got = sorted(
+            (
+                (r.user_id, r.ts, r.ts_matched, r.value_matched)
+                for r in asof_join(
+                    ldf, rdf, direction=direction
+                ).collect()
+            ),
+            key=lambda r: (r[0], r[1]),
+        )
+        want = naive_asof(
+            [(by, ts, v) for by, ts, v in left_rows],
+            [(by, ts, v) for by, ts, v in right_rows],
+            direction,
+        )
+        want = [(by, t, mt, mv) for by, t, mt, mv in want]
+        assert got == want, (direction, got, want)
