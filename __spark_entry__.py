@@ -2143,6 +2143,19 @@ def q_x_bpe_train(spark, sf_dir):
     return bpe_train(_t(spark, sf_dir, "documents"), n_merges=8)
 
 
+def q_x_bpe_encode(spark, sf_dir):
+    """The other half of the tokenizer lifecycle: train 8 merges,
+    then ENCODE the corpus with them — greedy lowest-rank merge per
+    word, broadcast merge table, Arrow batches with a per-batch
+    word memo, zero shuffles on the corpus side. Rows-only like
+    training; greedy-encode equivalence with an independent
+    merge-all reference is pinned in tests/test_ext.py."""
+    from pac_data_pipeline_spark.ext.text import bpe_encode, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_encode(docs, bpe_train(docs, n_merges=8))
+
+
 def q_x_catalog_probe(spark, sf_dir):
     """S6 schema introspection as a checked query: every table's
     (table, column, ordinal, ANSI type) from the scan schemas —
@@ -3070,6 +3083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_catalog_probe": q_x_catalog_probe,
         "x_write_verify": q_x_write_verify,
         "x_bpe_train": q_x_bpe_train,
+        "x_bpe_encode": q_x_bpe_encode,
         "pipe_index_align": q_pipe_index_align,
         "h7_nation_volume": q_h7_nation_volume,
         "h9_profit": q_h9_profit,

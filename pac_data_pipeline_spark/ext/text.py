@@ -763,3 +763,80 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count long"
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained BPE merge table (:func:`bpe_train` output) to
+    the corpus — the other half of the tokenizer lifecycle: train
+    once, encode everywhere.
+
+    Per word: start from characters, repeatedly merge the LEFTMOST
+    occurrence of the lowest-rank applicable pair — the standard
+    greedy BPE encode, byte-for-byte the order the trainer learned.
+    The merge table is tiny (n_merges rows) and rides to executors
+    as a broadcast dict; encoding runs over Arrow batches with a
+    per-batch word memo, so each distinct word in a batch is
+    encoded once no matter how often it repeats. The corpus never
+    shuffles — this is a scan-stage map, and at 100 TB the only
+    coordination is the one-time broadcast.
+
+    Output: (id_col, n_tokens_ws, n_tokens_bpe) — whitespace token
+    count vs post-merge BPE symbol count per document.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    rules = {
+        (r["left"], r["right"]): r["rank"]
+        for r in merges.select("rank", "left", "right").collect()
+    }
+    bc = df.sparkSession.sparkContext.broadcast(rules)
+
+    def n_syms(word: str, ranks: dict) -> int:
+        syms = list(word)
+        while len(syms) > 1:
+            best_rank = None
+            best_i = -1
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        return len(syms)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ranks = bc.value
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                words = (text or "").split()
+                total = 0
+                for w in words:
+                    n = memo.get(w)
+                    if n is None:
+                        n = n_syms(w, ranks)
+                        memo[w] = n
+                    total += n
+                out.append(
+                    {
+                        id_col: doc_id,
+                        "n_tokens_ws": len(words),
+                        "n_tokens_bpe": total,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[id_col, "n_tokens_ws", "n_tokens_bpe"]
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        encode, schema=f"{id_col} long, n_tokens_ws long, n_tokens_bpe long"
+    )

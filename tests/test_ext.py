@@ -643,3 +643,61 @@ def test_wav_roundtrip_and_features(spark):
     rc = audio_features(const_media).collect()[0]
     assert abs(rc.rms - 16384 / 32768) < 1e-4
     assert rc.zero_cross_rate == 0.0
+
+
+def test_bpe_encode_matches_reference(spark):
+    """Greedy encode (merge lowest-rank pair until none applies)
+    against an independent merge-all-occurrences reference, on both
+    training-corpus words and UNSEEN words."""
+    from pac_data_pipeline_spark.ext.text import bpe_encode, bpe_train
+
+    corpus = ["low low lower lowest", "new newer newest low"]
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    merges = bpe_train(train, n_merges=5)
+    rules = {
+        (r["left"], r["right"]): r["rank"]
+        for r in merges.collect()
+    }
+
+    def ref_n_syms(word):
+        syms = list(word)
+        while True:
+            present = [
+                (rules[(a, b)], (a, b))
+                for a, b in zip(syms, syms[1:])
+                if (a, b) in rules
+            ]
+            if not present:
+                return len(syms)
+            _, (a, b) = min(present)
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and (syms[i], syms[i + 1]) == (a, b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+
+    docs = [
+        (0, "low lower lowest"),       # training words
+        (1, "lowly newly sowing"),     # unseen words sharing merges
+        (2, ""),                        # empty
+        (3, None),                      # null text
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens_ws, r.n_tokens_bpe)
+        for r in bpe_encode(df, merges).collect()
+    }
+    for doc_id, text in docs:
+        words = (text or "").split()
+        assert got[doc_id] == (
+            len(words),
+            sum(ref_n_syms(w) for w in words),
+        ), (doc_id, text)
+    # merges really fire: 'low' collapses below its char count
+    assert got[0][1] < len("lowlowerlowest")
