@@ -3035,12 +3035,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_snowflake_batch": q_pipe_snowflake_batch,
         # ---------------------------------------------------------
         # position > 50 from here: locally hash-verified via
-        # tools/check_oracle.py (exact-oracle differential gate);
-        # these rotate into the driver's checked window in r3 —
-        # r3 head should be: late-r2 additions (x_boilerplate …
-        # x_jdbc_roundtrip), then the r2-era block below
-        # (pipe_train_corpus … x_top_tokens), then anything changed
-        # in r3 itself.
+        # tools/check_oracle.py (exact-oracle differential gate, six
+        # datasets: clean sf0.01 + sf0.1, null/empty/unicode/blank
+        # clones); these rotate into the driver's checked window in
+        # r3 — r3 head should be: anything changed in r3 itself,
+        # then late-r2 additions never driver-checked (h_cube,
+        # x_zscore, x_boilerplate … x_jdbc_roundtrip), then the
+        # r2-era block below (pipe_train_corpus … x_top_tokens).
         # h_asof_join / k3_batch_id / x_stream_{sessions,dedup}
         # hash-passed in r1; their later refactors are covered by
         # the local gate, unit tests, and (for the shared streaming
