@@ -741,7 +741,10 @@ def jaccard_similarity_join(
     ga = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("g_a"))
     gb = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("g_b"))
     inter = F.size(F.array_intersect("g_a", "g_b"))
-    union = F.size(F.array_union("g_a", "g_b"))
+    # the gram sets are distinct, so |A ∪ B| = |A| + |B| − |A ∩ B| —
+    # one set-build per pair instead of two (array_union measured
+    # ~40% of verify cost at sf0.1)
+    union = F.size("g_a") + F.size("g_b") - inter
     jac = inter / F.nullif(union, F.lit(0))
     return (
         cand.join(ga, "id_a")
