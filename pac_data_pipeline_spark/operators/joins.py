@@ -205,9 +205,21 @@ def fuzzy_join_banded(
     return (
         lhs.join(rhs, "__band")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "distance", F.levenshtein(F.col("text_a"), F.col("text_b"))
+        # length pre-filter: edit distance ≥ |len(a) − len(b)|, so
+        # length-incompatible candidates die before the O(len²) DP
+        .filter(
+            F.abs(F.length("text_a") - F.length("text_b"))
+            <= max_distance
         )
-        .filter(F.col("distance") <= max_distance)
+        .withColumn(
+            # thresholded form: the JVM DP early-exits (returns -1)
+            # once the distance provably exceeds the bound — O(len·k)
+            # instead of O(len²) per surviving pair
+            "distance",
+            F.levenshtein(
+                F.col("text_a"), F.col("text_b"), max_distance
+            ),
+        )
+        .filter(F.col("distance") >= 0)
         .drop("__band")
     )
