@@ -2953,6 +2953,94 @@ def q_x_jaccard_join(spark, sf_dir):
     )
 
 
+def q_x_interval_join(spark, sf_dir):
+    """Interval × interval OVERLAP join: user activity sessions
+    (lag-based bounds) overlapping the top-5 revenue days' promo
+    windows (day ± 1). Both sides are ranges — naive Spark plans a
+    nested-loop product; the operator bins both interval sets and
+    equi-joins on the bin before the exact predicate. The 5-row
+    promo side broadcasts; the session side never re-shuffles."""
+    from pyspark.sql import Window
+
+    from pac_data_pipeline_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    e = load_events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+        > 1800,
+        1,
+    ).otherwise(0)
+    sess = (
+        e.withColumn(
+            "session_id",
+            F.sum(brk).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ).cast("bigint"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("s_start"),
+            F.max("ts").alias("s_end"),
+        )
+    )
+    promo = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("promo_day")
+        )
+        .agg(
+            F.sum(
+                F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100)
+                .cast("long")
+            ).alias("__cents")
+        )
+        .orderBy(F.col("__cents").desc(), F.col("promo_day").asc())
+        .limit(5)
+        .select(
+            "promo_day",
+            F.to_timestamp(
+                F.date_sub(F.to_date("promo_day"), 1)
+            ).alias("p_start"),
+            F.to_timestamp(
+                F.date_add(F.to_date("promo_day"), 1)
+            ).alias("p_end"),
+        )
+    )
+    out = interval_overlap_join(
+        sess, F.broadcast(promo),
+        l_start="s_start", l_end="s_end",
+        r_start="p_start", r_end="p_end",
+    )
+    return out.select(
+        "user_id",
+        "session_id",
+        "promo_day",
+        F.date_format("s_start", "yyyy-MM-dd'T'HH:mm:ss").alias(
+            "session_start"
+        ),
+    )
+
+
+def q_x_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis): 100 orders drawn proportional to
+    o_totalprice via md5-derived uniforms — reproducible on any
+    engine/partitioning, planned as TakeOrderedAndProject (no full
+    sort). Exact oracle recomputes the identical score formula."""
+    from pac_data_pipeline_spark.ext.sampling import weighted_sample
+
+    o = _t(spark, sf_dir, "orders")
+    return weighted_sample(
+        o, k=100, weight_col="o_totalprice", id_col="o_orderkey"
+    ).select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("total_price"),
+    )
+
+
 def q_x_udtf_tokens(spark, sf_dir):
     """Python UDTF tier (lateral table function): one row per
     (document, token position) via a registered UDTF. The
@@ -3003,9 +3091,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_cc_largestar": q_x_cc_largestar,
         "x_udtf_tokens": q_x_udtf_tokens,
         "x_jaccard_join": q_x_jaccard_join,
+        "x_weighted_sample": q_x_weighted_sample,
+        "x_interval_join": q_x_interval_join,
         # -- (b) new in round 2 -----------------------------------
-        "x_unpivot": q_x_unpivot,
-        "x_gap_fill": q_x_gap_fill,
         "x_entropy": q_x_entropy,
         "x_fuzzy_join": q_x_fuzzy_join,
         "x_scd2": q_x_scd2,
@@ -3048,6 +3136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # source) the checked x_stream_tumbling.
         "h_cube": q_h_cube,
         "x_zscore": q_x_zscore,
+        "x_unpivot": q_x_unpivot,
+        "x_gap_fill": q_x_gap_fill,
         "x_minhash_near_dup": q_x_minhash_near_dup,
         "x_cosine_topk_lsh": q_x_cosine_topk_lsh,
         "x_cosine_topk_ivf": q_x_cosine_topk_ivf,
@@ -5556,6 +5646,60 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY s.s_name
     """
     oracles["x_cc_largestar"] = oracles["x_dedup_clusters"]
+    oracles["x_interval_join"] = """
+        WITH o AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                             - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                                 PARTITION BY user_id
+                                 ORDER BY ts, event_id) > 1800
+                        THEN 1 ELSE 0 END AS brk
+            FROM events WHERE ts IS NOT NULL
+        ),
+        s AS (
+            SELECT *, sum(brk) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM o
+        ),
+        sess AS (
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   min(ts) AS s_start, max(ts) AS s_end
+            FROM s GROUP BY user_id, session_id
+        ),
+        promo AS (
+            SELECT strftime(ts, '%Y-%m-%d') AS promo_day,
+                   sum(CAST(round(coalesce(value, 0.0) * 100) AS BIGINT))
+                       AS cents
+            FROM events
+            WHERE event_type = 'purchase' AND ts IS NOT NULL
+            GROUP BY 1
+            ORDER BY cents DESC, promo_day ASC
+            LIMIT 5
+        ),
+        win AS (
+            SELECT promo_day,
+                   CAST(CAST(promo_day AS DATE) - 1 AS TIMESTAMP) AS p_start,
+                   CAST(CAST(promo_day AS DATE) + 1 AS TIMESTAMP) AS p_end
+            FROM promo
+        )
+        SELECT sess.user_id, sess.session_id, win.promo_day,
+               strftime(sess.s_start, '%Y-%m-%dT%H:%M:%S') AS session_start
+        FROM sess JOIN win
+          ON sess.s_start <= win.p_end AND win.p_start <= sess.s_end
+    """
+    oracles["x_weighted_sample"] = """
+        SELECT o_orderkey, round(o_totalprice, 2) AS total_price
+        FROM orders
+        WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+          AND o_orderkey IS NOT NULL
+        ORDER BY
+            -ln((CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)),
+                                        1, 8) AS BIGINT) + 1)
+                / 4294967296.0) / o_totalprice ASC,
+            o_orderkey ASC
+        LIMIT 100
+    """
     oracles["x_jaccard_join"] = """
         WITH d AS (
             SELECT doc_id,

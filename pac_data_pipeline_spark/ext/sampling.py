@@ -120,3 +120,39 @@ def interleave(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-Res): each row draws a reproducible
+    uniform u from md5(id) and scores ``-ln(u) / w``; the k smallest
+    scores are the sample. Inclusion probability is proportional to
+    weight, membership is a pure function of the key — the same
+    rows on any engine, partitioning, or run (md5, not an engine
+    hash, so external SQL reproduces the exact sample).
+
+    Scale shape: scan-stage score computation + global top-k, which
+    Spark plans as TakeOrderedAndProject — per-partition heaps, no
+    full sort, no shuffle of the corpus. Zero- and null-weight rows
+    are excluded (their score is undefined)."""
+    c = F.col(id_col).cast("string")
+    h = F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+    # u in (0, 1]: (h + 1) / 2^32 — never 0, so ln(u) is finite
+    u = (h + F.lit(1).cast("bigint")) / F.lit(4294967296.0)
+    score = -F.log(u) / F.col(weight_col)
+    return (
+        df.filter(
+            F.col(weight_col).isNotNull()
+            & (F.col(weight_col) > 0)
+            & F.col(id_col).isNotNull()
+        )
+        .withColumn("__score", score)
+        .orderBy(F.col("__score").asc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__score")
+    )

@@ -223,3 +223,45 @@ def fuzzy_join_banded(
         .filter(F.col("distance") >= 0)
         .drop("__band")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bin_seconds: int = 86_400,
+) -> DataFrame:
+    """Interval × interval OVERLAP join (both sides are ranges) —
+    the generalization of :func:`range_join_binned`'s
+    point-in-interval shape.
+
+    Naively this is a theta-join (``ls <= re AND rs <= le``) that
+    Spark plans as a nested-loop product. The scale formulation:
+    explode each interval into the time bins it covers, equi-join
+    on the bin (candidates = pairs sharing a bin), then verify the
+    exact predicate. A pair overlapping across k shared bins
+    appears k times before the final dedup, so ``bin_seconds``
+    should roughly match typical interval length: bins much smaller
+    multiply candidates, bins much larger put non-overlapping pairs
+    in one bucket. Both sides' rows must be unique (the dedup is
+    over all output columns).
+    """
+    def bins(start: str, end: str):
+        s = F.floor(F.col(start).cast("long") / F.lit(bin_seconds))
+        e = F.floor(F.col(end).cast("long") / F.lit(bin_seconds))
+        return F.explode(F.sequence(s.cast("long"), e.cast("long")))
+
+    lb = left.withColumn("__bin", bins(l_start, l_end))
+    rb = right.withColumn("__bin", bins(r_start, r_end))
+    return (
+        lb.join(rb, "__bin")
+        .filter(
+            (F.col(l_start) <= F.col(r_end))
+            & (F.col(r_start) <= F.col(l_end))
+        )
+        .drop("__bin")
+        .dropDuplicates()
+    )
