@@ -213,6 +213,28 @@ def test_min_by_is_single_shuffle_hash_agg(spark):
     assert p.count("Aggregate") >= 2, p
 
 
+def test_weighted_sample_is_take_ordered(spark):
+    """Efraimidis–Spirakis top-k must plan as TakeOrderedAndProject
+    (per-partition heaps), never a global sort of the corpus."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["x_weighted_sample"](spark, SF)
+    p = plan(df, "simple")
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_interval_overlap_join_is_equi_join(spark):
+    """Interval × interval overlap must be the binned equi-join,
+    never a nested-loop/cartesian product."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["x_interval_join"](spark, SF)
+    p = plan(df, "simple")
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p, p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
     """Spark's runtime bloom-filter join (on by default in 4.x)
     builds a bloom filter from the filtered dimension side and
