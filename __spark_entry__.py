@@ -961,6 +961,21 @@ def q_x_minhash_near_dup(spark, sf_dir):
     )
 
 
+def q_x_minhash_portable(spark, sf_dir):
+    """The MinHash+LSH pipeline with ENGINE-PORTABLE hashing
+    (md5-derived 60-bit, like portable simhash): signatures, LSH
+    buckets, candidate pairs, and Jaccard estimates are all
+    reproduced bit-for-bit by the SQL oracle — upgrading the
+    flagship dedup operator from rows-only to hash-exact evidence.
+    Production keeps the xxhash64 path (x_minhash_near_dup)."""
+    return minhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"),
+        threshold=0.5,
+        bands=8,
+        portable=True,
+    )
+
+
 def q_x_simhash(spark, sf_dir):
     """60-bit PORTABLE SimHash per document: token hash = first 15
     md5 hex chars, reproducible bit-for-bit by any engine with md5 —
@@ -3093,10 +3108,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_jaccard_join": q_x_jaccard_join,
         "x_weighted_sample": q_x_weighted_sample,
         "x_interval_join": q_x_interval_join,
+        "x_minhash_portable": q_x_minhash_portable,
         # -- (b) new in round 2 -----------------------------------
         "x_entropy": q_x_entropy,
         "x_fuzzy_join": q_x_fuzzy_join,
-        "x_scd2": q_x_scd2,
         "x_simhash_pairs": q_x_simhash_pairs,
         "x_skew_distinct": q_x_skew_distinct,
         "x_salted_sum": q_x_salted_sum,
@@ -3138,6 +3153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_zscore": q_x_zscore,
         "x_unpivot": q_x_unpivot,
         "x_gap_fill": q_x_gap_fill,
+        "x_scd2": q_x_scd2,
         "x_minhash_near_dup": q_x_minhash_near_dup,
         "x_cosine_topk_lsh": q_x_cosine_topk_lsh,
         "x_cosine_topk_ivf": q_x_cosine_topk_ivf,
@@ -5646,6 +5662,60 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY s.s_name
     """
     oracles["x_cc_largestar"] = oracles["x_dedup_clusters"]
+    oracles["x_minhash_portable"] = """
+        WITH sh AS (
+            SELECT doc_id,
+                   unnest([substring(text, i, 5)
+                           FOR i IN range(1, greatest(length(text) - 4, 1)
+                                             + 1)]) AS s
+            FROM documents
+            WHERE text IS NOT NULL
+        ),
+        h AS (
+            SELECT doc_id,
+                   CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) AS h
+            FROM sh
+        ),
+        m AS (
+            SELECT doc_id, h % 64 AS b, min(h) AS mh
+            FROM h GROUP BY 1, 2
+        ),
+        g AS (SELECT doc_id, min(mh) AS gmin FROM m GROUP BY 1),
+        grid AS (
+            SELECT g.doc_id, r.b
+            FROM g CROSS JOIN (SELECT unnest(range(64)) AS b) r
+        ),
+        sig AS (
+            SELECT grid.doc_id, grid.b, coalesce(m.mh, g2.gmin) AS v
+            FROM grid
+            LEFT JOIN m ON m.doc_id = grid.doc_id AND m.b = grid.b
+            JOIN g g2 ON g2.doc_id = grid.doc_id
+        ),
+        bandhash AS (
+            SELECT doc_id, CAST(b // 8 AS INT) AS band_id,
+                   CAST('0x' || substring(md5(
+                       string_agg(CAST(v AS VARCHAR), '|' ORDER BY b)
+                   ), 1, 15) AS BIGINT) AS bh
+            FROM sig GROUP BY doc_id, b // 8
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bandhash a JOIN bandhash b
+              ON a.band_id = b.band_id AND a.bh = b.bh
+             AND a.doc_id < b.doc_id
+        ),
+        est AS (
+            SELECT c.id_a, c.id_b,
+                   round(sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END)
+                         / 64.0, 6) AS est_jaccard
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.id_a
+            JOIN sig sb ON sb.doc_id = c.id_b AND sb.b = sa.b
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, est_jaccard
+        FROM est WHERE est_jaccard >= 0.5
+    """
     oracles["x_interval_join"] = """
         WITH o AS (
             SELECT user_id, event_id, ts,

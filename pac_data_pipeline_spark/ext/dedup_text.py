@@ -75,12 +75,20 @@ def char_shingles(name: str, k: int = 5) -> Column:
     )
 
 
+def portable_hash60(col: Column) -> Column:
+    """Engine-independent 60-bit hash: first 15 hex chars of md5 as
+    a positive long — any SQL engine with md5 reproduces it
+    bit-for-bit (same trick as portable simhash)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 64,
     shingle_k: int = 5,
+    portable: bool = False,
 ) -> DataFrame:
     """One-permutation-hashing MinHash signature (Li et al., NIPS'12):
     hash every shingle ONCE, route it to bucket ``hash mod n``, take
@@ -90,7 +98,12 @@ def minhash_signature(
     shingle instead of n (64× less compute at equal variance), and
     the shuffle stays tiny — a document's exploded shingles sit in
     the partition that read it, so the partial (id, bucket) min
-    collapses to ≤n rows per doc before the exchange."""
+    collapses to ≤n rows per doc before the exchange.
+
+    ``portable=True`` swaps xxhash64 for the md5-derived 60-bit hash
+    (:func:`portable_hash60`) so an external SQL engine reproduces
+    signatures — and therefore LSH buckets and estimates —
+    bit-for-bit. Production keeps xxhash64 (~3× cheaper)."""
     # NOTE: no array_distinct — min() is idempotent under duplicate
     # shingles, and deduplicating 300-element string arrays per row
     # costs more than hashing the duplicates.
@@ -98,11 +111,20 @@ def minhash_signature(
         f"transform(sequence(1, greatest(length({text_col}) - {shingle_k} + 1, 1)),"
         f" i -> substring({text_col}, i, {shingle_k}))"
     )
-    exploded = ensure_parallelism(df).select(
-        F.col(id_col), F.explode(sh).alias("s")
+    # null text: the transform yields [null] (greatest() ignores the
+    # null length), and while xxhash64 hashes a null input to a
+    # value, md5 propagates it — a null bucket key would abort
+    # map_from_entries. Null shingles carry no content either way.
+    exploded = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.explode(sh).alias("s"))
+        .filter(F.col("s").isNotNull())
+    )
+    shingle_hash = (
+        portable_hash60(F.col("s")) if portable else F.xxhash64("s")
     )
     hashed = exploded.select(
-        F.col(id_col), F.xxhash64("s").alias("h")
+        F.col(id_col), shingle_hash.alias("h")
     ).withColumn("b", F.pmod("h", F.lit(num_hashes)))
     mins = hashed.groupBy(id_col, "b").agg(F.min("h").alias("mh"))
     assembled = mins.groupBy(id_col).agg(
@@ -147,6 +169,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     bands: int = 16,
     rows_per_band: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """Band the signatures (b×r = signature length) and emit
     candidate pairs that collide in ≥1 band.
@@ -154,13 +177,22 @@ def lsh_candidate_pairs(
     Plan shape: explode to (band_id, band_hash, id) — one shuffle on
     the bucket key; self-join within buckets with id<id to orient
     pairs; distinct to collapse multi-band collisions. Probability a
-    pair with Jaccard s collides: 1-(1-s^r)^b (s=0.8 → 0.986)."""
+    pair with Jaccard s collides: 1-(1-s^r)^b (s=0.8 → 0.986).
+    ``portable=True`` hashes each band as md5 of the '|'-joined
+    component values (SQL-reproducible) instead of xxhash64."""
     band_cols = []
     for b in range(bands):
         lo = b * rows_per_band
         elems = [F.col("minhash")[i] for i in range(lo, lo + rows_per_band)]
+        band_hash = (
+            portable_hash60(
+                F.concat_ws("|", *[e.cast("string") for e in elems])
+            )
+            if portable
+            else F.xxhash64(*elems)
+        )
         band_cols.append(
-            F.struct(F.lit(b).alias("band_id"), F.xxhash64(*elems).alias("band_hash"))
+            F.struct(F.lit(b).alias("band_id"), band_hash.alias("band_hash"))
         )
     banded = signatures.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
@@ -190,11 +222,14 @@ def minhash_near_dup_pairs(
     shingle_k: int = 5,
     bands: int = 16,
     threshold: float = 0.7,
+    portable: bool = False,
 ) -> DataFrame:
     """Full MinHash near-dup pipeline: signature → LSH buckets →
     candidate pairs → estimated-Jaccard filter (fraction of equal
     signature components — unbiased estimator, avoids re-reading
-    the documents)."""
+    the documents). ``portable=True`` makes the whole pipeline
+    engine-reproducible (md5-derived hashes) so a SQL oracle can
+    recompute pairs AND estimates exactly."""
     # signatures are consumed three times; localCheckpoint (not
     # persist) materializes the tiny (id, 64×long) frame once AND
     # lets the ContextCleaner reclaim it when the result frame is
@@ -202,9 +237,11 @@ def minhash_near_dup_pairs(
     # an explicit unpersist, which leaked across repeated calls in a
     # long-lived session.
     sigs = minhash_signature(
-        df, text_col, id_col, num_hashes, shingle_k
+        df, text_col, id_col, num_hashes, shingle_k, portable=portable
     ).localCheckpoint()
-    pairs = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
+    pairs = lsh_candidate_pairs(
+        sigs, id_col, bands, num_hashes // bands, portable=portable
+    )
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("sig_a"))
     b = sigs.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("sig_b"))
     est = F.expr(
