@@ -976,6 +976,21 @@ def q_x_minhash_portable(spark, sf_dir):
     )
 
 
+def q_x_embedding_near_dup_axis(spark, sf_dir):
+    """Embedding near-dup with axis-aligned sign-LSH buckets — the
+    SQL-expressible member of the hyperplane family, carrying the
+    hash-exact differential evidence for the bucketed-self-join
+    plan (buckets AND sequential-fold cosines reproduced by the
+    oracle); the random-plane variant stays the production path."""
+    from pac_data_pipeline_spark.ext.similarity import (
+        embedding_near_dup_pairs_axis,
+    )
+
+    return embedding_near_dup_pairs_axis(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, n_planes=6
+    )
+
+
 def q_x_simhash(spark, sf_dir):
     """60-bit PORTABLE SimHash per document: token hash = first 15
     md5 hex chars, reproducible bit-for-bit by any engine with md5 —
@@ -3109,9 +3124,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_weighted_sample": q_x_weighted_sample,
         "x_interval_join": q_x_interval_join,
         "x_minhash_portable": q_x_minhash_portable,
+        "x_embedding_near_dup_axis": q_x_embedding_near_dup_axis,
         # -- (b) new in round 2 -----------------------------------
         "x_entropy": q_x_entropy,
-        "x_fuzzy_join": q_x_fuzzy_join,
         "x_simhash_pairs": q_x_simhash_pairs,
         "x_skew_distinct": q_x_skew_distinct,
         "x_salted_sum": q_x_salted_sum,
@@ -3154,6 +3169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_unpivot": q_x_unpivot,
         "x_gap_fill": q_x_gap_fill,
         "x_scd2": q_x_scd2,
+        "x_fuzzy_join": q_x_fuzzy_join,
         "x_minhash_near_dup": q_x_minhash_near_dup,
         "x_cosine_topk_lsh": q_x_cosine_topk_lsh,
         "x_cosine_topk_ivf": q_x_cosine_topk_ivf,
@@ -5662,6 +5678,24 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY s.s_name
     """
     oracles["x_cc_largestar"] = oracles["x_dedup_clusters"]
+    _axis_bits = "\n                 + ".join(
+        f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(6)
+    )
+    oracles["x_embedding_near_dup_axis"] = f"""
+        WITH s AS (
+            SELECT vec_id,
+                   CAST(embedding AS DOUBLE[]) AS v,
+                   CAST({_axis_bits} AS BIGINT) AS bucket
+            FROM embeddings
+            WHERE embedding IS NOT NULL
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        FROM s a JOIN s b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+    """
     oracles["x_minhash_portable"] = """
         WITH sh AS (
             SELECT doc_id,

@@ -517,3 +517,50 @@ def embedding_near_dup_pairs(
     return pairs.select(
         "id_a", "id_b", F.round(cos, 6).alias("cosine")
     ).filter(F.col("cosine") >= threshold)
+
+
+def embedding_near_dup_pairs_axis(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+) -> DataFrame:
+    """Embedding near-dup with AXIS-ALIGNED sign-LSH: the bucket is
+    the sign pattern of the first ``n_planes`` coordinates — the
+    degenerate member of the random-hyperplane family where plane i
+    is axis i.
+
+    Why it exists alongside :func:`embedding_near_dup_pairs`: the
+    bucket is a pure SQL expression (no driver-generated plane
+    matrix), so an external engine reproduces buckets AND cosines
+    bit-for-bit — this variant carries the hash-exact differential
+    evidence for the bucketed-self-join plan shape, while the
+    random-plane variant keeps the better-conditioned buckets for
+    production (axis signs correlate with coordinate skew)."""
+    bits = None
+    for i in range(n_planes):
+        term = F.when(
+            F.col(vec_col)[i] > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+        bits = term if bits is None else bits + term
+    sigs = drop_null_vectors(embeddings, vec_col).select(
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        bits.cast("long").alias("bucket"),
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col("a.v").alias("v_a"),
+        F.col("b.v").alias("v_b"),
+    )
+    cos = _dot("v_a", "v_b") / F.nullif(_norm("v_a") * _norm("v_b"), F.lit(0.0))
+    return pairs.select(
+        "id_a", "id_b", F.round(cos, 6).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
