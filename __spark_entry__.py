@@ -976,6 +976,22 @@ def q_x_minhash_portable(spark, sf_dir):
     )
 
 
+def q_x_cosine_topk_axis(spark, sf_dir):
+    """Multi-probe LSH ANN with axis-aligned sign buckets — the
+    SQL-expressible member of the hyperplane family: buckets,
+    1-bit-flip probes, sequential-fold cosines, and ranks are all
+    reproduced bit-for-bit by the oracle. The random-plane variant
+    (x_cosine_topk_lsh) stays the production path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh(
+        emb,
+        queries_from_corpus(emb, n=5),
+        k=10,
+        n_planes=6,
+        axis_portable=True,
+    )
+
+
 def q_x_embedding_near_dup_axis(spark, sf_dir):
     """Embedding near-dup with axis-aligned sign-LSH buckets — the
     SQL-expressible member of the hyperplane family, carrying the
@@ -3125,9 +3141,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_interval_join": q_x_interval_join,
         "x_minhash_portable": q_x_minhash_portable,
         "x_embedding_near_dup_axis": q_x_embedding_near_dup_axis,
+        "x_cosine_topk_axis": q_x_cosine_topk_axis,
         # -- (b) new in round 2 -----------------------------------
         "x_entropy": q_x_entropy,
-        "x_simhash_pairs": q_x_simhash_pairs,
         "x_skew_distinct": q_x_skew_distinct,
         "x_salted_sum": q_x_salted_sum,
         "h_asof_forward": q_h_asof_forward,
@@ -3170,6 +3186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_gap_fill": q_x_gap_fill,
         "x_scd2": q_x_scd2,
         "x_fuzzy_join": q_x_fuzzy_join,
+        "x_simhash_pairs": q_x_simhash_pairs,
         "x_minhash_near_dup": q_x_minhash_near_dup,
         "x_cosine_topk_lsh": q_x_cosine_topk_lsh,
         "x_cosine_topk_ivf": q_x_cosine_topk_ivf,
@@ -5678,6 +5695,42 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY s.s_name
     """
     oracles["x_cc_largestar"] = oracles["x_dedup_clusters"]
+    _axis_bits6 = "\n                     + ".join(
+        f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(6)
+    )
+    oracles["x_cosine_topk_axis"] = f"""
+        WITH s AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   CAST({_axis_bits6} AS BIGINT) AS bucket
+            FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        q AS (
+            SELECT vec_id AS query_id, v AS qv, bucket AS qb
+            FROM s WHERE vec_id < 5
+        ),
+        probes AS (
+            SELECT query_id, qv, xor(qb, p.p) AS bucket
+            FROM q CROSS JOIN (
+                SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS p
+            ) p
+        ),
+        cand AS (
+            SELECT DISTINCT pr.query_id, pr.qv, s.vec_id, s.v
+            FROM probes pr JOIN s ON s.bucket = pr.bucket
+        ),
+        ranked AS (
+            SELECT query_id, vec_id,
+                   list_cosine_similarity(v, qv) AS cosine,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY list_cosine_similarity(v, qv) DESC,
+                                vec_id) AS rank
+            FROM cand
+        )
+        SELECT query_id, vec_id, round(cosine, 6) AS cosine,
+               CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 10
+    """
     _axis_bits = "\n                 + ".join(
         f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
         for i in range(6)

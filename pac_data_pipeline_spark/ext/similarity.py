@@ -136,6 +136,7 @@ def cosine_topk_lsh(
     n_planes: int = 12,
     n_probe_bits: int = 1,
     seed: int = 42,
+    axis_portable: bool = False,
 ) -> DataFrame:
     """Approximate cosine top-k: sign-LSH signatures bucket the
     corpus; each query probes its own bucket plus all buckets within
@@ -144,15 +145,38 @@ def cosine_topk_lsh(
     per-query top-k.
 
     Scale shape: corpus signatures are scan-side; the bucket join is
-    an equi-join on a long key (shuffle ∝ corpus, not corpus×|Q|)."""
-    planes = random_hyperplanes(dim, n_planes, seed)
+    an equi-join on a long key (shuffle ∝ corpus, not corpus×|Q|).
+
+    ``axis_portable=True`` swaps the random hyperplanes for
+    axis-aligned ones (plane i = axis i): the signature becomes a
+    pure SQL expression, so an external engine reproduces buckets,
+    probes, cosines, and ranks — the hash-exact evidence tier for
+    this plan shape. Random planes stay the production default
+    (better-conditioned buckets)."""
+    if axis_portable:
+
+        def signature(col: str):
+            bits = None
+            for i in range(n_planes):
+                t = F.when(F.col(col)[i] > 0, F.lit(1 << i)).otherwise(
+                    F.lit(0)
+                )
+                bits = t if bits is None else bits + t
+            return bits.cast("long")
+
+    else:
+        planes = random_hyperplanes(dim, n_planes, seed)
+
+        def signature(col: str):
+            return _sign_signature(col, planes)
+
     corpus = drop_null_vectors(embeddings, vec_col).select(
         F.col(id_col),
         F.col(vec_col).alias("e_vec"),
-        _sign_signature(vec_col, planes).alias("bucket"),
+        signature(vec_col).alias("bucket"),
     )
     q_sig = queries.filter(F.col("q_vec").isNotNull()).select(
-        "query_id", "q_vec", _sign_signature("q_vec", planes).alias("q_bucket")
+        "query_id", "q_vec", signature("q_vec").alias("q_bucket")
     )
     # multi-probe: original bucket + single-bit flips up to n_probe_bits
     probes = [F.col("q_bucket")]
