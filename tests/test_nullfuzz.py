@@ -17,6 +17,7 @@ REPRESENTATIVES = [
     "x_sessionize",        # null event-time exclusion
     "x_stream_sessions",   # stateful sum-over-all-null
     "x_ngram_jaccard",     # null-text similarity (was jaccard=1.0)
+    "x_minhash_portable",  # null shingles (md5(null) aborted map build)
     "p7_doc_records",      # to_json null-field retention
     "h_moving_avg",        # integer-cents windowed mean
     "x_gopher_rules",      # HOF folds over null token arrays
