@@ -427,3 +427,64 @@ def test_min_by_struct_tiebreak(spark):
     ).collect()[0]
     assert row["lo"] == 3   # tie at price 2.0 broken by min supp
     assert row["hi"] == 9
+
+
+def test_interval_overlap_join_edges(spark):
+    import datetime
+
+    from pac_data_pipeline_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    def ts(h):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=h)
+
+    left = spark.createDataFrame(
+        [
+            (1, ts(0), ts(2)),    # overlaps w1 (touches at end)
+            (2, ts(5), ts(30)),   # spans multiple day-bins, hits both
+            (3, ts(100), ts(101)),  # overlaps nothing
+        ],
+        "lid int, s_start timestamp, s_end timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, ts(2), ts(4)),   # touches left 1 exactly at ts(2)
+            (20, ts(26), ts(28)),  # inside left 2's second day
+        ],
+        "rid int, p_start timestamp, p_end timestamp",
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            left, right, "s_start", "s_end", "p_start", "p_end"
+        ).collect()
+    )
+    # closed-interval semantics: touching endpoints match (1,10);
+    # the bin-spanning interval matches only true overlaps (2,20),
+    # and appears exactly ONCE despite candidate rows in 2 bins
+    assert got == [(1, 10), (2, 20)]
+
+
+def test_weighted_sample_properties(spark):
+    from pyspark.sql import functions as F
+
+    from pac_data_pipeline_spark.ext.sampling import weighted_sample
+
+    rows = [(i, 1000.0 if i < 10 else 1.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    # determinism across partitionings
+    a = sorted(r.doc_id for r in weighted_sample(df, 50, "w").collect())
+    b = sorted(
+        r.doc_id
+        for r in weighted_sample(df.repartition(7), 50, "w").collect()
+    )
+    assert a == b and len(a) == 50
+    # heavy weights dominate: all 10 thousand-x rows make the sample
+    assert sum(1 for i in a if i < 10) == 10
+    # zero/null weights and null ids are excluded
+    bad = spark.createDataFrame(
+        [(1, 0.0), (2, None), (None, 5.0), (3, 5.0)],
+        "doc_id long, w double",
+    )
+    assert [r.doc_id for r in weighted_sample(bad, 10, "w").collect()] == [3]
