@@ -3142,11 +3142,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_minhash_portable": q_x_minhash_portable,
         "x_embedding_near_dup_axis": q_x_embedding_near_dup_axis,
         "x_cosine_topk_axis": q_x_cosine_topk_axis,
+        # -- (c2) changed late in round 2 -------------------------
+        "h_window_distinct": q_h_window_distinct,
         # -- (b) new in round 2 -----------------------------------
         "x_entropy": q_x_entropy,
         "x_skew_distinct": q_x_skew_distinct,
         "x_salted_sum": q_x_salted_sum,
-        "h_asof_forward": q_h_asof_forward,
         "h_asof_nearest": q_h_asof_nearest,
         "h_rollup": q_h_rollup,
         "h_range_join": q_h_range_join,
@@ -3240,7 +3241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h_semi": q_h_semi,
         "h_except_all": q_h_except_all,
         "h_nullsafe_join": q_h_nullsafe_join,
-        "h_window_distinct": q_h_window_distinct,
+        "h_asof_forward": q_h_asof_forward,
         "x_collocations": q_x_collocations,
         "x_merge_cdc": q_x_merge_cdc,
         "x_entity_resolution": q_x_entity_resolution,
