@@ -992,6 +992,18 @@ def q_x_cosine_topk_axis(spark, sf_dir):
     )
 
 
+def q_x_kmv_distinct(spark, sf_dir):
+    """K-minimum-values distinct sketch per event type — the
+    engine-portable sketch-tier member: md5-fraction order
+    statistics make every estimate reproducible in SQL, unlike HLL
+    registers (x_hll_distinct stays rows-only with error-bound
+    tests). n̂ = (k−1)/h_(k), exact below k distinct values."""
+    from pac_data_pipeline_spark.operators.stats import kmv_distinct
+
+    e = load_events(spark, sf_dir)
+    return kmv_distinct(e, "event_type", "user_id", k=64)
+
+
 def q_x_embedding_near_dup_axis(spark, sf_dir):
     """Embedding near-dup with axis-aligned sign-LSH buckets — the
     SQL-expressible member of the hyperplane family, carrying the
@@ -3142,6 +3154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_minhash_portable": q_x_minhash_portable,
         "x_embedding_near_dup_axis": q_x_embedding_near_dup_axis,
         "x_cosine_topk_axis": q_x_cosine_topk_axis,
+        "x_kmv_distinct": q_x_kmv_distinct,
         # -- (c2) changed late in round 2 -------------------------
         "h_window_distinct": q_h_window_distinct,
         # -- (b) new in round 2 -----------------------------------
@@ -3164,7 +3177,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_chunk_dedup": q_x_chunk_dedup,
         "x_gopher_rules": q_x_gopher_rules,
         "x_domain_mix": q_x_domain_mix,
-        "x_unicode_clean": q_x_unicode_clean,
         # -- (c) implementation changed since r1 ------------------
         "x_approx_stats": q_x_approx_stats,
         "pipe_snowflake_batch": q_pipe_snowflake_batch,
@@ -3188,6 +3200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_scd2": q_x_scd2,
         "x_fuzzy_join": q_x_fuzzy_join,
         "x_simhash_pairs": q_x_simhash_pairs,
+        "x_unicode_clean": q_x_unicode_clean,
         "x_minhash_near_dup": q_x_minhash_near_dup,
         "x_cosine_topk_lsh": q_x_cosine_topk_lsh,
         "x_cosine_topk_ivf": q_x_cosine_topk_ivf,
@@ -5845,6 +5858,26 @@ def oracle_sql() -> dict[str, str]:
                strftime(sess.s_start, '%Y-%m-%dT%H:%M:%S') AS session_start
         FROM sess JOIN win
           ON sess.s_start <= win.p_end AND win.p_start <= sess.s_end
+    """
+    oracles["x_kmv_distinct"] = """
+        WITH d AS (
+            SELECT DISTINCT event_type,
+                   (CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                           1, 15) AS BIGINT)
+                    + 1.0) / 1152921504606846976.0 AS u
+            FROM events WHERE user_id IS NOT NULL
+        ),
+        r AS (
+            SELECT event_type, u,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY u) AS rn
+            FROM d
+        )
+        SELECT event_type,
+               round(CASE WHEN count(*) < 64
+                          THEN CAST(count(*) AS DOUBLE)
+                          ELSE 63.0 / max(u) END, 4) AS est_distinct
+        FROM r WHERE rn <= 64 GROUP BY event_type
     """
     oracles["x_weighted_sample"] = """
         SELECT o_orderkey, round(o_totalprice, 2) AS total_price

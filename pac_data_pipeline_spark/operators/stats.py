@@ -203,3 +203,53 @@ def cumulative_distinct(
         F.col("__new").alias("n_new"),
         F.sum("__new").over(w).alias("n_distinct_cum"),
     )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al.) —
+    the engine-portable member of the sketch tier: estimates come
+    from the k smallest md5-derived hash fractions per group, so an
+    external SQL engine reproduces every estimate bit-for-bit
+    (unlike HLL, whose register layout is engine-specific).
+
+    Estimator: with distinct-value hashes uniform on (0, 1], the
+    k-th smallest hash h_(k) gives n̂ = (k−1)/h_(k); groups with
+    fewer than k distinct values report the EXACT count (the sketch
+    saw everything). Scale shape: one dedup shuffle on
+    (group, hash), then a per-group window keeps k rows — sketch
+    state is k values per group regardless of group size, and the
+    two stages share the group partitioning."""
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(value_col).cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 60))
+    d = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col), u.alias("__u"))
+        .distinct()
+    )
+    w = Window.partitionBy(group_col).orderBy("__u")
+    kept = d.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    return kept.groupBy(group_col).agg(
+        F.max("__u").alias("__hk"),
+        F.count(F.lit(1)).alias("__n"),
+    ).select(
+        group_col,
+        F.round(
+            F.when(F.col("__n") < k, F.col("__n").cast("double")).otherwise(
+                F.lit(float(k - 1)) / F.col("__hk")
+            ),
+            4,
+        ).alias("est_distinct"),
+    )
