@@ -101,3 +101,24 @@ def test_cumulative_distinct_counts_first_occurrences_only(spark):
     # produces NO row (no first occurrence that day)
     assert out == {("t", "d1"): (2, 2), ("t", "d2"): (1, 3),
                    ("u", "d1"): (1, 1)}
+
+
+def test_kmv_distinct_exact_below_k_and_bounded_error(spark):
+    from pac_data_pipeline_spark.operators.stats import kmv_distinct
+
+    rows = [("small", f"u{i % 20}") for i in range(200)] + [
+        ("big", f"v{i}") for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "grp string, val string")
+    out = {r.grp: r.est_distinct for r in kmv_distinct(df, "grp", "val", k=64).collect()}
+    # below k distinct -> the sketch saw everything -> exact
+    assert out["small"] == 20.0
+    # above k -> estimator with relative error ~1/sqrt(k) ≈ 12.5%;
+    # allow 3 sigma
+    assert abs(out["big"] - 2000) / 2000 < 0.375
+    # nulls excluded
+    withnull = spark.createDataFrame(
+        [("g", None), ("g", "a"), ("g", "b")], "grp string, val string"
+    )
+    got = kmv_distinct(withnull, "grp", "val", k=8).collect()
+    assert got[0].est_distinct == 2.0
