@@ -677,13 +677,13 @@ def ngram_jaccard_pairs(
     )
 
 
-def jaccard_similarity_join(
+def _jaccard_join_stages(
     df: DataFrame,
-    threshold: float = 0.4,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n: int = 3,
-) -> DataFrame:
+    threshold: float,
+    text_col: str,
+    id_col: str,
+    n: int,
+):
     """EXACT Jaccard-threshold self-join via prefix filtering (the
     AllPairs/PPJoin family, Bayardo et al. / Xiao et al.) — finds
     EVERY pair of documents with n-gram Jaccard ≥ threshold without
@@ -775,6 +775,37 @@ def jaccard_similarity_join(
         .select("id_a", "id_b")
         .distinct()
     )
+    return grams, cand
+
+
+def jaccard_candidate_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """The candidate stage of :func:`jaccard_similarity_join`,
+    exposed so the prefix filter's pruning power is testable and
+    monitorable: |candidates| ≪ n·(n−1)/2 is the property that
+    makes the join survive corpus scale (asserted objectively in
+    tests/test_scale_patterns.py)."""
+    _, cand = _jaccard_join_stages(df, threshold, text_col, id_col, n)
+    return cand
+
+
+def jaccard_similarity_join(
+    df: DataFrame,
+    threshold: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """EXACT Jaccard-threshold self-join via prefix filtering
+    (AllPairs/PPJoin family) — see :func:`_jaccard_join_stages` for
+    the staged algorithm and scale notes; this wrapper runs the
+    exact verify over the candidate pairs only."""
+    grams, cand = _jaccard_join_stages(df, threshold, text_col, id_col, n)
     ga = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("g_a"))
     gb = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("g_b"))
     inter = F.size(F.array_intersect("g_a", "g_b"))

@@ -401,3 +401,24 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
         q._jdf.queryExecution(), "formatted"
     )
     assert "dynamicpruning" in p.lower(), p
+
+
+def test_jaccard_prefix_filter_prunes_candidates(spark):
+    """The property that lets the exact set-similarity join survive
+    corpus scale: prefix-filter candidates are a small fraction of
+    the all-pairs product (and still a superset of the answer —
+    completeness is proven separately by the brute-force oracle and
+    the hypothesis test)."""
+    from pac_data_pipeline_spark.ext.dedup_text import (
+        jaccard_candidate_pairs,
+        jaccard_similarity_join,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    all_pairs = n * (n - 1) / 2
+    cand = jaccard_candidate_pairs(docs, threshold=0.4).count()
+    assert cand < 0.1 * all_pairs, (cand, all_pairs)
+    # and the verified answer is a subset of the candidates
+    matches = jaccard_similarity_join(docs, threshold=0.4).count()
+    assert matches <= cand
