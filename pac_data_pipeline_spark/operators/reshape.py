@@ -10,7 +10,6 @@ column); the relational equivalents are pivot (long→wide, covered by
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 
 def unpivot_long(
