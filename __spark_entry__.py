@@ -117,6 +117,7 @@ from pac_data_pipeline_spark.ext.corpus import (
 )
 from pac_data_pipeline_spark.ext.text import gopher_rules
 from pac_data_pipeline_spark.ext.text import (
+    TOKEN_SEP,
     chunk_documents,
     fingerprint,
     lang_id,
@@ -893,7 +894,7 @@ def q_x_token_regex(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     words = F.size(F.expr(r"regexp_extract_all(text, '[A-Za-z]+', 0)"))
     nums = F.size(F.expr(r"regexp_extract_all(text, '[0-9]+', 0)"))
-    puncts = F.size(F.expr(r"regexp_extract_all(text, '[^A-Za-z0-9\\s]', 0)"))
+    puncts = F.size(F.expr(r"regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\f\\r]', 0)"))
     return d.select(
         "doc_id",
         words.cast("bigint").alias("n_word_tokens"),
@@ -1108,7 +1109,7 @@ def q_x_top_tokens(spark, sf_dir):
     shuffle) → TakeOrderedAndProject."""
     d = _t(spark, sf_dir, "documents")
     return (
-        d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+        d.select(F.explode(F.split(F.trim("text"), TOKEN_SEP)).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), "token")
@@ -3632,7 +3633,7 @@ def oracle_sql() -> dict[str, str]:
         "x_text_stats": """
             WITH t AS (
                 SELECT doc_id, text,
-                       string_split_regex(trim(text), '\\s+') AS toks
+                       string_split_regex(trim(text, ' '), '[ \\t\\n\\f\\r]+') AS toks
                 FROM documents
             )
             SELECT doc_id,
@@ -3642,14 +3643,14 @@ def oracle_sql() -> dict[str, str]:
                    round((length(text) - len(toks) + 1)
                          / nullif(len(toks), 0), 6) AS mean_token_len,
                    round((length(text) - length(regexp_replace(text,
-                              '[^\\w\\s]', '', 'g')))
+                              '[^\\w \\t\\n\\f\\r]', '', 'g')))
                          / nullif(length(text), 0), 6) AS punct_ratio
             FROM t
         """,
         "x_quality_score": """
             WITH t AS (
                 SELECT doc_id, text,
-                       string_split_regex(trim(text), '\\s+') AS toks,
+                       string_split_regex(trim(text, ' '), '[ \\t\\n\\f\\r]+') AS toks,
                        length(text) AS n_char
                 FROM documents
             ),
@@ -3659,7 +3660,7 @@ def oracle_sql() -> dict[str, str]:
                            ['the','and','of','to','a','in','is','for'],
                            lower(t)))) * 1.0
                            / nullif(len(toks), 0) AS sw_ratio,
-                       (n_char - length(regexp_replace(text, '[^\\w\\s]',
+                       (n_char - length(regexp_replace(text, '[^\\w \\t\\n\\f\\r]',
                                                        '', 'g'))) * 1.0
                            / nullif(n_char, 0) AS punct_ratio,
                        len(toks) AS n_tok
@@ -3675,7 +3676,7 @@ def oracle_sql() -> dict[str, str]:
         "x_lang_id": """
             WITH t AS (
                 SELECT doc_id, lang,
-                       string_split_regex(trim(text), '\\s+') AS toks
+                       string_split_regex(trim(text, ' '), '[ \\t\\n\\f\\r]+') AS toks
                 FROM documents
             ),
             h AS (
@@ -3740,7 +3741,7 @@ def oracle_sql() -> dict[str, str]:
                                     greatest(len(toks) - 2, 1) + 1)
                             ]) END AS grams
                 FROM (SELECT doc_id,
-                             string_split_regex(trim(text), '\\s+') AS toks
+                             string_split_regex(trim(text, ' '), '[ \\t\\n\\f\\r]+') AS toks
                       FROM documents)
             )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -3939,7 +3940,7 @@ def oracle_sql() -> dict[str, str]:
                    AS n_word_tokens,
                CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
                    AS n_num_tokens,
-               CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT)
+               CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\f\\r]')) AS BIGINT)
                    AS n_punct_tokens
         FROM documents
     """
@@ -4074,7 +4075,7 @@ def oracle_sql() -> dict[str, str]:
                        FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)
                    ])) AS gram
             FROM (SELECT doc_id,
-                         string_split_regex(trim(text), '\\s+') AS toks
+                         string_split_regex(trim(text, ' '), '[ \\t\\n\\f\\r]+') AS toks
                   FROM documents)
         ),
         bad AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
@@ -4090,7 +4091,7 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["x_tfidf_terms"] = """
         WITH toks AS (
-            SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+'))
+            SELECT doc_id, unnest(string_split_regex(trim(text, ' '), '[ \\t\\n\\f\\r]+'))
                        AS token
             FROM documents
         ),
@@ -4118,8 +4119,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["x_doc_chunks"] = """
         WITH t AS (
             SELECT doc_id,
-                   string_split_regex(trim(text), '\\s+') AS toks,
-                   len(string_split_regex(trim(text), '\\s+')) AS n
+                   string_split_regex(trim(text, ' '), '[ \\t\\n\\f\\r]+') AS toks,
+                   len(string_split_regex(trim(text, ' '), '[ \\t\\n\\f\\r]+')) AS n
             FROM documents
         ),
         c AS (
@@ -4150,7 +4151,7 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["x_top_tokens"] = """
         SELECT token, count(*) AS n
-        FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM (SELECT unnest(string_split_regex(trim(text, ' '), '[ \\t\\n\\f\\r]+')) AS token
               FROM documents)
         GROUP BY token ORDER BY n DESC, token LIMIT 50
     """
@@ -4166,7 +4167,7 @@ def oracle_sql() -> dict[str, str]:
                        FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)
                    ]) AS grams
             FROM (SELECT doc_id,
-                         string_split_regex(trim(text), '\\s+') AS toks
+                         string_split_regex(trim(text, ' '), '[ \\t\\n\\f\\r]+') AS toks
                   FROM documents)
         ),
         edges AS (
@@ -4217,7 +4218,7 @@ def oracle_sql() -> dict[str, str]:
         WITH toks AS (
             SELECT DISTINCT doc_id, tok FROM (
                 SELECT doc_id,
-                       unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                       unnest(string_split_regex(trim(text, ' '), '[ \\t\\n\\f\\r]+')) AS tok
                 FROM documents
             )
         ),
@@ -4352,7 +4353,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["x_logfreq_score"] = """
         WITH toks AS (
             SELECT doc_id,
-                   unnest(string_split_regex(trim(text), '\\s+')) AS token
+                   unnest(string_split_regex(trim(text, ' '), '[ \\t\\n\\f\\r]+')) AS token
             FROM documents
         ),
         freq AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
@@ -4370,7 +4371,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(concat('0x',
                         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                         AS BIGINT) % 8 AS shard,
-                   CAST(len(string_split_regex(trim(text), '\\s+'))
+                   CAST(len(string_split_regex(trim(text, ' '), '[ \\t\\n\\f\\r]+'))
                         AS BIGINT) AS n_tokens
             FROM documents
         )
@@ -4384,7 +4385,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["x_repetition"] = """
         WITH toks AS (
             SELECT doc_id,
-                   string_split_regex(trim(text), '\\s+') AS t
+                   string_split_regex(trim(text, ' '), '[ \\t\\n\\f\\r]+') AS t
             FROM documents
         ),
         grams AS (
@@ -4644,7 +4645,7 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["x_collocations"] = """
         WITH t AS (
-            SELECT string_split_regex(trim(text), '\\s+') AS toks
+            SELECT string_split_regex(trim(text, ' '), '[ \\t\\n\\f\\r]+') AS toks
             FROM documents
         ),
         bg AS (
@@ -4717,10 +4718,10 @@ def oracle_sql() -> dict[str, str]:
             FROM f GROUP BY 1, 2
         )
         SELECT event_type, day, n_new,
-               sum(n_new) OVER (
+               CAST(sum(n_new) OVER (
                    PARTITION BY event_type ORDER BY day
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS n_distinct_cum
+               ) AS BIGINT) AS n_distinct_cum
         FROM p
     """
     oracles["x_profile"] = """
@@ -4759,7 +4760,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["x_corpus_report"] = """
         WITH t AS (
             SELECT source,
-                   string_split_regex(trim(text), '\\s+') AS toks,
+                   string_split_regex(trim(text, ' '), '[ \\t\\n\\f\\r]+') AS toks,
                    length(text) AS n_char, text
             FROM documents
         ),
@@ -4770,7 +4771,7 @@ def oracle_sql() -> dict[str, str]:
                        lower(t)))) * 1.0 / nullif(len(toks), 0))
                    + 0.3 * least(len(toks) / 100.0, 1.0)
                    + 0.2 * (1.0 - (n_char - length(regexp_replace(
-                         text, '[^\\w\\s]', '', 'g'))) * 1.0
+                         text, '[^\\w \\t\\n\\f\\r]', '', 'g'))) * 1.0
                          / nullif(n_char, 0)) AS q,
                    CASE WHEN greatest(
                        len(list_filter(toks, t -> list_contains(
@@ -4840,7 +4841,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["pipe_train_corpus"] = """
         WITH t AS (
             SELECT doc_id, text, n_chars,
-                   string_split_regex(trim(text), '\\s+') AS toks,
+                   string_split_regex(trim(text, ' '), '[ \\t\\n\\f\\r]+') AS toks,
                    length(text) AS n_char
             FROM documents
         ),
@@ -4851,7 +4852,7 @@ def oracle_sql() -> dict[str, str]:
                              lower(t)))) * 1.0 / nullif(len(toks), 0))
                        + 0.3 * least(len(toks) / 100.0, 1.0)
                        + 0.2 * (1.0 - (n_char - length(regexp_replace(
-                             text, '[^\\w\\s]', '', 'g'))) * 1.0
+                             text, '[^\\w \\t\\n\\f\\r]', '', 'g'))) * 1.0
                              / nullif(n_char, 0)), 6) AS quality_score,
                    CASE
                      WHEN greatest(
@@ -5093,7 +5094,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["x_chunk_dedup"] = """
         WITH t AS (
             SELECT doc_id,
-                   string_split_regex(trim(text), '\\s+') AS toks
+                   string_split_regex(trim(text, ' '), '[ \\t\\n\\f\\r]+') AS toks
             FROM documents
         ),
         c AS (
@@ -5115,7 +5116,8 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id,
                count(*) AS n_chunks,
-               sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+               CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
                coalesce(
                    string_agg(chunk_text, ' ' ORDER BY chunk_id)
                        FILTER (WHERE rn = 1),
@@ -5125,7 +5127,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["x_boilerplate"] = """
         WITH t AS (
             SELECT doc_id,
-                   string_split_regex(trim(text), '\\s+') AS toks
+                   string_split_regex(trim(text, ' '), '[ \\t\\n\\f\\r]+') AS toks
             FROM documents
         ),
         c AS (
@@ -5144,7 +5146,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["x_gopher_rules"] = """
         WITH t AS (
             SELECT doc_id,
-                   string_split_regex(trim(text), '\\s+') AS toks
+                   string_split_regex(trim(text, ' '), '[ \\t\\n\\f\\r]+') AS toks
             FROM documents
         ),
         m AS (
@@ -5196,7 +5198,9 @@ def oracle_sql() -> dict[str, str]:
           AND CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
                    AS BIGINT) % 10000 < thr.t
     """
-    oracles["x_unicode_clean"] = """
+    from pac_data_pipeline_spark.ext.corpus import UNICODE_WS_CLASS_RE2
+
+    oracles["x_unicode_clean"] = f"""
         WITH c AS (
             SELECT doc_id, text,
                    trim(regexp_replace(
@@ -5204,7 +5208,8 @@ def oracle_sql() -> dict[str, str]:
                            nfc_normalize(text),
                            '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]',
                            '', 'g'),
-                       '\\s+', ' ', 'g')) AS clean_text
+                       '{UNICODE_WS_CLASS_RE2}+', ' ', 'g'), ' ')
+                       AS clean_text
             FROM documents
         )
         SELECT doc_id, clean_text, (clean_text <> text) AS changed
@@ -5414,7 +5419,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["x_token_budget"] = """
         WITH t AS (
             SELECT doc_id, text,
-                   string_split_regex(trim(text), '\\s+') AS toks,
+                   string_split_regex(trim(text, ' '), '[ \\t\\n\\f\\r]+') AS toks,
                    length(text) AS n_char
             FROM documents
         ),
@@ -5424,7 +5429,7 @@ def oracle_sql() -> dict[str, str]:
                        ['the','and','of','to','a','in','is','for'],
                        lower(t)))) * 1.0
                        / nullif(len(toks), 0) AS sw_ratio,
-                   (n_char - length(regexp_replace(text, '[^\\w\\s]',
+                   (n_char - length(regexp_replace(text, '[^\\w \\t\\n\\f\\r]',
                                                    '', 'g'))) * 1.0
                        / nullif(n_char, 0) AS punct_ratio,
                    len(toks) AS n_tok
@@ -5555,9 +5560,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["x_schema_evolution"] = """
         SELECT o_orderstatus,
                count(*) AS n_orders,
-               sum(CASE WHEN o_orderkey % 2 = 0
+               CAST(sum(CASE WHEN o_orderkey % 2 = 0
                              OR o_orderpriority IS NULL
-                        THEN 1 ELSE 0 END) AS n_missing_priority,
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_priority,
                round(sum(o_totalprice), 2) AS total
         FROM orders
         GROUP BY o_orderstatus
@@ -5648,10 +5653,10 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["h12_late_priority"] = """
         SELECT l.l_returnflag,
-               sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS critical_count,
-               sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 0 ELSE 1 END) AS other_count
+               CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS critical_count,
+               CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS other_count
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         WHERE year(o.o_orderdate) = 1997
@@ -5899,9 +5904,9 @@ def oracle_sql() -> dict[str, str]:
                        FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)
                    ]) AS grams
             FROM (SELECT doc_id,
-                         string_split_regex(trim(text), '\\s+') AS toks
+                         string_split_regex(trim(text, ' '), '[ \\t\\n\\f\\r]+') AS toks
                   FROM documents
-                  WHERE text IS NOT NULL AND trim(text) <> '')
+                  WHERE text IS NOT NULL AND trim(text, ' ') <> '')
         )
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                round(len(list_intersect(a.grams, b.grams))
@@ -5919,9 +5924,9 @@ def oracle_sql() -> dict[str, str]:
                unnest(toks) AS term,
                length(unnest(toks)) AS term_len
         FROM (
-            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            SELECT doc_id, string_split_regex(trim(text, ' '), '[ \\t\\n\\f\\r]+') AS toks
             FROM documents
-            WHERE text IS NOT NULL AND trim(text) <> ''
+            WHERE text IS NOT NULL AND trim(text, ' ') <> ''
         )
     """
     return oracles

@@ -29,6 +29,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from pac_data_pipeline_spark.ext.text import TOKEN_SEP
 from pyspark.sql import types as T
 
 
@@ -59,7 +61,7 @@ def chunk_dedup(
     # difference between O(len) and O(len²/W) character work per doc.
     staged = df.select(
         id_col,
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
+        F.split(F.trim(F.col(text_col)), TOKEN_SEP).alias("__toks"),
     )
     toks = F.col("__toks")
     n_chunks = F.greatest(
@@ -108,7 +110,7 @@ def boilerplate_chunks(
     count is a partial-aggregated groupBy, never a window."""
     staged = df.select(
         F.col(id_col),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
+        F.split(F.trim(F.col(text_col)), TOKEN_SEP).alias("__toks"),
     )
     toks = F.col("__toks")
     n_chunks = F.greatest(
@@ -134,6 +136,21 @@ def boilerplate_chunks(
 #: plus DEL). Kept as an explicit class so the oracle SQL can use
 #: the byte-identical regex.
 CONTROL_CLASS = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+#: Whitespace collapsed by unicode_clean — an EXPLICIT enumeration of
+#: what Python's Unicode ``\s`` matches after control-char removal
+#: (ASCII ws + NEL + NBSP + Ogham + Zs block + LS/PS + NNBSP + MMSP +
+#: ideographic space). Explicit because the oracle's RE2 ``\s`` is
+#: ASCII-only: with a bare ``\s`` the two tiers silently disagree on
+#: any document containing an NBSP or ideographic space.
+UNICODE_WS_CLASS = (
+    "[ \t\n\r\x85\xa0\u1680\u2000-\u200a\u2028\u2029\u202f\u205f\u3000]"
+)
+#: The same class in RE2 syntax for the DuckDB differential oracle.
+UNICODE_WS_CLASS_RE2 = (
+    "[ \\t\\n\\r\\x{85}\\x{A0}\\x{1680}\\x{2000}-\\x{200A}"
+    "\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]"
+)
 
 
 def unicode_clean(
@@ -162,14 +179,16 @@ def unicode_clean(
         import re
 
         ctrl = re.compile(CONTROL_CLASS)
-        ws = re.compile(r"\s+")
+        ws = re.compile(UNICODE_WS_CLASS + "+")
 
         def clean_one(s: str | None) -> str | None:
             if s is None:
                 return None
             c = unicodedata.normalize("NFC", s)
             c = ctrl.sub("", c)
-            return ws.sub(" ", c).strip()
+            # collapse turns every whitespace run into one ASCII
+            # space, so stripping ' ' alone is exact
+            return ws.sub(" ", c).strip(" ")
 
         for pdf in batches:
             cleaned = pdf[text_col].map(clean_one)

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pac_data_pipeline_spark.ext.text import TOKEN_SEP, TOKEN_SEP_SQL
+
 
 def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Round-robin repartition up to the cluster's parallelism when
@@ -279,7 +281,7 @@ def simhash(
     if portable and bits > 60:
         raise ValueError("portable simhash carries 60 hash bits max")
     toks = F.explode(
-        F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+        F.array_distinct(F.split(F.trim(F.col(text_col)), TOKEN_SEP))
     ).alias("tok")
     token_hash = (
         F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
@@ -597,6 +599,14 @@ def near_dup_clusters(
     large-star/small-star (O(log n) rounds, right for deep/chained
     components). Identical output, exercised against the same
     recursive-CTE oracle."""
+    if algorithm not in ("label", "star"):
+        # a silent fallback would run the O(diameter) propagation on
+        # a typo ('Star', 'largestar', ...) — and on a deep graph
+        # that now RAISES on non-convergence instead of taking the
+        # intended star path
+        raise ValueError(
+            f"algorithm must be 'label' or 'star', got {algorithm!r}"
+        )
     a = df.select(F.col(id_col).alias("id_a"))
     b = df.select(F.col(id_col).alias("id_b"))
     pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
@@ -626,7 +636,7 @@ def _with_token_ngrams(
     attribute. CollapseProject keeps the multi-referenced non-cheap
     column materialized."""
     return df.withColumn(
-        "__toks", F.expr(f"split(trim({text_col}), '\\\\s+')")
+        "__toks", F.expr(f"split(trim({text_col}), '{TOKEN_SEP_SQL}')")
     ).withColumn(
         out_col,
         # null text must yield a NULL gram set, not [""]: concat_ws

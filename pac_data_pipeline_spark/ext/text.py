@@ -23,12 +23,26 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 #: English stopwords used by the quality score.
 QUALITY_STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "for")
 
+#: Tokenization separator — an explicit ASCII class, deliberately NOT
+#: ``\s``. ``\s`` means three different things across the engine's
+#: tiers: Java regex adds VT (\x0B), DuckDB's RE2 does not, and
+#: Python's ``re`` is fully Unicode-aware (NBSP, U+3000, U+2028 …).
+#: Every tier — JVM ``split``, Arrow/Python workers, UDTFs, and the
+#: DuckDB differential oracle — uses this same class, paired with
+#: stripping only ASCII space (Spark ``trim``/DuckDB ``trim(col,' ')``
+#: /Python ``.strip(' ')``), so tokenization is byte-identical on ANY
+#: input, not just inputs that avoid the exotic whitespace.
+TOKEN_SEP = r"[ \t\n\f\r]+"
+#: The same pattern escaped for embedding in a Spark SQL string
+#: literal (the SQL parser unescapes ``\\t`` back to ``\t``).
+TOKEN_SEP_SQL = TOKEN_SEP.replace("\\", "\\\\")
+
 
 def tokens(col: Column | str) -> Column:
     """Whitespace tokenization → array<string>. (A BPE-ish regex
     tokenizer is :func:`bpe_ish_tokens`.)"""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.trim(c), r"\s+")
+    return F.split(F.trim(c), TOKEN_SEP)
 
 
 def bpe_ish_tokens(col: Column | str) -> Column:
@@ -42,7 +56,7 @@ def bpe_ish_tokens(col: Column | str) -> Column:
         r"([a-zA-Z0-9])([^a-zA-Z0-9\s])",
         r"$1 $2",
     )
-    return F.split(F.trim(marked), r"\s+")
+    return F.split(F.trim(marked), TOKEN_SEP)
 
 
 def token_count(col: Column | str) -> Column:
@@ -57,7 +71,7 @@ def stopword_ratio(
     toks = tokens(col)
     sw = ", ".join(f"'{w}'" for w in stopwords)
     hits = F.expr(
-        f"size(filter(split(trim({_name(col)}), '\\\\s+'), t -> lower(t) IN ({sw})))"
+        f"size(filter(split(trim({_name(col)}), '{TOKEN_SEP_SQL}'), t -> lower(t) IN ({sw})))"
     )
     return hits / F.nullif(F.size(toks), F.lit(0))
 
@@ -75,7 +89,7 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_tok = F.size(toks)
     n_char = F.length(F.col(text_col))
     n_punct = n_char - F.length(
-        F.regexp_replace(F.col(text_col), r"[^\w\s]", "")
+        F.regexp_replace(F.col(text_col), r"[^\w \t\n\f\r]", "")
     )
     return df.select(
         "doc_id",
@@ -97,11 +111,11 @@ def quality_parts(text_col: str = "text") -> tuple[Column, Column]:
     n_tok = F.size(toks)
     n_char = F.length(F.col(text_col))
     n_punct = n_char - F.length(
-        F.regexp_replace(F.col(text_col), r"[^\w\s]", "")
+        F.regexp_replace(F.col(text_col), r"[^\w \t\n\f\r]", "")
     )
     sw = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
     hits = F.expr(
-        f"size(filter(split(trim({text_col}), '\\\\s+'), t -> lower(t) IN ({sw})))"
+        f"size(filter(split(trim({text_col}), '{TOKEN_SEP_SQL}'), t -> lower(t) IN ({sw})))"
     )
     sw_ratio = hits / F.nullif(n_tok, F.lit(0))
     punct_ratio = n_punct / F.nullif(n_char, F.lit(0))
@@ -134,7 +148,7 @@ def lang_parts(text_col: str = "text") -> tuple[dict, Column]:
     for lang, words in LANG_STOPWORDS.items():
         sw = ", ".join(f"'{w}'" for w in words)
         cols[lang] = F.expr(
-            f"size(filter(split(trim({text_col}), '\\\\s+'), t -> lower(t) IN ({sw})))"
+            f"size(filter(split(trim({text_col}), '{TOKEN_SEP_SQL}'), t -> lower(t) IN ({sw})))"
         )
     best = F.greatest(*cols.values())
     guess = F.when(best == 0, F.lit("und"))
@@ -329,7 +343,7 @@ def pack_sequences(
 
     from pac_data_pipeline_spark.ext.sampling import hash_bucket
 
-    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), TOKEN_SEP))
     w = (
         Window.partitionBy("shard")
         .orderBy(id_col)
@@ -361,7 +375,7 @@ def repetition_score(
     2-gram in the same document. Entirely scan-side array
     expressions — tokenize, build 2-grams with transform/sequence,
     count distinct with array_distinct — no shuffle, no UDF."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.split(F.trim(F.col(text_col)), TOKEN_SEP)
     # zip_with(slice, slice) instead of transform(sequence(...)):
     # sequence(1, 0) would DESCEND for 1-token docs, while
     # slice(x, 1, 0) degrades safely to an empty array
@@ -410,7 +424,7 @@ def token_logfreq_score(
     shuffles once on doc_id only. Scores round to 6 before hashing
     so summation order can't flip the value."""
     toks = df.select(
-        F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token")
+        F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), TOKEN_SEP)).alias("token")
     )
     freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
     total = freq.agg(F.sum("n").alias("total"))
@@ -608,7 +622,7 @@ def pmi_collocations(
     the bigram text.
     """
     toked = ensure_parallelism_text(df).withColumn(
-        "__toks", F.expr(f"split(trim({text_col}), '\\\\s+')")
+        "__toks", F.expr(f"split(trim({text_col}), '{TOKEN_SEP_SQL}')")
     )
     bigrams = toked.select(
         F.explode_outer(
@@ -765,6 +779,11 @@ def bpe_train(
     )
 
 
+#: Upper bound on the per-partition word→symbol-count memo in
+#: :func:`bpe_encode`; the memo clears and rebuilds past this point.
+_MEMO_CAP = 1_000_000
+
+
 def bpe_encode(
     df: DataFrame,
     merges: DataFrame,
@@ -780,7 +799,9 @@ def bpe_encode(
     greedy BPE encode, byte-for-byte the order the trainer learned.
     The merge table is tiny (n_merges rows) and rides to executors
     as a broadcast dict; encoding runs over Arrow batches with a
-    per-batch word memo, so each distinct word in a batch is
+    per-PARTITION word memo (capped — cleared if it outgrows
+    ``_MEMO_CAP`` distinct words, so a pathological-vocabulary
+    partition cannot grow it unboundedly), so each distinct word is
     encoded once no matter how often it repeats. The corpus never
     shuffles — this is a scan-stage map, and at 100 TB the only
     coordination is the one-time broadcast.
@@ -823,6 +844,8 @@ def bpe_encode(
                 for w in words:
                     n = memo.get(w)
                     if n is None:
+                        if len(memo) >= _MEMO_CAP:
+                            memo.clear()
                         n = n_syms(w, ranks)
                         memo[w] = n
                     total += n
@@ -837,6 +860,10 @@ def bpe_encode(
                 out, columns=[id_col, "n_tokens_ws", "n_tokens_bpe"]
             )
 
+    # derive the id field's type from the input schema — hardcoding
+    # ``long`` would miscast (or fail on) string/int ids at runtime
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, text_col).mapInPandas(
-        encode, schema=f"{id_col} long, n_tokens_ws long, n_tokens_bpe long"
+        encode,
+        schema=f"{id_col} {id_type}, n_tokens_ws long, n_tokens_bpe long",
     )

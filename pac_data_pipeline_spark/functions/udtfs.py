@@ -26,17 +26,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import udtf
 
-_WS = re.compile(r"\s+")
+# The engine-wide ASCII tokenization contract (ext/text.TOKEN_SEP).
+# Deliberately NOT Python's Unicode-aware ``\s``/``str.strip()``:
+# those treat NBSP/U+3000/U+2028 as separators and strip edge
+# tabs/newlines, while the JVM split path and the DuckDB RE2 oracle
+# do neither — the tiers must agree byte-for-byte on ANY input.
+_WS = re.compile(r"[ \t\n\f\r]+")
 
 
 @udtf(returnType="idx: int, term: string, term_len: int", useArrow=True)
 class TokenStream:
     """Fan one document out into (position, token, length) rows.
 
-    Tokenization contract = split on runs of whitespace after
-    trim — byte-identical to the JVM ``split(trim(text), '\\s+')``
-    and the DuckDB ``string_split_regex`` oracle, which is what
-    makes the tier hash-comparable.
+    Tokenization contract = strip ASCII spaces, then split on runs
+    of ``[ \\t\\n\\f\\r]`` — byte-identical to the JVM
+    ``split(trim(text), TOKEN_SEP)`` path and the DuckDB
+    ``string_split_regex(trim(text, ' '), ...)`` oracle, which is
+    what makes the tier hash-comparable (leading tabs/newlines yield
+    a leading '' token in all three tiers; Unicode whitespace is
+    never a separator in any of them).
 
     ``useArrow=True`` plans ``ArrowEvalPythonUDTF``: rows move to
     the Python worker in Arrow batches instead of pickled one at a
@@ -47,7 +55,7 @@ class TokenStream:
     def eval(self, text: str):  # noqa: D102 — contract in class doc
         if text is None:
             return
-        stripped = text.strip()
+        stripped = text.strip(" ")
         if not stripped:
             return
         for i, tok in enumerate(_WS.split(stripped), start=1):

@@ -242,26 +242,42 @@ def interval_overlap_join(
     Spark plans as a nested-loop product. The scale formulation:
     explode each interval into the time bins it covers, equi-join
     on the bin (candidates = pairs sharing a bin), then verify the
-    exact predicate. A pair overlapping across k shared bins
-    appears k times before the final dedup, so ``bin_seconds``
-    should roughly match typical interval length: bins much smaller
-    multiply candidates, bins much larger put non-overlapping pairs
-    in one bucket. Both sides' rows must be unique (the dedup is
-    over all output columns).
+    exact predicate. A pair overlapping across k shared bins would
+    surface k times, so the verify keeps only the FIRST shared bin
+    (the bin of the later start) — each qualifying pair is emitted
+    exactly once with no distinct pass, which also means
+    legitimately duplicate input rows survive instead of being
+    collapsed. ``bin_seconds`` should roughly match typical
+    interval length: bins much smaller multiply candidates, bins
+    much larger put non-overlapping pairs in one bucket. Inverted
+    intervals (end < start) cover no bins and match nothing.
     """
     def bins(start: str, end: str):
         s = F.floor(F.col(start).cast("long") / F.lit(bin_seconds))
         e = F.floor(F.col(end).cast("long") / F.lit(bin_seconds))
-        return F.explode(F.sequence(s.cast("long"), e.cast("long")))
+        # when() guards inverted intervals: a descending range would
+        # otherwise still emit (bogus) candidate bins; NULL explodes
+        # to zero rows
+        return F.explode(
+            F.when(s <= e, F.sequence(s.cast("long"), e.cast("long")))
+        )
 
     lb = left.withColumn("__bin", bins(l_start, l_end))
     rb = right.withColumn("__bin", bins(r_start, r_end))
+    first_shared_bin = F.floor(
+        F.greatest(
+            F.col(l_start).cast("long"), F.col(r_start).cast("long")
+        )
+        / F.lit(bin_seconds)
+    ).cast("long")
     return (
         lb.join(rb, "__bin")
         .filter(
             (F.col(l_start) <= F.col(r_end))
             & (F.col(r_start) <= F.col(l_end))
+            # exactly-once: of the k bins a pair shares, emit only
+            # from the bin containing the later of the two starts
+            & (F.col("__bin") == first_shared_bin)
         )
         .drop("__bin")
-        .dropDuplicates()
     )

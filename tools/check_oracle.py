@@ -58,6 +58,22 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
         return problems
     if len(spark_df) != len(duck_df):
         problems.append(f"rowcount: spark={len(spark_df)} duck={len(duck_df)}")
+    # Dtype-kind parity: the driver hashes values dtype-sensitively, so a
+    # DuckDB HUGEINT sum (float64 after fetchdf) vs a Spark bigint hashes
+    # differently even when every value is equal ("3" vs "3.0"). Compare
+    # numeric kind explicitly — this caught the round-2 h12/h_window_distinct/
+    # x_chunk_dedup failures that exact-value equality was blind to.
+    for c in sorted(spark_df.columns):
+        sk = "f" if pd.api.types.is_float_dtype(spark_df[c]) else (
+            "i" if pd.api.types.is_integer_dtype(spark_df[c]) else "o")
+        dk = "f" if pd.api.types.is_float_dtype(duck_df[c]) else (
+            "i" if pd.api.types.is_integer_dtype(duck_df[c]) else "o")
+        if sk != dk and "o" not in (sk, dk):
+            problems.append(
+                f"dtype kind mismatch on {c!r}: spark={spark_df[c].dtype} "
+                f"duck={duck_df[c].dtype} (cast the oracle SUM to BIGINT "
+                f"or the Spark column to double)"
+            )
     a, b = canon(spark_df), canon(duck_df)
     if len(a) == len(b):
         neq = (a.fillna("\x00") != b.fillna("\x00")).any(axis=1)

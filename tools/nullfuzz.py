@@ -111,6 +111,21 @@ def main() -> None:
                        CASE WHEN rid % 10 = 0
                             THEN text ||
                                  ' déjà vu 漢字テスト Ωμέγα 🙂 naïve ½²'
+                            -- exotic-whitespace class: edge tabs and
+                            -- newlines (Java/RE2 split but Python
+                            -- strip() would eat), interior NBSP /
+                            -- ideographic space / line separator
+                            -- (Python \\s would split, ASCII must
+                            -- not), and a vertical tab (Java \\s
+                            -- splits, RE2 does not) — the tri-engine
+                            -- tokenization-contract probes
+                            WHEN rid % 10 = 3
+                            THEN chr(9) || text || chr(10)
+                            WHEN rid % 10 = 6
+                            THEN 'a' || chr(160) || 'b' || chr(12288)
+                                 || 'c' || chr(8232) || 'd ' || text
+                            WHEN rid % 10 = 9
+                            THEN text || ' v' || chr(11) || 'tab'
                             ELSE text END AS text,
                        lang, source, n_chars
                 FROM n
