@@ -156,6 +156,7 @@ from pac_data_pipeline_spark.ext.multimodal import (
     bmp_media_from_documents,
     extract_features,
     frame_sample,
+    png_media_from_documents,
     video_media_from_documents,
 )
 from pac_data_pipeline_spark.sources.readers import register_views
@@ -888,6 +889,28 @@ def q_x_approx_stats(spark, sf_dir):
     )
 
 
+def q_x_approx_stats_exact(spark, sf_dir):
+    """The hash-checkable half of the stats summary (split out of
+    x_approx_stats per round-3 verdict): exact row count, exact
+    distinct counts, and min/max — every column bit-deterministic
+    across engines, so the DuckDB oracle can hash it. The sketch
+    tier (HLL++/Greenwald-Khanna estimates) stays in x_approx_stats
+    as rows-only-by-design. Single partial-aggregated pass; the two
+    exact distincts expand via Spark's expand-node rewrite — at
+    100 TB you'd reach for the HLL sibling, which is the point of
+    keeping both."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.min("l_extendedprice").alias("price_min"),
+        F.max("l_extendedprice").alias("price_max"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
 def q_x_token_regex(spark, sf_dir):
     """Regex tokenization (BPE-style word/number/punct classes) —
     token count per class per document, shuffle-free."""
@@ -1214,11 +1237,16 @@ def q_x_stream_tumbling(spark, sf_dir):
 
 
 def q_x_multimodal_features(spark, sf_dir):
-    """Binary media column → Arrow-batched REAL BMP decode: payloads
-    are genuine 24-bpp bitmaps; width/height and channel statistics
+    """Binary media column → Arrow-batched REAL image decode over a
+    MIXED-format table: even doc_ids carry genuine 24-bpp BMPs, odd
+    doc_ids genuine stdlib-zlib PNGs (cycling row filters), so the
+    per-payload format dispatch in extract_features actually runs
+    both decoders in one job. Width/height and channel statistics
     come from parsing the bytes (rows-only: float features)."""
-    media = bmp_media_from_documents(_t(spark, sf_dir, "documents"))
-    return extract_features(media)
+    docs = _t(spark, sf_dir, "documents")
+    bmp = bmp_media_from_documents(docs.filter(F.col("doc_id") % 2 == 0))
+    png = png_media_from_documents(docs.filter(F.col("doc_id") % 2 == 1))
+    return extract_features(bmp.unionByName(png))
 
 
 def q_x_frame_sample(spark, sf_dir):
@@ -2205,8 +2233,8 @@ def q_x_bpe_train(spark, sf_dir):
 def q_x_bpe_encode(spark, sf_dir):
     """The other half of the tokenizer lifecycle: train 8 merges,
     then ENCODE the corpus with them — greedy lowest-rank merge per
-    word, broadcast merge table, Arrow batches with a per-batch
-    word memo, zero shuffles on the corpus side. Rows-only like
+    word, broadcast merge table, Arrow batches with a capped
+    per-partition word memo, zero shuffles on the corpus side. Rows-only like
     training; greedy-encode equivalence with an independent
     merge-all reference is pinned in tests/test_ext.py."""
     from pac_data_pipeline_spark.ext.text import bpe_encode, bpe_train
@@ -3115,12 +3143,109 @@ def q_x_udtf_tokens(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # Dict ORDER is load-bearing: the round driver's correctness
-        # gate checks the first 50 entries. Round 2 rotation — (a)
-        # queries with no r1 CORRECTNESS row, (b) queries added this
-        # round, (c) implementations changed since r1, (d) flagship
-        # re-checks. Everything after position 50 hash-passed in r1
-        # with unchanged code, so the r1+r2 union covers every query.
-        # -- (a) no r1 verdict ------------------------------------
+        # gate checks only the FIRST 50 entries. Round 4 rotation
+        # (per VERDICT r3 item 1): every name below, through the
+        # "round-5 tail" marker, has NEVER received a driver verdict
+        # in CORRECTNESS_r01-r03 — the window is 50 never-checked,
+        # oracle-backed queries (plus x_approx_stats_exact, new this
+        # round: the hash-checkable half split out of the rows-only
+        # x_approx_stats). All are exact-hash green in the local
+        # DuckDB gate (tools/check_oracle.py, six datasets).
+        # -- (a) new this round --------------------------------------
+        "x_approx_stats_exact": q_x_approx_stats_exact,
+        # -- (b) h_* analytic family + TPC-H-ish, never checked ------
+        "h_cube": q_h_cube,
+        "h_pivot": q_h_pivot,
+        "h_grouping_sets": q_h_grouping_sets,
+        "h_funnel": q_h_funnel,
+        "h_cohort": q_h_cohort,
+        "h_corr": q_h_corr,
+        "h_histogram": q_h_histogram,
+        "h_mode": q_h_mode,
+        "h_ntile": q_h_ntile,
+        "h_running_total": q_h_running_total,
+        "h_min_by": q_h_min_by,
+        "h_window_funcs": q_h_window_funcs,
+        "h_moving_avg": q_h_moving_avg,
+        "h_moving_median": q_h_moving_median,
+        "h_equidepth": q_h_equidepth,
+        "h_exists_late": q_h_exists_late,
+        "h18_large_orders": q_h18_large_orders,
+        "h22_idle_rich": q_h22_idle_rich,
+        "h7_nation_volume": q_h7_nation_volume,
+        "h9_profit": q_h9_profit,
+        "h13_count_distribution": q_h13_count_distribution,
+        "h15_top_supplier": q_h15_top_supplier,
+        "h19_bracket_filter": q_h19_bracket_filter,
+        # -- (c) pipelines / round-trips / merge-family, never checked -
+        "pipe_partitioned": q_pipe_partitioned,
+        "pipe_zorder": q_pipe_zorder,
+        "pipe_index_align": q_pipe_index_align,
+        "pipe_train_corpus": q_pipe_train_corpus,
+        "pipe_csv_roundtrip": q_pipe_csv_roundtrip,
+        "x_jdbc_roundtrip": q_x_jdbc_roundtrip,
+        "x_docstore_roundtrip": q_x_docstore_roundtrip,
+        "x_catalog_probe": q_x_catalog_probe,
+        "x_write_verify": q_x_write_verify,
+        "x_scd2": q_x_scd2,
+        "x_gap_fill": q_x_gap_fill,
+        "x_zscore": q_x_zscore,
+        "x_unpivot": q_x_unpivot,
+        "x_fuzzy_join": q_x_fuzzy_join,
+        "x_merge_upsert": q_x_merge_upsert,
+        "x_merge_cdc": q_x_merge_cdc,
+        "h_semi": q_h_semi,
+        "h_except_all": q_h_except_all,
+        "h_nullsafe_join": q_h_nullsafe_join,
+        "h_asof_forward": q_h_asof_forward,
+        "x_entity_resolution": q_x_entity_resolution,
+        "x_collocations": q_x_collocations,
+        "x_doc_chunks": q_x_doc_chunks,
+        "x_hash_sample": q_x_hash_sample,
+        "x_stratified_sample": q_x_stratified_sample,
+        "x_top_tokens": q_x_top_tokens,
+        # ---- end of round-4 window (position 50) -------------------
+        # ROUND-5 TAIL — the remaining 33 never-driver-checked names,
+        # queued IN THIS ORDER for the round-5 window (23 oracle-
+        # backed, then 10 rows-only-by-design). Round 5 should move
+        # these to the dict head, after anything new/changed in r5:
+        # -- (d) never-checked, oracle-backed (round-5 head) ---------
+        "x_simhash_pairs": q_x_simhash_pairs,
+        "x_unicode_clean": q_x_unicode_clean,
+        "x_boilerplate": q_x_boilerplate,
+        "x_schema_evolution": q_x_schema_evolution,
+        "x_json_props": q_x_json_props,
+        "x_variant": q_x_variant,
+        "x_stream_enrich": q_x_stream_enrich,
+        "x_stream_dedup_wm": q_x_stream_dedup_wm,
+        "x_stream_cdc": q_x_stream_cdc,
+        "x_stream_sliding": q_x_stream_sliding,
+        "x_hard_negatives": q_x_hard_negatives,
+        "x_negative_pairs": q_x_negative_pairs,
+        "x_incremental_dedup": q_x_incremental_dedup,
+        "x_token_budget": q_x_token_budget,
+        "x_udaf_geomean": q_x_udaf_geomean,
+        "x_profile": q_x_profile,
+        "x_corpus_report": q_x_corpus_report,
+        "x_vec_pool": q_x_vec_pool,
+        "x_vec_norm": q_x_vec_norm,
+        "x_vec_quantize": q_x_vec_quantize,
+        "x_session_window": q_x_session_window,
+        "x_window_tumbling": q_x_window_tumbling,
+        "x_window_sliding": q_x_window_sliding,
+        # -- (e) never-checked, rows-only-by-design ------------------
+        "x_minhash_near_dup": q_x_minhash_near_dup,
+        "x_cosine_topk_lsh": q_x_cosine_topk_lsh,
+        "x_cosine_topk_ivf": q_x_cosine_topk_ivf,
+        "x_cosine_topk_pq": q_x_cosine_topk_pq,
+        "x_embedding_near_dup": q_x_embedding_near_dup,
+        "x_multimodal_features": q_x_multimodal_features,
+        "x_bpe_train": q_x_bpe_train,
+        "x_bpe_encode": q_x_bpe_encode,
+        "x_audio_features": q_x_audio_features,
+        "x_hll_distinct": q_x_hll_distinct,
+        # ---- driver-verdicted in r01/r02/r03; code unchanged -------
+        # (relative order preserved; all also pass the local gate)
         "x_text_stats": q_x_text_stats,
         "x_quality_score": q_x_quality_score,
         "x_lang_id": q_x_lang_id,
@@ -3137,12 +3262,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_session_stats": q_x_session_stats,
         "x_stream_tumbling": q_x_stream_tumbling,
         "x_frame_sample": q_x_frame_sample,
-        # rows-only entries (x_minhash_near_dup — rows-only verdict
-        # already recorded in r1 — x_cosine_topk_{lsh,ivf},
-        # x_embedding_near_dup, x_multimodal_features) are demoted
-        # below the checked window: a hash verdict for a new
-        # exact-oracle query outweighs a rows-only re-run.
-        # -- (b3) new late in round 2: exact-oracle ---------------
         "h8_market_share": q_h8_market_share,
         "h12_late_priority": q_h12_late_priority,
         "h17_small_qty": q_h17_small_qty,
@@ -3156,9 +3275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_embedding_near_dup_axis": q_x_embedding_near_dup_axis,
         "x_cosine_topk_axis": q_x_cosine_topk_axis,
         "x_kmv_distinct": q_x_kmv_distinct,
-        # -- (c2) changed late in round 2 -------------------------
         "h_window_distinct": q_h_window_distinct,
-        # -- (b) new in round 2 -----------------------------------
         "x_entropy": q_x_entropy,
         "x_skew_distinct": q_x_skew_distinct,
         "x_salted_sum": q_x_salted_sum,
@@ -3174,114 +3291,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_pack_sequences": q_x_pack_sequences,
         "x_repetition": q_x_repetition,
         "x_logfreq_score": q_x_logfreq_score,
-        # -- (b2) new LLM-pipeline operators, late round 2 --------
         "x_chunk_dedup": q_x_chunk_dedup,
         "x_gopher_rules": q_x_gopher_rules,
         "x_domain_mix": q_x_domain_mix,
-        # -- (c) implementation changed since r1 ------------------
         "x_approx_stats": q_x_approx_stats,
         "pipe_snowflake_batch": q_pipe_snowflake_batch,
-        # ---------------------------------------------------------
-        # position > 50 from here: locally hash-verified via
-        # tools/check_oracle.py (exact-oracle differential gate, six
-        # datasets: clean sf0.01 + sf0.1, null/empty/unicode/blank
-        # clones); these rotate into the driver's checked window in
-        # r3 — r3 head should be: anything changed in r3 itself,
-        # then late-r2 additions never driver-checked (h_cube,
-        # x_zscore, x_boilerplate … x_jdbc_roundtrip), then the
-        # r2-era block below (pipe_train_corpus … x_top_tokens).
-        # h_asof_join / k3_batch_id / x_stream_{sessions,dedup}
-        # hash-passed in r1; their later refactors are covered by
-        # the local gate, unit tests, and (for the shared streaming
-        # source) the checked x_stream_tumbling.
-        "h_cube": q_h_cube,
-        "x_zscore": q_x_zscore,
-        "x_unpivot": q_x_unpivot,
-        "x_gap_fill": q_x_gap_fill,
-        "x_scd2": q_x_scd2,
-        "x_fuzzy_join": q_x_fuzzy_join,
-        "x_simhash_pairs": q_x_simhash_pairs,
-        "x_unicode_clean": q_x_unicode_clean,
-        "x_minhash_near_dup": q_x_minhash_near_dup,
-        "x_cosine_topk_lsh": q_x_cosine_topk_lsh,
-        "x_cosine_topk_ivf": q_x_cosine_topk_ivf,
-        "x_embedding_near_dup": q_x_embedding_near_dup,
-        "x_multimodal_features": q_x_multimodal_features,
         "h_asof_join": q_h_asof_join,
         "k3_batch_id": q_k3_batch_id,
         "x_stream_sessions": q_x_stream_sessions,
         "x_stream_dedup": q_x_stream_dedup,
-        "x_boilerplate": q_x_boilerplate,
-        "x_cosine_topk_pq": q_x_cosine_topk_pq,
-        "h_window_funcs": q_h_window_funcs,
-        "h_exists_late": q_h_exists_late,
-        "h18_large_orders": q_h18_large_orders,
         "x_dq_checks": q_x_dq_checks,
-        "h_min_by": q_h_min_by,
-        "pipe_partitioned": q_pipe_partitioned,
-        "h22_idle_rich": q_h22_idle_rich,
-        "h_equidepth": q_h_equidepth,
-        "x_docstore_roundtrip": q_x_docstore_roundtrip,
-        "pipe_zorder": q_pipe_zorder,
-        "x_jdbc_roundtrip": q_x_jdbc_roundtrip,
-        "x_schema_evolution": q_x_schema_evolution,
-        "x_json_props": q_x_json_props,
-        "x_variant": q_x_variant,
-        "x_stream_enrich": q_x_stream_enrich,
-        "h_moving_median": q_h_moving_median,
-        "x_stream_dedup_wm": q_x_stream_dedup_wm,
-        "x_hard_negatives": q_x_hard_negatives,
-        "x_negative_pairs": q_x_negative_pairs,
-        "pipe_csv_roundtrip": q_pipe_csv_roundtrip,
-        "x_incremental_dedup": q_x_incremental_dedup,
-        "x_token_budget": q_x_token_budget,
-        "x_catalog_probe": q_x_catalog_probe,
-        "x_write_verify": q_x_write_verify,
-        "x_bpe_train": q_x_bpe_train,
-        "x_bpe_encode": q_x_bpe_encode,
-        "pipe_index_align": q_pipe_index_align,
-        "h7_nation_volume": q_h7_nation_volume,
-        "h9_profit": q_h9_profit,
-        "h13_count_distribution": q_h13_count_distribution,
-        "x_udaf_geomean": q_x_udaf_geomean,
-        "h15_top_supplier": q_h15_top_supplier,
-        "h19_bracket_filter": q_h19_bracket_filter,
-        "x_audio_features": q_x_audio_features,
-        "pipe_train_corpus": q_pipe_train_corpus,
-        "x_merge_upsert": q_x_merge_upsert,
-        "h_moving_avg": q_h_moving_avg,
-        "x_profile": q_x_profile,
-        "x_corpus_report": q_x_corpus_report,
-        "h_semi": q_h_semi,
-        "h_except_all": q_h_except_all,
-        "h_nullsafe_join": q_h_nullsafe_join,
-        "h_asof_forward": q_h_asof_forward,
-        "x_collocations": q_x_collocations,
-        "x_merge_cdc": q_x_merge_cdc,
-        "x_entity_resolution": q_x_entity_resolution,
-        "x_stream_cdc": q_x_stream_cdc,
-        "x_stream_sliding": q_x_stream_sliding,
-        "x_hll_distinct": q_x_hll_distinct,
-        "x_vec_pool": q_x_vec_pool,
-        "x_vec_norm": q_x_vec_norm,
-        "x_vec_quantize": q_x_vec_quantize,
-        "h_funnel": q_h_funnel,
-        "h_cohort": q_h_cohort,
-        "h_grouping_sets": q_h_grouping_sets,
-        "h_pivot": q_h_pivot,
-        "h_ntile": q_h_ntile,
-        "h_corr": q_h_corr,
-        "h_histogram": q_h_histogram,
-        "h_mode": q_h_mode,
-        "h_running_total": q_h_running_total,
-        "x_session_window": q_x_session_window,
-        "x_window_tumbling": q_x_window_tumbling,
-        "x_window_sliding": q_x_window_sliding,
-        "x_doc_chunks": q_x_doc_chunks,
-        "x_hash_sample": q_x_hash_sample,
-        "x_stratified_sample": q_x_stratified_sample,
-        "x_top_tokens": q_x_top_tokens,
-        # -- (d) flagship re-checks -------------------------------
         "a4_party_rollup": q_a4_party_rollup,
         "h3_shipping_priority": q_h3_shipping_priority,
         "h5_local_volume": q_h5_local_volume,
@@ -3292,7 +3311,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_dim_join": q_j1_dim_join,
         "j2_dedup_keep_first": q_j2_dedup_keep_first,
         "pipe_csv_report": q_pipe_csv_report,
-        # -- hash-passed in r1, code unchanged --------------------
         "p1_normalize_project": q_p1_normalize_project,
         "p5_literal_metadata": q_p5_literal_metadata,
         "p6_uuid_records": q_p6_uuid_records,
@@ -3933,6 +3951,16 @@ def oracle_sql() -> dict[str, str]:
         EXCEPT ALL
         SELECT o_orderkey, o_orderstatus FROM orders
         WHERE o_orderstatus = 'F'
+    """
+    oracles["x_approx_stats_exact"] = """
+        SELECT count(*) AS n_rows,
+               count(DISTINCT l_partkey) AS n_parts,
+               count(DISTINCT l_orderkey) AS n_orders,
+               min(l_extendedprice) AS price_min,
+               max(l_extendedprice) AS price_max,
+               min(l_shipdate) AS first_ship,
+               max(l_shipdate) AS last_ship
+        FROM lineitem
     """
     oracles["x_token_regex"] = """
         SELECT doc_id,

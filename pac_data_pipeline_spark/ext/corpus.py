@@ -29,9 +29,9 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from pac_data_pipeline_spark.ext.text import TOKEN_SEP
-from pyspark.sql import types as T
 
 
 def chunk_dedup(

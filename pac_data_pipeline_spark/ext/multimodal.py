@@ -5,16 +5,18 @@ typed metadata struct; decode/feature steps are Arrow-batched
 ``mapInPandas`` operators so each Python batch amortizes serde over
 thousands of rows.
 
-The decode path is REAL for BMP: ``bmp_media_from_documents``
+The decode path is REAL for BMP and PNG: ``bmp_media_from_documents``
 synthesizes genuine 24-bpp bitmaps (valid BITMAPFILEHEADER +
-BITMAPINFOHEADER + padded pixel rows) and ``extract_features``
-parses the headers and pixel matrix headerwise — width/height and
-channel statistics are computed from the bytes, not passed through.
-Formats needing a codec library (JPEG/PNG via Pillow, video via
-ffmpeg) stay behind ``_decode_real`` which raises
-``NotImplementedError`` in this container; non-BMP payloads fall
-back to a deterministic byte-hash feature so the distributed
-plumbing still runs end-to-end.
+BITMAPINFOHEADER + padded pixel rows), ``png_media_from_documents``
+synthesizes genuine PNGs (stdlib-zlib deflate, cycling row filters),
+and ``extract_features`` dispatches per payload — BMP header+matrix
+parse, or PNG chunk walk + inflate + full None/Sub/Up/Average/Paeth
+unfiltering — so width/height and channel statistics are computed
+from the bytes, not passed through. Formats needing a codec library
+(JPEG via Pillow/libjpeg, video via ffmpeg) stay behind
+``_decode_real`` which raises ``NotImplementedError`` in this
+container; undecodable payloads fall back to a deterministic
+byte-hash feature so the distributed plumbing still runs end-to-end.
 
 Scale notes: binary payloads inflate row size — keep
 ``spark.sql.files.maxPartitionBytes`` small enough that a batch of
@@ -24,6 +26,7 @@ decoded frames fits executor memory, and never collect() media rows.
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -111,6 +114,163 @@ def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
     return width, height, rows.reshape(height, width, 3)[::-1]
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): pick the neighbor
+    (left, up, up-left) closest to a + b - c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(width: int, height: int, pixel_seed: bytes) -> bytes:
+    """Build a REAL truecolor 8-bit PNG with stdlib ``zlib`` only:
+    signature + IHDR + one IDAT (deflate of filtered scanlines) +
+    IEND. Pixels are the seed tiled over the image (same generative
+    formula as :func:`encode_bmp`, but RGB top-down). The per-row
+    filter type cycles 0..4 (None/Sub/Up/Average/Paeth) so a decoder
+    must implement every unfilter to read it — deliberately, since
+    :func:`decode_png` is the decoder under test."""
+    if width <= 0 or height <= 0:
+        raise ValueError("width/height must be positive")
+    row_raw = width * 3
+    seed = np.frombuffer(pixel_seed or b"\x00", dtype=np.uint8)
+    flat = np.tile(seed, (height * row_raw) // len(seed) + 1)[: height * row_raw]
+    raw = flat.reshape(height, row_raw).astype(np.int16)
+    out = bytearray()
+    prior = np.zeros(row_raw, dtype=np.int16)
+    for y in range(height):
+        row = raw[y]
+        ft = y % 5
+        out.append(ft)
+        if ft == 0:
+            filt = row
+        elif ft == 1:  # Sub
+            left = np.concatenate([np.zeros(3, dtype=np.int16), row[:-3]])
+            filt = (row - left) % 256
+        elif ft == 2:  # Up
+            filt = (row - prior) % 256
+        elif ft == 3:  # Average
+            left = np.concatenate([np.zeros(3, dtype=np.int16), row[:-3]])
+            filt = (row - (left + prior) // 2) % 256
+        else:  # Paeth
+            filt = np.empty(row_raw, dtype=np.int16)
+            for i in range(row_raw):
+                a = int(row[i - 3]) if i >= 3 else 0
+                b = int(prior[i])
+                c = int(prior[i - 3]) if i >= 3 else 0
+                filt[i] = (int(row[i]) - _paeth(a, b, c)) % 256
+        out.extend(filt.astype(np.uint8).tobytes())
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+#: channels per PNG color type (8-bit, non-palette, non-interlaced)
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a PNG headerwise with stdlib ``zlib`` — no codec
+    library: signature check, chunk walk (IHDR / IDAT* / IEND),
+    inflate, and full None/Sub/Up/Average/Paeth unfiltering.
+    Supports 8-bit depth, color types 0 (gray) / 2 (RGB) / 6 (RGBA),
+    no interlace. Returns (width, height, pixels[h, w, channels]
+    top-down). Raises ValueError on anything else — the honest stub
+    for codec formats (JPEG) remains ``_decode_real``."""
+    if len(payload) < len(_PNG_SIG) + 25 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width, height, depth, ctype_n, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if (
+        depth != 8
+        or ctype_n not in _PNG_CHANNELS
+        or comp != 0
+        or filt != 0
+        or interlace != 0
+        or width <= 0
+        or height <= 0
+    ):
+        raise ValueError(
+            f"unsupported PNG: depth={depth} color={ctype_n} "
+            f"interlace={interlace}"
+        )
+    ch = _PNG_CHANNELS[ctype_n]
+    row_raw = width * ch
+    try:
+        scan = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"bad PNG deflate stream: {exc}") from exc
+    if len(scan) != (1 + row_raw) * height:
+        raise ValueError("PNG scanline data length mismatch")
+    out = np.empty((height, row_raw), dtype=np.uint8)
+    prior = np.zeros(row_raw, dtype=np.int16)
+    for y in range(height):
+        line = scan[y * (1 + row_raw) : (y + 1) * (1 + row_raw)]
+        ft = line[0]
+        filt_row = np.frombuffer(line, dtype=np.uint8, offset=1).astype(
+            np.int16
+        )
+        if ft == 0:
+            recon = filt_row
+        elif ft == 2:  # Up
+            recon = (filt_row + prior) % 256
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth: left-dependent
+            recon = np.empty(row_raw, dtype=np.int16)
+            for i in range(row_raw):
+                a = int(recon[i - ch]) if i >= ch else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + int(prior[i])) // 2
+                else:
+                    c = int(prior[i - ch]) if i >= ch else 0
+                    pred = _paeth(a, int(prior[i]), c)
+                recon[i] = (int(filt_row[i]) + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = recon.astype(np.uint8)
+        prior = recon
+    return width, height, out.reshape(height, width, ch)
+
+
 def media_table_from_documents(documents: DataFrame) -> DataFrame:
     """Build a media table from the documents fixture: the UTF-8
     bytes of ``text`` stand in for an encoded payload; metadata is
@@ -157,6 +317,41 @@ def bmp_media_from_documents(documents: DataFrame, max_side: int = 24) -> DataFr
                         "meta": {
                             "n_bytes": len(payload),
                             "format": "image/bmp",
+                            "width": w,
+                            "height": h,
+                        },
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return documents.select("doc_id", "text").mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
+
+
+def png_media_from_documents(documents: DataFrame, max_side: int = 24) -> DataFrame:
+    """Synthesize REAL PNG payloads (stdlib-zlib truecolor, cycling
+    row filters) from the documents fixture — same deterministic
+    dimension/pixel formulas as :func:`bmp_media_from_documents`, so
+    the two formats are interchangeable downstream and a mixed-format
+    media table exercises the per-payload format dispatch in
+    :func:`extract_features`."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = 4 + int(doc_id) % (max_side - 3)
+                h = 4 + (int(doc_id) * 7) % (max_side - 3)
+                payload = encode_png(w, h, str(text).encode("utf-8"))
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "media_type": "image",
+                        "content": payload,
+                        "meta": {
+                            "n_bytes": len(payload),
+                            "format": "image/png",
                             "width": w,
                             "height": h,
                         },
@@ -273,9 +468,10 @@ def _decode_real(payload: bytes):  # pragma: no cover - env has no PIL
         import PIL.Image  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
-            "JPEG/PNG decode requires Pillow, not present in this "
-            "environment — BMP decodes natively, other formats fall "
-            "back to deterministic byte-hash features"
+            "JPEG decode requires Pillow/libjpeg, not present in this "
+            "environment — BMP and PNG decode natively (decode_bmp / "
+            "decode_png); remaining codec formats fall back to "
+            "deterministic byte-hash features"
         ) from exc
     raise NotImplementedError("wire PIL.Image.open(BytesIO(payload)) here")
 
@@ -289,41 +485,48 @@ def _fake_feature(payload: bytes, dim: int) -> np.ndarray:
 def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     """Feature extraction over media payloads via ``mapInPandas``.
 
-    BMP payloads are REALLY decoded (header parse + pixel matrix):
-    the feature vector is [width, height, mean B, mean G, mean R,
-    std, min, max] computed from the pixels, and ``decoded=true``.
-    Non-BMP payloads get a deterministic byte-hash feature with
-    ``decoded=false`` (codec formats need PIL/ffmpeg — see
-    ``_decode_real``). Arrow batches in, Arrow batches out; no
-    driver involvement."""
+    BMP and PNG payloads are REALLY decoded (BMP header+matrix
+    parse; PNG chunk walk + inflate + unfilter): the feature vector
+    is [width, height, mean ch0, mean ch1, mean ch2, std, min, max]
+    computed from the pixels (channel order is as stored: BGR for
+    BMP, RGB(A)/gray for PNG), and ``decoded=true``. Other payloads
+    get a deterministic byte-hash feature with ``decoded=false``
+    (codec formats need PIL/ffmpeg — see ``_decode_real``). Arrow
+    batches in, Arrow batches out; no driver involvement."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             widths, heights, decoded, feats = [], [], [], []
             for payload in pdf["content"]:
                 b = bytes(payload)
-                try:
-                    w, h, px = decode_bmp(b)
+                px = None
+                for dec in (decode_bmp, decode_png):
+                    try:
+                        w, h, px = dec(b)
+                        break
+                    except ValueError:
+                        continue
+                if px is not None:
                     pxf = px.astype(np.float64)
+                    # per-channel means (gray PNGs have one channel;
+                    # missing channels repeat the overall mean so the
+                    # feature length is format-independent)
+                    chans = [
+                        pxf[:, :, c].mean() if c < pxf.shape[2] else pxf.mean()
+                        for c in range(3)
+                    ]
                     feats.append(
                         np.array(
-                            [
-                                w,
-                                h,
-                                pxf[:, :, 0].mean(),
-                                pxf[:, :, 1].mean(),
-                                pxf[:, :, 2].mean(),
-                                pxf.std(),
-                                pxf.min(),
-                                pxf.max(),
-                            ][:dim],
+                            [w, h, *chans, pxf.std(), pxf.min(), pxf.max()][
+                                :dim
+                            ],
                             dtype=np.float32,
                         )
                     )
                     widths.append(w)
                     heights.append(h)
                     decoded.append(True)
-                except ValueError:
+                else:
                     feats.append(_fake_feature(b, dim))
                     widths.append(None)
                     heights.append(None)

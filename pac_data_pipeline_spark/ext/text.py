@@ -9,6 +9,8 @@ zero shuffles — every one is a per-row map.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -36,6 +38,20 @@ TOKEN_SEP = r"[ \t\n\f\r]+"
 #: The same pattern escaped for embedding in a Spark SQL string
 #: literal (the SQL parser unescapes ``\\t`` back to ``\t``).
 TOKEN_SEP_SQL = TOKEN_SEP.replace("\\", "\\\\")
+#: Compiled Python-side twin of :data:`TOKEN_SEP` for Arrow/pandas
+#: workers that tokenize in Python (``bpe_encode``). Python's bare
+#: ``str.split()`` is Unicode-aware (NBSP, U+3000, U+2028 …) and
+#: would disagree with the JVM/DuckDB tiers on exotic whitespace.
+TOKEN_SEP_RE = re.compile(TOKEN_SEP)
+
+
+def py_tokens(text: str | None) -> list[str]:
+    """Python-side tokenization under the exact :data:`TOKEN_SEP`
+    contract: strip ASCII space only, split on the ASCII class,
+    drop empty tokens — byte-identical to the JVM
+    ``split(trim(col), TOKEN_SEP)`` + non-empty filter and to the
+    DuckDB oracle's ``regexp_split_to_array(trim(col, ' '), …)``."""
+    return [w for w in TOKEN_SEP_RE.split((text or "").strip(" ")) if w]
 
 
 def tokens(col: Column | str) -> Column:
@@ -50,10 +66,13 @@ def bpe_ish_tokens(col: Column | str) -> Column:
     letter/digit/punctuation boundaries, the cheap regex stand-in
     for a BPE pre-tokenizer."""
     c = F.col(col) if isinstance(col, str) else col
-    # insert breaks between character-class transitions, then split
+    # insert breaks between character-class transitions, then split.
+    # The marker class spells out the ASCII whitespace set instead of
+    # Java's \s so every "non-alnum, non-whitespace" decision matches
+    # the TOKEN_SEP contract (Java \s adds VT; RE2/Python differ).
     marked = F.regexp_replace(
         F.regexp_replace(c, r"([a-zA-Z])([0-9])", r"$1 $2"),
-        r"([a-zA-Z0-9])([^a-zA-Z0-9\s])",
+        r"([a-zA-Z0-9])([^a-zA-Z0-9 \t\n\f\r])",
         r"$1 $2",
     )
     return F.split(F.trim(marked), TOKEN_SEP)
@@ -839,7 +858,10 @@ def bpe_encode(
         for pdf in batches:
             out = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                words = (text or "").split()
+                # same ASCII TOKEN_SEP contract as bpe_train's JVM
+                # tokenizer — Python's Unicode-aware .split() would
+                # disagree on NBSP/U+3000/U+2028/edge-tab inputs.
+                words = py_tokens(text)
                 total = 0
                 for w in words:
                     n = memo.get(w)

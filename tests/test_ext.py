@@ -133,6 +133,101 @@ def test_bmp_encode_decode_roundtrip():
         decode_bmp(b"PNG not a bmp at all" * 4)
 
 
+def test_png_decode_hand_built():
+    """Pin decode_png against a PNG assembled BY HAND (struct+zlib,
+    not encode_png) — 2x2 RGB, filter 0 rows, known pixel values —
+    so the decoder is checked against the spec, not against its own
+    encoder."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pac_data_pipeline_spark.ext.multimodal import decode_png
+
+    # pixels: (255,0,0) (0,255,0) / (0,0,255) (10,20,30), top-down
+    raw = bytes([0, 255, 0, 0, 0, 255, 0]) + bytes([0, 0, 0, 255, 10, 20, 30])
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    w, h, px = decode_png(payload)
+    assert (w, h) == (2, 2)
+    assert px.shape == (2, 2, 3)
+    expect = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [10, 20, 30]]],
+        dtype=np.uint8,
+    )
+    assert (px == expect).all()
+
+
+def test_png_encode_decode_roundtrip_all_filters():
+    """encode_png cycles filter types 0..4 per row, so any height ≥ 5
+    exercises every unfilter path; the decoded matrix must equal the
+    generative tiled-seed formula exactly."""
+    import numpy as np
+
+    from pac_data_pipeline_spark.ext.multimodal import decode_png, encode_png
+
+    for w, hgt, seed in [(5, 7, b"abcdefg"), (1, 6, b"\x00\xff"), (9, 5, b"xyz")]:
+        payload = encode_png(w, hgt, seed)
+        dw, dh, px = decode_png(payload)
+        assert (dw, dh) == (w, hgt)
+        expect = np.tile(
+            np.frombuffer(seed, dtype=np.uint8), (hgt * w * 3) // len(seed) + 1
+        )[: hgt * w * 3].reshape(hgt, w, 3)
+        assert (px == expect).all(), (w, hgt, seed)
+    with pytest.raises(ValueError):
+        decode_png(b"BM this is a bmp, not a png" * 4)
+
+
+def test_multimodal_mixed_format_dispatch(spark):
+    """extract_features over a BMP+PNG union decodes BOTH formats for
+    real: decoded=true everywhere, header dims match declared meta,
+    and (since the pixel formulas match) a doc's PNG channel means
+    mirror its BMP ones with B/R swapped (BGR vs RGB storage)."""
+    from pac_data_pipeline_spark.ext.multimodal import (
+        bmp_media_from_documents,
+        png_media_from_documents,
+    )
+
+    docs = _docs(spark)
+    bmp_rows = {
+        r.doc_id: r for r in extract_features(
+            bmp_media_from_documents(docs)).collect()
+    }
+    png_media = png_media_from_documents(docs)
+    meta = {r.doc_id: (r.meta.width, r.meta.height)
+            for r in png_media.collect()}
+    png_rows = {
+        r.doc_id: r for r in extract_features(png_media).collect()
+    }
+    assert set(png_rows) == set(bmp_rows)
+    for doc_id, r in png_rows.items():
+        assert r.decoded is True
+        assert (r.width, r.height) == meta[doc_id]
+        b = bmp_rows[doc_id]
+        # both encoders tile the SAME seed bytes over the same dims,
+        # so the stored per-channel byte statistics are identical
+        # (only the interpretation differs: BGR vs RGB) — the full
+        # feature vectors must agree elementwise
+        assert (r.width, r.height) == (b.width, b.height)
+        assert all(
+            abs(x - y) < 1e-3 for x, y in zip(r.feature, b.feature)
+        ), (doc_id, list(r.feature), list(b.feature))
+
+
 def test_multimodal_real_bmp_decode(spark):
     from pac_data_pipeline_spark.ext.multimodal import bmp_media_from_documents
 
@@ -687,14 +782,20 @@ def test_bpe_encode_matches_reference(spark):
         (1, "lowly newly sowing"),     # unseen words sharing merges
         (2, ""),                        # empty
         (3, None),                      # null text
+        # exotic whitespace: NBSP/U+3000/U+2028 are NOT separators
+        # under the ASCII TOKEN_SEP contract (they glue words), and
+        # edge tabs are separators but not trimmed by .strip(' ').
+        (4, "\tlow new　low er low\t"),
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     got = {
         r.doc_id: (r.n_tokens_ws, r.n_tokens_bpe)
         for r in bpe_encode(df, merges).collect()
     }
+    from pac_data_pipeline_spark.ext.text import py_tokens
+
     for doc_id, text in docs:
-        words = (text or "").split()
+        words = py_tokens(text)
         assert got[doc_id] == (
             len(words),
             sum(ref_n_syms(w) for w in words),
