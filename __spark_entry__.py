@@ -1238,15 +1238,47 @@ def q_x_stream_tumbling(spark, sf_dir):
 
 def q_x_multimodal_features(spark, sf_dir):
     """Binary media column → Arrow-batched REAL image decode over a
-    MIXED-format table: even doc_ids carry genuine 24-bpp BMPs, odd
-    doc_ids genuine stdlib-zlib PNGs (cycling row filters), so the
-    per-payload format dispatch in extract_features actually runs
-    both decoders in one job. Width/height and channel statistics
-    come from parsing the bytes (rows-only: float features)."""
-    docs = _t(spark, sf_dir, "documents")
-    bmp = bmp_media_from_documents(docs.filter(F.col("doc_id") % 2 == 0))
-    png = png_media_from_documents(docs.filter(F.col("doc_id") % 2 == 1))
-    return extract_features(bmp.unionByName(png))
+    MIXED-format table: doc_id % 3 picks genuine 24-bpp BMP, stdlib-
+    zlib PNG (cycling row filters), or baseline JPEG (numpy DCT +
+    canonical Huffman), so the per-payload format dispatch in
+    extract_features runs all three decoders in one job. Width/
+    height and channel statistics come from parsing the bytes
+    (rows-only: float features; JPEG stats are lossy-close, BMP/PNG
+    exact). The compute-bound JPEG encode fans out first — the
+    testdata parquet is one row group, which would otherwise pin the
+    whole codec pipeline to a single task."""
+    from pac_data_pipeline_spark.ext.dedup_text import ensure_parallelism
+    from pac_data_pipeline_spark.ext.multimodal import jpeg_media_from_documents
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    bmp = bmp_media_from_documents(docs.filter(F.col("doc_id") % 3 == 0))
+    png = png_media_from_documents(docs.filter(F.col("doc_id") % 3 == 1))
+    jpg = jpeg_media_from_documents(docs.filter(F.col("doc_id") % 3 == 2))
+    return extract_features(bmp.unionByName(png).unionByName(jpg))
+
+
+def q_x_png_decode_dims(spark, sf_dir):
+    """End-to-end PNG proof with an EXACT oracle: synthesize real
+    PNGs (stdlib-zlib deflate, cycling Sub/Up/Average/Paeth row
+    filters), then recover width/height by actually decoding the
+    bytes (chunk walk + inflate + unfilter) in extract_features.
+    PNG is lossless, so the decoded dimensions are deterministic and
+    the DuckDB oracle recomputes the generative dimension formulas —
+    any header, deflate, or unfilter bug breaks the hash. (Pixel
+    statistics stay in rows-only x_multimodal_features; the same
+    decode path feeds both.)"""
+    media = png_media_from_documents(_t(spark, sf_dir, "documents"))
+    # decoded=false rows are filtered OUT, so a decoder fallback to
+    # byte-hash features shows up as a row-count mismatch, not a pass
+    return (
+        extract_features(media)
+        .filter(F.col("decoded"))
+        .select(
+            "doc_id",
+            F.col("width").cast("int").alias("width"),
+            F.col("height").cast("int").alias("height"),
+        )
+    )
 
 
 def q_x_frame_sample(spark, sf_dir):
@@ -3205,11 +3237,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_stratified_sample": q_x_stratified_sample,
         "x_top_tokens": q_x_top_tokens,
         # ---- end of round-4 window (position 50) -------------------
-        # ROUND-5 TAIL — the remaining 33 never-driver-checked names,
-        # queued IN THIS ORDER for the round-5 window (23 oracle-
-        # backed, then 10 rows-only-by-design). Round 5 should move
-        # these to the dict head, after anything new/changed in r5:
+        # ROUND-5 TAIL — the remaining never-driver-checked names,
+        # queued IN THIS ORDER for the round-5 window (24 oracle-
+        # backed, including round 4's new x_png_decode_dims, then 10
+        # rows-only-by-design). Round 5 should move these to the
+        # dict head, after anything new/changed in r5:
         # -- (d) never-checked, oracle-backed (round-5 head) ---------
+        "x_png_decode_dims": q_x_png_decode_dims,
         "x_simhash_pairs": q_x_simhash_pairs,
         "x_unicode_clean": q_x_unicode_clean,
         "x_boilerplate": q_x_boilerplate,
@@ -3951,6 +3985,15 @@ def oracle_sql() -> dict[str, str]:
         EXCEPT ALL
         SELECT o_orderkey, o_orderstatus FROM orders
         WHERE o_orderstatus = 'F'
+    """
+    oracles["x_png_decode_dims"] = """
+        -- recompute png_media_from_documents' generative dimension
+        -- formulas (max_side=24): the Spark side must recover these
+        -- by actually decoding the PNG bytes it synthesized
+        SELECT doc_id,
+               CAST(4 + doc_id % 21 AS INTEGER) AS width,
+               CAST(4 + (doc_id * 7) % 21 AS INTEGER) AS height
+        FROM documents
     """
     oracles["x_approx_stats_exact"] = """
         SELECT count(*) AS n_rows,

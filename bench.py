@@ -85,12 +85,44 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # Connector machinery: embedded-Derby boot + JDBC driver/dialect
+    # init and the Python-DataSource runner for pac_docstore cost
+    # ~8-10 s combined the FIRST time any query touches them
+    # (measured: pipe_index_align 11.0 s cold / 1.7 s warm). Warm
+    # both with a 2-row round trip so whichever registry query the
+    # rotation puts first isn't charged for one-time startup.
+    import tempfile
+
+    from pac_data_pipeline_spark.sources.docstore import register_docstore
+
+    register_docstore(spark)
+    conn_base = tempfile.mkdtemp(prefix="bench_conn_warm_")
+    spark.sparkContext._jvm.System.setProperty(
+        "derby.stream.error.file", conn_base + "/derby.log"
+    )
+    warm_url = f"jdbc:derby:{conn_base}/db;create=true"
+    spark.range(2).selectExpr("id", "cast(id as string) v").write.format(
+        "jdbc"
+    ).option("url", warm_url).option("dbtable", "warm").mode(
+        "overwrite"
+    ).save()
+    spark.read.format("jdbc").option("url", warm_url).option(
+        "dbtable", "warm"
+    ).load().write.format("noop").mode("overwrite").save()
+    spark.range(2).selectExpr(
+        "cast(id as string) doc_key", "cast(id as string) payload"
+    ).write.format("pac_docstore").mode("overwrite").save(
+        conn_base + "/store"
+    )
+    spark.read.format("pac_docstore").load(conn_base + "/store").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
     # Structured Streaming machinery (StreamExecution, state-store
     # provider, commit-log classes) costs ~1-2 s the first time any
     # stream runs — warm it with a 1-batch rate stream + stateful
     # window agg so the first *registry* streaming query isn't
     # charged for engine startup the later ones skip
-    import tempfile
 
     import pyspark.sql.functions as _F2
 

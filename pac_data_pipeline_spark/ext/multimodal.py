@@ -5,18 +5,21 @@ typed metadata struct; decode/feature steps are Arrow-batched
 ``mapInPandas`` operators so each Python batch amortizes serde over
 thousands of rows.
 
-The decode path is REAL for BMP and PNG: ``bmp_media_from_documents``
-synthesizes genuine 24-bpp bitmaps (valid BITMAPFILEHEADER +
-BITMAPINFOHEADER + padded pixel rows), ``png_media_from_documents``
-synthesizes genuine PNGs (stdlib-zlib deflate, cycling row filters),
-and ``extract_features`` dispatches per payload — BMP header+matrix
-parse, or PNG chunk walk + inflate + full None/Sub/Up/Average/Paeth
-unfiltering — so width/height and channel statistics are computed
-from the bytes, not passed through. Formats needing a codec library
-(JPEG via Pillow/libjpeg, video via ffmpeg) stay behind
-``_decode_real`` which raises ``NotImplementedError`` in this
-container; undecodable payloads fall back to a deterministic
-byte-hash feature so the distributed plumbing still runs end-to-end.
+The decode path is REAL for BMP, PNG, and baseline JPEG:
+``bmp_media_from_documents`` synthesizes genuine 24-bpp bitmaps
+(valid BITMAPFILEHEADER + BITMAPINFOHEADER + padded pixel rows),
+``png_media_from_documents`` genuine PNGs (stdlib-zlib deflate,
+cycling row filters), ``jpeg_media_from_documents`` genuine baseline
+JFIF streams (numpy DCT + canonical Huffman, see ``ext.jpeg``), and
+``extract_features`` dispatches per payload — BMP header+matrix
+parse, PNG chunk walk + inflate + full None/Sub/Up/Average/Paeth
+unfiltering, or JPEG marker walk + Huffman decode + dequantize +
+IDCT — so width/height and channel statistics are computed from the
+bytes, not passed through. Formats needing a native codec library
+(video/webp via ffmpeg) stay behind ``_decode_real`` which raises
+``NotImplementedError`` in this container; undecodable payloads fall
+back to a deterministic byte-hash feature so the distributed
+plumbing still runs end-to-end.
 
 Scale notes: binary payloads inflate row size — keep
 ``spark.sql.files.maxPartitionBytes`` small enough that a batch of
@@ -364,6 +367,44 @@ def png_media_from_documents(documents: DataFrame, max_side: int = 24) -> DataFr
     )
 
 
+def jpeg_media_from_documents(documents: DataFrame, max_side: int = 24) -> DataFrame:
+    """Synthesize REAL baseline JPEGs (pure numpy+stdlib codec, see
+    :mod:`pac_data_pipeline_spark.ext.jpeg`) from the documents
+    fixture — same deterministic dimension/pixel formulas as the BMP
+    and PNG generators. JPEG is lossy: a decoder recovers the exact
+    dimensions and near-exact channel statistics, not bit-exact
+    pixels. The encode is compute-bound Python, so callers fanning
+    over a one-row-group parquet scan should repartition first (the
+    registry query does)."""
+    from pac_data_pipeline_spark.ext.jpeg import encode_jpeg
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = 4 + int(doc_id) % (max_side - 3)
+                h = 4 + (int(doc_id) * 7) % (max_side - 3)
+                payload = encode_jpeg(w, h, str(text).encode("utf-8"))
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "media_type": "image",
+                        "content": payload,
+                        "meta": {
+                            "n_bytes": len(payload),
+                            "format": "image/jpeg",
+                            "width": w,
+                            "height": h,
+                        },
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return documents.select("doc_id", "text").mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
+
+
 #: magic prefix for the deterministic multi-frame test container:
 #: b"VID0" + u32 frame count + per frame (u32 length + BMP bytes)
 _VID_MAGIC = b"VID0"
@@ -463,17 +504,27 @@ def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
     return media.mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
-def _decode_real(payload: bytes):  # pragma: no cover - env has no PIL
+def _decode_jpeg(payload: bytes):
+    """Dispatch shim: baseline JPEG decode via the pure numpy+stdlib
+    codec in :mod:`pac_data_pipeline_spark.ext.jpeg` (lazy import —
+    most media batches never hit the JPEG branch)."""
+    from pac_data_pipeline_spark.ext.jpeg import decode_jpeg
+
+    return decode_jpeg(payload)
+
+
+def _decode_real(payload: bytes):  # pragma: no cover - env has no codec libs
     try:
-        import PIL.Image  # noqa: F401
+        import av  # noqa: F401  (PyAV / ffmpeg bindings)
     except ImportError as exc:
         raise NotImplementedError(
-            "JPEG decode requires Pillow/libjpeg, not present in this "
-            "environment — BMP and PNG decode natively (decode_bmp / "
-            "decode_png); remaining codec formats fall back to "
-            "deterministic byte-hash features"
+            "video/webp decode requires ffmpeg bindings, not present "
+            "in this environment — BMP, PNG, and baseline JPEG decode "
+            "natively (decode_bmp / decode_png / ext.jpeg.decode_jpeg); "
+            "remaining codec formats fall back to deterministic "
+            "byte-hash features"
         ) from exc
-    raise NotImplementedError("wire PIL.Image.open(BytesIO(payload)) here")
+    raise NotImplementedError("wire av.open(BytesIO(payload)) here")
 
 
 def _fake_feature(payload: bytes, dim: int) -> np.ndarray:
@@ -485,14 +536,15 @@ def _fake_feature(payload: bytes, dim: int) -> np.ndarray:
 def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     """Feature extraction over media payloads via ``mapInPandas``.
 
-    BMP and PNG payloads are REALLY decoded (BMP header+matrix
-    parse; PNG chunk walk + inflate + unfilter): the feature vector
-    is [width, height, mean ch0, mean ch1, mean ch2, std, min, max]
-    computed from the pixels (channel order is as stored: BGR for
-    BMP, RGB(A)/gray for PNG), and ``decoded=true``. Other payloads
-    get a deterministic byte-hash feature with ``decoded=false``
-    (codec formats need PIL/ffmpeg — see ``_decode_real``). Arrow
-    batches in, Arrow batches out; no driver involvement."""
+    BMP, PNG, and baseline JPEG payloads are REALLY decoded (BMP
+    header+matrix parse; PNG chunk walk + inflate + unfilter; JPEG
+    Huffman + dequantize + IDCT): the feature vector is [width,
+    height, mean ch0, mean ch1, mean ch2, std, min, max] computed
+    from the pixels (channel order is as stored: BGR for BMP,
+    RGB(A)/gray for PNG, RGB for JPEG), and ``decoded=true``. Other
+    payloads get a deterministic byte-hash feature with
+    ``decoded=false`` (native codec formats — see ``_decode_real``).
+    Arrow batches in, Arrow batches out; no driver involvement."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -500,7 +552,7 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
             for payload in pdf["content"]:
                 b = bytes(payload)
                 px = None
-                for dec in (decode_bmp, decode_png):
+                for dec in (decode_bmp, decode_png, _decode_jpeg):
                     try:
                         w, h, px = dec(b)
                         break

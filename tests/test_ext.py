@@ -192,6 +192,95 @@ def test_png_encode_decode_roundtrip_all_filters():
         decode_png(b"BM this is a bmp, not a png" * 4)
 
 
+def test_jpeg_constant_color_roundtrip():
+    """A constant-color image has only DC energy; baseline JPEG must
+    recover it within DC quantization (here: exactly, since the DC
+    step divides evenly)."""
+    import numpy as np
+
+    from pac_data_pipeline_spark.ext.jpeg import (
+        decode_jpeg,
+        encode_jpeg_pixels,
+    )
+
+    for v in (0, 100, 255):
+        img = np.full((16, 12, 3), v, dtype=np.uint8)
+        w, h, px = decode_jpeg(encode_jpeg_pixels(img))
+        assert (w, h) == (12, 16)
+        assert px.shape == (16, 12, 3)
+        assert np.abs(px.astype(int) - v).max() <= 2, v
+
+
+def test_jpeg_lossy_statistics_roundtrip():
+    """Structural + statistical contract on non-trivial content:
+    markers present (SOI/APP0-JFIF/DQT/SOF0/DHT/SOS/EOI), exact
+    dimensions (including non-multiple-of-8), channel means within
+    quantization error, and bounded max pixel error on smooth
+    gradients."""
+    import numpy as np
+
+    from pac_data_pipeline_spark.ext.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_pixels,
+    )
+
+    y, x = np.mgrid[0:21, 0:13]
+    img = np.stack(
+        [(x * 9) % 256, (y * 7) % 256, ((x + y) * 4) % 256], axis=-1
+    ).astype(np.uint8)
+    payload = encode_jpeg_pixels(img)
+    assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+    assert b"JFIF\x00" in payload[:30]
+    for marker in (b"\xff\xdb", b"\xff\xc0", b"\xff\xc4", b"\xff\xda"):
+        assert marker in payload, marker
+    w, h, px = decode_jpeg(payload)
+    assert (w, h) == (13, 21)
+    err = np.abs(px.astype(float) - img.astype(float))
+    assert err.mean() < 6.0 and err.max() < 40.0
+    # per-channel means survive quantization
+    assert np.abs(
+        px.mean(axis=(0, 1)) - img.mean(axis=(0, 1))
+    ).max() < 3.0
+
+    # the generative entry point matches the shared tiled-seed formula
+    p2 = encode_jpeg(11, 7, b"seed \xff\x00 bytes")
+    w2, h2, px2 = decode_jpeg(p2)
+    assert (w2, h2) == (11, 7)
+    seed = np.frombuffer(b"seed \xff\x00 bytes", dtype=np.uint8)
+    flat = np.tile(seed, (7 * 11 * 3) // len(seed) + 1)[: 7 * 11 * 3]
+    expect = flat.reshape(7, 11, 3)
+    assert np.abs(
+        px2.mean(axis=(0, 1)) - expect.mean(axis=(0, 1))
+    ).max() < 6.0
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG not a jpeg" * 3)
+
+
+def test_jpeg_decoder_rejects_unsupported_profiles():
+    """The decoder refuses what it could not round-trip (progressive
+    SOF2, subsampled chroma) instead of guessing."""
+    from pac_data_pipeline_spark.ext.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    payload = bytearray(encode_jpeg(8, 8, b"x"))
+    sof = payload.index(b"\xff\xc0")
+    payload[sof + 1] = 0xC2  # pretend progressive
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(bytes(payload))
+
+    payload = bytearray(encode_jpeg(8, 8, b"x"))
+    sof = payload.index(b"\xff\xc0")
+    # component 1 sampling byte: SOF0 payload = len(2) P(1) Y(2) X(2)
+    # Nf(1) then per-comp [id, sampling, tq]
+    payload[sof + 2 + 8 + 1] = 0x22  # 2x2 sampling on Y
+    with pytest.raises(ValueError, match="subsampling"):
+        decode_jpeg(bytes(payload))
+
+
 def test_multimodal_mixed_format_dispatch(spark):
     """extract_features over a BMP+PNG union decodes BOTH formats for
     real: decoded=true everywhere, header dims match declared meta,
@@ -225,6 +314,27 @@ def test_multimodal_mixed_format_dispatch(spark):
         assert (r.width, r.height) == (b.width, b.height)
         assert all(
             abs(x - y) < 1e-3 for x, y in zip(r.feature, b.feature)
+        ), (doc_id, list(r.feature), list(b.feature))
+
+    # JPEG branch: real decode (decoded=true, dims from the header),
+    # channel means lossy-close to the BMP/PNG exact ones
+    from pac_data_pipeline_spark.ext.multimodal import (
+        jpeg_media_from_documents,
+    )
+
+    jpg_rows = {
+        r.doc_id: r for r in extract_features(
+            jpeg_media_from_documents(docs)).collect()
+    }
+    assert set(jpg_rows) == set(bmp_rows)
+    for doc_id, r in jpg_rows.items():
+        b = bmp_rows[doc_id]
+        assert r.decoded is True
+        assert (r.width, r.height) == (b.width, b.height)
+        # JPEG is lossy: means within a few units, not elementwise
+        assert all(
+            abs(x - y) < 8.0
+            for x, y in zip(list(r.feature)[2:5], list(b.feature)[2:5])
         ), (doc_id, list(r.feature), list(b.feature))
 
 
