@@ -1267,7 +1267,12 @@ def q_x_png_decode_dims(spark, sf_dir):
     any header, deflate, or unfilter bug breaks the hash. (Pixel
     statistics stay in rows-only x_multimodal_features; the same
     decode path feeds both.)"""
-    media = png_media_from_documents(_t(spark, sf_dir, "documents"))
+    from pac_data_pipeline_spark.ext.dedup_text import ensure_parallelism
+
+    # compute-bound encode+decode: fan out over the one-row-group scan
+    media = png_media_from_documents(
+        ensure_parallelism(_t(spark, sf_dir, "documents"))
+    )
     # decoded=false rows are filtered OUT, so a decoder fallback to
     # byte-hash features shows up as a row-count mismatch, not a pass
     return (

@@ -225,39 +225,49 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, bits
 
 
-def _encode_block(
-    writer: _BitWriter,
-    block: np.ndarray,
-    quant: np.ndarray,
-    pred_dc: int,
-) -> int:
-    """DCT → quantize → zigzag → Huffman one 8x8 block; returns the
-    new DC predictor."""
-    coeff = DCT_M @ (block.astype(np.float64) - 128.0) @ DCT_M.T
+def _dct_quantize_blocks(plane: np.ndarray, quant: np.ndarray) -> np.ndarray:
+    """Vectorized forward path for one component plane: split an
+    (8k, 8m) plane into raster-order 8x8 blocks, level-shift, 2-D
+    DCT, quantize, zigzag — one einsum over every block instead of a
+    Python loop. Returns (n_blocks, 64) int64 zigzag coefficients."""
+    ph, pw = plane.shape
+    blocks = (
+        plane.reshape(ph // 8, 8, pw // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        .astype(np.float64)
+        - 128.0
+    )
+    coeff = np.einsum("ux,nxy,vy->nuv", DCT_M, blocks, DCT_M)
     q = np.round(coeff / quant).astype(np.int64)
-    zz = q.reshape(64)[ZIGZAG_FLAT]
+    return q.reshape(-1, 64)[:, ZIGZAG_FLAT]
+
+
+def _encode_block_zz(writer: _BitWriter, zz: np.ndarray, pred_dc: int) -> int:
+    """Huffman-encode one pre-quantized zigzag block; iterates only
+    the NONZERO AC positions (np.nonzero) — the dominant cost at
+    typical quantization is skipping zeros, not coding values.
+    Returns the new DC predictor."""
     dc = int(zz[0])
     size, bits = _magnitude(dc - pred_dc)
     code, n = DC_CODES[size]
     writer.put(code, n)
     writer.put(bits, size)
-    run = 0
-    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-    for k in range(1, last_nz + 1):
-        v = int(zz[k])
-        if v == 0:
-            run += 1
-            continue
+    nz = np.nonzero(zz[1:])[0]
+    prev = 0
+    for k in nz:
+        k = int(k) + 1
+        run = k - prev - 1
         while run > 15:
             code, n = AC_CODES[0xF0]  # ZRL: 16 zeros
             writer.put(code, n)
             run -= 16
-        size, bits = _magnitude(v)
+        size, bits = _magnitude(int(zz[k]))
         code, n = AC_CODES[(run << 4) | size]
         writer.put(code, n)
         writer.put(bits, size)
-        run = 0
-    if last_nz < 63:
+        prev = k
+    if prev < 63:
         code, n = AC_CODES[0x00]  # EOB
         writer.put(code, n)
     return dc
@@ -294,15 +304,15 @@ def encode_jpeg_pixels(rgb: np.ndarray) -> bytes:
     writer = _BitWriter()
     preds = [0, 0, 0]
     quants = [QUANT_LUMA, QUANT_CHROMA, QUANT_CHROMA]
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):  # interleaved MCU = Y, Cb, Cr
-            for c in range(3):
-                preds[c] = _encode_block(
-                    writer,
-                    padded[by : by + 8, bx : bx + 8, c],
-                    quants[c],
-                    preds[c],
-                )
+    # forward transform all blocks of each component at once; the
+    # sequential part (DPCM + Huffman bit packing) walks the
+    # precomputed zigzag rows in interleaved MCU order
+    zz_planes = [
+        _dct_quantize_blocks(padded[:, :, c], quants[c]) for c in range(3)
+    ]
+    for i in range(zz_planes[0].shape[0]):  # MCU = Y, Cb, Cr blocks
+        for c in range(3):
+            preds[c] = _encode_block_zz(writer, zz_planes[c][i], preds[c])
     scan = writer.flush()
 
     app0 = (
@@ -346,24 +356,37 @@ def encode_jpeg(width: int, height: int, pixel_seed: bytes) -> bytes:
 
 
 def _build_decode_table(bits: list[int], symbols: list[int]):
-    """{(n_bits, code): symbol} for canonical tables read from DHT."""
+    """({(n_bits, code): symbol}, uniform_len) for canonical tables
+    read from DHT. ``uniform_len`` is the code length when every
+    code in the table shares one length (our own flat tables; lets
+    the reader grab all bits of a symbol at once), else None."""
     table: dict[tuple[int, int], int] = {}
     code, idx = 0, 0
+    lengths = set()
     for n_bits, count in enumerate(bits, start=1):
+        if count:
+            lengths.add(n_bits)
         for _ in range(count):
             table[(n_bits, code)] = symbols[idx]
             code += 1
             idx += 1
         code <<= 1
-    return table
+    uniform = lengths.pop() if len(lengths) == 1 else None
+    return table, uniform
 
 
 def _read_symbol(reader: _BitReader, table) -> int:
+    codes, uniform = table
+    if uniform is not None:  # flat table: one read, one lookup
+        sym = codes.get((uniform, reader.get(uniform)))
+        if sym is None:
+            raise ValueError("invalid JPEG Huffman code")
+        return sym
     code, n = 0, 0
     while n <= 16:
         code = (code << 1) | reader.get(1)
         n += 1
-        sym = table.get((n, code))
+        sym = codes.get((n, code))
         if sym is not None:
             return sym
     raise ValueError("invalid JPEG Huffman code")
@@ -455,43 +478,54 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     reader = _BitReader(payload, pos)
     ph = (height + 7) // 8 * 8
     pw = (width + 7) // 8 * 8
-    planes = [
-        np.zeros((ph, pw), dtype=np.float64) for _ in comps
+    n_blocks = (ph // 8) * (pw // 8)
+    # entropy decode is inherently sequential — collect each
+    # component's zigzag rows, then do every IDCT in one einsum
+    zz_planes = [
+        np.zeros((n_blocks, 64), dtype=np.float64) for _ in comps
     ]
     preds = [0] * len(comps)
-    # map scan component order to SOF order (ids must line up)
     comp_q = {cid: tq for cid, tq in comps}
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for ci, (cid, dc_t, ac_t) in enumerate(scan_comps):
-                dc_table = huff.get((0, dc_t))
-                ac_table = huff.get((1, ac_t))
-                qt = quant.get(comp_q[cid])
-                if dc_table is None or ac_table is None or qt is None:
-                    raise ValueError("JPEG references undefined table")
-                zz = np.zeros(64, dtype=np.float64)
-                size = _read_symbol(reader, dc_table)
-                diff = _extend(reader.get(size), size)
-                preds[ci] += diff
-                zz[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    sym = _read_symbol(reader, ac_table)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 0xF
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run past end of block")
-                    zz[k] = _extend(reader.get(size), size)
-                    k += 1
-                coeff = np.zeros(64, dtype=np.float64)
-                coeff[ZIGZAG_FLAT] = zz
-                block = DCT_M.T @ (coeff.reshape(8, 8) * qt) @ DCT_M + 128.0
-                planes[ci][by : by + 8, bx : bx + 8] = block
+    tables = []
+    for cid, dc_t, ac_t in scan_comps:
+        dc_table = huff.get((0, dc_t))
+        ac_table = huff.get((1, ac_t))
+        qt = quant.get(comp_q[cid])
+        if dc_table is None or ac_table is None or qt is None:
+            raise ValueError("JPEG references undefined table")
+        tables.append((dc_table, ac_table, qt))
+    for i in range(n_blocks):
+        for ci, (dc_table, ac_table, _qt) in enumerate(tables):
+            zz = zz_planes[ci][i]
+            size = _read_symbol(reader, dc_table)
+            diff = _extend(reader.get(size), size)
+            preds[ci] += diff
+            zz[0] = preds[ci]
+            k = 1
+            while k < 64:
+                sym = _read_symbol(reader, ac_table)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, size = sym >> 4, sym & 0xF
+                k += run
+                if k > 63:
+                    raise ValueError("AC run past end of block")
+                zz[k] = _extend(reader.get(size), size)
+                k += 1
+    planes = []
+    for ci, (_dc, _ac, qt) in enumerate(tables):
+        coeff = np.zeros((n_blocks, 64), dtype=np.float64)
+        coeff[:, ZIGZAG_FLAT] = zz_planes[ci]
+        coeff = coeff.reshape(-1, 8, 8) * qt
+        blocks = np.einsum("ux,nuv,vy->nxy", DCT_M, coeff, DCT_M) + 128.0
+        planes.append(
+            blocks.reshape(ph // 8, pw // 8, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(ph, pw)
+        )
     if len(planes) == 1:
         gray = np.clip(np.round(planes[0][:height, :width]), 0, 255)
         return width, height, np.repeat(
