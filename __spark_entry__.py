@@ -1238,23 +1238,29 @@ def q_x_stream_tumbling(spark, sf_dir):
 
 def q_x_multimodal_features(spark, sf_dir):
     """Binary media column → Arrow-batched REAL image decode over a
-    MIXED-format table: doc_id % 3 picks genuine 24-bpp BMP, stdlib-
-    zlib PNG (cycling row filters), or baseline JPEG (numpy DCT +
-    canonical Huffman), so the per-payload format dispatch in
-    extract_features runs all three decoders in one job. Width/
-    height and channel statistics come from parsing the bytes
-    (rows-only: float features; JPEG stats are lossy-close, BMP/PNG
-    exact). The compute-bound JPEG encode fans out first — the
-    testdata parquet is one row group, which would otherwise pin the
-    whole codec pipeline to a single task."""
+    MIXED-format table: doc_id % 4 picks genuine 24-bpp BMP, stdlib-
+    zlib PNG (cycling row filters), baseline JPEG (numpy DCT +
+    canonical Huffman), or GIF89a (stdlib LZW + palette), so the
+    per-payload format dispatch in extract_features runs all four
+    decoders in one job. Width/height and channel statistics come
+    from parsing the bytes (rows-only: float features; JPEG stats
+    are lossy-close, BMP/PNG/GIF exact). The compute-bound codec
+    work fans out first — the testdata parquet is one row group,
+    which would otherwise pin the whole pipeline to a single task."""
     from pac_data_pipeline_spark.ext.dedup_text import ensure_parallelism
-    from pac_data_pipeline_spark.ext.multimodal import jpeg_media_from_documents
+    from pac_data_pipeline_spark.ext.multimodal import (
+        gif_media_from_documents,
+        jpeg_media_from_documents,
+    )
 
     docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
-    bmp = bmp_media_from_documents(docs.filter(F.col("doc_id") % 3 == 0))
-    png = png_media_from_documents(docs.filter(F.col("doc_id") % 3 == 1))
-    jpg = jpeg_media_from_documents(docs.filter(F.col("doc_id") % 3 == 2))
-    return extract_features(bmp.unionByName(png).unionByName(jpg))
+    bmp = bmp_media_from_documents(docs.filter(F.col("doc_id") % 4 == 0))
+    png = png_media_from_documents(docs.filter(F.col("doc_id") % 4 == 1))
+    jpg = jpeg_media_from_documents(docs.filter(F.col("doc_id") % 4 == 2))
+    gif = gif_media_from_documents(docs.filter(F.col("doc_id") % 4 == 3))
+    return extract_features(
+        bmp.unionByName(png).unionByName(jpg).unionByName(gif)
+    )
 
 
 def q_x_png_decode_dims(spark, sf_dir):

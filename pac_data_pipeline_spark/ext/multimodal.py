@@ -405,6 +405,42 @@ def jpeg_media_from_documents(documents: DataFrame, max_side: int = 24) -> DataF
     )
 
 
+def gif_media_from_documents(documents: DataFrame, max_side: int = 24) -> DataFrame:
+    """Synthesize REAL GIF89a payloads (stdlib LZW, global color
+    table, see :mod:`pac_data_pipeline_spark.ext.gif`) from the
+    documents fixture — same deterministic dimension formulas as the
+    other generators; seed bytes tile the palette-index raster. GIF
+    is lossless over its palette, so a decode recovers the exact
+    pixels ``_PALETTE[seed tile]``."""
+    from pac_data_pipeline_spark.ext.gif import encode_gif
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = 4 + int(doc_id) % (max_side - 3)
+                h = 4 + (int(doc_id) * 7) % (max_side - 3)
+                payload = encode_gif(w, h, str(text).encode("utf-8"))
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "media_type": "image",
+                        "content": payload,
+                        "meta": {
+                            "n_bytes": len(payload),
+                            "format": "image/gif",
+                            "width": w,
+                            "height": h,
+                        },
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return documents.select("doc_id", "text").mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
+
+
 #: magic prefix for the deterministic multi-frame test container:
 #: b"VID0" + u32 frame count + per frame (u32 length + BMP bytes)
 _VID_MAGIC = b"VID0"
@@ -513,6 +549,14 @@ def _decode_jpeg(payload: bytes):
     return decode_jpeg(payload)
 
 
+def _decode_gif(payload: bytes):
+    """Dispatch shim: GIF87a/89a first-frame decode via the stdlib
+    LZW codec in :mod:`pac_data_pipeline_spark.ext.gif`."""
+    from pac_data_pipeline_spark.ext.gif import decode_gif
+
+    return decode_gif(payload)
+
+
 def _decode_real(payload: bytes):  # pragma: no cover - env has no codec libs
     try:
         import av  # noqa: F401  (PyAV / ffmpeg bindings)
@@ -552,7 +596,7 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
             for payload in pdf["content"]:
                 b = bytes(payload)
                 px = None
-                for dec in (decode_bmp, decode_png, _decode_jpeg):
+                for dec in (decode_bmp, decode_png, _decode_jpeg, _decode_gif):
                     try:
                         w, h, px = dec(b)
                         break

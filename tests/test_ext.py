@@ -281,6 +281,85 @@ def test_jpeg_decoder_rejects_unsupported_profiles():
         decode_jpeg(bytes(payload))
 
 
+def test_gif_decode_hand_built():
+    """Pin decode_gif against a GIF assembled BY HAND — 2x2 frame,
+    4-color global table, LZW min code size 2, the variable-width
+    code stream packed LSB-first by hand (clear,1,2,3 at 3 bits,
+    then 0,end at 4 bits after the width bump) — so the decoder is
+    checked against the wire format, not against its own encoder."""
+    import struct
+
+    import numpy as np
+
+    from pac_data_pipeline_spark.ext.gif import decode_gif
+
+    palette = bytes(
+        [10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120]
+    )
+    payload = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 2, 2, 0x81, 0, 0)  # 4-entry table
+        + palette
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+        + bytes([2])          # LZW min code size
+        + bytes([3, 140, 6, 5, 0])  # hand-packed codes for [1,2,3,0]
+        + b"\x3b"
+    )
+    w, h, px = decode_gif(payload)
+    assert (w, h) == (2, 2)
+    expect = np.array(
+        [[[40, 50, 60], [70, 80, 90]], [[100, 110, 120], [10, 20, 30]]],
+        dtype=np.uint8,
+    )
+    assert (px == expect).all()
+
+
+def test_gif_encode_decode_exact_roundtrip():
+    """GIF is lossless: decode(encode(seed)) must equal the palette-
+    mapped tiled seed EXACTLY, including sizes that force LZW width
+    growth and a full-dictionary reset."""
+    import numpy as np
+
+    from pac_data_pipeline_spark.ext.gif import (
+        _PALETTE,
+        decode_gif,
+        encode_gif,
+    )
+
+    cases = [
+        (5, 3, b"abcdefg"),
+        (1, 1, b"\x00"),
+        (24, 24, bytes(range(256))),        # every palette index
+        (64, 64, bytes((i * 7) % 251 for i in range(123))),  # big
+    ]
+    for w, hgt, seed in cases:
+        dw, dh, px = decode_gif(encode_gif(w, hgt, seed))
+        assert (dw, dh) == (w, hgt)
+        s = np.frombuffer(seed, dtype=np.uint8)
+        idx = np.tile(s, (w * hgt) // len(s) + 1)[: w * hgt]
+        assert (px == _PALETTE[idx].reshape(hgt, w, 3)).all(), (w, hgt)
+    with pytest.raises(ValueError):
+        decode_gif(b"\x89PNG not a gif" * 3)
+
+
+def test_gif_extension_blocks_skipped():
+    """Graphic-control and comment extension blocks (0x21) must be
+    skipped per spec, landing on the image descriptor."""
+    from pac_data_pipeline_spark.ext.gif import decode_gif, encode_gif
+
+    payload = bytearray(encode_gif(4, 4, b"zz"))
+    # image descriptor sits right after header(6) + screen(7) +
+    # 256-entry global color table (0x2C also appears as a palette
+    # byte, so searching for it would land inside the table)
+    desc = 6 + 7 + 3 * 256
+    assert payload[desc] == 0x2C
+    # splice a graphic-control extension before the image descriptor
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    patched = bytes(payload[:desc]) + gce + bytes(payload[desc:])
+    w, h, px = decode_gif(patched)
+    assert (w, h) == (4, 4)
+
+
 def test_multimodal_mixed_format_dispatch(spark):
     """extract_features over a BMP+PNG union decodes BOTH formats for
     real: decoded=true everywhere, header dims match declared meta,
@@ -336,6 +415,23 @@ def test_multimodal_mixed_format_dispatch(spark):
             abs(x - y) < 8.0
             for x, y in zip(list(r.feature)[2:5], list(b.feature)[2:5])
         ), (doc_id, list(r.feature), list(b.feature))
+
+    # GIF branch: real lossless decode through the palette — dims
+    # from the header, decoded=true (pixel exactness is pinned in
+    # the codec round-trip test)
+    from pac_data_pipeline_spark.ext.multimodal import (
+        gif_media_from_documents,
+    )
+
+    gif_rows = {
+        r.doc_id: r for r in extract_features(
+            gif_media_from_documents(docs)).collect()
+    }
+    assert set(gif_rows) == set(bmp_rows)
+    for doc_id, r in gif_rows.items():
+        assert r.decoded is True
+        assert (r.width, r.height) == (
+            bmp_rows[doc_id].width, bmp_rows[doc_id].height)
 
 
 def test_multimodal_real_bmp_decode(spark):

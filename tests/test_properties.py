@@ -35,6 +35,7 @@ def test_image_decoders_never_crash_on_garbage(payload):
     magic prefix so the parsers get past the signature check."""
     import numpy as np
 
+    from pac_data_pipeline_spark.ext.gif import decode_gif
     from pac_data_pipeline_spark.ext.jpeg import decode_jpeg
     from pac_data_pipeline_spark.ext.multimodal import (
         decode_bmp,
@@ -46,10 +47,11 @@ def test_image_decoders_never_crash_on_garbage(payload):
         b"BM",
         b"\x89PNG\r\n\x1a\n",
         b"\xff\xd8\xff\xe0",
+        b"GIF89a",
     ]
     for prefix in prefixes:
         data = prefix + payload
-        for dec in (decode_bmp, decode_png, decode_jpeg):
+        for dec in (decode_bmp, decode_png, decode_jpeg, decode_gif):
             try:
                 w, h, px = dec(data)
             except ValueError:
