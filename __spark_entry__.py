@@ -911,6 +911,18 @@ def q_x_approx_stats_exact(spark, sf_dir):
     )
 
 
+def q_x_lm_perplexity(spark, sf_dir):
+    """CCNet-style corpus-LM quality filter: add-k bigram LM trained
+    on the corpus in one counting pass, every document scored by
+    average bigram negative log-likelihood. Two map-side-combinable
+    count aggs + count-table joins (AQE-broadcastable) — the corpus
+    is never self-joined. The DuckDB oracle retrains the identical
+    model and reproduces every score to 3 decimals."""
+    from pac_data_pipeline_spark.ext.text import ngram_lm_score
+
+    return ngram_lm_score(_t(spark, sf_dir, "documents"))
+
+
 def q_x_token_regex(spark, sf_dir):
     """Regex tokenization (BPE-style word/number/punct classes) —
     token count per class per document, shuffle-free."""
@@ -3249,12 +3261,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_top_tokens": q_x_top_tokens,
         # ---- end of round-4 window (position 50) -------------------
         # ROUND-5 TAIL — the remaining never-driver-checked names,
-        # queued IN THIS ORDER for the round-5 window (24 oracle-
-        # backed, including round 4's new x_png_decode_dims, then 10
-        # rows-only-by-design). Round 5 should move these to the
-        # dict head, after anything new/changed in r5:
+        # queued IN THIS ORDER for the round-5 window (25 oracle-
+        # backed, including round 4's new x_png_decode_dims and
+        # x_lm_perplexity, then 10 rows-only-by-design). Round 5
+        # should move these to the dict head, after anything
+        # new/changed in r5. Round-4 code changes to ALREADY-
+        # verdicted queries (x_quality_score, x_lang_id,
+        # x_fingerprint, x_gopher_rules, x_corpus_report,
+        # x_token_budget, pipe_train_corpus moved from lower() to
+        # the ascii_lower contract) produce byte-identical output on
+        # ASCII corpora — clean-data hashes are unchanged; the
+        # unicode fuzz clone (now carrying ΣΟΦΟΣ/İstanbul probes)
+        # is the dataset that exercises the change, and the full
+        # local gate passes on it.
         # -- (d) never-checked, oracle-backed (round-5 head) ---------
         "x_png_decode_dims": q_x_png_decode_dims,
+        "x_lm_perplexity": q_x_lm_perplexity,
         "x_simhash_pairs": q_x_simhash_pairs,
         "x_unicode_clean": q_x_unicode_clean,
         "x_boilerplate": q_x_boilerplate,
@@ -3721,7 +3743,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        len(list_filter(toks, t -> list_contains(
                            ['the','and','of','to','a','in','is','for'],
-                           lower(t)))) * 1.0
+                           translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')))) * 1.0
                            / nullif(len(toks), 0) AS sw_ratio,
                        (n_char - length(regexp_replace(text, '[^\\w \\t\\n\\f\\r]',
                                                        '', 'g'))) * 1.0
@@ -3745,13 +3767,13 @@ def oracle_sql() -> dict[str, str]:
             h AS (
                 SELECT doc_id, lang,
                        len(list_filter(toks, t -> list_contains(
-                           ['the','and','of','to','a'], lower(t)))) AS hits_en,
+                           ['the','and','of','to','a'], translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')))) AS hits_en,
                        len(list_filter(toks, t -> list_contains(
-                           ['der','die','das','und','zu'], lower(t)))) AS hits_de,
+                           ['der','die','das','und','zu'], translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')))) AS hits_de,
                        len(list_filter(toks, t -> list_contains(
-                           ['le','les','des','et','une'], lower(t)))) AS hits_fr,
+                           ['le','les','des','et','une'], translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')))) AS hits_fr,
                        len(list_filter(toks, t -> list_contains(
-                           ['el','los','de','y','una'], lower(t)))) AS hits_es
+                           ['el','los','de','y','una'], translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')))) AS hits_es
                 FROM t
             )
             SELECT doc_id, lang,
@@ -3776,7 +3798,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "x_fingerprint": """
             SELECT doc_id,
-                   md5(trim(regexp_replace(regexp_replace(lower(text),
+                   md5(trim(regexp_replace(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
                        '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g')))
                        AS fingerprint
             FROM documents
@@ -3996,6 +4018,46 @@ def oracle_sql() -> dict[str, str]:
         EXCEPT ALL
         SELECT o_orderkey, o_orderstatus FROM orders
         WHERE o_orderstatus = 'F'
+    """
+    oracles["x_lm_perplexity"] = """
+        WITH t AS (
+            -- ascii_lower contract: translate A-Z only; engine
+            -- lower() folds final-sigma/İ differently across tiers
+            SELECT doc_id,
+                   list_filter(
+                       list_transform(
+                           string_split_regex(trim(text, ' '),
+                                              '[ \\t\\n\\f\\r]+'),
+                           x -> translate(x,
+                                'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                'abcdefghijklmnopqrstuvwxyz')),
+                       x -> x != '') AS toks
+            FROM documents
+        ),
+        inst AS (
+            SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+            FROM t, LATERAL (
+                SELECT unnest(range(1, greatest(len(toks), 1))) AS i
+            ) u
+        ),
+        uni AS (
+            SELECT w1, count(*) AS c1
+            FROM (SELECT unnest(toks) AS w1 FROM t)
+            GROUP BY 1
+        ),
+        voc AS (SELECT count(*) AS v FROM uni),
+        big AS (
+            SELECT w1, w2, count(*) AS c2 FROM inst GROUP BY 1, 2
+        )
+        SELECT inst.doc_id,
+               count(*) AS n_bigrams,
+               round(avg(-ln((c2 + 0.5) / (c1 + 0.5 * voc.v))), 3)
+                   AS avg_nll
+        FROM inst
+        JOIN big USING (w1, w2)
+        JOIN uni USING (w1)
+        CROSS JOIN voc
+        GROUP BY inst.doc_id
     """
     oracles["x_png_decode_dims"] = """
         -- recompute png_media_from_documents' generative dimension
@@ -4850,31 +4912,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, n_char,
                    0.5 * (len(list_filter(toks, t -> list_contains(
                        ['the','and','of','to','a','in','is','for'],
-                       lower(t)))) * 1.0 / nullif(len(toks), 0))
+                       translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')))) * 1.0 / nullif(len(toks), 0))
                    + 0.3 * least(len(toks) / 100.0, 1.0)
                    + 0.2 * (1.0 - (n_char - length(regexp_replace(
                          text, '[^\\w \\t\\n\\f\\r]', '', 'g'))) * 1.0
                          / nullif(n_char, 0)) AS q,
                    CASE WHEN greatest(
                        len(list_filter(toks, t -> list_contains(
-                           ['the','and','of','to','a'], lower(t)))),
+                           ['the','and','of','to','a'], translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')))),
                        len(list_filter(toks, t -> list_contains(
-                           ['der','die','das','und','zu'], lower(t)))),
+                           ['der','die','das','und','zu'], translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')))),
                        len(list_filter(toks, t -> list_contains(
-                           ['le','les','des','et','une'], lower(t)))),
+                           ['le','les','des','et','une'], translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')))),
                        len(list_filter(toks, t -> list_contains(
-                           ['el','los','de','y','una'], lower(t))))) > 0
+                           ['el','los','de','y','una'], translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'))))) > 0
                      AND len(list_filter(toks, t -> list_contains(
-                           ['the','and','of','to','a'], lower(t)))) =
+                           ['the','and','of','to','a'], translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')))) =
                          greatest(
                        len(list_filter(toks, t -> list_contains(
-                           ['the','and','of','to','a'], lower(t)))),
+                           ['the','and','of','to','a'], translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')))),
                        len(list_filter(toks, t -> list_contains(
-                           ['der','die','das','und','zu'], lower(t)))),
+                           ['der','die','das','und','zu'], translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')))),
                        len(list_filter(toks, t -> list_contains(
-                           ['le','les','des','et','une'], lower(t)))),
+                           ['le','les','des','et','une'], translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')))),
                        len(list_filter(toks, t -> list_contains(
-                           ['el','los','de','y','una'], lower(t)))))
+                           ['el','los','de','y','una'], translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')))))
                      THEN 1.0 ELSE 0.0 END AS is_en
             FROM t
         )
@@ -4931,7 +4993,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text, n_chars,
                    round(0.5 * (len(list_filter(toks, t -> list_contains(
                              ['the','and','of','to','a','in','is','for'],
-                             lower(t)))) * 1.0 / nullif(len(toks), 0))
+                             translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')))) * 1.0 / nullif(len(toks), 0))
                        + 0.3 * least(len(toks) / 100.0, 1.0)
                        + 0.2 * (1.0 - (n_char - length(regexp_replace(
                              text, '[^\\w \\t\\n\\f\\r]', '', 'g'))) * 1.0
@@ -4939,25 +5001,25 @@ def oracle_sql() -> dict[str, str]:
                    CASE
                      WHEN greatest(
                          len(list_filter(toks, t -> list_contains(
-                             ['the','and','of','to','a'], lower(t)))),
+                             ['the','and','of','to','a'], translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')))),
                          len(list_filter(toks, t -> list_contains(
-                             ['der','die','das','und','zu'], lower(t)))),
+                             ['der','die','das','und','zu'], translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')))),
                          len(list_filter(toks, t -> list_contains(
-                             ['le','les','des','et','une'], lower(t)))),
+                             ['le','les','des','et','une'], translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')))),
                          len(list_filter(toks, t -> list_contains(
-                             ['el','los','de','y','una'], lower(t))))) = 0
+                             ['el','los','de','y','una'], translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'))))) = 0
                        THEN 'und'
                      WHEN len(list_filter(toks, t -> list_contains(
-                             ['the','and','of','to','a'], lower(t)))) =
+                             ['the','and','of','to','a'], translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')))) =
                           greatest(
                          len(list_filter(toks, t -> list_contains(
-                             ['the','and','of','to','a'], lower(t)))),
+                             ['the','and','of','to','a'], translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')))),
                          len(list_filter(toks, t -> list_contains(
-                             ['der','die','das','und','zu'], lower(t)))),
+                             ['der','die','das','und','zu'], translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')))),
                          len(list_filter(toks, t -> list_contains(
-                             ['le','les','des','et','une'], lower(t)))),
+                             ['le','les','des','et','une'], translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')))),
                          len(list_filter(toks, t -> list_contains(
-                             ['el','los','de','y','una'], lower(t)))))
+                             ['el','los','de','y','una'], translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')))))
                        THEN 'en'
                      ELSE 'other'
                    END AS lang_guess
@@ -5239,7 +5301,7 @@ def oracle_sql() -> dict[str, str]:
                    len(list_filter(toks,
                        w -> regexp_matches(w, '[A-Za-z]')))
                        / nullif(len(toks), 0) AS alpha_frac,
-                   len(list_filter(toks, w -> lower(w) IN
+                   len(list_filter(toks, w -> translate(w, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') IN
                        ('the','and','of','to','a','in','is','for')))
                        AS sw_hits
             FROM t
@@ -5509,7 +5571,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    len(list_filter(toks, t -> list_contains(
                        ['the','and','of','to','a','in','is','for'],
-                       lower(t)))) * 1.0
+                       translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')))) * 1.0
                        / nullif(len(toks), 0) AS sw_ratio,
                    (n_char - length(regexp_replace(text, '[^\\w \\t\\n\\f\\r]',
                                                    '', 'g'))) * 1.0

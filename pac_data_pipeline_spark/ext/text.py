@@ -45,6 +45,25 @@ TOKEN_SEP_SQL = TOKEN_SEP.replace("\\", "\\\\")
 TOKEN_SEP_RE = re.compile(TOKEN_SEP)
 
 
+#: ASCII-only case folding, the case twin of the TOKEN_SEP contract.
+#: ``lower()`` is NOT portable across the engine's tiers: Spark/Java
+#: lowercases the final sigma contextually (ΣΟΦΟΣ → σοφος) and maps
+#: İ → i + combining dot, while DuckDB's utf8proc does neither — so
+#: any oracle-checked case folding must fold [A-Z] only and leave
+#: everything else untouched. Both engines run the same
+#: ``translate(col, 'A..Z', 'a..z')``, byte-identical on any input.
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+#: SQL expression fragment (valid in Spark SQL and DuckDB alike).
+ASCII_LOWER_SQL = "translate({col}, '" + _ASCII_UPPER + "', '" + _ASCII_LOWER + "')"
+
+
+def ascii_lower(col: Column | str) -> Column:
+    """ASCII-only lowercase (see :data:`ASCII_LOWER_SQL`)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(c, _ASCII_UPPER, _ASCII_LOWER)
+
+
 def py_tokens(text: str | None) -> list[str]:
     """Python-side tokenization under the exact :data:`TOKEN_SEP`
     contract: strip ASCII space only, split on the ASCII class,
@@ -90,7 +109,7 @@ def stopword_ratio(
     toks = tokens(col)
     sw = ", ".join(f"'{w}'" for w in stopwords)
     hits = F.expr(
-        f"size(filter(split(trim({_name(col)}), '{TOKEN_SEP_SQL}'), t -> lower(t) IN ({sw})))"
+        f"size(filter(split(trim({_name(col)}), '{TOKEN_SEP_SQL}'), t -> translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') IN ({sw})))"
     )
     return hits / F.nullif(F.size(toks), F.lit(0))
 
@@ -134,7 +153,7 @@ def quality_parts(text_col: str = "text") -> tuple[Column, Column]:
     )
     sw = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
     hits = F.expr(
-        f"size(filter(split(trim({text_col}), '{TOKEN_SEP_SQL}'), t -> lower(t) IN ({sw})))"
+        f"size(filter(split(trim({text_col}), '{TOKEN_SEP_SQL}'), t -> translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') IN ({sw})))"
     )
     sw_ratio = hits / F.nullif(n_tok, F.lit(0))
     punct_ratio = n_punct / F.nullif(n_char, F.lit(0))
@@ -167,7 +186,7 @@ def lang_parts(text_col: str = "text") -> tuple[dict, Column]:
     for lang, words in LANG_STOPWORDS.items():
         sw = ", ".join(f"'{w}'" for w in words)
         cols[lang] = F.expr(
-            f"size(filter(split(trim({text_col}), '{TOKEN_SEP_SQL}'), t -> lower(t) IN ({sw})))"
+            f"size(filter(split(trim({text_col}), '{TOKEN_SEP_SQL}'), t -> translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') IN ({sw})))"
         )
     best = F.greatest(*cols.values())
     guess = F.when(best == 0, F.lit("und"))
@@ -193,10 +212,16 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of the casefolded, punctuation-
     stripped, whitespace-collapsed text — the key for exact near-
-    normalization dedup."""
+    normalization dedup. Case folding is :func:`ascii_lower` (engine
+    ``lower()`` diverges between Java and utf8proc on final-sigma /
+    dotted-İ, which would split fingerprints across engines); the
+    [^a-z0-9]+ strip then removes every non-ASCII char identically
+    on both, so the md5 is portable on ANY input."""
     normalized = F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " "),
+            F.regexp_replace(
+                ascii_lower(F.col(text_col)), r"[^a-z0-9]+", " "
+            ),
             r"\s+",
             " ",
         )
@@ -564,7 +589,7 @@ def gopher_rules(
     alpha_frac = alpha_words / F.nullif(n_words, F.lit(0))
     sw = F.array(*[F.lit(w) for w in QUALITY_STOPWORDS])
     sw_hits = F.size(
-        F.filter(toks, lambda w: F.array_contains(sw, F.lower(w)))
+        F.filter(toks, lambda w: F.array_contains(sw, ascii_lower(w)))
     )
     ok_words = (n_words >= r["min_words"]) & (n_words <= r["max_words"])
     ok_len = (mean_len >= r["min_mean_word_len"]) & (
@@ -888,4 +913,80 @@ def bpe_encode(
     return df.select(id_col, text_col).mapInPandas(
         encode,
         schema=f"{id_col} {id_type}, n_tokens_ws long, n_tokens_bpe long",
+    )
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+) -> DataFrame:
+    """CCNet-style corpus-LM quality signal: train an add-k-smoothed
+    bigram language model ON the corpus itself (one aggregation
+    pass), then score every document by its average bigram negative
+    log-likelihood — low = looks like the corpus (fluent prose),
+    high = tag soup / boilerplate / wrong register. The classic
+    perplexity filter for training-data curation, minus the external
+    KenLM dependency.
+
+    P(w2 | w1) = (c(w1 w2) + k) / (c(w1) + k·V), all counts exact
+    corpus-wide; tokens split under the TOKEN_SEP ASCII contract and
+    case-folded with :func:`ascii_lower` (engine ``lower()`` is not
+    portable: final sigma / dotted-İ fold differently in Java vs
+    utf8proc). Documents with fewer than two tokens have no bigrams
+    and drop out (inner-join semantics, mirrored by the oracle).
+
+    Scale shape: two map-side-combinable count aggregations (bigram
+    and unigram vocabularies — |V| and |V²∩corpus| rows, far below
+    corpus size), then the instance stream joins the two count
+    tables (AQE converts to broadcast when they fit) and one
+    per-document aggregate. The corpus is never self-joined and the
+    model "training" IS the counting pass — no iteration.
+    avg_nll is rounded to 3 decimals: per-doc terms are few and
+    similar magnitude, so double-summation order noise (~1e-13)
+    cannot flip the rounding."""
+    fold = ASCII_LOWER_SQL.format(col="x")
+    toks = df.select(
+        F.col(id_col),
+        F.expr(
+            f"filter(transform(split(trim({text_col}), "
+            f"'{TOKEN_SEP_SQL}'), x -> {fold}), x -> x != '')"
+        ).alias("toks"),
+    )
+    inst = (
+        toks.select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "zip_with(toks, slice(toks, 2, size(toks)),"
+                    " (a, b) -> struct(a AS w1, b AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .filter(F.col("bg.w2").isNotNull())
+        .select(id_col, "bg.w1", "bg.w2")
+    )
+    uni = (
+        toks.select(F.explode("toks").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    big = inst.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    scored = (
+        inst.join(big, ["w1", "w2"]) 
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "nll",
+            -F.log(
+                (F.col("c2") + F.lit(k))
+                / (F.col("c1") + F.lit(k) * F.col("v"))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("nll"), 3).alias("avg_nll"),
     )

@@ -1008,3 +1008,79 @@ def test_bpe_encode_matches_reference(spark):
         ), (doc_id, text)
     # merges really fire: 'low' collapses below its char count
     assert got[0][1] < len("lowlowerlowest")
+
+
+def test_ngram_lm_score_matches_hand_computation(spark):
+    """Pin the add-k bigram LM against a from-scratch Python
+    reference on a tiny corpus (counts and smoothing computed by
+    hand-equivalent code, not by the operator)."""
+    import math
+    from collections import Counter
+
+    from pac_data_pipeline_spark.ext.text import ngram_lm_score
+
+    corpus = {
+        0: "the cat sat on the mat",
+        1: "the dog sat",
+        2: "cat",              # 1 token -> no bigrams -> dropped
+        3: "THE CAT sat",      # ascii folding applies
+    }
+    df = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_nll)
+        for r in ngram_lm_score(df, k=0.5).collect()
+    }
+
+    toks = {d: t.lower().split() for d, t in corpus.items()}
+    uni = Counter(w for ws in toks.values() for w in ws)
+    big = Counter(
+        (a, b) for ws in toks.values() for a, b in zip(ws, ws[1:])
+    )
+    v = len(uni)
+    for d, ws in toks.items():
+        pairs = list(zip(ws, ws[1:]))
+        if not pairs:
+            assert d not in got
+            continue
+        nll = [
+            -math.log((big[p] + 0.5) / (uni[p[0]] + 0.5 * v))
+            for p in pairs
+        ]
+        assert got[d][0] == len(pairs)
+        assert abs(got[d][1] - round(sum(nll) / len(nll), 3)) <= 1e-9, d
+    # a doc made of corpus-frequent bigrams scores better (lower
+    # nll) than one whose bigrams occur nowhere else in the corpus
+    weird = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),
+            (1, "the dog sat on the mat"),
+            (2, "the cat sat on the rug"),
+            (3, "zzz qqq xxx yyy www vvv"),
+        ],
+        "doc_id long, text string",
+    )
+    s = {r.doc_id: r.avg_nll for r in ngram_lm_score(weird).collect()}
+    assert max(s[0], s[1], s[2]) < s[3]
+
+
+def test_ascii_lower_contract_vs_duckdb():
+    """The ascii_lower fold must agree byte-for-byte with DuckDB's
+    translate() on the exact strings where engine lower() diverges
+    (final sigma, dotted İ) — the probe strings now baked into the
+    unicode fuzz corpus."""
+    import duckdb
+
+    from pac_data_pipeline_spark.ext.text import (
+        _ASCII_LOWER,
+        _ASCII_UPPER,
+    )
+
+    con = duckdb.connect()
+    for s in ["ΣΟΦΟΣ", "İstanbul", "THE Cat", "ǅ X ß ½"]:
+        duck = con.execute(
+            "SELECT translate(?, ?, ?)", [s, _ASCII_UPPER, _ASCII_LOWER]
+        ).fetchone()[0]
+        py = s.translate(str.maketrans(_ASCII_UPPER, _ASCII_LOWER))
+        assert duck == py, s

@@ -109,8 +109,15 @@ def main() -> None:
                 )
                 SELECT doc_id,
                        CASE WHEN rid % 10 = 0
+                            -- ΣΟΦΟΣ / İstanbul: Spark lower() is
+                            -- context/locale-aware (final sigma ς,
+                            -- dotted i̇) where DuckDB utf8proc is
+                            -- not — probes that any case folding in
+                            -- an oracle-checked query sticks to the
+                            -- ASCII ascii_lower contract
                             THEN text ||
-                                 ' déjà vu 漢字テスト Ωμέγα 🙂 naïve ½²'
+                                 ' déjà vu 漢字テスト Ωμέγα ΣΟΦΟΣ'
+                                 || ' İstanbul 🙂 naïve ½²'
                             -- exotic-whitespace class: edge tabs and
                             -- newlines (Java/RE2 split but Python
                             -- strip() would eat), interior NBSP /
