@@ -974,10 +974,13 @@ def ngram_lm_score(
     )
     vocab = uni.agg(F.count(F.lit(1)).alias("v"))
     big = inst.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # attach the 1-row V to the VOCAB-sized count table, not the
+    # corpus-sized instance stream — the broadcast-nested-loop pass
+    # then touches |V| rows instead of every bigram instance
+    uni_v = uni.crossJoin(F.broadcast(vocab))
     scored = (
-        inst.join(big, ["w1", "w2"]) 
-        .join(uni, "w1")
-        .crossJoin(F.broadcast(vocab))
+        inst.join(big, ["w1", "w2"])
+        .join(uni_v, "w1")
         .withColumn(
             "nll",
             -F.log(

@@ -299,6 +299,7 @@ def test_no_scale_antipatterns_across_registry(spark):
         "x_token_budget",     # 1-row cutoff broadcast
         "x_hard_negatives",   # 5-row anchor set vs corpus
         "x_negative_pairs",   # 1-row corpus-count broadcast
+        "x_lm_perplexity",    # 1-row vocabulary-size broadcast
     }
     # the Window+SinglePartition heuristic is coarse (it ANDs two
     # independent plan facts): k3's window IS globally ordered by
