@@ -2011,18 +2011,21 @@ def q_pipe_zorder(spark, sf_dir):
 
 
 def q_x_audio_features(spark, sf_dir):
-    """Audio leg of the multimodal path: REAL WAV/PCM synthesis per
-    document (RIFF headers, playable bytes), headerwise decode, and
-    numpy signal features (duration, RMS, zero-crossing rate) over
-    Arrow batches. Rows-only like the image path: float features;
-    the exact values are pinned by unit tests on known signals."""
+    """Audio leg of the multimodal path: REAL WAV synthesis per
+    document (RIFF headers, playable bytes) in MIXED encodings —
+    16-bit PCM and 8-bit G.711 μ-law/A-law rotating per doc — then
+    headerwise decode (G.711 expanded to int16) and numpy signal
+    features (duration, RMS, zero-crossing rate) over Arrow batches.
+    Rows-only like the image path: float features; codec round trips
+    are pinned exhaustively (all 256 codes, full int16 sweep) in
+    unit tests."""
     from pac_data_pipeline_spark.ext.multimodal import (
         audio_features,
         audio_media_from_documents,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return audio_features(audio_media_from_documents(docs))
+    return audio_features(audio_media_from_documents(docs, encoding="mixed"))
 
 
 def q_h15_top_supplier(spark, sf_dir):

@@ -712,7 +712,7 @@ def frame_sample_stub(media: DataFrame, every_n: int = 10) -> DataFrame:
 _WAV_HEADER_SIZE = 44  # RIFF + fmt + data chunk headers
 
 
-def encode_wav(sample_rate: int, samples: "np.ndarray") -> bytes:
+def _encode_wav_pcm(sample_rate: int, samples: "np.ndarray") -> bytes:
     """Build a real 16-bit mono PCM WAV (RIFF) — stdlib struct only,
     playable by any audio stack. The audio sibling of encode_bmp."""
     pcm = np.asarray(samples, dtype="<i2").tobytes()
@@ -734,29 +734,121 @@ def encode_wav(sample_rate: int, samples: "np.ndarray") -> bytes:
     )
 
 
+_MULAW_BIAS = 0x84
+_MULAW_CLIP = 32635
+
+
+def mulaw_compress(samples: "np.ndarray") -> "np.ndarray":
+    """ITU-T G.711 μ-law: int16 → uint8 codes, vectorized (the
+    standard bias/segment/mantissa formulation)."""
+    x = np.asarray(samples, dtype=np.int32)
+    sign = np.where(x < 0, 0x80, 0x00).astype(np.int32)
+    mag = np.clip(np.abs(x), 0, _MULAW_CLIP) + _MULAW_BIAS
+    # exponent: index of the highest set bit above bit 7 (0..7)
+    exp = (np.floor(np.log2(mag)).astype(np.int32) - 7).clip(0, 7)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def mulaw_expand(codes: "np.ndarray") -> "np.ndarray":
+    """Inverse of :func:`mulaw_compress` (exact per G.711 tables)."""
+    u = (~np.asarray(codes, dtype=np.int32)) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 3) + _MULAW_BIAS) << exp) - _MULAW_BIAS
+    return np.where(sign != 0, -mag, mag).astype(np.int16)
+
+
+def alaw_compress(samples: "np.ndarray") -> "np.ndarray":
+    """ITU-T G.711 A-law: int16 → uint8 codes, vectorized port of
+    the canonical linear2alaw (13-bit magnitude, segment table
+    0x1F..0xFFF, mid-riser negative handling, 0x55 toggle)."""
+    x = np.asarray(samples, dtype=np.int32) >> 3  # arithmetic: 13-bit
+    mask = np.where(x >= 0, 0xD5, 0x55).astype(np.int32)
+    mag = np.where(x >= 0, x, -x - 1)
+    # seg 0 covers 0..31; seg k covers up to (0x1F << k)
+    seg = np.zeros_like(mag)
+    nz = mag > 31
+    seg[nz] = (
+        np.floor(np.log2(mag[nz])).astype(np.int32) - 4
+    ).clip(0, 8)
+    aval = np.where(
+        seg >= 8,
+        0x7F,  # out of range: maximum code
+        (seg << 4)
+        | np.where(seg < 2, (mag >> 1) & 0xF, (mag >> seg) & 0xF),
+    )
+    return (aval ^ mask).astype(np.uint8)
+
+
+def alaw_expand(codes: "np.ndarray") -> "np.ndarray":
+    """Inverse of :func:`alaw_compress` — vectorized alaw2linear."""
+    a = (np.asarray(codes, dtype=np.int32)) ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a >> 4) & 0x07
+    t = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+    return np.where((a & 0x80) != 0, t, -t).astype(np.int16)
+
+
+#: WAV format-tag → (compressor, expander) for the G.711 codecs.
+_G711 = {
+    6: (alaw_compress, alaw_expand),   # WAVE_FORMAT_ALAW
+    7: (mulaw_compress, mulaw_expand), # WAVE_FORMAT_MULAW
+}
+
+
+def encode_wav(
+    sample_rate: int, samples: "np.ndarray", encoding: str = "pcm"
+) -> bytes:
+    """Build a real mono WAV (RIFF): 16-bit PCM (default), or 8-bit
+    G.711 ``mulaw``/``alaw`` — all playable by any audio stack."""
+    if encoding == "pcm":
+        return _encode_wav_pcm(sample_rate, samples)
+    fmt = {"alaw": 6, "mulaw": 7}.get(encoding)
+    if fmt is None:
+        raise ValueError(f"unknown WAV encoding {encoding!r}")
+    codes = _G711[fmt][0](np.asarray(samples, dtype=np.int16)).tobytes()
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(codes), b"WAVE")
+        + struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, fmt, 1, sample_rate, sample_rate, 1, 8
+        )
+        + struct.pack("<4sI", b"data", len(codes))
+        + codes
+    )
+
+
 def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
-    """Parse a 16-bit mono PCM WAV headerwise: (sample_rate,
-    samples int16). Raises ValueError on anything else."""
+    """Parse a mono WAV headerwise: 16-bit PCM or 8-bit G.711
+    μ-law/A-law (format tags 7/6, expanded to int16). Returns
+    (sample_rate, samples int16); raises ValueError on anything
+    else."""
     if len(payload) < _WAV_HEADER_SIZE or payload[:4] != b"RIFF":
         raise ValueError("not a WAV payload")
     if payload[8:12] != b"WAVE" or payload[12:16] != b"fmt ":
         raise ValueError("not a WAVE/fmt stream")
     fmt, channels, sr = struct.unpack_from("<HHI", payload, 20)
     (bits,) = struct.unpack_from("<H", payload, 34)
-    if fmt != 1 or channels != 1 or bits != 16:
-        raise ValueError(f"unsupported WAV: fmt={fmt} ch={channels} bits={bits}")
     (n_bytes,) = struct.unpack_from("<I", payload, 40)
     data = payload[_WAV_HEADER_SIZE : _WAV_HEADER_SIZE + n_bytes]
-    return sr, np.frombuffer(data, dtype="<i2")
+    if fmt == 1 and channels == 1 and bits == 16:
+        return sr, np.frombuffer(data, dtype="<i2")
+    if fmt in _G711 and channels == 1 and bits == 8:
+        return sr, _G711[fmt][1](np.frombuffer(data, dtype=np.uint8))
+    raise ValueError(f"unsupported WAV: fmt={fmt} ch={channels} bits={bits}")
 
 
 def audio_media_from_documents(
-    documents: DataFrame, sample_rate: int = 8000
+    documents: DataFrame, sample_rate: int = 8000, encoding: str = "pcm"
 ) -> DataFrame:
     """Synthesize a REAL audio table from the documents fixture:
     per doc, a short sine burst whose frequency/duration derive from
     the doc id — deterministic bytes, decodable by any WAV reader.
-    Arrow-batched mapInPandas, scan-shaped."""
+    ``encoding``: ``pcm``/``mulaw``/``alaw`` for one format, or
+    ``mixed`` to rotate per doc_id so the decoder's format dispatch
+    (PCM + both G.711 laws) is exercised in one job. Arrow-batched
+    mapInPandas, scan-shaped."""
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -774,7 +866,12 @@ def audio_media_from_documents(
                 n = sample_rate // 10 + (d % 5) * sample_rate // 20
                 t = np.arange(n, dtype="float64") / sample_rate
                 wave = (np.sin(2 * np.pi * freq * t) * 12000).astype("<i2")
-                rows.append((d, encode_wav(sample_rate, wave), sample_rate))
+                enc = (
+                    encoding
+                    if encoding != "mixed"
+                    else ("pcm", "mulaw", "alaw")[d % 3]
+                )
+                rows.append((d, encode_wav(sample_rate, wave, enc), sample_rate))
         yield pd.DataFrame(rows, columns=["doc_id", "audio", "sample_rate"])
 
     return documents.select("doc_id").mapInPandas(batches, out_schema)

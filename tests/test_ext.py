@@ -1084,3 +1084,75 @@ def test_ascii_lower_contract_vs_duckdb():
         ).fetchone()[0]
         py = s.translate(str.maketrans(_ASCII_UPPER, _ASCII_LOWER))
         assert duck == py, s
+
+
+def test_g711_codecs_exhaustive():
+    """G.711 μ-law/A-law verified over their ENTIRE domains: every
+    8-bit code round-trips compress(expand(code)) == code (μ-law's
+    one exception is the spec's ±0 ambiguity, 0x7F → 0 → 0xFF), and
+    every int16 sample re-compresses stably with bounded
+    quantization error."""
+    import numpy as np
+
+    from pac_data_pipeline_spark.ext.multimodal import (
+        alaw_compress,
+        alaw_expand,
+        mulaw_compress,
+        mulaw_expand,
+    )
+
+    codes = np.arange(256, dtype=np.uint8)
+    ac = alaw_compress(alaw_expand(codes))
+    assert (ac == codes).all()
+    mc = mulaw_compress(mulaw_expand(codes))
+    mismatch = np.nonzero(mc != codes)[0]
+    assert list(mismatch) == [0x7F]  # negative zero -> positive zero
+    assert mulaw_expand(np.array([0x7F], dtype=np.uint8))[0] == 0
+
+    x = np.arange(-32768, 32768, dtype=np.int16)
+    for comp, exp, max_err in [
+        (mulaw_compress, mulaw_expand, 1024),
+        (alaw_compress, alaw_expand, 1024),
+    ]:
+        y = exp(comp(x))
+        err = np.abs(y.astype(np.int32) - x.astype(np.int32))
+        assert err.max() <= max_err
+        # value-stable re-encode (μ-law ±0 codes both decode to 0,
+        # so compare decoded values, not raw codes)
+        assert (exp(comp(y)) == y).all()
+
+
+def test_wav_g711_container_roundtrip(spark):
+    """encode_wav/decode_wav over all three format tags: dims exact,
+    G.711 within quantization; audio_features decodes a mixed-format
+    media table for real."""
+    import numpy as np
+
+    from pac_data_pipeline_spark.ext.multimodal import (
+        audio_features,
+        audio_media_from_documents,
+        decode_wav,
+        encode_wav,
+    )
+
+    sr = 8000
+    t = np.arange(800) / sr
+    sig = (10000 * np.sin(2 * np.pi * 440 * t)).astype(np.int16)
+    for enc, tol in [("pcm", 0), ("mulaw", 256), ("alaw", 256)]:
+        srr, out = decode_wav(encode_wav(sr, sig, encoding=enc))
+        assert srr == sr and len(out) == len(sig)
+        assert np.abs(out.astype(int) - sig.astype(int)).max() <= tol, enc
+
+    rows = audio_features(
+        audio_media_from_documents(_docs(spark), encoding="mixed")
+    ).collect()
+    assert len(rows) == 5
+    assert all(r.decoded for r in rows)
+    # G.711 quantization must not move RMS of a loud sine by >2%
+    pcm_rows = audio_features(
+        audio_media_from_documents(_docs(spark), encoding="pcm")
+    ).collect()
+    rms_mixed = {r.doc_id: r.rms for r in rows}
+    rms_pcm = {r.doc_id: r.rms for r in pcm_rows}
+    for d in rms_pcm:
+        assert abs(rms_mixed[d] - rms_pcm[d]) / rms_pcm[d] < 0.02, d
