@@ -1256,23 +1256,19 @@ def q_x_multimodal_features(spark, sf_dir):
     per-payload format dispatch in extract_features runs all four
     decoders in one job. Width/height and channel statistics come
     from parsing the bytes (rows-only: float features; JPEG stats
-    are lossy-close, BMP/PNG/GIF exact). The compute-bound codec
-    work fans out first — the testdata parquet is one row group,
-    which would otherwise pin the whole pipeline to a single task."""
+    are lossy-close, BMP/PNG/GIF exact). One scan, one fan-out
+    repartition, one Python stage: the per-row format dispatch lives
+    INSIDE mixed_media_from_documents' mapInPandas — a union of four
+    filtered generators would scan and shuffle the table four times
+    (per-branch filters defeat exchange reuse; plan pinned in
+    tests/test_scale_patterns.py)."""
     from pac_data_pipeline_spark.ext.dedup_text import ensure_parallelism
     from pac_data_pipeline_spark.ext.multimodal import (
-        gif_media_from_documents,
-        jpeg_media_from_documents,
+        mixed_media_from_documents,
     )
 
     docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
-    bmp = bmp_media_from_documents(docs.filter(F.col("doc_id") % 4 == 0))
-    png = png_media_from_documents(docs.filter(F.col("doc_id") % 4 == 1))
-    jpg = jpeg_media_from_documents(docs.filter(F.col("doc_id") % 4 == 2))
-    gif = gif_media_from_documents(docs.filter(F.col("doc_id") % 4 == 3))
-    return extract_features(
-        bmp.unionByName(png).unionByName(jpg).unionByName(gif)
-    )
+    return extract_features(mixed_media_from_documents(docs))
 
 
 def q_x_png_decode_dims(spark, sf_dir):

@@ -441,6 +441,59 @@ def gif_media_from_documents(documents: DataFrame, max_side: int = 24) -> DataFr
     )
 
 
+#: format rotation used by :func:`mixed_media_from_documents`.
+_MIXED_FORMATS = ("bmp", "png", "jpeg", "gif")
+
+
+def mixed_media_from_documents(documents: DataFrame, max_side: int = 24) -> DataFrame:
+    """Synthesize a MIXED-format media table — doc_id % 4 selects
+    BMP / PNG / JPEG / GIF, all four encoders real — in ONE
+    ``mapInPandas`` pass. A union of the four single-format
+    generators would scan the documents table four times and shuffle
+    four times (per-branch filters defeat exchange reuse); at scale
+    the media table is built in one scan + one optional fan-out
+    repartition, with the per-row format dispatch inside the Python
+    batch. Same dimension/seed formulas as the single-format
+    generators, so downstream expectations are interchangeable."""
+    from pac_data_pipeline_spark.ext.gif import encode_gif
+    from pac_data_pipeline_spark.ext.jpeg import encode_jpeg
+
+    encoders = {
+        "bmp": (encode_bmp, "image/bmp"),
+        "png": (encode_png, "image/png"),
+        "jpeg": (encode_jpeg, "image/jpeg"),
+        "gif": (encode_gif, "image/gif"),
+    }
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                w = 4 + d % (max_side - 3)
+                h = 4 + (d * 7) % (max_side - 3)
+                enc, mime = encoders[_MIXED_FORMATS[d % 4]]
+                payload = enc(w, h, str(text).encode("utf-8"))
+                out.append(
+                    {
+                        "doc_id": d,
+                        "media_type": "image",
+                        "content": payload,
+                        "meta": {
+                            "n_bytes": len(payload),
+                            "format": mime,
+                            "width": w,
+                            "height": h,
+                        },
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return documents.select("doc_id", "text").mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
+
+
 #: magic prefix for the deterministic multi-frame test container:
 #: b"VID0" + u32 frame count + per frame (u32 length + BMP bytes)
 _VID_MAGIC = b"VID0"

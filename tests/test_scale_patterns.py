@@ -422,3 +422,28 @@ def test_jaccard_prefix_filter_prunes_candidates(spark):
     # and the verified answer is a subset of the candidates
     matches = jaccard_similarity_join(docs, threshold=0.4).count()
     assert matches <= cand
+
+
+def test_mixed_media_single_scan_single_shuffle(spark):
+    """The mixed-format media query must build its table in ONE
+    parquet scan, ONE fan-out repartition, and TWO Python stages
+    (generate + featurize). The rejected alternative — a union of
+    four per-format generators over per-branch filters — scans and
+    shuffles the table four times, since differing filters defeat
+    exchange reuse."""
+    import re
+
+    import __spark_entry__ as entry
+
+    df = entry.queries()["x_multimodal_features"](
+        spark, "/root/testdata/sf0.001"
+    )
+    p = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert len(re.findall(r"FileScan", p)) == 1, p
+    assert len(re.findall(r"Exchange", p)) == 1, p
+    assert len(re.findall(r"MapInPandas", p)) == 2, p
+    # and every payload really decodes through the format dispatch
+    rows = df.collect()
+    assert rows and all(r.decoded for r in rows)
