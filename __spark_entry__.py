@@ -1856,22 +1856,36 @@ def q_x_vec_quantize(spark, sf_dir):
 def q_x_dq_checks(spark, sf_dir):
     """Declarative data-quality gate (deequ/dbt-test shape): key
     uniqueness, FK integrity, null rate, range and accepted-values
-    checks compiled to partial-aggregated scans + one broadcast
-    anti-join; output is the per-check violations report."""
+    checks + one broadcast anti-join; output is the per-check
+    violations report. Same-table checks FUSE into one
+    partial-aggregated scan each (fused_checks — the union shape
+    would re-read the table once per check), so the whole suite is
+    one scan per table plus the FK anti-join."""
     from pac_data_pipeline_spark.operators.quality import (
-        check_accepted_values,
-        check_expression,
-        check_in_range,
         check_not_null,
         check_referential,
         check_unique,
         dq_report,
+        fused_checks,
+        viol_accepted_values,
+        viol_expression,
+        viol_in_range,
     )
 
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     e = load_events(spark, sf_dir)
+    li_checks = fused_checks(
+        li,
+        [
+            ("discount_range", viol_in_range("l_discount", 0.0, 0.1)),
+            (
+                "price_positive",
+                viol_expression(F.col("l_extendedprice") <= 0),
+            ),
+        ],
+    )
     return dq_report(
         [
             check_unique(c, ("c_custkey",), "customer_pk_unique"),
@@ -1879,15 +1893,18 @@ def q_x_dq_checks(spark, sf_dir):
                 o, "o_custkey", c, "c_custkey", "orders_fk_customer"
             ),
             check_not_null(e, "user_id", "events_user_not_null"),
-            check_in_range(li, "l_discount", 0.0, 0.1, "discount_range"),
-            check_accepted_values(
-                o, "o_orderstatus", ("O", "F", "P"), "status_domain"
+            fused_checks(
+                o,
+                [
+                    (
+                        "status_domain",
+                        viol_accepted_values(
+                            "o_orderstatus", ("O", "F", "P")
+                        ),
+                    )
+                ],
             ),
-            check_expression(
-                li,
-                F.col("l_extendedprice") <= 0,
-                "price_positive",
-            ),
+            li_checks,
         ]
     )
 

@@ -101,3 +101,52 @@ def dq_report(checks: list[DataFrame]) -> DataFrame:
         F.coalesce("n_violations", F.lit(0)).alias("n_violations"),
         (F.coalesce("n_violations", F.lit(0)) == 0).alias("passed"),
     )
+
+
+# -- single-pass fusion -------------------------------------------------------
+
+
+def viol_unique(*cols: str) -> Column:
+    """Violation-count aggregate: rows − distinct keys."""
+    return F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in cols])
+
+
+def viol_not_null(col: str) -> Column:
+    return F.sum(F.col(col).isNull().cast("int"))
+
+
+def viol_in_range(col: str, lo: float, hi: float) -> Column:
+    bad = F.col(col).isNotNull() & ((F.col(col) < lo) | (F.col(col) > hi))
+    return F.sum(bad.cast("int"))
+
+
+def viol_accepted_values(col: str, allowed: tuple) -> Column:
+    bad = F.col(col).isNotNull() & ~F.col(col).isin(list(allowed))
+    return F.sum(bad.cast("int"))
+
+
+def viol_expression(bad: Column) -> Column:
+    return F.sum(bad.cast("int"))
+
+
+def fused_checks(df: DataFrame, specs: list[tuple[str, Column]]) -> DataFrame:
+    """Every same-table check in ONE partial-aggregated scan.
+
+    ``dq_report``'s union shape reads the table once per check
+    (Catalyst cannot fuse aggregates across a union); at 100 TB
+    that multiplies the I/O by the number of checks. Here each
+    spec is (name, violation-count AGGREGATE expression — the
+    ``viol_*`` builders), all evaluated in a single wide aggregate,
+    then unpivoted with ``stack`` into the same (check_name,
+    n_violations) rows ``dq_report`` consumes. Cross-table checks
+    (referential integrity) stay separate by nature."""
+    row = df.agg(
+        *[
+            expr.cast("bigint").alias(f"c{i}")
+            for i, (_, expr) in enumerate(specs)
+        ]
+    )
+    pairs = ", ".join(f"'{name}', c{i}" for i, (name, _) in enumerate(specs))
+    return row.selectExpr(
+        f"stack({len(specs)}, {pairs}) AS (check_name, n_violations)"
+    )

@@ -414,6 +414,60 @@ def test_dq_checks_find_planted_violations(spark):
     assert rep["fk_range"] == (1, False)    # 99 out of [0, 50]
 
 
+def test_fused_checks_single_scan_matches_per_check_results(spark):
+    """fused_checks must (a) return the same violation counts as
+    the one-frame-per-check shape and (b) compile to a single scan
+    of the table instead of one per check."""
+    from pac_data_pipeline_spark.operators.quality import (
+        dq_report,
+        fused_checks,
+        viol_accepted_values,
+        viol_expression,
+        viol_in_range,
+        viol_not_null,
+        viol_unique,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 10, "A"), (2, 10, "B"), (2, 99, "Z"), (3, None, "A")],
+        "id long, v int, s string",
+    )
+    rep = {
+        r["check_name"]: (r["n_violations"], r["passed"])
+        for r in dq_report(
+            [
+                fused_checks(
+                    df,
+                    [
+                        ("id_unique", viol_unique("id")),
+                        ("v_not_null", viol_not_null("v")),
+                        ("v_range", viol_in_range("v", 0, 50)),
+                        ("s_domain", viol_accepted_values("s", ("A", "B"))),
+                        ("id_pos", viol_expression(F.col("id") <= 0)),
+                    ],
+                )
+            ]
+        ).collect()
+    }
+    assert rep["id_unique"] == (1, False)
+    assert rep["v_not_null"] == (1, False)
+    assert rep["v_range"] == (1, False)     # 99
+    assert rep["s_domain"] == (1, False)    # 'Z'
+    assert rep["id_pos"] == (0, True)
+    # single scan: the registry query reads lineitem ONCE for its
+    # two fused lineitem checks
+    import re
+
+    import __spark_entry__ as entry
+
+    q = entry.queries()["x_dq_checks"](spark, "/root/testdata/sf0.001")
+    p = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "simple"
+    )
+    assert len(re.findall(r"lineitem\.parquet", p)) == 1, p
+
+
 def test_min_by_struct_tiebreak(spark):
     from pyspark.sql import functions as F
 
