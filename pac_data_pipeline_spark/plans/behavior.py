@@ -36,52 +36,55 @@ def funnel_counts(
     time. Returns one row per stage: (``stage`` index+name,
     ``n_users``).
 
-    Stage 1 is a filtered min-aggregation; each later stage filters
-    its event type, joins the previous per-user conversion times
-    (equi-join on the user key — per-user frames are tiny relative
-    to the stream and stay co-partitioned), keeps events at/after
-    the prior time, and min-aggregates again. Cost: |stages| single-
-    key shuffles over progressively shrinking frames; the raw stream
-    is scanned once per stage with the type filter pushed to the
-    scan. The final counts are single-row aggregates unioned driver-
-    free.
+    ONE scan + ONE user-key shuffle for the whole funnel: the
+    per-stage conversion times are chained conditional window
+    minimums over the same ``partitionBy(user)`` — ``t_i = min(ts
+    WHERE type = stage_i AND ts >= t_{i-1}) OVER user`` — so every
+    Window operator shares one exchange and one sort. (The previous
+    shape — per-stage filtered min-agg joined to the prior stage —
+    scanned the stream once per stage and shuffled per stage:
+    2·|stages| more passes with identical semantics.) The per-user
+    times then collapse via a same-key groupBy (no new exchange)
+    and one stack() into (stage, stage_name, n_users) rows.
     """
+    from pyspark.sql import Window
+
     if not stages:
         raise ValueError("funnel needs at least one stage")
     ev = events.filter(
         F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
     )
-    converted = (
-        ev.filter(F.col(type_col) == stages[0])
-        .groupBy(user_col)
-        .agg(F.min(ts_col).alias("t_prev"))
+    w = Window.partitionBy(user_col)
+    prev = None
+    for i, stage in enumerate(stages, start=1):
+        hit = F.col(type_col) == stage
+        if prev is not None:
+            hit = hit & (F.col(ts_col) >= F.col(prev))
+        cur = f"__t{i}"
+        ev = ev.withColumn(
+            cur, F.min(F.when(hit, F.col(ts_col))).over(w)
+        )
+        prev = cur
+    per_user = ev.groupBy(user_col).agg(
+        *[
+            F.first(f"__t{i}").alias(f"__t{i}")
+            for i in range(1, len(stages) + 1)
+        ]
     )
-    counts = [
-        converted.agg(
-            F.lit(1).alias("stage"),
-            F.lit(stages[0]).alias("stage_name"),
-            F.count(F.lit(1)).alias("n_users"),
-        )
-    ]
-    for i, stage in enumerate(stages[1:], start=2):
-        converted = (
-            ev.filter(F.col(type_col) == stage)
-            .join(converted, user_col)
-            .filter(F.col(ts_col) >= F.col("t_prev"))
-            .groupBy(user_col)
-            .agg(F.min(ts_col).alias("t_prev"))
-        )
-        counts.append(
-            converted.agg(
-                F.lit(i).alias("stage"),
-                F.lit(stage).alias("stage_name"),
-                F.count(F.lit(1)).alias("n_users"),
-            )
-        )
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.unionByName(c)
-    return out
+    wide = per_user.agg(
+        *[
+            F.count(f"__t{i}").alias(f"__n{i}")
+            for i in range(1, len(stages) + 1)
+        ]
+    )
+    pairs = ", ".join(
+        f"{i}, '{stage}', __n{i}" for i, stage in enumerate(stages, start=1)
+    )
+    return wide.selectExpr(
+        f"stack({len(stages)}, {pairs}) AS (stage, stage_name, n_users)"
+    ).select(
+        "stage", "stage_name", F.col("n_users").cast("bigint").alias("n_users")
+    )
 
 
 def cohort_retention(
