@@ -2499,6 +2499,58 @@ def q_pipe_csv_roundtrip(spark, sf_dir):
     )
 
 
+def q_pipe_json_roundtrip(spark, sf_dir):
+    """S1's semi-structured leg live: customers written as
+    gzip-compressed JSON-lines, read back with an EXPLICIT schema
+    (inference is a full extra pass at scale — same contract as the
+    CSV round trip), aggregated per market segment. The oracle
+    computes the identical aggregate straight from the parquet, so
+    any field lost or retyped in the text round trip breaks the
+    hash."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="customer_json_")
+    c = _t(spark, sf_dir, "customer")
+    (
+        c.select(
+            "c_custkey", "c_name", "c_nationkey", "c_acctbal",
+            "c_mktsegment",
+        )
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .json(out)
+    )
+    back = spark.read.schema(
+        "c_custkey long, c_name string, c_nationkey long, "
+        "c_acctbal double, c_mktsegment string"
+    ).json(out)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.count_distinct("c_nationkey").alias("n_nations"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+    )
+
+
+def q_pipe_orc_roundtrip(spark, sf_dir):
+    """Columnar-format parity: the supplier table round-tripped
+    through ORC (Spark's other native columnar format — same
+    predicate-pushdown/column-pruning machinery as parquet) with a
+    pushed filter on the read side, aggregated per nation. Oracle
+    recomputes from parquet: a round trip that loses precision or
+    rows breaks the hash."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="supplier_orc_")
+    s = _t(spark, sf_dir, "supplier")
+    s.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out).filter(F.col("s_acctbal") > 0)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+        F.min("s_name").alias("first_name"),
+    )
+
+
 def q_x_hard_negatives(spark, sf_dir):
     """Hard-negative mining for contrastive training: for each
     anchor vector, the top-5 most-cosine-similar corpus vectors with
@@ -3277,9 +3329,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_top_tokens": q_x_top_tokens,
         # ---- end of round-4 window (position 50) -------------------
         # ROUND-5 TAIL — the remaining never-driver-checked names,
-        # queued IN THIS ORDER for the round-5 window (25 oracle-
-        # backed, including round 4's new x_png_decode_dims and
-        # x_lm_perplexity, then 10 rows-only-by-design). Round 5
+        # queued IN THIS ORDER for the round-5 window (27 oracle-
+        # backed, including round 4's new x_png_decode_dims,
+        # x_lm_perplexity, pipe_json_roundtrip, pipe_orc_roundtrip,
+        # then 10 rows-only-by-design). Round 5
         # should move these to the dict head, after anything
         # new/changed in r5. Round-4 code changes to ALREADY-
         # verdicted queries (x_quality_score, x_lang_id,
@@ -3293,6 +3346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (d) never-checked, oracle-backed (round-5 head) ---------
         "x_png_decode_dims": q_x_png_decode_dims,
         "x_lm_perplexity": q_x_lm_perplexity,
+        "pipe_json_roundtrip": q_pipe_json_roundtrip,
+        "pipe_orc_roundtrip": q_pipe_orc_roundtrip,
         "x_simhash_pairs": q_x_simhash_pairs,
         "x_unicode_clean": q_x_unicode_clean,
         "x_boilerplate": q_x_boilerplate,
@@ -5628,6 +5683,23 @@ def oracle_sql() -> dict[str, str]:
                round(sum(o_totalprice), 2) AS total
         FROM orders
         GROUP BY o_orderstatus, yr
+    """
+    oracles["pipe_json_roundtrip"] = """
+        SELECT c_mktsegment,
+               count(*) AS n_customers,
+               count(DISTINCT c_nationkey) AS n_nations,
+               round(sum(c_acctbal), 2) AS total_acctbal
+        FROM customer
+        GROUP BY c_mktsegment
+    """
+    oracles["pipe_orc_roundtrip"] = """
+        SELECT s_nationkey,
+               count(*) AS n_suppliers,
+               round(sum(s_acctbal), 2) AS total_acctbal,
+               min(s_name) AS first_name
+        FROM supplier
+        WHERE s_acctbal > 0
+        GROUP BY s_nationkey
     """
     oracles["x_hard_negatives"] = """
         WITH q AS (
