@@ -5,21 +5,21 @@ typed metadata struct; decode/feature steps are Arrow-batched
 ``mapInPandas`` operators so each Python batch amortizes serde over
 thousands of rows.
 
-The decode path is REAL for BMP, PNG, and baseline JPEG:
-``bmp_media_from_documents`` synthesizes genuine 24-bpp bitmaps
-(valid BITMAPFILEHEADER + BITMAPINFOHEADER + padded pixel rows),
-``png_media_from_documents`` genuine PNGs (stdlib-zlib deflate,
-cycling row filters), ``jpeg_media_from_documents`` genuine baseline
-JFIF streams (numpy DCT + canonical Huffman, see ``ext.jpeg``), and
-``extract_features`` dispatches per payload — BMP header+matrix
-parse, PNG chunk walk + inflate + full None/Sub/Up/Average/Paeth
-unfiltering, or JPEG marker walk + Huffman decode + dequantize +
-IDCT — so width/height and channel statistics are computed from the
-bytes, not passed through. Formats needing a native codec library
-(video/webp via ffmpeg) stay behind ``_decode_real`` which raises
-``NotImplementedError`` in this container; undecodable payloads fall
-back to a deterministic byte-hash feature so the distributed
-plumbing still runs end-to-end.
+The decode path is REAL for five image formats — BMP (header +
+pixel-matrix parse), PNG (stdlib-zlib chunk walk + inflate + full
+None/Sub/Up/Average/Paeth unfiltering), baseline JPEG (marker walk +
+canonical Huffman + dequantize + IDCT, see ``ext.jpeg``), GIF
+(variable-width LZW + global color table, see ``ext.gif``), and
+uncompressed TIFF (IFD walk + strip assembly) — plus WAV audio in
+16-bit PCM and 8-bit G.711 μ-law/A-law. Each format has a matching
+synthesizer (``*_media_from_documents`` / ``encode_*``) emitting
+genuine files from deterministic tiled-seed formulas, and
+``extract_features`` dispatches per payload so width/height and
+channel statistics are computed from the bytes, not passed through.
+Formats needing a native codec library (video/webp via ffmpeg) stay
+behind ``_decode_real`` which raises ``NotImplementedError`` in this
+container; undecodable payloads fall back to a deterministic
+byte-hash feature so the distributed plumbing still runs end-to-end.
 
 Scale notes: binary payloads inflate row size — keep
 ``spark.sql.files.maxPartitionBytes`` small enough that a batch of
@@ -441,16 +441,132 @@ def gif_media_from_documents(documents: DataFrame, max_side: int = 24) -> DataFr
     )
 
 
+_TIFF_TAGS = {
+    256: "width",
+    257: "height",
+    258: "bits_per_sample",
+    259: "compression",
+    262: "photometric",
+    273: "strip_offsets",
+    277: "samples_per_pixel",
+    278: "rows_per_strip",
+    279: "strip_byte_counts",
+}
+_TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
+
+
+def encode_tiff(width: int, height: int, pixel_seed: bytes) -> bytes:
+    """Build a real little-endian uncompressed RGB8 TIFF (single
+    strip, chunky layout): II*\\0 header, pixel data, then one IFD
+    with the baseline tags any TIFF reader needs. Same tiled-seed
+    pixel formula as the other encoders (RGB top-down)."""
+    if width <= 0 or height <= 0:
+        raise ValueError("width/height must be positive")
+    seed = np.frombuffer(pixel_seed or b"\x00", dtype=np.uint8)
+    n = height * width * 3
+    pixels = np.tile(seed, n // len(seed) + 1)[:n].tobytes()
+    data_off = 8
+    ifd_off = data_off + len(pixels)
+
+    def entry(tag, typ, count, value):
+        return struct.pack("<HHII", tag, typ, count, value)
+
+    entries = [
+        entry(256, 4, 1, width),
+        entry(257, 4, 1, height),
+        # bits-per-sample needs 3 SHORTs (> 4 bytes) → offset field
+        entry(258, 3, 3, ifd_off + 2 + 12 * 9 + 4),
+        entry(259, 3, 1, 1),   # no compression
+        entry(262, 3, 1, 2),   # RGB
+        entry(273, 4, 1, data_off),
+        entry(277, 3, 1, 3),
+        entry(278, 4, 1, height),
+        entry(279, 4, 1, len(pixels)),
+    ]
+    ifd = (
+        struct.pack("<H", len(entries))
+        + b"".join(entries)
+        + struct.pack("<I", 0)  # no next IFD
+        + struct.pack("<HHH", 8, 8, 8)  # the out-of-line bits array
+    )
+    return b"II*\x00" + struct.pack("<I", ifd_off) + pixels + ifd
+
+
+def decode_tiff(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a little-endian baseline TIFF headerwise: IFD walk,
+    uncompressed chunky RGB8 (or gray8) strips. Returns (width,
+    height, pixels[h, w, 3] top-down; gray replicates). Big-endian,
+    compressed, tiled, planar, and multi-bit-depth files are
+    rejected loudly."""
+    if len(payload) < 8:
+        raise ValueError("not a TIFF payload")
+    if payload[:4] == b"MM\x00*":
+        raise ValueError("big-endian TIFF unsupported")
+    if payload[:4] != b"II*\x00":
+        raise ValueError("not a TIFF payload")
+    (ifd_off,) = struct.unpack_from("<I", payload, 4)
+    if ifd_off + 2 > len(payload):
+        raise ValueError("truncated TIFF IFD")
+    (n_entries,) = struct.unpack_from("<H", payload, ifd_off)
+    tags: dict[str, list[int]] = {}
+    for i in range(n_entries):
+        off = ifd_off + 2 + 12 * i
+        if off + 12 > len(payload):
+            raise ValueError("truncated TIFF IFD entry")
+        tag, typ, count, raw = struct.unpack_from("<HHII", payload, off)
+        name = _TIFF_TAGS.get(tag)
+        if name is None or typ not in _TIFF_TYPE_SIZE:
+            continue
+        size = _TIFF_TYPE_SIZE[typ] * count
+        if size <= 4:  # value inline, packed little-endian
+            buf = payload[off + 8 : off + 8 + size]
+        else:
+            if raw + size > len(payload):
+                raise ValueError("truncated TIFF out-of-line value")
+            buf = payload[raw : raw + size]
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        tags[name] = list(struct.unpack("<" + fmt * count, buf))
+    try:
+        width = tags["width"][0]
+        height = tags["height"][0]
+        offsets = tags["strip_offsets"]
+        counts = tags["strip_byte_counts"]
+    except KeyError as exc:
+        raise ValueError(f"TIFF missing required tag: {exc}") from exc
+    if tags.get("compression", [1])[0] != 1:
+        raise ValueError("compressed TIFF unsupported")
+    spp = tags.get("samples_per_pixel", [1])[0]
+    bits = tags.get("bits_per_sample", [8])
+    if any(b != 8 for b in bits) or spp not in (1, 3):
+        raise ValueError(f"unsupported TIFF layout: {bits}x{spp}")
+    if width <= 0 or height <= 0:
+        raise ValueError("empty TIFF frame")
+    data = bytearray()
+    for o, c in zip(offsets, counts):
+        if o + c > len(payload):
+            raise ValueError("truncated TIFF strip")
+        data.extend(payload[o : o + c])
+    need = width * height * spp
+    if len(data) < need:
+        raise ValueError("TIFF pixel data short")
+    arr = np.frombuffer(bytes(data[:need]), dtype=np.uint8).reshape(
+        height, width, spp
+    )
+    if spp == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    return width, height, arr
+
+
 #: format rotation used by :func:`mixed_media_from_documents`.
-_MIXED_FORMATS = ("bmp", "png", "jpeg", "gif")
+_MIXED_FORMATS = ("bmp", "png", "jpeg", "gif", "tiff")
 
 
 def mixed_media_from_documents(documents: DataFrame, max_side: int = 24) -> DataFrame:
-    """Synthesize a MIXED-format media table — doc_id % 4 selects
-    BMP / PNG / JPEG / GIF, all four encoders real — in ONE
-    ``mapInPandas`` pass. A union of the four single-format
-    generators would scan the documents table four times and shuffle
-    four times (per-branch filters defeat exchange reuse); at scale
+    """Synthesize a MIXED-format media table — doc_id % 5 selects
+    BMP / PNG / JPEG / GIF / TIFF, all five encoders real — in ONE
+    ``mapInPandas`` pass. A union of the single-format
+    generators would scan the documents table once per format and
+    shuffle as many times (per-branch filters defeat exchange reuse); at scale
     the media table is built in one scan + one optional fan-out
     repartition, with the per-row format dispatch inside the Python
     batch. Same dimension/seed formulas as the single-format
@@ -463,6 +579,7 @@ def mixed_media_from_documents(documents: DataFrame, max_side: int = 24) -> Data
         "png": (encode_png, "image/png"),
         "jpeg": (encode_jpeg, "image/jpeg"),
         "gif": (encode_gif, "image/gif"),
+        "tiff": (encode_tiff, "image/tiff"),
     }
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -649,7 +766,13 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
             for payload in pdf["content"]:
                 b = bytes(payload)
                 px = None
-                for dec in (decode_bmp, decode_png, _decode_jpeg, _decode_gif):
+                for dec in (
+                    decode_bmp,
+                    decode_png,
+                    decode_tiff,
+                    _decode_jpeg,
+                    _decode_gif,
+                ):
                     try:
                         w, h, px = dec(b)
                         break

@@ -1156,3 +1156,68 @@ def test_wav_g711_container_roundtrip(spark):
     rms_pcm = {r.doc_id: r.rms for r in pcm_rows}
     for d in rms_pcm:
         assert abs(rms_mixed[d] - rms_pcm[d]) / rms_pcm[d] < 0.02, d
+
+
+def test_tiff_decode_hand_built():
+    """Pin decode_tiff against a TIFF assembled BY HAND (not
+    encode_tiff): 2x1 RGB, strip data placed AFTER the IFD and the
+    bits-per-sample array out-of-line — exercising offset handling,
+    not just the encoder's own layout."""
+    import struct
+
+    import numpy as np
+
+    from pac_data_pipeline_spark.ext.multimodal import decode_tiff
+
+    def entry(tag, typ, count, value):
+        return struct.pack("<HHII", tag, typ, count, value)
+
+    # layout: header(8) | IFD | bits array(6) | pixels(6)
+    n_entries = 9
+    ifd_off = 8
+    ifd_size = 2 + 12 * n_entries + 4
+    bits_off = ifd_off + ifd_size
+    pix_off = bits_off + 6
+    entries = (
+        entry(256, 4, 1, 2)
+        + entry(257, 4, 1, 1)
+        + entry(258, 3, 3, bits_off)
+        + entry(259, 3, 1, 1)
+        + entry(262, 3, 1, 2)
+        + entry(273, 4, 1, pix_off)
+        + entry(277, 3, 1, 3)
+        + entry(278, 4, 1, 1)
+        + entry(279, 4, 1, 6)
+    )
+    payload = (
+        b"II*\x00" + struct.pack("<I", ifd_off)
+        + struct.pack("<H", n_entries) + entries + struct.pack("<I", 0)
+        + struct.pack("<HHH", 8, 8, 8)
+        + bytes([255, 0, 10, 0, 255, 20])  # (255,0,10) (0,255,20)
+    )
+    w, h, px = decode_tiff(payload)
+    assert (w, h) == (2, 1)
+    expect = np.array([[[255, 0, 10], [0, 255, 20]]], dtype=np.uint8)
+    assert (px == expect).all()
+
+
+def test_tiff_encode_decode_exact_roundtrip():
+    """Uncompressed TIFF is lossless: exact pixel equality, plus
+    loud rejection of big-endian and truncated files."""
+    import numpy as np
+
+    from pac_data_pipeline_spark.ext.multimodal import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    for w, hgt, seed in [(5, 3, b"abcdefg"), (1, 1, b"\xff"), (24, 24, bytes(range(256)))]:
+        dw, dh, px = decode_tiff(encode_tiff(w, hgt, seed))
+        assert (dw, dh) == (w, hgt)
+        s = np.frombuffer(seed, dtype=np.uint8)
+        expect = np.tile(s, (w * hgt * 3) // len(s) + 1)[: w * hgt * 3]
+        assert (px == expect.reshape(hgt, w, 3)).all(), (w, hgt)
+    with pytest.raises(ValueError, match="big-endian"):
+        decode_tiff(b"MM\x00*" + bytes(20))
+    with pytest.raises(ValueError):
+        decode_tiff(encode_tiff(4, 4, b"x")[:-10])

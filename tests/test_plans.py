@@ -307,7 +307,15 @@ def test_no_scale_antipatterns_across_registry(spark):
     # count aggregate while the window is doc-partitioned.
     # x_token_budget's running sum windows over ~100 bucket
     # aggregates, not corpus rows — the tiny-frame exception.
-    ALLOWED_GLOBAL_WINDOW = {"k3_batch_id", "x_tfidf_terms", "x_token_budget"}
+    # h_funnel: the Window partitions by user_id; the SinglePartition
+    # exchange belongs to the final |stages|-column 1-row count
+    # aggregate (same false-positive shape as x_tfidf_terms).
+    ALLOWED_GLOBAL_WINDOW = {
+        "k3_batch_id",
+        "x_tfidf_terms",
+        "x_token_budget",
+        "h_funnel",
+    }
     sc = spark.sparkContext
     bad = {}
     for name, fn in entry.queries().items():

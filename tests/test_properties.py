@@ -40,6 +40,7 @@ def test_image_decoders_never_crash_on_garbage(payload):
     from pac_data_pipeline_spark.ext.multimodal import (
         decode_bmp,
         decode_png,
+        decode_tiff,
     )
 
     prefixes = [
@@ -48,10 +49,11 @@ def test_image_decoders_never_crash_on_garbage(payload):
         b"\x89PNG\r\n\x1a\n",
         b"\xff\xd8\xff\xe0",
         b"GIF89a",
+        b"II*\x00",
     ]
     for prefix in prefixes:
         data = prefix + payload
-        for dec in (decode_bmp, decode_png, decode_jpeg, decode_gif):
+        for dec in (decode_bmp, decode_png, decode_jpeg, decode_gif, decode_tiff):
             try:
                 w, h, px = dec(data)
             except ValueError:
