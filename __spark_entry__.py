@@ -2499,6 +2499,16 @@ def q_pipe_csv_roundtrip(spark, sf_dir):
     )
 
 
+def q_x_sentence_stats(spark, sf_dir):
+    """Sentence-level fluency signals (count / mean tokens / longest
+    sentence) under an ASCII-portable segmentation contract —
+    shuffle-free JVM array HOFs over the scan; the oracle runs the
+    identical regexes in DuckDB."""
+    from pac_data_pipeline_spark.ext.text import sentence_stats
+
+    return sentence_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_pipe_json_roundtrip(spark, sf_dir):
     """S1's semi-structured leg live: customers written as
     gzip-compressed JSON-lines, read back with an EXPLICIT schema
@@ -3329,10 +3339,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_top_tokens": q_x_top_tokens,
         # ---- end of round-4 window (position 50) -------------------
         # ROUND-5 TAIL — the remaining never-driver-checked names,
-        # queued IN THIS ORDER for the round-5 window (27 oracle-
+        # queued IN THIS ORDER for the round-5 window (28 oracle-
         # backed, including round 4's new x_png_decode_dims,
         # x_lm_perplexity, pipe_json_roundtrip, pipe_orc_roundtrip,
-        # then 10 rows-only-by-design). Round 5
+        # x_sentence_stats, then 10 rows-only-by-design). Round 5
         # should move these to the dict head, after anything
         # new/changed in r5. Round-4 code changes to ALREADY-
         # verdicted queries (x_quality_score, x_lang_id,
@@ -3348,6 +3358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_lm_perplexity": q_x_lm_perplexity,
         "pipe_json_roundtrip": q_pipe_json_roundtrip,
         "pipe_orc_roundtrip": q_pipe_orc_roundtrip,
+        "x_sentence_stats": q_x_sentence_stats,
         "x_simhash_pairs": q_x_simhash_pairs,
         "x_unicode_clean": q_x_unicode_clean,
         "x_boilerplate": q_x_boilerplate,
@@ -5683,6 +5694,34 @@ def oracle_sql() -> dict[str, str]:
                round(sum(o_totalprice), 2) AS total
         FROM orders
         GROUP BY o_orderstatus, yr
+    """
+    oracles["x_sentence_stats"] = """
+        WITH s AS (
+            SELECT doc_id,
+                   list_filter(
+                       list_transform(
+                           string_split_regex(coalesce(text, ''), '[.!?]+'),
+                           x -> regexp_replace(
+                                    regexp_replace(x, '^[ \\t\\n\\f\\r]+', ''),
+                                    '[ \\t\\n\\f\\r]+$', '')),
+                       x -> x != '') AS sents
+            FROM documents
+        ),
+        l AS (
+            SELECT doc_id, sents,
+                   list_transform(
+                       sents,
+                       x -> len(string_split_regex(x, '[ \\t\\n\\f\\r]+'))
+                   ) AS lens
+            FROM s
+        )
+        SELECT doc_id,
+               CAST(len(sents) AS BIGINT) AS n_sentences,
+               round(CAST(list_sum(lens) AS DOUBLE) / nullif(len(sents), 0), 3)
+                   AS avg_sentence_tokens,
+               CAST(coalesce(list_max(lens), 0) AS BIGINT)
+                   AS max_sentence_tokens
+        FROM l
     """
     oracles["pipe_json_roundtrip"] = """
         SELECT c_mktsegment,

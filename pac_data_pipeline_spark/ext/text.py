@@ -993,3 +993,43 @@ def ngram_lm_score(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("nll"), 3).alias("avg_nll"),
     )
+
+
+def sentence_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sentence-level shape signals: count, mean length (tokens),
+    and longest sentence — the classic fluency/boilerplate
+    discriminators (prose has mid-length sentences; tag soup has
+    either no terminators or thousands of one-token "sentences").
+
+    The segmentation contract is deliberately ASCII-regex-portable,
+    like TOKEN_SEP/ascii_lower: sentences split on runs of ``.!?``,
+    each segment trimmed of ASCII whitespace, empties dropped;
+    tokens within a sentence use the TOKEN_SEP class. Everything is
+    JVM array HOFs over the scan — shuffle-free — and the DuckDB
+    oracle runs the identical regexes."""
+    trim_ws = (
+        "regexp_replace(regexp_replace({s}, '^[ \\\\t\\\\n\\\\f\\\\r]+', ''),"
+        " '[ \\\\t\\\\n\\\\f\\\\r]+$', '')"
+    )
+    sents = (
+        "filter(transform(split(coalesce({c}, ''), '[.!?]+'),"
+        " s -> " + trim_ws.format(s="s") + "), s -> s != '')"
+    ).format(c=text_col)
+    lens = (
+        f"transform({sents}, s -> size(split(s, '{TOKEN_SEP_SQL}')))"
+    )
+    return df.select(
+        F.col(id_col),
+        F.expr(f"size({sents})").cast("bigint").alias("n_sentences"),
+        F.expr(
+            f"round(cast(aggregate({lens}, 0, (a, x) -> a + x) as double)"
+            f" / nullif(size({sents}), 0), 3)"
+        ).alias("avg_sentence_tokens"),
+        F.expr(
+            f"coalesce(array_max({lens}), 0)"
+        ).cast("bigint").alias("max_sentence_tokens"),
+    )

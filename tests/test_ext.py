@@ -1221,3 +1221,33 @@ def test_tiff_encode_decode_exact_roundtrip():
         decode_tiff(b"MM\x00*" + bytes(20))
     with pytest.raises(ValueError):
         decode_tiff(encode_tiff(4, 4, b"x")[:-10])
+
+
+def test_sentence_stats_edges(spark):
+    """Segmentation contract edges: no terminators (whole doc = one
+    sentence), empty/null text, terminator-only text, and multi-
+    terminator runs collapsing to one boundary."""
+    from pac_data_pipeline_spark.ext.text import sentence_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, "One two three. Four five! Six?"),
+            (1, "no terminators here at all"),
+            (2, ""),
+            (3, None),
+            (4, "!!!???..."),
+            (5, "a.. b!? c"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_sentences, r.avg_sentence_tokens,
+                   r.max_sentence_tokens)
+        for r in sentence_stats(df).collect()
+    }
+    assert got[0] == (3, 2.0, 3)       # "One two three" is longest
+    assert got[1] == (1, 5.0, 5)
+    assert got[2] == (0, None, 0)
+    assert got[3] == (0, None, 0)
+    assert got[4] == (0, None, 0)
+    assert got[5] == (3, 1.0, 1)
