@@ -1301,11 +1301,12 @@ def q_x_png_decode_dims(spark, sf_dir):
 
 
 def q_x_frame_sample(spark, sf_dir):
-    """REAL frame sampling: multi-frame BMP-stack containers are
-    parsed (length-prefixed walk) and every 2nd frame's BMP header
-    is decoded — widths/heights come from the sampled frame's
-    bytes. The oracle recomputes the deterministic generative
-    formulas; the Spark side only ever reads the payload."""
+    """REAL frame sampling: genuine uncompressed AVI payloads (RIFF
+    demux via ext.avi — strf geometry, movi chunk walk, idx1
+    cross-check) with every 2nd frame's raw DIB span decoded —
+    widths/heights come from the decoded frame's pixel-array shape.
+    The oracle recomputes the deterministic generative formulas; the
+    Spark side only ever reads the payload bytes."""
     media = video_media_from_documents(_t(spark, sf_dir, "documents"))
     return frame_sample(media, every_n=2)
 
@@ -4015,8 +4016,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(2 + doc_id % 4 AS INT) AS n_frames,
                    CAST(f.frame_idx AS INT) AS frame_idx,
-                   CAST(4 + (doc_id + f.frame_idx) % 5 AS INT) AS width,
-                   CAST(4 + (doc_id * 3 + f.frame_idx) % 5 AS INT) AS height
+                   CAST(4 + doc_id % 5 AS INT) AS width,
+                   CAST(4 + (doc_id * 3) % 5 AS INT) AS height
             FROM documents
             CROSS JOIN LATERAL (
                 SELECT unnest(range(0, 2 + doc_id % 4, 2)) AS frame_idx

@@ -16,7 +16,9 @@ synthesizer (``*_media_from_documents`` / ``encode_*``) emitting
 genuine files from deterministic tiled-seed formulas, and
 ``extract_features`` dispatches per payload so width/height and
 channel statistics are computed from the bytes, not passed through.
-Formats needing a native codec library (video/webp via ffmpeg) stay
+Video is REAL for uncompressed AVI (RIFF demux + raw-DIB frame
+decode, see :mod:`pac_data_pipeline_spark.ext.avi`); formats needing
+a native codec library (compressed video / webp via ffmpeg) stay
 behind ``_decode_real`` which raises ``NotImplementedError`` in this
 container; undecodable payloads fall back to a deterministic
 byte-hash feature so the distributed plumbing still runs end-to-end.
@@ -611,10 +613,6 @@ def mixed_media_from_documents(documents: DataFrame, max_side: int = 24) -> Data
     )
 
 
-#: magic prefix for the deterministic multi-frame test container:
-#: b"VID0" + u32 frame count + per frame (u32 length + BMP bytes)
-_VID_MAGIC = b"VID0"
-
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -627,11 +625,13 @@ FRAME_SCHEMA = T.StructType(
 
 
 def video_media_from_documents(documents: DataFrame) -> DataFrame:
-    """Synthesize multi-frame video-like payloads: a length-prefixed
-    container of REAL BMP frames (2 + doc_id % 4 frames, dimensions
-    deterministic per doc and frame). A real demuxer (ffmpeg) would
-    replace the container parse; the per-frame decode path is the
-    same BMP machinery."""
+    """Synthesize REAL uncompressed AVI payloads (RIFF 'AVI ', 'DIB '
+    stream, idx1 index — :mod:`pac_data_pipeline_spark.ext.avi`):
+    2 + doc_id % 4 frames at a per-document frame size (one size per
+    stream, as the AVI spec requires), pixel bytes deterministic from
+    the document text tiled per frame. Any standard player opens the
+    result; compressed codecs remain behind ``_decode_real``."""
+    from pac_data_pipeline_spark.ext.avi import encode_avi
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -639,16 +639,17 @@ def video_media_from_documents(documents: DataFrame) -> DataFrame:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 d = int(doc_id)
                 n_frames = 2 + d % 4
+                w = 4 + d % 5
+                h = 4 + (d * 3) % 5
                 frames = []
                 for f in range(n_frames):
-                    w = 4 + (d + f) % 5
-                    h = 4 + (d * 3 + f) % 5
-                    frames.append(
-                        encode_bmp(w, h, str(text).encode("utf-8") or b"x")
+                    seed = np.frombuffer(
+                        (str(text).encode("utf-8") or b"x") + bytes([f + 1]),
+                        dtype=np.uint8,
                     )
-                payload = _VID_MAGIC + struct.pack("<I", n_frames)
-                for fr in frames:
-                    payload += struct.pack("<I", len(fr)) + fr
+                    flat = np.tile(seed, (h * w * 3) // len(seed) + 1)
+                    frames.append(flat[: h * w * 3].reshape(h, w, 3))
+                payload = encode_avi(frames, fps=10)
                 out.append(
                     {
                         "doc_id": d,
@@ -656,9 +657,9 @@ def video_media_from_documents(documents: DataFrame) -> DataFrame:
                         "content": payload,
                         "meta": {
                             "n_bytes": len(payload),
-                            "format": "video/x-bmp-stack",
-                            "width": 0,
-                            "height": 0,
+                            "format": "video/x-msvideo",
+                            "width": w,
+                            "height": h,
                         },
                     }
                 )
@@ -670,36 +671,36 @@ def video_media_from_documents(documents: DataFrame) -> DataFrame:
 
 
 def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
-    """REAL frame sampling: parse the container header, walk the
-    length-prefixed frame table, and decode the BMP header of every
-    ``every_n``-th frame — widths/heights come from the sampled
-    frame's bytes, not metadata. Arrow-batched; one output row per
-    sampled frame."""
+    """REAL frame sampling over AVI payloads: demux the RIFF envelope
+    (strf geometry + movi chunk walk, idx1 cross-checked), then
+    decode every ``every_n``-th frame's raw DIB span — widths and
+    heights are proven by the decoded frame's pixel-array shape, not
+    read from metadata. Demux is header arithmetic; only sampled
+    frames' pixel bytes are touched, so the cost scales with the
+    sample, not the stream. Arrow-batched; one output row per
+    sampled frame; non-AVI payloads are skipped."""
+    from pac_data_pipeline_spark.ext.avi import decode_avi_frame, parse_avi
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
                 b = bytes(payload)
-                if b[:4] != _VID_MAGIC:
-                    continue  # not a frame container
-                (n_frames,) = struct.unpack_from("<I", b, 4)
-                off = 8
-                for idx in range(n_frames):
-                    (flen,) = struct.unpack_from("<I", b, off)
-                    off += 4
-                    if idx % every_n == 0:
-                        w, h, _ = decode_bmp(b[off : off + flen])
-                        rows.append(
-                            {
-                                "doc_id": int(doc_id),
-                                "n_frames": n_frames,
-                                "frame_idx": idx,
-                                "width": w,
-                                "height": h,
-                            }
-                        )
-                    off += flen
+                try:
+                    stream = parse_avi(b)
+                except ValueError:
+                    continue  # not an uncompressed AVI
+                for idx in range(0, stream.n_frames, every_n):
+                    px = decode_avi_frame(b, stream, idx)
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "n_frames": stream.n_frames,
+                            "frame_idx": idx,
+                            "width": px.shape[1],
+                            "height": px.shape[0],
+                        }
+                    )
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -727,16 +728,27 @@ def _decode_gif(payload: bytes):
     return decode_gif(payload)
 
 
+def _decode_avi_first(payload: bytes):
+    """Dispatch shim: demux an uncompressed AVI and decode its first
+    frame so video payloads get pixel-derived features like the image
+    formats do (lazy import, same pattern as JPEG/GIF)."""
+    from pac_data_pipeline_spark.ext.avi import decode_avi_frame, parse_avi
+
+    stream = parse_avi(payload)
+    return stream.width, stream.height, decode_avi_frame(payload, stream, 0)
+
+
 def _decode_real(payload: bytes):  # pragma: no cover - env has no codec libs
     try:
         import av  # noqa: F401  (PyAV / ffmpeg bindings)
     except ImportError as exc:
         raise NotImplementedError(
-            "video/webp decode requires ffmpeg bindings, not present "
-            "in this environment — BMP, PNG, and baseline JPEG decode "
-            "natively (decode_bmp / decode_png / ext.jpeg.decode_jpeg); "
-            "remaining codec formats fall back to deterministic "
-            "byte-hash features"
+            "compressed-video/webp decode requires ffmpeg bindings, not "
+            "present in this environment — BMP, PNG, baseline JPEG, GIF, "
+            "uncompressed TIFF, and uncompressed AVI decode natively "
+            "(decode_bmp / decode_png / ext.jpeg / ext.gif / decode_tiff "
+            "/ ext.avi); remaining codec formats fall back to "
+            "deterministic byte-hash features"
         ) from exc
     raise NotImplementedError("wire av.open(BytesIO(payload)) here")
 
@@ -755,7 +767,8 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     Huffman + dequantize + IDCT): the feature vector is [width,
     height, mean ch0, mean ch1, mean ch2, std, min, max] computed
     from the pixels (channel order is as stored: BGR for BMP,
-    RGB(A)/gray for PNG, RGB for JPEG), and ``decoded=true``. Other
+    RGB(A)/gray for PNG, RGB for JPEG; AVI payloads use the decoded
+    first frame), and ``decoded=true``. Other
     payloads get a deterministic byte-hash feature with
     ``decoded=false`` (native codec formats — see ``_decode_real``).
     Arrow batches in, Arrow batches out; no driver involvement."""
@@ -772,6 +785,7 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
                     decode_tiff,
                     _decode_jpeg,
                     _decode_gif,
+                    _decode_avi_first,
                 ):
                     try:
                         w, h, px = dec(b)

@@ -789,10 +789,11 @@ def test_video_container_frame_sample(spark):
         sampled = sorted(r.frame_idx for r in by_doc[d])
         assert sampled == list(range(0, n_frames, 2))
         for r in by_doc[d]:
-            # dims decoded from the frame's BMP header match the
+            # dims come from the decoded DIB frame's pixel-array
+            # shape (one frame size per AVI stream) and match the
             # generative formula
-            assert r.width == 4 + (d + r.frame_idx) % 5
-            assert r.height == 4 + (d * 3 + r.frame_idx) % 5
+            assert r.width == 4 + d % 5
+            assert r.height == 4 + (d * 3) % 5
 
 
 def test_pmi_collocations_scores_phrases_over_fillers(spark):
@@ -1221,6 +1222,79 @@ def test_tiff_encode_decode_exact_roundtrip():
         decode_tiff(b"MM\x00*" + bytes(20))
     with pytest.raises(ValueError):
         decode_tiff(encode_tiff(4, 4, b"x")[:-10])
+
+
+def test_avi_encode_decode_exact_roundtrip():
+    """Uncompressed AVI is lossless: every frame decodes back to
+    exact pixel equality, the demuxer's geometry matches the mux
+    inputs, and the idx1 index agrees with the movi walk."""
+    import numpy as np
+
+    from pac_data_pipeline_spark.ext.avi import (
+        decode_avi_frame,
+        encode_avi,
+        parse_avi,
+    )
+
+    rng = np.random.default_rng(7)
+    for w, h, n in [(5, 3, 4), (1, 1, 1), (16, 9, 3)]:
+        frames = [
+            rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            for _ in range(n)
+        ]
+        payload = encode_avi(frames, fps=25)
+        stream = parse_avi(payload)
+        assert (stream.width, stream.height, stream.n_frames) == (w, h, n)
+        for i, fr in enumerate(frames):
+            assert (decode_avi_frame(payload, stream, i) == fr).all(), (w, h, i)
+
+
+def test_avi_demux_rejects_bad_inputs():
+    """The honest-stub boundary: compressed streams, lying indexes,
+    mixed frame sizes, and non-AVI bytes all raise loudly instead of
+    producing fake pixels."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pac_data_pipeline_spark.ext.avi import encode_avi, parse_avi
+
+    frame = np.zeros((3, 4, 3), dtype=np.uint8)
+    payload = encode_avi([frame, frame])
+
+    with _pytest.raises(ValueError, match="not an AVI"):
+        parse_avi(b"RIFF\x04\x00\x00\x00WAVE")
+    with _pytest.raises(ValueError, match="one frame size"):
+        encode_avi([frame, np.zeros((4, 4, 3), dtype=np.uint8)])
+    # flip the strh handler fourcc to a compressed codec
+    compressed = payload.replace(b"vidsDIB ", b"vidsH264")
+    with _pytest.raises(ValueError, match="compressed AVI"):
+        parse_avi(compressed)
+    # corrupt idx1: drop one 16-byte entry so it disagrees with movi
+    idx_at = payload.rindex(b"idx1")
+    (idx_size,) = __import__("struct").unpack_from("<I", payload, idx_at + 4)
+    bad = bytearray(payload)
+    __import__("struct").pack_into("<I", bad, idx_at + 4, idx_size - 16)
+    with _pytest.raises(ValueError, match="idx1 disagrees"):
+        parse_avi(bytes(bad[: idx_at + 8 + idx_size - 16]))
+
+
+def test_extract_features_decodes_avi_first_frame(spark):
+    """Video payloads flow through the same pixel-derived feature
+    path as images: width/height in the feature come from the
+    decoded first frame, decoded=true."""
+    from pac_data_pipeline_spark.ext.multimodal import (
+        extract_features,
+        video_media_from_documents,
+    )
+
+    media = video_media_from_documents(_docs(spark))
+    rows = extract_features(media).collect()
+    assert rows and all(r.decoded for r in rows)
+    for r in rows:
+        assert r.width == 4 + r.doc_id % 5
+        assert r.height == 4 + (r.doc_id * 3) % 5
+        assert r.feature[0] == float(r.width)
+        assert r.feature[1] == float(r.height)
 
 
 def test_sentence_stats_edges(spark):
