@@ -1250,18 +1250,18 @@ def q_x_stream_tumbling(spark, sf_dir):
 
 def q_x_multimodal_features(spark, sf_dir):
     """Binary media column → Arrow-batched REAL image decode over a
-    MIXED-format table: doc_id % 4 picks genuine 24-bpp BMP, stdlib-
+    MIXED-format table: doc_id % 6 picks genuine 24-bpp BMP, stdlib-
     zlib PNG (cycling row filters), baseline JPEG (numpy DCT +
-    canonical Huffman), or GIF89a (stdlib LZW + palette), so the
-    per-payload format dispatch in extract_features runs all four
-    decoders in one job. Width/height and channel statistics come
-    from parsing the bytes (rows-only: float features; JPEG stats
-    are lossy-close, BMP/PNG/GIF exact). One scan, one fan-out
-    repartition, one Python stage: the per-row format dispatch lives
-    INSIDE mixed_media_from_documents' mapInPandas — a union of four
-    filtered generators would scan and shuffle the table four times
-    (per-branch filters defeat exchange reuse; plan pinned in
-    tests/test_scale_patterns.py)."""
+    canonical Huffman), GIF89a (stdlib LZW + palette), uncompressed
+    TIFF, or lossless WebP (VP8L), so the per-payload format dispatch
+    in extract_features runs all six decoders in one job.
+    Width/height and channel statistics come from parsing the bytes
+    (rows-only: float features; JPEG stats are lossy-close, the rest
+    exact). One scan, one fan-out repartition, one Python stage: the
+    per-row format dispatch lives INSIDE mixed_media_from_documents'
+    mapInPandas — a union of six filtered generators would scan and
+    shuffle the table six times (per-branch filters defeat exchange
+    reuse; plan pinned in tests/test_scale_patterns.py)."""
     from pac_data_pipeline_spark.ext.dedup_text import ensure_parallelism
     from pac_data_pipeline_spark.ext.multimodal import (
         mixed_media_from_documents,
@@ -1289,6 +1289,36 @@ def q_x_png_decode_dims(spark, sf_dir):
     )
     # decoded=false rows are filtered OUT, so a decoder fallback to
     # byte-hash features shows up as a row-count mismatch, not a pass
+    return (
+        extract_features(media)
+        .filter(F.col("decoded"))
+        .select(
+            "doc_id",
+            F.col("width").cast("int").alias("width"),
+            F.col("height").cast("int").alias("height"),
+        )
+    )
+
+
+def q_x_webp_decode_dims(spark, sf_dir):
+    """End-to-end lossless-WebP proof with an EXACT oracle:
+    synthesize real VP8L bitstreams (canonical prefix codes;
+    subtract-green alternating by width parity), then recover
+    width/height by actually decoding the bytes (RIFF walk + prefix
+    decode + inverse transforms) in extract_features. VP8L is
+    lossless, so decoded dimensions are deterministic and the DuckDB
+    oracle recomputes the generative formulas — any bit-packing,
+    prefix-code, or transform bug breaks the hash. Same shape as
+    x_png_decode_dims; pixel statistics stay in rows-only
+    x_multimodal_features."""
+    from pac_data_pipeline_spark.ext.dedup_text import ensure_parallelism
+    from pac_data_pipeline_spark.ext.multimodal import (
+        webp_media_from_documents,
+    )
+
+    media = webp_media_from_documents(
+        ensure_parallelism(_t(spark, sf_dir, "documents"))
+    )
     return (
         extract_features(media)
         .filter(F.col("decoded"))
@@ -3354,8 +3384,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # unicode fuzz clone (now carrying ΣΟΦΟΣ/İstanbul probes)
         # is the dataset that exercises the change, and the full
         # local gate passes on it.
+        # NOTE r4-late: x_frame_sample's container changed from the
+        # ad-hoc BMP stack to real uncompressed AVI (ext/avi.py) and
+        # x_webp_decode_dims (lossless-WebP/VP8L, ext/webp.py) was
+        # added below — both are exact-hash green in the local gate
+        # (clean + fuzz clones) and belong in the round-5 window
+        # alongside this tail.
         # -- (d) never-checked, oracle-backed (round-5 head) ---------
         "x_png_decode_dims": q_x_png_decode_dims,
+        "x_webp_decode_dims": q_x_webp_decode_dims,
         "x_lm_perplexity": q_x_lm_perplexity,
         "pipe_json_roundtrip": q_pipe_json_roundtrip,
         "pipe_orc_roundtrip": q_pipe_orc_roundtrip,
@@ -4146,6 +4183,15 @@ def oracle_sql() -> dict[str, str]:
         -- recompute png_media_from_documents' generative dimension
         -- formulas (max_side=24): the Spark side must recover these
         -- by actually decoding the PNG bytes it synthesized
+        SELECT doc_id,
+               CAST(4 + doc_id % 21 AS INTEGER) AS width,
+               CAST(4 + (doc_id * 7) % 21 AS INTEGER) AS height
+        FROM documents
+    """
+    oracles["x_webp_decode_dims"] = """
+        -- recompute webp_media_from_documents' generative dimension
+        -- formulas (max_side=24): the Spark side must recover these
+        -- by actually decoding the VP8L bytes it synthesized
         SELECT doc_id,
                CAST(4 + doc_id % 21 AS INTEGER) AS width,
                CAST(4 + (doc_id * 7) % 21 AS INTEGER) AS height

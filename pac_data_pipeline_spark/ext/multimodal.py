@@ -5,13 +5,15 @@ typed metadata struct; decode/feature steps are Arrow-batched
 ``mapInPandas`` operators so each Python batch amortizes serde over
 thousands of rows.
 
-The decode path is REAL for five image formats — BMP (header +
+The decode path is REAL for six image formats — BMP (header +
 pixel-matrix parse), PNG (stdlib-zlib chunk walk + inflate + full
 None/Sub/Up/Average/Paeth unfiltering), baseline JPEG (marker walk +
 canonical Huffman + dequantize + IDCT, see ``ext.jpeg``), GIF
-(variable-width LZW + global color table, see ``ext.gif``), and
-uncompressed TIFF (IFD walk + strip assembly) — plus WAV audio in
-16-bit PCM and 8-bit G.711 μ-law/A-law. Each format has a matching
+(variable-width LZW + global color table, see ``ext.gif``),
+uncompressed TIFF (IFD walk + strip assembly), and lossless WebP
+(VP8L prefix codes + LZ77 + color cache + all four transforms, see
+``ext.webp``) — plus WAV audio in 16-bit PCM and 8-bit G.711
+μ-law/A-law. Each format has a matching
 synthesizer (``*_media_from_documents`` / ``encode_*``) emitting
 genuine files from deterministic tiled-seed formulas, and
 ``extract_features`` dispatches per payload so width/height and
@@ -560,13 +562,65 @@ def decode_tiff(payload: bytes) -> tuple[int, int, np.ndarray]:
 
 
 #: format rotation used by :func:`mixed_media_from_documents`.
-_MIXED_FORMATS = ("bmp", "png", "jpeg", "gif", "tiff")
+_MIXED_FORMATS = ("bmp", "png", "jpeg", "gif", "tiff", "webp")
+
+
+def webp_media_from_documents(documents: DataFrame, max_side: int = 24) -> DataFrame:
+    """Synthesize REAL lossless-WebP payloads (VP8L via
+    :mod:`pac_data_pipeline_spark.ext.webp`) from the documents
+    fixture — same deterministic dimension/pixel formulas as the
+    other single-format generators; subtract-green alternates by
+    width parity so both transform paths appear in the corpus."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                w = 4 + d % (max_side - 3)
+                h = 4 + (d * 7) % (max_side - 3)
+                payload = encode_webp_seeded(
+                    w, h, str(text).encode("utf-8")
+                )
+                out.append(
+                    {
+                        "doc_id": d,
+                        "media_type": "image",
+                        "content": payload,
+                        "meta": {
+                            "n_bytes": len(payload),
+                            "format": "image/webp",
+                            "width": w,
+                            "height": h,
+                        },
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return documents.select("doc_id", "text").mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
+
+
+def encode_webp_seeded(width: int, height: int, pixel_seed: bytes) -> bytes:
+    """Seed-tiled WebP synthesizer matching the other ``encode_*``
+    signatures: build the deterministic RGBA matrix (alpha 255) and
+    encode it losslessly via :mod:`pac_data_pipeline_spark.ext.webp`,
+    alternating the subtract-green transform by parity so both
+    encoder paths appear in synthesized corpora."""
+    from pac_data_pipeline_spark.ext.webp import encode_webp
+
+    seed = np.frombuffer(pixel_seed or b"\x00", dtype=np.uint8)
+    flat = np.tile(seed, (height * width * 3) // len(seed) + 1)
+    rgba = np.full((height, width, 4), 255, dtype=np.uint8)
+    rgba[..., :3] = flat[: height * width * 3].reshape(height, width, 3)
+    return encode_webp(rgba, subtract_green=bool(width % 2))
 
 
 def mixed_media_from_documents(documents: DataFrame, max_side: int = 24) -> DataFrame:
-    """Synthesize a MIXED-format media table — doc_id % 5 selects
-    BMP / PNG / JPEG / GIF / TIFF, all five encoders real — in ONE
-    ``mapInPandas`` pass. A union of the single-format
+    """Synthesize a MIXED-format media table — doc_id % 6 selects
+    BMP / PNG / JPEG / GIF / TIFF / WebP-lossless, all six encoders
+    real — in ONE ``mapInPandas`` pass. A union of the single-format
     generators would scan the documents table once per format and
     shuffle as many times (per-branch filters defeat exchange reuse); at scale
     the media table is built in one scan + one optional fan-out
@@ -582,6 +636,7 @@ def mixed_media_from_documents(documents: DataFrame, max_side: int = 24) -> Data
         "jpeg": (encode_jpeg, "image/jpeg"),
         "gif": (encode_gif, "image/gif"),
         "tiff": (encode_tiff, "image/tiff"),
+        "webp": (encode_webp_seeded, "image/webp"),
     }
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -591,7 +646,7 @@ def mixed_media_from_documents(documents: DataFrame, max_side: int = 24) -> Data
                 d = int(doc_id)
                 w = 4 + d % (max_side - 3)
                 h = 4 + (d * 7) % (max_side - 3)
-                enc, mime = encoders[_MIXED_FORMATS[d % 4]]
+                enc, mime = encoders[_MIXED_FORMATS[d % len(_MIXED_FORMATS)]]
                 payload = enc(w, h, str(text).encode("utf-8"))
                 out.append(
                     {
@@ -728,6 +783,16 @@ def _decode_gif(payload: bytes):
     return decode_gif(payload)
 
 
+def _decode_webp(payload: bytes):
+    """Dispatch shim: lossless WebP (VP8L) decode via the pure
+    stdlib+numpy codec in :mod:`pac_data_pipeline_spark.ext.webp`
+    (lazy import). Lossy VP8 raises inside — that branch stays with
+    ``_decode_real``."""
+    from pac_data_pipeline_spark.ext.webp import decode_webp
+
+    return decode_webp(payload)
+
+
 def _decode_avi_first(payload: bytes):
     """Dispatch shim: demux an uncompressed AVI and decode its first
     frame so video payloads get pixel-derived features like the image
@@ -785,6 +850,7 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
                     decode_tiff,
                     _decode_jpeg,
                     _decode_gif,
+                    _decode_webp,
                     _decode_avi_first,
                 ):
                     try:

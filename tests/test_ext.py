@@ -1297,6 +1297,207 @@ def test_extract_features_decodes_avi_first_frame(spark):
         assert r.feature[1] == float(r.height)
 
 
+def test_webp_encode_decode_roundtrip_all_transforms():
+    """VP8L is lossless: exact pixel equality through every encoder
+    transform combination (none / subtract-green / predictor /
+    both), random pixels, plus the simple-code path on a constant
+    image."""
+    import numpy as np
+
+    from pac_data_pipeline_spark.ext.webp import decode_webp, encode_webp
+
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (3, 5), (16, 9), (24, 17)]:
+        for kw in [
+            {},
+            {"subtract_green": True},
+            {"predictor": True},
+            {"subtract_green": True, "predictor": True},
+        ]:
+            img = rng.integers(0, 256, size=(h, w, 4), dtype=np.uint8)
+            dw, dh, out = decode_webp(encode_webp(img, **kw))
+            assert (dw, dh) == (w, h)
+            assert (out == img).all(), (h, w, kw)
+    flat = np.full((6, 6, 4), 77, dtype=np.uint8)
+    _, _, out = decode_webp(encode_webp(flat))
+    assert (out == flat).all()
+
+
+def test_webp_lz77_and_color_cache_hand_built():
+    """Spec-level bitstream: a hand-assembled VP8L stream using LZ77
+    backward references (linear distance) and a color cache — decoder
+    paths the literal-only encoder never emits."""
+    import numpy as np
+
+    from pac_data_pipeline_spark.ext import webp as W
+
+    px0, px1 = 0xFF010203, 0xFF040506
+    idx0 = W._cache_hash(px0, 4)
+    assert idx0 != W._cache_hash(px1, 4)  # no collision in this fixture
+
+    bw = W._BitWriter()
+    bw.write_bits(0x2F, 8)
+    bw.write_bits(6 - 1, 14)  # width 6
+    bw.write_bits(1 - 1, 14)  # height 1
+    bw.write_bits(0, 1)       # alpha hint
+    bw.write_bits(0, 3)       # version
+    bw.write_bits(0, 1)       # no transforms
+    bw.write_bits(1, 1)       # color cache present
+    bw.write_bits(4, 4)       # cache_bits = 4
+    bw.write_bits(0, 1)       # no meta prefix
+    g = W._write_prefix_code(
+        bw, {2: 2, 5: 2, 257: 2, 280 + idx0: 2}, 280 + 16
+    )
+    r = W._write_prefix_code(bw, {1: 1, 4: 1}, 256)
+    b = W._write_prefix_code(bw, {3: 1, 6: 1}, 256)
+    a = W._write_prefix_code(bw, {255: 1}, 256)
+    d = W._write_prefix_code(bw, {13: 1}, 40)
+
+    def emit(table, sym):
+        bw.write_code(*table[sym])
+
+    emit(g, 2); emit(r, 1); emit(b, 3)          # literal px0
+    emit(g, 5); emit(r, 4); emit(b, 6)          # literal px1
+    emit(g, 257)                                 # LZ77 length 2
+    emit(d, 13); bw.write_bits(25, 5)           # dist_code 122 → dist 2
+    emit(g, 280 + idx0)                          # cache hit → px0
+    emit(g, 2); emit(r, 1); emit(b, 3)          # literal px0 again
+
+    w_, h_, out = W.decode_vp8l(bw.tobytes())
+    assert (w_, h_) == (6, 1)
+    argb = (
+        out[..., 3].astype(np.uint32) << 24
+        | out[..., 0].astype(np.uint32) << 16
+        | out[..., 1].astype(np.uint32) << 8
+        | out[..., 2].astype(np.uint32)
+    ).reshape(-1)
+    assert list(argb) == [px0, px1, px0, px1, px0, px0]
+
+
+def test_webp_color_indexing_hand_built():
+    """Spec-level bitstream: palette (color-indexing) transform with
+    sub-byte pixel bundling (3 colors → 2-bit indices, 4 px/packed
+    pixel) and the componentwise delta coding of palette entries."""
+    import numpy as np
+
+    from pac_data_pipeline_spark.ext import webp as W
+
+    colors = [0xFF102030, 0xFF405060, 0xFF708090]
+    indices = [0, 1, 2, 1, 0]  # 5-pixel row
+
+    def delta(cur, prev):
+        return (
+            (((cur >> 24) - (prev >> 24)) & 0xFF) << 24
+            | ((((cur >> 16) & 0xFF) - ((prev >> 16) & 0xFF)) & 0xFF) << 16
+            | ((((cur >> 8) & 0xFF) - ((prev >> 8) & 0xFF)) & 0xFF) << 8
+            | (((cur & 0xFF) - (prev & 0xFF)) & 0xFF)
+        )
+
+    bw = W._BitWriter()
+    bw.write_bits(0x2F, 8)
+    bw.write_bits(5 - 1, 14)
+    bw.write_bits(1 - 1, 14)
+    bw.write_bits(0, 1)
+    bw.write_bits(0, 3)
+    bw.write_bits(1, 1)                  # transform present
+    bw.write_bits(W._COLOR_INDEXING, 2)
+    bw.write_bits(3 - 1, 8)              # 3 palette colors
+    pal_deltas = [colors[0]] + [
+        delta(colors[i], colors[i - 1]) for i in (1, 2)
+    ]
+    W._encode_sub_image(bw, np.array(pal_deltas, dtype=np.uint32))
+    bw.write_bits(0, 1)                  # end of transforms
+    packed = [
+        (indices[0] | indices[1] << 2 | indices[2] << 4 | indices[3] << 6)
+        << 8,
+        indices[4] << 8,
+    ]
+    W._encode_sub_image(
+        bw, np.array(packed, dtype=np.uint32), top_level=True
+    )
+
+    w_, h_, out = W.decode_vp8l(bw.tobytes())
+    assert (w_, h_) == (5, 1)
+    argb = (
+        out[..., 3].astype(np.uint32) << 24
+        | out[..., 0].astype(np.uint32) << 16
+        | out[..., 1].astype(np.uint32) << 8
+        | out[..., 2].astype(np.uint32)
+    ).reshape(-1)
+    assert list(argb) == [colors[i] for i in indices]
+
+
+def test_webp_color_transform_hand_built():
+    """Spec-level bitstream: the color transform with g2r = 32
+    (Q5 multiplier 1.0), so decoded red must equal residual_red +
+    green, channel-exact."""
+    import numpy as np
+
+    from pac_data_pipeline_spark.ext import webp as W
+
+    orig = [0xFF203040, 0xFF507080]  # a r g b
+    residuals = []
+    for px in orig:
+        g = (px >> 8) & 0xFF
+        red_res = (((px >> 16) & 0xFF) - g) & 0xFF  # inverse adds (32*g)>>5 ≡ g
+        residuals.append((px & 0xFF00FFFF) | (red_res << 16))
+
+    bw = W._BitWriter()
+    bw.write_bits(0x2F, 8)
+    bw.write_bits(2 - 1, 14)
+    bw.write_bits(1 - 1, 14)
+    bw.write_bits(0, 1)
+    bw.write_bits(0, 3)
+    bw.write_bits(1, 1)               # transform present
+    bw.write_bits(W._COLOR, 2)
+    bw.write_bits(9 - 2, 3)           # 512-px tiles: one tile
+    W._encode_sub_image(bw, np.array([32], dtype=np.uint32))  # g2r=32
+    bw.write_bits(0, 1)               # end of transforms
+    W._encode_sub_image(
+        bw, np.array(residuals, dtype=np.uint32), top_level=True
+    )
+
+    _, _, out = W.decode_vp8l(bw.tobytes())
+    argb = (
+        out[..., 3].astype(np.uint32) << 24
+        | out[..., 0].astype(np.uint32) << 16
+        | out[..., 1].astype(np.uint32) << 8
+        | out[..., 2].astype(np.uint32)
+    ).reshape(-1)
+    assert list(argb) == orig
+
+
+def test_webp_rejects_bad_inputs():
+    """The honest-stub boundary: lossy VP8 refused with a pointer to
+    _decode_real, non-WebP bytes, bad VP8L signature/version, and
+    truncated streams all raise ValueError."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from pac_data_pipeline_spark.ext.webp import (
+        decode_vp8l,
+        decode_webp,
+        encode_webp,
+    )
+
+    with _pytest.raises(ValueError, match="not a WEBP"):
+        decode_webp(b"RIFF\x04\x00\x00\x00WAVE")
+    lossy = (
+        b"RIFF" + _struct.pack("<I", 16) + b"WEBP"
+        + b"VP8 " + _struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    )
+    with _pytest.raises(ValueError, match="lossy WebP"):
+        decode_webp(lossy)
+    with _pytest.raises(ValueError, match="signature"):
+        decode_vp8l(b"\x00\x00\x00\x00")
+    rng = np.random.default_rng(5)
+    good = encode_webp(rng.integers(0, 256, size=(8, 8, 4), dtype=np.uint8))
+    with _pytest.raises(ValueError):
+        decode_webp(good[: len(good) // 2])
+
+
 def test_sentence_stats_edges(spark):
     """Segmentation contract edges: no terminators (whole doc = one
     sentence), empty/null text, terminator-only text, and multi-
