@@ -1330,6 +1330,24 @@ def q_x_webp_decode_dims(spark, sf_dir):
     )
 
 
+def q_x_nb_classifier(spark, sf_dir):
+    """Corpus-trained multinomial Naive Bayes (the fastText-style
+    quality/domain-filter tier): self-train token statistics on the
+    labeled documents, score EVERY document against every label, and
+    keep the argmax — train and predict both inside the engine, and
+    the oracle reproduces the entire pipeline hash-exactly under the
+    pinned TOKEN_SEP + ascii_lower contract. Scale hinges on the
+    Σ m·ln((c+1)/(n_l+V)) = Σ m·ln(c+1) − M_d·ln(n_l+V) rewrite:
+    unseen-in-label tokens contribute ln(1)=0, so scoring is an
+    INNER join of per-doc counts with the vocab-sized broadcast
+    model — never a dense doc × label × vocab expansion (see
+    ext/classify.py module docstring for the full plan audit).
+    Scores rounded before the argmax; ties break on the label."""
+    from pac_data_pipeline_spark.ext.classify import nb_classify
+
+    return nb_classify(_t(spark, sf_dir, "documents"))
+
+
 def q_x_frame_sample(spark, sf_dir):
     """REAL frame sampling: genuine uncompressed AVI payloads (RIFF
     demux via ext.avi — strf geometry, movi chunk walk, idx1
@@ -3393,6 +3411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (d) never-checked, oracle-backed (round-5 head) ---------
         "x_png_decode_dims": q_x_png_decode_dims,
         "x_webp_decode_dims": q_x_webp_decode_dims,
+        "x_nb_classifier": q_x_nb_classifier,
         "x_lm_perplexity": q_x_lm_perplexity,
         "pipe_json_roundtrip": q_pipe_json_roundtrip,
         "pipe_orc_roundtrip": q_pipe_orc_roundtrip,
@@ -4187,6 +4206,75 @@ def oracle_sql() -> dict[str, str]:
                CAST(4 + doc_id % 21 AS INTEGER) AS width,
                CAST(4 + (doc_id * 7) % 21 AS INTEGER) AS height
         FROM documents
+    """
+    oracles["x_nb_classifier"] = """
+        -- full NB train+predict pipeline under the pinned contract:
+        -- TOKEN_SEP tokenization, ascii fold, add-one smoothing,
+        -- sparse-numerator rewrite, round-then-argmax
+        WITH folded AS (
+            SELECT doc_id, lang,
+                   translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                             'abcdefghijklmnopqrstuvwxyz') AS ftext
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, lang, t AS token
+            FROM (
+                SELECT doc_id, lang,
+                       unnest(regexp_split_to_array(
+                           trim(ftext, ' '), '[ \t\n\f\r]+')) AS t
+                FROM folded
+            )
+            WHERE t <> ''
+        ),
+        model AS (
+            SELECT lang, token, count(*) AS c
+            FROM toks WHERE lang IS NOT NULL GROUP BY lang, token
+        ),
+        lstats AS (SELECT lang, sum(c) AS n_l FROM model GROUP BY lang),
+        ldocs AS (
+            SELECT lang, count(*) AS d_l
+            FROM documents WHERE lang IS NOT NULL GROUP BY lang
+        ),
+        corpus AS (
+            SELECT count(*) AS n_docs FROM documents WHERE lang IS NOT NULL
+        ),
+        vocab AS (SELECT count(DISTINCT token) AS v FROM model),
+        doc_counts AS (
+            SELECT doc_id, token, count(*) AS m
+            FROM toks GROUP BY doc_id, token
+        ),
+        doc_totals AS (
+            SELECT doc_id, sum(m) AS m_d FROM doc_counts GROUP BY doc_id
+        ),
+        sparse AS (
+            SELECT dc.doc_id, mo.lang, sum(dc.m * ln(mo.c + 1)) AS s
+            FROM doc_counts dc JOIN model mo USING (token)
+            GROUP BY dc.doc_id, mo.lang
+        ),
+        grid AS (
+            SELECT d.doc_id, ld.lang,
+                   round(ln(ld.d_l / c0.n_docs)
+                         + coalesce(sp.s, 0)
+                         - coalesce(dt.m_d, 0) * ln(ls.n_l + v.v),
+                         2) AS score,
+                   CAST(coalesce(dt.m_d, 0) AS BIGINT) AS n_tokens
+            FROM documents d
+            CROSS JOIN ldocs ld
+            JOIN lstats ls ON ls.lang = ld.lang
+            CROSS JOIN corpus c0
+            CROSS JOIN vocab v
+            LEFT JOIN doc_totals dt ON dt.doc_id = d.doc_id
+            LEFT JOIN sparse sp
+                   ON sp.doc_id = d.doc_id AND sp.lang = ld.lang
+        )
+        SELECT doc_id, lang AS pred_lang, score, n_tokens
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rnk
+            FROM grid
+        )
+        WHERE rnk = 1
     """
     oracles["x_webp_decode_dims"] = """
         -- recompute webp_media_from_documents' generative dimension

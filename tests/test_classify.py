@@ -1,0 +1,104 @@
+"""Multinomial NB classifier: parity with an independent pure-Python
+reference, edge semantics (null labels, empty docs, prior fallback),
+and the pinned tokenization contract."""
+
+import math
+
+import pytest
+
+
+DOCS = [
+    (0, "the cat sat on the mat", "en"),
+    (1, "the dog ate the bone", "en"),
+    (2, "der hund und die katze", "de"),
+    (3, "die sonne und der mond", "de"),
+    (4, "the cat und the dog", "en"),
+    (5, "", "en"),                       # empty: prior-only score
+    (6, "der cat sat und mat", None),    # unlabeled: scored, not trained
+    (7, None, "de"),                     # null text: prior-only score
+]
+
+
+def _reference_nb(docs):
+    """Independent NB: plain dicts and math.log, no Spark code."""
+    labeled = [(d, t or "", l) for d, t, l in docs if l is not None]
+    tok = lambda t: [w for w in (t or "").strip(" ").split() if w]
+
+    c = {}      # (label, token) -> count
+    n_l = {}    # label -> token instances
+    d_l = {}    # label -> docs
+    vocab = set()
+    for _, text, lab in labeled:
+        d_l[lab] = d_l.get(lab, 0) + 1
+        for w in tok(text.lower()):
+            c[(lab, w)] = c.get((lab, w), 0) + 1
+            n_l[lab] = n_l.get(lab, 0) + 1
+            vocab.add(w)
+    n_docs = len(labeled)
+    v = len(vocab)
+
+    out = {}
+    for doc_id, text, _ in docs:
+        words = tok((text or "").lower())
+        best = None
+        for lab in sorted(d_l):
+            score = math.log(d_l[lab] / n_docs)
+            for w in words:
+                score += math.log(c.get((lab, w), 0) + 1)
+            score -= len(words) * math.log(n_l.get(lab, 0) + v)
+            score = round(score, 2)
+            if best is None or score > best[1]:
+                best = (lab, score, len(words))
+        out[doc_id] = best
+    return out
+
+
+def test_nb_matches_independent_reference(spark):
+    from pac_data_pipeline_spark.ext.classify import nb_classify
+
+    df = spark.createDataFrame(
+        DOCS, "doc_id long, text string, lang string"
+    )
+    got = {
+        r.doc_id: (r.pred_lang, r.score, r.n_tokens)
+        for r in nb_classify(df).collect()
+    }
+    want = _reference_nb(DOCS)
+    assert set(got) == set(range(8))  # every doc scored, labeled or not
+    for d in got:
+        assert got[d] == pytest.approx(want[d]), (d, got[d], want[d])
+
+
+def test_nb_prior_fallback_and_unlabeled(spark):
+    from pac_data_pipeline_spark.ext.classify import nb_classify
+
+    df = spark.createDataFrame(
+        DOCS, "doc_id long, text string, lang string"
+    )
+    rows = {r.doc_id: r for r in nb_classify(df).collect()}
+    # empty / null-text docs carry zero tokens and the max-prior
+    # label: en has 4 labeled docs vs de's 3
+    assert rows[5].n_tokens == 0 and rows[5].pred_lang == "en"
+    assert rows[7].n_tokens == 0 and rows[7].pred_lang == "en"
+    # the unlabeled doc is still scored from its own tokens
+    assert rows[6].n_tokens == 5
+    # clearly-separable vocab classifies correctly
+    assert rows[0].pred_lang == "en"
+    assert rows[2].pred_lang == "de"
+
+
+def test_nb_train_model_shapes(spark):
+    from pac_data_pipeline_spark.ext.classify import nb_train
+
+    df = spark.createDataFrame(
+        DOCS, "doc_id long, text string, lang string"
+    )
+    token_counts, label_stats = nb_train(df)
+    stats = {r.lang: r for r in label_stats.collect()}
+    assert set(stats) == {"en", "de"}
+    assert stats["en"].d_l == 4 and stats["de"].d_l == 3
+    assert stats["en"].n_docs == 7  # null-label doc excluded
+    assert stats["en"].v == stats["de"].v  # corpus-wide vocab
+    # token instance totals add up to the token stream length
+    n_inst = sum(r.c for r in token_counts.collect())
+    assert n_inst == stats["en"].n_l + stats["de"].n_l
