@@ -87,6 +87,28 @@ def test_nb_prior_fallback_and_unlabeled(spark):
     assert rows[2].pred_lang == "de"
 
 
+def test_nb_single_text_scan_via_cache(spark):
+    """The fused classify pipeline materializes the counted token
+    stream once: every consumer (model, doc totals, sparse scores)
+    must read the cache, i.e. every text-reading FileScan in the
+    plan is the recipe inside an InMemoryRelation — none is a live
+    re-scan of the corpus."""
+    import re
+
+    import __spark_entry__ as entry
+
+    df = entry.queries()["x_nb_classifier"](spark, "/root/testdata/sf0.001")
+    p = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    text_scans = [
+        s for s in re.findall(r"FileScan parquet \[([^\]]*)\]", p)
+        if "text" in s
+    ]
+    assert len(text_scans) == p.count("InMemoryRelation"), p
+    assert p.count("InMemoryTableScan") >= 3, p
+
+
 def test_nb_train_model_shapes(spark):
     from pac_data_pipeline_spark.ext.classify import nb_train
 

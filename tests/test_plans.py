@@ -300,6 +300,7 @@ def test_no_scale_antipatterns_across_registry(spark):
         "x_hard_negatives",   # 5-row anchor set vs corpus
         "x_negative_pairs",   # 1-row corpus-count broadcast
         "x_lm_perplexity",    # 1-row vocabulary-size broadcast
+        "x_nb_classifier",    # |labels|-row label-stats broadcast
     }
     # the Window+SinglePartition heuristic is coarse (it ANDs two
     # independent plan facts): k3's window IS globally ordered by
@@ -310,11 +311,15 @@ def test_no_scale_antipatterns_across_registry(spark):
     # h_funnel: the Window partitions by user_id; the SinglePartition
     # exchange belongs to the final |stages|-column 1-row count
     # aggregate (same false-positive shape as x_tfidf_terms).
+    # x_nb_classifier: the argmax Window partitions by doc_id; its
+    # SinglePartition exchanges are the 1-row corpus-count and
+    # vocab-size aggregates feeding the broadcast label stats.
     ALLOWED_GLOBAL_WINDOW = {
         "k3_batch_id",
         "x_tfidf_terms",
         "x_token_budget",
         "h_funnel",
+        "x_nb_classifier",
     }
     sc = spark.sparkContext
     bad = {}
