@@ -1348,6 +1348,28 @@ def q_x_nb_classifier(spark, sf_dir):
     return nb_classify(_t(spark, sf_dir, "documents"))
 
 
+def q_x_suffix_dups(spark, sf_dir):
+    """Exact duplicated-substring lengths via a k-bounded
+    DISTRIBUTED suffix sort (ext/corpus.suffix_duplication): every
+    token-aligned suffix enters a corpus-wide sorted order keyed by
+    its first 64 bytes, bucketed on the first 8 so the
+    neighbor-LCP window distributes instead of collapsing to one
+    global sort; the suffix-array adjacency property makes the
+    lag/lead LCP the exact max against the whole corpus (capped).
+    Character-granular like Lee et al.'s suffix array, one shuffle
+    like the windowed hash — the middle tier between x_chunk_dedup
+    and the single-machine formulation. All-integer output, and the
+    oracle replays the identical sort/window/LCP in SQL."""
+    from pac_data_pipeline_spark.ext.corpus import suffix_duplication
+    from pac_data_pipeline_spark.ext.dedup_text import ensure_parallelism
+
+    # char-position explode is compute-heavy: fan out over the
+    # one-row-group scan before the window shuffle
+    return suffix_duplication(
+        ensure_parallelism(_t(spark, sf_dir, "documents"))
+    )
+
+
 def q_x_frame_sample(spark, sf_dir):
     """REAL frame sampling: genuine uncompressed AVI payloads (RIFF
     demux via ext.avi — strf geometry, movi chunk walk, idx1
@@ -3412,6 +3434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_png_decode_dims": q_x_png_decode_dims,
         "x_webp_decode_dims": q_x_webp_decode_dims,
         "x_nb_classifier": q_x_nb_classifier,
+        "x_suffix_dups": q_x_suffix_dups,
         "x_lm_perplexity": q_x_lm_perplexity,
         "pipe_json_roundtrip": q_pipe_json_roundtrip,
         "pipe_orc_roundtrip": q_pipe_orc_roundtrip,
@@ -4275,6 +4298,66 @@ def oracle_sql() -> dict[str, str]:
             FROM grid
         )
         WHERE rnk = 1
+    """
+    oracles["x_suffix_dups"] = """
+        -- replay the k-bounded suffix sort: token-aligned starts
+        -- under the TOKEN_SEP contract, 64-byte suffix keys, 8-byte
+        -- prefix buckets, neighbor LCP via monotone prefix counting
+        WITH starts AS (
+            SELECT doc_id, text, p
+            FROM (
+                SELECT doc_id, text,
+                       unnest(range(1, length(text) + 1)) AS p
+                FROM documents
+            )
+            WHERE instr(concat(' ', chr(9), chr(10), chr(12), chr(13)),
+                        substring(text, p, 1)) = 0
+              AND (p = 1 OR instr(
+                        concat(' ', chr(9), chr(10), chr(12), chr(13)),
+                        substring(text, p - 1, 1)) > 0)
+        ),
+        sfx AS (
+            SELECT doc_id, p,
+                   substring(text, p, 64) AS s,
+                   substring(text, p, 8) AS b
+            FROM starts
+        ),
+        nb AS (
+            SELECT doc_id, p, s,
+                   lag(s)  OVER (PARTITION BY b ORDER BY s, doc_id, p)
+                       AS prv,
+                   lead(s) OVER (PARTITION BY b ORDER BY s, doc_id, p)
+                       AS nxt
+            FROM sfx
+        ),
+        lcps AS (
+            SELECT doc_id,
+                   greatest(
+                     coalesce(least(
+                       len(list_filter(range(1, 65), i ->
+                           substring(s, 1, i) = substring(prv, 1, i))),
+                       length(s), length(prv)), 0),
+                     coalesce(least(
+                       len(list_filter(range(1, 65), i ->
+                           substring(s, 1, i) = substring(nxt, 1, i))),
+                       length(s), length(nxt)), 0)
+                   ) AS l0
+            FROM nb
+        ),
+        scored AS (
+            SELECT doc_id, CASE WHEN l0 >= 8 THEN l0 ELSE 0 END AS l
+            FROM lcps
+        ),
+        per_doc AS (
+            SELECT doc_id, count(*) AS n_starts, max(l) AS max_dup_len,
+                   sum(CASE WHEN l >= 20 THEN 1 ELSE 0 END) AS n_dup_ge_t
+            FROM scored GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_starts, 0) AS BIGINT) AS n_starts,
+               CAST(coalesce(p.max_dup_len, 0) AS INTEGER) AS max_dup_len,
+               CAST(coalesce(p.n_dup_ge_t, 0) AS BIGINT) AS n_dup_ge_t
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
     """
     oracles["x_webp_decode_dims"] = """
         -- recompute webp_media_from_documents' generative dimension

@@ -7,9 +7,14 @@ document-level dedup:
   Data Makes Language Models Better"): repeated *spans* are removed
   even when the containing documents differ. The scalable exact
   formulation is fixed-width token windows hashed corpus-wide; the
-  suffix-array formulation finds arbitrary-length repeats but is a
-  single-machine algorithm — the windowed one is embarrassingly
-  parallel and shuffle-bounded, which is what survives 100 TB.
+  classical suffix-array formulation finds arbitrary-length repeats
+  but needs the whole array on one machine — the windowed one is
+  embarrassingly parallel and shuffle-bounded. A middle tier lives
+  in :func:`suffix_duplication`: a *k-bounded* distributed suffix
+  sort (64-byte keys, prefix-bucketed neighbor windows) that
+  recovers exact duplicated-substring lengths up to the cap with
+  one shuffle — character-granular like the suffix array, scalable
+  like the windowed hash.
 - **Unicode normalization** (CCNet-style cleanup): NFC-normalize,
   strip control characters, collapse whitespace. Python's
   ``unicodedata`` (stdlib, no extra deps) inside an Arrow-batched
@@ -207,4 +212,121 @@ def unicode_clean(
 
     return df.select(id_col, text_col).mapInPandas(
         clean_batches, schema=out_schema
+    )
+
+
+#: ASCII separator set of the TOKEN_SEP contract as an instr()
+#: haystack — built from chr() so neither engine's SQL literal
+#: parsing of raw control characters is in play.
+_SEP_CHARS_SQL = "concat(' ', chr(9), chr(10), chr(12), chr(13))"
+
+
+def suffix_duplication(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cap: int = 64,
+    bucket: int = 8,
+    threshold: int = 20,
+) -> DataFrame:
+    """Exact duplicated-substring lengths per document via a
+    k-bounded DISTRIBUTED suffix sort — the character-granular
+    middle tier between :func:`chunk_dedup`'s fixed windows and the
+    single-machine suffix array of Lee et al. §4.
+
+    Every token-aligned suffix enters the corpus-wide sorted order
+    keyed by its first ``cap`` bytes. By the suffix-array adjacency
+    property, the longest prefix a suffix shares with ANY other
+    corpus suffix is achieved at a sorted neighbor, so one
+    ``lag``/``lead`` window recovers exact duplicate lengths up to
+    the cap. Sorting is bucketed by the first ``bucket`` bytes:
+    suffixes sharing ≥``bucket`` characters sort contiguously inside
+    one bucket, so the neighbor window distributes
+    (``partitionBy(bucket_key)``) instead of collapsing to a single
+    global sort — the price is that duplications shorter than
+    ``bucket`` report as 0, which is exactly the regime where
+    "duplication" is noise ("the ", "and "). Hot buckets (very
+    common 8-grams) are the documented skew risk; lengthen
+    ``bucket`` to split them.
+
+    Per document: ``n_starts`` token-aligned suffixes,
+    ``max_dup_len`` (longest substring, capped, shared with any
+    other corpus position — same or different doc, as Lee et al.
+    dedup self-repeats too; 0 when < ``bucket``), and
+    ``n_dup_ge_t`` positions whose duplicate run reaches
+    ``threshold``. All-integer output → exact cross-engine hash.
+
+    Plan: one scan exploding char positions (filtered to token
+    starts under the TOKEN_SEP contract), ONE shuffle on the bucket
+    key for the sorted neighbor window, one doc-keyed aggregation;
+    the left join back to the base table re-admits suffix-less
+    (empty/null) documents with zeros.
+    """
+    sep = _SEP_CHARS_SQL
+    starts = (
+        df.select(
+            F.col(id_col),
+            F.col(text_col).alias("__t"),
+            F.explode(
+                F.expr(
+                    f"filter(sequence(1, length({text_col})), p -> "
+                    f"instr({sep}, substring({text_col}, p, 1)) = 0 AND "
+                    f"(p = 1 OR instr({sep}, substring({text_col}, p - 1, 1)) > 0))"
+                )
+            ).alias("pos"),
+        )
+        .select(
+            id_col,
+            "pos",
+            F.expr(f"substring(__t, pos, {cap})").alias("s"),
+            F.expr(f"substring(__t, pos, {bucket})").alias("b"),
+        )
+    )
+    w = Window.partitionBy("b").orderBy("s", id_col, "pos")
+    nb = starts.select(
+        id_col,
+        "pos",
+        "s",
+        F.lag("s").over(w).alias("prv"),
+        F.lead("s").over(w).alias("nxt"),
+    )
+
+    def lcp(other: str) -> str:
+        # common-prefix length: prefix equality is monotone, so the
+        # count of i with equal i-prefixes IS the LCP; least() with
+        # both lengths corrects the identical-strings case where
+        # every i ≤ cap matches
+        return (
+            f"coalesce(least(size(filter(sequence(1, {cap}), i -> "
+            f"substring(s, 1, i) = substring({other}, 1, i))), "
+            f"length(s), length({other})), 0)"
+        )
+
+    scored = nb.select(
+        id_col,
+        F.expr(f"greatest({lcp('prv')}, {lcp('nxt')})").alias("l"),
+    ).select(
+        id_col,
+        F.when(F.col("l") >= bucket, F.col("l"))
+        .otherwise(F.lit(0))
+        .alias("l"),
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_starts"),
+        F.max("l").alias("max_dup_len"),
+        F.sum((F.col("l") >= threshold).cast("bigint")).alias("n_dup_ge_t"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_starts", F.lit(0)).cast("bigint").alias("n_starts"),
+            F.coalesce("max_dup_len", F.lit(0))
+            .cast("int")
+            .alias("max_dup_len"),
+            F.coalesce("n_dup_ge_t", F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_ge_t"),
+        )
     )

@@ -135,3 +135,85 @@ def test_hash_bucket_range(spark):
     )
     mm = df.agg(F.min("b"), F.max("b")).collect()[0]
     assert mm[0] >= 0 and mm[1] < 100
+
+
+def _brute_suffix_dup(docs, cap=64, bucket=8, threshold=20):
+    """Independent reference: all-pairs max common prefix per
+    token-aligned suffix, capped; < bucket reports 0."""
+    seps = set(" \t\n\f\r")
+    sfx = []  # (doc_id, suffix[:cap])
+    for d, t in docs:
+        t = t or ""
+        for p in range(len(t)):
+            if t[p] not in seps and (p == 0 or t[p - 1] in seps):
+                sfx.append((d, t[p : p + cap]))
+
+    def common(a, b):
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    out = {d: [0, 0, 0] for d, _ in docs}  # n_starts, max, n_ge_t
+    for i, (d, s) in enumerate(sfx):
+        best = 0
+        for j, (_, s2) in enumerate(sfx):
+            if i != j:
+                best = max(best, common(s, s2))
+        if best < bucket:
+            best = 0
+        out[d][0] += 1
+        out[d][1] = max(out[d][1], best)
+        out[d][2] += 1 if best >= threshold else 0
+    return out
+
+
+def test_suffix_duplication_matches_bruteforce(spark):
+    from pac_data_pipeline_spark.ext.corpus import suffix_duplication
+
+    shared = "a remarkably duplicated sentence that recurs verbatim"
+    docs = [
+        (0, f"intro text then {shared} and an ending"),
+        (1, f"{shared} opens this one instead"),
+        (2, "entirely unrelated content with no repeats at all"),
+        (3, "short"),
+        (4, ""),          # no suffixes: zeros via the left join
+        (5, None),        # null text: zeros via the left join
+        (6, "xy xy xy"),  # self-repeats below the bucket floor -> 0
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_starts, r.max_dup_len, r.n_dup_ge_t)
+        for r in suffix_duplication(df).collect()
+    }
+    want = _brute_suffix_dup(docs)
+    assert set(got) == set(range(7))
+    for d in got:
+        assert got[d] == tuple(want[d]), (d, got[d], want[d])
+    # the planted duplicate is found at full length in both carriers
+    # (the trailing space after "verbatim" is shared too: 53 + 1)
+    assert got[0][1] == len(shared) + 1
+    assert got[1][1] == len(shared) + 1
+    # sub-bucket self-repeats report 0, not 2
+    assert got[6] == (3, 0, 0)
+
+
+def test_suffix_duplication_identical_docs_cap(spark):
+    """Two identical documents: every suffix duplicates at min(cap,
+    remaining length) — the least(length) guard keeps identical
+    strings from reporting cap when the suffix is shorter."""
+    from pac_data_pipeline_spark.ext.corpus import suffix_duplication
+
+    text = "one two three four five six seven eight nine ten " * 3
+    df = spark.createDataFrame(
+        [(0, text), (1, text)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in suffix_duplication(df).collect()}
+    want = _brute_suffix_dup([(0, text), (1, text)])
+    for d in (0, 1):
+        assert (
+            rows[d].n_starts, rows[d].max_dup_len, rows[d].n_dup_ge_t
+        ) == tuple(want[d])
+    assert rows[0].max_dup_len == 64  # long shared text hits the cap
