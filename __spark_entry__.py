@@ -3424,12 +3424,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # unicode fuzz clone (now carrying ΣΟΦΟΣ/İstanbul probes)
         # is the dataset that exercises the change, and the full
         # local gate passes on it.
-        # NOTE r4-late: x_frame_sample's container changed from the
-        # ad-hoc BMP stack to real uncompressed AVI (ext/avi.py) and
-        # x_webp_decode_dims (lossless-WebP/VP8L, ext/webp.py) was
-        # added below — both are exact-hash green in the local gate
-        # (clean + fuzz clones) and belong in the round-5 window
-        # alongside this tail.
+        # NOTE r4-late additions, all exact-hash green in the local
+        # gate (clean + all fuzz clones) and queued for the round-5
+        # window alongside this tail: x_frame_sample's container
+        # changed from the ad-hoc BMP stack to real uncompressed AVI
+        # (ext/avi.py); x_webp_decode_dims (lossless-WebP/VP8L,
+        # ext/webp.py); x_nb_classifier (corpus-trained NB,
+        # ext/classify.py); x_suffix_dups (k-bounded distributed
+        # suffix sort, ext/corpus.py).
         # -- (d) never-checked, oracle-backed (round-5 head) ---------
         "x_png_decode_dims": q_x_png_decode_dims,
         "x_webp_decode_dims": q_x_webp_decode_dims,
