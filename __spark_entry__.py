@@ -1426,6 +1426,33 @@ def q_x_gap_fill(spark, sf_dir):
     )
 
 
+def q_x_interpolate(spark, sf_dir):
+    """Linear interpolation over calendar gaps: daily status-P
+    revenue per priority is genuinely sparse, so missing days get
+    prev + slope·Δdays between the surrounding observations (the
+    numeric complement of x_gap_fill's zero + forward-fill). One
+    per-key window shuffle serves both the backward and forward
+    frames; the calendar is executor-side sequence()+explode,
+    bounded by |keys| × span — never a global-calendar cross
+    join."""
+    from pac_data_pipeline_spark.operators.timeseries import (
+        linear_interpolate,
+    )
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    daily = o.groupBy(
+        "o_orderpriority",
+        F.date_trunc("day", F.col("o_orderdate")).alias("day"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    out = linear_interpolate(daily, "o_orderpriority", "day", "rev")
+    return out.select(
+        "o_orderpriority",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("value").alias("revenue"),
+        "is_observed",
+    )
+
+
 def q_x_entropy(spark, sf_dir):
     """Character-level Shannon entropy per document (gibberish /
     minified-blob filter) — shuffle-free sorted-run computation, no
@@ -3437,6 +3464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_webp_decode_dims": q_x_webp_decode_dims,
         "x_nb_classifier": q_x_nb_classifier,
         "x_suffix_dups": q_x_suffix_dups,
+        "x_interpolate": q_x_interpolate,
         "x_lm_perplexity": q_x_lm_perplexity,
         "pipe_json_roundtrip": q_pipe_json_roundtrip,
         "pipe_orc_roundtrip": q_pipe_orc_roundtrip,
@@ -4969,6 +4997,54 @@ def oracle_sql() -> dict[str, str]:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS last_known
         FROM j
+    """
+    oracles["x_interpolate"] = """
+        WITH daily AS (
+            SELECT o_orderpriority,
+                   date_trunc('day', o_orderdate) AS day,
+                   round(sum(o_totalprice), 2) AS rev
+            FROM orders WHERE o_orderstatus = 'P' GROUP BY 1, 2
+        ),
+        spans AS (
+            SELECT o_orderpriority, min(day) AS d0, max(day) AS d1
+            FROM daily GROUP BY 1
+        ),
+        cal AS (
+            SELECT o_orderpriority,
+                   unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+            FROM spans
+        ),
+        j AS (
+            SELECT c.o_orderpriority, c.day, d.rev
+            FROM cal c LEFT JOIN daily d
+              ON c.o_orderpriority = d.o_orderpriority AND c.day = d.day
+        ),
+        winded AS (
+            SELECT o_orderpriority, day, rev,
+                   last_value(rev IGNORE NULLS) OVER wb AS prev_val,
+                   last_value(CASE WHEN rev IS NOT NULL THEN day END
+                              IGNORE NULLS) OVER wb AS prev_day,
+                   first_value(rev IGNORE NULLS) OVER wf AS next_val,
+                   first_value(CASE WHEN rev IS NOT NULL THEN day END
+                               IGNORE NULLS) OVER wf AS next_day
+            FROM j
+            WINDOW wb AS (PARTITION BY o_orderpriority ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wf AS (PARTITION BY o_orderpriority ORDER BY day
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT o_orderpriority,
+               strftime(day, '%Y-%m-%d') AS day,
+               CASE
+                 WHEN rev IS NOT NULL THEN rev
+                 WHEN prev_val IS NOT NULL AND next_val IS NOT NULL
+                 THEN round(prev_val + (next_val - prev_val)
+                            * datediff('day', prev_day, day)
+                            / datediff('day', prev_day, next_day), 6)
+                 ELSE coalesce(prev_val, next_val)
+               END AS revenue,
+               rev IS NOT NULL AS is_observed
+        FROM winded
     """
     oracles["x_entropy"] = """
         WITH cnt AS (

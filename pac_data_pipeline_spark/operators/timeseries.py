@@ -63,6 +63,82 @@ def gap_fill_daily(
     )
 
 
+def linear_interpolate(
+    df: DataFrame,
+    key_col: str,
+    day_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Calendar-fill like :func:`gap_fill_daily`, but missing days
+    get LINEAR interpolation between the surrounding observations
+    instead of a zero + forward-fill:
+
+    ``v = prev + (next − prev) · (day − prev_day)/(next_day − prev_day)``
+
+    Output: ``key_col``, ``day``, ``value`` (observed or
+    interpolated, rounded to 6), ``is_observed``. Days outside any
+    observed pair (possible only when an observed day carries a NULL
+    value) fall back flat to whichever side exists.
+
+    Scale shape: identical budget to gap-fill — per-key
+    ``sequence()`` calendar on the executors, one (key, day) join,
+    then ONE window shuffle on the key serving both the backward
+    (last-known) and forward (next-known) frames: same partitioning
+    and ordering, so Spark plans a single exchange with two frame
+    passes, never two shuffles.
+    """
+    obs = df.select(
+        F.col(key_col), F.col(day_col).alias("day"), F.col(value_col)
+    )
+    spans = obs.groupBy(key_col).agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    calendar = spans.select(
+        key_col,
+        F.explode(F.expr("sequence(d0, d1, INTERVAL 1 DAY)")).alias("day"),
+    )
+    filled = calendar.join(obs, [key_col, "day"], "left")
+    v = F.col(value_col)
+    wb = (
+        Window.partitionBy(key_col)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(key_col)
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev_val = F.last(v, ignorenulls=True).over(wb)
+    prev_day = F.last(
+        F.when(v.isNotNull(), F.col("day")), ignorenulls=True
+    ).over(wb)
+    next_val = F.first(v, ignorenulls=True).over(wf)
+    next_day = F.first(
+        F.when(v.isNotNull(), F.col("day")), ignorenulls=True
+    ).over(wf)
+    interp = (
+        F.when(v.isNotNull(), v)
+        .when(
+            prev_val.isNotNull() & next_val.isNotNull(),
+            F.round(
+                prev_val
+                + (next_val - prev_val)
+                * F.datediff(F.col("day"), prev_day)
+                / F.datediff(next_day, prev_day),
+                6,
+            ),
+        )
+        .otherwise(F.coalesce(prev_val, next_val))
+    )
+    return filled.select(
+        key_col,
+        "day",
+        interp.alias("value"),
+        v.isNotNull().alias("is_observed"),
+    )
+
+
 def scd2_history(
     df: DataFrame,
     key_col: str,

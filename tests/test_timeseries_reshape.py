@@ -102,3 +102,50 @@ def test_char_entropy_closed_forms(spark):
         math.log(11) - (3 * math.log(3) + 2 * math.log(2)) / 11, 6
     )
     assert got[4] == expect
+
+
+def test_linear_interpolate_values_and_edges(spark):
+    """Hand-computed interpolation: interior gaps get prev +
+    slope·Δdays; a NULL-valued observed edge day falls back flat;
+    observed days pass through; single window shuffle."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from pac_data_pipeline_spark.operators.timeseries import (
+        linear_interpolate,
+    )
+
+    d = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    rows = [
+        ("k", d("2024-01-01"), 10.0),
+        ("k", d("2024-01-04"), 40.0),   # gap 2 days: 20, 30
+        ("k", d("2024-01-06"), None),   # observed day, null value
+        ("q", d("2024-02-01"), 5.0),    # lone point: span of one day
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, day timestamp, v double"
+    )
+    out = linear_interpolate(df, "key", "day", "v")
+    got = {
+        (r.key, r.day.date().isoformat()): (r.value, r.is_observed)
+        for r in out.collect()
+    }
+    assert got[("k", "2024-01-01")] == (10.0, True)
+    assert got[("k", "2024-01-02")] == (20.0, False)
+    assert got[("k", "2024-01-03")] == (30.0, False)
+    assert got[("k", "2024-01-04")] == (40.0, True)
+    # days past the last non-null observation: flat fallback
+    assert got[("k", "2024-01-05")] == (40.0, False)
+    # a NULL-valued day is "present" but carries no observation:
+    # is_observed tracks the VALUE, matching the oracle's rev IS NOT NULL
+    assert got[("k", "2024-01-06")] == (40.0, False)
+    assert got[("q", "2024-02-01")] == (5.0, True)
+    assert len(got) == 7
+    # both window frames share partitioning AND ordering, so Spark
+    # fuses them into ONE Window node over one sort+exchange (check
+    # the executed final plan only — AQE appends the initial plan)
+    p = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    ).split("Initial Plan")[0]
+    assert p.count("Window [") == 1, p
