@@ -1453,6 +1453,31 @@ def q_x_interpolate(spark, sf_dir):
     )
 
 
+def q_h_lateral(spark, sf_dir):
+    """Correlated LATERAL subquery with LIMIT — top-2 orders per
+    BUILDING-segment customer, written as the user would write it in
+    SQL. Catalyst's DecorrelateInnerQuery turns the per-row
+    subquery into a WindowGroupLimit (map-side partial top-k before
+    the shuffle, final after) + one equi-join: the declarative
+    lateral form costs the same as the hand-written window, which
+    is the point — no nested-loop per-customer re-execution
+    survives into the physical plan."""
+    for t in ("customer", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"__lat_{t}")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey,
+               round(t.o_totalprice, 2) AS total
+        FROM __lat_customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice FROM __lat_orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )
+
+
 def q_x_entropy(spark, sf_dir):
     """Character-level Shannon entropy per document (gibberish /
     minified-blob filter) — shuffle-free sorted-run computation, no
@@ -3465,6 +3490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_nb_classifier": q_x_nb_classifier,
         "x_suffix_dups": q_x_suffix_dups,
         "x_interpolate": q_x_interpolate,
+        "h_lateral": q_h_lateral,
         "x_lm_perplexity": q_x_lm_perplexity,
         "pipe_json_roundtrip": q_pipe_json_roundtrip,
         "pipe_orc_roundtrip": q_pipe_orc_roundtrip,
@@ -4997,6 +5023,16 @@ def oracle_sql() -> dict[str, str]:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS last_known
         FROM j
+    """
+    oracles["h_lateral"] = """
+        SELECT c.c_custkey, t.o_orderkey,
+               round(t.o_totalprice, 2) AS total
+        FROM customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_mktsegment = 'BUILDING'
     """
     oracles["x_interpolate"] = """
         WITH daily AS (
