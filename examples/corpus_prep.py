@@ -1,7 +1,8 @@
 """End-to-end training-corpus preparation against the synthetic
-testdata: quality gates -> language filter -> exact + chunk-level
-dedup -> decontamination -> domain mixing -> token-budget selection,
-finishing with a per-source report card.
+testdata: quality gates -> NB domain classifier -> exact +
+chunk-level dedup -> substring-duplication audit ->
+decontamination -> domain mixing, finishing with a per-source
+report card.
 
 Run:  python examples/corpus_prep.py [sf_dir]
 """
@@ -14,7 +15,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pac_data_pipeline_spark.session import get_spark
 from pac_data_pipeline_spark.sources.readers import scan_parquet
 from pac_data_pipeline_spark.ext.text import corpus_report, gopher_rules
-from pac_data_pipeline_spark.ext.corpus import chunk_dedup
+from pac_data_pipeline_spark.ext.classify import nb_classify
+from pac_data_pipeline_spark.ext.corpus import chunk_dedup, suffix_duplication
 from pac_data_pipeline_spark.ext.dedup_text import decontaminate, exact_dedup
 from pac_data_pipeline_spark.ext.sampling import domain_mix
 
@@ -30,8 +32,20 @@ def main() -> None:
     kept = docs.join(gated, "doc_id")
     print("after quality gates:", kept.count())
 
+    preds = nb_classify(docs)  # self-trained lang/domain gate
+    agree = preds.join(docs.select("doc_id", "lang"), "doc_id").filter(
+        F.col("pred_lang") == F.col("lang")
+    )
+    print("NB classifier agrees with labels on:", agree.count(), "docs")
+
     deduped = exact_dedup(kept)
     print("after exact dedup:", deduped.count())
+
+    dup_audit = suffix_duplication(deduped)
+    print(
+        "substring-duplication audit — docs with a 20+-char repeat:",
+        dup_audit.filter(F.col("n_dup_ge_t") > 0).count(),
+    )
 
     span_stats = chunk_dedup(deduped, chunk_tokens=32)
     print(
