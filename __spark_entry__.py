@@ -1478,6 +1478,29 @@ def q_h_lateral(spark, sf_dir):
     )
 
 
+def q_h_regression(spark, sf_dir):
+    """Per-group ordinary-least-squares fit with the native regr_*
+    aggregate family (slope / intercept / R² / count of non-null
+    pairs) — single-pass moment accumulation inside one hash
+    aggregate, partial+final like any sum: no per-group iteration,
+    no second scan. Both engines implement the identical Welford-
+    style moments, so rounded coefficients hash-match."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__regr_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(regr_slope(l_extendedprice, l_quantity), 2) AS slope,
+               round(regr_intercept(l_extendedprice, l_quantity), 2)
+                   AS intercept,
+               round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+               regr_count(l_extendedprice, l_quantity) AS n
+        FROM __regr_lineitem
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
 def q_x_entropy(spark, sf_dir):
     """Character-level Shannon entropy per document (gibberish /
     minified-blob filter) — shuffle-free sorted-run computation, no
@@ -3491,6 +3514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_suffix_dups": q_x_suffix_dups,
         "x_interpolate": q_x_interpolate,
         "h_lateral": q_h_lateral,
+        "h_regression": q_h_regression,
         "x_lm_perplexity": q_x_lm_perplexity,
         "pipe_json_roundtrip": q_pipe_json_roundtrip,
         "pipe_orc_roundtrip": q_pipe_orc_roundtrip,
@@ -5023,6 +5047,16 @@ def oracle_sql() -> dict[str, str]:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS last_known
         FROM j
+    """
+    oracles["h_regression"] = """
+        SELECT l_returnflag, l_linestatus,
+               round(regr_slope(l_extendedprice, l_quantity), 2) AS slope,
+               round(regr_intercept(l_extendedprice, l_quantity), 2)
+                   AS intercept,
+               round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+               regr_count(l_extendedprice, l_quantity) AS n
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
     """
     oracles["h_lateral"] = """
         SELECT c.c_custkey, t.o_orderkey,
