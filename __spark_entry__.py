@@ -1501,6 +1501,22 @@ def q_h_regression(spark, sf_dir):
     )
 
 
+def q_x_bm25(spark, sf_dir):
+    """Okapi BM25 sparse-retrieval ranking against a fixed query
+    ('spark hash window'): the term filter sits UNDER the (doc,
+    token) count aggregate so only query-term occurrences shuffle;
+    doc lengths are one map-side count; N/avgdl and the |q|-row
+    document frequencies broadcast; the final cut is
+    orderBy+limit → TakeOrderedAndProject, never a global sort.
+    Scores rounded before the cut, ties broken on doc_id — the
+    oracle recomputes the identical formula."""
+    from pac_data_pipeline_spark.ext.text import bm25_rank
+
+    return bm25_rank(
+        _t(spark, sf_dir, "documents"), ["spark", "hash", "window"]
+    )
+
+
 def q_x_entropy(spark, sf_dir):
     """Character-level Shannon entropy per document (gibberish /
     minified-blob filter) — shuffle-free sorted-run computation, no
@@ -3515,6 +3531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_interpolate": q_x_interpolate,
         "h_lateral": q_h_lateral,
         "h_regression": q_h_regression,
+        "x_bm25": q_x_bm25,
         "x_lm_perplexity": q_x_lm_perplexity,
         "pipe_json_roundtrip": q_pipe_json_roundtrip,
         "pipe_orc_roundtrip": q_pipe_orc_roundtrip,
@@ -5047,6 +5064,54 @@ def oracle_sql() -> dict[str, str]:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS last_known
         FROM j
+    """
+    oracles["x_bm25"] = """
+        -- identical BM25 under the pinned contract; k1=1.2, b=0.75
+        WITH toks AS (
+            SELECT doc_id, t AS token
+            FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(
+                           translate(text,
+                               'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                               'abcdefghijklmnopqrstuvwxyz'),
+                           ' '), '[ \t\n\f\r]+')) AS t
+                FROM documents
+            )
+            WHERE t <> ''
+        ),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (
+            SELECT (SELECT count(*) FROM documents) AS n_docs,
+                   (SELECT sum(dl) FROM dl) AS tot_len
+        ),
+        tf AS (
+            SELECT doc_id, token, count(*) AS tf
+            FROM toks WHERE token IN ('spark', 'hash', 'window')
+            GROUP BY doc_id, token
+        ),
+        dfreq AS (
+            SELECT token, count(DISTINCT doc_id) AS dfreq
+            FROM tf GROUP BY token
+        ),
+        scored AS (
+            SELECT tf.doc_id,
+                   round(sum(
+                       ln(1 + (s.n_docs - df.dfreq + 0.5)
+                              / (df.dfreq + 0.5))
+                       * tf.tf * (1.2 + 1)
+                       / (tf.tf + 1.2 * (1 - 0.75
+                              + 0.75 * dl.dl
+                                / (s.tot_len / s.n_docs)))
+                   ), 4) AS score
+            FROM tf
+            JOIN dfreq df USING (token)
+            JOIN dl USING (doc_id)
+            CROSS JOIN stats s
+            GROUP BY tf.doc_id
+        )
+        SELECT doc_id, score FROM scored
+        ORDER BY score DESC, doc_id LIMIT 20
     """
     oracles["h_regression"] = """
         SELECT l_returnflag, l_linestatus,

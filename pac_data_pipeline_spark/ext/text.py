@@ -1033,3 +1033,76 @@ def sentence_stats(
             f"coalesce(array_max({lens}), 0)"
         ).cast("bigint").alias("max_sentence_tokens"),
     )
+
+
+def bm25_rank(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 ranking of the corpus against a fixed query-term
+    set — the sparse-retrieval scorer next to :func:`tf_idf_top_terms`
+    (idf: ``ln(1 + (N − df + 0.5)/(df + 0.5))``; tf saturation k1,
+    length normalization b against the corpus-average length).
+
+    Scale shape: the term filter sits UNDER the (doc, token) count
+    aggregate, so only query-term occurrences ever shuffle — corpus
+    cost is the scan plus a |q|-filtered token stream, not a full
+    vocabulary aggregation. Document lengths are one map-side-
+    combinable count; N/avgdl ride along as a broadcast 1-row
+    aggregate (N counts ALL docs; token-less docs contribute length
+    0 to avgdl). Term document-frequencies are |q| rows, broadcast.
+    The final top-k is orderBy+limit → TakeOrderedAndProject
+    (per-partition heaps), never a global sort. Scores are rounded
+    before the cut so cross-engine float noise cannot flip the
+    boundary; ties break on the smaller doc id.
+    """
+    q = sorted(set(query_terms))
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(ascii_lower(F.col(text_col)))).alias("token"),
+    ).filter(F.col("token") != "")
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = df.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        F.broadcast(dl.agg(F.sum("dl").alias("tot_len")))
+    )
+    tf = (
+        toks.filter(F.col("token").isin(q))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(
+        F.countDistinct(id_col).alias("dfreq")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            (
+                F.log(
+                    1
+                    + (F.col("n_docs") - F.col("dfreq") + 0.5)
+                    / (F.col("dfreq") + 0.5)
+                )
+                * F.col("tf") * (k1 + 1)
+                / (
+                    F.col("tf")
+                    + k1
+                    * (
+                        1 - b
+                        + b * F.col("dl")
+                          / (F.col("tot_len") / F.col("n_docs"))
+                    )
+                )
+            ).alias("part")
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("part"), 4).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(top_k)
