@@ -1517,6 +1517,24 @@ def q_x_bm25(spark, sf_dir):
     )
 
 
+def q_x_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov drift per event type between
+    the even/odd event-id halves — the distribution monitor a
+    pipeline runs between snapshots. Exact empirical CDFs, no
+    binning: a (key, value) pre-aggregation collapses the window
+    input to distinct values, then ONE key-partitioned window builds
+    both running CDFs JVM-side (cumulative sums, not a cogrouped-
+    pandas detour) and a per-key max takes D."""
+    from pac_data_pipeline_spark.operators.stats import ks_drift
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("event_id") % 2).alias("grp"),
+        "value",
+    )
+    return ks_drift(e, "event_type", "grp", "value", groups=(0, 1))
+
+
 def q_x_entropy(spark, sf_dir):
     """Character-level Shannon entropy per document (gibberish /
     minified-blob filter) — shuffle-free sorted-run computation, no
@@ -3532,6 +3550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h_lateral": q_h_lateral,
         "h_regression": q_h_regression,
         "x_bm25": q_x_bm25,
+        "x_ks_drift": q_x_ks_drift,
         "x_lm_perplexity": q_x_lm_perplexity,
         "pipe_json_roundtrip": q_pipe_json_roundtrip,
         "pipe_orc_roundtrip": q_pipe_orc_roundtrip,
@@ -5064,6 +5083,39 @@ def oracle_sql() -> dict[str, str]:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS last_known
         FROM j
+    """
+    oracles["x_ks_drift"] = """
+        WITH two AS (
+            SELECT event_type, event_id % 2 AS grp, value
+            FROM events
+            WHERE value IS NOT NULL AND event_id IS NOT NULL
+        ),
+        per_value AS (
+            SELECT event_type, value,
+                   sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS c0,
+                   sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS c1
+            FROM two GROUP BY event_type, value
+        ),
+        stepped AS (
+            SELECT event_type,
+                   sum(c0) OVER (PARTITION BY event_type ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum0,
+                   sum(c1) OVER (PARTITION BY event_type ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum1,
+                   sum(c0) OVER (PARTITION BY event_type) AS n0,
+                   sum(c1) OVER (PARTITION BY event_type) AS n1
+            FROM per_value
+        )
+        SELECT event_type,
+               CAST(max(n0) AS BIGINT) AS n0,
+               CAST(max(n1) AS BIGINT) AS n1,
+               round(max(abs(cum0 * 1.0 / n0 - cum1 * 1.0 / n1)), 6)
+                   AS d_stat
+        FROM stepped
+        GROUP BY event_type
+        HAVING max(n0) > 0 AND max(n1) > 0
     """
     oracles["x_bm25"] = """
         -- identical BM25 under the pinned contract; k1=1.2, b=0.75

@@ -253,3 +253,83 @@ def kmv_distinct(
             4,
         ).alias("est_distinct"),
     )
+
+
+def ks_drift(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    value_col: str,
+    groups: tuple | None = None,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic per key — the
+    distribution-drift monitor a production pipeline runs between
+    snapshots (``group_col`` must hold exactly two values, e.g.
+    before/after a cutover; rows with NULL value or group are
+    ignored).
+
+    D = max over observed values of |F̂₁(v) − F̂₂(v)|, computed
+    exactly: per (key, value) counts for each sample, one ordered
+    window per key for the running CDFs, one max. No sampling, no
+    binning — and no cogrouped-pandas detour: the empirical CDFs
+    are cumulative sums, which is window algebra Spark executes
+    JVM-side.
+
+    Scale shape: one (key, value) pre-aggregation (map-side
+    combinable — the window then runs over |distinct values| rows,
+    not raw rows), ONE window shuffle on the key, one final
+    per-key max. Sample sizes ride the same aggregate; no
+    collect(), no second scan.
+    """
+    two = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    )
+    if groups is None:
+        # fallback discovery: a bounded 2-row distinct; pass explicit
+        # groups to keep the plan fully lazy
+        groups = [
+            r[0]
+            for r in two.select(group_col)
+            .distinct()
+            .orderBy(group_col)
+            .collect()
+        ]
+    if len(groups) != 2:
+        raise ValueError(
+            f"ks_drift needs exactly 2 groups, got {groups!r}"
+        )
+    g0, g1 = groups
+    per_value = two.groupBy(key_col, value_col).agg(
+        F.sum((F.col(group_col) == g0).cast("bigint")).alias("c0"),
+        F.sum((F.col(group_col) == g1).cast("bigint")).alias("c1"),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    totals = Window.partitionBy(key_col)
+    stepped = per_value.select(
+        key_col,
+        F.sum("c0").over(w).alias("cum0"),
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c0").over(totals).alias("n0"),
+        F.sum("c1").over(totals).alias("n1"),
+    )
+    return (
+        stepped.groupBy(key_col)
+        .agg(
+            F.max("n0").cast("bigint").alias("n0"),
+            F.max("n1").cast("bigint").alias("n1"),
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cum0") / F.col("n0")
+                        - F.col("cum1") / F.col("n1")
+                    )
+                ),
+                6,
+            ).alias("d_stat"),
+        )
+        .filter((F.col("n0") > 0) & (F.col("n1") > 0))
+    )

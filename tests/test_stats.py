@@ -122,3 +122,31 @@ def test_kmv_distinct_exact_below_k_and_bounded_error(spark):
     )
     got = kmv_distinct(withnull, "grp", "val", k=8).collect()
     assert got[0].est_distinct == 2.0
+
+
+def test_ks_drift_hand_computed(spark):
+    """KS statistic against a hand-computed reference: D is the max
+    CDF gap at observed values; identical samples give 0; a key
+    missing one sample is dropped; a non-binary group column raises."""
+    import pytest as _pytest
+
+    from pac_data_pipeline_spark.operators.stats import ks_drift
+
+    rows = (
+        # key 'a': sample0 = {1,2,3}, sample1 = {3,4,5} → D = 2/3
+        [("a", 0, v) for v in (1.0, 2.0, 3.0)]
+        + [("a", 1, v) for v in (3.0, 4.0, 5.0)]
+        # key 'b': identical samples → D = 0
+        + [("b", 0, v) for v in (1.0, 2.0)]
+        + [("b", 1, v) for v in (1.0, 2.0)]
+        # key 'c': only group 0 → filtered out
+        + [("c", 0, 9.0)]
+        # null value ignored
+        + [("a", 0, None)]
+    )
+    df = spark.createDataFrame(rows, "k string, g int, v double")
+    got = {r.k: (r.n0, r.n1, r.d_stat) for r in
+           ks_drift(df, "k", "g", "v", groups=(0, 1)).collect()}
+    assert got == {"a": (3, 3, round(2 / 3, 6)), "b": (2, 2, 0.0)}
+    with _pytest.raises(ValueError, match="exactly 2 groups"):
+        ks_drift(df.filter("g = 0"), "k", "g", "v")
