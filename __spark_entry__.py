@@ -3456,92 +3456,19 @@ def q_x_udtf_tokens(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # Dict ORDER is load-bearing: the round driver's correctness
-        # gate checks only the FIRST 50 entries. Round 4 rotation
-        # (per VERDICT r3 item 1): every name below, through the
-        # "round-5 tail" marker, has NEVER received a driver verdict
-        # in CORRECTNESS_r01-r03 — the window is 50 never-checked,
-        # oracle-backed queries (plus x_approx_stats_exact, new this
-        # round: the hash-checkable half split out of the rows-only
-        # x_approx_stats). All are exact-hash green in the local
-        # DuckDB gate (tools/check_oracle.py, six datasets).
-        # -- (a) new this round --------------------------------------
-        "x_approx_stats_exact": q_x_approx_stats_exact,
-        # -- (b) h_* analytic family + TPC-H-ish, never checked ------
-        "h_cube": q_h_cube,
-        "h_pivot": q_h_pivot,
-        "h_grouping_sets": q_h_grouping_sets,
-        "h_funnel": q_h_funnel,
-        "h_cohort": q_h_cohort,
-        "h_corr": q_h_corr,
-        "h_histogram": q_h_histogram,
-        "h_mode": q_h_mode,
-        "h_ntile": q_h_ntile,
-        "h_running_total": q_h_running_total,
-        "h_min_by": q_h_min_by,
-        "h_window_funcs": q_h_window_funcs,
-        "h_moving_avg": q_h_moving_avg,
-        "h_moving_median": q_h_moving_median,
-        "h_equidepth": q_h_equidepth,
-        "h_exists_late": q_h_exists_late,
-        "h18_large_orders": q_h18_large_orders,
-        "h22_idle_rich": q_h22_idle_rich,
-        "h7_nation_volume": q_h7_nation_volume,
-        "h9_profit": q_h9_profit,
-        "h13_count_distribution": q_h13_count_distribution,
-        "h15_top_supplier": q_h15_top_supplier,
-        "h19_bracket_filter": q_h19_bracket_filter,
-        # -- (c) pipelines / round-trips / merge-family, never checked -
-        "pipe_partitioned": q_pipe_partitioned,
-        "pipe_zorder": q_pipe_zorder,
-        "pipe_index_align": q_pipe_index_align,
-        "pipe_train_corpus": q_pipe_train_corpus,
-        "pipe_csv_roundtrip": q_pipe_csv_roundtrip,
-        "x_jdbc_roundtrip": q_x_jdbc_roundtrip,
-        "x_docstore_roundtrip": q_x_docstore_roundtrip,
-        "x_catalog_probe": q_x_catalog_probe,
-        "x_write_verify": q_x_write_verify,
-        "x_scd2": q_x_scd2,
-        "x_gap_fill": q_x_gap_fill,
-        "x_zscore": q_x_zscore,
-        "x_unpivot": q_x_unpivot,
-        "x_fuzzy_join": q_x_fuzzy_join,
-        "x_merge_upsert": q_x_merge_upsert,
-        "x_merge_cdc": q_x_merge_cdc,
-        "h_semi": q_h_semi,
-        "h_except_all": q_h_except_all,
-        "h_nullsafe_join": q_h_nullsafe_join,
-        "h_asof_forward": q_h_asof_forward,
-        "x_entity_resolution": q_x_entity_resolution,
-        "x_collocations": q_x_collocations,
-        "x_doc_chunks": q_x_doc_chunks,
-        "x_hash_sample": q_x_hash_sample,
-        "x_stratified_sample": q_x_stratified_sample,
-        "x_top_tokens": q_x_top_tokens,
-        # ---- end of round-4 window (position 50) -------------------
-        # ROUND-5 TAIL — the remaining never-driver-checked names,
-        # queued IN THIS ORDER for the round-5 window (28 oracle-
-        # backed, including round 4's new x_png_decode_dims,
-        # x_lm_perplexity, pipe_json_roundtrip, pipe_orc_roundtrip,
-        # x_sentence_stats, then 10 rows-only-by-design). Round 5
-        # should move these to the dict head, after anything
-        # new/changed in r5. Round-4 code changes to ALREADY-
-        # verdicted queries (x_quality_score, x_lang_id,
-        # x_fingerprint, x_gopher_rules, x_corpus_report,
-        # x_token_budget, pipe_train_corpus moved from lower() to
-        # the ascii_lower contract) produce byte-identical output on
-        # ASCII corpora — clean-data hashes are unchanged; the
-        # unicode fuzz clone (now carrying ΣΟΦΟΣ/İstanbul probes)
-        # is the dataset that exercises the change, and the full
-        # local gate passes on it.
-        # NOTE r4-late additions, all exact-hash green in the local
-        # gate (clean + all fuzz clones) and queued for the round-5
-        # window alongside this tail: x_frame_sample's container
-        # changed from the ad-hoc BMP stack to real uncompressed AVI
-        # (ext/avi.py); x_webp_decode_dims (lossless-WebP/VP8L,
-        # ext/webp.py); x_nb_classifier (corpus-trained NB,
-        # ext/classify.py); x_suffix_dups (k-bounded distributed
-        # suffix sort, ext/corpus.py).
-        # -- (d) never-checked, oracle-backed (round-5 head) ---------
+        # gate checks only the FIRST 50 entries. Round 5 rotation
+        # (per VERDICT r4 item 2): the window is the 47 queries that
+        # have NEVER received a driver verdict in CORRECTNESS_r01-r04
+        # — 37 oracle-backed (incl. x_dq_checks, rewritten in r4 and
+        # previously mis-queued outside the window, and x_ks_drift,
+        # whose one-sided-key DIVIDE_BY_ZERO was fixed this round)
+        # then 10 rows-only-by-design — plus 3 re-check slots filled
+        # with the oldest r01 verdicts (steady-state policy: changed
+        # queries first, then round-robin re-verification of the
+        # oldest verdicts). All oracle-backed names are exact-hash
+        # green in the local DuckDB gate (tools/check_oracle.py,
+        # clean + null-fuzz + empty + unicode clones).
+        # -- (a) never-checked, oracle-backed ------------------------
         "x_png_decode_dims": q_x_png_decode_dims,
         "x_webp_decode_dims": q_x_webp_decode_dims,
         "x_nb_classifier": q_x_nb_classifier,
@@ -3578,7 +3505,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_session_window": q_x_session_window,
         "x_window_tumbling": q_x_window_tumbling,
         "x_window_sliding": q_x_window_sliding,
-        # -- (e) never-checked, rows-only-by-design ------------------
+        "x_dq_checks": q_x_dq_checks,
+        # -- (b) never-checked, rows-only-by-design ------------------
         "x_minhash_near_dup": q_x_minhash_near_dup,
         "x_cosine_topk_lsh": q_x_cosine_topk_lsh,
         "x_cosine_topk_ivf": q_x_cosine_topk_ivf,
@@ -3589,6 +3517,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_bpe_encode": q_x_bpe_encode,
         "x_audio_features": q_x_audio_features,
         "x_hll_distinct": q_x_hll_distinct,
+        # -- (c) re-check fill: oldest r01 verdicts (positions 48-50)
+        "a4_party_rollup": q_a4_party_rollup,
+        "a1_groupby_sum": q_a1_groupby_sum,
+        "j1_dim_join": q_j1_dim_join,
+        # ---- end of round-5 window (position 50) -------------------
+        # ROUND-6 PLAN: after r05, every registry name has a driver
+        # verdict. Steady state: (1) anything new or code-changed in
+        # the round goes to the dict head; (2) remaining window slots
+        # round-robin re-verify the OLDEST verdicts (continue from
+        # j1_dim_join through the r01 block below, in order).
+        # ---- driver-verdicted r04 (round-4 window); code unchanged -
+        "x_approx_stats_exact": q_x_approx_stats_exact,
+        "h_cube": q_h_cube,
+        "h_pivot": q_h_pivot,
+        "h_grouping_sets": q_h_grouping_sets,
+        "h_funnel": q_h_funnel,
+        "h_cohort": q_h_cohort,
+        "h_corr": q_h_corr,
+        "h_histogram": q_h_histogram,
+        "h_mode": q_h_mode,
+        "h_ntile": q_h_ntile,
+        "h_running_total": q_h_running_total,
+        "h_min_by": q_h_min_by,
+        "h_window_funcs": q_h_window_funcs,
+        "h_moving_avg": q_h_moving_avg,
+        "h_moving_median": q_h_moving_median,
+        "h_equidepth": q_h_equidepth,
+        "h_exists_late": q_h_exists_late,
+        "h18_large_orders": q_h18_large_orders,
+        "h22_idle_rich": q_h22_idle_rich,
+        "h7_nation_volume": q_h7_nation_volume,
+        "h9_profit": q_h9_profit,
+        "h13_count_distribution": q_h13_count_distribution,
+        "h15_top_supplier": q_h15_top_supplier,
+        "h19_bracket_filter": q_h19_bracket_filter,
+        "pipe_partitioned": q_pipe_partitioned,
+        "pipe_zorder": q_pipe_zorder,
+        "pipe_index_align": q_pipe_index_align,
+        "pipe_train_corpus": q_pipe_train_corpus,
+        "pipe_csv_roundtrip": q_pipe_csv_roundtrip,
+        "x_jdbc_roundtrip": q_x_jdbc_roundtrip,
+        "x_docstore_roundtrip": q_x_docstore_roundtrip,
+        "x_catalog_probe": q_x_catalog_probe,
+        "x_write_verify": q_x_write_verify,
+        "x_scd2": q_x_scd2,
+        "x_gap_fill": q_x_gap_fill,
+        "x_zscore": q_x_zscore,
+        "x_unpivot": q_x_unpivot,
+        "x_fuzzy_join": q_x_fuzzy_join,
+        "x_merge_upsert": q_x_merge_upsert,
+        "x_merge_cdc": q_x_merge_cdc,
+        "h_semi": q_h_semi,
+        "h_except_all": q_h_except_all,
+        "h_nullsafe_join": q_h_nullsafe_join,
+        "h_asof_forward": q_h_asof_forward,
+        "x_entity_resolution": q_x_entity_resolution,
+        "x_collocations": q_x_collocations,
+        "x_doc_chunks": q_x_doc_chunks,
+        "x_hash_sample": q_x_hash_sample,
+        "x_stratified_sample": q_x_stratified_sample,
+        "x_top_tokens": q_x_top_tokens,
         # ---- driver-verdicted in r01/r02/r03; code unchanged -------
         # (relative order preserved; all also pass the local gate)
         "x_text_stats": q_x_text_stats,
@@ -3645,15 +3634,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k3_batch_id": q_k3_batch_id,
         "x_stream_sessions": q_x_stream_sessions,
         "x_stream_dedup": q_x_stream_dedup,
-        "x_dq_checks": q_x_dq_checks,
-        "a4_party_rollup": q_a4_party_rollup,
         "h3_shipping_priority": q_h3_shipping_priority,
         "h5_local_volume": q_h5_local_volume,
         "h6_revenue_forecast": q_h6_revenue_forecast,
         "h10_returned_items": q_h10_returned_items,
         "h14_promo_share": q_h14_promo_share,
         "s2_sql_source": q_s2_sql_source,
-        "j1_dim_join": q_j1_dim_join,
         "j2_dedup_keep_first": q_j2_dedup_keep_first,
         "pipe_csv_report": q_pipe_csv_report,
         "p1_normalize_project": q_p1_normalize_project,
@@ -3672,7 +3658,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e9_iso_format": q_e9_iso_format,
         "e10_fillna": q_e10_fillna,
         "e11_composite_key": q_e11_composite_key,
-        "a1_groupby_sum": q_a1_groupby_sum,
         "a2_groupby_sum_entity": q_a2_groupby_sum_entity,
         "a3_groupby_cycle": q_a3_groupby_cycle,
         "a5_distinct_count": q_a5_distinct_count,

@@ -174,6 +174,20 @@ def main() -> None:
         json.dump(result, fh, indent=1, sort_keys=True)
         fh.write("\n")
     print(json.dumps(result, separators=(",", ":")))
+    # FINAL line: a compact summary the driver can always parse.
+    # The full line above is ~8 KB and every BENCH_r*.json so far
+    # recorded "parsed": null because log capture kept only the tail
+    # of it; the per-query detail lives in bench_results.json.
+    compact = {
+        "metric": "total_query_wall_clock",
+        "value": result["value"],
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_failures": len(failures),
+        "queries": {"detail": "see bench_results.json"},
+    }
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

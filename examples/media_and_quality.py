@@ -1,5 +1,5 @@
 """Multimodal decode + corpus-LM quality scoring against the
-synthetic testdata: a mixed BMP/PNG/JPEG/GIF media table decoded
+synthetic testdata: a mixed BMP/PNG/JPEG/GIF/TIFF/WebP media table decoded
 for real (pure numpy/stdlib codecs), mixed PCM/G.711 audio features,
 and the corpus-trained bigram-LM perplexity filter ranking the most
 and least corpus-like documents.
@@ -29,7 +29,7 @@ def main() -> None:
         mixed_media_from_documents,
     )
 
-    print("-- mixed-format image decode (BMP/PNG/JPEG/GIF by doc_id % 4)")
+    print("-- mixed-format image decode (BMP/PNG/JPEG/GIF/TIFF/WebP by doc_id % 6)")
     media = mixed_media_from_documents(docs)
     feats = extract_features(media)
     feats.join(media.select("doc_id", F.col("meta.format").alias("fmt")),

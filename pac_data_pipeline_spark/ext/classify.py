@@ -205,15 +205,19 @@ def nb_classify(
     label is functionally dependent on doc, so the shared grouping
     key yields identical counts for both consumers while keeping the
     wide text column out of every downstream stage."""
-    # persist the counted stream: its three consumers (model, doc
-    # totals, sparse scores) would otherwise each re-plan the
-    # explode — and the train-side null filter pushes through the
-    # aggregate to the scan, defeating runtime exchange reuse. One
-    # physical text scan; everything downstream reads counts from
-    # cache (MEMORY_AND_DISK, token-count-sized, ≪ corpus).
+    # materialize the counted stream once: its three consumers
+    # (model, doc totals, sparse scores) would otherwise each
+    # re-plan the explode — and the train-side null filter pushes
+    # through the aggregate to the scan, defeating runtime exchange
+    # reuse. localCheckpoint, not persist(): checkpoint blocks are
+    # reclaimed by the ContextCleaner when the result frame is
+    # dropped, whereas CacheManager entries leak until an explicit
+    # unpersist — which nothing here could issue without forcing
+    # execution (same leak dedup_text hit; see
+    # ext/dedup_text.py:236-241). Token-count-sized, ≪ corpus.
     dtl = _doc_token_counts(
         df, id_col, text_col, [F.col(label_col)]
-    ).persist()
+    ).localCheckpoint()
     base = df.select(id_col, label_col)
     token_counts, label_stats = _model_from_counts(dtl, base, label_col)
     return _predict_from_counts(

@@ -42,6 +42,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+#: What a codec raises on a payload it cannot decode. The codecs'
+#: documented contract is ValueError, but fuzzing shows truncated /
+#: bit-flipped payloads can surface as struct.error (short unpack),
+#: IndexError (exhausted bitstream), or KeyError (corrupt Huffman /
+#: LZW table) from deep inside a decoder — one malformed document
+#: must fall back / skip, never kill the whole Spark task.
+_CODEC_ERRORS = (ValueError, struct.error, IndexError, KeyError)
+
 #: Typed metadata carried beside every media payload.
 MEDIA_SCHEMA = T.StructType(
     [
@@ -743,10 +751,13 @@ def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
                 b = bytes(payload)
                 try:
                     stream = parse_avi(b)
-                except ValueError:
+                except _CODEC_ERRORS:
                     continue  # not an uncompressed AVI
                 for idx in range(0, stream.n_frames, every_n):
-                    px = decode_avi_frame(b, stream, idx)
+                    try:
+                        px = decode_avi_frame(b, stream, idx)
+                    except _CODEC_ERRORS:
+                        continue  # corrupt frame: skip it, keep the doc
                     rows.append(
                         {
                             "doc_id": int(doc_id),
@@ -856,7 +867,7 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
                     try:
                         w, h, px = dec(b)
                         break
-                    except ValueError:
+                    except _CODEC_ERRORS:
                         continue
                 if px is not None:
                     pxf = px.astype(np.float64)
@@ -926,7 +937,7 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
                     # rebuild via the tiling encoder's fast path
                     flat = resized[::-1].reshape(-1).tobytes()
                     out = encode_bmp(width, height, flat)
-                except ValueError:
+                except _CODEC_ERRORS:
                     out = b  # non-BMP: metadata-only rewrite
                 contents.append(out)
                 metas.append(
@@ -1172,7 +1183,7 @@ def audio_features(media: DataFrame) -> DataFrame:
                             True,
                         )
                     )
-                except ValueError:
+                except _CODEC_ERRORS:
                     rows.append(
                         (int(doc_id), None, None, None, None, None, False)
                     )

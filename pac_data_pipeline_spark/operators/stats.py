@@ -316,20 +316,22 @@ def ks_drift(
         F.sum("c0").over(totals).alias("n0"),
         F.sum("c1").over(totals).alias("n1"),
     )
-    return (
-        stepped.groupBy(key_col)
-        .agg(
-            F.max("n0").cast("bigint").alias("n0"),
-            F.max("n1").cast("bigint").alias("n1"),
-            F.round(
-                F.max(
-                    F.abs(
-                        F.col("cum0") / F.col("n0")
-                        - F.col("cum1") / F.col("n1")
-                    )
-                ),
-                6,
-            ).alias("d_stat"),
-        )
-        .filter((F.col("n0") > 0) & (F.col("n1") > 0))
+    # Keys present in only one sample have no defined D — drop them
+    # BEFORE the division: under ANSI mode cum/0 raises
+    # DIVIDE_BY_ZERO inside the aggregate, so the filter must sit
+    # upstream of it (n0/n1 are per-key window constants, so this is
+    # the same row set the old post-agg filter kept).
+    stepped = stepped.filter((F.col("n0") > 0) & (F.col("n1") > 0))
+    return stepped.groupBy(key_col).agg(
+        F.max("n0").cast("bigint").alias("n0"),
+        F.max("n1").cast("bigint").alias("n1"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("cum0") / F.col("n0")
+                    - F.col("cum1") / F.col("n1")
+                )
+            ),
+            6,
+        ).alias("d_stat"),
     )

@@ -1526,3 +1526,52 @@ def test_sentence_stats_edges(spark):
     assert got[3] == (0, None, 0)
     assert got[4] == (0, None, 0)
     assert got[5] == (3, 1.0, 1)
+
+
+def test_codec_dispatch_survives_corrupt_payloads(spark):
+    """One malformed payload must never kill a Spark task: fuzzing
+    showed truncated / bit-flipped media can raise struct.error,
+    IndexError, or KeyError from deep inside a decoder (not just the
+    documented ValueError), so the dispatch sites catch the full
+    _CODEC_ERRORS tuple. extract_features falls back to the
+    byte-hash feature (decoded=false), frame_sample and
+    audio_features skip the document."""
+    from pac_data_pipeline_spark.ext.multimodal import (
+        audio_features,
+        audio_media_from_documents,
+        extract_features,
+        frame_sample,
+        mixed_media_from_documents,
+        video_media_from_documents,
+    )
+
+    docs = _docs(spark)
+
+    def corrupt(media, col="content"):
+        # deterministic damage: drop the tail AND flip a mid-file
+        # byte, keeping the magic bytes so dispatch enters the codec
+        return media.withColumn(
+            col,
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.expr(f"substring({col}, 1, int(length({col}) / 2))"),
+            ).otherwise(
+                F.concat(
+                    F.expr(f"substring({col}, 1, 12)"),
+                    F.lit(b"\xff\x00\xff\x00"),
+                    F.expr(f"substring({col}, 17, length({col}))"),
+                )
+            ),
+        )
+
+    feats = extract_features(corrupt(mixed_media_from_documents(docs))).collect()
+    assert len(feats) == 5  # every doc produced a row, no task death
+    assert all(r.feature is not None for r in feats)
+
+    # video: parse_avi / decode_avi_frame raise struct.error on these
+    frame_sample(corrupt(video_media_from_documents(docs)), every_n=1).collect()
+
+    rows = audio_features(
+        corrupt(audio_media_from_documents(docs), col="audio")
+    ).collect()
+    assert len(rows) == 5

@@ -280,69 +280,23 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
 
 def test_no_scale_antipatterns_across_registry(spark):
     """Sweep EVERY registered query's plan for scale anti-patterns:
-    row-at-a-time Python eval, non-broadcast cartesian products, and
-    single-partition windows. Broadcast-nested-loop is allowed only
-    where the broadcast side is a documented tiny frame (query sets,
-    1-row bounds/counts); k3_batch_id's global window is the
-    reference-faithful oracle variant by design."""
-    import __spark_entry__ as entry
+    row-at-a-time Python eval, non-broadcast cartesian products,
+    unwhitelisted broadcast-nested-loop joins, and single-partition
+    windows. The sweep logic and whitelists live in
+    ``tools/plan_sweep.py`` (single source of truth — run that tool
+    standalone, ~1 min, after every registry-touching commit; this
+    test enforces the same gate in CI)."""
+    import os
+    import sys
 
-    ALLOWED_BNL = {
-        "x_cosine_topk",      # 5-row query set vs corpus (documented)
-        "x_cosine_topk_ivf",  # 1-row centroid-probe broadcast
-        "x_cosine_topk_pq",   # 5-row query set, ADC scoring
-        "x_logfreq_score",    # 1-row corpus-total broadcast
-        "x_collocations",     # 1-row bigram-total broadcast
-        "h22_idle_rich",      # 1-row global-average broadcast
-        "h_equidepth",        # 1-row quantile-bounds broadcast
-        "x_tfidf_terms",      # 1-row corpus doc-count broadcast
-        "x_token_budget",     # 1-row cutoff broadcast
-        "x_hard_negatives",   # 5-row anchor set vs corpus
-        "x_negative_pairs",   # 1-row corpus-count broadcast
-        "x_lm_perplexity",    # 1-row vocabulary-size broadcast
-        "x_nb_classifier",    # |labels|-row label-stats broadcast
-    }
-    # the Window+SinglePartition heuristic is coarse (it ANDs two
-    # independent plan facts): k3's window IS globally ordered by
-    # design; tfidf's SinglePartition belongs to its 1-row global
-    # count aggregate while the window is doc-partitioned.
-    # x_token_budget's running sum windows over ~100 bucket
-    # aggregates, not corpus rows — the tiny-frame exception.
-    # h_funnel: the Window partitions by user_id; the SinglePartition
-    # exchange belongs to the final |stages|-column 1-row count
-    # aggregate (same false-positive shape as x_tfidf_terms).
-    # x_nb_classifier: the argmax Window partitions by doc_id; its
-    # SinglePartition exchanges are the 1-row corpus-count and
-    # vocab-size aggregates feeding the broadcast label stats.
-    ALLOWED_GLOBAL_WINDOW = {
-        "k3_batch_id",
-        "x_tfidf_terms",
-        "x_token_budget",
-        "h_funnel",
-        "x_nb_classifier",
-    }
-    sc = spark.sparkContext
-    bad = {}
-    for name, fn in entry.queries().items():
-        if "stream" in name:
-            continue  # streaming queries execute eagerly; covered elsewhere
-        df = fn(spark, SF)
-        p = sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "simple"
-        )
-        hits = []
-        if "BatchEvalPython" in p:
-            hits.append("row-python")
-        if "CartesianProduct" in p:
-            hits.append("cartesian")
-        if "BroadcastNestedLoopJoin" in p and name not in ALLOWED_BNL:
-            hits.append("bnl")
-        if (
-            "Window" in p
-            and "Exchange SinglePartition" in p
-            and name not in ALLOWED_GLOBAL_WINDOW
-        ):
-            hits.append("global-window")
-        if hits:
-            bad[name] = hits
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    from plan_sweep import sweep
+
+    bad = sweep(spark, SF)
     assert not bad, bad

@@ -8,6 +8,14 @@ test makes that failure mode self-catching: as long as the registry
 contains names that have never appeared in any committed
 ``CORRECTNESS_r*.json``, the head of the registry must be (almost
 entirely) made of them.
+
+Steady state (round 5 onward, once every name has a verdict): the
+window is filled by (1) queries added or code-changed in the current
+round, then (2) round-robin re-verification of the OLDEST verdicts —
+the registry-head comment tracks where the round-robin cursor sits.
+With ``never`` empty this test passes on any window by design; the
+policy is enforced editorially via the head comment, not this
+tripwire.
 """
 
 from __future__ import annotations
