@@ -2679,6 +2679,86 @@ def q_pipe_csv_roundtrip(spark, sf_dir):
     )
 
 
+def q_x_html_extract(spark, sf_dir):
+    """HTML-to-text extraction (the CommonCrawl-pipeline step the
+    corpus tier starts from): documents deterministically wrapped in
+    realistic markup (head/nav/script/entities — the wrap is part of
+    the query so the oracle reproduces the same pages), then
+    extracted back under the portable tag/entity contract in
+    ext/html.py — script/style dropped with content, tags → space,
+    fixed entity decode order (&amp; last), TOKEN_SEP whitespace
+    collapse. Every step is an RE2-portable regexp_replace or plain
+    replace, JVM-side, shuffle-free: the plan is one FileScan +
+    Project at any corpus size. Reference ingests already-clean rows
+    (pac_data_processor.py:60-88); this is the step upstream of it."""
+    from pac_data_pipeline_spark.ext.html import html_extract, html_wrap
+
+    return html_extract(html_wrap(_t(spark, sf_dir, "documents")))
+
+
+def q_x_html_links(spark, sf_dir):
+    """Web-graph edges from markup: harvest every href from the
+    synthetic pages (regexp_extract_all + explode in the scan
+    stage), derive the link's domain (''=relative), and roll up the
+    per-domain outbound profile — the blocklist/allowlist input a
+    crawl pipeline maintains. The wrap spreads links over seven
+    synthetic domains (doc_id % 7) so the rollup key has real
+    variety; ONE map-side-combinable shuffle on the domain."""
+    from pac_data_pipeline_spark.ext.html import (
+        html_links,
+        html_links_domain_rollup,
+        html_wrap,
+    )
+
+    links = html_links(html_wrap(_t(spark, sf_dir, "documents")))
+    return html_links_domain_rollup(links)
+
+
+def q_x_url_normalize(spark, sf_dir):
+    """URL canonicalization (the crawl-frontier dedup step): a
+    deterministic five-variant URL fixture built from doc_id (shared
+    template — both engines render identical inputs), normalized
+    under the ordered contract in ext/html.py — fragment strip,
+    scheme/host lowercase, default-port drop, three-pass utm_* strip
+    (order is load-bearing), dangling-? cleanup. Every pass is an
+    RE2-portable regex with a literal replacement (no backrefs —
+    Spark spells them $1, DuckDB \\1, so the contract bans them).
+    Shuffle-free scan-stage projection."""
+    from pac_data_pipeline_spark.ext.html import (
+        url_fixture_col,
+        url_normalize_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    url = url_fixture_col("doc_id")
+    return docs.select(
+        "doc_id",
+        url.alias("url"),
+        url_normalize_col(url).alias("url_norm"),
+    )
+
+
+def q_x_inverted_index(spark, sf_dir):
+    """Posting-list construction (the physical index under x_bm25's
+    scorer): per term, document frequency + champion list of the 16
+    smallest doc ids. Skew-safe two-stage smallest-k merge — a
+    stopword's postings split over 32 salt reducers before the
+    per-term merge sees ≤ 32 pre-capped arrays; the salt is
+    doc_id % 32 so the DuckDB oracle replays the identical plan.
+    Tokenization under the TOKEN_SEP + ascii_lower contract."""
+    from pac_data_pipeline_spark.ext.text import inverted_index
+
+    idx = inverted_index(_t(spark, sf_dir, "documents"))
+    # champion list serialized to a canonical string: the comparator
+    # (and the driver's value hash) sorts/hashes scalars, not arrays
+    return idx.select(
+        "term", "df",
+        F.array_join(F.col("postings").cast("array<string>"), ",").alias(
+            "postings"
+        ),
+    )
+
+
 def q_x_sentence_stats(spark, sf_dir):
     """Sentence-level fluency signals (count / mean tokens / longest
     sentence) under an ASCII-portable segmentation contract —
@@ -3468,6 +3548,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oldest verdicts). All oracle-backed names are exact-hash
         # green in the local DuckDB gate (tools/check_oracle.py,
         # clean + null-fuzz + empty + unicode clones).
+        # -- (a0) new this round --------------------------------------
+        "x_html_extract": q_x_html_extract,
+        "x_html_links": q_x_html_links,
+        "x_url_normalize": q_x_url_normalize,
+        "x_inverted_index": q_x_inverted_index,
         # -- (a) never-checked, oracle-backed ------------------------
         "x_png_decode_dims": q_x_png_decode_dims,
         "x_webp_decode_dims": q_x_webp_decode_dims,
@@ -3517,11 +3602,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_bpe_encode": q_x_bpe_encode,
         "x_audio_features": q_x_audio_features,
         "x_hll_distinct": q_x_hll_distinct,
-        # -- (c) re-check fill: oldest r01 verdicts (positions 48-50)
+        # ---- end of round-5 window (position 50) -------------------
+        # NEXT-ROUND TAIL (round-6 queue): the 3 re-check slots
+        # planned for a4/a1/j1 plus the last never-checked slot were
+        # consumed by this round's 4 new queries — new/changed first
+        # per the steady-state policy. x_hll_distinct (rows-only),
+        # the ONE never-checked name now outside the window, leads
+        # the round-6 window; then the oldest-verdict round-robin
+        # starts at a4_party_rollup and proceeds in dict order.
         "a4_party_rollup": q_a4_party_rollup,
         "a1_groupby_sum": q_a1_groupby_sum,
         "j1_dim_join": q_j1_dim_join,
-        # ---- end of round-5 window (position 50) -------------------
         # ROUND-6 PLAN: after r05, every registry name has a driver
         # verdict. Steady state: (1) anything new or code-changed in
         # the round goes to the dict head; (2) remaining window slots
@@ -4693,6 +4784,36 @@ def oracle_sql() -> dict[str, str]:
               < CASE WHEN lang = 'de' THEN 20
                      WHEN lang = 'en' THEN 50
                      ELSE 5 END
+    """
+    # x_inverted_index: the oracle replays the identical two-stage
+    # smallest-k merge (salt = doc_id % 32 — arithmetic, not an
+    # engine hash — so both plans are the same algebra); list slices
+    # are 1-based inclusive-length in BOTH engines (F.slice(a,1,16)
+    # == a[1:16]).
+    oracles["x_inverted_index"] = """
+        WITH dtd AS (
+            SELECT DISTINCT
+                   translate(tok,
+                             'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                             'abcdefghijklmnopqrstuvwxyz') AS term,
+                   doc_id
+            FROM (SELECT doc_id,
+                         unnest(string_split_regex(trim(text, ' '),
+                                                   '[ \\t\\n\\f\\r]+')) AS tok
+                  FROM documents)
+            WHERE tok <> ''
+        ),
+        s1 AS (
+            SELECT term, doc_id % 32 AS salt,
+                   count(*) AS cnt,
+                   list_sort(list(doc_id))[1:16] AS ks
+            FROM dtd GROUP BY term, doc_id % 32
+        )
+        SELECT term,
+               CAST(sum(cnt) AS BIGINT) AS df,
+               array_to_string(list_sort(flatten(list(ks)))[1:16], ',')
+                   AS postings
+        FROM s1 GROUP BY term
     """
     oracles["x_top_tokens"] = """
         SELECT token, count(*) AS n
@@ -6162,6 +6283,59 @@ def oracle_sql() -> dict[str, str]:
                round(sum(o_totalprice), 2) AS total
         FROM orders
         GROUP BY o_orderstatus, yr
+    """
+    # x_html_extract: wrap + extract are BOTH rendered from the
+    # shared template/constants in ext/html.py, so the oracle cannot
+    # drift from the Spark expressions — see html_wrap_sql /
+    # html_extract_sql (DuckDB regexp_replace needs the explicit 'g'
+    # option; Spark always replaces all matches).
+    from pac_data_pipeline_spark.ext.html import (
+        html_extract_sql,
+        html_wrap_sql,
+    )
+
+    _html_x = html_extract_sql("html")
+    oracles["x_html_extract"] = f"""
+        WITH h AS (
+            SELECT doc_id,
+                   {html_wrap_sql("doc_id", "text")} AS html
+            FROM documents
+        )
+        SELECT doc_id,
+               {_html_x} AS extracted,
+               length({_html_x}) AS n_chars
+        FROM h
+    """
+    from pac_data_pipeline_spark.ext.html import HTML_HREF, URL_DOMAIN
+
+    oracles["x_html_links"] = f"""
+        WITH h AS (
+            SELECT doc_id,
+                   {html_wrap_sql("doc_id", "text")} AS html
+            FROM documents
+        ),
+        u AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(html, '{HTML_HREF}', 1)) AS url
+            FROM h
+        )
+        SELECT regexp_extract(url, '{URL_DOMAIN}', 1) AS domain,
+               count(*) AS n_links,
+               count(DISTINCT doc_id) AS n_docs
+        FROM u
+        GROUP BY domain
+    """
+    from pac_data_pipeline_spark.ext.html import (
+        url_fixture_sql,
+        url_normalize_sql,
+    )
+
+    _ufx = url_fixture_sql("doc_id")
+    oracles["x_url_normalize"] = f"""
+        SELECT doc_id,
+               {_ufx} AS url,
+               {url_normalize_sql(_ufx)} AS url_norm
+        FROM documents
     """
     oracles["x_sentence_stats"] = """
         WITH s AS (

@@ -1,8 +1,9 @@
 """End-to-end training-corpus preparation against the synthetic
-testdata: quality gates -> NB domain classifier -> exact +
-chunk-level dedup -> substring-duplication audit ->
-decontamination -> domain mixing, finishing with a per-source
-report card.
+testdata: HTML-to-text extraction (pages synthesized, links
+harvested, URLs canonicalized) -> quality gates -> NB domain
+classifier -> exact + chunk-level dedup -> substring-duplication
+audit -> decontamination -> domain mixing, finishing with a
+per-source report card.
 
 Run:  python examples/corpus_prep.py [sf_dir]
 """
@@ -18,6 +19,13 @@ from pac_data_pipeline_spark.ext.text import corpus_report, gopher_rules
 from pac_data_pipeline_spark.ext.classify import nb_classify
 from pac_data_pipeline_spark.ext.corpus import chunk_dedup, suffix_duplication
 from pac_data_pipeline_spark.ext.dedup_text import decontaminate, exact_dedup
+from pac_data_pipeline_spark.ext.html import (
+    html_extract,
+    html_links,
+    html_links_domain_rollup,
+    html_wrap,
+    url_normalize_col,
+)
 from pac_data_pipeline_spark.ext.sampling import domain_mix
 
 from pyspark.sql import functions as F
@@ -27,6 +35,20 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark(app_name="corpus_prep", master="local[4]")
     docs = scan_parquet(spark, f"{sf_dir}/documents.parquet")
+
+    # crawl front door: pages in, clean text + a canonical link graph out
+    pages = html_wrap(docs)
+    extracted = html_extract(pages)
+    print(
+        "HTML extract — docs:", extracted.count(),
+        "avg chars:",
+        round(extracted.agg(F.avg("n_chars")).collect()[0][0], 1),
+    )
+    links = html_links(pages).withColumn(
+        "url_norm", url_normalize_col(F.col("url"))
+    )
+    print("outbound link domains:")
+    html_links_domain_rollup(links).orderBy(F.desc("n_links")).show(8)
 
     gated = gopher_rules(docs).filter(F.col("keep")).select("doc_id")
     kept = docs.join(gated, "doc_id")

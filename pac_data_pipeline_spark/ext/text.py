@@ -1106,3 +1106,56 @@ def bm25_rank(
         .agg(F.round(F.sum("part"), 4).alias("score"))
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(top_k)
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int = 16,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Build the physical counterpart of :func:`bm25_rank`'s scorer:
+    one row per term with its document frequency and a champion list
+    — the ``max_postings`` SMALLEST doc ids (ascending; smallest-k is
+    deterministic where "first k seen" is not). Tokenization is the
+    standard contract (TOKEN_SEP + ascii_lower).
+
+    Scale shape — the stopword problem is the whole design: a term
+    like 'the' posts in every document, so a naive
+    groupBy(term).collect_list() funnels |corpus| rows through ONE
+    reducer and materializes an O(|docs|) array. Instead the
+    smallest-k merge runs in two stages, exploiting that min-k is
+    losslessly composable: (1) group by (term, doc_id % salt_buckets)
+    — the salt splits any hot term across ``salt_buckets`` reducers,
+    each keeping a count and its local k-smallest; (2) group by term
+    over at most ``salt_buckets`` pre-aggregated rows per term,
+    summing counts and re-merging the k-smallest. No reducer ever
+    holds more than ~df/salt_buckets ids in stage 1 or
+    salt_buckets × max_postings in stage 2. The salt is
+    ``doc_id % salt_buckets`` (not an engine hash) so a SQL oracle
+    reproduces the identical two-stage plan.
+    """
+    dtd = (
+        df.select(
+            F.col(id_col),
+            F.explode(tokens(ascii_lower(F.col(text_col)))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term", id_col)  # distinct, map-side combinable
+        .agg(F.lit(1).alias("__one"))
+    )
+    stage1 = dtd.groupBy(
+        "term", (F.col(id_col) % salt_buckets).alias("__salt")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.slice(
+            F.array_sort(F.collect_list(id_col)), 1, max_postings
+        ).alias("ks"),
+    )
+    return stage1.groupBy("term").agg(
+        F.sum("cnt").alias("df"),
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("ks"))), 1, max_postings
+        ).alias("postings"),
+    )

@@ -1575,3 +1575,171 @@ def test_codec_dispatch_survives_corrupt_payloads(spark):
         corrupt(audio_media_from_documents(docs), col="audio")
     ).collect()
     assert len(rows) == 5
+
+
+def test_html_extract_contract_edges(spark):
+    """Pin the extraction contract's tricky clauses: script/style
+    dropped WITH content (case-insensitive, across newlines, sibling
+    blocks not merged), tags become spaces (no glued words), the
+    fixed entity order decodes double-escaped input exactly once
+    (&amp;lt; -> literal &lt;), and ASCII whitespace collapses."""
+    from pac_data_pipeline_spark.ext.html import html_extract
+
+    rows = [
+        (0, "<p>a</p><p>b</p>"),                      # tag boundary = space
+        (1, "<SCRIPT>var x = '<p>hi</p>';</SCRIPT>ok"),  # case + nested markup
+        (2, "<script>a()</script>keep<script>b()</script>"),  # siblings
+        (3, "<style>\nbody { color: red; }\n</style>text"),   # multiline
+        (4, "Tom &amp; Jerry &amp;lt;once&amp;gt; &lt;twice&gt;"),
+        (5, "a\n\n\t b&nbsp;&nbsp;c"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {r.doc_id: r for r in html_extract(df).collect()}
+    assert got[0].extracted == "a b"
+    assert got[1].extracted == "ok"
+    assert got[2].extracted == "keep"
+    assert got[3].extracted == "text"
+    # &amp;lt; decodes ONCE to the literal text "&lt;"; real &lt; to "<"
+    assert got[4].extracted == "Tom & Jerry &lt;once&gt; <twice>"
+    assert got[5].extracted == "a b c"
+    assert got[6].extracted is None and got[6].n_chars is None
+    assert got[0].n_chars == 3
+
+
+def test_html_wrap_extract_roundtrip_and_plan(spark):
+    """Wrapping then extracting recovers the original text (plus the
+    deterministic page boilerplate), and the whole pipeline is a
+    shuffle-free JVM projection: no Exchange, no Python eval —
+    one FileScan + Project at any corpus size."""
+    from pac_data_pipeline_spark.ext.html import html_extract, html_wrap
+
+    docs = _docs(spark)
+    out = html_extract(html_wrap(docs))
+    base = {r.doc_id: r.text for r in docs.collect()}
+    for r in out.collect():
+        assert base[r.doc_id] in r.extracted
+        assert f"Document {r.doc_id}" in r.extracted      # h1 survives
+        assert "track(trackerId)" not in r.extracted      # script dropped
+        assert "margin" not in r.extracted                # style dropped
+        assert '"hello"' in r.extracted                   # &quot; decoded
+        assert "&lt;escaped&gt; stays text" in r.extracted  # decoded once
+    p = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert "Exchange" not in p, p
+    assert "EvalPython" not in p, p
+
+
+def test_html_links_edges_and_rollup(spark):
+    """Link harvesting: every double-quoted href captured (any
+    attribute case), domain derived only for absolute http(s) URLs
+    ('' for relative — both engines return '' on regex no-match),
+    and the per-domain rollup counts links and distinct docs."""
+    from pac_data_pipeline_spark.ext.html import (
+        html_links,
+        html_links_domain_rollup,
+        html_wrap,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, '<a HREF="https://a.example.com/x">u</a>'
+                '<a href="/rel">v</a>'
+                '<link href="https://a.example.com/css">'),
+            (1, "no links here"),
+        ],
+        "doc_id long, html string",
+    )
+    links = html_links(df).collect()
+    assert len(links) == 3  # doc 1 contributes nothing
+    by_url = {r.url: r.domain for r in links}
+    assert by_url == {
+        "https://a.example.com/x": "a.example.com",
+        "/rel": "",
+        "https://a.example.com/css": "a.example.com",
+    }
+
+    # synthetic wrap: nav 2 relative + 1 local + 1 site{id%7} link
+    docs = _docs(spark)  # doc_ids 0..4
+    roll = {
+        r.domain: r
+        for r in html_links_domain_rollup(
+            html_links(html_wrap(docs))
+        ).collect()
+    }
+    assert roll[""].n_links == 15 and roll[""].n_docs == 5
+    for d in range(5):
+        dom = f"site{d % 7}.example.com"
+        assert roll[dom].n_links == 1 and roll[dom].n_docs == 1
+
+
+def test_url_normalize_contract(spark):
+    """Pin each clause of the canonicalization contract, including
+    the load-bearing three-pass utm order (C strips every non-leading
+    &utm_ so at most one LEADING utm remains; A turns ?utm_…& into ?;
+    B deletes a lone trailing ?utm_…)."""
+    from pac_data_pipeline_spark.ext.html import url_normalize_col
+
+    cases = [
+        # scheme/host fold + default port + trailing utms + fragment
+        ("HTTPS://Site3.Example.COM:443/doc/8?id=8&utm_source=f#frag",
+         "https://site3.example.com/doc/8?id=8"),
+        # leading utm pair strips to nothing (C then B)
+        ("http://M.org:80/d?utm_ref=a&utm_b=c", "http://m.org/d"),
+        # leading utm with surviving successor (C no-op, A fires)
+        ("https://c.net/s?utm_x=1&page=2", "https://c.net/s?page=2"),
+        # THREE leading utms then a keeper: C strips two, A one
+        ("https://c.net/s?utm_a=1&utm_b=2&utm_c=3&k=v",
+         "https://c.net/s?k=v"),
+        # relative: no scheme fold, utm + fragment still stripped
+        ("/rel/p?utm_z=9#x", "/rel/p"),
+        # path/query case preserved; non-default port kept
+        ("https://H.io:8443/Path?Q=UPPER", "https://h.io:8443/Path?Q=UPPER"),
+        # dangling ? cleanup
+        ("https://a.io/p?", "https://a.io/p"),
+        # already canonical: unchanged
+        ("https://plain.example.com/7", "https://plain.example.com/7"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
+    )
+    got = {
+        r.i: r.n
+        for r in df.select(
+            "i", url_normalize_col(F.col("url")).alias("n")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i][0], got[i], want)
+
+
+def test_inverted_index_champion_lists(spark):
+    """df counts every posting document; the champion list is the k
+    SMALLEST doc ids (deterministic, unlike first-k-seen); and the
+    two-stage salted merge is lossless — any salt_buckets value
+    yields identical results (min-k composes across partial merges)."""
+    from pac_data_pipeline_spark.ext.text import inverted_index
+
+    rows = [(i, "the quick fox" if i % 2 == 0 else "the slow Fox")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = {r.term: r for r in inverted_index(df, max_postings=4).collect()}
+    assert out["the"].df == 40
+    assert sorted(out["the"].postings) == [0, 1, 2, 3]  # 4 smallest of 40
+    assert out["fox"].df == 40  # Fox folds to fox under ascii_lower
+    assert out["quick"].df == 20
+    assert out["quick"].postings == [0, 2, 4, 6]
+    assert out["slow"].postings == [1, 3, 5, 7]
+
+    for buckets in (1, 7):
+        alt = {
+            r.term: (r.df, list(r.postings))
+            for r in inverted_index(
+                df, max_postings=4, salt_buckets=buckets
+            ).collect()
+        }
+        assert alt == {
+            t: (r.df, list(r.postings)) for t, r in out.items()
+        }
