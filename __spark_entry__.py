@@ -1535,6 +1535,39 @@ def q_x_ks_drift(spark, sf_dir):
     return ks_drift(e, "event_type", "grp", "value", groups=(0, 1))
 
 
+def q_x_psi_drift(spark, sf_dir):
+    """Population Stability Index per event type between the
+    even/odd event-id halves — ks_drift's coarser companion (binned
+    shares instead of exact CDFs; the number a model monitor alerts
+    on). Ten equal-width bins over the pooled per-key [min, max],
+    Laplace-smoothed shares, Σ (p−q)·ln(p/q). Per-key min/max ride
+    one window; counts are one (key, bin) hash agg."""
+    from pac_data_pipeline_spark.operators.stats import psi_drift
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("event_id") % 2).alias("grp"),
+        "value",
+    )
+    return psi_drift(e, "event_type", "grp", "value", groups=(0, 1))
+
+
+def q_x_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: which event_type follows which, with conditional
+    probabilities — the empirical next-action model behind funnel
+    diagnostics. ONE window shuffle on user_id builds the lag pairs
+    (event_id pins simultaneous-timestamp order); the (prev, state)
+    count agg is map-side combinable; per-prev totals window over
+    the |states|²-row aggregate, never the event stream."""
+    from pac_data_pipeline_spark.operators.timeseries import (
+        markov_transitions,
+    )
+
+    e = load_events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    return markov_transitions(e, "user_id", "ts", "event_type", "event_id")
+
+
 def q_x_entropy(spark, sf_dir):
     """Character-level Shannon entropy per document (gibberish /
     minified-blob filter) — shuffle-free sorted-run computation, no
@@ -3553,6 +3586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_html_links": q_x_html_links,
         "x_url_normalize": q_x_url_normalize,
         "x_inverted_index": q_x_inverted_index,
+        "x_psi_drift": q_x_psi_drift,
+        "x_markov_transitions": q_x_markov_transitions,
         # -- (a) never-checked, oracle-backed ------------------------
         "x_png_decode_dims": q_x_png_decode_dims,
         "x_webp_decode_dims": q_x_webp_decode_dims,
@@ -3604,12 +3639,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_hll_distinct": q_x_hll_distinct,
         # ---- end of round-5 window (position 50) -------------------
         # NEXT-ROUND TAIL (round-6 queue): the 3 re-check slots
-        # planned for a4/a1/j1 plus the last never-checked slot were
-        # consumed by this round's 4 new queries — new/changed first
-        # per the steady-state policy. x_hll_distinct (rows-only),
-        # the ONE never-checked name now outside the window, leads
-        # the round-6 window; then the oldest-verdict round-robin
-        # starts at a4_party_rollup and proceeds in dict order.
+        # planned for a4/a1/j1 plus three rows-only slots were
+        # consumed by this round's 6 new queries — new/changed first
+        # per the steady-state policy. The THREE never-checked names
+        # now below the window (all rows-only-by-design:
+        # x_bpe_encode, x_audio_features, x_hll_distinct) lead the
+        # round-6 window; then the oldest-verdict round-robin starts
+        # at a4_party_rollup and proceeds in dict order.
         "a4_party_rollup": q_a4_party_rollup,
         "a1_groupby_sum": q_a1_groupby_sum,
         "j1_dim_join": q_j1_dim_join,
@@ -5190,6 +5226,82 @@ def oracle_sql() -> dict[str, str]:
                ) AS last_known
         FROM j
     """
+    # x_psi_drift: the oracle mirrors the operator expression-for-
+    # expression (same double arithmetic order, same Laplace
+    # smoothing, same one-sided-key drop); round(psi, 4) absorbs
+    # libm-vs-JVM 1-ulp ln() noise and Spark's unpinned ≤10-term
+    # accumulation order.
+    oracles["x_psi_drift"] = """
+        WITH two AS (
+            SELECT event_type,
+                   event_id % 2 AS grp,
+                   CAST(value AS DOUBLE) AS v
+            FROM events
+            WHERE value IS NOT NULL AND event_id IS NOT NULL
+              AND (event_id % 2) IN (0, 1)
+        ),
+        binned AS (
+            SELECT event_type, grp,
+                   CASE WHEN (max(v) OVER w - min(v) OVER w) / 10.0 = 0
+                        THEN 0
+                        ELSE least(CAST(floor(
+                                 (v - min(v) OVER w)
+                                 / ((max(v) OVER w - min(v) OVER w) / 10.0)
+                             ) AS INT), 9)
+                   END AS bin
+            FROM two
+            WINDOW w AS (PARTITION BY event_type)
+        ),
+        counts AS (
+            SELECT event_type, bin,
+                   sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS c0,
+                   sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS c1
+            FROM binned GROUP BY event_type, bin
+        ),
+        stepped AS (
+            SELECT event_type, c0, c1,
+                   sum(c0) OVER (PARTITION BY event_type) AS n0,
+                   sum(c1) OVER (PARTITION BY event_type) AS n1
+            FROM counts
+        )
+        SELECT event_type,
+               CAST(max(n0) AS BIGINT) AS n0,
+               CAST(max(n1) AS BIGINT) AS n1,
+               round(sum(
+                   ((c0 + 0.5) / (n0 + 5.0) - (c1 + 0.5) / (n1 + 5.0))
+                   * ln(((c0 + 0.5) / (n0 + 5.0))
+                        / ((c1 + 0.5) / (n1 + 5.0)))
+               ), 4) AS psi
+        FROM stepped
+        WHERE n0 > 0 AND n1 > 0
+        GROUP BY event_type
+    """
+    # x_markov_transitions: lag over (user, ts, event_id) — the
+    # event_id tiebreak pins simultaneous timestamps on both engines.
+    oracles["x_markov_transitions"] = """
+        WITH seq AS (
+            SELECT user_id, ts, event_id, event_type
+            FROM events
+            WHERE event_type IS NOT NULL AND ts IS NOT NULL
+              AND user_id IS NOT NULL
+        ),
+        pairs AS (
+            SELECT lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_state,
+                   event_type AS state
+            FROM seq
+        ),
+        counts AS (
+            SELECT prev_state, state, count(*) AS n
+            FROM pairs WHERE prev_state IS NOT NULL
+            GROUP BY prev_state, state
+        )
+        SELECT prev_state, state, n,
+               round(n * 1.0 / sum(n) OVER (PARTITION BY prev_state), 6)
+                   AS p
+        FROM counts
+    """
     oracles["x_ks_drift"] = """
         WITH two AS (
             SELECT event_type, event_id % 2 AS grp, value
@@ -5220,6 +5332,7 @@ def oracle_sql() -> dict[str, str]:
                round(max(abs(cum0 * 1.0 / n0 - cum1 * 1.0 / n1)), 6)
                    AS d_stat
         FROM stepped
+        WHERE n0 > 0 AND n1 > 0  -- mirror: one-sided keys are dropped
         GROUP BY event_type
         HAVING max(n0) > 0 AND max(n1) > 0
     """

@@ -335,3 +335,76 @@ def ks_drift(
             6,
         ).alias("d_stat"),
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    value_col: str,
+    groups: tuple,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index per key — :func:`ks_drift`'s
+    companion for the coarser "how much did the distribution move"
+    question a model monitor asks between snapshots (rule of thumb:
+    <0.1 stable, 0.1–0.25 drifting, >0.25 shifted).
+
+    Values bin into ``n_bins`` equal-width buckets over the key's
+    observed [min, max] (both samples pooled — bins must be shared
+    or PSI is meaningless); per-bucket shares are Laplace-smoothed
+    ((c + 0.5) / (n + 0.5·B)) so empty buckets neither divide by
+    zero nor blow up the log; PSI = Σ (p−q)·ln(p/q), rounded to 4
+    (the Σ runs over ≤ B doubles whose accumulation order Spark
+    doesn't pin). Rows with NULL value/group are ignored; a key
+    present in only one sample is dropped (same contract as
+    ks_drift). ``groups`` is explicit — pass the two snapshot labels.
+
+    Scale shape: per-key min/max ride ONE window over the same key
+    partitioning the (key, bin) count aggregate reuses; shuffle
+    volume is |keys| + |keys × bins|, never raw rows twice.
+    """
+    if len(groups) != 2:
+        raise ValueError(f"psi_drift needs exactly 2 groups, got {groups!r}")
+    g0, g1 = groups
+    two = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isNotNull()
+        & F.col(group_col).isin(list(groups))
+    )
+    w = Window.partitionBy(key_col)
+    v = F.col(value_col).cast("double")
+    lo, hi = F.min(v).over(w), F.max(v).over(w)
+    width = (hi - lo) / F.lit(float(n_bins))
+    binned = two.select(
+        key_col,
+        F.col(group_col).alias("__g"),
+        F.when(width == 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((v - lo) / width).cast("int"),
+                F.lit(n_bins - 1),
+            )
+        )
+        .alias("__bin"),
+    )
+    counts = binned.groupBy(key_col, "__bin").agg(
+        F.sum((F.col("__g") == g0).cast("bigint")).alias("c0"),
+        F.sum((F.col("__g") == g1).cast("bigint")).alias("c1"),
+    )
+    totals = Window.partitionBy(key_col)
+    stepped = counts.select(
+        key_col,
+        "c0",
+        "c1",
+        F.sum("c0").over(totals).alias("n0"),
+        F.sum("c1").over(totals).alias("n1"),
+    ).filter((F.col("n0") > 0) & (F.col("n1") > 0))
+    half_b = 0.5 * n_bins
+    p = (F.col("c0") + 0.5) / (F.col("n0") + half_b)
+    q = (F.col("c1") + 0.5) / (F.col("n1") + half_b)
+    return stepped.groupBy(key_col).agg(
+        F.max("n0").cast("bigint").alias("n0"),
+        F.max("n1").cast("bigint").alias("n1"),
+        F.round(F.sum((p - q) * F.log(p / q)), 4).alias("psi"),
+    )

@@ -195,3 +195,53 @@ def zscore_anomalies(
         )
         .filter(F.abs(F.col("z")) > threshold)
     )
+
+
+def markov_transitions(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    state_col: str,
+    tiebreak_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key state
+    sequences (e.g. which event_type follows which, per user) — the
+    empirical next-step model behind funnel diagnostics and
+    next-action prediction. One row per observed (prev_state, state)
+    with the transition count and row-conditional probability
+    P(state | prev_state), rounded so cross-engine float division
+    agrees.
+
+    ``tiebreak_col`` pins the order of simultaneous events —
+    lag() over an ambiguous sort is partition-order-dependent, the
+    same nondeterminism contract as keep-first dedup. Rows with a
+    NULL state or order are dropped; each key's first event has no
+    predecessor and contributes nothing.
+
+    Scale shape: ONE window shuffle on the key builds every lag
+    pair, then a (prev, state) hash aggregation with map-side
+    partials (shuffle volume = |state pairs|, not events); the
+    per-prev totals ride a tiny window over the |states|²-row
+    aggregate, not the event stream.
+    """
+    seq = df.filter(
+        F.col(state_col).isNotNull() & F.col(order_col).isNotNull()
+    )
+    w = Window.partitionBy(key_col).orderBy(order_col, tiebreak_col)
+    pairs = seq.select(
+        F.lag(state_col).over(w).alias("prev_state"),
+        F.col(state_col).alias("state"),
+    ).filter(F.col("prev_state").isNotNull())
+    counts = pairs.groupBy("prev_state", "state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = Window.partitionBy("prev_state")
+    return counts.select(
+        "prev_state",
+        "state",
+        "n",
+        F.round(
+            F.col("n") / F.sum("n").over(tot), digits
+        ).alias("p"),
+    )

@@ -150,3 +150,56 @@ def test_ks_drift_hand_computed(spark):
     assert got == {"a": (3, 3, round(2 / 3, 6)), "b": (2, 2, 0.0)}
     with _pytest.raises(ValueError, match="exactly 2 groups"):
         ks_drift(df.filter("g = 0"), "k", "g", "v")
+
+
+def test_psi_drift_hand_computed(spark):
+    """Hand-checkable PSI: key 'a' identical halves (psi == 0 after
+    smoothing, since p == q in every bin); key 'b' fully separated
+    halves (large psi); key 'c' present in one sample only → dropped
+    (same contract as ks_drift — and the division/log must not run
+    on the one-sided key under ANSI mode)."""
+    import math
+
+    from pac_data_pipeline_spark.operators.stats import psi_drift
+
+    rows = (
+        [("a", g, float(v)) for g in (0, 1) for v in range(10)]
+        + [("b", 0, float(v)) for v in range(10)]
+        + [("b", 1, float(v + 100)) for v in range(10)]
+        + [("c", 0, 1.0), ("c", 0, 2.0)]
+    )
+    df = spark.createDataFrame(rows, "k string, grp int, v double")
+    got = {r.k: r for r in psi_drift(df, "k", "grp", "v", groups=(0, 1)).collect()}
+    assert set(got) == {"a", "b"}  # 'c' dropped before any division
+    assert got["a"].psi == 0.0
+    assert got["a"].n0 == 10 and got["a"].n1 == 10
+    # 'b': halves land in bins 0 and 9 of the pooled [0, 109] range —
+    # p=(10.5/15, .5/15 ...) vs q mirrored; psi = 2*(10/15)*ln(21)
+    expect = round(2 * (10 / 15) * math.log(10.5 / 0.5), 4)
+    assert got["b"].psi == expect
+
+
+def test_markov_transitions_hand_computed(spark):
+    """u1: a->b->a->c; u2: a->b. Transitions: a->b ×2, b->a ×1,
+    a->c ×1. P(b|a)=2/3, P(c|a)=1/3, P(a|b)=1.0. The tiebreak column
+    pins simultaneous timestamps; NULL states drop."""
+    from pac_data_pipeline_spark.operators.timeseries import (
+        markov_transitions,
+    )
+
+    rows = [
+        ("u1", 1, 1, "a"), ("u1", 2, 2, "b"),
+        ("u1", 3, 3, "a"), ("u1", 3, 4, "c"),  # same ts: id pins order
+        ("u2", 1, 5, "a"), ("u2", 2, 6, "b"),
+        ("u2", 3, 7, None),  # dropped, not a transition end
+    ]
+    df = spark.createDataFrame(rows, "u string, t long, id long, s string")
+    got = {
+        (r.prev_state, r.state): (r.n, r.p)
+        for r in markov_transitions(df, "u", "t", "s", "id").collect()
+    }
+    assert got == {
+        ("a", "b"): (2, round(2 / 3, 6)),
+        ("a", "c"): (1, round(1 / 3, 6)),
+        ("b", "a"): (1, 1.0),
+    }
