@@ -1568,6 +1568,20 @@ def q_x_markov_transitions(spark, sf_dir):
     return markov_transitions(e, "user_id", "ts", "event_type", "event_id")
 
 
+def q_x_pagerank(spark, sf_dir):
+    """PageRank over a deterministic functional link graph (3
+    out-links per doc via (id·a+b) mod N) — the crawl-prioritization
+    step downstream of x_html_links. Three synchronous iterations
+    unrolled into ONE lazy plan; per-iteration round-12 pins the
+    float fixed-point trajectory across engines; each iteration is
+    one shuffle join + one map-side-combinable sum; the node count
+    rides a 1-row broadcast. No driver loops, no collect."""
+    from pac_data_pipeline_spark.ext.graph import functional_edges, pagerank
+
+    nodes = _t(spark, sf_dir, "documents").select("doc_id")
+    return pagerank(nodes, functional_edges(nodes))
+
+
 def q_x_entropy(spark, sf_dir):
     """Character-level Shannon entropy per document (gibberish /
     minified-blob filter) — shuffle-free sorted-run computation, no
@@ -3588,6 +3602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_inverted_index": q_x_inverted_index,
         "x_psi_drift": q_x_psi_drift,
         "x_markov_transitions": q_x_markov_transitions,
+        "x_pagerank": q_x_pagerank,
         # -- (a) never-checked, oracle-backed ------------------------
         "x_png_decode_dims": q_x_png_decode_dims,
         "x_webp_decode_dims": q_x_webp_decode_dims,
@@ -3639,10 +3654,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_hll_distinct": q_x_hll_distinct,
         # ---- end of round-5 window (position 50) -------------------
         # NEXT-ROUND TAIL (round-6 queue): the 3 re-check slots
-        # planned for a4/a1/j1 plus three rows-only slots were
-        # consumed by this round's 6 new queries — new/changed first
-        # per the steady-state policy. The THREE never-checked names
-        # now below the window (all rows-only-by-design:
+        # planned for a4/a1/j1 plus four rows-only slots were
+        # consumed by this round's 7 new queries — new/changed first
+        # per the steady-state policy. The FOUR never-checked names
+        # now below the window (all rows-only-by-design: x_bpe_train,
         # x_bpe_encode, x_audio_features, x_hll_distinct) lead the
         # round-6 window; then the oldest-verdict round-robin starts
         # at a4_party_rollup and proceeds in dict order.
@@ -5302,6 +5317,9 @@ def oracle_sql() -> dict[str, str]:
                    AS p
         FROM counts
     """
+    from pac_data_pipeline_spark.ext.graph import pagerank_fixture_sql
+
+    oracles["x_pagerank"] = pagerank_fixture_sql()
     oracles["x_ks_drift"] = """
         WITH two AS (
             SELECT event_type, event_id % 2 AS grp, value

@@ -1743,3 +1743,37 @@ def test_inverted_index_champion_lists(spark):
         assert alt == {
             t: (r.df, list(r.postings)) for t, r in out.items()
         }
+
+
+def test_pagerank_hand_computed(spark):
+    """4-node cycle 0->1->2->3->0 plus a chord 0->2: ranks must sum
+    to ~1 (no dangling nodes) and every value must equal a
+    hand-rolled synchronous-update reference with the same
+    per-iteration rounding; the functional fixture must be
+    self-consistent (dedup + no self-loops)."""
+    from pac_data_pipeline_spark.ext.graph import functional_edges, pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)], "src long, dst long"
+    )
+    got = {r.doc_id: r.rank for r in pagerank(nodes, edges).collect()}
+    assert len(got) == 4
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    # hand-rolled reference: same sync updates, same per-iter rounding
+    ranks = {v: round(1 / 4, 12) for v in range(4)}
+    out = {0: 2, 1: 1, 2: 1, 3: 1}
+    ins = {1: [0], 2: [0, 1], 3: [2], 0: [3]}
+    for _ in range(3):
+        ranks = {
+            v: round(
+                0.15 / 4 + 0.85 * sum(ranks[u] / out[u] for u in ins[v]), 12
+            )
+            for v in range(4)
+        }
+    for v in range(4):
+        assert got[v] == round(ranks[v], 8), (v, got[v], ranks[v])
+
+    fe = functional_edges(nodes).collect()
+    assert all(r.src != r.dst for r in fe)
+    assert len({(r.src, r.dst) for r in fe}) == len(fe)

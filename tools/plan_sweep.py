@@ -49,6 +49,7 @@ ALLOWED_BNL = {
     "x_lm_perplexity",    # 1-row vocabulary-size broadcast
     "x_nb_classifier",    # |labels|-row label-stats broadcast
     "x_bm25",             # 1-row (N, avgdl) corpus-stats broadcast
+    "x_pagerank",         # 1-row node-count broadcast (teleport term)
 }
 
 #: The Window+SinglePartition heuristic ANDs two independent plan
