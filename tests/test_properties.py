@@ -418,3 +418,77 @@ def test_asof_join_matches_naive(spark_session_holder, data):
         )
         want = [(by, t, mt, mv) for by, t, mt, mv in want]
         assert got == want, (direction, got, want)
+
+
+# ---------------------------------------------------------------------------
+# HTML / URL contract properties (ext/html.py)
+# ---------------------------------------------------------------------------
+
+_BODY_TEXT = st.lists(
+    st.sampled_from(
+        list("abcXYZ019 &<>\"'\t\n") + ["&amp;", "&lt;", "<p>", "</p>"]
+    ),
+    min_size=0,
+    max_size=60,
+).map("".join)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_BODY_TEXT, min_size=1, max_size=8))
+def test_html_wrap_extract_recovers_body(spark_session_holder, texts):
+    """extract(wrap(text)) must contain the whitespace-collapsed,
+    markup-free body text for ANY input — including text that itself
+    contains tags, quotes, and pre-escaped entities (the wrap escapes
+    them; extraction decodes exactly once)."""
+    import re
+
+    from pac_data_pipeline_spark.ext.html import html_extract, html_wrap
+
+    spark = spark_session_holder
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.extracted for r in html_extract(html_wrap(df)).collect()}
+    for i, t in enumerate(texts):
+        want = re.sub(r"[ \t\n\f\r]+", " ", t).strip()
+        assert want in got[i], (t, got[i])
+
+
+_URL = st.one_of(
+    st.from_regex(
+        r"(HT|ht)tps?://[A-Za-z0-9.]{1,12}(:(80|443|8080))?"
+        r"(/[A-Za-z0-9]{0,6}){0,3}"
+        r"(\?(utm_[a-z]{1,4}=[0-9]{1,3}|[a-z]{1,4}=[0-9]{1,3})"
+        r"(&(utm_[a-z]{1,4}=[0-9]{1,3}|[a-z]{1,4}=[0-9]{1,3})){0,3})?"
+        r"(#[A-Za-z0-9]{0,8})?",
+        fullmatch=True,
+    ),
+    st.from_regex(r"/[A-Za-z0-9/]{0,16}(\?utm_[a-z]{1,3}=[0-9]{1,2})?",
+                  fullmatch=True),
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_URL, min_size=1, max_size=10))
+def test_url_normalize_idempotent(spark_session_holder, urls):
+    """Canonicalization must be idempotent — normalize(normalize(u))
+    == normalize(u) — or frontier dedup by canonical URL misses
+    (two passes over the same crawl disagree). Also: no utm_ param
+    and no fragment may survive a single pass."""
+    from pyspark.sql import functions as F
+
+    from pac_data_pipeline_spark.ext.html import url_normalize_col
+
+    spark = spark_session_holder
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i long, url string"
+    )
+    out = df.select(
+        "i",
+        url_normalize_col(F.col("url")).alias("once"),
+        url_normalize_col(url_normalize_col(F.col("url"))).alias("twice"),
+    ).collect()
+    for r in out:
+        assert r.once == r.twice, (urls[r.i], r.once, r.twice)
+        assert "#" not in r.once
+        assert "utm_" not in r.once, (urls[r.i], r.once)
