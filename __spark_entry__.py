@@ -1582,6 +1582,33 @@ def q_x_pagerank(spark, sf_dir):
     return pagerank(nodes, functional_edges(nodes))
 
 
+def q_x_pii_luhn(spark, sf_dir):
+    """Checksum-validated card detection: candidates are 13–19 digit
+    runs with consuming non-digit boundaries (RE2 has no lookaround;
+    20+-digit runs deliberately match nothing), validated by a Luhn
+    fold that runs entirely in whole-stage codegen (reverse +
+    sequence + transform + aggregate — no UDF). The fixture plants
+    per-doc a 15- and a 16-digit number derived from doc_id plus a
+    20-digit decoy; validity falls out of the checksum (~10%).
+    Shuffle-free scan-stage projection."""
+    from pac_data_pipeline_spark.ext.text import card_scan
+
+    d = _t(spark, sf_dir, "documents")
+    fixture = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("order "),
+            F.lpad(((F.col("doc_id") * 7919 + 13) % 1000000000000000)
+                   .cast("string"), 15, "0"),
+            F.lit(" card "),
+            F.lpad(((F.col("doc_id") * 104729 + 7) % 10000000000000000)
+                   .cast("string"), 16, "0"),
+            F.lit(" ref 12345678901234567890 end"),
+        ).alias("text"),
+    )
+    return card_scan(fixture)
+
+
 def q_x_entropy(spark, sf_dir):
     """Character-level Shannon entropy per document (gibberish /
     minified-blob filter) — shuffle-free sorted-run computation, no
@@ -3603,6 +3630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_psi_drift": q_x_psi_drift,
         "x_markov_transitions": q_x_markov_transitions,
         "x_pagerank": q_x_pagerank,
+        "x_pii_luhn": q_x_pii_luhn,
         # -- (a) never-checked, oracle-backed ------------------------
         "x_png_decode_dims": q_x_png_decode_dims,
         "x_webp_decode_dims": q_x_webp_decode_dims,
@@ -3654,13 +3682,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_hll_distinct": q_x_hll_distinct,
         # ---- end of round-5 window (position 50) -------------------
         # NEXT-ROUND TAIL (round-6 queue): the 3 re-check slots
-        # planned for a4/a1/j1 plus four rows-only slots were
-        # consumed by this round's 7 new queries — new/changed first
-        # per the steady-state policy. The FOUR never-checked names
-        # now below the window (all rows-only-by-design: x_bpe_train,
-        # x_bpe_encode, x_audio_features, x_hll_distinct) lead the
-        # round-6 window; then the oldest-verdict round-robin starts
-        # at a4_party_rollup and proceeds in dict order.
+        # planned for a4/a1/j1 plus five rows-only slots were
+        # consumed by this round's 8 new queries — new/changed first
+        # per the steady-state policy. The FIVE never-checked names
+        # now below the window (all rows-only-by-design:
+        # x_multimodal_features, x_bpe_train, x_bpe_encode,
+        # x_audio_features, x_hll_distinct) lead the round-6 window;
+        # then the oldest-verdict round-robin starts at
+        # a4_party_rollup and proceeds in dict order.
         "a4_party_rollup": q_a4_party_rollup,
         "a1_groupby_sum": q_a1_groupby_sum,
         "j1_dim_join": q_j1_dim_join,
@@ -5320,6 +5349,52 @@ def oracle_sql() -> dict[str, str]:
     from pac_data_pipeline_spark.ext.graph import pagerank_fixture_sql
 
     oracles["x_pagerank"] = pagerank_fixture_sql()
+    # x_pii_luhn: the Luhn fold as a DuckDB list comprehension over
+    # the reversed digit string — the same arithmetic as the Spark
+    # transform/aggregate HOFs; candidates via the shared
+    # CARD_CANDIDATE pattern (group 2).
+    oracles["x_pii_luhn"] = """
+        WITH fx AS (
+            SELECT doc_id,
+                   concat('order ',
+                          lpad(CAST((doc_id * 7919 + 13)
+                               % 1000000000000000 AS VARCHAR), 15, '0'),
+                          ' card ',
+                          lpad(CAST((doc_id * 104729 + 7)
+                               % 10000000000000000 AS VARCHAR), 16, '0'),
+                          ' ref 12345678901234567890 end') AS text
+            FROM documents
+        ),
+        scanned AS (
+            SELECT doc_id,
+                   regexp_extract_all(text,
+                       '(^|[^0-9])([0-9]{13,19})([^0-9]|$)', 2) AS cands
+            FROM fx
+        ),
+        v AS (
+            SELECT doc_id, cands,
+                   list_filter(cands, c ->
+                       list_sum([
+                           CASE WHEN i % 2 = 0 THEN
+                               CASE WHEN CAST(substring(reverse(c), i, 1)
+                                         AS INT) * 2 > 9
+                                    THEN CAST(substring(reverse(c), i, 1)
+                                         AS INT) * 2 - 9
+                                    ELSE CAST(substring(reverse(c), i, 1)
+                                         AS INT) * 2 END
+                           ELSE CAST(substring(reverse(c), i, 1) AS INT)
+                           END
+                           FOR i IN range(1, length(c) + 1)
+                       ]) % 10 = 0) AS valid
+            FROM scanned
+        )
+        SELECT doc_id,
+               CAST(len(cands) AS BIGINT) AS n_candidates,
+               CAST(len(valid) AS BIGINT) AS n_valid,
+               CAST(coalesce(list_sum(list_transform(valid,
+                    c -> length(c))), 0) AS BIGINT) AS valid_digit_mass
+        FROM v
+    """
     oracles["x_ks_drift"] = """
         WITH two AS (
             SELECT event_type, event_id % 2 AS grp, value

@@ -1159,3 +1159,60 @@ def inverted_index(
             F.array_sort(F.flatten(F.collect_list("ks"))), 1, max_postings
         ).alias("postings"),
     )
+
+
+#: Candidate card numbers: 13–19 digit runs with non-digit (or
+#: string-edge) boundaries on both sides. RE2 has no lookaround, so
+#: the boundaries are consuming groups and the number is group 2;
+#: runs of 20+ digits match NOTHING (every alignment fails one
+#: boundary) — deliberate, they are ids/hashes, not cards. Both
+#: engines resolve the alternation leftmost-first, so captures agree.
+CARD_CANDIDATE = r"(^|[^0-9])([0-9]{13,19})([^0-9]|$)"
+
+
+def luhn_valid_col(digits: Column) -> Column:
+    """Luhn checksum (ISO/IEC 7812) as a pure column expression —
+    reverse the digit string, double every second digit, fold the
+    digit sum with ``aggregate``; valid iff total ≡ 0 (mod 10).
+    No UDF: the whole check stays inside whole-stage codegen, and
+    the identical arithmetic is one DuckDB list comprehension (see
+    the x_pii_luhn oracle)."""
+    rev = F.reverse(digits)
+    idx = F.sequence(F.lit(1), F.length(digits))
+    d = lambda i: rev.substr(i, F.lit(1)).cast("int")  # noqa: E731
+    terms = F.transform(
+        idx,
+        lambda i: F.when(
+            i % 2 == 0,
+            F.when(d(i) * 2 > 9, d(i) * 2 - 9).otherwise(d(i) * 2),
+        ).otherwise(d(i)),
+    )
+    total = F.aggregate(terms, F.lit(0), lambda acc, x: acc + x)
+    return total % 10 == 0
+
+
+def card_scan(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Checksum-validated card detection — the PII gate regex alone
+    can't provide: a 16-digit order id matches the shape but fails
+    Luhn, so validating candidates cuts the false-positive rate that
+    makes shape-only scrubbing unusable on numeric-heavy corpora.
+    One row per doc: candidate count, Luhn-valid count, and the
+    valid numbers' total digit mass (for redaction budgeting).
+    Shuffle-free scan-stage expressions throughout."""
+    cands = F.regexp_extract_all(
+        F.col(text_col), F.lit(CARD_CANDIDATE), F.lit(2)
+    )
+    valid = F.filter(cands, luhn_valid_col)
+    return df.select(
+        F.col(id_col),
+        F.size(cands).cast("bigint").alias("n_candidates"),
+        F.size(valid).cast("bigint").alias("n_valid"),
+        F.aggregate(
+            valid, F.lit(0).cast("bigint"),
+            lambda acc, c: acc + F.length(c),
+        ).alias("valid_digit_mass"),
+    )

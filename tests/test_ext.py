@@ -1777,3 +1777,33 @@ def test_pagerank_hand_computed(spark):
     fe = functional_edges(nodes).collect()
     assert all(r.src != r.dst for r in fe)
     assert len({(r.src, r.dst) for r in fe}) == len(fe)
+
+
+def test_luhn_card_scan(spark):
+    """Canonical Luhn vectors (4111111111111111 valid, last digit
+    bumped invalid, 79927398713 the ISO example); 20+-digit runs are
+    NOT candidates (ids/hashes); boundaries are consuming groups;
+    NULL text yields NULL counts (not zero — unknown, not absent)."""
+    from pac_data_pipeline_spark.ext.text import card_scan, luhn_valid_col
+
+    lv = spark.createDataFrame(
+        [("4111111111111111",), ("4111111111111112",), ("79927398713",)],
+        "s string",
+    )
+    vals = [r.v for r in lv.select(luhn_valid_col(F.col("s")).alias("v")).collect()]
+    assert vals == [True, False, True]
+
+    t = spark.createDataFrame(
+        [
+            (0, "pay 4111111111111111 or 4111111111111112 now"),
+            (1, "decoy 12345678901234567890 only"),
+            (2, "edge4111111111111111"),  # digit-adjacent? 'e' boundary ok
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in card_scan(t).collect()}
+    assert (got[0].n_candidates, got[0].n_valid, got[0].valid_digit_mass) == (2, 1, 16)
+    assert (got[1].n_candidates, got[1].n_valid) == (0, 0)
+    assert (got[2].n_candidates, got[2].n_valid) == (1, 1)
+    assert got[3].n_candidates is None and got[3].n_valid is None
