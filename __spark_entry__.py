@@ -1609,6 +1609,19 @@ def q_x_pii_luhn(spark, sf_dir):
     return card_scan(fixture)
 
 
+def q_x_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking + corpus duplication profile: chunk
+    boundaries from a content-hash mask (md5-of-window ends in '0' —
+    the engine-portable stand-in for a rolling Buzhash), so edits
+    shift ONE chunk instead of re-aligning every fixed block; then
+    per-fingerprint occurrence/doc counts — the storage-dedup
+    priority table. Chunking is shuffle-free scan-stage HOFs; the
+    profile is one map-side-combinable shuffle on the fingerprint."""
+    from pac_data_pipeline_spark.ext.corpus import cdc_chunks, cdc_dup_profile
+
+    return cdc_dup_profile(cdc_chunks(_t(spark, sf_dir, "documents")))
+
+
 def q_x_entropy(spark, sf_dir):
     """Character-level Shannon entropy per document (gibberish /
     minified-blob filter) — shuffle-free sorted-run computation, no
@@ -3631,6 +3644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_markov_transitions": q_x_markov_transitions,
         "x_pagerank": q_x_pagerank,
         "x_pii_luhn": q_x_pii_luhn,
+        "x_cdc_chunks": q_x_cdc_chunks,
         # -- (a) never-checked, oracle-backed ------------------------
         "x_png_decode_dims": q_x_png_decode_dims,
         "x_webp_decode_dims": q_x_webp_decode_dims,
@@ -3683,11 +3697,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- end of round-5 window (position 50) -------------------
         # NEXT-ROUND TAIL (round-6 queue): the 3 re-check slots
         # planned for a4/a1/j1 plus five rows-only slots were
-        # consumed by this round's 8 new queries — new/changed first
-        # per the steady-state policy. The FIVE never-checked names
+        # consumed by this round's 9 new queries — new/changed first
+        # per the steady-state policy. The SIX never-checked names
         # now below the window (all rows-only-by-design:
-        # x_multimodal_features, x_bpe_train, x_bpe_encode,
-        # x_audio_features, x_hll_distinct) lead the round-6 window;
+        # x_embedding_near_dup, x_multimodal_features, x_bpe_train,
+        # x_bpe_encode, x_audio_features, x_hll_distinct) lead the
+        # round-6 window;
         # then the oldest-verdict round-robin starts at
         # a4_party_rollup and proceeds in dict order.
         "a4_party_rollup": q_a4_party_rollup,
@@ -5349,6 +5364,46 @@ def oracle_sql() -> dict[str, str]:
     from pac_data_pipeline_spark.ext.graph import pagerank_fixture_sql
 
     oracles["x_pagerank"] = pagerank_fixture_sql()
+    # x_cdc_chunks: same boundary mask (md5-of-8-char-window ends in
+    # '0'), same 1-based inclusive slicing; generate_series is the
+    # inclusive-end twin of Spark's sequence(); the CASE mirrors the
+    # short-text single-chunk clause.
+    oracles["x_cdc_chunks"] = """
+        WITH d AS (
+            SELECT doc_id, text, length(text) AS n
+            FROM documents
+            WHERE text IS NOT NULL AND length(text) > 0
+        ),
+        b AS (
+            SELECT doc_id, text, n,
+                   list_filter(
+                       CASE WHEN n >= 9
+                            THEN generate_series(2, n - 7)
+                            ELSE [] END,
+                       p -> substring(md5(substring(text, p, 8)), 32, 1)
+                            = '0') AS bounds
+            FROM d
+        ),
+        c AS (
+            SELECT doc_id, text,
+                   list_prepend(1, bounds) AS starts,
+                   list_append(bounds, n + 1) AS ends
+            FROM b
+        ),
+        x AS (
+            SELECT doc_id,
+                   unnest([
+                       substring(text, starts[i], ends[i] - starts[i])
+                       FOR i IN range(1, len(starts) + 1)
+                   ]) AS chunk
+            FROM c
+        )
+        SELECT md5(chunk) AS chunk_hash,
+               count(*) AS n_occurrences,
+               count(DISTINCT doc_id) AS n_docs,
+               CAST(max(length(chunk)) AS INT) AS chunk_len
+        FROM x GROUP BY chunk_hash
+    """
     # x_pii_luhn: the Luhn fold as a DuckDB list comprehension over
     # the reversed digit string — the same arithmetic as the Spark
     # transform/aggregate HOFs; candidates via the shared

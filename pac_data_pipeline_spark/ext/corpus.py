@@ -330,3 +330,83 @@ def suffix_duplication(
             .alias("n_dup_ge_t"),
         )
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+) -> DataFrame:
+    """Content-defined chunking (the FastCDC/rsync idea): chunk
+    boundaries are positions whose local content hash hits a target
+    mask, so an insertion near a document's start shifts ONE chunk
+    instead of re-aligning every fixed-width block — the property
+    that makes chunk-level storage dedup survive edits.
+
+    Contract (engine-portable, documented because it IS the oracle):
+    a boundary sits before position p (1-based, p > 1) when the
+    lowercase-hex md5 of the ``window`` chars starting at p ends in
+    '0' — a 1/16 mask, ~16 + window/2 char mean chunk length.
+    md5-per-position is the portability trade: a production pipeline
+    rolls a Buzhash at O(1)/char, but no two engines agree on a
+    rolling hash, while md5(substring) is bit-identical everywhere
+    (same choice as the sampling tier's md5-derived fractions).
+    Short texts (< window + 1 chars) form a single chunk.
+
+    One output row per (doc, chunk): ordinal, chunk text, md5
+    fingerprint. Shuffle-free — all scan-stage HOFs; downstream
+    dedup (:func:`cdc_dup_profile`) adds the one fingerprint
+    shuffle.
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+    # candidate boundary positions: 2 .. len-window+1 (a boundary at
+    # 1 would make an empty first chunk; windows must fit)
+    pos = F.when(
+        n >= window + 1,
+        F.sequence(F.lit(2), n - F.lit(window - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    bounds = F.filter(
+        pos,
+        lambda p: F.md5(t.substr(p, F.lit(window))).substr(
+            F.lit(32), F.lit(1)
+        )
+        == "0",
+    )
+    starts = F.concat(F.array(F.lit(1)), bounds)
+    ends = F.concat(bounds, F.array(n + 1))
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(starts)),
+        lambda i: t.substr(
+            F.element_at(starts, i),
+            F.element_at(ends, i) - F.element_at(starts, i),
+        ),
+    )
+    return (
+        df.filter(t.isNotNull() & (n > 0))
+        .select(
+            id_col,
+            F.posexplode(chunks).alias("chunk_ord", "chunk"),
+        )
+        .select(
+            id_col,
+            "chunk_ord",
+            "chunk",
+            F.md5(F.col("chunk")).alias("chunk_hash"),
+        )
+    )
+
+
+def cdc_dup_profile(chunks: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Corpus-wide duplication profile over CDC chunks: per
+    fingerprint, total occurrences, distinct docs, and chunk length
+    — the table a storage dedup (or a Lee-et-al-style span scrubber)
+    prioritizes by. One map-side-combinable shuffle on the
+    fingerprint; hot fingerprints (boilerplate) spread over the hash
+    key space, no skew hazard."""
+    return chunks.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct(id_col).alias("n_docs"),
+        F.max(F.length("chunk")).alias("chunk_len"),
+    )

@@ -217,3 +217,36 @@ def test_suffix_duplication_identical_docs_cap(spark):
             rows[d].n_starts, rows[d].max_dup_len, rows[d].n_dup_ge_t
         ) == tuple(want[d])
     assert rows[0].max_dup_len == 64  # long shared text hits the cap
+
+
+def test_cdc_chunks_shift_resistance(spark):
+    """The defining CDC property: a prefix insertion changes ONLY the
+    first chunk — every later chunk fingerprint survives and dedupes
+    across the two versions. Also: chunks reassemble to the original
+    text, short/empty/NULL texts behave per contract."""
+    from pac_data_pipeline_spark.ext.corpus import cdc_chunks, cdc_dup_profile
+
+    base = ("the quick brown fox jumps over the lazy dog "
+            "again and again and again")
+    df = spark.createDataFrame(
+        [(0, base), (1, "XX" + base), (2, "short"), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    rows = cdc_chunks(df).collect()
+    by_doc = {}
+    for r in sorted(rows, key=lambda r: (r.doc_id, r.chunk_ord)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert "".join(r.chunk for r in by_doc[0]) == base
+    assert "".join(r.chunk for r in by_doc[1]) == "XX" + base
+    assert [r.chunk for r in by_doc[2]] == ["short"]  # single chunk
+    assert 3 not in by_doc and 4 not in by_doc        # null/empty drop
+    # shift resistance: all chunks after the first are shared
+    h0 = [r.chunk_hash for r in by_doc[0]]
+    h1 = [r.chunk_hash for r in by_doc[1]]
+    assert len(h0) > 1, "fixture must produce multiple chunks"
+    assert h0[1:] == h1[1:]
+    assert h0[0] != h1[0]
+
+    prof = {r.chunk_hash: r for r in cdc_dup_profile(cdc_chunks(df)).collect()}
+    for h in h0[1:]:
+        assert prof[h].n_docs == 2 and prof[h].n_occurrences == 2
