@@ -355,10 +355,18 @@ def cdc_chunks(
     Short texts (< window + 1 chars) form a single chunk.
 
     One output row per (doc, chunk): ordinal, chunk text, md5
-    fingerprint. Shuffle-free — all scan-stage HOFs; downstream
-    dedup (:func:`cdc_dup_profile`) adds the one fingerprint
-    shuffle.
+    fingerprint. All scan-stage HOFs; downstream dedup
+    (:func:`cdc_dup_profile`) adds the one fingerprint shuffle. The
+    per-position hashing is compute-bound (~len(text) md5 calls per
+    doc), so the input fans out to cluster parallelism first — the
+    one-row-group testdata quirk would otherwise run the whole
+    corpus on a single task (first bench: 162 s single-task vs ~6 s
+    fanned out at sf0.1); at production scale the scan already has
+    ≥ cores splits and the fan-out is a no-op.
     """
+    from pac_data_pipeline_spark.ext.dedup_text import ensure_parallelism
+
+    df = ensure_parallelism(df)
     t = F.col(text_col)
     n = F.length(t)
     # candidate boundary positions: 2 .. len-window+1 (a boundary at
