@@ -1622,6 +1622,17 @@ def q_x_cdc_chunks(spark, sf_dir):
     return cdc_dup_profile(cdc_chunks(_t(spark, sf_dir, "documents")))
 
 
+def q_x_tokenizer_fertility(spark, sf_dir):
+    """Per-language bytes/token + chars/token ("fertility") — the
+    multilingual tokenizer-health table: a language the tokenizer
+    fragments pays more sequence length per byte of content. One
+    scan, one map-side-combinable agg on the language key; UTF-8
+    octet_length vs codepoint length distinguished deliberately."""
+    from pac_data_pipeline_spark.ext.text import tokenizer_fertility
+
+    return tokenizer_fertility(_t(spark, sf_dir, "documents"))
+
+
 def q_x_entropy(spark, sf_dir):
     """Character-level Shannon entropy per document (gibberish /
     minified-blob filter) — shuffle-free sorted-run computation, no
@@ -3645,6 +3656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_pagerank": q_x_pagerank,
         "x_pii_luhn": q_x_pii_luhn,
         "x_cdc_chunks": q_x_cdc_chunks,
+        "x_tokenizer_fertility": q_x_tokenizer_fertility,
         # -- (a) never-checked, oracle-backed ------------------------
         "x_png_decode_dims": q_x_png_decode_dims,
         "x_webp_decode_dims": q_x_webp_decode_dims,
@@ -3697,12 +3709,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- end of round-5 window (position 50) -------------------
         # NEXT-ROUND TAIL (round-6 queue): the 3 re-check slots
         # planned for a4/a1/j1 plus five rows-only slots were
-        # consumed by this round's 9 new queries — new/changed first
-        # per the steady-state policy. The SIX never-checked names
+        # consumed by this round's 10 new queries — new/changed first
+        # per the steady-state policy. The SEVEN never-checked names
         # now below the window (all rows-only-by-design:
-        # x_embedding_near_dup, x_multimodal_features, x_bpe_train,
-        # x_bpe_encode, x_audio_features, x_hll_distinct) lead the
-        # round-6 window;
+        # x_cosine_topk_pq, x_embedding_near_dup,
+        # x_multimodal_features, x_bpe_train, x_bpe_encode,
+        # x_audio_features, x_hll_distinct) lead the round-6 window;
         # then the oldest-verdict round-robin starts at
         # a4_party_rollup and proceeds in dict order.
         "a4_party_rollup": q_a4_party_rollup,
@@ -5364,6 +5376,29 @@ def oracle_sql() -> dict[str, str]:
     from pac_data_pipeline_spark.ext.graph import pagerank_fixture_sql
 
     oracles["x_pagerank"] = pagerank_fixture_sql()
+    # x_tokenizer_fertility: strlen = DuckDB's UTF-8 byte length
+    # (Spark octet_length); length = codepoints on both engines.
+    oracles["x_tokenizer_fertility"] = """
+        WITH d AS (
+            SELECT lang,
+                   strlen(text) AS b,
+                   length(text) AS c,
+                   len(list_filter(
+                       string_split_regex(trim(text, ' '),
+                                          '[ \t\n\f\r]+'),
+                       x -> x != '')) AS t
+            FROM documents WHERE text IS NOT NULL
+        )
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(b) AS BIGINT) AS total_bytes,
+               CAST(sum(t) AS BIGINT) AS total_tokens,
+               round(sum(b) * 1.0 / nullif(sum(t), 0), 4)
+                   AS bytes_per_token,
+               round(sum(c) * 1.0 / nullif(sum(t), 0), 4)
+                   AS chars_per_token
+        FROM d GROUP BY lang
+    """
     # x_cdc_chunks: same boundary mask (md5-of-8-char-window ends in
     # '0'), same 1-based inclusive slicing; generate_series is the
     # inclusive-end twin of Spark's sequence(); the CASE mirrors the

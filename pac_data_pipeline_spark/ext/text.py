@@ -1216,3 +1216,43 @@ def card_scan(
             lambda acc, c: acc + F.length(c),
         ).alias("valid_digit_mass"),
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-language tokenizer-health metrics: bytes/token and
+    chars/token ("fertility") plus corpus mass — the table a
+    multilingual pipeline watches to catch languages the tokenizer
+    fragments (high fertility = more tokens per byte = that
+    language pays more sequence length for the same content).
+    Tokenization is the standard TOKEN_SEP contract; byte length is
+    ``octet_length`` (UTF-8 octets — THE size that matters for
+    storage and for byte-level tokenizers), chars are codepoints.
+
+    Scale shape: one scan computing three scalar measures per row,
+    one map-side-combinable aggregation on the (low-cardinality)
+    language key. NULL-text rows are dropped; NULL language groups
+    as its own bucket (a real pipeline wants unlabeled mass
+    visible, not silently merged)."""
+    t = F.col(text_col)
+    per_doc = df.filter(t.isNotNull()).select(
+        F.col(lang_col).alias("lang"),
+        F.octet_length(t).alias("__bytes"),
+        F.length(t).alias("__chars"),
+        F.size(F.filter(tokens(t), lambda x: x != "")).alias("__toks"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__bytes").cast("bigint").alias("total_bytes"),
+        F.sum("__toks").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum("__bytes") / F.nullif(F.sum("__toks"), F.lit(0)), 4
+        ).alias("bytes_per_token"),
+        F.round(
+            F.sum("__chars") / F.nullif(F.sum("__toks"), F.lit(0)), 4
+        ).alias("chars_per_token"),
+    )

@@ -1807,3 +1807,30 @@ def test_luhn_card_scan(spark):
     assert (got[1].n_candidates, got[1].n_valid) == (0, 0)
     assert (got[2].n_candidates, got[2].n_valid) == (1, 1)
     assert got[3].n_candidates is None and got[3].n_valid is None
+
+
+def test_tokenizer_fertility(spark):
+    """bytes/token vs chars/token must diverge exactly on multi-byte
+    text (UTF-8 octets vs codepoints); NULL text drops; NULL lang is
+    its own visible bucket; zero-token docs don't divide by zero."""
+    from pac_data_pipeline_spark.ext.text import tokenizer_fertility
+
+    df = spark.createDataFrame(
+        [
+            (0, "ab cd", "en"),        # 5 bytes, 5 chars, 2 tokens
+            (1, "é ü", "de"),          # 2-byte chars: 5 bytes, 3 chars, 2 toks
+            (2, "   ", "xx"),          # whitespace-only: 0 tokens
+            (3, None, "en"),           # dropped
+            (4, "one", None),          # NULL-lang bucket
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {r.lang: r for r in tokenizer_fertility(df).collect()}
+    assert got["en"].n_docs == 1  # NULL text dropped
+    assert (got["en"].total_bytes, got["en"].total_tokens) == (5, 2)
+    assert got["en"].bytes_per_token == 2.5
+    assert (got["de"].total_bytes, got["de"].chars_per_token) == (5, 1.5)
+    assert got["de"].bytes_per_token == 2.5
+    assert got["xx"].total_tokens == 0
+    assert got["xx"].bytes_per_token is None  # nullif, not div-by-zero
+    assert got[None].n_docs == 1
