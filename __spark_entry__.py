@@ -1818,6 +1818,31 @@ def q_x_merge_upsert(spark, sf_dir):
     )
 
 
+def q_h_range_frame(spark, sf_dir):
+    """Event-time RANGE frame — the window capability ROWS frames
+    can't fake: per user, trailing-1-hour event count and value sum
+    where the frame is defined by the TIME AXIS (all events within
+    3600 s), not a row count. Peers at the same second are frame
+    peers on both engines (RANGE semantics — no tiebreak needed);
+    ordering is floor-epoch-seconds so Spark's timestamp→long cast
+    and DuckDB's floor(epoch()) agree exactly. One shuffle on the
+    user key."""
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 2).alias("val_1h"),
+    )
+
+
 def q_h_moving_avg(spark, sf_dir):
     """7-row trailing moving average of daily revenue per priority:
     window over pre-aggregated |key × day| rows — the rolling frame
@@ -3657,6 +3682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_pii_luhn": q_x_pii_luhn,
         "x_cdc_chunks": q_x_cdc_chunks,
         "x_tokenizer_fertility": q_x_tokenizer_fertility,
+        "h_range_frame": q_h_range_frame,
         # -- (a) never-checked, oracle-backed ------------------------
         "x_png_decode_dims": q_x_png_decode_dims,
         "x_webp_decode_dims": q_x_webp_decode_dims,
@@ -3709,10 +3735,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- end of round-5 window (position 50) -------------------
         # NEXT-ROUND TAIL (round-6 queue): the 3 re-check slots
         # planned for a4/a1/j1 plus five rows-only slots were
-        # consumed by this round's 10 new queries — new/changed first
-        # per the steady-state policy. The SEVEN never-checked names
+        # consumed by this round's 11 new queries — new/changed first
+        # per the steady-state policy. The EIGHT never-checked names
         # now below the window (all rows-only-by-design:
-        # x_cosine_topk_pq, x_embedding_near_dup,
+        # x_cosine_topk_ivf, x_cosine_topk_pq, x_embedding_near_dup,
         # x_multimodal_features, x_bpe_train, x_bpe_encode,
         # x_audio_features, x_hll_distinct) lead the round-6 window;
         # then the oldest-verdict round-robin starts at
@@ -5376,6 +5402,20 @@ def oracle_sql() -> dict[str, str]:
     from pac_data_pipeline_spark.ext.graph import pagerank_fixture_sql
 
     oracles["x_pagerank"] = pagerank_fixture_sql()
+    # h_range_frame: floor(epoch()) = Spark's timestamp->long cast;
+    # RANGE BETWEEN 3600 PRECEDING groups same-second peers on both.
+    oracles["h_range_frame"] = """
+        SELECT event_id, user_id,
+               count(*) OVER w AS n_1h,
+               round(sum(value) OVER w, 2) AS val_1h
+        FROM events
+        WHERE ts IS NOT NULL
+        WINDOW w AS (
+            PARTITION BY user_id
+            ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+        )
+    """
     # x_tokenizer_fertility: strlen = DuckDB's UTF-8 byte length
     # (Spark octet_length); length = codepoints on both engines.
     oracles["x_tokenizer_fertility"] = """

@@ -542,3 +542,40 @@ def test_weighted_sample_properties(spark):
         "doc_id long, w double",
     )
     assert [r.doc_id for r in weighted_sample(bad, 10, "w").collect()] == [3]
+
+
+def test_range_frame_vs_rows_frame(spark):
+    """RANGE frames are defined by the time axis: two events 2h
+    apart share no frame even though they're adjacent rows, and
+    same-second events are mutual peers (both see both) — exactly
+    what a ROWS frame cannot express."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, "u", base, 10.0),
+        (2, "u", base, 20.0),                      # same second: peer of 1
+        (3, "u", base + dt.timedelta(minutes=30), 5.0),
+        (4, "u", base + dt.timedelta(hours=2), 1.0),  # out of every frame
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id string, ts timestamp, value double")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    got = {
+        r.event_id: (r.n, r.v)
+        for r in df.select(
+            "event_id",
+            F.count(F.lit(1)).over(w).alias("n"),
+            F.round(F.sum("value").over(w), 2).alias("v"),
+        ).collect()
+    }
+    assert got[1] == (2, 30.0)  # same-second peer included BOTH ways
+    assert got[2] == (2, 30.0)
+    assert got[3] == (3, 35.0)  # 30 min later: sees 1, 2, itself
+    assert got[4] == (1, 1.0)   # 2 h later: alone
