@@ -1633,6 +1633,26 @@ def q_x_tokenizer_fertility(spark, sf_dir):
     return tokenizer_fertility(_t(spark, sf_dir, "documents"))
 
 
+def q_x_image_dhash(spark, sf_dir):
+    """Image near-dup via perceptual hash — the multimodal twin of
+    SimHash: dHash (grayscale → 9×8 average-pool → gradient bits)
+    computed by the real codecs in an Arrow mapInPandas, then banded
+    byte-join candidates verified with bit_count(XOR) ≤ 4 (banding
+    lossless at Hamming ≤ bands−1 by pigeonhole). Rows-only by
+    design: the decode step is Python-side, so no SQL oracle can
+    replay it — bit-exactness is pinned in unit tests instead."""
+    from pac_data_pipeline_spark.ext.multimodal import (
+        dhash_near_dup,
+        image_dhash,
+        mixed_media_from_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return dhash_near_dup(
+        image_dhash(mixed_media_from_documents(docs)), max_hamming=4
+    )
+
+
 def q_x_entropy(spark, sf_dir):
     """Character-level Shannon entropy per document (gibberish /
     minified-blob filter) — shuffle-free sorted-run computation, no
@@ -3722,6 +3742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_window_sliding": q_x_window_sliding,
         "x_dq_checks": q_x_dq_checks,
         # -- (b) never-checked, rows-only-by-design ------------------
+        "x_image_dhash": q_x_image_dhash,
         "x_minhash_near_dup": q_x_minhash_near_dup,
         "x_cosine_topk_lsh": q_x_cosine_topk_lsh,
         "x_cosine_topk_ivf": q_x_cosine_topk_ivf,
@@ -3735,12 +3756,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- end of round-5 window (position 50) -------------------
         # NEXT-ROUND TAIL (round-6 queue): the 3 re-check slots
         # planned for a4/a1/j1 plus five rows-only slots were
-        # consumed by this round's 11 new queries — new/changed first
-        # per the steady-state policy. The EIGHT never-checked names
+        # consumed by this round's 12 new queries — new/changed first
+        # per the steady-state policy. The NINE never-checked names
         # now below the window (all rows-only-by-design:
-        # x_cosine_topk_ivf, x_cosine_topk_pq, x_embedding_near_dup,
-        # x_multimodal_features, x_bpe_train, x_bpe_encode,
-        # x_audio_features, x_hll_distinct) lead the round-6 window;
+        # x_cosine_topk_lsh, x_cosine_topk_ivf, x_cosine_topk_pq,
+        # x_embedding_near_dup, x_multimodal_features, x_bpe_train,
+        # x_bpe_encode, x_audio_features, x_hll_distinct) lead the
+        # round-6 window;
         # then the oldest-verdict round-robin starts at
         # a4_party_rollup and proceeds in dict order.
         "a4_party_rollup": q_a4_party_rollup,

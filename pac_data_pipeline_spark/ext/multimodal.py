@@ -1201,3 +1201,123 @@ def audio_features(media: DataFrame) -> DataFrame:
         )
 
     return media.mapInPandas(batches, out_schema)
+
+
+def _decode_any(b: bytes):
+    """Shared decode dispatch: (width, height, pixels) or None."""
+    for dec in (
+        decode_bmp,
+        decode_png,
+        decode_tiff,
+        _decode_jpeg,
+        _decode_gif,
+        _decode_webp,
+        _decode_avi_first,
+    ):
+        try:
+            return dec(b)
+        except _CODEC_ERRORS:
+            continue
+    return None
+
+
+def _dhash_bits(px: np.ndarray) -> int:
+    """64-bit difference hash: grayscale → 9×8 average-pool →
+    per-row left-vs-right gradient bits. The standard perceptual
+    hash — resize-invariant by construction (pooling), brightness-
+    shift-invariant (only gradients matter)."""
+    g = px.astype(np.float64)
+    if g.ndim == 3:
+        g = g.mean(axis=2)
+    h_edges = np.linspace(0, g.shape[0], 9).astype(int)   # 8 rows
+    w_edges = np.linspace(0, g.shape[1], 10).astype(int)  # 9 cols
+    pooled = np.empty((8, 9))
+    for r in range(8):
+        for c in range(9):
+            block = g[h_edges[r]:max(h_edges[r + 1], h_edges[r] + 1),
+                      w_edges[c]:max(w_edges[c + 1], w_edges[c] + 1)]
+            pooled[r, c] = block.mean()
+    bits = 0
+    for r in range(8):
+        for c in range(8):
+            if pooled[r, c] > pooled[r, c + 1]:
+                bits |= 1 << (r * 8 + c)
+    # wrap to signed 64-bit so it stores as Spark LongType
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual hash per image payload — the multimodal twin of
+    SimHash: near-identical images (re-encodes, small edits, resizes)
+    land within a few Hamming bits. Arrow-batched mapInPandas over
+    the shared codec dispatch; undecodable payloads report
+    decoded=false with a NULL hash. Fans out first (compute-bound;
+    one-row-group inputs would otherwise serialize)."""
+    from pac_data_pipeline_spark.ext.dedup_text import ensure_parallelism
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                dec = _decode_any(bytes(payload))
+                if dec is None:
+                    out.append((int(doc_id), None, False))
+                else:
+                    out.append((int(doc_id), _dhash_bits(dec[2]), True))
+            yield pd.DataFrame(out, columns=["doc_id", "dhash", "decoded"])
+
+    return ensure_parallelism(
+        media.select("doc_id", "content")
+    ).mapInPandas(
+        batches, "doc_id long, dhash long, decoded boolean"
+    )
+
+
+def dhash_near_dup(
+    hashes: DataFrame, max_hamming: int = 6, bands: int = 8
+) -> DataFrame:
+    """Near-duplicate image pairs by banded dHash: split the 64-bit
+    hash into ``bands`` byte-bands; candidates share at least one
+    exact band (lossless for Hamming ≤ bands−1 by pigeonhole — same
+    guarantee as the SimHash text tier); verify with bit_count(XOR).
+    The only shuffle is the (band, value) equi-join — never an
+    all-pairs product."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    h = hashes.filter(F.col("dhash").isNotNull())
+    banded = h.select(
+        "doc_id",
+        "dhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    (
+                        F.shiftrightunsigned(F.col("dhash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                    ).alias("val"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bv"),
+    ).select("doc_id", "dhash", "bv.band", "bv.val")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(
+                F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

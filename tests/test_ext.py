@@ -1834,3 +1834,49 @@ def test_tokenizer_fertility(spark):
     assert got["xx"].total_tokens == 0
     assert got["xx"].bytes_per_token is None  # nullif, not div-by-zero
     assert got[None].n_docs == 1
+
+
+def test_image_dhash_near_dup(spark):
+    """Perceptual-hash pinning: identical images hash identically
+    across formats of the same pixels is NOT required (different
+    codecs, same bits is), small seed tweaks stay within a few
+    Hamming bits (pooling absorbs them), structurally different
+    images never pair, and undecodable payloads report
+    decoded=false with NULL hash. Banding must find every pair the
+    brute-force Hamming check finds (losslessness at ≤ bands-1)."""
+    from pac_data_pipeline_spark.ext.multimodal import (
+        dhash_near_dup,
+        encode_bmp,
+        image_dhash,
+    )
+
+    seed = bytes(range(64))
+    tweak = bytearray(seed)
+    tweak[5] ^= 0x04
+    other = bytes([((i * 37) + 11) % 256 for i in range(64)])
+    media = spark.createDataFrame(
+        [
+            (0, encode_bmp(32, 24, seed)),
+            (1, encode_bmp(32, 24, seed)),       # identical
+            (2, encode_bmp(32, 24, bytes(tweak))),  # near-identical
+            (3, encode_bmp(32, 24, other)),      # different
+            (4, b"not an image"),
+        ],
+        "doc_id long, content binary",
+    )
+    h = image_dhash(media)
+    rows = {r.doc_id: r for r in h.collect()}
+    assert rows[0].dhash == rows[1].dhash
+    assert rows[4].dhash is None and rows[4].decoded is False
+    assert bin((rows[0].dhash ^ rows[2].dhash) & (2**64 - 1)).count("1") <= 6
+    assert bin((rows[0].dhash ^ rows[3].dhash) & (2**64 - 1)).count("1") > 6
+
+    got = {(r.id_a, r.id_b) for r in dhash_near_dup(h, max_hamming=6).collect()}
+    # brute-force reference over decoded hashes
+    dec = {k: v.dhash for k, v in rows.items() if v.dhash is not None}
+    want = {
+        (a, b)
+        for a in dec for b in dec if a < b
+        and bin((dec[a] ^ dec[b]) & (2**64 - 1)).count("1") <= 6
+    }
+    assert got == want and (0, 1) in got and (0, 3) not in got
