@@ -2857,6 +2857,17 @@ def q_x_html_links(spark, sf_dir):
     return html_links_domain_rollup(links)
 
 
+def q_x_html_anchors(spark, sf_dir):
+    """(doc, url, anchor text) triples from the synthetic pages —
+    the label signal web corpora attach to link-graph edges. One
+    two-group pattern extracted in two same-pattern passes, zipped
+    positionally; anchor text runs the shared entity/whitespace
+    contract. Shuffle-free scan-stage projection."""
+    from pac_data_pipeline_spark.ext.html import html_anchors, html_wrap
+
+    return html_anchors(html_wrap(_t(spark, sf_dir, "documents")))
+
+
 def q_x_url_normalize(spark, sf_dir):
     """URL canonicalization (the crawl-frontier dedup step): a
     deterministic five-variant URL fixture built from doc_id (shared
@@ -3694,6 +3705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (a0) new this round --------------------------------------
         "x_html_extract": q_x_html_extract,
         "x_html_links": q_x_html_links,
+        "x_html_anchors": q_x_html_anchors,
         "x_url_normalize": q_x_url_normalize,
         "x_inverted_index": q_x_inverted_index,
         "x_psi_drift": q_x_psi_drift,
@@ -3756,13 +3768,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- end of round-5 window (position 50) -------------------
         # NEXT-ROUND TAIL (round-6 queue): the 3 re-check slots
         # planned for a4/a1/j1 plus five rows-only slots were
-        # consumed by this round's 12 new queries — new/changed first
-        # per the steady-state policy. The NINE never-checked names
+        # consumed by this round's 13 new queries — new/changed first
+        # per the steady-state policy. The TEN never-checked names
         # now below the window (all rows-only-by-design:
-        # x_cosine_topk_lsh, x_cosine_topk_ivf, x_cosine_topk_pq,
-        # x_embedding_near_dup, x_multimodal_features, x_bpe_train,
-        # x_bpe_encode, x_audio_features, x_hll_distinct) lead the
-        # round-6 window;
+        # x_minhash_near_dup, x_cosine_topk_lsh, x_cosine_topk_ivf,
+        # x_cosine_topk_pq, x_embedding_near_dup,
+        # x_multimodal_features, x_bpe_train, x_bpe_encode,
+        # x_audio_features, x_hll_distinct) lead the round-6 window;
         # then the oldest-verdict round-robin starts at
         # a4_party_rollup and proceeds in dict order.
         "a4_party_rollup": q_a4_party_rollup,
@@ -6664,7 +6676,49 @@ def oracle_sql() -> dict[str, str]:
                length({_html_x}) AS n_chars
         FROM h
     """
-    from pac_data_pipeline_spark.ext.html import HTML_HREF, URL_DOMAIN
+    from pac_data_pipeline_spark.ext.html import (
+        HTML_ANCHOR,
+        HTML_ENTITIES,
+        HTML_HREF,
+        HTML_STRIP_TAG,
+        HTML_WS,
+        URL_DOMAIN,
+    )
+
+    # anchor-text cleanup from the same shared constants (tags →
+    # space, fixed entity order, TOKEN_SEP collapse, trim)
+    _anchor_clean = "regexp_replace(ts[i], '{}', ' ', 'g')".format(
+        HTML_STRIP_TAG.replace("'", "''")
+    )
+    for _ent, _raw in HTML_ENTITIES:
+        _anchor_clean = "replace({}, '{}', '{}')".format(
+            _anchor_clean, _ent, _raw.replace("'", "''")
+        )
+    _anchor_clean = (
+        "trim(regexp_replace({}, '{}', ' ', 'g'))".format(
+            _anchor_clean, HTML_WS
+        )
+    )
+    oracles["x_html_anchors"] = f"""
+        WITH h AS (
+            SELECT doc_id,
+                   {html_wrap_sql("doc_id", "text")} AS html
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   regexp_extract_all(html, '{HTML_ANCHOR}', 1) AS us,
+                   regexp_extract_all(html, '{HTML_ANCHOR}', 2) AS ts
+            FROM h
+        ),
+        x AS (
+            SELECT doc_id, us, ts,
+                   unnest(generate_series(1, len(us))) AS i
+            FROM g
+        )
+        SELECT doc_id, us[i] AS url, {_anchor_clean} AS anchor_text
+        FROM x
+    """
 
     oracles["x_html_links"] = f"""
         WITH h AS (

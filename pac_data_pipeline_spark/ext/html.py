@@ -220,6 +220,44 @@ def html_links(
     ).withColumn("domain", F.regexp_extract("url", URL_DOMAIN, 1))
 
 
+#: Anchor elements with BOTH the href and the inner text: one
+#: pattern, two groups — each engine extracts the groups in two
+#: same-pattern passes whose match sequences are identical by
+#: construction, then zips them positionally.
+HTML_ANCHOR = '(?is)<a [^>]*href="([^"]*)"[^>]*>(.*?)</a>'
+
+
+def html_anchors(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(document, url, anchor text) triples — anchor text is the
+    label signal web corpora attach to link-graph edges (it says
+    what the TARGET page is about, which is why search engines and
+    link-conditioned corpus filters both want it). The inner text
+    goes through the same entity-decode + whitespace-collapse
+    contract as full extraction, so '&amp;' in an anchor reads as
+    '&' and nested inline tags vanish.
+
+    Scale shape: two same-pattern ``regexp_extract_all`` passes over
+    the scan (Catalyst dedups the common subexpression where it
+    can), ``arrays_zip`` + ``explode`` — shuffle-free."""
+    urls = F.regexp_extract_all(F.col(html_col), F.lit(HTML_ANCHOR), F.lit(1))
+    texts = F.regexp_extract_all(F.col(html_col), F.lit(HTML_ANCHOR), F.lit(2))
+    pair = F.explode(F.arrays_zip(urls.alias("url"), texts.alias("raw")))
+    out = df.select(id_col, pair.alias("p")).select(
+        id_col, F.col("p.url").alias("url"), F.col("p.raw").alias("raw")
+    )
+    cleaned = F.regexp_replace(F.col("raw"), HTML_STRIP_TAG, " ")
+    for ent, rawc in HTML_ENTITIES:
+        cleaned = F.replace(cleaned, F.lit(ent), F.lit(rawc))
+    cleaned = F.trim(F.regexp_replace(cleaned, HTML_WS, " "))
+    return out.select(
+        id_col, "url", cleaned.alias("anchor_text")
+    )
+
+
 def html_links_domain_rollup(links: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Per-domain outbound-link profile — the blocklist/allowlist
     input a crawl pipeline maintains. One map-side-combinable

@@ -1880,3 +1880,30 @@ def test_image_dhash_near_dup(spark):
         and bin((dec[a] ^ dec[b]) & (2**64 - 1)).count("1") <= 6
     }
     assert got == want and (0, 1) in got and (0, 3) not in got
+
+
+def test_html_anchors_url_text_pairing(spark):
+    """href and inner text come from two same-pattern extraction
+    passes zipped positionally — the pairing must never slip, inner
+    markup/entities must clean out of the anchor text, and anchors
+    without an href (no capture) must not appear."""
+    from pac_data_pipeline_spark.ext.html import html_anchors
+
+    df = spark.createDataFrame(
+        [
+            (0, '<a href="/a">first</a> mid <a href="/b"><b>second'
+                '</b> link</a> <a name="x">no href</a>'),
+            (1, '<a class="c" href="https://e.com/p">Tom &amp; co</a>'),
+            (2, "no anchors"),
+        ],
+        "doc_id long, html string",
+    )
+    got = sorted(
+        (r.doc_id, r.url, r.anchor_text)
+        for r in html_anchors(df).collect()
+    )
+    assert got == [
+        (0, "/a", "first"),
+        (0, "/b", "second link"),
+        (1, "https://e.com/p", "Tom & co"),
+    ]
