@@ -1582,6 +1582,44 @@ def q_x_pagerank(spark, sf_dir):
     return pagerank(nodes, functional_edges(nodes))
 
 
+def q_x_triangles(spark, sf_dir):
+    """Per-vertex triangle participation over the deterministic link
+    graph (multiplier links + the two successor links that guarantee
+    closed wedges). Spark side uses DEGREE ORIENTATION — each edge
+    oriented from its lower-(deg,id) endpoint, capping wedge fan-out
+    at O(sqrt(m)) so a hub never squares its neighborhood (Suri &
+    Vassilvitskii WWW'11); the oracle uses the cheaper id-ordered
+    3-way join, valid because the triangle SET is orientation-
+    invariant. All-integer, hash-exact."""
+    from pac_data_pipeline_spark.ext.graph import (
+        TRIANGLE_MULTIPLIERS,
+        functional_edges,
+        triangle_counts,
+    )
+
+    nodes = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = functional_edges(nodes, multipliers=TRIANGLE_MULTIPLIERS)
+    return triangle_counts(nodes, edges)
+
+
+def q_x_khop_bfs(spark, sf_dir):
+    """Bounded-frontier BFS: minimum hop distance (<=3) from the
+    deterministic seed set (doc_id % 97 == 0) over the link graph —
+    the impact-radius / crawl-frontier query. Iterations UNROLLED
+    into one lazy plan (hop = frontier⋈edges + min-combine); no
+    driver loop, no collect; Catalyst/AQE plan all hops together.
+    Oracle mirrors hop-by-hop as chained CTEs. All-integer."""
+    from pac_data_pipeline_spark.ext.graph import (
+        TRIANGLE_MULTIPLIERS,
+        functional_edges,
+        khop_distances,
+    )
+
+    nodes = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = functional_edges(nodes, multipliers=TRIANGLE_MULTIPLIERS)
+    return khop_distances(nodes, edges)
+
+
 def q_x_pii_luhn(spark, sf_dir):
     """Checksum-validated card detection: candidates are 13–19 digit
     runs with consuming non-digit boundaries (RE2 has no lookaround;
@@ -3701,8 +3739,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # queries first, then round-robin re-verification of the
         # oldest verdicts). All oracle-backed names are exact-hash
         # green in the local DuckDB gate (tools/check_oracle.py,
-        # clean + null-fuzz + empty + unicode clones).
+        # clean + null-fuzz + empty + unicode clones). Late round-5
+        # additions (x_triangles, x_khop_bfs) sit at the head per the
+        # new/changed-first rule and displaced the two x_window_*
+        # batch queries to the round-6 queue (see NEXT-ROUND TAIL).
         # -- (a0) new this round --------------------------------------
+        "x_triangles": q_x_triangles,
+        "x_khop_bfs": q_x_khop_bfs,
         "x_html_extract": q_x_html_extract,
         "x_html_links": q_x_html_links,
         "x_html_anchors": q_x_html_anchors,
@@ -3750,11 +3793,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_vec_norm": q_x_vec_norm,
         "x_vec_quantize": q_x_vec_quantize,
         "x_session_window": q_x_session_window,
-        "x_window_tumbling": q_x_window_tumbling,
-        "x_window_sliding": q_x_window_sliding,
         "x_dq_checks": q_x_dq_checks,
         # -- (b) never-checked, rows-only-by-design ------------------
         "x_image_dhash": q_x_image_dhash,
+        # ---- end of round-5 window (position 50) -------------------
+        # x_window_tumbling / x_window_sliding were displaced below
+        # the window by the two new graph queries (x_triangles,
+        # x_khop_bfs — new/changed go first per the steady-state
+        # policy); they join the round-6 never-checked queue ahead of
+        # the rows-only block, keeping x_dq_checks (re-queued per
+        # VERDICT r4 item 2) and x_image_dhash inside the window.
+        "x_window_tumbling": q_x_window_tumbling,
+        "x_window_sliding": q_x_window_sliding,
         "x_minhash_near_dup": q_x_minhash_near_dup,
         "x_cosine_topk_lsh": q_x_cosine_topk_lsh,
         "x_cosine_topk_ivf": q_x_cosine_topk_ivf,
@@ -3765,18 +3815,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_bpe_encode": q_x_bpe_encode,
         "x_audio_features": q_x_audio_features,
         "x_hll_distinct": q_x_hll_distinct,
-        # ---- end of round-5 window (position 50) -------------------
         # NEXT-ROUND TAIL (round-6 queue): the 3 re-check slots
         # planned for a4/a1/j1 plus five rows-only slots were
-        # consumed by this round's 13 new queries — new/changed first
-        # per the steady-state policy. The TEN never-checked names
-        # now below the window (all rows-only-by-design:
-        # x_minhash_near_dup, x_cosine_topk_lsh, x_cosine_topk_ivf,
-        # x_cosine_topk_pq, x_embedding_near_dup,
-        # x_multimodal_features, x_bpe_train, x_bpe_encode,
-        # x_audio_features, x_hll_distinct) lead the round-6 window;
-        # then the oldest-verdict round-robin starts at
-        # a4_party_rollup and proceeds in dict order.
+        # consumed by this round's new queries — new/changed first
+        # per the steady-state policy. The TWELVE never-checked names
+        # now below the window (two oracle-backed displaced by the
+        # graph queries: x_window_tumbling, x_window_sliding; then
+        # ten rows-only-by-design: x_minhash_near_dup,
+        # x_cosine_topk_lsh, x_cosine_topk_ivf, x_cosine_topk_pq,
+        # x_embedding_near_dup, x_multimodal_features, x_bpe_train,
+        # x_bpe_encode, x_audio_features, x_hll_distinct) lead the
+        # round-6 window; then the oldest-verdict round-robin starts
+        # at a4_party_rollup and proceeds in dict order.
         "a4_party_rollup": q_a4_party_rollup,
         "a1_groupby_sum": q_a1_groupby_sum,
         "j1_dim_join": q_j1_dim_join,
@@ -5433,9 +5483,18 @@ def oracle_sql() -> dict[str, str]:
                    AS p
         FROM counts
     """
-    from pac_data_pipeline_spark.ext.graph import pagerank_fixture_sql
+    from pac_data_pipeline_spark.ext.graph import (
+        khop_fixture_sql,
+        pagerank_fixture_sql,
+        triangle_fixture_sql,
+    )
 
     oracles["x_pagerank"] = pagerank_fixture_sql()
+    # x_triangles: id-ordered 3-way join names the same triangle set
+    # as Spark's degree orientation (set is orientation-invariant).
+    oracles["x_triangles"] = triangle_fixture_sql()
+    # x_khop_bfs: chained CTEs, one per hop, mirror the unrolled plan.
+    oracles["x_khop_bfs"] = khop_fixture_sql()
     # h_range_frame: floor(epoch()) = Spark's timestamp->long cast;
     # RANGE BETWEEN 3600 PRECEDING groups same-second peers on both.
     oracles["h_range_frame"] = """

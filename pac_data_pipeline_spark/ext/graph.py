@@ -133,6 +133,22 @@ def pagerank_fixture_sql(
     )
 
 
+#: Edge families for triangle/BFS fixtures: the three modular
+#: multiplier links (a functional graph is triangle-free — linear
+#: maps almost never close 3-cycles, verified empirically) PLUS the
+#: two successor links (1,1)/(1,2), which guarantee the closed
+#: wedge {i, i+1, i+2} at every vertex. Shared by the Spark path
+#: and the SQL generators below so the two engines rebuild the
+#: identical graph.
+TRIANGLE_MULTIPLIERS: tuple[tuple[int, int], ...] = (
+    (7, 1),
+    (13, 5),
+    (31, 11),
+    (1, 1),
+    (1, 2),
+)
+
+
 def functional_edges(
     nodes: DataFrame,
     id_col: str = "doc_id",
@@ -157,3 +173,184 @@ def functional_edges(
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def triangle_counts(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-vertex triangle participation via degree orientation —
+    the skew-proof distributed triangle algorithm (each undirected
+    edge is oriented from its lower-(degree, id) endpoint, so every
+    oriented out-degree is O(sqrt(m)) and the wedge join never
+    builds a hub's full neighborhood square; see Suri & Vassilvitskii,
+    "Counting Triangles and the Curse of the Last Reducer", WWW'11).
+
+    Each triangle is materialized exactly once (at its lowest-
+    (degree, id) corner), then exploded to its three corners for the
+    per-vertex count. The triangle SET is orientation-invariant, so
+    the SQL oracle may use the cheaper id-ordering (a<b<c 3-way
+    join) and still name the identical triangles.
+
+    Scale shape: two shuffles to build degrees + oriented edges,
+    one self-join on the wedge pivot (bounded fan-out by the
+    orientation), one semi-ish join against the canonical edge set
+    to close wedges, one explode + count. All-integer — no float
+    drift between engines.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # Orient a—b from the endpoint with the smaller (deg, id) pair.
+    withdeg = (
+        und.join(deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    lower_is_a = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = withdeg.select(
+        F.when(lower_is_a, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(lower_is_a, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+    # Wedges at the pivot `lo`: pairs of oriented out-neighbors;
+    # the id-order guard names each unordered pair once.
+    e1 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    e2 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("w"))
+    wedges = e1.join(e2, "u").filter(F.col("v") < F.col("w"))
+    closed = wedges.join(
+        und,
+        (F.least("v", "w") == F.col("a")) & (F.greatest("v", "w") == F.col("b")),
+        "leftsemi",
+    )
+    corners = closed.select(
+        F.explode(F.array("u", "v", "w")).alias(id_col)
+    )
+    return corners.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+def triangle_fixture_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    multipliers: tuple[tuple[int, int], ...] = TRIANGLE_MULTIPLIERS,
+) -> str:
+    """Per-vertex triangle counts as DuckDB SQL over the same
+    synthetic edge arithmetic. Uses the simple id-ordered 3-way join
+    (a<b<c): the canonical undirected edge table is already ordered
+    a<b, so chaining e1.b=e2.a with a closing edge (e1.a, e2.b)
+    enumerates each triangle exactly once — the same set the
+    degree-oriented Spark plan builds."""
+    unions = " UNION ALL ".join(
+        f"SELECT {id_col} AS src, ({id_col} * {a} + {b}) % "
+        f"(SELECT c FROM n) AS dst FROM nodes"
+        for a, b in multipliers
+    )
+    return f"""
+        WITH nodes AS (SELECT {id_col} FROM {table}),
+        n AS (SELECT count(*) AS c FROM nodes),
+        e AS (SELECT DISTINCT src, dst FROM ({unions}) WHERE src <> dst),
+        und AS (SELECT DISTINCT least(src, dst) AS a,
+                       greatest(src, dst) AS b FROM e),
+        tri AS (
+            SELECT e1.a AS u, e1.b AS v, e2.b AS w
+            FROM und e1
+            JOIN und e2 ON e1.b = e2.a
+            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        corners AS (
+            SELECT u AS {id_col} FROM tri
+            UNION ALL SELECT v FROM tri
+            UNION ALL SELECT w FROM tri
+        )
+        SELECT {id_col}, count(*) AS n_triangles
+        FROM corners GROUP BY {id_col}
+    """
+
+
+def khop_distances(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    seed_mod: int = 97,
+    n_hops: int = 3,
+) -> DataFrame:
+    """Minimum hop distance (<= ``n_hops``) from a deterministic
+    seed set (``id % seed_mod == 0``) over a directed edge list —
+    bounded-frontier BFS with the iterations UNROLLED into one lazy
+    plan (the k-hop neighborhood / impact-radius query a crawl or
+    lineage pipeline runs). No driver loop, no collect: each hop is
+    one shuffle join frontier⋈edges plus a min-combine; the driver
+    never sees intermediate frontiers, so Catalyst/AQE plan all
+    ``n_hops`` stages together.
+
+    All-integer arithmetic — hash-exact across engines. Unreached
+    vertices are absent from the output (standard sparse-BFS
+    contract).
+    """
+    dist = nodes.filter(F.col(id_col) % seed_mod == 0).select(
+        F.col(id_col).alias("v"), F.lit(0).alias("hops")
+    )
+    for _ in range(n_hops):
+        step = (
+            dist.join(
+                edges.select(F.col("src").alias("v"), "dst"), "v"
+            )
+            .select(F.col("dst").alias("v"), (F.col("hops") + 1).alias("hops"))
+        )
+        dist = (
+            dist.unionAll(step)
+            .groupBy("v")
+            .agg(F.min("hops").alias("hops"))
+        )
+    return dist.select(F.col("v").alias(id_col), "hops")
+
+
+def khop_fixture_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    multipliers: tuple[tuple[int, int], ...] = TRIANGLE_MULTIPLIERS,
+    seed_mod: int = 97,
+    n_hops: int = 3,
+) -> str:
+    """The bounded BFS as chained CTEs (one per hop) over the same
+    synthetic edges — a fixpoint-free mirror of the unrolled Spark
+    plan, so DuckDB needs no RECURSIVE clause and the two engines
+    agree hop by hop."""
+    unions = " UNION ALL ".join(
+        f"SELECT {id_col} AS src, ({id_col} * {a} + {b}) % "
+        f"(SELECT c FROM n) AS dst FROM nodes"
+        for a, b in multipliers
+    )
+    cte = [
+        f"nodes AS (SELECT {id_col} FROM {table})",
+        "n AS (SELECT count(*) AS c FROM nodes)",
+        f"e AS (SELECT DISTINCT src, dst FROM ({unions}) WHERE src <> dst)",
+        f"d0 AS (SELECT {id_col} AS v, 0 AS hops FROM nodes "
+        f"WHERE {id_col} % {seed_mod} = 0)",
+    ]
+    for k in range(1, n_hops + 1):
+        cte.append(
+            f"d{k} AS (SELECT v, min(hops) AS hops FROM ("
+            f"SELECT v, hops FROM d{k-1} "
+            f"UNION ALL "
+            f"SELECT e.dst AS v, d.hops + 1 AS hops "
+            f"FROM d{k-1} d JOIN e ON d.v = e.src) GROUP BY v)"
+        )
+    return (
+        "WITH " + ", ".join(cte)
+        + f" SELECT v AS {id_col}, hops FROM d{n_hops}"
+    )

@@ -1907,3 +1907,44 @@ def test_html_anchors_url_text_pairing(spark):
         (0, "/b", "second link"),
         (1, "https://e.com/p", "Tom & co"),
     ]
+
+
+def test_triangle_counts_hand_computed(spark):
+    """Two triangles sharing hub 0 — (0,1,2) and (0,3,4) — plus a
+    dangling path edge 4-5: per-node participation must be hub=2,
+    wings=1 each, and path-only nodes absent. Directed duplicates,
+    reversed edges, and a self-loop must canonicalize away (the
+    operator takes RAW directed edges)."""
+    from pac_data_pipeline_spark.ext.graph import triangle_counts
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    edges = spark.createDataFrame(
+        [
+            (0, 1), (1, 0),          # duplicate after canonicalization
+            (0, 2), (1, 2),
+            (0, 3), (0, 4), (3, 4),
+            (4, 5),                  # not in any triangle
+            (2, 2),                  # self-loop: dropped
+        ],
+        "src long, dst long",
+    )
+    got = {r.doc_id: r.n_triangles for r in
+           triangle_counts(nodes, edges).collect()}
+    assert got == {0: 2, 1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_khop_distances_hand_computed(spark):
+    """Chain 0->1->2->3->4 with shortcut 0->3: seed set is
+    doc_id%97==0 (node 0 only here); min-hop must take the shortcut
+    (3 at hop 1, 4 at hop 2) and node 97-free vertices beyond 3 hops
+    stay absent. Unreached node 5 must not appear."""
+    from pac_data_pipeline_spark.ext.graph import khop_distances
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (0, 3)],
+        "src long, dst long",
+    )
+    got = {r.doc_id: r.hops for r in
+           khop_distances(nodes, edges).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 2}
