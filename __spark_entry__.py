@@ -1620,6 +1620,21 @@ def q_x_khop_bfs(spark, sf_dir):
     return khop_distances(nodes, edges)
 
 
+def q_x_frequent_pairs(spark, sf_dir):
+    """Market-basket mining: top-50 co-occurring part pairs across
+    orders with support + per-direction confidence (Apriori first
+    rung). Scale shape: distinct(order,item) BEFORE pairing (pair
+    fan-out is quadratic in basket size), downward-closure item
+    prune rides a broadcast semi-join so the quadratic self-join
+    only sees frequent items, one exchange reused by both join
+    sides, top-k as TakeOrderedAndProject (no global sort). The
+    oracle skips the prune — a no-op for correctness by downward
+    closure — and names the identical pair set."""
+    from pac_data_pipeline_spark.operators.basket import frequent_pairs
+
+    return frequent_pairs(_t(spark, sf_dir, "lineitem"))
+
+
 def q_x_pii_luhn(spark, sf_dir):
     """Checksum-validated card detection: candidates are 13–19 digit
     runs with consuming non-digit boundaries (RE2 has no lookaround;
@@ -3746,6 +3761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (a0) new this round --------------------------------------
         "x_triangles": q_x_triangles,
         "x_khop_bfs": q_x_khop_bfs,
+        "x_frequent_pairs": q_x_frequent_pairs,
         "x_html_extract": q_x_html_extract,
         "x_html_links": q_x_html_links,
         "x_html_anchors": q_x_html_anchors,
@@ -3792,7 +3808,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_vec_pool": q_x_vec_pool,
         "x_vec_norm": q_x_vec_norm,
         "x_vec_quantize": q_x_vec_quantize,
-        "x_session_window": q_x_session_window,
         "x_dq_checks": q_x_dq_checks,
         # -- (b) never-checked, rows-only-by-design ------------------
         "x_image_dhash": q_x_image_dhash,
@@ -3805,6 +3820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # VERDICT r4 item 2) and x_image_dhash inside the window.
         "x_window_tumbling": q_x_window_tumbling,
         "x_window_sliding": q_x_window_sliding,
+        "x_session_window": q_x_session_window,
         "x_minhash_near_dup": q_x_minhash_near_dup,
         "x_cosine_topk_lsh": q_x_cosine_topk_lsh,
         "x_cosine_topk_ivf": q_x_cosine_topk_ivf,
@@ -3818,9 +3834,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEXT-ROUND TAIL (round-6 queue): the 3 re-check slots
         # planned for a4/a1/j1 plus five rows-only slots were
         # consumed by this round's new queries — new/changed first
-        # per the steady-state policy. The TWELVE never-checked names
-        # now below the window (two oracle-backed displaced by the
-        # graph queries: x_window_tumbling, x_window_sliding; then
+        # per the steady-state policy. The THIRTEEN never-checked
+        # names now below the window (three oracle-backed displaced
+        # by the late-round graph/basket queries: x_window_tumbling,
+        # x_window_sliding, x_session_window; then
         # ten rows-only-by-design: x_minhash_near_dup,
         # x_cosine_topk_lsh, x_cosine_topk_ivf, x_cosine_topk_pq,
         # x_embedding_near_dup, x_multimodal_features, x_bpe_train,
@@ -5495,6 +5512,11 @@ def oracle_sql() -> dict[str, str]:
     oracles["x_triangles"] = triangle_fixture_sql()
     # x_khop_bfs: chained CTEs, one per hop, mirror the unrolled plan.
     oracles["x_khop_bfs"] = khop_fixture_sql()
+    from pac_data_pipeline_spark.operators.basket import frequent_pairs_sql
+
+    # x_frequent_pairs: oracle omits the apriori prune (correctness
+    # no-op by downward closure) — same pair set, same top-k order.
+    oracles["x_frequent_pairs"] = frequent_pairs_sql()
     # h_range_frame: floor(epoch()) = Spark's timestamp->long cast;
     # RANGE BETWEEN 3600 PRECEDING groups same-second peers on both.
     oracles["h_range_frame"] = """

@@ -579,3 +579,25 @@ def test_range_frame_vs_rows_frame(spark):
     assert got[2] == (2, 30.0)
     assert got[3] == (3, 35.0)  # 30 min later: sees 1, 2, itself
     assert got[4] == (1, 1.0)   # 2 h later: alone
+
+
+def test_frequent_pairs_hand_computed(spark):
+    """Baskets {1:(a,b,c), 2:(a,b), 3:(a,b), 4:(c,d), 5:(a)} with a
+    duplicate line (item a twice in basket 1): pair (a,b) has
+    support 3, (a,c)/(b,c) 1 each (below min_support=2), (c,d) 1.
+    Confidence = support(pair)/support(item): a appears in 4
+    baskets, b in 3 -> conf_a_b=0.75, conf_b_a=1.0. The duplicate
+    line must NOT inflate support (distinct-first contract)."""
+    from pac_data_pipeline_spark.operators.basket import frequent_pairs
+
+    rows = [
+        (1, 10), (1, 10), (1, 20), (1, 30),
+        (2, 10), (2, 20),
+        (3, 10), (3, 20),
+        (4, 30), (4, 40),
+        (5, 10),
+    ]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = frequent_pairs(df, min_support=2, k=10).collect()
+    assert [(r.item_a, r.item_b, r.support, r.conf_a_b, r.conf_b_a)
+            for r in out] == [(10, 20, 3, 0.75, 1.0)]
