@@ -1620,6 +1620,21 @@ def q_x_khop_bfs(spark, sf_dir):
     return khop_distances(nodes, edges)
 
 
+def q_x_iqr_outliers(spark, sf_dir):
+    """Per-event-type Tukey-fence outlier profile (exact q1/q3, IQR
+    fences, outlier count) — the robust anomaly screen run before
+    z-scores, which heavy tails corrupt. Exact holistic quantiles
+    funnel each group through one reducer (inherent to exactness —
+    the sketch tier x_approx_stats is the 100-TB path); the fence
+    table rides a broadcast join and the count is map-side
+    combinable. Pure-IEEE floor-round on fences pins cross-engine
+    ulp drift BEFORE the boundary comparison."""
+    from pac_data_pipeline_spark.operators.stats import iqr_outliers
+
+    e = load_events(spark, sf_dir)
+    return iqr_outliers(e, "event_type", "value")
+
+
 def q_x_frequent_pairs(spark, sf_dir):
     """Market-basket mining: top-50 co-occurring part pairs across
     orders with support + per-direction confidence (Apriori first
@@ -3762,6 +3777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_triangles": q_x_triangles,
         "x_khop_bfs": q_x_khop_bfs,
         "x_frequent_pairs": q_x_frequent_pairs,
+        "x_iqr_outliers": q_x_iqr_outliers,
         "x_html_extract": q_x_html_extract,
         "x_html_links": q_x_html_links,
         "x_html_anchors": q_x_html_anchors,
@@ -3807,7 +3823,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_corpus_report": q_x_corpus_report,
         "x_vec_pool": q_x_vec_pool,
         "x_vec_norm": q_x_vec_norm,
-        "x_vec_quantize": q_x_vec_quantize,
         "x_dq_checks": q_x_dq_checks,
         # -- (b) never-checked, rows-only-by-design ------------------
         "x_image_dhash": q_x_image_dhash,
@@ -3821,6 +3836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_window_tumbling": q_x_window_tumbling,
         "x_window_sliding": q_x_window_sliding,
         "x_session_window": q_x_session_window,
+        "x_vec_quantize": q_x_vec_quantize,
         "x_minhash_near_dup": q_x_minhash_near_dup,
         "x_cosine_topk_lsh": q_x_cosine_topk_lsh,
         "x_cosine_topk_ivf": q_x_cosine_topk_ivf,
@@ -3834,10 +3850,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEXT-ROUND TAIL (round-6 queue): the 3 re-check slots
         # planned for a4/a1/j1 plus five rows-only slots were
         # consumed by this round's new queries — new/changed first
-        # per the steady-state policy. The THIRTEEN never-checked
-        # names now below the window (three oracle-backed displaced
-        # by the late-round graph/basket queries: x_window_tumbling,
-        # x_window_sliding, x_session_window; then
+        # per the steady-state policy. The FOURTEEN never-checked
+        # names now below the window (four oracle-backed displaced
+        # by the late-round graph/basket/IQR queries:
+        # x_window_tumbling, x_window_sliding, x_session_window,
+        # x_vec_quantize; then
         # ten rows-only-by-design: x_minhash_near_dup,
         # x_cosine_topk_lsh, x_cosine_topk_ivf, x_cosine_topk_pq,
         # x_embedding_near_dup, x_multimodal_features, x_bpe_train,
@@ -5517,6 +5534,13 @@ def oracle_sql() -> dict[str, str]:
     # x_frequent_pairs: oracle omits the apriori prune (correctness
     # no-op by downward closure) — same pair set, same top-k order.
     oracles["x_frequent_pairs"] = frequent_pairs_sql()
+    from pac_data_pipeline_spark.operators.stats import iqr_outliers_sql
+
+    # x_iqr_outliers: quantile_cont == Spark percentile()
+    # interpolation; identical floor-round pins the fence doubles.
+    oracles["x_iqr_outliers"] = iqr_outliers_sql(
+        "events", "event_type", "value"
+    )
     # h_range_frame: floor(epoch()) = Spark's timestamp->long cast;
     # RANGE BETWEEN 3600 PRECEDING groups same-second peers on both.
     oracles["h_range_frame"] = """

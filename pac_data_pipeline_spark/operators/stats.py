@@ -408,3 +408,110 @@ def psi_drift(
         F.max("n1").cast("bigint").alias("n1"),
         F.round(F.sum((p - q) * F.log(p / q)), 4).alias("psi"),
     )
+
+
+def iqr_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    whisker: float = 1.5,
+) -> DataFrame:
+    """Per-group Tukey-fence outlier profile: exact q1/q3, the IQR,
+    and how many values fall outside ``[q1 - w*iqr, q3 + w*iqr]`` —
+    the robust anomaly screen a data-quality tier runs before
+    z-scores (which a heavy tail corrupts; the IQR does not).
+
+    Exact holistic quantiles over low-cardinality groups funnel each
+    group's values through one reducer — that is inherent to
+    exactness (same trade as h_median/h_equidepth); the sketch tier
+    (x_approx_stats) is the 100-TB path when error bounds are
+    acceptable. Everything else is scale-clean: the fence table is
+    |groups| rows and rides a broadcast join back onto the fact
+    scan, and the outlier count is a map-side-combinable agg.
+
+    Float contract: quantiles and fences go through the pure-IEEE
+    floor-round (``floor(x*10^k + 0.5)/10^k`` — Spark's round() on
+    doubles goes through the shortest-decimal string and disagrees
+    with other engines exactly at .xx5 boundaries); values are cast
+    to DOUBLE before comparison so both engines compare in the same
+    domain. Fences are rounded to 4 decimals BEFORE the comparison,
+    which absorbs cross-engine ulp drift in the interpolation
+    arithmetic (a value can only flip sides if the two engines'
+    unrounded fences straddle it, and rounding collapses any gap
+    below 5e-5 long before that matters for 2-decimal money).
+    """
+
+    def _r4(c):
+        return F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)
+
+    v = F.col(value_col).cast("double")
+    fences = df.groupBy(group_col).agg(
+        F.expr(f"percentile(CAST({value_col} AS DOUBLE), 0.25)").alias("__q1"),
+        F.expr(f"percentile(CAST({value_col} AS DOUBLE), 0.75)").alias("__q3"),
+    )
+    fences = fences.select(
+        group_col,
+        _r4(F.col("__q1")).alias("q1"),
+        _r4(F.col("__q3")).alias("q3"),
+        _r4(F.col("__q1") - whisker * (F.col("__q3") - F.col("__q1"))).alias(
+            "lo_fence"
+        ),
+        _r4(F.col("__q3") + whisker * (F.col("__q3") - F.col("__q1"))).alias(
+            "hi_fence"
+        ),
+    )
+    return (
+        df.join(F.broadcast(fences), group_col)
+        .groupBy(group_col, "q1", "q3", "lo_fence", "hi_fence")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    (v < F.col("lo_fence")) | (v > F.col("hi_fence")),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias("n_outliers"),
+        )
+        .select(
+            group_col, "n", "q1", "q3", "lo_fence", "hi_fence", "n_outliers"
+        )
+    )
+
+
+def iqr_outliers_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    whisker: float = 1.5,
+) -> str:
+    """The same profile as DuckDB SQL — quantile_cont matches
+    Spark's percentile() interpolation; the identical floor-round
+    pins the fence doubles; CAST(.. AS DOUBLE) keeps the whisker
+    arithmetic and the comparison in Spark's IEEE domain (DuckDB
+    types bare decimal literals as DECIMAL)."""
+    w = f"CAST({whisker} AS DOUBLE)"
+    return f"""
+        WITH q AS (
+            SELECT {group_col},
+                   quantile_cont(CAST({value_col} AS DOUBLE), 0.25) AS q1r,
+                   quantile_cont(CAST({value_col} AS DOUBLE), 0.75) AS q3r
+            FROM {table} GROUP BY {group_col}
+        ),
+        fences AS (
+            SELECT {group_col},
+                   floor(q1r * 10000 + 0.5) / 10000.0 AS q1,
+                   floor(q3r * 10000 + 0.5) / 10000.0 AS q3,
+                   floor((q1r - {w} * (q3r - q1r)) * 10000 + 0.5)
+                       / 10000.0 AS lo_fence,
+                   floor((q3r + {w} * (q3r - q1r)) * 10000 + 0.5)
+                       / 10000.0 AS hi_fence
+            FROM q
+        )
+        SELECT t.{group_col}, count(*) AS n, f.q1, f.q3,
+               f.lo_fence, f.hi_fence,
+               CAST(SUM(CASE WHEN CAST(t.{value_col} AS DOUBLE) < f.lo_fence
+                          OR CAST(t.{value_col} AS DOUBLE) > f.hi_fence
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM {table} t JOIN fences f USING ({group_col})
+        GROUP BY t.{group_col}, f.q1, f.q3, f.lo_fence, f.hi_fence
+    """

@@ -203,3 +203,26 @@ def test_markov_transitions_hand_computed(spark):
         ("a", "c"): (1, round(1 / 3, 6)),
         ("b", "a"): (1, 1.0),
     }
+
+
+def test_iqr_outliers_hand_computed(spark):
+    """Group 'a' = [1..9, 100]: sorted n=10, type-7 interpolation
+    h=(n-1)q -> q1 = x[2]+0.25*(x[3]-x[2]) = 3.25, q3 =
+    x[6]+0.75*(x[7]-x[6]) = 7.75, iqr = 4.5 -> fences [-3.5, 14.5];
+    only 100 falls outside. Group 'b' constant:
+    iqr 0, fences collapse to the value, zero outliers. NULL values
+    are ignored by the quantile and never counted as outliers."""
+    from pac_data_pipeline_spark.operators.stats import iqr_outliers
+
+    rows = [("a", float(v)) for v in range(1, 10)] + [
+        ("a", 100.0),
+        ("b", 5.0), ("b", 5.0), ("b", 5.0),
+        ("b", None),
+    ]
+    df = spark.createDataFrame(rows, "g string, value double")
+    got = {r.g: r for r in iqr_outliers(df, "g", "value").collect()}
+    a = got["a"]
+    assert (a.q1, a.q3, a.lo_fence, a.hi_fence) == (3.25, 7.75, -3.5, 14.5)
+    assert (a.n, a.n_outliers) == (10, 1)
+    b = got["b"]
+    assert (b.q1, b.q3, b.n, b.n_outliers) == (5.0, 5.0, 4, 0)
