@@ -1620,6 +1620,20 @@ def q_x_khop_bfs(spark, sf_dir):
     return khop_distances(nodes, edges)
 
 
+def q_x_ewma(spark, sf_dir):
+    """Per-user exponential smoothing (r_n = 0.3·x_n + 0.7·r_{n-1})
+    — the inherently RECURSIVE smoother no window frame expresses.
+    ONE shuffle; the recursion runs as a whole-stage-codegen HOF
+    fold over sort_array(collect_list); per-step pure-IEEE
+    floor-round pins the float trajectory so the DuckDB RECURSIVE
+    CTE reproduces it step for step. NULL value/order rows drop
+    (a NULL would poison the recursive tail)."""
+    from pac_data_pipeline_spark.operators.timeseries import ewma_smooth
+
+    e = load_events(spark, sf_dir)
+    return ewma_smooth(e, "user_id", ("ts", "event_id"), "value")
+
+
 def q_x_iqr_outliers(spark, sf_dir):
     """Per-event-type Tukey-fence outlier profile (exact q1/q3, IQR
     fences, outlier count) — the robust anomaly screen run before
@@ -3778,6 +3792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_khop_bfs": q_x_khop_bfs,
         "x_frequent_pairs": q_x_frequent_pairs,
         "x_iqr_outliers": q_x_iqr_outliers,
+        "x_ewma": q_x_ewma,
         "x_html_extract": q_x_html_extract,
         "x_html_links": q_x_html_links,
         "x_html_anchors": q_x_html_anchors,
@@ -3822,7 +3837,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_profile": q_x_profile,
         "x_corpus_report": q_x_corpus_report,
         "x_vec_pool": q_x_vec_pool,
-        "x_vec_norm": q_x_vec_norm,
         "x_dq_checks": q_x_dq_checks,
         # -- (b) never-checked, rows-only-by-design ------------------
         "x_image_dhash": q_x_image_dhash,
@@ -3836,6 +3850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_window_tumbling": q_x_window_tumbling,
         "x_window_sliding": q_x_window_sliding,
         "x_session_window": q_x_session_window,
+        "x_vec_norm": q_x_vec_norm,
         "x_vec_quantize": q_x_vec_quantize,
         "x_minhash_near_dup": q_x_minhash_near_dup,
         "x_cosine_topk_lsh": q_x_cosine_topk_lsh,
@@ -3850,11 +3865,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEXT-ROUND TAIL (round-6 queue): the 3 re-check slots
         # planned for a4/a1/j1 plus five rows-only slots were
         # consumed by this round's new queries — new/changed first
-        # per the steady-state policy. The FOURTEEN never-checked
-        # names now below the window (four oracle-backed displaced
-        # by the late-round graph/basket/IQR queries:
+        # per the steady-state policy. The FIFTEEN never-checked
+        # names now below the window (five oracle-backed displaced
+        # by the late-round graph/basket/IQR/EWMA queries:
         # x_window_tumbling, x_window_sliding, x_session_window,
-        # x_vec_quantize; then
+        # x_vec_norm, x_vec_quantize; then
         # ten rows-only-by-design: x_minhash_near_dup,
         # x_cosine_topk_lsh, x_cosine_topk_ivf, x_cosine_topk_pq,
         # x_embedding_near_dup, x_multimodal_features, x_bpe_train,
@@ -5540,6 +5555,14 @@ def oracle_sql() -> dict[str, str]:
     # interpolation; identical floor-round pins the fence doubles.
     oracles["x_iqr_outliers"] = iqr_outliers_sql(
         "events", "event_type", "value"
+    )
+    from pac_data_pipeline_spark.operators.timeseries import ewma_smooth_sql
+
+    # x_ewma: DuckDB RECURSIVE CTE steps one row-number per
+    # iteration — identical literals/op order/floor-round, so the
+    # float trajectory matches the Spark fold step for step.
+    oracles["x_ewma"] = ewma_smooth_sql(
+        "events", "user_id", ("ts", "event_id"), "value"
     )
     # h_range_frame: floor(epoch()) = Spark's timestamp->long cast;
     # RANGE BETWEEN 3600 PRECEDING groups same-second peers on both.

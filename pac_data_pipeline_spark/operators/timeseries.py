@@ -245,3 +245,133 @@ def markov_transitions(
             F.col("n") / F.sum("n").over(tot), digits
         ).alias("p"),
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    key_col: str,
+    order_cols: tuple[str, ...],
+    value_col: str,
+    alpha: float = 0.3,
+    digits: int = 10,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average — the
+    inherently RECURSIVE time-series smoother
+    (``r_n = α·x_n + (1-α)·r_{n-1}``, seeded ``r_1 = x_1``) that a
+    window frame cannot express (each output depends on ALL prior
+    inputs with geometrically decaying weights; the closed-form
+    ``Σ x_j (1-α)^(n-j)`` overflows ``(1-α)^-j`` long before real
+    series lengths).
+
+    Spark-first shape: ONE shuffle (groupBy key), the series folded
+    entirely in whole-stage codegen — sort_array(collect_list) pins
+    the order, `aggregate` runs the recursion, posexplode restores
+    rows. No Python in the loop. The per-step accumulator append is
+    O(n²) array copying within one group — fine for event-scale
+    series (hundreds of points); for million-point series the same
+    fold moves into one Arrow applyInPandas pass per key.
+
+    Determinism contract: each step is pinned with the pure-IEEE
+    floor-round (``floor(x·10^d + 0.5)/10^d``) so the float
+    trajectory is byte-identical on any engine that mirrors the
+    recursion (same literals, same operation order) — ulp drift
+    otherwise compounds through the recursion. Rows with NULL value
+    or NULL order keys are dropped (a NULL cannot enter a recursive
+    smoother without poisoning the tail).
+
+    Returns (key, last order col, value, ewma).
+    """
+    scale = float(10 ** digits)
+    ordc = [F.col(c) for c in order_cols]
+    # NULL key rows drop (SQL's NULL-hostile equi-join recursion
+    # cannot chain a NULL partition past its anchor; a NULL series
+    # key is meaningless anyway); NULL order keys drop too (engines
+    # disagree on NULL sort placement inside struct comparison vs
+    # ORDER BY); NULL values drop (they would poison the tail).
+    notnull = F.col(value_col).isNotNull() & F.col(key_col).isNotNull()
+    for c in ordc:
+        notnull = notnull & c.isNotNull()
+    clean = df.filter(notnull).select(
+        F.col(key_col).alias("__k"),
+        F.struct(
+            *[c.alias(f"__o{i}") for i, c in enumerate(ordc)],
+            F.col(value_col).cast("double").alias("__v"),
+        ).alias("__s"),
+    )
+    grouped = clean.groupBy("__k").agg(
+        F.sort_array(F.collect_list("__s")).alias("__arr")
+    )
+    step = (
+        f"CAST(floor((CAST({alpha} AS DOUBLE) * x.__v "
+        f"+ CAST({1 - alpha} AS DOUBLE) * acc.prev) * {scale} + 0.5D) "
+        f"/ {scale} AS DOUBLE)"
+    )
+    folded = grouped.withColumn(
+        "__ewma",
+        F.expr(
+            "aggregate(__arr, "
+            "struct(CAST(NULL AS DOUBLE) AS prev, "
+            "       CAST(array() AS array<double>) AS out), "
+            "(acc, x) -> struct("
+            f"  CASE WHEN acc.prev IS NULL THEN x.__v ELSE {step} END "
+            "    AS prev, "
+            "  concat(acc.out, array("
+            f"  CASE WHEN acc.prev IS NULL THEN x.__v ELSE {step} END"
+            "  )) AS out), "
+            "acc -> acc.out)"
+        ),
+    )
+    last_o = f"__o{len(order_cols) - 1}"
+    exploded = folded.select(
+        "__k",
+        F.posexplode(F.arrays_zip("__arr", "__ewma")).alias("__i", "__z"),
+    )
+    return exploded.select(
+        F.col("__k").alias(key_col),
+        F.col(f"__z.__arr.{last_o}").alias(order_cols[-1]),
+        F.col("__z.__arr.__v").alias(value_col),
+        F.col("__z.__ewma").alias("ewma"),
+    )
+
+
+def ewma_smooth_sql(
+    table: str,
+    key_col: str,
+    order_cols: tuple[str, ...],
+    value_col: str,
+    alpha: float = 0.3,
+    digits: int = 10,
+) -> str:
+    """The same recursion as a DuckDB RECURSIVE CTE stepping one
+    row-number per iteration — identical literals, identical
+    operation order, identical floor-round, so the float trajectory
+    matches Spark's fold step for step."""
+    scale = float(10 ** digits)
+    order_by = ", ".join(order_cols)
+    step = (
+        f"floor((CAST({alpha} AS DOUBLE) * s.v "
+        f"+ CAST({1 - alpha} AS DOUBLE) * r.ewma) * {scale} + 0.5) "
+        f"/ {scale}"
+    )
+    return f"""
+        WITH RECURSIVE seq AS (
+            SELECT {key_col} AS k, {order_cols[-1]} AS o,
+                   CAST({value_col} AS DOUBLE) AS v,
+                   row_number() OVER (
+                       PARTITION BY {key_col} ORDER BY {order_by}
+                   ) AS rn
+            FROM {table}
+            WHERE {value_col} IS NOT NULL
+              AND {key_col} IS NOT NULL
+              AND {" AND ".join(f"{c} IS NOT NULL" for c in order_cols)}
+        ),
+        r AS (
+            SELECT k, o, v, rn, v AS ewma FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT s.k, s.o, s.v, s.rn, {step} AS ewma
+            FROM r JOIN seq s ON s.k = r.k AND s.rn = r.rn + 1
+        )
+        SELECT k AS {key_col}, o AS {order_cols[-1]},
+               v AS {value_col}, ewma
+        FROM r
+    """

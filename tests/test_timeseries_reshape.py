@@ -149,3 +149,27 @@ def test_linear_interpolate_values_and_edges(spark):
         out._jdf.queryExecution(), "simple"
     ).split("Initial Plan")[0]
     assert p.count("Window [") == 1, p
+
+
+def test_ewma_smooth_hand_computed(spark):
+    """Series k1 = [10, 20, 30] at α=0.3: r1=10,
+    r2=0.3*20+0.7*10=13, r3=0.3*30+0.7*13=18.1. Singleton series
+    seeds to itself; NULL key / NULL value / NULL order rows drop."""
+    from pac_data_pipeline_spark.operators.timeseries import ewma_smooth
+
+    rows = [
+        ("k1", 1, 10.0), ("k1", 2, 20.0), ("k1", 3, 30.0),
+        ("k2", 1, 7.0),
+        (None, 1, 99.0),       # NULL key drops
+        ("k1", None, 99.0),    # NULL order drops
+        ("k1", 4, None),       # NULL value drops
+    ]
+    df = spark.createDataFrame(rows, "k string, i long, value double")
+    got = {(r.k, r.i): (r.value, r.ewma) for r in
+           ewma_smooth(df, "k", ("i",), "value").collect()}
+    assert got == {
+        ("k1", 1): (10.0, 10.0),
+        ("k1", 2): (20.0, 13.0),
+        ("k1", 3): (30.0, 18.1),
+        ("k2", 1): (7.0, 7.0),
+    }
