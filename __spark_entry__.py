@@ -1620,6 +1620,24 @@ def q_x_khop_bfs(spark, sf_dir):
     return khop_distances(nodes, edges)
 
 
+def q_x_kmeans(spark, sf_dir):
+    """Distributed fixed-point k-means over the FULL embedding
+    corpus (SemDeDup / cluster-balanced-sampling primitive) —
+    iterations unrolled into one lazy plan, pagerank-style. The
+    determinism contract is integer arithmetic: embeddings quantize
+    once to a 1e-3 grid so every squared-L2 distance is an exact
+    BIGINT (order-free on any engine) and centroid means round back
+    to the grid via a pure-integer-ratio floor. Assignment is
+    scan-side (k×dim centroids in ONE broadcast row + codegen HOF
+    argmin — the corpus never shuffles for it); the update shuffle
+    carries O(k·dim·partitions) with map-side combine. Contrast
+    with the IVF tier, which trains on a driver-side sample and is
+    rows-only by design."""
+    from pac_data_pipeline_spark.ext.kmeans import kmeans_assign
+
+    return kmeans_assign(_t(spark, sf_dir, "embeddings"))
+
+
 def q_x_ewma(spark, sf_dir):
     """Per-user exponential smoothing (r_n = 0.3·x_n + 0.7·r_{n-1})
     — the inherently RECURSIVE smoother no window frame expresses.
@@ -3793,6 +3811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_frequent_pairs": q_x_frequent_pairs,
         "x_iqr_outliers": q_x_iqr_outliers,
         "x_ewma": q_x_ewma,
+        "x_kmeans": q_x_kmeans,
         "x_html_extract": q_x_html_extract,
         "x_html_links": q_x_html_links,
         "x_html_anchors": q_x_html_anchors,
@@ -3836,7 +3855,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_udaf_geomean": q_x_udaf_geomean,
         "x_profile": q_x_profile,
         "x_corpus_report": q_x_corpus_report,
-        "x_vec_pool": q_x_vec_pool,
         "x_dq_checks": q_x_dq_checks,
         # -- (b) never-checked, rows-only-by-design ------------------
         "x_image_dhash": q_x_image_dhash,
@@ -3850,6 +3868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_window_tumbling": q_x_window_tumbling,
         "x_window_sliding": q_x_window_sliding,
         "x_session_window": q_x_session_window,
+        "x_vec_pool": q_x_vec_pool,
         "x_vec_norm": q_x_vec_norm,
         "x_vec_quantize": q_x_vec_quantize,
         "x_minhash_near_dup": q_x_minhash_near_dup,
@@ -3865,11 +3884,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEXT-ROUND TAIL (round-6 queue): the 3 re-check slots
         # planned for a4/a1/j1 plus five rows-only slots were
         # consumed by this round's new queries — new/changed first
-        # per the steady-state policy. The FIFTEEN never-checked
-        # names now below the window (five oracle-backed displaced
-        # by the late-round graph/basket/IQR/EWMA queries:
+        # per the steady-state policy. The SIXTEEN never-checked
+        # names now below the window (six oracle-backed displaced
+        # by the late-round graph/basket/IQR/EWMA/kmeans queries:
         # x_window_tumbling, x_window_sliding, x_session_window,
-        # x_vec_norm, x_vec_quantize; then
+        # x_vec_pool, x_vec_norm, x_vec_quantize; then
         # ten rows-only-by-design: x_minhash_near_dup,
         # x_cosine_topk_lsh, x_cosine_topk_ivf, x_cosine_topk_pq,
         # x_embedding_near_dup, x_multimodal_features, x_bpe_train,
@@ -5564,6 +5583,11 @@ def oracle_sql() -> dict[str, str]:
     oracles["x_ewma"] = ewma_smooth_sql(
         "events", "user_id", ("ts", "event_id"), "value"
     )
+    from pac_data_pipeline_spark.ext.kmeans import kmeans_fixture_sql
+
+    # x_kmeans: fully integer pipeline (1e-3 grid) — distances and
+    # centroid updates are exact on both engines by integrality.
+    oracles["x_kmeans"] = kmeans_fixture_sql()
     # h_range_frame: floor(epoch()) = Spark's timestamp->long cast;
     # RANGE BETWEEN 3600 PRECEDING groups same-second peers on both.
     oracles["h_range_frame"] = """

@@ -1,0 +1,236 @@
+"""Distributed fixed-point k-means over embedding columns — the
+cluster-then-curate primitive of training-data pipelines (SemDeDup
+semantic dedup, cluster-balanced sampling, DoReMi-style domain
+discovery all start from "k-means the corpus embeddings").
+
+Two clustering tiers live in this engine:
+
+- :mod:`ext.similarity`'s IVF trains a quantizer on a bounded
+  driver-side SAMPLE (numpy, kmeans++, rows-only check) — right for
+  index building where the centroids are scaffolding.
+- THIS module clusters the FULL corpus distributively, with the
+  iterations UNROLLED into one lazy plan (the pagerank discipline:
+  no driver loop, no collect) and a determinism contract strong
+  enough for an external SQL engine to reproduce every assignment
+  hash-exactly.
+
+The determinism contract is FIXED-POINT arithmetic, one step
+stronger than pagerank's per-iteration rounding: embeddings are
+quantized once to an integer grid (``floor(x·1000 + 0.5)`` per
+dimension), so squared-L2 distances are exact BIGINT sums —
+associative, overflow-safe (64 dims · (4e6)² ≪ 2^63), and identical
+under ANY summation order on ANY engine. Centroid updates
+round-half-up back to the grid via the pure-integer-ratio form
+``floor((2·Σ + n) / (2·n))`` evaluated as one IEEE double division
+of two exact integers (both engines divide the same two integers →
+identical double → identical floor; counts stay far below 2^52 so
+the division inputs are exactly representable). Argmin ties break
+on the smaller centroid id. Quantizing at 1e-3 moves each
+coordinate by ≤5e-4 — far below any clustering-relevant signal for
+unit-scale embeddings — and buys bit-identical clusters everywhere.
+
+Scale shape per iteration:
+- assignment is SCAN-SIDE: the k×dim centroid table aggregates into
+  ONE row (collect_list) and rides a 1-row broadcast; the argmin is
+  a whole-stage-codegen HOF fold — no shuffle of the corpus, ever.
+- update is ONE shuffle of (cluster, dim, value) triples with
+  map-side partial aggregation, so the exchange carries
+  O(k · dim · partitions), not the corpus.
+- empty clusters keep their previous centroid (left-join carry).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Fixed-point grid: 1e-3 resolution. Shared by Spark and the SQL
+#: generator so both engines quantize identically.
+KMEANS_SCALE = 1000
+
+
+def _quantize(col):
+    return F.expr(
+        f"transform({col}, x -> CAST(floor(CAST(x AS DOUBLE) "
+        f"* {KMEANS_SCALE} + 0.5D) AS BIGINT))"
+    )
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 3,
+) -> DataFrame:
+    """Cluster the full corpus; return ``(id_col, cluster, dist)``
+    — the final assignment and its exact integer squared-L2
+    distance on the quantized grid.
+
+    Init is the deterministic standard for reproducible runs: the
+    ``k`` vectors with the smallest ids are centroids 0..k-1
+    (kmeans++ would inject RNG the oracle cannot replay).
+    """
+    vecs = (
+        embeddings.filter(
+            F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+        )
+        .select(
+            F.col(id_col).alias("vid"),
+            _quantize(vec_col).alias("q"),
+        )
+        .localCheckpoint()  # 2 + n_iter consumers; cut the re-scan
+    )
+    centroids = (
+        vecs.orderBy("vid")
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("vid")) - 1).alias("cid"),
+            F.col("q").alias("c"),
+        )
+    )
+
+    def _assigned(cents: DataFrame) -> DataFrame:
+        one_row = F.broadcast(
+            cents.agg(
+                F.array_sort(
+                    F.collect_list(F.struct("cid", "c"))
+                ).alias("cs")
+            )
+        )
+        # each distance computed ONCE (transform), then an argmin
+        # fold; strict < keeps the smallest cid on ties (array is
+        # cid-sorted). Distances are exact BIGINTs.
+        return vecs.crossJoin(one_row).select(
+            "vid",
+            "q",
+            F.expr(
+                "aggregate("
+                "transform(cs, s -> struct("
+                "aggregate(zip_with(q, s.c, (a, b) -> (a-b)*(a-b)), "
+                "          0L, (x, y) -> x + y) AS d, s.cid AS c)), "
+                "struct(CAST(NULL AS BIGINT) AS d, CAST(NULL AS INT) AS c), "
+                "(acc, e) -> CASE WHEN acc.d IS NULL OR e.d < acc.d "
+                "THEN e ELSE acc END)"
+            ).alias("best"),
+        ).select(
+            "vid",
+            "q",
+            F.col("best.c").alias("cluster"),
+            F.col("best.d").alias("dist"),
+        )
+
+    for _ in range(n_iter - 1):
+        assigned = _assigned(centroids)
+        sums = (
+            assigned.select(
+                "cluster", F.posexplode("q").alias("pos", "val")
+            )
+            .groupBy("cluster", "pos")
+            .agg(
+                F.sum("val").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "cluster",
+                "pos",
+                # round-half-up mean back to the grid: one IEEE
+                # division of two exact integers, floored — both
+                # engines agree bit for bit.
+                F.floor(
+                    (2 * F.col("s") + F.col("n")).cast("double")
+                    / (2 * F.col("n")).cast("double")
+                ).alias("m"),
+            )
+        )
+        updated = sums.groupBy("cluster").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))), "
+                "s -> s.m)"
+            ).alias("c_new")
+        )
+        centroids = (
+            centroids.join(
+                updated,
+                centroids.cid == updated.cluster,
+                "left",
+            )
+            .select(
+                "cid",
+                F.coalesce("c_new", "c").alias("c"),
+            )
+        )
+    return _assigned(centroids).select(
+        F.col("vid").alias(id_col), "cluster", "dist"
+    )
+
+
+def kmeans_fixture_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 3,
+) -> str:
+    """The full unrolled fixed-point k-means as DuckDB SQL generated
+    from the same constants. Distances unnest to (vec, cid, dim)
+    rows and SUM as exact BIGINTs (order-free by integrality);
+    argmin is row_number ordered by (d, cid); the centroid update
+    uses the identical integer-ratio floor; empty clusters carry
+    the previous centroid via the same left join."""
+    s = KMEANS_SCALE
+    cte = [
+        f"""vecs AS (
+            SELECT {id_col} AS vid,
+                   list_transform({vec_col}, x -> CAST(floor(
+                       CAST(x AS DOUBLE) * {s} + 0.5) AS BIGINT)) AS q
+            FROM {table}
+            WHERE {id_col} IS NOT NULL AND {vec_col} IS NOT NULL
+        )""",
+        f"""c0 AS (
+            SELECT row_number() OVER (ORDER BY vid) - 1 AS cid, q AS c
+            FROM vecs ORDER BY vid LIMIT {k}
+        )""",
+    ]
+    assign = """a{i} AS (
+            SELECT vid, q, cid AS cluster, dist FROM (
+                SELECT v.vid, v.q, c.cid,
+                       CAST(list_sum(list_transform(list_zip(v.q, c.c),
+                           p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)
+                           AS dist,
+                       row_number() OVER (
+                           PARTITION BY v.vid
+                           ORDER BY CAST(list_sum(list_transform(
+                               list_zip(v.q, c.c),
+                               p -> (p[1]-p[2])*(p[1]-p[2])))
+                               AS BIGINT), c.cid) AS rk
+                FROM vecs v CROSS JOIN c{p} c)
+            WHERE rk = 1
+        )"""
+    update = """c{i} AS (
+            SELECT o.cid,
+                   coalesce(n.c_new, o.c) AS c
+            FROM c{p} o LEFT JOIN (
+                SELECT cluster AS cid,
+                       list(m ORDER BY pos) AS c_new
+                FROM (
+                    SELECT cluster, pos,
+                           CAST(floor(CAST(2 * s + n AS DOUBLE)
+                                / CAST(2 * n AS DOUBLE)) AS BIGINT) AS m
+                    FROM (
+                        SELECT cluster, t.pos, SUM(q[t.pos]) AS s,
+                               count(*) AS n
+                        FROM a{i},
+                             UNNEST(generate_series(1, len(q))) t(pos)
+                        GROUP BY cluster, t.pos)
+                ) GROUP BY cluster
+            ) n ON o.cid = n.cid
+        )"""
+    for i in range(1, n_iter):
+        cte.append(assign.format(i=i, p=i - 1))
+        cte.append(update.format(i=i, p=i - 1))
+    cte.append(assign.format(i=n_iter, p=n_iter - 1))
+    return (
+        "WITH " + ",\n".join(cte)
+        + f"\nSELECT vid AS {id_col}, cluster, dist FROM a{n_iter}"
+    )

@@ -1948,3 +1948,25 @@ def test_khop_distances_hand_computed(spark):
     got = {r.doc_id: r.hops for r in
            khop_distances(nodes, edges).collect()}
     assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 2}
+
+
+def test_kmeans_hand_computed(spark):
+    """Two 2-D blobs on the integer grid: ids 0,1 seed the two
+    centroids; after the update step the centroids move to the blob
+    means and every point lands with its blob. Fixed-point contract:
+    quantized coords, exact integer distances, round-half-up means."""
+    from pac_data_pipeline_spark.ext.kmeans import kmeans_assign
+
+    rows = [
+        (0, [0.0, 0.0]), (2, [0.001, 0.0]), (4, [0.0, 0.001]),
+        (1, [1.0, 1.0]), (3, [0.999, 1.0]), (5, [1.0, 0.999]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: (r.cluster, r.dist) for r in
+           kmeans_assign(df, k=2, n_iter=3).collect()}
+    assert {v for v, (c, _) in out.items() if c == 0} == {0, 2, 4}
+    assert {v for v, (c, _) in out.items() if c == 1} == {1, 3, 5}
+    # blob-0 quantized coords are {(0,0),(1,0),(0,1)}; the grid mean
+    # per dim is floor((2*1 + 3)/(2*3)) = 0, so the updated centroid
+    # stays (0,0): id0 at distance 0, ids 2/4 at exact distance 1.
+    assert out[0] == (0, 0) and out[2] == (0, 1) and out[4] == (0, 1)

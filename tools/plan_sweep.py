@@ -52,6 +52,7 @@ ALLOWED_BNL = {
     "x_pagerank",         # 1-row node-count broadcast (teleport term)
     "x_triangles",        # 1-row node-count broadcast (edge fixture mod-N)
     "x_khop_bfs",         # 1-row node-count broadcast (edge fixture mod-N)
+    "x_kmeans",           # 1-row centroid-array broadcast (scan-side argmin)
 }
 
 #: The Window+SinglePartition heuristic ANDs two independent plan
