@@ -1638,6 +1638,25 @@ def q_x_kmeans(spark, sf_dir):
     return kmeans_assign(_t(spark, sf_dir, "embeddings"))
 
 
+def q_x_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means the corpus, then mark
+    near-dups WITHIN clusters — clustering bounds the quadratic pair
+    stage to cluster-sized blocks (corpus×corpus never happens).
+    Greedy-by-id contract: dup iff a smaller-id vector sits in the
+    same cluster within the exact integer grid threshold; dup_of =
+    smallest such id. Fixture plants deterministic float32-shifted
+    clones (the raw table has no natural near-dups — measured min
+    pair distance ≈0.97 L2²); both engines rebuild the clones from
+    the same constants. All-integer distances — hash-exact."""
+    from pac_data_pipeline_spark.ext.kmeans import (
+        planted_near_dups,
+        semantic_dedup,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(planted_near_dups(emb))
+
+
 def q_x_ewma(spark, sf_dir):
     """Per-user exponential smoothing (r_n = 0.3·x_n + 0.7·r_{n-1})
     — the inherently RECURSIVE smoother no window frame expresses.
@@ -3812,6 +3831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_iqr_outliers": q_x_iqr_outliers,
         "x_ewma": q_x_ewma,
         "x_kmeans": q_x_kmeans,
+        "x_semantic_dedup": q_x_semantic_dedup,
         "x_html_extract": q_x_html_extract,
         "x_html_links": q_x_html_links,
         "x_html_anchors": q_x_html_anchors,
@@ -3854,7 +3874,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_token_budget": q_x_token_budget,
         "x_udaf_geomean": q_x_udaf_geomean,
         "x_profile": q_x_profile,
-        "x_corpus_report": q_x_corpus_report,
         "x_dq_checks": q_x_dq_checks,
         # -- (b) never-checked, rows-only-by-design ------------------
         "x_image_dhash": q_x_image_dhash,
@@ -3868,6 +3887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_window_tumbling": q_x_window_tumbling,
         "x_window_sliding": q_x_window_sliding,
         "x_session_window": q_x_session_window,
+        "x_corpus_report": q_x_corpus_report,
         "x_vec_pool": q_x_vec_pool,
         "x_vec_norm": q_x_vec_norm,
         "x_vec_quantize": q_x_vec_quantize,
@@ -3884,11 +3904,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEXT-ROUND TAIL (round-6 queue): the 3 re-check slots
         # planned for a4/a1/j1 plus five rows-only slots were
         # consumed by this round's new queries — new/changed first
-        # per the steady-state policy. The SIXTEEN never-checked
-        # names now below the window (six oracle-backed displaced
-        # by the late-round graph/basket/IQR/EWMA/kmeans queries:
+        # per the steady-state policy. The SEVENTEEN never-checked
+        # names now below the window (seven oracle-backed displaced
+        # by the late-round graph/basket/stats/clustering queries:
         # x_window_tumbling, x_window_sliding, x_session_window,
-        # x_vec_pool, x_vec_norm, x_vec_quantize; then
+        # x_corpus_report, x_vec_pool, x_vec_norm, x_vec_quantize;
+        # then
         # ten rows-only-by-design: x_minhash_near_dup,
         # x_cosine_topk_lsh, x_cosine_topk_ivf, x_cosine_topk_pq,
         # x_embedding_near_dup, x_multimodal_features, x_bpe_train,
@@ -5588,6 +5609,10 @@ def oracle_sql() -> dict[str, str]:
     # x_kmeans: fully integer pipeline (1e-3 grid) — distances and
     # centroid updates are exact on both engines by integrality.
     oracles["x_kmeans"] = kmeans_fixture_sql()
+    from pac_data_pipeline_spark.ext.kmeans import semantic_dedup_fixture_sql
+
+    # x_semantic_dedup: same CTE chain + greedy-by-id pair stage.
+    oracles["x_semantic_dedup"] = semantic_dedup_fixture_sql()
     # h_range_frame: floor(epoch()) = Spark's timestamp->long cast;
     # RANGE BETWEEN 3600 PRECEDING groups same-second peers on both.
     oracles["h_range_frame"] = """

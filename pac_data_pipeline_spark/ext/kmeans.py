@@ -56,21 +56,17 @@ def _quantize(col):
     )
 
 
-def kmeans_assign(
+def _assignments(
     embeddings: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 8,
-    n_iter: int = 3,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_iter: int,
 ) -> DataFrame:
-    """Cluster the full corpus; return ``(id_col, cluster, dist)``
-    — the final assignment and its exact integer squared-L2
-    distance on the quantized grid.
-
-    Init is the deterministic standard for reproducible runs: the
-    ``k`` vectors with the smallest ids are centroids 0..k-1
-    (kmeans++ would inject RNG the oracle cannot replay).
-    """
+    """Internal: the unrolled Lloyd loop; returns
+    ``(vid, q, cluster, dist)`` — final assignments still carrying
+    the quantized vector so downstream tiers (semantic dedup) can
+    compute exact pair distances without re-quantizing."""
     vecs = (
         embeddings.filter(
             F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
@@ -160,24 +156,98 @@ def kmeans_assign(
                 F.coalesce("c_new", "c").alias("c"),
             )
         )
-    return _assigned(centroids).select(
-        F.col("vid").alias(id_col), "cluster", "dist"
-    )
+    return _assigned(centroids)
 
 
-def kmeans_fixture_sql(
-    table: str = "embeddings",
+def kmeans_assign(
+    embeddings: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 8,
     n_iter: int = 3,
-) -> str:
-    """The full unrolled fixed-point k-means as DuckDB SQL generated
-    from the same constants. Distances unnest to (vec, cid, dim)
-    rows and SUM as exact BIGINTs (order-free by integrality);
-    argmin is row_number ordered by (d, cid); the centroid update
-    uses the identical integer-ratio floor; empty clusters carry
-    the previous centroid via the same left join."""
+) -> DataFrame:
+    """Cluster the full corpus; return ``(id_col, cluster, dist)``
+    — the final assignment and its exact integer squared-L2
+    distance on the quantized grid.
+
+    Init is the deterministic standard for reproducible runs: the
+    ``k`` vectors with the smallest ids are centroids 0..k-1
+    (kmeans++ would inject RNG the oracle cannot replay).
+    """
+    return _assignments(embeddings, id_col, vec_col, k, n_iter).select(
+        F.col("vid").alias(id_col), "cluster", "dist"
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 3,
+    threshold: int = 1000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): cluster the corpus, then mark
+    near-duplicates WITHIN each cluster — the clustering bounds the
+    quadratic pair stage to cluster-sized blocks, which is the whole
+    point of the algorithm at 100 TB (corpus×corpus never happens;
+    k scales with corpus size to keep cluster populations bounded).
+
+    Dedup contract is GREEDY-BY-ID, not transitive closure: a vector
+    is a duplicate iff a SMALLER-id vector sits in the same cluster
+    within ``threshold`` (exact integer squared-L2 on the quantized
+    grid); ``dup_of`` is the smallest such id, NULL for keepers.
+    Greedy-by-id is order-deterministic on any engine and is what
+    production SemDeDup does within a cluster (keep one exemplar,
+    drop the rest) — full transitive closure would need the CC
+    machinery in ext/dedup_text and buys nothing at these radii.
+
+    Returns one row per vector: ``(id_col, cluster, dup_of)``.
+    """
+    assigned = _assignments(
+        embeddings, id_col, vec_col, k, n_iter
+    ).localCheckpoint()  # 3 consumers (both pair sides + final join)
+    a = assigned.select(
+        "cluster", F.col("vid").alias("a_vid"), F.col("q").alias("a_q")
+    )
+    b = assigned.select(
+        "cluster", F.col("vid").alias("b_vid"), F.col("q").alias("b_q")
+    )
+    dups = (
+        a.join(b, "cluster")
+        .filter(F.col("a_vid") < F.col("b_vid"))
+        .withColumn(
+            "d",
+            F.expr(
+                "aggregate(zip_with(a_q, b_q, (x, y) -> (x-y)*(x-y)), "
+                "0L, (s, t) -> s + t)"
+            ),
+        )
+        .filter(F.col("d") <= threshold)
+        .groupBy("b_vid")
+        .agg(F.min("a_vid").alias("dup_of"))
+    )
+    return assigned.join(
+        dups, assigned.vid == dups.b_vid, "left"
+    ).select(F.col("vid").alias(id_col), "cluster", "dup_of")
+
+
+def _kmeans_ctes(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_iter: int,
+) -> list[str]:
+    """Shared CTE chain for the SQL mirrors: quantize → init →
+    n_iter × (assign, update). The final CTE ``a{n_iter}`` carries
+    (vid, q, cluster, dist) so callers can compose pair stages on
+    top. ``table`` may be any table NAME or parenthesized subquery.
+
+    Distances go through exact BIGINT list arithmetic (order-free
+    by integrality); argmin is row_number ordered by (d, cid); the
+    centroid update uses the identical integer-ratio floor; empty
+    clusters carry the previous centroid via the same left join."""
     s = KMEANS_SCALE
     cte = [
         f"""vecs AS (
@@ -230,7 +300,110 @@ def kmeans_fixture_sql(
         cte.append(assign.format(i=i, p=i - 1))
         cte.append(update.format(i=i, p=i - 1))
     cte.append(assign.format(i=n_iter, p=n_iter - 1))
+    return cte
+
+
+def kmeans_fixture_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 3,
+) -> str:
+    """The full unrolled fixed-point k-means as DuckDB SQL generated
+    from the same constants as :func:`kmeans_assign`."""
+    cte = _kmeans_ctes(table, id_col, vec_col, k, n_iter)
     return (
         "WITH " + ",\n".join(cte)
         + f"\nSELECT vid AS {id_col}, cluster, dist FROM a{n_iter}"
+    )
+
+
+#: Planted near-duplicate fixture constants, shared by the Spark
+#: builder and the SQL source below: every (id % MOD == 0) vector is
+#: cloned to id + OFFSET with +SHIFT (float32) on dimension
+#: (id % dim). The float32 add is a single IEEE round-to-nearest op
+#: — bit-identical on both engines — and quantizes to a 2-step grid
+#: move, so clone distance is exactly 4 on the grid.
+DUP_MOD = 10
+DUP_OFFSET = 1_000_000
+DUP_SHIFT = "0.002"
+
+
+def planted_near_dups(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The corpus plus its deterministic near-dup clones — the
+    semantic-dedup test fixture (the raw embeddings table has no
+    natural near-dups: measured min pair distance ≈ 0.97 L2²)."""
+    clones = embeddings.filter(
+        F.col(id_col).isNotNull() & (F.col(id_col) % DUP_MOD == 0)
+    ).select(
+        (F.col(id_col) + DUP_OFFSET).alias(id_col),
+        F.expr(
+            f"transform({vec_col}, (x, i) -> CASE "
+            f"WHEN i = CAST({id_col} % size({vec_col}) AS INT) "
+            f"THEN x + CAST({DUP_SHIFT} AS FLOAT) ELSE x END)"
+        ).alias(vec_col),
+    )
+    return embeddings.select(id_col, vec_col).unionAll(clones)
+
+
+def planted_near_dups_source_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """The same corpus-plus-clones as a parenthesized SQL source
+    (DuckDB indexed lambdas are 1-based, hence the ``i - 1``)."""
+    return f"""(
+        SELECT {id_col}, {vec_col} FROM {table}
+        UNION ALL
+        SELECT {id_col} + {DUP_OFFSET} AS {id_col},
+               list_transform({vec_col}, (x, i) -> CASE
+                   WHEN i - 1 = {id_col} % len({vec_col})
+                   THEN x + CAST({DUP_SHIFT} AS FLOAT) ELSE x END)
+                   AS {vec_col}
+        FROM {table}
+        WHERE {id_col} IS NOT NULL AND {id_col} % {DUP_MOD} = 0
+    )"""
+
+
+def semantic_dedup_fixture_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 3,
+    threshold: int = 1000,
+) -> str:
+    """SemDeDup over the planted-clone corpus as DuckDB SQL: the
+    shared k-means CTE chain, then the same greedy-by-id pair stage
+    (smallest qualifying smaller id wins; NULL marks keepers)."""
+    cte = _kmeans_ctes(
+        planted_near_dups_source_sql(table, id_col, vec_col),
+        id_col,
+        vec_col,
+        k,
+        n_iter,
+    )
+    cte.append(
+        f"""dups AS (
+            SELECT b.vid AS b_vid, min(a.vid) AS dup_of
+            FROM a{n_iter} a JOIN a{n_iter} b
+              ON a.cluster = b.cluster AND a.vid < b.vid
+            WHERE CAST(list_sum(list_transform(list_zip(a.q, b.q),
+                p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)
+                <= {threshold}
+            GROUP BY b.vid
+        )"""
+    )
+    return (
+        "WITH " + ",\n".join(cte)
+        + f"""
+        SELECT t.vid AS {id_col}, t.cluster, d.dup_of
+        FROM a{n_iter} t LEFT JOIN dups d ON t.vid = d.b_vid
+        """
     )

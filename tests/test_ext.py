@@ -1970,3 +1970,21 @@ def test_kmeans_hand_computed(spark):
     # per dim is floor((2*1 + 3)/(2*3)) = 0, so the updated centroid
     # stays (0,0): id0 at distance 0, ids 2/4 at exact distance 1.
     assert out[0] == (0, 0) and out[2] == (0, 1) and out[4] == (0, 1)
+
+
+def test_semantic_dedup_hand_computed(spark):
+    """Two far-apart 2-D blobs; within blob A, ids 0/2 coincide on
+    the grid (dup) and id 4 sits far outside the threshold; blob B
+    has no close pairs. Greedy-by-id: dup_of is the SMALLEST
+    qualifying smaller id; keepers carry NULL."""
+    from pac_data_pipeline_spark.ext.kmeans import semantic_dedup
+
+    rows = [
+        (0, [0.0, 0.0]), (2, [0.0005, 0.0]),   # quantize together
+        (4, [0.3, 0.3]),                        # same blob, far
+        (1, [5.0, 5.0]), (3, [5.4, 5.4]),       # blob B, far apart
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r.dup_of for r in
+           semantic_dedup(df, k=2, n_iter=2, threshold=1000).collect()}
+    assert out == {0: None, 2: 0, 4: None, 1: None, 3: None}
