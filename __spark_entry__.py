@@ -1638,6 +1638,20 @@ def q_x_kmeans(spark, sf_dir):
     return kmeans_assign(_t(spark, sf_dir, "embeddings"))
 
 
+def q_x_feature_hash(spark, sf_dir):
+    """Hashing-trick bag-of-words vectorizer (Weinberger et al.
+    ICML'09): token → md5 % 32 bucket, document → dense count
+    vector. The vocabulary-free featurization that scales where a
+    fitted vocabulary cannot (no global dictionary, no second pass,
+    no OOV). ZERO shuffles — tokenize/hash/count are codegen HOFs
+    per row; md5 runs once per token via an aggregate-fold counter.
+    TOKEN_SEP + ascii_lower contracts; md5 because engine hash
+    functions never match."""
+    from pac_data_pipeline_spark.ext.text import feature_hash
+
+    return feature_hash(_t(spark, sf_dir, "documents"))
+
+
 def q_x_semantic_dedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): k-means the corpus, then mark
     near-dups WITHIN clusters — clustering bounds the quadratic pair
@@ -3832,6 +3846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_ewma": q_x_ewma,
         "x_kmeans": q_x_kmeans,
         "x_semantic_dedup": q_x_semantic_dedup,
+        "x_feature_hash": q_x_feature_hash,
         "x_html_extract": q_x_html_extract,
         "x_html_links": q_x_html_links,
         "x_html_anchors": q_x_html_anchors,
@@ -3873,7 +3888,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_incremental_dedup": q_x_incremental_dedup,
         "x_token_budget": q_x_token_budget,
         "x_udaf_geomean": q_x_udaf_geomean,
-        "x_profile": q_x_profile,
         "x_dq_checks": q_x_dq_checks,
         # -- (b) never-checked, rows-only-by-design ------------------
         "x_image_dhash": q_x_image_dhash,
@@ -3887,6 +3901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_window_tumbling": q_x_window_tumbling,
         "x_window_sliding": q_x_window_sliding,
         "x_session_window": q_x_session_window,
+        "x_profile": q_x_profile,
         "x_corpus_report": q_x_corpus_report,
         "x_vec_pool": q_x_vec_pool,
         "x_vec_norm": q_x_vec_norm,
@@ -3904,12 +3919,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEXT-ROUND TAIL (round-6 queue): the 3 re-check slots
         # planned for a4/a1/j1 plus five rows-only slots were
         # consumed by this round's new queries — new/changed first
-        # per the steady-state policy. The SEVENTEEN never-checked
-        # names now below the window (seven oracle-backed displaced
+        # per the steady-state policy. The EIGHTEEN never-checked
+        # names now below the window (eight oracle-backed displaced
         # by the late-round graph/basket/stats/clustering queries:
         # x_window_tumbling, x_window_sliding, x_session_window,
-        # x_corpus_report, x_vec_pool, x_vec_norm, x_vec_quantize;
-        # then
+        # x_profile, x_corpus_report, x_vec_pool, x_vec_norm,
+        # x_vec_quantize; then
         # ten rows-only-by-design: x_minhash_near_dup,
         # x_cosine_topk_lsh, x_cosine_topk_ivf, x_cosine_topk_pq,
         # x_embedding_near_dup, x_multimodal_features, x_bpe_train,
@@ -5613,6 +5628,11 @@ def oracle_sql() -> dict[str, str]:
 
     # x_semantic_dedup: same CTE chain + greedy-by-id pair stage.
     oracles["x_semantic_dedup"] = semantic_dedup_fixture_sql()
+    from pac_data_pipeline_spark.ext.text import feature_hash_sql
+
+    # x_feature_hash: raw TOKEN_SEP (DuckDB does not unescape string
+    # literals); md5-bucket arithmetic identical on both engines.
+    oracles["x_feature_hash"] = feature_hash_sql()
     # h_range_frame: floor(epoch()) = Spark's timestamp->long cast;
     # RANGE BETWEEN 3600 PRECEDING groups same-second peers on both.
     oracles["h_range_frame"] = """

@@ -1256,3 +1256,95 @@ def tokenizer_fertility(
             F.sum("__chars") / F.nullif(F.sum("__toks"), F.lit(0)), 4
         ).alias("chars_per_token"),
     )
+
+
+def feature_hash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Hashing-trick bag-of-words vectorizer (Weinberger et al.,
+    ICML'09): each token maps to ``md5(token) % n_buckets`` and the
+    document becomes a dense count vector — the vocabulary-free
+    featurization step that scales where a fitted vocabulary cannot
+    (no global dictionary, no second pass, no OOV).
+
+    Scale shape: ZERO shuffles — tokenize, hash, and count are all
+    whole-stage-codegen HOFs per row; the corpus is embarrassingly
+    parallel. md5 runs ONCE per token (an `aggregate` fold
+    increments the count array; recomputing the hash per bucket
+    probe would cost 32×). Portable by construction: md5 is
+    standardized (engine hash functions never match), tokens follow
+    the TOKEN_SEP + ascii_lower contracts, and the count vector
+    serializes via array_join because the driver hashes scalars.
+
+    Returns ``(id_col, features, n_tokens, nnz)``; NULL text yields
+    NULL features (unknown, not empty).
+    """
+    toks = (
+        f"filter(split(trim({ASCII_LOWER_SQL.format(col=text_col)}), "
+        f"'{TOKEN_SEP_SQL}'), t -> t <> '')"
+    )
+    bkts = (
+        f"transform({toks}, t -> CAST(CAST(conv(substring(md5(t), 1, 8), "
+        f"16, 10) AS BIGINT) % {n_buckets} AS INT))"
+    )
+    counts = (
+        f"aggregate({bkts}, "
+        f"transform(sequence(1, {n_buckets}), i -> 0L), "
+        "(acc, x) -> transform(acc, (v, i) -> "
+        "CASE WHEN i = x THEN v + 1L ELSE v END))"
+    )
+    return docs.select(
+        id_col,
+        F.expr(f"array_join({counts}, ',')").alias("features"),
+        F.expr(f"size({toks})").alias("n_tokens"),
+        F.expr(f"size(filter({counts}, c -> c > 0))").alias("nnz"),
+    )
+
+
+def feature_hash_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 32,
+) -> str:
+    """The same vectorizer as DuckDB SQL from the same constants.
+    The bucket ids compute once in a subquery (DuckDB has no
+    fold-with-array accumulator; counting via 32 list_filter probes
+    over the precomputed int list gives the identical counts).
+    NOTE the raw ``TOKEN_SEP`` here, not ``TOKEN_SEP_SQL`` — DuckDB
+    string literals do NOT unescape backslashes, so the Spark-parser
+    (doubled) form would turn the char class into one matching the
+    LETTERS t/n/f/r."""
+    lower = f"translate({text_col}, '{_ASCII_UPPER}', '{_ASCII_LOWER}')"
+    return f"""
+        WITH b AS (
+            SELECT {id_col},
+                   CASE WHEN {text_col} IS NULL THEN NULL ELSE
+                   list_transform(
+                       list_filter(string_split_regex(
+                           trim({lower}, ' '), '{TOKEN_SEP}'),
+                           t -> t <> ''),
+                       t -> CAST(CAST(concat('0x', substr(md5(t), 1, 8))
+                            AS BIGINT) % {n_buckets} AS INT))
+                   END AS bkts
+            FROM {table}
+        )
+        SELECT {id_col},
+               CASE WHEN bkts IS NULL THEN NULL ELSE
+               array_to_string(list_transform(range(0, {n_buckets}),
+                   x -> len(list_filter(bkts, e -> e = x))), ',')
+               END AS features,
+               len(bkts) AS n_tokens,
+               -- the outer list_filter runs over a NON-NULL range
+               -- list, so without the guard a NULL doc collapses to
+               -- nnz = 0 instead of NULL (null-fuzz catch)
+               CASE WHEN bkts IS NULL THEN NULL ELSE
+               len(list_filter(list_transform(range(0, {n_buckets}),
+                   x -> len(list_filter(bkts, e -> e = x))),
+                   c -> c > 0))
+               END AS nnz
+        FROM b
+    """

@@ -1988,3 +1988,27 @@ def test_semantic_dedup_hand_computed(spark):
     out = {r.vec_id: r.dup_of for r in
            semantic_dedup(df, k=2, n_iter=2, threshold=1000).collect()}
     assert out == {0: None, 2: 0, 4: None, 1: None, 3: None}
+
+
+def test_feature_hash_hand_computed(spark):
+    """Repeated tokens accumulate in one bucket (same md5); counts
+    sum to n_tokens; case folds under the ascii contract so 'The'
+    and 'the' share a bucket; NULL text yields NULL features /
+    n_tokens / nnz (unknown, not empty); empty text yields the
+    all-zero vector with 0 tokens."""
+    from pac_data_pipeline_spark.ext.text import feature_hash
+
+    df = spark.createDataFrame(
+        [(1, "The the the"), (2, "a b"), (3, None), (4, "   ")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in feature_hash(df, n_buckets=4).collect()}
+    v1 = [int(c) for c in got[1].features.split(",")]
+    assert sum(v1) == 3 and got[1].n_tokens == 3
+    assert sorted(v1, reverse=True)[0] == 3 and got[1].nnz == 1
+    v2 = [int(c) for c in got[2].features.split(",")]
+    assert sum(v2) == 2 and got[2].nnz in (1, 2)
+    assert got[3].features is None and got[3].n_tokens is None \
+        and got[3].nnz is None
+    assert got[4].features == "0,0,0,0" and got[4].n_tokens == 0 \
+        and got[4].nnz == 0
