@@ -1638,6 +1638,21 @@ def q_x_kmeans(spark, sf_dir):
     return kmeans_assign(_t(spark, sf_dir, "embeddings"))
 
 
+def q_x_ab_test(spark, sf_dir):
+    """Per-event-type two-proportion z-test over a deterministic
+    md5-parity split of users (pooled-variance z, |z|>1.96 two-
+    sided) — the experimentation readout. Assignment is md5 % 2 so
+    units keep their arm on any engine/partitioning/re-run; one
+    map-side-combinable agg (4 conditional counts); the z runs on
+    the |groups|-row aggregate with sqrt IEEE-correctly-rounded on
+    both engines and a fixed operation order; nullif guards kill
+    ANSI divide-by-zero on one-armed groups."""
+    from pac_data_pipeline_spark.operators.stats import ab_test
+
+    e = load_events(spark, sf_dir)
+    return ab_test(e, "event_type", "user_id", F.col("value") > 50)
+
+
 def q_x_feature_hash(spark, sf_dir):
     """Hashing-trick bag-of-words vectorizer (Weinberger et al.
     ICML'09): token → md5 % 32 bucket, document → dense count
@@ -3847,6 +3862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_kmeans": q_x_kmeans,
         "x_semantic_dedup": q_x_semantic_dedup,
         "x_feature_hash": q_x_feature_hash,
+        "x_ab_test": q_x_ab_test,
         "x_html_extract": q_x_html_extract,
         "x_html_links": q_x_html_links,
         "x_html_anchors": q_x_html_anchors,
@@ -3887,7 +3903,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_negative_pairs": q_x_negative_pairs,
         "x_incremental_dedup": q_x_incremental_dedup,
         "x_token_budget": q_x_token_budget,
-        "x_udaf_geomean": q_x_udaf_geomean,
         "x_dq_checks": q_x_dq_checks,
         # -- (b) never-checked, rows-only-by-design ------------------
         "x_image_dhash": q_x_image_dhash,
@@ -3901,6 +3916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_window_tumbling": q_x_window_tumbling,
         "x_window_sliding": q_x_window_sliding,
         "x_session_window": q_x_session_window,
+        "x_udaf_geomean": q_x_udaf_geomean,
         "x_profile": q_x_profile,
         "x_corpus_report": q_x_corpus_report,
         "x_vec_pool": q_x_vec_pool,
@@ -3919,12 +3935,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEXT-ROUND TAIL (round-6 queue): the 3 re-check slots
         # planned for a4/a1/j1 plus five rows-only slots were
         # consumed by this round's new queries — new/changed first
-        # per the steady-state policy. The EIGHTEEN never-checked
-        # names now below the window (eight oracle-backed displaced
+        # per the steady-state policy. The NINETEEN never-checked
+        # names now below the window (nine oracle-backed displaced
         # by the late-round graph/basket/stats/clustering queries:
         # x_window_tumbling, x_window_sliding, x_session_window,
-        # x_profile, x_corpus_report, x_vec_pool, x_vec_norm,
-        # x_vec_quantize; then
+        # x_udaf_geomean, x_profile, x_corpus_report, x_vec_pool,
+        # x_vec_norm, x_vec_quantize; then
         # ten rows-only-by-design: x_minhash_near_dup,
         # x_cosine_topk_lsh, x_cosine_topk_ivf, x_cosine_topk_pq,
         # x_embedding_near_dup, x_multimodal_features, x_bpe_train,
@@ -5633,6 +5649,12 @@ def oracle_sql() -> dict[str, str]:
     # x_feature_hash: raw TOKEN_SEP (DuckDB does not unescape string
     # literals); md5-bucket arithmetic identical on both engines.
     oracles["x_feature_hash"] = feature_hash_sql()
+    from pac_data_pipeline_spark.operators.stats import ab_test_sql
+
+    # x_ab_test: identical md5 arm split + fixed-op-order pooled z.
+    oracles["x_ab_test"] = ab_test_sql(
+        "events", "event_type", "user_id", "value > 50"
+    )
     # h_range_frame: floor(epoch()) = Spark's timestamp->long cast;
     # RANGE BETWEEN 3600 PRECEDING groups same-second peers on both.
     oracles["h_range_frame"] = """

@@ -515,3 +515,118 @@ def iqr_outliers_sql(
         FROM {table} t JOIN fences f USING ({group_col})
         GROUP BY t.{group_col}, f.q1, f.q3, f.lo_fence, f.hi_fence
     """
+
+
+def ab_test(
+    df: DataFrame,
+    group_col: str,
+    unit_col: str,
+    success: "F.Column",
+    buckets: int = 2,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group two-proportion z-test over a deterministic hash
+    split of experiment units — the A/B readout an experimentation
+    platform computes (pooled-variance z; |z| > 1.96 ≈ p < .05
+    two-sided).
+
+    The unit→arm assignment is ``md5(unit) % 2`` (the portable
+    deterministic split used by the sampling tier — engine hash
+    functions never match across engines, md5 does), so assignment
+    is reproducible at any scale and on any engine, and units keep
+    their arm across re-runs — the property a real experiment needs.
+
+    Scale shape: ONE map-side-combinable aggregation (four
+    conditional counts per group); the z arithmetic runs on the
+    |groups|-row aggregate. sqrt is IEEE-correctly-rounded on every
+    engine, so with a fixed operation order the statistic matches
+    bit-for-bit before the final round. Groups missing an arm
+    report NULL z (nullif guards — no ANSI divide-by-zero).
+    """
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col(unit_col).cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        % buckets
+    )
+    agg = df.groupBy(group_col).agg(
+        F.sum(F.when(arm == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(arm == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when((arm == 0) & success, 1).otherwise(0)).alias("s_a"),
+        F.sum(F.when((arm == 1) & success, 1).otherwise(0)).alias("s_b"),
+    )
+    p_a = F.col("s_a") / F.nullif(F.col("n_a"), F.lit(0))
+    p_b = F.col("s_b") / F.nullif(F.col("n_b"), F.lit(0))
+    pool = (F.col("s_a") + F.col("s_b")) / F.nullif(
+        F.col("n_a") + F.col("n_b"), F.lit(0)
+    )
+    se = F.sqrt(
+        pool
+        * (1.0 - pool)
+        * (
+            1.0 / F.nullif(F.col("n_a"), F.lit(0))
+            + 1.0 / F.nullif(F.col("n_b"), F.lit(0))
+        )
+    )
+    z = (p_a - p_b) / F.nullif(se, F.lit(0.0))
+    return agg.select(
+        group_col,
+        "n_a",
+        "n_b",
+        F.round(p_a, digits).alias("rate_a"),
+        F.round(p_b, digits).alias("rate_b"),
+        F.round(z, digits).alias("z"),
+        (F.abs(F.round(z, digits)) > 1.96).alias("significant"),
+    )
+
+
+def ab_test_sql(
+    table: str,
+    group_col: str,
+    unit_col: str,
+    success_sql: str,
+    buckets: int = 2,
+    digits: int = 6,
+) -> str:
+    """The same test as DuckDB SQL: identical md5 arm assignment,
+    identical conditional counts, identical operation order through
+    the pooled-variance z (sqrt is correctly rounded on both
+    engines, so the doubles agree bit-for-bit before the round)."""
+    # NULL-unit guard: DuckDB concat() treats NULL as '' (so the
+    # cast would see the bare string '0x' and throw); Spark's conv()
+    # propagates the NULL. CASE keeps both engines at NULL arm.
+    arm = (
+        f"CASE WHEN {unit_col} IS NULL THEN NULL ELSE "
+        f"CAST(concat('0x', substr(md5(CAST({unit_col} AS VARCHAR)), "
+        f"1, 8)) AS BIGINT) % {buckets} END"
+    )
+    return f"""
+        WITH agg AS (
+            SELECT {group_col},
+                   SUM(CASE WHEN {arm} = 0 THEN 1 ELSE 0 END) AS n_a,
+                   SUM(CASE WHEN {arm} = 1 THEN 1 ELSE 0 END) AS n_b,
+                   SUM(CASE WHEN {arm} = 0 AND ({success_sql})
+                       THEN 1 ELSE 0 END) AS s_a,
+                   SUM(CASE WHEN {arm} = 1 AND ({success_sql})
+                       THEN 1 ELSE 0 END) AS s_b
+            FROM {table} GROUP BY {group_col}
+        )
+        SELECT {group_col},
+               CAST(n_a AS BIGINT) AS n_a,
+               CAST(n_b AS BIGINT) AS n_b,
+               round(s_a / nullif(n_a, 0), {digits}) AS rate_a,
+               round(s_b / nullif(n_b, 0), {digits}) AS rate_b,
+               round((s_a / nullif(n_a, 0) - s_b / nullif(n_b, 0))
+                   / nullif(sqrt(
+                       ((s_a + s_b) / nullif(n_a + n_b, 0))
+                       * (1.0 - (s_a + s_b) / nullif(n_a + n_b, 0))
+                       * (1.0 / nullif(n_a, 0) + 1.0 / nullif(n_b, 0))
+                   ), 0.0), {digits}) AS z,
+               abs(round((s_a / nullif(n_a, 0) - s_b / nullif(n_b, 0))
+                   / nullif(sqrt(
+                       ((s_a + s_b) / nullif(n_a + n_b, 0))
+                       * (1.0 - (s_a + s_b) / nullif(n_a + n_b, 0))
+                       * (1.0 / nullif(n_a, 0) + 1.0 / nullif(n_b, 0))
+                   ), 0.0), {digits})) > 1.96 AS significant
+        FROM agg
+    """

@@ -226,3 +226,40 @@ def test_iqr_outliers_hand_computed(spark):
     assert (a.n, a.n_outliers) == (10, 1)
     b = got["b"]
     assert (b.q1, b.q3, b.n, b.n_outliers) == (5.0, 5.0, 4, 0)
+
+
+def test_ab_test_hand_computed(spark):
+    """Deterministic md5 arms; one group where both arms convert
+    identically gives z = 0 exactly; a one-armed group reports NULL
+    z without an ANSI divide-by-zero; NULL units join no arm."""
+    from pac_data_pipeline_spark.operators.stats import ab_test
+
+    # find unit ids for each arm under the md5 % 2 split
+    import hashlib
+
+    def arm(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+
+    a_ids = [u for u in range(40) if arm(u) == 0][:4]
+    b_ids = [u for u in range(40) if arm(u) == 1][:4]
+    rows = (
+        # group 'even': both arms 2/4 successes -> identical rates
+        [("even", u, 60.0) for u in a_ids[:2]]
+        + [("even", u, 10.0) for u in a_ids[2:]]
+        + [("even", u, 60.0) for u in b_ids[:2]]
+        + [("even", u, 10.0) for u in b_ids[2:]]
+        # group 'solo': only arm-a units -> NULL z, no crash
+        + [("solo", u, 60.0) for u in a_ids]
+        # NULL unit: joins no arm anywhere
+        + [("even", None, 60.0)]
+    )
+    df = spark.createDataFrame(rows, "event_type string, user_id long, value double")
+    from pyspark.sql import functions as F
+
+    got = {r.event_type: r for r in
+           ab_test(df, "event_type", "user_id", F.col("value") > 50).collect()}
+    e = got["even"]
+    assert (e.n_a, e.n_b, e.rate_a, e.rate_b, e.z) == (4, 4, 0.5, 0.5, 0.0)
+    assert e.significant is False
+    s = got["solo"]
+    assert (s.n_a, s.n_b) == (4, 0) and s.z is None
