@@ -1638,6 +1638,21 @@ def q_x_kmeans(spark, sf_dir):
     return kmeans_assign(_t(spark, sf_dir, "embeddings"))
 
 
+def q_x_mutual_info(spark, sf_dir):
+    """PMI / mutual-information table between doc language and a
+    length bucket — the categorical-association / feature-selection
+    primitive (MI = Σ mi_contrib). One (x,y) hash agg with map-side
+    combine; marginals via window sums OVER THE 25-ROW AGGREGATE,
+    never a second input scan; ln argument formed as one
+    integer-exact double ratio; round-4 absorbs libm ulps (the
+    psi_drift discipline). NULL categories drop by contract."""
+    from pac_data_pipeline_spark.operators.stats import mutual_information
+
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.length("text") / 100), F.lit(4)).cast("int")
+    return mutual_information(d, "lang", bucket)
+
+
 def q_x_ab_test(spark, sf_dir):
     """Per-event-type two-proportion z-test over a deterministic
     md5-parity split of users (pooled-variance z, |z|>1.96 two-
@@ -3863,6 +3878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_semantic_dedup": q_x_semantic_dedup,
         "x_feature_hash": q_x_feature_hash,
         "x_ab_test": q_x_ab_test,
+        "x_mutual_info": q_x_mutual_info,
         "x_html_extract": q_x_html_extract,
         "x_html_links": q_x_html_links,
         "x_html_anchors": q_x_html_anchors,
@@ -3902,7 +3918,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_hard_negatives": q_x_hard_negatives,
         "x_negative_pairs": q_x_negative_pairs,
         "x_incremental_dedup": q_x_incremental_dedup,
-        "x_token_budget": q_x_token_budget,
         "x_dq_checks": q_x_dq_checks,
         # -- (b) never-checked, rows-only-by-design ------------------
         "x_image_dhash": q_x_image_dhash,
@@ -3916,6 +3931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_window_tumbling": q_x_window_tumbling,
         "x_window_sliding": q_x_window_sliding,
         "x_session_window": q_x_session_window,
+        "x_token_budget": q_x_token_budget,
         "x_udaf_geomean": q_x_udaf_geomean,
         "x_profile": q_x_profile,
         "x_corpus_report": q_x_corpus_report,
@@ -3935,12 +3951,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEXT-ROUND TAIL (round-6 queue): the 3 re-check slots
         # planned for a4/a1/j1 plus five rows-only slots were
         # consumed by this round's new queries — new/changed first
-        # per the steady-state policy. The NINETEEN never-checked
-        # names now below the window (nine oracle-backed displaced
+        # per the steady-state policy. The TWENTY never-checked
+        # names now below the window (ten oracle-backed displaced
         # by the late-round graph/basket/stats/clustering queries:
         # x_window_tumbling, x_window_sliding, x_session_window,
-        # x_udaf_geomean, x_profile, x_corpus_report, x_vec_pool,
-        # x_vec_norm, x_vec_quantize; then
+        # x_token_budget, x_udaf_geomean, x_profile,
+        # x_corpus_report, x_vec_pool, x_vec_norm, x_vec_quantize;
+        # then
         # ten rows-only-by-design: x_minhash_near_dup,
         # x_cosine_topk_lsh, x_cosine_topk_ivf, x_cosine_topk_pq,
         # x_embedding_near_dup, x_multimodal_features, x_bpe_train,
@@ -5654,6 +5671,14 @@ def oracle_sql() -> dict[str, str]:
     # x_ab_test: identical md5 arm split + fixed-op-order pooled z.
     oracles["x_ab_test"] = ab_test_sql(
         "events", "event_type", "user_id", "value > 50"
+    )
+    from pac_data_pipeline_spark.operators.stats import (
+        mutual_information_sql,
+    )
+
+    # x_mutual_info: identical single-agg + window-marginal shape.
+    oracles["x_mutual_info"] = mutual_information_sql(
+        "documents", "lang", "least(CAST(floor(length(text)/100) AS INT), 4)"
     )
     # h_range_frame: floor(epoch()) = Spark's timestamp->long cast;
     # RANGE BETWEEN 3600 PRECEDING groups same-second peers on both.

@@ -630,3 +630,97 @@ def ab_test_sql(
                    ), 0.0), {digits})) > 1.96 AS significant
         FROM agg
     """
+
+
+def mutual_information(
+    df: DataFrame,
+    x_col,
+    y_col,
+    digits: int = 4,
+) -> DataFrame:
+    """Pointwise mutual information table for two categorical
+    columns — the feature-selection / association primitive
+    (MI = Σ p(x,y)·pmi(x,y) over the returned rows). ``x_col`` /
+    ``y_col`` may be names or column expressions (e.g. a bucketed
+    length).
+
+    One (x, y) hash aggregation with map-side combine, then the
+    marginals come from WINDOW SUMS OVER THE |X|·|Y|-ROW AGGREGATE —
+    never a second scan of the input (the textbook three-scan
+    formulation reads the table for p(x), p(y), p(x,y) separately).
+    pmi = ln(n·n_xy / (n_x·n_y)) with the log argument formed as ONE
+    integer-exact double ratio; round-4 absorbs libm ulp differences
+    between engines (the psi_drift discipline). NULL categories are
+    dropped (SQL GROUP BY would keep them but every downstream
+    marginal join/window treats NULL as its own class inconsistently
+    across engines — the contract here is explicit).
+    """
+    xc = F.col(x_col) if isinstance(x_col, str) else x_col
+    yc = F.col(y_col) if isinstance(y_col, str) else y_col
+    joint = (
+        df.filter(xc.isNotNull() & yc.isNotNull())
+        .groupBy(xc.alias("x"), yc.alias("y"))
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+    )
+    wx = Window.partitionBy("x")
+    wy = Window.partitionBy("y")
+    wall = Window.partitionBy()
+    out = joint.select(
+        "x",
+        "y",
+        "n_xy",
+        F.sum("n_xy").over(wx).alias("n_x"),
+        F.sum("n_xy").over(wy).alias("n_y"),
+        F.sum("n_xy").over(wall).alias("n"),
+    )
+    pmi = F.log(
+        (F.col("n") * F.col("n_xy")).cast("double")
+        / (F.col("n_x") * F.col("n_y")).cast("double")
+    )
+    return out.select(
+        "x",
+        "y",
+        "n_xy",
+        "n_x",
+        "n_y",
+        F.round(pmi, digits).alias("pmi"),
+        F.round(
+            (F.col("n_xy").cast("double") / F.col("n").cast("double")) * pmi,
+            6,
+        ).alias("mi_contrib"),
+    )
+
+
+def mutual_information_sql(
+    table: str,
+    x_sql: str,
+    y_sql: str,
+    digits: int = 4,
+) -> str:
+    """The same PMI table as DuckDB SQL — identical single-agg +
+    window-marginal shape, identical integer-exact log argument."""
+    return f"""
+        WITH joint AS (
+            SELECT {x_sql} AS x, {y_sql} AS y, count(*) AS n_xy
+            FROM {table}
+            WHERE ({x_sql}) IS NOT NULL AND ({y_sql}) IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT x, y, n_xy,
+                   SUM(n_xy) OVER (PARTITION BY x) AS n_x,
+                   SUM(n_xy) OVER (PARTITION BY y) AS n_y,
+                   SUM(n_xy) OVER () AS n
+            FROM joint
+        )
+        SELECT x, y,
+               CAST(n_xy AS BIGINT) AS n_xy,
+               CAST(n_x AS BIGINT) AS n_x,
+               CAST(n_y AS BIGINT) AS n_y,
+               round(ln(CAST(n * n_xy AS DOUBLE)
+                     / CAST(n_x * n_y AS DOUBLE)), {digits}) AS pmi,
+               round((CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE))
+                     * ln(CAST(n * n_xy AS DOUBLE)
+                       / CAST(n_x * n_y AS DOUBLE)), 6) AS mi_contrib
+        FROM m
+    """

@@ -263,3 +263,23 @@ def test_ab_test_hand_computed(spark):
     assert e.significant is False
     s = got["solo"]
     assert (s.n_a, s.n_b) == (4, 0) and s.z is None
+
+
+def test_mutual_information_hand_computed(spark):
+    """2x2 perfectly-dependent table: x==y always -> joint cells
+    only on the diagonal; with 2+2 rows, pmi = ln(4*2/(2*2)) = ln 2;
+    mi_contrib = 0.5*ln2 each; total MI = ln 2. NULLs drop."""
+    import math
+
+    from pac_data_pipeline_spark.operators.stats import mutual_information
+
+    rows = [("a", 0), ("a", 0), ("b", 1), ("b", 1), (None, 0), ("a", None)]
+    df = spark.createDataFrame(rows, "x string, y int")
+    out = {(r.x, r.y): r for r in
+           mutual_information(df, "x", "y").collect()}
+    assert set(out) == {("a", 0), ("b", 1)}
+    ln2 = round(math.log(2.0), 4)
+    for k in out:
+        assert out[k].pmi == ln2
+        assert out[k].mi_contrib == round(0.5 * math.log(2.0), 6)
+        assert (out[k].n_xy, out[k].n_x, out[k].n_y) == (2, 2, 2)

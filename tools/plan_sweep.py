@@ -66,12 +66,16 @@ ALLOWED_BNL = {
 #: x_nb_classifier's argmax window partitions by doc_id — its
 #: SinglePartition exchanges are the 1-row corpus-count and
 #: vocab-size aggregates feeding the broadcast label stats.
+#: x_mutual_info's SUM() OVER () computes the grand total over the
+#: |X|·|Y|-row JOINT AGGREGATE (25 rows here), not the input — the
+#: single partition is the point (marginals without a second scan).
 ALLOWED_GLOBAL_WINDOW = {
     "k3_batch_id",
     "x_tfidf_terms",
     "x_token_budget",
     "h_funnel",
     "x_nb_classifier",
+    "x_mutual_info",
 }
 
 
