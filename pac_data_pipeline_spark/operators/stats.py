@@ -724,3 +724,93 @@ def mutual_information_sql(
                        / CAST(n_x * n_y AS DOUBLE)), 6) AS mi_contrib
         FROM m
     """
+
+
+def auc(
+    df: DataFrame,
+    score_col: str,
+    label: "F.Column",
+    digits: int = 6,
+) -> DataFrame:
+    """Exact ROC AUC via the Mann-Whitney U statistic — the
+    score-quality metric (P(score_pos > score_neg) + ½·P(equal)).
+
+    The textbook rank formulation globally sorts the input — the
+    known scale-killer. The scalable identity: aggregate to ONE row
+    per distinct score with positive/negative counts (map-side
+    combinable; |distinct scores| ≪ |rows| for any quantized or
+    bounded score), then
+
+        U = Σ_s [ n_pos(s) · cum_neg(<s) + ½ · n_pos(s) · n_neg(s) ]
+
+    where the running negative count is a window over the
+    DISTINCT-SCORE AGGREGATE, not the input. All terms are integers
+    and exact halves, so the single final division is the only
+    inexact step and round-6 pins it cross-engine. NULL scores and
+    NULL labels drop.
+
+    Returns one row: (n_pos, n_neg, auc).
+    """
+    counted = (
+        df.filter(F.col(score_col).isNotNull() & label.isNotNull())
+        .groupBy(F.col(score_col).alias("s"))
+        .agg(
+            F.sum(F.when(label, 1).otherwise(0)).alias("np"),
+            F.sum(F.when(label, 0).otherwise(1)).alias("nn"),
+        )
+    )
+    w = Window.orderBy("s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    stepped = counted.select(
+        "np",
+        "nn",
+        (F.sum("nn").over(w) - F.col("nn")).alias("cum_nn"),
+    )
+    return stepped.agg(
+        F.sum("np").alias("n_pos"),
+        F.sum("nn").alias("n_neg"),
+        F.round(
+            F.sum(
+                F.col("np") * F.col("cum_nn")
+                + 0.5 * F.col("np") * F.col("nn")
+            )
+            / F.nullif(
+                (F.sum("np") * F.sum("nn")).cast("double"), F.lit(0.0)
+            ),
+            digits,
+        ).alias("auc"),
+    )
+
+
+def auc_sql(
+    table: str,
+    score_col: str,
+    label_sql: str,
+    digits: int = 6,
+) -> str:
+    """The same U-statistic as DuckDB SQL — identical distinct-score
+    aggregation, running-negative window, and final division."""
+    return f"""
+        WITH counted AS (
+            SELECT {score_col} AS s,
+                   SUM(CASE WHEN ({label_sql}) THEN 1 ELSE 0 END) AS np,
+                   SUM(CASE WHEN ({label_sql}) THEN 0 ELSE 1 END) AS nn
+            FROM {table}
+            WHERE {score_col} IS NOT NULL AND ({label_sql}) IS NOT NULL
+            GROUP BY {score_col}
+        ),
+        stepped AS (
+            SELECT np, nn,
+                   SUM(nn) OVER (ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) - nn AS cum_nn
+            FROM counted
+        )
+        SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+               CAST(SUM(nn) AS BIGINT) AS n_neg,
+               round(SUM(np * cum_nn + 0.5 * np * nn)
+                   / nullif(CAST(SUM(np) * SUM(nn) AS DOUBLE), 0.0),
+                   {digits}) AS auc
+        FROM stepped
+    """

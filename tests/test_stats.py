@@ -283,3 +283,26 @@ def test_mutual_information_hand_computed(spark):
         assert out[k].pmi == ln2
         assert out[k].mi_contrib == round(0.5 * math.log(2.0), 6)
         assert (out[k].n_xy, out[k].n_x, out[k].n_y) == (2, 2, 2)
+
+
+def test_auc_hand_computed(spark):
+    """Perfect separation -> 1.0; reversed -> 0.0; all-tied scores
+    -> 0.5 exactly (the ½·P(equal) term); a known mixed case checked
+    against the rank formula by hand: scores pos={3,2}, neg={1,2} ->
+    pairs: (3>1)+(3>2)+(2>1)+½(2=2) = 3.5/4 = 0.875."""
+    from pyspark.sql import functions as F
+
+    from pac_data_pipeline_spark.operators.stats import auc
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "s double, y boolean")
+        return auc(df, "s", F.col("y")).collect()[0]
+
+    assert run([(2.0, True), (3.0, True), (0.0, False), (1.0, False)]
+               ).auc == 1.0
+    assert run([(0.0, True), (1.0, True), (2.0, False), (3.0, False)]
+               ).auc == 0.0
+    assert run([(5.0, True), (5.0, False), (5.0, True), (5.0, False)]
+               ).auc == 0.5
+    r = run([(3.0, True), (2.0, True), (1.0, False), (2.0, False)])
+    assert (r.n_pos, r.n_neg, r.auc) == (2, 2, 0.875)

@@ -76,6 +76,9 @@ ALLOWED_GLOBAL_WINDOW = {
     "h_funnel",
     "x_nb_classifier",
     "x_mutual_info",
+    # x_auc's running-negative window spans the DISTINCT-SCORE
+    # aggregate (bounded by score cardinality), not the input.
+    "x_auc",
 }
 
 
