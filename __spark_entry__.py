@@ -1638,6 +1638,21 @@ def q_x_kmeans(spark, sf_dir):
     return kmeans_assign(_t(spark, sf_dir, "embeddings"))
 
 
+def q_x_streaks(spark, sf_dir):
+    """Longest consecutive same-event-type run per user (gaps-and-
+    islands): lag marks changes, a running sum numbers islands, a
+    (key, island) agg measures them — three window passes over ONE
+    key partitioning (one exchange). Ties resolve to the earliest
+    island; NULL key/order/value rows drop (engines disagree on
+    NULL equality in lag compares)."""
+    from pac_data_pipeline_spark.operators.timeseries import (
+        longest_streaks,
+    )
+
+    e = load_events(spark, sf_dir)
+    return longest_streaks(e, "user_id", ("ts", "event_id"), "event_type")
+
+
 def q_x_auc(spark, sf_dir):
     """Exact ROC AUC (Mann-Whitney U) of event value predicting
     purchase events. The textbook rank form globally sorts the
@@ -3893,6 +3908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_ab_test": q_x_ab_test,
         "x_mutual_info": q_x_mutual_info,
         "x_auc": q_x_auc,
+        "x_streaks": q_x_streaks,
         "x_html_extract": q_x_html_extract,
         "x_html_links": q_x_html_links,
         "x_html_anchors": q_x_html_anchors,
@@ -3930,7 +3946,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_stream_cdc": q_x_stream_cdc,
         "x_stream_sliding": q_x_stream_sliding,
         "x_hard_negatives": q_x_hard_negatives,
-        "x_negative_pairs": q_x_negative_pairs,
         "x_dq_checks": q_x_dq_checks,
         # -- (b) never-checked, rows-only-by-design ------------------
         "x_image_dhash": q_x_image_dhash,
@@ -3944,6 +3959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_window_tumbling": q_x_window_tumbling,
         "x_window_sliding": q_x_window_sliding,
         "x_session_window": q_x_session_window,
+        "x_negative_pairs": q_x_negative_pairs,
         "x_incremental_dedup": q_x_incremental_dedup,
         "x_token_budget": q_x_token_budget,
         "x_udaf_geomean": q_x_udaf_geomean,
@@ -3965,13 +3981,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEXT-ROUND TAIL (round-6 queue): the 3 re-check slots
         # planned for a4/a1/j1 plus five rows-only slots were
         # consumed by this round's new queries — new/changed first
-        # per the steady-state policy. The TWENTY-ONE never-checked
-        # names now below the window (eleven oracle-backed displaced
+        # per the steady-state policy. The TWENTY-TWO never-checked
+        # names now below the window (twelve oracle-backed displaced
         # by the late-round graph/basket/stats/clustering queries:
         # x_window_tumbling, x_window_sliding, x_session_window,
-        # x_incremental_dedup, x_token_budget, x_udaf_geomean,
-        # x_profile, x_corpus_report, x_vec_pool, x_vec_norm,
-        # x_vec_quantize; then
+        # x_negative_pairs, x_incremental_dedup, x_token_budget,
+        # x_udaf_geomean, x_profile, x_corpus_report, x_vec_pool,
+        # x_vec_norm, x_vec_quantize; then
         # ten rows-only-by-design: x_minhash_near_dup,
         # x_cosine_topk_lsh, x_cosine_topk_ivf, x_cosine_topk_pq,
         # x_embedding_near_dup, x_multimodal_features, x_bpe_train,
@@ -5699,6 +5715,14 @@ def oracle_sql() -> dict[str, str]:
     # x_auc: identical distinct-score agg + running-negative window.
     oracles["x_auc"] = auc_sql(
         "events", "value", "event_type = 'purchase'"
+    )
+    from pac_data_pipeline_spark.operators.timeseries import (
+        longest_streaks_sql,
+    )
+
+    # x_streaks: identical change markers / island sums / tiebreak.
+    oracles["x_streaks"] = longest_streaks_sql(
+        "events", "user_id", ("ts", "event_id"), "event_type"
     )
     # h_range_frame: floor(epoch()) = Spark's timestamp->long cast;
     # RANGE BETWEEN 3600 PRECEDING groups same-second peers on both.

@@ -375,3 +375,118 @@ def ewma_smooth_sql(
                v AS {value_col}, ewma
         FROM r
     """
+
+
+def longest_streaks(
+    df: DataFrame,
+    key_col: str,
+    order_cols: tuple[str, ...],
+    value_col: str,
+) -> DataFrame:
+    """Longest consecutive run of the same value per key — the
+    gaps-and-islands pattern (engagement streaks, repeated-failure
+    runs, state persistence).
+
+    One shuffle on the key, then three window passes over the same
+    partitioning (Spark plans ONE exchange): lag marks value
+    changes, a running sum of change markers numbers the islands,
+    and a (key, island) aggregation measures them. Ties between
+    equal-length streaks resolve to the EARLIEST island (min island
+    id) so the answer is deterministic on any engine. NULL key /
+    order / value rows drop (a NULL cannot extend or break a run
+    portably — engines disagree on NULL equality in lag compares).
+
+    Returns (key, streak_len, streak_value, n_islands).
+    """
+    notnull = F.col(key_col).isNotNull() & F.col(value_col).isNotNull()
+    for c in order_cols:
+        notnull = notnull & F.col(c).isNotNull()
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    marked = df.filter(notnull).select(
+        key_col,
+        value_col,
+        F.when(
+            F.lag(value_col).over(w).isNull()
+            | (F.lag(value_col).over(w) != F.col(value_col)),
+            1,
+        )
+        .otherwise(0)
+        .alias("__chg"),
+        *[F.col(c) for c in order_cols],
+    )
+    islands = marked.select(
+        key_col,
+        value_col,
+        F.sum("__chg")
+        .over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("__island"),
+    )
+    per_island = islands.groupBy(key_col, "__island").agg(
+        F.count(F.lit(1)).alias("__len"),
+        F.min(value_col).alias("__val"),  # constant within island
+    )
+    wk = Window.partitionBy(key_col).orderBy(
+        F.col("__len").desc(), F.col("__island").asc()
+    )
+    return (
+        per_island.withColumn("__rk", F.row_number().over(wk))
+        .withColumn(
+            "__n", F.count(F.lit(1)).over(Window.partitionBy(key_col))
+        )
+        .filter(F.col("__rk") == 1)
+        .select(
+            key_col,
+            F.col("__len").alias("streak_len"),
+            F.col("__val").alias("streak_value"),
+            F.col("__n").alias("n_islands"),
+        )
+    )
+
+
+def longest_streaks_sql(
+    table: str,
+    key_col: str,
+    order_cols: tuple[str, ...],
+    value_col: str,
+) -> str:
+    """The same islands as DuckDB SQL — identical change markers,
+    island numbering, and earliest-island tiebreak."""
+    order_by = ", ".join(order_cols)
+    nn = " AND ".join(
+        f"{c} IS NOT NULL" for c in (key_col, value_col, *order_cols)
+    )
+    return f"""
+        WITH marked AS (
+            SELECT {key_col} AS k, {value_col} AS v, {order_by},
+                   CASE WHEN lag({value_col}) OVER w IS NULL
+                          OR lag({value_col}) OVER w <> {value_col}
+                        THEN 1 ELSE 0 END AS chg
+            FROM {table}
+            WHERE {nn}
+            WINDOW w AS (PARTITION BY {key_col} ORDER BY {order_by})
+        ),
+        islands AS (
+            SELECT k, v,
+                   SUM(chg) OVER (PARTITION BY k ORDER BY {order_by}
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS island
+            FROM marked
+        ),
+        per_island AS (
+            SELECT k, island, count(*) AS len, min(v) AS val
+            FROM islands GROUP BY k, island
+        )
+        SELECT k AS {key_col},
+               CAST(len AS BIGINT) AS streak_len,
+               val AS streak_value,
+               CAST(n AS BIGINT) AS n_islands
+        FROM (
+            SELECT k, len, val,
+                   row_number() OVER (PARTITION BY k
+                       ORDER BY len DESC, island ASC) AS rk,
+                   count(*) OVER (PARTITION BY k) AS n
+            FROM per_island
+        ) WHERE rk = 1
+    """

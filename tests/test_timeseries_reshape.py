@@ -173,3 +173,23 @@ def test_ewma_smooth_hand_computed(spark):
         ("k1", 3): (30.0, 18.1),
         ("k2", 1): (7.0, 7.0),
     }
+
+
+def test_longest_streaks_hand_computed(spark):
+    """u1: a a b b b a -> longest run is b×3 (4 islands); tie case
+    u2: a a b b -> both length 2, earliest island wins (a); u3
+    singleton; NULL value rows drop and must not bridge a run."""
+    from pac_data_pipeline_spark.operators.timeseries import (
+        longest_streaks,
+    )
+
+    rows = (
+        [("u1", i, v) for i, v in enumerate(["a", "a", "b", "b", "b", "a"])]
+        + [("u2", i, v) for i, v in enumerate(["a", "a", "b", "b"])]
+        + [("u3", 0, "z")]
+        + [("u1", 99, None)]
+    )
+    df = spark.createDataFrame(rows, "k string, i long, v string")
+    got = {r.k: (r.streak_len, r.streak_value, r.n_islands) for r in
+           longest_streaks(df, "k", ("i",), "v").collect()}
+    assert got == {"u1": (3, "b", 3), "u2": (2, "a", 2), "u3": (1, "z", 1)}
