@@ -1638,6 +1638,43 @@ def q_x_kmeans(spark, sf_dir):
     return kmeans_assign(_t(spark, sf_dir, "embeddings"))
 
 
+def q_x_table_checksum(spark, sf_dir):
+    """Order-independent table fingerprint over lineitem's key/flag
+    columns — the migration-validation primitive (run on the source
+    system and the Spark copy, compare ONE row). Row hash = md5 over
+    '|'-joined NULL-tagged values (md5 because engine-native hashes
+    never agree); checksum = plain BIGINT sum of 32-bit row hashes
+    (exact to 2^31 rows; addition commutes, so row order and
+    partitioning cannot change it). One scan, one map-side-
+    combinable global agg."""
+    from pac_data_pipeline_spark.operators.quality import table_checksum
+
+    li = _t(spark, sf_dir, "lineitem")
+    return table_checksum(
+        li,
+        (
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_linenumber",
+            "l_returnflag",
+            "l_linestatus",
+        ),
+    )
+
+
+def q_x_benford(spark, sf_dir):
+    """Benford first-digit audit over order totals — the fraud /
+    fabricated-data screen. Digit extraction is string-on-integer
+    (exact cents → BIGINT → first char), NOT floor(log10(x)), which
+    flips at power-of-ten boundaries when two libms disagree by an
+    ulp. One digit aggregation; expected shares + chi-square terms
+    compute on the 9-row aggregate, ln ulps absorbed by round-6."""
+    from pac_data_pipeline_spark.operators.quality import benford_audit
+
+    return benford_audit(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
 def q_x_streaks(spark, sf_dir):
     """Longest consecutive same-event-type run per user (gaps-and-
     islands): lag marks changes, a running sum numbers islands, a
@@ -3909,6 +3946,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_mutual_info": q_x_mutual_info,
         "x_auc": q_x_auc,
         "x_streaks": q_x_streaks,
+        "x_table_checksum": q_x_table_checksum,
+        "x_benford": q_x_benford,
         "x_html_extract": q_x_html_extract,
         "x_html_links": q_x_html_links,
         "x_html_anchors": q_x_html_anchors,
@@ -3944,8 +3983,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_stream_enrich": q_x_stream_enrich,
         "x_stream_dedup_wm": q_x_stream_dedup_wm,
         "x_stream_cdc": q_x_stream_cdc,
-        "x_stream_sliding": q_x_stream_sliding,
-        "x_hard_negatives": q_x_hard_negatives,
         "x_dq_checks": q_x_dq_checks,
         # -- (b) never-checked, rows-only-by-design ------------------
         "x_image_dhash": q_x_image_dhash,
@@ -3959,6 +3996,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_window_tumbling": q_x_window_tumbling,
         "x_window_sliding": q_x_window_sliding,
         "x_session_window": q_x_session_window,
+        "x_stream_sliding": q_x_stream_sliding,
+        "x_hard_negatives": q_x_hard_negatives,
         "x_negative_pairs": q_x_negative_pairs,
         "x_incremental_dedup": q_x_incremental_dedup,
         "x_token_budget": q_x_token_budget,
@@ -3981,10 +4020,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEXT-ROUND TAIL (round-6 queue): the 3 re-check slots
         # planned for a4/a1/j1 plus five rows-only slots were
         # consumed by this round's new queries — new/changed first
-        # per the steady-state policy. The TWENTY-TWO never-checked
-        # names now below the window (twelve oracle-backed displaced
-        # by the late-round graph/basket/stats/clustering queries:
-        # x_window_tumbling, x_window_sliding, x_session_window,
+        # per the steady-state policy. The TWENTY-FOUR never-checked
+        # names now below the window (fourteen oracle-backed
+        # displaced by the late-round graph/basket/stats/clustering
+        # queries: x_window_tumbling, x_window_sliding,
+        # x_session_window, x_stream_sliding, x_hard_negatives,
         # x_negative_pairs, x_incremental_dedup, x_token_budget,
         # x_udaf_geomean, x_profile, x_corpus_report, x_vec_pool,
         # x_vec_norm, x_vec_quantize; then
@@ -5724,6 +5764,19 @@ def oracle_sql() -> dict[str, str]:
     oracles["x_streaks"] = longest_streaks_sql(
         "events", "user_id", ("ts", "event_id"), "event_type"
     )
+    from pac_data_pipeline_spark.operators.quality import (
+        benford_audit_sql,
+        table_checksum_sql,
+    )
+
+    # x_table_checksum / x_benford: identical md5-sum fingerprint and
+    # string-on-integer digit extraction.
+    oracles["x_table_checksum"] = table_checksum_sql(
+        "lineitem",
+        ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+         "l_returnflag", "l_linestatus"),
+    )
+    oracles["x_benford"] = benford_audit_sql("orders", "o_totalprice")
     # h_range_frame: floor(epoch()) = Spark's timestamp->long cast;
     # RANGE BETWEEN 3600 PRECEDING groups same-second peers on both.
     oracles["h_range_frame"] = """

@@ -19,7 +19,7 @@ across unions, but each branch reads only its needed columns
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -150,3 +150,144 @@ def fused_checks(df: DataFrame, specs: list[tuple[str, Column]]) -> DataFrame:
     return row.selectExpr(
         f"stack({len(specs)}, {pairs}) AS (check_name, n_violations)"
     )
+
+
+def table_checksum(
+    df: DataFrame,
+    cols: tuple[str, ...],
+) -> DataFrame:
+    """Order-independent table fingerprint — the migration-validation
+    primitive: run it on the source system and the Spark copy and
+    compare ONE row (n_rows, checksum, null_cells). Any dropped /
+    duplicated / corrupted row changes the sum; row order and
+    partitioning cannot (addition commutes).
+
+    Row hash = first 8 hex digits of md5 over the '|'-joined,
+    NULL-tagged column values (md5 is standardized — engine-native
+    hash functions never agree across systems). Each hash is < 2^32
+    and the checksum is their plain BIGINT sum, exact for up to 2^31
+    rows (document sharding beyond that: checksum shards by key
+    range and sums of sums still commute). NULL is tagged with a
+    sentinel distinct from the string 'NULL' so a literal 'NULL'
+    string cannot collide with a missing value.
+
+    Scale shape: one scan, one map-side-combinable global agg — the
+    shuffle is a single partial-sum row per task.
+    """
+    tagged = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00null\x00"))
+        for c in cols
+    ]
+    rowhash = F.conv(
+        F.substring(F.md5(F.concat_ws("|", *tagged)), 1, 8), 16, 10
+    ).cast("bigint")
+    null_cells = sum(
+        F.when(F.col(c).isNull(), 1).otherwise(0) for c in cols
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(rowhash).alias("checksum"),
+        F.sum(null_cells).alias("null_cells"),
+    )
+
+
+def table_checksum_sql(table: str, cols: tuple[str, ...]) -> str:
+    """The same fingerprint as DuckDB SQL. CAST to VARCHAR must
+    produce identical strings on both engines — safe for integer and
+    string columns (the intended key/dimension audit set); floats
+    and timestamps format differently and belong behind an explicit
+    round/format, not in a checksum."""
+    tagged = ", ".join(
+        f"coalesce(CAST({c} AS VARCHAR), chr(0) || 'null' || chr(0))"
+        for c in cols
+    )
+    nulls = " + ".join(
+        f"(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)" for c in cols
+    )
+    return f"""
+        SELECT count(*) AS n_rows,
+               CAST(SUM(CAST(concat('0x', substr(md5(
+                   concat_ws('|', {tagged})), 1, 8)) AS BIGINT))
+                   AS BIGINT) AS checksum,
+               CAST(SUM({nulls}) AS BIGINT) AS null_cells
+        FROM {table}
+    """
+
+
+def benford_audit(
+    df: DataFrame,
+    amount_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic fraud / fabricated-data screen for naturally-occurring
+    amounts (real multi-scale amounts follow P(d) = log10(1+1/d);
+    invented numbers rarely do).
+
+    Digit extraction is STRING-ON-INTEGER, not log10: amounts scale
+    to exact integer cents and the first digit is the first char of
+    the BIGINT's decimal rendering — integer-to-string is identical
+    on every engine, while floor(log10(x)) flips at power-of-ten
+    boundaries when two libms disagree by an ulp. Non-positive and
+    NULL amounts drop (Benford is defined on positive magnitudes).
+
+    One map-side-combinable digit aggregation; the expected shares
+    and the chi-square contribution compute on the 9-row aggregate.
+    ln() ulps absorb in round-``digits`` (the psi_drift discipline).
+
+    Returns one row per observed digit: (digit, n, obs_share,
+    benford_share, chi2_term).
+    """
+    cents = (F.col(amount_col).cast("double") * 100).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counted = (
+        df.filter(F.col(amount_col).isNotNull() & (cents > 0))
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = Window.partitionBy()
+    obs = F.col("n").cast("double") / F.sum("n").over(total).cast("double")
+    exp = F.log(1.0 + 1.0 / F.col("digit").cast("double")) / F.log(
+        F.lit(10.0)
+    )
+    return counted.select(
+        "digit",
+        "n",
+        F.round(obs, digits).alias("obs_share"),
+        F.round(exp, digits).alias("benford_share"),
+        F.round((obs - exp) * (obs - exp) / exp, digits).alias("chi2_term"),
+    )
+
+
+def benford_audit_sql(
+    table: str,
+    amount_col: str,
+    digits: int = 6,
+) -> str:
+    """The same audit as DuckDB SQL — identical integer-cents digit
+    extraction, window total, and chi-square arithmetic."""
+    cents = f"CAST(CAST({amount_col} AS DOUBLE) * 100 AS BIGINT)"
+    return f"""
+        WITH counted AS (
+            SELECT CAST(substr(CAST({cents} AS VARCHAR), 1, 1) AS INT)
+                       AS digit,
+                   count(*) AS n
+            FROM {table}
+            WHERE {amount_col} IS NOT NULL AND {cents} > 0
+            GROUP BY 1
+        )
+        SELECT digit,
+               CAST(n AS BIGINT) AS n,
+               round(CAST(n AS DOUBLE)
+                   / CAST(SUM(n) OVER () AS DOUBLE), {digits})
+                   AS obs_share,
+               round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0),
+                   {digits}) AS benford_share,
+               round((CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)
+                      - ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))
+                   * (CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)
+                      - ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))
+                   / (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)),
+                   {digits}) AS chi2_term
+        FROM counted
+    """

@@ -601,3 +601,47 @@ def test_frequent_pairs_hand_computed(spark):
     out = frequent_pairs(df, min_support=2, k=10).collect()
     assert [(r.item_a, r.item_b, r.support, r.conf_a_b, r.conf_b_a)
             for r in out] == [(10, 20, 3, 0.75, 1.0)]
+
+
+def test_table_checksum_order_invariant(spark):
+    """Same rows in different order/partitioning give the identical
+    checksum; one mutated cell changes it; NULL vs the literal
+    string 'NULL' do NOT collide (sentinel tagging); null_cells
+    counts per-cell."""
+    from pac_data_pipeline_spark.operators.quality import table_checksum
+
+    rows = [(1, "a"), (2, None), (3, "NULL")]
+    a = spark.createDataFrame(rows, "id long, v string")
+    b = spark.createDataFrame(list(reversed(rows)), "id long, v string") \
+        .repartition(7)
+    ca = table_checksum(a, ("id", "v")).collect()[0]
+    cb = table_checksum(b, ("id", "v")).collect()[0]
+    assert (ca.n_rows, ca.checksum, ca.null_cells) == \
+           (cb.n_rows, cb.checksum, cb.null_cells)
+    assert ca.null_cells == 1
+    mut = spark.createDataFrame([(1, "a"), (2, None), (3, "NULLx")],
+                                "id long, v string")
+    assert table_checksum(mut, ("id", "v")).collect()[0].checksum \
+        != ca.checksum
+    # NULL must hash differently from the 4-char string 'NULL'
+    lit = spark.createDataFrame([(1, "a"), (2, "NULL"), (3, "NULL")],
+                                "id long, v string")
+    assert table_checksum(lit, ("id", "v")).collect()[0].checksum \
+        != ca.checksum
+
+
+def test_benford_audit_hand_computed(spark):
+    """Digits extract from exact cents (12.34 -> 1234 -> '1');
+    values below one cent and non-positive/NULL amounts drop;
+    obs_share sums to 1 over returned digits."""
+    from pac_data_pipeline_spark.operators.quality import benford_audit
+
+    rows = [(12.34,), (1.01,), (950.0,), (9.5,), (0.0,), (None,),
+            (-5.0,), (0.004,)]
+    df = spark.createDataFrame(rows, "amt double")
+    got = {r.digit: r for r in benford_audit(df, "amt").collect()}
+    assert set(got) == {1, 9}
+    assert got[1].n == 2 and got[9].n == 2
+    assert got[1].obs_share == 0.5 and got[9].obs_share == 0.5
+    import math
+    assert got[1].benford_share == round(math.log10(2.0), 6)

@@ -79,6 +79,9 @@ ALLOWED_GLOBAL_WINDOW = {
     # x_auc's running-negative window spans the DISTINCT-SCORE
     # aggregate (bounded by score cardinality), not the input.
     "x_auc",
+    # x_benford's SUM() OVER () total spans the 9-row digit
+    # aggregate, not the input.
+    "x_benford",
 }
 
 
