@@ -329,6 +329,12 @@ def khop_distances(
             dist.unionAll(step)
             .groupBy("v")
             .agg(F.min("hops").alias("hops"))
+            # dist feeds the next hop TWICE (union + frontier join),
+            # so the unmaterialized plan doubles per hop — 2^n
+            # growth. Materializing each frontier is the standard
+            # iterative-BFS shape (Pregel supersteps do exactly
+            # this) and keeps the plan constant-size at any depth.
+            .localCheckpoint()
         )
     return dist.select(F.col("v").alias(id_col), "hops")
 

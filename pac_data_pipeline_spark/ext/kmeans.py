@@ -155,6 +155,11 @@ def _assignments(
                 "cid",
                 F.coalesce("c_new", "c").alias("c"),
             )
+            # centroids feed the next iteration twice (assignment
+            # broadcast + empty-cluster carry join): materialize the
+            # k-row table per iteration or the plan doubles per
+            # Lloyd step.
+            .localCheckpoint()
         )
     return _assigned(centroids)
 
