@@ -492,3 +492,95 @@ def test_url_normalize_idempotent(spark_session_holder, urls):
         assert r.once == r.twice, (urls[r.i], r.once, r.twice)
         assert "#" not in r.once
         assert "utm_" not in r.once, (urls[r.i], r.once)
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1000, max_value=1000,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_ewma_matches_python_reference(spark_session_holder, series):
+    """The codegen HOF fold must equal the plain-Python recursion
+    with the identical per-step floor-round — on any series."""
+    spark = spark_session_holder
+    df = spark.createDataFrame(
+        [("k", i, float(v)) for i, v in enumerate(series)],
+        "k string, i long, value double",
+    )
+    from pac_data_pipeline_spark.operators.timeseries import ewma_smooth
+
+    got = {r.i: r.ewma for r in
+           ewma_smooth(df, "k", ("i",), "value").collect()}
+    import math
+
+    prev = None
+    for i, v in enumerate(series):
+        prev = v if prev is None else (
+            math.floor((0.3 * v + 0.7 * prev) * 1e10 + 0.5) / 1e10
+        )
+        assert got[i] == prev, (i, got[i], prev)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=20),
+                  st.booleans()),
+        min_size=2,
+        max_size=60,
+    ).filter(lambda xs: any(y for _, y in xs) and any(not y for _, y in xs))
+)
+@settings(max_examples=15, deadline=None)
+def test_auc_matches_naive_pair_count(spark_session_holder, pairs):
+    """The distinct-score-aggregate U must equal the O(n²) naive
+    pair count P(pos>neg) + ½P(=) on any labeled sample."""
+    spark = spark_session_holder
+    df = spark.createDataFrame(
+        [(float(s), y) for s, y in pairs], "s double, y boolean"
+    )
+    from pyspark.sql import functions as F
+
+    from pac_data_pipeline_spark.operators.stats import auc
+
+    got = auc(df, "s", F.col("y")).collect()[0]
+    pos = [s for s, y in pairs if y]
+    neg = [s for s, y in pairs if not y]
+    u = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0)
+        for p in pos for n in neg
+    )
+    assert got.auc == round(u / (len(pos) * len(neg)), 6)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=1, max_value=5),
+                  st.sampled_from("abc")),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_streaks_match_python_reference(spark_session_holder, seq):
+    """Longest-run detection must equal a linear Python scan with
+    the same earliest-island tiebreak."""
+    spark = spark_session_holder
+    rows = [("k", i, v) for i, (_, v) in enumerate(seq)]
+    df = spark.createDataFrame(rows, "k string, i long, v string")
+    from pac_data_pipeline_spark.operators.timeseries import (
+        longest_streaks,
+    )
+
+    r = longest_streaks(df, "k", ("i",), "v").collect()[0]
+    runs = []
+    for _, v in seq:
+        if runs and runs[-1][0] == v:
+            runs[-1][1] += 1
+        else:
+            runs.append([v, 1])
+    best = max(runs, key=lambda t: t[1])  # max is stable -> earliest
+    assert (r.streak_len, r.streak_value, r.n_islands) == \
+           (best[1], best[0], len(runs))

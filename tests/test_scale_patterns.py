@@ -447,3 +447,37 @@ def test_mixed_media_single_scan_single_shuffle(spark):
     # and every payload really decodes through the format dispatch
     rows = df.collect()
     assert rows and all(r.decoded for r in rows)
+
+
+def test_iterative_graph_plans_have_bounded_scans(spark):
+    """Regression pin for the plan-inlining explosion: an
+    unmaterialized multi-consumer subplan (the 5-way-union edge
+    fixture) inlines into EVERY consumer — the triangle plan hit
+    110 FileScans / 9.5 s before the operators materialized their
+    edge tables, and iterative dist/centroid chains double per
+    hop/step (O(2^n) subplan copies). With the localCheckpoint
+    boundaries in place, scan counts must stay small and CONSTANT
+    in iteration depth."""
+    import re as _re
+
+    from pac_data_pipeline_spark.ext.graph import (
+        TRIANGLE_MULTIPLIERS,
+        functional_edges,
+        khop_distances,
+        pagerank,
+        triangle_counts,
+    )
+
+    nodes = spark.range(200).select(F.col("id").alias("doc_id"))
+    edges = functional_edges(nodes, multipliers=TRIANGLE_MULTIPLIERS)
+
+    def scans(df):
+        p = df._jdf.queryExecution().executedPlan().toString()
+        return len(_re.findall(r"FileScan|Scan ExistingRDD", p))
+
+    assert scans(triangle_counts(nodes, edges)) <= 12
+    assert scans(pagerank(nodes, edges)) <= 16
+    # constant in depth: 3 hops and 6 hops must cost the same scans
+    s3 = scans(khop_distances(nodes, edges, n_hops=3))
+    s6 = scans(khop_distances(nodes, edges, n_hops=6))
+    assert s3 == s6, (s3, s6)
