@@ -1638,6 +1638,21 @@ def q_x_kmeans(spark, sf_dir):
     return kmeans_assign(_t(spark, sf_dir, "embeddings"))
 
 
+def q_x_stream_ewma(spark, sf_dir):
+    """STREAMING per-user exponential smoothing — custom recursive
+    stateful operator via applyInPandasWithState: state is ONE
+    double per key (the smoothed tail), so history is unbounded but
+    state is O(1) — the point of streaming EWMA. Identical
+    recursion + per-step floor-round as the batch x_ewma, so the
+    bounded stream shares the batch query's DuckDB RECURSIVE-CTE
+    oracle byte for byte."""
+    from pac_data_pipeline_spark.streaming.stateful import (
+        run_streaming_ewma,
+    )
+
+    return run_streaming_ewma(spark, sf_dir)
+
+
 def q_x_table_checksum(spark, sf_dir):
     """Order-independent table fingerprint over lineitem's key/flag
     columns — the migration-validation primitive (run on the source
@@ -3946,6 +3961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_mutual_info": q_x_mutual_info,
         "x_auc": q_x_auc,
         "x_streaks": q_x_streaks,
+        "x_stream_ewma": q_x_stream_ewma,
         "x_table_checksum": q_x_table_checksum,
         "x_benford": q_x_benford,
         "x_html_extract": q_x_html_extract,
@@ -3982,7 +3998,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_variant": q_x_variant,
         "x_stream_enrich": q_x_stream_enrich,
         "x_stream_dedup_wm": q_x_stream_dedup_wm,
-        "x_stream_cdc": q_x_stream_cdc,
         "x_dq_checks": q_x_dq_checks,
         # -- (b) never-checked, rows-only-by-design ------------------
         "x_image_dhash": q_x_image_dhash,
@@ -3996,6 +4011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_window_tumbling": q_x_window_tumbling,
         "x_window_sliding": q_x_window_sliding,
         "x_session_window": q_x_session_window,
+        "x_stream_cdc": q_x_stream_cdc,
         "x_stream_sliding": q_x_stream_sliding,
         "x_hard_negatives": q_x_hard_negatives,
         "x_negative_pairs": q_x_negative_pairs,
@@ -4020,14 +4036,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEXT-ROUND TAIL (round-6 queue): the 3 re-check slots
         # planned for a4/a1/j1 plus five rows-only slots were
         # consumed by this round's new queries — new/changed first
-        # per the steady-state policy. The TWENTY-FOUR never-checked
-        # names now below the window (fourteen oracle-backed
-        # displaced by the late-round graph/basket/stats/clustering
-        # queries: x_window_tumbling, x_window_sliding,
-        # x_session_window, x_stream_sliding, x_hard_negatives,
-        # x_negative_pairs, x_incremental_dedup, x_token_budget,
-        # x_udaf_geomean, x_profile, x_corpus_report, x_vec_pool,
-        # x_vec_norm, x_vec_quantize; then
+        # per the steady-state policy. The TWENTY-FIVE never-checked
+        # names now below the window (fifteen oracle-backed
+        # displaced by the late-round graph/basket/stats/clustering/
+        # streaming queries: x_window_tumbling, x_window_sliding,
+        # x_session_window, x_stream_cdc, x_stream_sliding,
+        # x_hard_negatives, x_negative_pairs, x_incremental_dedup,
+        # x_token_budget, x_udaf_geomean, x_profile,
+        # x_corpus_report, x_vec_pool, x_vec_norm, x_vec_quantize;
+        # then
         # ten rows-only-by-design: x_minhash_near_dup,
         # x_cosine_topk_lsh, x_cosine_topk_ivf, x_cosine_topk_pq,
         # x_embedding_near_dup, x_multimodal_features, x_bpe_train,
@@ -5719,9 +5736,12 @@ def oracle_sql() -> dict[str, str]:
     # x_ewma: DuckDB RECURSIVE CTE steps one row-number per
     # iteration — identical literals/op order/floor-round, so the
     # float trajectory matches the Spark fold step for step.
+    # x_stream_ewma shares it verbatim: the stateful streaming twin
+    # runs the identical recursion on the bounded stream.
     oracles["x_ewma"] = ewma_smooth_sql(
         "events", "user_id", ("ts", "event_id"), "value"
     )
+    oracles["x_stream_ewma"] = oracles["x_ewma"]
     from pac_data_pipeline_spark.ext.kmeans import kmeans_fixture_sql
 
     # x_kmeans: fully integer pipeline (1e-3 grid) — distances and

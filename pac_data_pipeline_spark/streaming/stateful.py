@@ -273,3 +273,111 @@ def run_streaming_dedup_within_watermark(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(query_name)
+
+
+#: Streaming EWMA schemas — state carries only the last smoothed
+#: value per key (O(1) state, never the history).
+EWMA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+EWMA_STATE_SCHEMA = T.StructType(
+    [T.StructField("prev", T.DoubleType())]
+)
+
+
+def make_ewma(alpha: float = 0.3, digits: int = 10):
+    """Per-key streaming exponential smoother — the stateful twin of
+    the batch ``operators/timeseries.ewma_smooth``: identical
+    recursion (r_n = α·x_n + (1−α)·r_{n−1}, seeded r_1 = x_1) and
+    identical per-step pure-IEEE floor-round, so on a bounded input
+    the stream emits byte-identical smoothed values to the batch
+    fold AND to the DuckDB recursive-CTE oracle. State is ONE double
+    per key (the smoothed tail) — the whole point of streaming EWMA:
+    unbounded history, O(1) state.
+
+    The recursion is inherently sequential per key, so the in-batch
+    fold is a Python loop over the key's sorted rows — per-key
+    volume bounds it, never total stream volume (keys parallelize
+    across state partitions)."""
+    import math
+
+    scale = float(10**digits)
+    one_minus = 1 - alpha
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        # same drop contract as the batch operator: NULL value /
+        # order keys cannot enter the recursion portably
+        batch = batch[
+            batch["value"].notna()
+            & batch["ts"].notna()
+            & batch["event_id"].notna()
+        ]
+        batch = batch.sort_values(["ts", "event_id"], ignore_index=True)
+        prev = state.get[0] if state.exists else None
+        out = []
+        for eid, v in zip(batch["event_id"], batch["value"]):
+            x = float(v)
+            prev = (
+                x
+                if prev is None
+                else math.floor((alpha * x + one_minus * prev) * scale + 0.5)
+                / scale
+            )
+            out.append((user_id, int(eid), x, prev))
+        state.update((prev,))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "event_id", "value", "ewma"]
+            )
+
+    return fold
+
+
+def run_streaming_ewma(
+    spark: SparkSession,
+    sf_dir: str,
+    alpha: float = 0.3,
+    query_name: str = "stream_ewma",
+    state_partitions: int | None = 8,
+) -> DataFrame:
+    """Drive the stateful smoother over the events parquet as a
+    stream. NULL keys drop before grouping (same contract as the
+    batch operator — and a NULL key group would violate the state
+    schema); NULL values/timestamps drop inside the fold."""
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    raw = events_stream(spark, sf_dir)
+    events = raw.filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).select("user_id", "event_id", "ts", "value")
+    smoothed = events.groupBy("user_id").applyInPandasWithState(
+        make_ewma(alpha),
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    if state_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        query = (
+            smoothed.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(query_name)

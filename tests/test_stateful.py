@@ -203,3 +203,29 @@ def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
     out = {r.day: r.n for r in spark.table("late_drop").collect()}
     # Jan 1 was finalized with exactly the on-time 10; late 5 dropped
     assert out.get("2024-01-01") == 10
+
+
+def test_streaming_ewma_equals_batch_fold(spark):
+    """The stateful streaming smoother must emit byte-identical
+    values to the batch HOF fold on the bounded corpus — same
+    recursion, same per-step floor-round, same drop contract."""
+    from pac_data_pipeline_spark.operators.timeseries import ewma_smooth
+    from pac_data_pipeline_spark.sources.readers import load_events
+    from pac_data_pipeline_spark.streaming.stateful import (
+        run_streaming_ewma,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.user_id, r.event_id): (r.value, r.ewma)
+        for r in run_streaming_ewma(
+            spark, sf, query_name="stream_ewma_t"
+        ).collect()
+    }
+    exp = {
+        (r.user_id, r.event_id): (r.value, r.ewma)
+        for r in ewma_smooth(
+            load_events(spark, sf), "user_id", ("ts", "event_id"), "value"
+        ).collect()
+    }
+    assert got == exp and len(got) > 0
