@@ -1638,6 +1638,22 @@ def q_x_kmeans(spark, sf_dir):
     return kmeans_assign(_t(spark, sf_dir, "embeddings"))
 
 
+def q_x_ppr(spark, sf_dir):
+    """Personalized PageRank: teleport mass returns to the seed set
+    (doc_id % 97 == 0) — TrustRank / topic-sensitive ranking, the
+    'crawl outward from trusted pages' variant. Same unrolled-
+    iteration discipline as x_pagerank (round-12 trajectory pinning,
+    one shuffle join + map-side sum per iteration, edges
+    materialized once); unreachable non-seeds settle at exactly 0."""
+    from pac_data_pipeline_spark.ext.graph import (
+        functional_edges,
+        personalized_pagerank,
+    )
+
+    nodes = _t(spark, sf_dir, "documents").select("doc_id")
+    return personalized_pagerank(nodes, functional_edges(nodes))
+
+
 def q_x_stream_ewma(spark, sf_dir):
     """STREAMING per-user exponential smoothing — custom recursive
     stateful operator via applyInPandasWithState: state is ONE
@@ -3962,6 +3978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_auc": q_x_auc,
         "x_streaks": q_x_streaks,
         "x_stream_ewma": q_x_stream_ewma,
+        "x_ppr": q_x_ppr,
         "x_table_checksum": q_x_table_checksum,
         "x_benford": q_x_benford,
         "x_html_extract": q_x_html_extract,
@@ -3997,7 +4014,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_json_props": q_x_json_props,
         "x_variant": q_x_variant,
         "x_stream_enrich": q_x_stream_enrich,
-        "x_stream_dedup_wm": q_x_stream_dedup_wm,
         "x_dq_checks": q_x_dq_checks,
         # -- (b) never-checked, rows-only-by-design ------------------
         "x_image_dhash": q_x_image_dhash,
@@ -4011,6 +4027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_window_tumbling": q_x_window_tumbling,
         "x_window_sliding": q_x_window_sliding,
         "x_session_window": q_x_session_window,
+        "x_stream_dedup_wm": q_x_stream_dedup_wm,
         "x_stream_cdc": q_x_stream_cdc,
         "x_stream_sliding": q_x_stream_sliding,
         "x_hard_negatives": q_x_hard_negatives,
@@ -4036,15 +4053,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEXT-ROUND TAIL (round-6 queue): the 3 re-check slots
         # planned for a4/a1/j1 plus five rows-only slots were
         # consumed by this round's new queries — new/changed first
-        # per the steady-state policy. The TWENTY-FIVE never-checked
-        # names now below the window (fifteen oracle-backed
+        # per the steady-state policy. The TWENTY-SIX never-checked
+        # names now below the window (sixteen oracle-backed
         # displaced by the late-round graph/basket/stats/clustering/
         # streaming queries: x_window_tumbling, x_window_sliding,
-        # x_session_window, x_stream_cdc, x_stream_sliding,
-        # x_hard_negatives, x_negative_pairs, x_incremental_dedup,
-        # x_token_budget, x_udaf_geomean, x_profile,
-        # x_corpus_report, x_vec_pool, x_vec_norm, x_vec_quantize;
-        # then
+        # x_session_window, x_stream_dedup_wm, x_stream_cdc,
+        # x_stream_sliding, x_hard_negatives, x_negative_pairs,
+        # x_incremental_dedup, x_token_budget, x_udaf_geomean,
+        # x_profile, x_corpus_report, x_vec_pool, x_vec_norm,
+        # x_vec_quantize; then
         # ten rows-only-by-design: x_minhash_near_dup,
         # x_cosine_topk_lsh, x_cosine_topk_ivf, x_cosine_topk_pq,
         # x_embedding_near_dup, x_multimodal_features, x_bpe_train,
@@ -5714,6 +5731,12 @@ def oracle_sql() -> dict[str, str]:
     )
 
     oracles["x_pagerank"] = pagerank_fixture_sql()
+    from pac_data_pipeline_spark.ext.graph import (
+        personalized_pagerank_fixture_sql,
+    )
+
+    # x_ppr: same unrolled CTEs with the seed-indicator teleport.
+    oracles["x_ppr"] = personalized_pagerank_fixture_sql()
     # x_triangles: id-ordered 3-way join names the same triangle set
     # as Spark's degree orientation (set is orientation-invariant).
     oracles["x_triangles"] = triangle_fixture_sql()

@@ -374,3 +374,107 @@ def khop_fixture_sql(
         "WITH " + ", ".join(cte)
         + f" SELECT v AS {id_col}, hops FROM d{n_hops}"
     )
+
+
+def personalized_pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    seed_mod: int = 97,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    digits: int = 8,
+) -> DataFrame:
+    """Personalized PageRank: teleport mass returns to a SEED SET
+    (``id % seed_mod == 0``) instead of spreading uniformly — the
+    "crawl outward from these trusted pages" / "rank relative to
+    this topic" variant (TrustRank, topic-sensitive PR). Same
+    unrolled-iteration discipline as :func:`pagerank`: per-iteration
+    round-12 pins the float trajectory, one shuffle join + one
+    map-side-combinable sum per iteration, seed count on a 1-row
+    broadcast, edges materialized once. Non-seed vertices with no
+    in-edges correctly settle at rank 0 (they are unreachable from
+    the seed set)."""
+    edges = edges.localCheckpoint()
+    is_seed = (F.col(id_col) % seed_mod == 0).cast("int")
+    seeded = nodes.select(id_col, is_seed.alias("__s"))
+    n_row = F.broadcast(
+        seeded.agg(F.sum("__s").cast("double").alias("__ns"))
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__od"))
+    base = seeded.crossJoin(n_row)
+    ranks = base.select(
+        id_col,
+        F.round(F.col("__s") / F.col("__ns"), 12).alias("rank"),
+    )
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(
+                ranks.select(
+                    F.col(id_col).alias("src"), F.col("rank").alias("__r")
+                ),
+                "src",
+            )
+            .join(outdeg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("__r") / F.col("__od")).alias("__in"))
+        )
+        ranks = (
+            base.join(contrib, F.col(id_col) == F.col("dst"), "left")
+            .select(
+                id_col,
+                F.round(
+                    (1.0 - damping) * F.col("__s") / F.col("__ns")
+                    + damping * F.coalesce(F.col("__in"), F.lit(0.0)),
+                    12,
+                ).alias("rank"),
+            )
+        )
+    return ranks.select(id_col, F.round("rank", digits).alias("rank"))
+
+
+def personalized_pagerank_fixture_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    seed_mod: int = 97,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    multipliers: tuple[tuple[int, int], ...] = ((7, 1), (13, 5), (31, 11)),
+    digits: int = 8,
+) -> str:
+    """The personalized variant as unrolled chained CTEs from the
+    same constants (seed indicator replaces the uniform teleport)."""
+    d = f"CAST({damping} AS DOUBLE)"
+    unions = " UNION ALL ".join(
+        f"SELECT {id_col} AS src, ({id_col} * {a} + {b}) % "
+        f"(SELECT c FROM n) AS dst FROM nodes"
+        for a, b in multipliers
+    )
+    cte = [
+        f"nodes AS (SELECT {id_col}, CASE WHEN {id_col} % {seed_mod} = 0 "
+        "THEN 1 ELSE 0 END AS s FROM " + table + ")",
+        "n AS (SELECT count(*) AS c FROM nodes)",
+        "ns AS (SELECT CAST(SUM(s) AS DOUBLE) AS c FROM nodes)",
+        f"edges AS (SELECT DISTINCT src, dst FROM ({unions}) "
+        "WHERE src <> dst)",
+        "outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src)",
+        f"r0 AS (SELECT {id_col}, round(s / (SELECT c FROM ns), 12) "
+        "AS rank FROM nodes)",
+    ]
+    for k in range(1, n_iter + 1):
+        cte.append(
+            f"r{k} AS ("
+            f"SELECT nodes.{id_col}, "
+            f"round((1.0 - {d}) * nodes.s / (SELECT c FROM ns) "
+            f"+ {d} * coalesce(m.m, CAST(0 AS DOUBLE)), 12) AS rank "
+            f"FROM nodes LEFT JOIN ("
+            f"SELECT e.dst, sum(r.rank / o.od) AS m "
+            f"FROM edges e "
+            f"JOIN r{k-1} r ON e.src = r.{id_col} "
+            f"JOIN outdeg o ON e.src = o.src "
+            f"GROUP BY e.dst) m ON nodes.{id_col} = m.dst)"
+        )
+    return (
+        "WITH " + ", ".join(cte)
+        + f" SELECT {id_col}, round(rank, {digits}) AS rank FROM r{n_iter}"
+    )

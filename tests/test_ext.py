@@ -2012,3 +2012,35 @@ def test_feature_hash_hand_computed(spark):
         and got[3].nnz is None
     assert got[4].features == "0,0,0,0" and got[4].n_tokens == 0 \
         and got[4].nnz == 0
+
+
+def test_personalized_pagerank_hand_computed(spark):
+    """Cycle 0->1->2->0 plus feeder 3->0, seed set {0} (id % 97):
+    mass concentrates downstream of the seed via propagation only;
+    node 3 has no in-edges and is not a seed, so it settles at
+    exactly 0. Values equal a hand-rolled synchronous reference
+    with the same per-iteration rounding."""
+    from pac_data_pipeline_spark.ext.graph import personalized_pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in (0, 1, 2, 3)],
+                                  "doc_id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 0)], "src long, dst long"
+    )
+    got = {r.doc_id: r.rank for r in
+           personalized_pagerank(nodes, edges).collect()}
+    # hand reference: seed set {0}; out-degree 1 everywhere
+    ranks = {0: 1.0, 1: 0.0, 2: 0.0, 3: 0.0}
+    ins = {0: [2, 3], 1: [0], 2: [1], 3: []}
+    for _ in range(3):
+        ranks = {
+            v: round(
+                (0.15 if v == 0 else 0.0)
+                + 0.85 * sum(ranks[u] for u in ins[v]),
+                12,
+            )
+            for v in ranks
+        }
+    for v in ranks:
+        assert got[v] == round(ranks[v], 8), (v, got[v], ranks[v])
+    assert got[3] == 0.0

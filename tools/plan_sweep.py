@@ -50,6 +50,7 @@ ALLOWED_BNL = {
     "x_nb_classifier",    # |labels|-row label-stats broadcast
     "x_bm25",             # 1-row (N, avgdl) corpus-stats broadcast
     "x_pagerank",         # 1-row node-count broadcast (teleport term)
+    "x_ppr",              # 1-row seed-count broadcast (teleport term)
     "x_triangles",        # 1-row node-count broadcast (edge fixture mod-N)
     "x_khop_bfs",         # 1-row node-count broadcast (edge fixture mod-N)
     "x_kmeans",           # 1-row centroid-array broadcast (scan-side argmin)
