@@ -1638,6 +1638,21 @@ def q_x_kmeans(spark, sf_dir):
     return kmeans_assign(_t(spark, sf_dir, "embeddings"))
 
 
+def q_x_rfm(spark, sf_dir):
+    """RFM customer segmentation — 1..5 recency/frequency/monetary
+    scores + named segment per customer. NO global ntile (a window
+    ordering every customer through one task — the canonical scale-
+    killer): quintile BOUNDARIES come from one exact-percentile
+    1-row aggregate riding a broadcast, and customers score by
+    comparison — embarrassingly parallel, and boundary ties resolve
+    identically on every engine (ntile splits ties by partition
+    order). Recency compares in exact epoch seconds (NTZ→timestamp→
+    long under the UTC session = DuckDB's naive epoch())."""
+    from pac_data_pipeline_spark.operators.aggregates import rfm_segments
+
+    return rfm_segments(_t(spark, sf_dir, "orders"))
+
+
 def q_x_ppr(spark, sf_dir):
     """Personalized PageRank: teleport mass returns to the seed set
     (doc_id % 97 == 0) — TrustRank / topic-sensitive ranking, the
@@ -3979,6 +3994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_streaks": q_x_streaks,
         "x_stream_ewma": q_x_stream_ewma,
         "x_ppr": q_x_ppr,
+        "x_rfm": q_x_rfm,
         "x_table_checksum": q_x_table_checksum,
         "x_benford": q_x_benford,
         "x_html_extract": q_x_html_extract,
@@ -4013,7 +4029,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_schema_evolution": q_x_schema_evolution,
         "x_json_props": q_x_json_props,
         "x_variant": q_x_variant,
-        "x_stream_enrich": q_x_stream_enrich,
         "x_dq_checks": q_x_dq_checks,
         # -- (b) never-checked, rows-only-by-design ------------------
         "x_image_dhash": q_x_image_dhash,
@@ -4027,6 +4042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_window_tumbling": q_x_window_tumbling,
         "x_window_sliding": q_x_window_sliding,
         "x_session_window": q_x_session_window,
+        "x_stream_enrich": q_x_stream_enrich,
         "x_stream_dedup_wm": q_x_stream_dedup_wm,
         "x_stream_cdc": q_x_stream_cdc,
         "x_stream_sliding": q_x_stream_sliding,
@@ -4053,15 +4069,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEXT-ROUND TAIL (round-6 queue): the 3 re-check slots
         # planned for a4/a1/j1 plus five rows-only slots were
         # consumed by this round's new queries — new/changed first
-        # per the steady-state policy. The TWENTY-SIX never-checked
-        # names now below the window (sixteen oracle-backed
-        # displaced by the late-round graph/basket/stats/clustering/
-        # streaming queries: x_window_tumbling, x_window_sliding,
-        # x_session_window, x_stream_dedup_wm, x_stream_cdc,
-        # x_stream_sliding, x_hard_negatives, x_negative_pairs,
-        # x_incremental_dedup, x_token_budget, x_udaf_geomean,
-        # x_profile, x_corpus_report, x_vec_pool, x_vec_norm,
-        # x_vec_quantize; then
+        # per the steady-state policy. The TWENTY-SEVEN
+        # never-checked names now below the window (seventeen
+        # oracle-backed displaced by the late-round graph/basket/
+        # stats/clustering/streaming queries: x_window_tumbling,
+        # x_window_sliding, x_session_window, x_stream_enrich,
+        # x_stream_dedup_wm, x_stream_cdc, x_stream_sliding,
+        # x_hard_negatives, x_negative_pairs, x_incremental_dedup,
+        # x_token_budget, x_udaf_geomean, x_profile,
+        # x_corpus_report, x_vec_pool, x_vec_norm, x_vec_quantize;
+        # then
         # ten rows-only-by-design: x_minhash_near_dup,
         # x_cosine_topk_lsh, x_cosine_topk_ivf, x_cosine_topk_pq,
         # x_embedding_near_dup, x_multimodal_features, x_bpe_train,
@@ -5737,6 +5754,13 @@ def oracle_sql() -> dict[str, str]:
 
     # x_ppr: same unrolled CTEs with the seed-indicator teleport.
     oracles["x_ppr"] = personalized_pagerank_fixture_sql()
+    from pac_data_pipeline_spark.operators.aggregates import (
+        rfm_segments_sql,
+    )
+
+    # x_rfm: identical epoch recency, quantile_cont boundaries with
+    # the same floor-round, comparison scoring, segment CASE.
+    oracles["x_rfm"] = rfm_segments_sql()
     # x_triangles: id-ordered 3-way join names the same triangle set
     # as Spark's degree orientation (set is orientation-invariant).
     oracles["x_triangles"] = triangle_fixture_sql()

@@ -645,3 +645,36 @@ def test_benford_audit_hand_computed(spark):
     assert got[1].obs_share == 0.5 and got[9].obs_share == 0.5
     import math
     assert got[1].benford_share == round(math.log10(2.0), 6)
+
+
+def test_rfm_segments_hand_computed(spark):
+    """Three archetype customers over a synthetic order log: the
+    recent+frequent one lands 'champion', the stale+frequent one
+    'at_risk', the recent one-timer 'new'; quintile boundaries come
+    from exact percentiles, and scoring by comparison puts boundary
+    values in the LOWER bucket deterministically."""
+    import datetime as dt
+
+    from pac_data_pipeline_spark.operators.aggregates import rfm_segments
+
+    def t(day):
+        return dt.datetime(2024, 1, day)
+
+    rows = []
+    # 5 filler customers with middling behavior spread the quintiles
+    for cid in range(10, 15):
+        rows += [(cid, t(5 + cid % 3), 100.0), (cid, t(8), 100.0)]
+    rows += [(1, t(28), 500.0), (1, t(27), 500.0), (1, t(26), 500.0),
+             (1, t(25), 500.0)]                      # champion
+    rows += [(2, t(1), 500.0), (2, t(2), 500.0), (2, t(3), 500.0),
+             (2, t(4), 500.0)]                       # at_risk
+    rows += [(3, t(29), 50.0)]                       # new
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    got = {r.o_custkey: r for r in rfm_segments(df).collect()}
+    assert got[1].segment == "champion"
+    assert got[2].segment == "at_risk"
+    assert got[3].segment == "new"
+    assert got[1].r_score == 5 and got[2].r_score == 1
+    assert got[3].f_score == 1

@@ -54,6 +54,7 @@ ALLOWED_BNL = {
     "x_triangles",        # 1-row node-count broadcast (edge fixture mod-N)
     "x_khop_bfs",         # 1-row node-count broadcast (edge fixture mod-N)
     "x_kmeans",           # 1-row centroid-array broadcast (scan-side argmin)
+    "x_rfm",              # 1-row quintile-boundary broadcast
 }
 
 #: The Window+SinglePartition heuristic ANDs two independent plan
