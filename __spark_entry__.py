@@ -1638,6 +1638,21 @@ def q_x_kmeans(spark, sf_dir):
     return kmeans_assign(_t(spark, sf_dir, "embeddings"))
 
 
+def q_x_skew_profile(spark, sf_dir):
+    """Key-distribution skew diagnostic over lineitem's join keys —
+    the numbers that decide salting / AQE hints / broadcast redesign
+    BEFORE a 100 TB run burns a night on one straggler. One groupBy
+    per column (the same shuffle the real query would pay), then
+    heavy-hitter shares AND the Gini coefficient derive from the
+    COUNT-OF-COUNTS aggregate — at most O(√n) rows — via the
+    tied-block rank identity; every intermediate is an exact
+    integer. NULL keys report separately."""
+    from pac_data_pipeline_spark.operators.skew import key_skew_profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    return key_skew_profile(li, ("l_partkey", "l_suppkey", "l_orderkey"))
+
+
 def q_x_rfm(spark, sf_dir):
     """RFM customer segmentation — 1..5 recency/frequency/monetary
     scores + named segment per customer. NO global ntile (a window
@@ -3995,6 +4010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_stream_ewma": q_x_stream_ewma,
         "x_ppr": q_x_ppr,
         "x_rfm": q_x_rfm,
+        "x_skew_profile": q_x_skew_profile,
         "x_table_checksum": q_x_table_checksum,
         "x_benford": q_x_benford,
         "x_html_extract": q_x_html_extract,
@@ -4028,7 +4044,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_boilerplate": q_x_boilerplate,
         "x_schema_evolution": q_x_schema_evolution,
         "x_json_props": q_x_json_props,
-        "x_variant": q_x_variant,
         "x_dq_checks": q_x_dq_checks,
         # -- (b) never-checked, rows-only-by-design ------------------
         "x_image_dhash": q_x_image_dhash,
@@ -4042,6 +4057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_window_tumbling": q_x_window_tumbling,
         "x_window_sliding": q_x_window_sliding,
         "x_session_window": q_x_session_window,
+        "x_variant": q_x_variant,
         "x_stream_enrich": q_x_stream_enrich,
         "x_stream_dedup_wm": q_x_stream_dedup_wm,
         "x_stream_cdc": q_x_stream_cdc,
@@ -4069,16 +4085,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEXT-ROUND TAIL (round-6 queue): the 3 re-check slots
         # planned for a4/a1/j1 plus five rows-only slots were
         # consumed by this round's new queries — new/changed first
-        # per the steady-state policy. The TWENTY-SEVEN
-        # never-checked names now below the window (seventeen
+        # per the steady-state policy. The TWENTY-EIGHT
+        # never-checked names now below the window (eighteen
         # oracle-backed displaced by the late-round graph/basket/
         # stats/clustering/streaming queries: x_window_tumbling,
-        # x_window_sliding, x_session_window, x_stream_enrich,
-        # x_stream_dedup_wm, x_stream_cdc, x_stream_sliding,
-        # x_hard_negatives, x_negative_pairs, x_incremental_dedup,
-        # x_token_budget, x_udaf_geomean, x_profile,
-        # x_corpus_report, x_vec_pool, x_vec_norm, x_vec_quantize;
-        # then
+        # x_window_sliding, x_session_window, x_variant,
+        # x_stream_enrich, x_stream_dedup_wm, x_stream_cdc,
+        # x_stream_sliding, x_hard_negatives, x_negative_pairs,
+        # x_incremental_dedup, x_token_budget, x_udaf_geomean,
+        # x_profile, x_corpus_report, x_vec_pool, x_vec_norm,
+        # x_vec_quantize; then
         # ten rows-only-by-design: x_minhash_near_dup,
         # x_cosine_topk_lsh, x_cosine_topk_ivf, x_cosine_topk_pq,
         # x_embedding_near_dup, x_multimodal_features, x_bpe_train,
@@ -5761,6 +5777,14 @@ def oracle_sql() -> dict[str, str]:
     # x_rfm: identical epoch recency, quantile_cont boundaries with
     # the same floor-round, comparison scoring, segment CASE.
     oracles["x_rfm"] = rfm_segments_sql()
+    from pac_data_pipeline_spark.operators.skew import (
+        key_skew_profile_sql,
+    )
+
+    # x_skew_profile: identical count-of-counts + rank identity.
+    oracles["x_skew_profile"] = key_skew_profile_sql(
+        "lineitem", ("l_partkey", "l_suppkey", "l_orderkey")
+    )
     # x_triangles: id-ordered 3-way join names the same triangle set
     # as Spark's degree orientation (set is orientation-invariant).
     oracles["x_triangles"] = triangle_fixture_sql()

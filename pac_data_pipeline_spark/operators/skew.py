@@ -71,3 +71,169 @@ def salted_groupby_sum(
         F.sum("__psum").alias(sum_alias),
         F.sum("__pcnt").cast("bigint").alias(count_alias),
     )
+
+
+def key_skew_profile(
+    df: DataFrame,
+    cols: Sequence[str],
+    top_n: int = 10,
+    digits: int = 6,
+) -> DataFrame:
+    """Key-distribution skew diagnostic per column: row/key counts,
+    heavy-hitter shares (top-1 / top-``top_n``), and the Gini
+    coefficient of the key-count distribution — the numbers that
+    decide whether a join/groupBy on that key needs salting, AQE
+    skew hints, or a broadcast redesign BEFORE the 100 TB run burns
+    a night on one straggler task.
+
+    Scale shape: one groupBy per column builds key counts (the same
+    shuffle the real query would pay), then everything else derives
+    from the COUNT-OF-COUNTS aggregate — at most O(√n_rows) rows
+    (distinct count values), since k distinct counts require
+    ≥ k(k+1)/2 rows. Gini and the top-n share both come from window
+    sums over that tiny frame via the tied-block rank identity
+    (Σ ranks over a tied block = k·K_prev + k(k+1)/2), so every
+    intermediate is an exact integer and the final divisions are
+    the only inexact steps (round-``digits``). NULL keys are
+    reported separately (``null_rows``) and excluded from the
+    distribution (a NULL join key never co-locates anyway).
+    """
+    from pyspark.sql import Window
+
+    outs = []
+    for col in cols:
+        counts = df.groupBy(F.col(col).alias("k")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        nulls = counts.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("k").isNull(), F.col("c"))), F.lit(0)
+            ).alias("null_rows")
+        )
+        coc = (
+            counts.filter(F.col("k").isNotNull())
+            .groupBy("c")
+            .agg(F.count(F.lit(1)).alias("kc"))
+        )
+        w_desc = Window.orderBy(F.desc("c")).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        w_asc = Window.orderBy(F.asc("c")).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        stepped = coc.select(
+            "c",
+            "kc",
+            (F.sum("kc").over(w_desc) - F.col("kc")).alias("prev_desc"),
+            (F.sum("kc").over(w_asc) - F.col("kc")).alias("prev_asc"),
+        )
+        agg = stepped.agg(
+            F.sum(F.col("c") * F.col("kc")).alias("rows_nn"),
+            F.sum("kc").alias("n_keys"),
+            F.max("c").alias("top1"),
+            F.sum(
+                F.col("c")
+                * F.greatest(
+                    F.lit(0),
+                    F.least(
+                        F.col("kc"), F.lit(top_n) - F.col("prev_desc")
+                    ),
+                )
+            ).alias("topn_sum"),
+            F.sum(
+                F.col("c")
+                * (
+                    F.col("kc") * F.col("prev_asc")
+                    + F.expr("(kc * (kc + 1)) div 2")
+                )
+            ).alias("rank_sum"),
+        )
+        rows = F.col("rows_nn").cast("double")
+        keys = F.col("n_keys").cast("double")
+        gini = (
+            2.0 * F.col("rank_sum").cast("double")
+            / F.nullif(keys * rows, F.lit(0.0))
+            - (keys + 1.0) / F.nullif(keys, F.lit(0.0))
+        )
+        outs.append(
+            agg.crossJoin(F.broadcast(nulls)).select(
+                F.lit(col).alias("column"),
+                (F.col("rows_nn") + F.col("null_rows")).alias("n_rows"),
+                "null_rows",
+                "n_keys",
+                F.round(
+                    F.col("top1").cast("double")
+                    / F.nullif(rows, F.lit(0.0)),
+                    digits,
+                ).alias("top1_share"),
+                F.round(
+                    F.col("topn_sum").cast("double")
+                    / F.nullif(rows, F.lit(0.0)),
+                    digits,
+                ).alias("topn_share"),
+                F.round(gini, digits).alias("gini"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def key_skew_profile_sql(
+    table: str,
+    cols: Sequence[str],
+    top_n: int = 10,
+    digits: int = 6,
+) -> str:
+    """The same diagnostic as DuckDB SQL — identical count-of-counts
+    derivation, tied-block rank identity, and divisions."""
+    parts = []
+    for col in cols:
+        parts.append(f"""
+        SELECT '{col}' AS column,
+               CAST(rows_nn + null_rows AS BIGINT) AS n_rows,
+               CAST(null_rows AS BIGINT) AS null_rows,
+               CAST(n_keys AS BIGINT) AS n_keys,
+               round(CAST(top1 AS DOUBLE)
+                   / nullif(CAST(rows_nn AS DOUBLE), 0.0), {digits})
+                   AS top1_share,
+               round(CAST(topn_sum AS DOUBLE)
+                   / nullif(CAST(rows_nn AS DOUBLE), 0.0), {digits})
+                   AS topn_share,
+               round(2.0 * CAST(rank_sum AS DOUBLE)
+                     / nullif(CAST(n_keys AS DOUBLE)
+                              * CAST(rows_nn AS DOUBLE), 0.0)
+                     - (CAST(n_keys AS DOUBLE) + 1.0)
+                       / nullif(CAST(n_keys AS DOUBLE), 0.0), {digits})
+                   AS gini
+        FROM (
+            SELECT SUM(c * kc) AS rows_nn,
+                   SUM(kc) AS n_keys,
+                   MAX(c) AS top1,
+                   SUM(c * greatest(0, least(kc, {top_n} - prev_desc)))
+                       AS topn_sum,
+                   SUM(c * (kc * prev_asc + (kc * (kc + 1)) // 2))
+                       AS rank_sum
+            FROM (
+                SELECT c, kc,
+                       SUM(kc) OVER (ORDER BY c DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) - kc AS prev_desc,
+                       SUM(kc) OVER (ORDER BY c ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) - kc AS prev_asc
+                FROM (
+                    SELECT c, count(*) AS kc FROM (
+                        SELECT {col} AS k, count(*) AS c
+                        FROM {table}
+                        WHERE {col} IS NOT NULL
+                        GROUP BY {col}
+                    ) GROUP BY c
+                )
+            )
+        ) CROSS JOIN (
+            SELECT count(*) AS null_rows FROM {table}
+            WHERE {col} IS NULL
+        )""")
+    return " UNION ALL ".join(parts)

@@ -678,3 +678,26 @@ def test_rfm_segments_hand_computed(spark):
     assert got[3].segment == "new"
     assert got[1].r_score == 5 and got[2].r_score == 1
     assert got[3].f_score == 1
+
+
+def test_key_skew_profile_hand_computed(spark):
+    """Column with counts {a:4, b:1, c:1} (n=6, K=3): sorted counts
+    [1,1,4] -> rank sum S = 1*1 + 1*2 + 4*3 = 15, gini =
+    2*15/(3*6) - 4/3 = 30/18 - 4/3 = 1/3; top1 = 4/6; NULLs report
+    separately and stay out of the distribution. A uniform column
+    has gini exactly 0."""
+    from pac_data_pipeline_spark.operators.skew import key_skew_profile
+
+    rows = [("a",)] * 4 + [("b",)] * 1 + [("c",)] * 1 + [(None,)] * 2
+    df = spark.createDataFrame(rows, "k string")
+    p = {r.column: r for r in key_skew_profile(df, ("k",)).collect()}["k"]
+    assert (p.n_rows, p.null_rows, p.n_keys) == (8, 2, 3)
+    assert p.top1_share == round(4 / 6, 6)
+    assert p.topn_share == 1.0  # top-10 covers all 3 keys
+    assert p.gini == round(1 / 3, 6)
+
+    uni = spark.createDataFrame(
+        [(v,) for v in ("x", "y", "z")] * 5, "k string"
+    )
+    u = key_skew_profile(uni, ("k",)).collect()[0]
+    assert u.gini == 0.0 and u.top1_share == round(1 / 3, 6)

@@ -55,6 +55,7 @@ ALLOWED_BNL = {
     "x_khop_bfs",         # 1-row node-count broadcast (edge fixture mod-N)
     "x_kmeans",           # 1-row centroid-array broadcast (scan-side argmin)
     "x_rfm",              # 1-row quintile-boundary broadcast
+    "x_skew_profile",     # 1-row null-count broadcast per column
 }
 
 #: The Window+SinglePartition heuristic ANDs two independent plan
@@ -84,6 +85,9 @@ ALLOWED_GLOBAL_WINDOW = {
     # x_benford's SUM() OVER () total spans the 9-row digit
     # aggregate, not the input.
     "x_benford",
+    # x_skew_profile's rank windows span the COUNT-OF-COUNTS
+    # aggregate — O(sqrt(n_rows)) rows by the k(k+1)/2 bound.
+    "x_skew_profile",
 }
 
 
