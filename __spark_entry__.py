@@ -1638,6 +1638,18 @@ def q_x_kmeans(spark, sf_dir):
     return kmeans_assign(_t(spark, sf_dir, "embeddings"))
 
 
+def q_x_dedup_eval(spark, sf_dir):
+    """Dedup-quality report: precision / recall / F1 of the SemDeDup
+    stage against the planted ground truth (each clone's true source
+    is id − OFFSET by construction) — the evaluation harness a
+    near-dup pipeline ships with (too loose deletes real data; too
+    tight poisons training with missed dups). A detection counts as
+    a true positive only if dup_of names the exact true source."""
+    from pac_data_pipeline_spark.ext.kmeans import semantic_dedup_eval
+
+    return semantic_dedup_eval(_t(spark, sf_dir, "embeddings"))
+
+
 def q_x_skew_profile(spark, sf_dir):
     """Key-distribution skew diagnostic over lineitem's join keys —
     the numbers that decide salting / AQE hints / broadcast redesign
@@ -4011,6 +4023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_ppr": q_x_ppr,
         "x_rfm": q_x_rfm,
         "x_skew_profile": q_x_skew_profile,
+        "x_dedup_eval": q_x_dedup_eval,
         "x_table_checksum": q_x_table_checksum,
         "x_benford": q_x_benford,
         "x_html_extract": q_x_html_extract,
@@ -4043,7 +4056,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_unicode_clean": q_x_unicode_clean,
         "x_boilerplate": q_x_boilerplate,
         "x_schema_evolution": q_x_schema_evolution,
-        "x_json_props": q_x_json_props,
         "x_dq_checks": q_x_dq_checks,
         # -- (b) never-checked, rows-only-by-design ------------------
         "x_image_dhash": q_x_image_dhash,
@@ -4057,6 +4069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_window_tumbling": q_x_window_tumbling,
         "x_window_sliding": q_x_window_sliding,
         "x_session_window": q_x_session_window,
+        "x_json_props": q_x_json_props,
         "x_variant": q_x_variant,
         "x_stream_enrich": q_x_stream_enrich,
         "x_stream_dedup_wm": q_x_stream_dedup_wm,
@@ -4085,16 +4098,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEXT-ROUND TAIL (round-6 queue): the 3 re-check slots
         # planned for a4/a1/j1 plus five rows-only slots were
         # consumed by this round's new queries — new/changed first
-        # per the steady-state policy. The TWENTY-EIGHT
-        # never-checked names now below the window (eighteen
+        # per the steady-state policy. The TWENTY-NINE
+        # never-checked names now below the window (nineteen
         # oracle-backed displaced by the late-round graph/basket/
         # stats/clustering/streaming queries: x_window_tumbling,
-        # x_window_sliding, x_session_window, x_variant,
-        # x_stream_enrich, x_stream_dedup_wm, x_stream_cdc,
-        # x_stream_sliding, x_hard_negatives, x_negative_pairs,
-        # x_incremental_dedup, x_token_budget, x_udaf_geomean,
-        # x_profile, x_corpus_report, x_vec_pool, x_vec_norm,
-        # x_vec_quantize; then
+        # x_window_sliding, x_session_window, x_json_props,
+        # x_variant, x_stream_enrich, x_stream_dedup_wm,
+        # x_stream_cdc, x_stream_sliding, x_hard_negatives,
+        # x_negative_pairs, x_incremental_dedup, x_token_budget,
+        # x_udaf_geomean, x_profile, x_corpus_report, x_vec_pool,
+        # x_vec_norm, x_vec_quantize; then
         # ten rows-only-by-design: x_minhash_near_dup,
         # x_cosine_topk_lsh, x_cosine_topk_ivf, x_cosine_topk_pq,
         # x_embedding_near_dup, x_multimodal_features, x_bpe_train,
@@ -5785,6 +5798,12 @@ def oracle_sql() -> dict[str, str]:
     oracles["x_skew_profile"] = key_skew_profile_sql(
         "lineitem", ("l_partkey", "l_suppkey", "l_orderkey")
     )
+    from pac_data_pipeline_spark.ext.kmeans import (
+        semantic_dedup_eval_sql,
+    )
+
+    # x_dedup_eval: composed over the dedup fixture SQL.
+    oracles["x_dedup_eval"] = semantic_dedup_eval_sql()
     # x_triangles: id-ordered 3-way join names the same triangle set
     # as Spark's degree orientation (set is orientation-invariant).
     oracles["x_triangles"] = triangle_fixture_sql()

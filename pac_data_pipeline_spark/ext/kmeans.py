@@ -412,3 +412,114 @@ def semantic_dedup_fixture_sql(
         FROM a{n_iter} t LEFT JOIN dups d ON t.vid = d.b_vid
         """
     )
+
+
+def semantic_dedup_eval(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 3,
+    threshold: int = 1000,
+) -> DataFrame:
+    """Dedup-quality report against the planted ground truth — the
+    evaluation harness a dedup pipeline ships with (a near-dup
+    stage without measured precision/recall is a liability at
+    100 TB: too loose and it deletes real data, too tight and the
+    dups it missed poison training).
+
+    Ground truth: every planted clone (id ≥ DUP_OFFSET) duplicates
+    exactly its source (id − DUP_OFFSET). A detection is a TRUE
+    positive only if ``dup_of`` names the true source; any other
+    non-NULL ``dup_of`` is a false positive; an undetected clone is
+    a false negative. One row: counts + precision/recall/F1
+    (round-6 — the only inexact step)."""
+    marked = semantic_dedup(
+        planted_near_dups(embeddings, id_col, vec_col),
+        id_col,
+        vec_col,
+        k,
+        n_iter,
+        threshold,
+    )
+    is_clone = F.col(id_col) >= DUP_OFFSET
+    truth = F.col(id_col) - DUP_OFFSET
+    agg = marked.agg(
+        F.sum(
+            F.when(is_clone & (F.col("dup_of") == truth), 1).otherwise(0)
+        ).alias("tp"),
+        F.sum(
+            F.when(
+                F.col("dup_of").isNotNull()
+                & ~(is_clone & (F.col("dup_of") == truth)),
+                1,
+            ).otherwise(0)
+        ).alias("fp"),
+        F.sum(
+            F.when(is_clone & F.col("dup_of").isNull(), 1).otherwise(0)
+        ).alias("fn"),
+    )
+    tp = F.col("tp").cast("double")
+    prec = tp / F.nullif(tp + F.col("fp"), F.lit(0.0))
+    rec = tp / F.nullif(tp + F.col("fn"), F.lit(0.0))
+    return agg.select(
+        "tp",
+        "fp",
+        "fn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(
+            2.0 * prec * rec / F.nullif(prec + rec, F.lit(0.0)), 6
+        ).alias("f1"),
+    )
+
+
+def semantic_dedup_eval_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 3,
+    threshold: int = 1000,
+) -> str:
+    """The same report as DuckDB SQL, composed over the dedup
+    fixture query (nested WITH is legal inside a CTE body)."""
+    inner = semantic_dedup_fixture_sql(
+        table, id_col, vec_col, k, n_iter, threshold
+    )
+    return f"""
+        WITH marked AS ({inner}),
+        agg AS (
+            SELECT
+                SUM(CASE WHEN {id_col} >= {DUP_OFFSET}
+                          AND dup_of = {id_col} - {DUP_OFFSET}
+                         THEN 1 ELSE 0 END) AS tp,
+                SUM(CASE WHEN dup_of IS NOT NULL
+                          AND NOT ({id_col} >= {DUP_OFFSET}
+                                   AND dup_of = {id_col} - {DUP_OFFSET})
+                         THEN 1 ELSE 0 END) AS fp,
+                SUM(CASE WHEN {id_col} >= {DUP_OFFSET}
+                          AND dup_of IS NULL
+                         THEN 1 ELSE 0 END) AS fn
+            FROM marked
+        )
+        SELECT CAST(tp AS BIGINT) AS tp,
+               CAST(fp AS BIGINT) AS fp,
+               CAST(fn AS BIGINT) AS fn,
+               round(CAST(tp AS DOUBLE)
+                   / nullif(CAST(tp AS DOUBLE) + fp, 0.0), 6)
+                   AS precision,
+               round(CAST(tp AS DOUBLE)
+                   / nullif(CAST(tp AS DOUBLE) + fn, 0.0), 6)
+                   AS recall,
+               round(2.0 * (CAST(tp AS DOUBLE)
+                         / nullif(CAST(tp AS DOUBLE) + fp, 0.0))
+                     * (CAST(tp AS DOUBLE)
+                         / nullif(CAST(tp AS DOUBLE) + fn, 0.0))
+                     / nullif((CAST(tp AS DOUBLE)
+                         / nullif(CAST(tp AS DOUBLE) + fp, 0.0))
+                       + (CAST(tp AS DOUBLE)
+                         / nullif(CAST(tp AS DOUBLE) + fn, 0.0)), 0.0), 6)
+                   AS f1
+        FROM agg
+    """
