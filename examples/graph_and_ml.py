@@ -27,18 +27,22 @@ from pac_data_pipeline_spark.ext.graph import (
     functional_edges,
     khop_distances,
     pagerank,
+    personalized_pagerank,
     triangle_counts,
 )
 from pac_data_pipeline_spark.ext.kmeans import (
     kmeans_assign,
     planted_near_dups,
     semantic_dedup,
+    semantic_dedup_eval,
 )
 from pac_data_pipeline_spark.operators.basket import frequent_pairs
+from pac_data_pipeline_spark.operators.aggregates import rfm_segments
 from pac_data_pipeline_spark.operators.quality import (
     benford_audit,
     table_checksum,
 )
+from pac_data_pipeline_spark.operators.skew import key_skew_profile
 from pac_data_pipeline_spark.operators.stats import ab_test, auc, iqr_outliers
 from pac_data_pipeline_spark.operators.timeseries import (
     ewma_smooth,
@@ -54,6 +58,7 @@ def main() -> None:
     nodes = scan_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
     edges = functional_edges(nodes, multipliers=TRIANGLE_MULTIPLIERS)
     pagerank(nodes, edges).orderBy(F.desc("rank")).show(3)
+    personalized_pagerank(nodes, edges).orderBy(F.desc("rank")).show(3)
     tri = triangle_counts(nodes, edges)
     tri.agg(
         F.sum("n_triangles").alias("corner_incidences"),
@@ -69,6 +74,7 @@ def main() -> None:
         F.count(F.lit(1)).alias("vectors"),
         F.sum(F.col("dup_of").isNotNull().cast("int")).alias("near_dups"),
     ).show()
+    semantic_dedup_eval(emb).show()  # P/R/F1 vs the planted truth
 
     print("-- events: experiment readout, AUC, smoothing, streaks, fences")
     events = load_events(spark, sf_dir)
@@ -89,6 +95,10 @@ def main() -> None:
         ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
          "l_returnflag", "l_linestatus"),
     ).show()
+
+    print("-- segmentation + skew diagnostics")
+    rfm_segments(orders).groupBy("segment").count().orderBy("segment").show()
+    key_skew_profile(li, ("l_partkey", "l_suppkey", "l_orderkey")).show()
 
     spark.stop()
 
