@@ -584,3 +584,156 @@ def test_streaks_match_python_reference(spark_session_holder, seq):
     best = max(runs, key=lambda t: t[1])  # max is stable -> earliest
     assert (r.streak_len, r.streak_value, r.n_islands) == \
            (best[1], best[0], len(runs))
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-2, max_value=2,
+                      allow_nan=False, allow_infinity=False),
+            min_size=3, max_size=3,
+        ),
+        min_size=4,
+        max_size=24,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_kmeans_matches_python_reference(spark_session_holder, vecs):
+    """The distributed fixed-point Lloyd loop must equal a plain-
+    Python implementation of the same contract (grid quantization,
+    smallest-id init, integer distances, smallest-cid ties,
+    integer-ratio mean, empty-cluster carry) on arbitrary input."""
+    import math
+
+    spark = spark_session_holder
+    k, n_iter = 2, 3
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    from pac_data_pipeline_spark.ext.kmeans import kmeans_assign
+
+    got = {r.vec_id: (r.cluster, r.dist) for r in
+           kmeans_assign(df, k=k, n_iter=n_iter).collect()}
+
+    # reference: float32 ingestion then the identical integer math
+    import numpy as np
+
+    q = {
+        i: [int(math.floor(float(np.float32(x)) * 1000 + 0.5))
+            for x in v]
+        for i, v in enumerate(vecs)
+    }
+    cents = [list(q[i]) for i in sorted(q)[:k]]
+
+    def assign():
+        out = {}
+        for i, v in q.items():
+            best = None
+            for cid, c in enumerate(cents):
+                d = sum((a - b) * (a - b) for a, b in zip(v, c))
+                if best is None or d < best[1]:
+                    best = (cid, d)
+            out[i] = best
+        return out
+
+    for _ in range(n_iter - 1):
+        a = assign()
+        for cid in range(k):
+            members = [q[i] for i, (c, _) in a.items() if c == cid]
+            if members:
+                cents[cid] = [
+                    math.floor(
+                        (2 * sum(m[d] for m in members) + len(members))
+                        / (2 * len(members))
+                    )
+                    for d in range(len(cents[cid]))
+                ]
+    ref = {i: (c, d) for i, (c, d) in assign().items()}
+    assert got == ref
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=1, max_value=6),
+                  st.integers(min_value=1, max_value=8)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_frequent_pairs_matches_bruteforce(spark_session_holder, lines):
+    """Support and confidences must equal an itertools brute force
+    over the distinct baskets, including the top-k tie order."""
+    import itertools
+    from collections import Counter, defaultdict
+
+    spark = spark_session_holder
+    df = spark.createDataFrame(lines, "l_orderkey long, l_partkey long")
+    from pac_data_pipeline_spark.operators.basket import frequent_pairs
+
+    got = [(r.item_a, r.item_b, r.support, r.conf_a_b, r.conf_b_a)
+           for r in frequent_pairs(df, min_support=2, k=10).collect()]
+
+    baskets = defaultdict(set)
+    for bk, it in lines:
+        baskets[bk].add(it)
+    item_n = Counter()
+    pair_n = Counter()
+    for items in baskets.values():
+        for it in items:
+            item_n[it] += 1
+        for a, b in itertools.combinations(sorted(items), 2):
+            pair_n[(a, b)] += 1
+    ref = sorted(
+        (
+            (a, b, n, round(n / item_n[a], 6), round(n / item_n[b], 6))
+            for (a, b), n in pair_n.items()
+            if n >= 2
+        ),
+        key=lambda t: (-t[2], t[0], t[1]),
+    )[:10]
+    assert got == ref
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-100, max_value=100,
+                  allow_nan=False, allow_infinity=False),
+        min_size=2,
+        max_size=40,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_iqr_outliers_matches_numpy(spark_session_holder, values):
+    """Quartiles must match numpy's type-7 (linear) interpolation
+    after the shared floor-round, and the outlier count must match
+    a literal Python fence check."""
+    import math
+
+    import numpy as np
+
+    spark = spark_session_holder
+    df = spark.createDataFrame([("g", float(v)) for v in values],
+                               "g string, value double")
+    from pac_data_pipeline_spark.operators.stats import iqr_outliers
+
+    r = iqr_outliers(df, "g", "value").collect()[0]
+
+    def r4(x):
+        return math.floor(x * 10000 + 0.5) / 10000.0
+
+    q1 = r4(float(np.percentile(values, 25, method="linear")))
+    q3 = r4(float(np.percentile(values, 75, method="linear")))
+    lo = r4(
+        float(np.percentile(values, 25, method="linear"))
+        - 1.5 * (float(np.percentile(values, 75, method="linear"))
+                 - float(np.percentile(values, 25, method="linear")))
+    )
+    hi = r4(
+        float(np.percentile(values, 75, method="linear"))
+        + 1.5 * (float(np.percentile(values, 75, method="linear"))
+                 - float(np.percentile(values, 25, method="linear")))
+    )
+    assert (r.q1, r.q3) == (q1, q3)
+    assert r.n_outliers == sum(1 for v in values if v < lo or v > hi)
