@@ -1638,6 +1638,20 @@ def q_x_kmeans(spark, sf_dir):
     return kmeans_assign(_t(spark, sf_dir, "embeddings"))
 
 
+def q_x_welch_t(spark, sf_dir):
+    """Welch two-sample t-test on the CONTINUOUS outcome over the
+    same md5 unit split as x_ab_test — together they complete the
+    experiment readout (proportions AND means). Determinism: values
+    scale to exact integer cents, so per-arm sums/sums-of-squares
+    are exact BIGINTs under any partitioning (float-sum ulp drift
+    cannot exist) and the t statistic is a fixed IEEE sequence over
+    exact integers. n<2 arms report NULL t."""
+    from pac_data_pipeline_spark.operators.stats import welch_t_test
+
+    e = load_events(spark, sf_dir)
+    return welch_t_test(e, "event_type", "user_id", "value")
+
+
 def q_x_dedup_eval(spark, sf_dir):
     """Dedup-quality report: precision / recall / F1 of the SemDeDup
     stage against the planted ground truth (each clone's true source
@@ -4024,6 +4038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_rfm": q_x_rfm,
         "x_skew_profile": q_x_skew_profile,
         "x_dedup_eval": q_x_dedup_eval,
+        "x_welch_t": q_x_welch_t,
         "x_table_checksum": q_x_table_checksum,
         "x_benford": q_x_benford,
         "x_html_extract": q_x_html_extract,
@@ -4055,7 +4070,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_simhash_pairs": q_x_simhash_pairs,
         "x_unicode_clean": q_x_unicode_clean,
         "x_boilerplate": q_x_boilerplate,
-        "x_schema_evolution": q_x_schema_evolution,
         "x_dq_checks": q_x_dq_checks,
         # -- (b) never-checked, rows-only-by-design ------------------
         "x_image_dhash": q_x_image_dhash,
@@ -4069,6 +4083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_window_tumbling": q_x_window_tumbling,
         "x_window_sliding": q_x_window_sliding,
         "x_session_window": q_x_session_window,
+        "x_schema_evolution": q_x_schema_evolution,
         "x_json_props": q_x_json_props,
         "x_variant": q_x_variant,
         "x_stream_enrich": q_x_stream_enrich,
@@ -4098,11 +4113,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEXT-ROUND TAIL (round-6 queue): the 3 re-check slots
         # planned for a4/a1/j1 plus five rows-only slots were
         # consumed by this round's new queries — new/changed first
-        # per the steady-state policy. The TWENTY-NINE
-        # never-checked names now below the window (nineteen
-        # oracle-backed displaced by the late-round graph/basket/
-        # stats/clustering/streaming queries: x_window_tumbling,
-        # x_window_sliding, x_session_window, x_json_props,
+        # per the steady-state policy. The THIRTY never-checked
+        # names now below the window (twenty oracle-backed displaced
+        # by the late-round graph/basket/stats/clustering/streaming
+        # queries: x_window_tumbling, x_window_sliding,
+        # x_session_window, x_schema_evolution, x_json_props,
         # x_variant, x_stream_enrich, x_stream_dedup_wm,
         # x_stream_cdc, x_stream_sliding, x_hard_negatives,
         # x_negative_pairs, x_incremental_dedup, x_token_budget,
@@ -5804,6 +5819,12 @@ def oracle_sql() -> dict[str, str]:
 
     # x_dedup_eval: composed over the dedup fixture SQL.
     oracles["x_dedup_eval"] = semantic_dedup_eval_sql()
+    from pac_data_pipeline_spark.operators.stats import welch_t_test_sql
+
+    # x_welch_t: identical md5 split + exact-integer cents sums.
+    oracles["x_welch_t"] = welch_t_test_sql(
+        "events", "event_type", "user_id", "value"
+    )
     # x_triangles: id-ordered 3-way join names the same triangle set
     # as Spark's degree orientation (set is orientation-invariant).
     oracles["x_triangles"] = triangle_fixture_sql()

@@ -814,3 +814,138 @@ def auc_sql(
                    {digits}) AS auc
         FROM stepped
     """
+
+
+def welch_t_test(
+    df: DataFrame,
+    group_col: str,
+    unit_col: str,
+    value_col: str,
+    buckets: int = 2,
+    digits: int = 4,
+) -> DataFrame:
+    """Per-group Welch two-sample t-test on a CONTINUOUS outcome
+    over the same deterministic md5 unit split as :func:`ab_test` —
+    together they complete the experiment readout (proportions AND
+    means; Welch because arm variances are never equal in practice).
+
+    Determinism contract: 2-decimal values scale to EXACT integer
+    cents, so the per-arm sums and sums-of-squares are exact BIGINTs
+    under ANY partitioning / summation order (the usual float-sum
+    ulp drift cannot exist), and the t statistic is a fixed sequence
+    of IEEE ops over exact integers — identical on every engine
+    before the final round. Arms with n < 2 report NULL t (no ANSI
+    division error). NULL units/values drop.
+    """
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col(unit_col).cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        % buckets
+    )
+    cents = F.floor(F.col(value_col).cast("double") * 100 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    base = df.filter(
+        F.col(unit_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    agg = base.groupBy(group_col).agg(
+        *[
+            agg_expr
+            for b, tag in ((0, "a"), (1, "b"))
+            for agg_expr in (
+                F.sum(F.when(arm == b, 1).otherwise(0)).alias(f"n_{tag}"),
+                F.sum(F.when(arm == b, cents).otherwise(0)).alias(
+                    f"s_{tag}"
+                ),
+                F.sum(F.when(arm == b, cents * cents).otherwise(0)).alias(
+                    f"ss_{tag}"
+                ),
+            )
+        ]
+    )
+
+    def var(tag: str) -> "F.Column":
+        n = F.col(f"n_{tag}").cast("double")
+        s = F.col(f"s_{tag}").cast("double")
+        ss = F.col(f"ss_{tag}").cast("double")
+        return (ss - s * s / n) / F.nullif(n - 1.0, F.lit(0.0))
+
+    def mean(tag: str) -> "F.Column":
+        return F.col(f"s_{tag}").cast("double") / F.nullif(
+            F.col(f"n_{tag}").cast("double"), F.lit(0.0)
+        )
+
+    se2 = var("a") / F.col("n_a").cast("double") + var("b") / F.col(
+        "n_b"
+    ).cast("double")
+    t = (mean("a") - mean("b")) / F.nullif(F.sqrt(se2), F.lit(0.0))
+    return agg.select(
+        group_col,
+        "n_a",
+        "n_b",
+        F.round(mean("a") / 100.0, digits).alias("mean_a"),
+        F.round(mean("b") / 100.0, digits).alias("mean_b"),
+        F.round(t, digits).alias("t_stat"),
+    )
+
+
+def welch_t_test_sql(
+    table: str,
+    group_col: str,
+    unit_col: str,
+    value_col: str,
+    buckets: int = 2,
+    digits: int = 4,
+) -> str:
+    """The same test as DuckDB SQL — identical md5 arm split,
+    exact-integer cents sums, and operation order."""
+    arm = (
+        f"CASE WHEN {unit_col} IS NULL THEN NULL ELSE "
+        f"CAST(concat('0x', substr(md5(CAST({unit_col} AS VARCHAR)), "
+        f"1, 8)) AS BIGINT) % {buckets} END"
+    )
+    cents = f"CAST(floor(CAST({value_col} AS DOUBLE) * 100 + 0.5) AS BIGINT)"
+    aggs = ", ".join(
+        f"SUM(CASE WHEN {arm} = {b} THEN {expr} ELSE 0 END) AS {name}"
+        for b, tag in ((0, "a"), (1, "b"))
+        for expr, name in (
+            ("1", f"n_{tag}"),
+            (cents, f"s_{tag}"),
+            (f"{cents} * {cents}", f"ss_{tag}"),
+        )
+    )
+
+    def var(tag: str) -> str:
+        return (
+            f"((CAST(ss_{tag} AS DOUBLE) - CAST(s_{tag} AS DOUBLE) "
+            f"* CAST(s_{tag} AS DOUBLE) / CAST(n_{tag} AS DOUBLE)) "
+            f"/ nullif(CAST(n_{tag} AS DOUBLE) - 1.0, 0.0))"
+        )
+
+    def mean(tag: str) -> str:
+        return (
+            f"(CAST(s_{tag} AS DOUBLE) "
+            f"/ nullif(CAST(n_{tag} AS DOUBLE), 0.0))"
+        )
+
+    se2 = (
+        f"({var('a')} / CAST(n_a AS DOUBLE) "
+        f"+ {var('b')} / CAST(n_b AS DOUBLE))"
+    )
+    return f"""
+        WITH agg AS (
+            SELECT {group_col}, {aggs}
+            FROM {table}
+            WHERE {unit_col} IS NOT NULL AND {value_col} IS NOT NULL
+            GROUP BY {group_col}
+        )
+        SELECT {group_col},
+               CAST(n_a AS BIGINT) AS n_a,
+               CAST(n_b AS BIGINT) AS n_b,
+               round({mean('a')} / 100.0, {digits}) AS mean_a,
+               round({mean('b')} / 100.0, {digits}) AS mean_b,
+               round(({mean('a')} - {mean('b')})
+                   / nullif(sqrt({se2}), 0.0), {digits}) AS t_stat
+        FROM agg
+    """

@@ -306,3 +306,36 @@ def test_auc_hand_computed(spark):
                ).auc == 0.5
     r = run([(3.0, True), (2.0, True), (1.0, False), (2.0, False)])
     assert (r.n_pos, r.n_neg, r.auc) == (2, 2, 0.875)
+
+
+def test_welch_t_hand_computed(spark):
+    """Arms with identical per-arm values give t = 0 exactly; a
+    known asymmetric case checks the Welch formula by hand: arm a =
+    {10, 20} (mean 15, var 50), arm b = {30, 40} (mean 35, var 50)
+    -> t = -20/sqrt(50/2 + 50/2) = -2.8284. Constant arms (var 0 on
+    both sides) give NULL t via the se=0 guard."""
+    import hashlib
+    import math
+
+    from pac_data_pipeline_spark.operators.stats import welch_t_test
+
+    def arm(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+
+    a_ids = [u for u in range(40) if arm(u) == 0][:2]
+    b_ids = [u for u in range(40) if arm(u) == 1][:2]
+    rows = (
+        [("g", a_ids[0], 10.0), ("g", a_ids[1], 20.0),
+         ("g", b_ids[0], 30.0), ("g", b_ids[1], 40.0)]
+        + [("flat", u, 7.0) for u in a_ids + b_ids]
+    )
+    df = spark.createDataFrame(
+        rows, "event_type string, user_id long, value double"
+    )
+    got = {r.event_type: r for r in
+           welch_t_test(df, "event_type", "user_id", "value").collect()}
+    g = got["g"]
+    assert (g.mean_a, g.mean_b) == (15.0, 35.0)
+    assert g.t_stat == round(-20.0 / math.sqrt(50.0), 4)
+    f = got["flat"]
+    assert f.t_stat is None and f.mean_a == 7.0 and f.mean_b == 7.0
