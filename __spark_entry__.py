@@ -1638,6 +1638,20 @@ def q_x_kmeans(spark, sf_dir):
     return kmeans_assign(_t(spark, sf_dir, "embeddings"))
 
 
+def q_x_holt(spark, sf_dir):
+    """Holt double exponential smoothing per user — EWMA's
+    trend-aware sibling: level and trend as COUPLED recursions plus
+    the one-step forecast, so a drifting series is tracked instead
+    of lagged. Same contract as x_ewma: one shuffle, codegen HOF
+    fold, both state components floor-rounded per step; the DuckDB
+    RECURSIVE CTE binds the new level once in a subquery and
+    reproduces the trajectory byte for byte."""
+    from pac_data_pipeline_spark.operators.timeseries import holt_smooth
+
+    e = load_events(spark, sf_dir)
+    return holt_smooth(e, "user_id", ("ts", "event_id"), "value")
+
+
 def q_x_welch_t(spark, sf_dir):
     """Welch two-sample t-test on the CONTINUOUS outcome over the
     same md5 unit split as x_ab_test — together they complete the
@@ -4039,6 +4053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_skew_profile": q_x_skew_profile,
         "x_dedup_eval": q_x_dedup_eval,
         "x_welch_t": q_x_welch_t,
+        "x_holt": q_x_holt,
         "x_table_checksum": q_x_table_checksum,
         "x_benford": q_x_benford,
         "x_html_extract": q_x_html_extract,
@@ -4069,7 +4084,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_sentence_stats": q_x_sentence_stats,
         "x_simhash_pairs": q_x_simhash_pairs,
         "x_unicode_clean": q_x_unicode_clean,
-        "x_boilerplate": q_x_boilerplate,
         "x_dq_checks": q_x_dq_checks,
         # -- (b) never-checked, rows-only-by-design ------------------
         "x_image_dhash": q_x_image_dhash,
@@ -4083,6 +4097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_window_tumbling": q_x_window_tumbling,
         "x_window_sliding": q_x_window_sliding,
         "x_session_window": q_x_session_window,
+        "x_boilerplate": q_x_boilerplate,
         "x_schema_evolution": q_x_schema_evolution,
         "x_json_props": q_x_json_props,
         "x_variant": q_x_variant,
@@ -4113,16 +4128,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEXT-ROUND TAIL (round-6 queue): the 3 re-check slots
         # planned for a4/a1/j1 plus five rows-only slots were
         # consumed by this round's new queries — new/changed first
-        # per the steady-state policy. The THIRTY never-checked
-        # names now below the window (twenty oracle-backed displaced
-        # by the late-round graph/basket/stats/clustering/streaming
-        # queries: x_window_tumbling, x_window_sliding,
-        # x_session_window, x_schema_evolution, x_json_props,
-        # x_variant, x_stream_enrich, x_stream_dedup_wm,
-        # x_stream_cdc, x_stream_sliding, x_hard_negatives,
-        # x_negative_pairs, x_incremental_dedup, x_token_budget,
-        # x_udaf_geomean, x_profile, x_corpus_report, x_vec_pool,
-        # x_vec_norm, x_vec_quantize; then
+        # per the steady-state policy. The THIRTY-ONE never-checked
+        # names now below the window (twenty-one oracle-backed
+        # displaced by the late-round graph/basket/stats/clustering/
+        # streaming queries: x_window_tumbling, x_window_sliding,
+        # x_session_window, x_boilerplate, x_schema_evolution,
+        # x_json_props, x_variant, x_stream_enrich,
+        # x_stream_dedup_wm, x_stream_cdc, x_stream_sliding,
+        # x_hard_negatives, x_negative_pairs, x_incremental_dedup,
+        # x_token_budget, x_udaf_geomean, x_profile,
+        # x_corpus_report, x_vec_pool, x_vec_norm, x_vec_quantize;
+        # then
         # ten rows-only-by-design: x_minhash_near_dup,
         # x_cosine_topk_lsh, x_cosine_topk_ivf, x_cosine_topk_pq,
         # x_embedding_near_dup, x_multimodal_features, x_bpe_train,
@@ -5824,6 +5840,14 @@ def oracle_sql() -> dict[str, str]:
     # x_welch_t: identical md5 split + exact-integer cents sums.
     oracles["x_welch_t"] = welch_t_test_sql(
         "events", "event_type", "user_id", "value"
+    )
+    from pac_data_pipeline_spark.operators.timeseries import (
+        holt_smooth_sql,
+    )
+
+    # x_holt: coupled-recursion RECURSIVE CTE, l_new bound once.
+    oracles["x_holt"] = holt_smooth_sql(
+        "events", "user_id", ("ts", "event_id"), "value"
     )
     # x_triangles: id-ordered 3-way join names the same triangle set
     # as Spark's degree orientation (set is orientation-invariant).

@@ -490,3 +490,144 @@ def longest_streaks_sql(
             FROM per_island
         ) WHERE rk = 1
     """
+
+
+def holt_smooth(
+    df: DataFrame,
+    key_col: str,
+    order_cols: tuple[str, ...],
+    value_col: str,
+    alpha: float = 0.3,
+    beta: float = 0.2,
+    digits: int = 10,
+) -> DataFrame:
+    """Per-key Holt double exponential smoothing — EWMA's
+    trend-aware sibling (level l and trend b as COUPLED recursions:
+    ``l_n = α·x_n + (1−α)(l_{n−1}+b_{n−1})``,
+    ``b_n = β(l_n − l_{n−1}) + (1−β)b_{n−1}``; seeds l₁=x₁, b₁=0)
+    plus the one-step forecast ``l+b`` — the smoother that tracks a
+    drifting series instead of lagging it.
+
+    Same execution and determinism contract as
+    :func:`ewma_smooth`: ONE shuffle, the coupled recursion folds in
+    whole-stage codegen over sort_array(collect_list), both state
+    components floor-rounded per step so the trajectory is
+    byte-identical on any engine (the oracle binds l_n once in a
+    subquery; the fold spells it twice — the same deterministic
+    expression either way). NULL key/order/value rows drop.
+
+    Returns (key, last order col, value, level, trend, forecast).
+    """
+    scale = float(10 ** digits)
+    ordc = [F.col(c) for c in order_cols]
+    notnull = F.col(value_col).isNotNull() & F.col(key_col).isNotNull()
+    for c in ordc:
+        notnull = notnull & c.isNotNull()
+    clean = df.filter(notnull).select(
+        F.col(key_col).alias("__k"),
+        F.struct(
+            *[c.alias(f"__o{i}") for i, c in enumerate(ordc)],
+            F.col(value_col).cast("double").alias("__v"),
+        ).alias("__s"),
+    )
+    grouped = clean.groupBy("__k").agg(
+        F.sort_array(F.collect_list("__s")).alias("__arr")
+    )
+    rnd = f"x -> CAST(floor(x * {scale} + 0.5D) / {scale} AS DOUBLE)"
+    l_new = (
+        f"CAST(floor((CAST({alpha} AS DOUBLE) * x.__v "
+        f"+ CAST({1 - alpha} AS DOUBLE) * (acc.l + acc.b)) "
+        f"* {scale} + 0.5D) / {scale} AS DOUBLE)"
+    )
+    b_new = (
+        f"CAST(floor((CAST({beta} AS DOUBLE) * ({l_new} - acc.l) "
+        f"+ CAST({1 - beta} AS DOUBLE) * acc.b) "
+        f"* {scale} + 0.5D) / {scale} AS DOUBLE)"
+    )
+    folded = grouped.withColumn(
+        "__hw",
+        F.expr(
+            "aggregate(__arr, "
+            "struct(CAST(NULL AS DOUBLE) AS l, CAST(0.0D AS DOUBLE) AS b, "
+            "       CAST(array() AS array<struct<l:double,b:double>>) "
+            "       AS out), "
+            "(acc, x) -> CASE WHEN acc.l IS NULL THEN "
+            "  struct(x.__v AS l, 0.0D AS b, "
+            "         array(struct(x.__v AS l, 0.0D AS b)) AS out) "
+            "ELSE "
+            f" struct({l_new} AS l, {b_new} AS b, "
+            f"        concat(acc.out, array(struct({l_new} AS l, "
+            f"        {b_new} AS b))) AS out) "
+            "END, "
+            "acc -> acc.out)"
+        ),
+    )
+    last_o = f"__o{len(order_cols) - 1}"
+    exploded = folded.select(
+        "__k",
+        F.posexplode(F.arrays_zip("__arr", "__hw")).alias("__i", "__z"),
+    )
+    return exploded.select(
+        F.col("__k").alias(key_col),
+        F.col(f"__z.__arr.{last_o}").alias(order_cols[-1]),
+        F.col("__z.__arr.__v").alias(value_col),
+        F.col("__z.__hw.l").alias("level"),
+        F.col("__z.__hw.b").alias("trend"),
+        F.round(F.col("__z.__hw.l") + F.col("__z.__hw.b"), 6).alias(
+            "forecast"
+        ),
+    )
+
+
+def holt_smooth_sql(
+    table: str,
+    key_col: str,
+    order_cols: tuple[str, ...],
+    value_col: str,
+    alpha: float = 0.3,
+    beta: float = 0.2,
+    digits: int = 10,
+) -> str:
+    """The coupled recursion as a DuckDB RECURSIVE CTE; ``l_new``
+    binds ONCE in the recursive term's subquery so the trend update
+    reads the already-rounded level (mirroring the fold's repeated
+    — but identical — expression)."""
+    scale = float(10 ** digits)
+    order_by = ", ".join(order_cols)
+    nn = " AND ".join(
+        f"{c} IS NOT NULL" for c in (value_col, key_col, *order_cols)
+    )
+    l_new = (
+        f"floor((CAST({alpha} AS DOUBLE) * s.v "
+        f"+ CAST({1 - alpha} AS DOUBLE) * (r.l + r.b)) "
+        f"* {scale} + 0.5) / {scale}"
+    )
+    return f"""
+        WITH RECURSIVE seq AS (
+            SELECT {key_col} AS k, {order_cols[-1]} AS o,
+                   CAST({value_col} AS DOUBLE) AS v,
+                   row_number() OVER (
+                       PARTITION BY {key_col} ORDER BY {order_by}
+                   ) AS rn
+            FROM {table}
+            WHERE {nn}
+        ),
+        r AS (
+            SELECT k, o, v, rn, v AS l, CAST(0.0 AS DOUBLE) AS b
+            FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT k, o, v, rn, l_new AS l,
+                   floor((CAST({beta} AS DOUBLE) * (l_new - prev_l)
+                       + CAST({1 - beta} AS DOUBLE) * prev_b)
+                       * {scale} + 0.5) / {scale} AS b
+            FROM (
+                SELECT s.k, s.o, s.v, s.rn,
+                       {l_new} AS l_new, r.l AS prev_l, r.b AS prev_b
+                FROM r JOIN seq s ON s.k = r.k AND s.rn = r.rn + 1
+            )
+        )
+        SELECT k AS {key_col}, o AS {order_cols[-1]},
+               v AS {value_col}, l AS level, b AS trend,
+               round(l + b, 6) AS forecast
+        FROM r
+    """

@@ -193,3 +193,20 @@ def test_longest_streaks_hand_computed(spark):
     got = {r.k: (r.streak_len, r.streak_value, r.n_islands) for r in
            longest_streaks(df, "k", ("i",), "v").collect()}
     assert got == {"u1": (3, "b", 3), "u2": (2, "a", 2), "u3": (1, "z", 1)}
+
+
+def test_holt_smooth_hand_computed(spark):
+    """Series [10, 20, 30] at α=0.3, β=0.2: l1=10 b1=0;
+    l2=0.3*20+0.7*10=13, b2=0.2*3+0=0.6; l3=0.3*30+0.7*13.6=18.52,
+    b3=0.2*5.52+0.8*0.6=1.584; forecasts l+b. A perfectly linear
+    series is tracked (forecast approaches the next value) where
+    plain EWMA lags it."""
+    from pac_data_pipeline_spark.operators.timeseries import holt_smooth
+
+    rows = [("k", 1, 10.0), ("k", 2, 20.0), ("k", 3, 30.0)]
+    df = spark.createDataFrame(rows, "k string, i long, value double")
+    got = {r.i: (r.level, r.trend, r.forecast) for r in
+           holt_smooth(df, "k", ("i",), "value").collect()}
+    assert got[1] == (10.0, 0.0, 10.0)
+    assert got[2] == (13.0, 0.6, 13.6)
+    assert got[3] == (18.52, 1.584, 20.104)
