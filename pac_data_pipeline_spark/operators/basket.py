@@ -3,8 +3,8 @@ support and confidence, the first rung of association-rule mining
 (Agrawal & Srikant's Apriori, VLDB'94) and the recommender /
 "frequently bought together" primitive a retail-scale pipeline runs.
 
-The reference has no basket surface (its pipeline is row-wise
-cleaning into keyed document writes, ``pac_*_data.py``); this module
+The reference has no basket surface (its analytics stop at per-key
+sums and top-k, ``pac_data_processor.py:69``, ``:347``); this module
 extends the engine the same way the other `ext`/operator tiers do:
 a deterministic, oracle-mirrorable formulation of a public
 algorithm with an explicitly scale-first plan.

@@ -737,3 +737,70 @@ def test_iqr_outliers_matches_numpy(spark_session_holder, values):
     )
     assert (r.q1, r.q3) == (q1, q3)
     assert r.n_outliers == sum(1 for v in values if v < lo or v > hi)
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1000, max_value=1000,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_holt_matches_python_reference(spark_session_holder, series):
+    """The coupled level/trend fold must equal the plain-Python
+    recursion with identical per-step floor-rounds on any series."""
+    import math
+
+    spark = spark_session_holder
+    df = spark.createDataFrame(
+        [("k", i, float(v)) for i, v in enumerate(series)],
+        "k string, i long, value double",
+    )
+    from pac_data_pipeline_spark.operators.timeseries import holt_smooth
+
+    got = {r.i: (r.level, r.trend) for r in
+           holt_smooth(df, "k", ("i",), "value").collect()}
+
+    def r10(x):
+        return math.floor(x * 1e10 + 0.5) / 1e10
+
+    l = b = None
+    for i, v in enumerate(series):
+        if l is None:
+            l, b = v, 0.0
+        else:
+            l_new = r10(0.3 * v + 0.7 * (l + b))
+            b = r10(0.2 * (l_new - l) + 0.8 * b)
+            l = l_new
+        assert got[i] == (l, b), (i, got[i], (l, b))
+
+
+@given(
+    st.lists(
+        st.floats(min_value=0.001, max_value=1e6,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_benford_digits_match_python(spark_session_holder, amounts):
+    """The string-on-integer digit extraction must equal a Python
+    reference over the same exact-cents scaling, for any positive
+    amounts (including sub-cent values, which drop)."""
+    from collections import Counter
+
+    spark = spark_session_holder
+    df = spark.createDataFrame([(float(a),) for a in amounts],
+                               "amt double")
+    from pac_data_pipeline_spark.operators.quality import benford_audit
+
+    got = {r.digit: r.n for r in benford_audit(df, "amt").collect()}
+    ref = Counter()
+    for a in amounts:
+        cents = int(a * 100)  # float mul + trunc, same as the engines
+        if cents > 0:
+            ref[int(str(cents)[0])] += 1
+    assert got == dict(ref)
