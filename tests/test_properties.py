@@ -798,9 +798,12 @@ def test_benford_digits_match_python(spark_session_holder, amounts):
     from pac_data_pipeline_spark.operators.quality import benford_audit
 
     got = {r.digit: r.n for r in benford_audit(df, "amt").collect()}
+    import math
+
     ref = Counter()
     for a in amounts:
-        cents = int(a * 100)  # float mul + trunc, same as the engines
+        # identical round-half-up scaling to the operators' floor form
+        cents = math.floor(a * 100 + 0.5)
         if cents > 0:
             ref[int(str(cents)[0])] += 1
     assert got == dict(ref)
