@@ -238,7 +238,15 @@ def benford_audit(
     Returns one row per observed digit: (digit, n, obs_share,
     benford_share, chi2_term).
     """
-    cents = (F.col(amount_col).cast("double") * 100).cast("bigint")
+    # explicit floor(x*100 + 0.5): Spark's double->bigint cast
+    # TRUNCATES while DuckDB's ROUNDS half-even — a 2-decimal value
+    # whose double product lands a hair below an integer (0.29*100 =
+    # 28.999...96) would flip first digits between engines exactly
+    # at power-of-ten boundaries. The shared floor form is one IEEE
+    # sequence both engines evaluate identically.
+    cents = F.floor(
+        F.col(amount_col).cast("double") * 100 + F.lit(0.5)
+    ).cast("bigint")
     digit = F.substring(cents.cast("string"), 1, 1).cast("int")
     counted = (
         df.filter(F.col(amount_col).isNotNull() & (cents > 0))
@@ -266,7 +274,9 @@ def benford_audit_sql(
 ) -> str:
     """The same audit as DuckDB SQL — identical integer-cents digit
     extraction, window total, and chi-square arithmetic."""
-    cents = f"CAST(CAST({amount_col} AS DOUBLE) * 100 AS BIGINT)"
+    cents = (
+        f"CAST(floor(CAST({amount_col} AS DOUBLE) * 100 + 0.5) AS BIGINT)"
+    )
     return f"""
         WITH counted AS (
             SELECT CAST(substr(CAST({cents} AS VARCHAR), 1, 1) AS INT)
