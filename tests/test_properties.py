@@ -807,3 +807,86 @@ def test_benford_digits_match_python(spark_session_holder, amounts):
         if cents > 0:
             ref[int(str(cents)[0])] += 1
     assert got == dict(ref)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=9),
+                  st.integers(min_value=0, max_value=9)),
+        min_size=0,
+        max_size=30,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_triangle_counts_match_bruteforce(spark_session_holder, raw_edges):
+    """Degree-oriented counting must equal the itertools brute force
+    (all 3-subsets with all three edges present) on arbitrary small
+    directed multigraphs with self-loops and duplicates."""
+    import itertools
+    from collections import Counter
+
+    spark = spark_session_holder
+    nodes = spark.createDataFrame([(i,) for i in range(10)],
+                                  "doc_id long")
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in raw_edges] or [(0, 0)],
+        "src long, dst long",
+    )
+    from pac_data_pipeline_spark.ext.graph import triangle_counts
+
+    got = {r.doc_id: r.n_triangles for r in
+           triangle_counts(nodes, edges).collect()}
+
+    und = {frozenset(e) for e in (raw_edges or [(0, 0)])
+           if e[0] != e[1]}
+    ref = Counter()
+    for a, b, c in itertools.combinations(range(10), 3):
+        if (frozenset((a, b)) in und and frozenset((b, c)) in und
+                and frozenset((a, c)) in und):
+            ref[a] += 1
+            ref[b] += 1
+            ref[c] += 1
+    assert got == dict(ref)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=9),
+                  st.integers(min_value=0, max_value=9)),
+        min_size=0,
+        max_size=30,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_khop_matches_python_bfs(spark_session_holder, raw_edges):
+    """Bounded min-hop must equal a plain Python BFS from the same
+    seed set (node 0 — the only id < 10 with id % 97 == 0) on
+    arbitrary directed graphs."""
+    from collections import deque
+
+    spark = spark_session_holder
+    nodes = spark.createDataFrame([(i,) for i in range(10)],
+                                  "doc_id long")
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in raw_edges] or [(0, 0)],
+        "src long, dst long",
+    )
+    from pac_data_pipeline_spark.ext.graph import khop_distances
+
+    got = {r.doc_id: r.hops for r in
+           khop_distances(nodes, edges, n_hops=3).collect()}
+
+    adj = {}
+    for a, b in (raw_edges or [(0, 0)]):
+        adj.setdefault(a, set()).add(b)
+    dist = {0: 0}
+    q = deque([0])
+    while q:
+        u = q.popleft()
+        if dist[u] >= 3:
+            continue
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    assert got == dist
