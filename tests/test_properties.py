@@ -890,3 +890,97 @@ def test_khop_matches_python_bfs(spark_session_holder, raw_edges):
                 dist[v] = dist[u] + 1
                 q.append(v)
     assert got == dist
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-1, max_value=1,
+                      allow_nan=False, allow_infinity=False),
+            min_size=2, max_size=2,
+        ),
+        min_size=3,
+        max_size=16,
+    ),
+    st.integers(min_value=1, max_value=50000),
+)
+@settings(max_examples=10, deadline=None)
+def test_semantic_dedup_matches_python_greedy(
+    spark_session_holder, vecs, threshold
+):
+    """The within-cluster greedy-by-id marking must equal a plain
+    Python replay (same quantization, same cluster assignments via
+    the kmeans reference contract, same threshold) on arbitrary 2-D
+    input."""
+    import math
+
+    import numpy as np
+
+    spark = spark_session_holder
+    k, n_iter = 2, 2
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    from pac_data_pipeline_spark.ext.kmeans import (
+        kmeans_assign,
+        semantic_dedup,
+    )
+
+    clusters = {r.vec_id: r.cluster for r in
+                kmeans_assign(df, k=k, n_iter=n_iter).collect()}
+    got = {r.vec_id: r.dup_of for r in
+           semantic_dedup(df, k=k, n_iter=n_iter,
+                          threshold=threshold).collect()}
+
+    q = {
+        i: [int(math.floor(float(np.float32(x)) * 1000 + 0.5))
+            for x in v]
+        for i, v in enumerate(vecs)
+    }
+    ref = {}
+    for i in sorted(q):
+        dup = None
+        for j in sorted(q):
+            if j >= i or clusters[j] != clusters[i]:
+                continue
+            d = sum((a - b) * (a - b) for a, b in zip(q[i], q[j]))
+            if d <= threshold:
+                dup = j
+                break
+        ref[i] = dup
+    assert got == ref
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=-50, max_value=50),
+                  st.one_of(st.none(), st.text(max_size=5))),
+        min_size=1,
+        max_size=30,
+    ),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=20, deadline=None)
+def test_table_checksum_is_permutation_invariant(
+    spark_session_holder, rows, rng
+):
+    """Any permutation and any repartitioning of the same multiset
+    of rows yields the identical (n_rows, checksum, null_cells);
+    dropping one row never does."""
+    spark = spark_session_holder
+    from pac_data_pipeline_spark.operators.quality import table_checksum
+
+    a = spark.createDataFrame(rows, "id long, v string")
+    shuffled = list(rows)
+    rng.shuffle(shuffled)
+    b = spark.createDataFrame(shuffled, "id long, v string").repartition(5)
+    ca = table_checksum(a, ("id", "v")).collect()[0]
+    cb = table_checksum(b, ("id", "v")).collect()[0]
+    assert (ca.n_rows, ca.checksum, ca.null_cells) == \
+           (cb.n_rows, cb.checksum, cb.null_cells)
+    c = spark.createDataFrame(rows[:-1], "id long, v string") \
+        if len(rows) > 1 else None
+    if c is not None:
+        cc = table_checksum(c, ("id", "v")).collect()[0]
+        assert (cc.n_rows, cc.checksum) != (ca.n_rows, ca.checksum)
