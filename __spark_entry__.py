@@ -4019,22 +4019,89 @@ def q_x_udtf_tokens(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # Dict ORDER is load-bearing: the round driver's correctness
-        # gate checks only the FIRST 50 entries. Round 5 rotation
-        # (per VERDICT r4 item 2): the window is the 47 queries that
-        # have NEVER received a driver verdict in CORRECTNESS_r01-r04
-        # — 37 oracle-backed (incl. x_dq_checks, rewritten in r4 and
-        # previously mis-queued outside the window, and x_ks_drift,
-        # whose one-sided-key DIVIDE_BY_ZERO was fixed this round)
-        # then 10 rows-only-by-design — plus 3 re-check slots filled
-        # with the oldest r01 verdicts (steady-state policy: changed
-        # queries first, then round-robin re-verification of the
-        # oldest verdicts). All oracle-backed names are exact-hash
-        # green in the local DuckDB gate (tools/check_oracle.py,
-        # clean + null-fuzz + empty + unicode clones). Late round-5
-        # additions (x_triangles, x_khop_bfs) sit at the head per the
-        # new/changed-first rule and displaced the two x_window_*
-        # batch queries to the round-6 queue (see NEXT-ROUND TAIL).
-        # -- (a0) new this round --------------------------------------
+        # gate checks only the FIRST 50 entries. Round 6 rotation
+        # (per VERDICT r5 item 1): the window is EXACTLY the 31
+        # queries that have never received a driver verdict in
+        # CORRECTNESS_r01-r05 — 21 oracle-backed (streaming windows,
+        # schema-evolution/JSON/VARIANT, hard-negatives, profile,
+        # vector ops) then 10 rows-only-by-design — plus 19 re-check
+        # slots filled with the OLDEST verdicts (the r01 block in
+        # dict order, starting a4_party_rollup / a1_groupby_sum /
+        # j1_dim_join; the code under several of them — cleaning,
+        # scalar, aggregates — was refactored since r01). NO new
+        # queries were added inside this window; round-6 additions
+        # queue BELOW it (see NEXT-ROUND TAIL). All oracle-backed
+        # names are exact-hash green in the local DuckDB gate
+        # (tools/check_oracle.py, clean + null-fuzz + empty +
+        # unicode clones).
+        # -- (a) never-driver-verdicted, oracle-backed (21) ----------
+        "x_window_tumbling": q_x_window_tumbling,
+        "x_window_sliding": q_x_window_sliding,
+        "x_session_window": q_x_session_window,
+        "x_boilerplate": q_x_boilerplate,
+        "x_schema_evolution": q_x_schema_evolution,
+        "x_json_props": q_x_json_props,
+        "x_variant": q_x_variant,
+        "x_stream_enrich": q_x_stream_enrich,
+        "x_stream_dedup_wm": q_x_stream_dedup_wm,
+        "x_stream_cdc": q_x_stream_cdc,
+        "x_stream_sliding": q_x_stream_sliding,
+        "x_hard_negatives": q_x_hard_negatives,
+        "x_negative_pairs": q_x_negative_pairs,
+        "x_incremental_dedup": q_x_incremental_dedup,
+        "x_token_budget": q_x_token_budget,
+        "x_udaf_geomean": q_x_udaf_geomean,
+        "x_profile": q_x_profile,
+        "x_corpus_report": q_x_corpus_report,
+        "x_vec_pool": q_x_vec_pool,
+        "x_vec_norm": q_x_vec_norm,
+        "x_vec_quantize": q_x_vec_quantize,
+        # -- (b) never-driver-verdicted, rows-only-by-design (10) ----
+        "x_minhash_near_dup": q_x_minhash_near_dup,
+        "x_cosine_topk_lsh": q_x_cosine_topk_lsh,
+        "x_cosine_topk_ivf": q_x_cosine_topk_ivf,
+        "x_cosine_topk_pq": q_x_cosine_topk_pq,
+        "x_embedding_near_dup": q_x_embedding_near_dup,
+        "x_multimodal_features": q_x_multimodal_features,
+        "x_bpe_train": q_x_bpe_train,
+        "x_bpe_encode": q_x_bpe_encode,
+        "x_audio_features": q_x_audio_features,
+        "x_hll_distinct": q_x_hll_distinct,
+        # -- (c) oldest-verdict re-checks (19 r01 names, dict order) -
+        "a4_party_rollup": q_a4_party_rollup,
+        "a1_groupby_sum": q_a1_groupby_sum,
+        "j1_dim_join": q_j1_dim_join,
+        "h_asof_join": q_h_asof_join,
+        "k3_batch_id": q_k3_batch_id,
+        "x_stream_sessions": q_x_stream_sessions,
+        "x_stream_dedup": q_x_stream_dedup,
+        "h3_shipping_priority": q_h3_shipping_priority,
+        "h5_local_volume": q_h5_local_volume,
+        "h6_revenue_forecast": q_h6_revenue_forecast,
+        "h10_returned_items": q_h10_returned_items,
+        "h14_promo_share": q_h14_promo_share,
+        "s2_sql_source": q_s2_sql_source,
+        "j2_dedup_keep_first": q_j2_dedup_keep_first,
+        "pipe_csv_report": q_pipe_csv_report,
+        "p1_normalize_project": q_p1_normalize_project,
+        "p5_literal_metadata": q_p5_literal_metadata,
+        "p6_uuid_records": q_p6_uuid_records,
+        "p7_doc_records": q_p7_doc_records,
+        # ---- end of round-6 window (position 50) -------------------
+        # NEXT-ROUND TAIL (round-7 plan): once CORRECTNESS_r06 lands,
+        # EVERY registry name has a driver verdict (the 31 above get
+        # their first; the 19 re-checks refresh the oldest). Steady
+        # state from round 7: (1) anything new or code-changed in the
+        # round goes to the dict head; (2) remaining window slots
+        # round-robin re-verify the OLDEST verdicts — the cursor
+        # continues from p7_doc_records through the REMAINING r01
+        # names in dict order (f1_filter_positive,
+        # f3_filter_nonempty_key, f4_drop_all_null, f5_filter_eq,
+        # e1_bin_amounts, ... through x_token_regex), then the
+        # r02/r03 block, then r04, then r05. Round-6 additions (e.g.
+        # x_quantile_sketch, x_mmr_diversity) sit directly below this
+        # window and lead the round-7 window per rule (1).
+        # ---- driver-verdicted r05 (round-5 window); code unchanged -
         "x_triangles": q_x_triangles,
         "x_khop_bfs": q_x_khop_bfs,
         "x_frequent_pairs": q_x_frequent_pairs,
@@ -4068,7 +4135,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_cdc_chunks": q_x_cdc_chunks,
         "x_tokenizer_fertility": q_x_tokenizer_fertility,
         "h_range_frame": q_h_range_frame,
-        # -- (a) never-checked, oracle-backed ------------------------
         "x_png_decode_dims": q_x_png_decode_dims,
         "x_webp_decode_dims": q_x_webp_decode_dims,
         "x_nb_classifier": q_x_nb_classifier,
@@ -4085,74 +4151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_simhash_pairs": q_x_simhash_pairs,
         "x_unicode_clean": q_x_unicode_clean,
         "x_dq_checks": q_x_dq_checks,
-        # -- (b) never-checked, rows-only-by-design ------------------
         "x_image_dhash": q_x_image_dhash,
-        # ---- end of round-5 window (position 50) -------------------
-        # x_window_tumbling / x_window_sliding were displaced below
-        # the window by the two new graph queries (x_triangles,
-        # x_khop_bfs — new/changed go first per the steady-state
-        # policy); they join the round-6 never-checked queue ahead of
-        # the rows-only block, keeping x_dq_checks (re-queued per
-        # VERDICT r4 item 2) and x_image_dhash inside the window.
-        "x_window_tumbling": q_x_window_tumbling,
-        "x_window_sliding": q_x_window_sliding,
-        "x_session_window": q_x_session_window,
-        "x_boilerplate": q_x_boilerplate,
-        "x_schema_evolution": q_x_schema_evolution,
-        "x_json_props": q_x_json_props,
-        "x_variant": q_x_variant,
-        "x_stream_enrich": q_x_stream_enrich,
-        "x_stream_dedup_wm": q_x_stream_dedup_wm,
-        "x_stream_cdc": q_x_stream_cdc,
-        "x_stream_sliding": q_x_stream_sliding,
-        "x_hard_negatives": q_x_hard_negatives,
-        "x_negative_pairs": q_x_negative_pairs,
-        "x_incremental_dedup": q_x_incremental_dedup,
-        "x_token_budget": q_x_token_budget,
-        "x_udaf_geomean": q_x_udaf_geomean,
-        "x_profile": q_x_profile,
-        "x_corpus_report": q_x_corpus_report,
-        "x_vec_pool": q_x_vec_pool,
-        "x_vec_norm": q_x_vec_norm,
-        "x_vec_quantize": q_x_vec_quantize,
-        "x_minhash_near_dup": q_x_minhash_near_dup,
-        "x_cosine_topk_lsh": q_x_cosine_topk_lsh,
-        "x_cosine_topk_ivf": q_x_cosine_topk_ivf,
-        "x_cosine_topk_pq": q_x_cosine_topk_pq,
-        "x_embedding_near_dup": q_x_embedding_near_dup,
-        "x_multimodal_features": q_x_multimodal_features,
-        "x_bpe_train": q_x_bpe_train,
-        "x_bpe_encode": q_x_bpe_encode,
-        "x_audio_features": q_x_audio_features,
-        "x_hll_distinct": q_x_hll_distinct,
-        # NEXT-ROUND TAIL (round-6 queue): the 3 re-check slots
-        # planned for a4/a1/j1 plus five rows-only slots were
-        # consumed by this round's new queries — new/changed first
-        # per the steady-state policy. The THIRTY-ONE never-checked
-        # names now below the window (twenty-one oracle-backed
-        # displaced by the late-round graph/basket/stats/clustering/
-        # streaming queries: x_window_tumbling, x_window_sliding,
-        # x_session_window, x_boilerplate, x_schema_evolution,
-        # x_json_props, x_variant, x_stream_enrich,
-        # x_stream_dedup_wm, x_stream_cdc, x_stream_sliding,
-        # x_hard_negatives, x_negative_pairs, x_incremental_dedup,
-        # x_token_budget, x_udaf_geomean, x_profile,
-        # x_corpus_report, x_vec_pool, x_vec_norm, x_vec_quantize;
-        # then
-        # ten rows-only-by-design: x_minhash_near_dup,
-        # x_cosine_topk_lsh, x_cosine_topk_ivf, x_cosine_topk_pq,
-        # x_embedding_near_dup, x_multimodal_features, x_bpe_train,
-        # x_bpe_encode, x_audio_features, x_hll_distinct) lead the
-        # round-6 window; then the oldest-verdict round-robin starts
-        # at a4_party_rollup and proceeds in dict order.
-        "a4_party_rollup": q_a4_party_rollup,
-        "a1_groupby_sum": q_a1_groupby_sum,
-        "j1_dim_join": q_j1_dim_join,
-        # ROUND-6 PLAN: after r05, every registry name has a driver
-        # verdict. Steady state: (1) anything new or code-changed in
-        # the round goes to the dict head; (2) remaining window slots
-        # round-robin re-verify the OLDEST verdicts (continue from
-        # j1_dim_join through the r01 block below, in order).
         # ---- driver-verdicted r04 (round-4 window); code unchanged -
         "x_approx_stats_exact": q_x_approx_stats_exact,
         "h_cube": q_h_cube,
@@ -4256,22 +4255,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_domain_mix": q_x_domain_mix,
         "x_approx_stats": q_x_approx_stats,
         "pipe_snowflake_batch": q_pipe_snowflake_batch,
-        "h_asof_join": q_h_asof_join,
-        "k3_batch_id": q_k3_batch_id,
-        "x_stream_sessions": q_x_stream_sessions,
-        "x_stream_dedup": q_x_stream_dedup,
-        "h3_shipping_priority": q_h3_shipping_priority,
-        "h5_local_volume": q_h5_local_volume,
-        "h6_revenue_forecast": q_h6_revenue_forecast,
-        "h10_returned_items": q_h10_returned_items,
-        "h14_promo_share": q_h14_promo_share,
-        "s2_sql_source": q_s2_sql_source,
-        "j2_dedup_keep_first": q_j2_dedup_keep_first,
-        "pipe_csv_report": q_pipe_csv_report,
-        "p1_normalize_project": q_p1_normalize_project,
-        "p5_literal_metadata": q_p5_literal_metadata,
-        "p6_uuid_records": q_p6_uuid_records,
-        "p7_doc_records": q_p7_doc_records,
         "f1_filter_positive": q_f1_filter_positive,
         "f3_filter_nonempty_key": q_f3_filter_nonempty_key,
         "f4_drop_all_null": q_f4_drop_all_null,
