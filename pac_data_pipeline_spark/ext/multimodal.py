@@ -1225,22 +1225,40 @@ def _dhash_bits(px: np.ndarray) -> int:
     """64-bit difference hash: grayscale → 9×8 average-pool →
     per-row left-vs-right gradient bits. The standard perceptual
     hash — resize-invariant by construction (pooling), brightness-
-    shift-invariant (only gradients matter)."""
-    g = px.astype(np.float64)
-    if g.ndim == 3:
-        g = g.mean(axis=2)
-    h_edges = np.linspace(0, g.shape[0], 9).astype(int)   # 8 rows
-    w_edges = np.linspace(0, g.shape[1], 10).astype(int)  # 9 cols
-    pooled = np.empty((8, 9))
+    shift-invariant (only gradients matter).
+
+    INTEGER-EXACT contract (the k-means fixed-point discipline):
+    block means are never materialized as floats — the gradient
+    comparison ``mean(L) > mean(R)`` is evaluated as the
+    cross-multiplied integer test ``sum(L)·n(R) > sum(R)·n(L)``
+    (channel-summed byte totals; the /channels and /pixels divisors
+    cancel). Float means round per-pixel and per-block, so two
+    equal-mean blocks (common in tiled synthetic pixels) could
+    compare unequal under one engine's summation order — with
+    integers the bits are reproducible by ANY engine that can sum
+    bytes, which is what lets the x_image_dhash registry query carry
+    a hash-exact DuckDB oracle. Block edges are exact integer floors
+    (``r·H//8`` / ``c·W//9`` — equal to np.linspace().astype(int)
+    for every size, property-checked in tests) with the ≥1-pixel
+    clamp for images narrower than the grid."""
+    p = px.astype(np.int64)
+    chsum = p.sum(axis=2) if p.ndim == 3 else p  # per-pixel byte total
+    height, width = chsum.shape
+    h_edges = [r * height // 8 for r in range(9)]
+    w_edges = [c * width // 9 for c in range(10)]
+    tot = np.empty((8, 9), dtype=np.int64)
+    cnt = np.empty((8, 9), dtype=np.int64)
     for r in range(8):
+        y0, y1 = h_edges[r], max(h_edges[r + 1], h_edges[r] + 1)
         for c in range(9):
-            block = g[h_edges[r]:max(h_edges[r + 1], h_edges[r] + 1),
-                      w_edges[c]:max(w_edges[c + 1], w_edges[c] + 1)]
-            pooled[r, c] = block.mean()
+            x0, x1 = w_edges[c], max(w_edges[c + 1], w_edges[c] + 1)
+            block = chsum[y0:y1, x0:x1]
+            tot[r, c] = int(block.sum())
+            cnt[r, c] = block.size
     bits = 0
     for r in range(8):
         for c in range(8):
-            if pooled[r, c] > pooled[r, c + 1]:
+            if tot[r, c] * cnt[r, c + 1] > tot[r, c + 1] * cnt[r, c]:
                 bits |= 1 << (r * 8 + c)
     # wrap to signed 64-bit so it stores as Spark LongType
     return bits - (1 << 64) if bits >= (1 << 63) else bits

@@ -1161,13 +1161,18 @@ def inverted_index(
     )
 
 
-#: Candidate card numbers: 13–19 digit runs with non-digit (or
-#: string-edge) boundaries on both sides. RE2 has no lookaround, so
-#: the boundaries are consuming groups and the number is group 2;
-#: runs of 20+ digits match NOTHING (every alignment fails one
-#: boundary) — deliberate, they are ids/hashes, not cards. Both
-#: engines resolve the alternation leftmost-first, so captures agree.
-CARD_CANDIDATE = r"(^|[^0-9])([0-9]{13,19})([^0-9]|$)"
+#: Candidate card numbers are MAXIMAL digit runs of length 13–19:
+#: split the text on non-digits and length-filter the pieces. Runs
+#: of 20+ digits yield NOTHING — deliberate, they are ids/hashes,
+#: not cards. The earlier consuming-boundary regex
+#: ``(^|[^0-9])([0-9]{13,19})([^0-9]|$)`` silently skipped a card
+#: separated from the previous match by a SINGLE non-digit (RE2 has
+#: no lookaround, so group 3 consumed the separator —
+#: '4111111111111111,4012888888881881' yielded one candidate); the
+#: split formulation has no adjacency blind spot and both engines
+#: express it natively (Spark split + filter HOF, DuckDB
+#: regexp_split_to_array + list_filter).
+CARD_SPLIT = r"[^0-9]"
 
 
 def luhn_valid_col(digits: Column) -> Column:
@@ -1202,9 +1207,12 @@ def card_scan(
     makes shape-only scrubbing unusable on numeric-heavy corpora.
     One row per doc: candidate count, Luhn-valid count, and the
     valid numbers' total digit mass (for redaction budgeting).
-    Shuffle-free scan-stage expressions throughout."""
-    cands = F.regexp_extract_all(
-        F.col(text_col), F.lit(CARD_CANDIDATE), F.lit(2)
+    Shuffle-free scan-stage expressions throughout. Candidates are
+    maximal digit runs (see :data:`CARD_SPLIT`) — no
+    adjacent-separator blind spot."""
+    cands = F.filter(
+        F.split(F.col(text_col), CARD_SPLIT),
+        lambda s: (F.length(s) >= 13) & (F.length(s) <= 19),
     )
     valid = F.filter(cands, luhn_valid_col)
     return df.select(

@@ -34,6 +34,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pac_data_pipeline_spark.functions.rounding import (
+    floor_round,
+    floor_round_sql,
+)
+
 
 def frequent_pairs(
     lines: DataFrame,
@@ -44,7 +49,9 @@ def frequent_pairs(
 ) -> DataFrame:
     """Top-``k`` co-occurring item pairs with support >=
     ``min_support``, plus per-direction confidence
-    (``support(a,b) / support(a)``, rounded to 6).
+    (``support(a,b) / support(a)``, pinned with the shared IEEE
+    floor-round at 6 digits — count/count ratios land on exact .xx5
+    boundaries, where engine ``round()`` is one-ulp divergent).
 
     Returns columns ``item_a < item_b``, ``support``, ``conf_a_b``,
     ``conf_b_a``. Ties broken by (item_a, item_b) so the top-k cut
@@ -105,8 +112,12 @@ def frequent_pairs(
             "item_a",
             "item_b",
             "support",
-            F.round(F.col("support") / F.col("n_a"), 6).alias("conf_a_b"),
-            F.round(F.col("support") / F.col("n_b"), 6).alias("conf_b_a"),
+            floor_round(F.col("support") / F.col("n_a"), 6).alias(
+                "conf_a_b"
+            ),
+            floor_round(F.col("support") / F.col("n_b"), 6).alias(
+                "conf_b_a"
+            ),
         )
     )
     return with_conf.orderBy(
@@ -126,7 +137,9 @@ def frequent_pairs_sql(
     have support >= s), so the oracle skips it and still names the
     identical pair set — the prune exists purely to keep the
     quadratic stage small at scale. Divisions are cast to DOUBLE to
-    match Spark's float domain before the round-6 pin."""
+    match Spark's float domain before the shared floor-round pin."""
+    conf_a = floor_round_sql("CAST(p.support AS DOUBLE) / fa.item_n", 6)
+    conf_b = floor_round_sql("CAST(p.support AS DOUBLE) / fb.item_n", 6)
     return f"""
         WITH baskets AS (
             SELECT DISTINCT {basket_col} AS bk, {item_col} AS item
@@ -144,8 +157,8 @@ def frequent_pairs_sql(
             HAVING count(*) >= {min_support}
         )
         SELECT p.item_a, p.item_b, p.support,
-               round(CAST(p.support AS DOUBLE) / fa.item_n, 6) AS conf_a_b,
-               round(CAST(p.support AS DOUBLE) / fb.item_n, 6) AS conf_b_a
+               {conf_a} AS conf_a_b,
+               {conf_b} AS conf_b_a
         FROM pairs p
         JOIN freq fa ON p.item_a = fa.item
         JOIN freq fb ON p.item_b = fb.item

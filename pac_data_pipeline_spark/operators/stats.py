@@ -21,6 +21,11 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pac_data_pipeline_spark.functions.rounding import (
+    floor_round,
+    floor_round_sql,
+)
+
 
 def ntile_buckets(
     df: DataFrame,
@@ -569,14 +574,17 @@ def ab_test(
         )
     )
     z = (p_a - p_b) / F.nullif(se, F.lit(0.0))
+    # Rational-ratio outputs pin with the shared IEEE floor-round —
+    # engine round() is one-ulp divergent on exact .xx5 quotients
+    # (the Benford/iqr_outliers divergence class).
     return agg.select(
         group_col,
         "n_a",
         "n_b",
-        F.round(p_a, digits).alias("rate_a"),
-        F.round(p_b, digits).alias("rate_b"),
-        F.round(z, digits).alias("z"),
-        (F.abs(F.round(z, digits)) > 1.96).alias("significant"),
+        floor_round(p_a, digits).alias("rate_a"),
+        floor_round(p_b, digits).alias("rate_b"),
+        floor_round(z, digits).alias("z"),
+        (F.abs(floor_round(z, digits)) > 1.96).alias("significant"),
     )
 
 
@@ -600,6 +608,17 @@ def ab_test_sql(
         f"CAST(concat('0x', substr(md5(CAST({unit_col} AS VARCHAR)), "
         f"1, 8)) AS BIGINT) % {buckets} END"
     )
+    z_expr = (
+        "(s_a / nullif(n_a, 0) - s_b / nullif(n_b, 0))"
+        " / nullif(sqrt("
+        "((s_a + s_b) / nullif(n_a + n_b, 0))"
+        " * (1.0 - (s_a + s_b) / nullif(n_a + n_b, 0))"
+        " * (1.0 / nullif(n_a, 0) + 1.0 / nullif(n_b, 0))"
+        "), 0.0)"
+    )
+    rate_a = floor_round_sql("s_a / nullif(n_a, 0)", digits)
+    rate_b = floor_round_sql("s_b / nullif(n_b, 0)", digits)
+    z_rounded = floor_round_sql(z_expr, digits)
     return f"""
         WITH agg AS (
             SELECT {group_col},
@@ -614,20 +633,10 @@ def ab_test_sql(
         SELECT {group_col},
                CAST(n_a AS BIGINT) AS n_a,
                CAST(n_b AS BIGINT) AS n_b,
-               round(s_a / nullif(n_a, 0), {digits}) AS rate_a,
-               round(s_b / nullif(n_b, 0), {digits}) AS rate_b,
-               round((s_a / nullif(n_a, 0) - s_b / nullif(n_b, 0))
-                   / nullif(sqrt(
-                       ((s_a + s_b) / nullif(n_a + n_b, 0))
-                       * (1.0 - (s_a + s_b) / nullif(n_a + n_b, 0))
-                       * (1.0 / nullif(n_a, 0) + 1.0 / nullif(n_b, 0))
-                   ), 0.0), {digits}) AS z,
-               abs(round((s_a / nullif(n_a, 0) - s_b / nullif(n_b, 0))
-                   / nullif(sqrt(
-                       ((s_a + s_b) / nullif(n_a + n_b, 0))
-                       * (1.0 - (s_a + s_b) / nullif(n_a + n_b, 0))
-                       * (1.0 / nullif(n_a, 0) + 1.0 / nullif(n_b, 0))
-                   ), 0.0), {digits})) > 1.96 AS significant
+               {rate_a} AS rate_a,
+               {rate_b} AS rate_b,
+               {z_rounded} AS z,
+               abs({z_rounded}) > 1.96 AS significant
         FROM agg
     """
 

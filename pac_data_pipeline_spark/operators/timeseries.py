@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pac_data_pipeline_spark.functions.rounding import floor_round
+
 
 def gap_fill_daily(
     df: DataFrame,
@@ -216,8 +218,15 @@ def markov_transitions(
     ``tiebreak_col`` pins the order of simultaneous events —
     lag() over an ambiguous sort is partition-order-dependent, the
     same nondeterminism contract as keep-first dedup. Rows with a
-    NULL state or order are dropped; each key's first event has no
-    predecessor and contributes nothing.
+    NULL state, order, OR tiebreak are dropped: a NULL tiebreak
+    tying on (key, order) sorts ASC NULLS FIRST on Spark but the
+    oracle's plain ORDER BY places NULLS LAST, reordering the lag
+    sequence on one engine only — the same reason the ewma/holt/
+    streaks siblings drop every order key. Each key's first event
+    has no predecessor and contributes nothing. ``p`` is pinned
+    with the shared IEEE floor-round (count/count ratios land on
+    exact .xx5 boundaries where engine round() is one-ulp
+    divergent).
 
     Scale shape: ONE window shuffle on the key builds every lag
     pair, then a (prev, state) hash aggregation with map-side
@@ -226,7 +235,9 @@ def markov_transitions(
     aggregate, not the event stream.
     """
     seq = df.filter(
-        F.col(state_col).isNotNull() & F.col(order_col).isNotNull()
+        F.col(state_col).isNotNull()
+        & F.col(order_col).isNotNull()
+        & F.col(tiebreak_col).isNotNull()
     )
     w = Window.partitionBy(key_col).orderBy(order_col, tiebreak_col)
     pairs = seq.select(
@@ -241,7 +252,7 @@ def markov_transitions(
         "prev_state",
         "state",
         "n",
-        F.round(
+        floor_round(
             F.col("n") / F.sum("n").over(tot), digits
         ).alias("p"),
     )

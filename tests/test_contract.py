@@ -46,7 +46,6 @@ def test_rows_only_set_is_intentional():
         "x_bpe_train",  # iterative merge loop; pinned vs Python reference
         "x_bpe_encode",  # applies trained merges; pinned vs Python reference
         "x_audio_features",  # float signal features; pinned on known signals
-        "x_image_dhash",  # Python-side decode; banding pinned vs brute force
     }
     assert q - o == expected_rows_only
 

@@ -1782,8 +1782,10 @@ def test_pagerank_hand_computed(spark):
 def test_luhn_card_scan(spark):
     """Canonical Luhn vectors (4111111111111111 valid, last digit
     bumped invalid, 79927398713 the ISO example); 20+-digit runs are
-    NOT candidates (ids/hashes); boundaries are consuming groups;
-    NULL text yields NULL counts (not zero — unknown, not absent)."""
+    NOT candidates (ids/hashes); candidates are maximal digit runs,
+    so two cards separated by a SINGLE non-digit both surface (the
+    consuming-boundary regex blind spot, ADVICE r5); NULL text
+    yields NULL counts (not zero — unknown, not absent)."""
     from pac_data_pipeline_spark.ext.text import card_scan, luhn_valid_col
 
     lv = spark.createDataFrame(
@@ -1799,6 +1801,9 @@ def test_luhn_card_scan(spark):
             (1, "decoy 12345678901234567890 only"),
             (2, "edge4111111111111111"),  # digit-adjacent? 'e' boundary ok
             (3, None),
+            # single-separator adjacency: both are valid cards and
+            # BOTH must be candidates (the old regex found only one)
+            (4, "4111111111111111,4012888888881881"),
         ],
         "doc_id long, text string",
     )
@@ -1807,6 +1812,7 @@ def test_luhn_card_scan(spark):
     assert (got[1].n_candidates, got[1].n_valid) == (0, 0)
     assert (got[2].n_candidates, got[2].n_valid) == (1, 1)
     assert got[3].n_candidates is None and got[3].n_valid is None
+    assert (got[4].n_candidates, got[4].n_valid, got[4].valid_digit_mass) == (2, 2, 32)
 
 
 def test_tokenizer_fertility(spark):
@@ -1834,6 +1840,61 @@ def test_tokenizer_fertility(spark):
     assert got["xx"].total_tokens == 0
     assert got["xx"].bytes_per_token is None  # nullif, not div-by-zero
     assert got[None].n_docs == 1
+
+
+def test_dhash_integer_contract():
+    """_dhash_bits' engine-portable claims, property-checked:
+    (1) its integer floor edges equal np.linspace().astype(int) for
+    every plausible image side; (2) its cross-multiplied integer
+    comparison equals exact-rational block-mean comparison (the
+    mathematical dHash) on random images — the contract that lets
+    the x_image_dhash oracle recompute bits in SQL."""
+    from fractions import Fraction
+
+    import numpy as np
+
+    from pac_data_pipeline_spark.ext.multimodal import _dhash_bits
+
+    for n in range(1, 80):
+        assert np.linspace(0, n, 9).astype(int).tolist() == [
+            r * n // 8 for r in range(9)
+        ]
+        assert np.linspace(0, n, 10).astype(int).tolist() == [
+            c * n // 9 for c in range(10)
+        ]
+
+    rng = np.random.RandomState(7)
+    for _ in range(25):
+        h = int(rng.randint(4, 30))
+        w = int(rng.randint(4, 30))
+        px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        got = _dhash_bits(px) & (2**64 - 1)
+        # exact-rational reference
+        chsum = px.astype(int).sum(axis=2)
+        he = [r * h // 8 for r in range(9)]
+        we = [c * w // 9 for c in range(10)]
+        means = [
+            [
+                Fraction(
+                    int(
+                        chsum[
+                            he[r] : max(he[r + 1], he[r] + 1),
+                            we[c] : max(we[c + 1], we[c] + 1),
+                        ].sum()
+                    ),
+                    (max(he[r + 1], he[r] + 1) - he[r])
+                    * (max(we[c + 1], we[c] + 1) - we[c]),
+                )
+                for c in range(9)
+            ]
+            for r in range(8)
+        ]
+        want = 0
+        for r in range(8):
+            for c in range(8):
+                if means[r][c] > means[r][c + 1]:
+                    want |= 1 << (r * 8 + c)
+        assert got == want
 
 
 def test_image_dhash_near_dup(spark):
