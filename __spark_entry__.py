@@ -1992,6 +1992,25 @@ def q_x_image_dhash(spark, sf_dir):
     )
 
 
+def q_x_quantile_sketch(spark, sf_dir):
+    """Mergeable HDR/DDSketch-family quantile sketch (p50/90/95/99
+    of l_extendedprice per returnflag PLUS the merged global row
+    set): buckets are a pure integer function of the value (cents
+    grid → bin-length exponent → shift truncation, rel. error <
+    2^-7), so the sketch is ONE map-side-combinable shuffle of
+    O(buckets) rows and merging = adding counts — the global
+    quantiles here are computed ONLY from the per-key sketches, the
+    corpus is scanned once. The DuckDB oracle replays the identical
+    integers (no float log2, no float rank), making a SKETCH
+    hash-exact — unlike HLL, whose engine-specific estimates stay
+    rows-only. See operators/quantile.py for the error-bound proof
+    and the 100 TB scale audit."""
+    from pac_data_pipeline_spark.operators.quantile import hdr_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return hdr_quantiles(li, "l_returnflag", "l_extendedprice")
+
+
 def q_x_entropy(spark, sf_dir):
     """Character-level Shannon entropy per document (gibberish /
     minified-blob filter) — shuffle-free sorted-run computation, no
@@ -4118,6 +4137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the r02/r03 block, then r04, then r05. Round-6 additions
         # (below this window, directly after this comment) lead the
         # round-7 window per rule (1).
+        # -- round-6 additions (never driver-verdicted; round-7 lead)
+        "x_quantile_sketch": q_x_quantile_sketch,
         # ---- driver-verdicted r05 (round-5 window); code unchanged -
         "x_triangles": q_x_triangles,
         "x_khop_bfs": q_x_khop_bfs,
@@ -5029,6 +5050,14 @@ def oracle_sql() -> dict[str, str]:
         FROM bits a JOIN bits b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.dh, b.dh)) <= 4
     """
+    from pac_data_pipeline_spark.operators.quantile import (
+        hdr_quantiles_sql,
+    )
+
+    # x_quantile_sketch: the identical integer sketch + rank walk.
+    oracles["x_quantile_sketch"] = hdr_quantiles_sql(
+        "lineitem", "l_returnflag", "l_extendedprice"
+    )
     oracles["x_nb_classifier"] = """
         -- full NB train+predict pipeline under the pinned contract:
         -- TOKEN_SEP tokenization, ascii fold, add-one smoothing,

@@ -701,3 +701,85 @@ def test_key_skew_profile_hand_computed(spark):
     )
     u = key_skew_profile(uni, ("k",)).collect()[0]
     assert u.gini == 0.0 and u.top1_share == round(1 / 3, 6)
+
+
+def _py_hdr_bucket(c: int, sig_bits: int = 7) -> int:
+    if c < 1:
+        return 0
+    sh = max(c.bit_length() - 1 - sig_bits, 0)
+    return (c >> sh) << sh
+
+
+def test_hdr_quantiles_error_bound_and_edges(spark):
+    """The documented sketch contract: estimates are one-sided
+    (est <= exact) within relative error 2^-sig_bits of the exact
+    rank-ceil(q*n/100) value; NULLs drop; zero/negative values land
+    in the exact underflow bucket 0."""
+    import random
+
+    from pac_data_pipeline_spark.operators.quantile import hdr_quantiles
+
+    rng = random.Random(11)
+    vals = [round(rng.uniform(0.01, 50_000.0), 2) for _ in range(3_000)]
+    rows = [("k", v) for v in vals] + [("k", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        (r.key, r.q): (r.est_cents, r.n)
+        for r in hdr_quantiles(df, "g", "v").collect()
+    }
+    cents = sorted(int(v * 100 + 0.5) for v in vals)
+    for q in (50, 90, 95, 99):
+        exact = cents[(len(cents) * q + 99) // 100 - 1]
+        est, n = got[("k", q)]
+        assert n == len(cents)
+        assert est <= exact
+        assert (exact - est) / exact < 2**-7
+        # per-key and merged rows agree on a single-key frame
+        assert got[("__ALL__", q)] == got[("k", q)]
+
+    edge = spark.createDataFrame(
+        [("a", 0.0), ("a", -3.5), ("a", 0.004), ("a", 1.0)],
+        "g string, v double",
+    )
+    from pac_data_pipeline_spark.operators.quantile import hdr_sketch
+
+    sk = {
+        r.bucket: r.cnt for r in hdr_sketch(edge, "g", "v").collect()
+    }
+    assert sk[0] == 3  # 0.0, -3.5 and 0.004 all round to cents < 1
+    assert sk[100] == 1
+
+
+def test_hdr_sketch_exactly_mergeable(spark):
+    """merge(sketch(A), sketch(B)) == sketch(A ∪ B) bit-exactly —
+    the property t-digest lacks (its merge is order-dependent), and
+    the bucket function matches the plain-Python reference."""
+    import random
+
+    from pac_data_pipeline_spark.operators.quantile import hdr_sketch
+
+    rng = random.Random(23)
+    a = [("x", round(rng.uniform(0.0, 9_000.0), 2)) for _ in range(800)]
+    b = [("x", round(rng.uniform(0.0, 9_000.0), 2)) for _ in range(700)]
+    df_a = spark.createDataFrame(a, "g string, v double")
+    df_b = spark.createDataFrame(b, "g string, v double")
+    df_ab = spark.createDataFrame(a + b, "g string, v double")
+
+    def counts(df):
+        return {
+            (r.key, r.bucket): r.cnt
+            for r in hdr_sketch(df, "g", "v").collect()
+        }
+
+    ca, cb, cab = counts(df_a), counts(df_b), counts(df_ab)
+    merged: dict = {}
+    for d in (ca, cb):
+        for k, v in d.items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == cab
+
+    want: dict = {}
+    for _, v in a + b:
+        k = ("x", _py_hdr_bucket(int(v * 100 + 0.5)))
+        want[k] = want.get(k, 0) + 1
+    assert want == cab
