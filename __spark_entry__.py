@@ -2011,6 +2011,28 @@ def q_x_quantile_sketch(spark, sf_dir):
     return hdr_quantiles(li, "l_returnflag", "l_extendedprice")
 
 
+def q_x_mmr_diversity(spark, sf_dir):
+    """MMR diversity selection (Carbonell & Goldstein '98) of 8
+    exemplars from the embedding corpus: greedily maximize
+    w_div·min-dist-to-selected − w_rel·dist-to-corpus-centroid on
+    the fixed-point integer grid — every score an exact BIGINT, so
+    the whole greedy trajectory is hash-exact against the unrolled
+    DuckDB mirror. Candidates + query distance computed once and
+    localCheckpoint-ed; each of the k unrolled rounds is one
+    scan-side HOF pass + a 1-row broadcast of the selected set + a
+    map-side-partial max_by — the corpus never shuffles. See
+    ext/mmr.py for the scale audit."""
+    from pac_data_pipeline_spark.ext.mmr import mmr_select
+
+    e = _t(spark, sf_dir, "embeddings")
+    return mmr_select(e, "vec_id", "embedding", k=8).select(
+        "sel_rank",
+        F.col("vid").alias("vec_id"),
+        "rel_d",
+        "div_d",
+    )
+
+
 def q_x_entropy(spark, sf_dir):
     """Character-level Shannon entropy per document (gibberish /
     minified-blob filter) — shuffle-free sorted-run computation, no
@@ -4064,11 +4086,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # OLDEST verdicts (the r01 block in dict order, starting
         # a4_party_rollup / a1_groupby_sum / j1_dim_join; the code
         # under several of them — cleaning, scalar, aggregates — was
-        # refactored since r01). NO brand-new queries sit inside
-        # this window; round-6 additions queue BELOW it (see
-        # NEXT-ROUND TAIL). All oracle-backed names are exact-hash
-        # green in the local DuckDB gate (tools/check_oracle.py,
-        # clean + null-fuzz + empty + unicode + blank clones).
+        # refactored since r01). The two round-6 ADDITIONS
+        # (x_quantile_sketch, x_mmr_diversity — VERDICT r5 item 7's
+        # stretch tier) lead the window per the new-first rule: all
+        # 33 never-verdicted names fit in the 50 slots, so putting
+        # them here displaces only two re-checks, never a
+        # first-ever verdict (the tripwire in tests/test_rotation.py
+        # enforces exactly this). All oracle-backed names are
+        # exact-hash green in the local DuckDB gate
+        # (tools/check_oracle.py, clean + null-fuzz + empty +
+        # unicode + blank clones).
+        # -- (a0) new this round (2) ---------------------------------
+        "x_quantile_sketch": q_x_quantile_sketch,
+        "x_mmr_diversity": q_x_mmr_diversity,
         # -- (a) never-driver-verdicted, oracle-backed (21) ----------
         "x_window_tumbling": q_x_window_tumbling,
         "x_window_sliding": q_x_window_sliding,
@@ -4121,8 +4151,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h6_revenue_forecast": q_h6_revenue_forecast,
         "h10_returned_items": q_h10_returned_items,
         "h14_promo_share": q_h14_promo_share,
-        "s2_sql_source": q_s2_sql_source,
-        "j2_dedup_keep_first": q_j2_dedup_keep_first,
         # ---- end of round-6 window (position 50) -------------------
         # NEXT-ROUND TAIL (round-7 plan): once CORRECTNESS_r06 lands,
         # EVERY registry name has a driver verdict (the 31 above get
@@ -4131,14 +4159,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in the round goes to the dict head; (2) remaining window
         # slots round-robin re-verify the OLDEST verdicts — the
         # cursor continues with the REMAINING r01 names in dict order
-        # (pipe_csv_report, p1_normalize_project, p5_literal_metadata,
-        # p6_uuid_records, p7_doc_records, f1_filter_positive,
-        # f3_filter_nonempty_key, ... through x_token_regex), then
-        # the r02/r03 block, then r04, then r05. Round-6 additions
-        # (below this window, directly after this comment) lead the
-        # round-7 window per rule (1).
-        # -- round-6 additions (never driver-verdicted; round-7 lead)
-        "x_quantile_sketch": q_x_quantile_sketch,
+        # (s2_sql_source, j2_dedup_keep_first, pipe_csv_report,
+        # p1_normalize_project, p5_literal_metadata, p6_uuid_records,
+        # p7_doc_records, f1_filter_positive, ... through
+        # x_token_regex), then the r02/r03 block, then r04, then r05.
+        # ---- driver-verdicted r01; next re-check cursor ------------
+        "s2_sql_source": q_s2_sql_source,
+        "j2_dedup_keep_first": q_j2_dedup_keep_first,
         # ---- driver-verdicted r05 (round-5 window); code unchanged -
         "x_triangles": q_x_triangles,
         "x_khop_bfs": q_x_khop_bfs,
@@ -5057,6 +5084,15 @@ def oracle_sql() -> dict[str, str]:
     # x_quantile_sketch: the identical integer sketch + rank walk.
     oracles["x_quantile_sketch"] = hdr_quantiles_sql(
         "lineitem", "l_returnflag", "l_extendedprice"
+    )
+    from pac_data_pipeline_spark.ext.mmr import mmr_fixture_sql
+
+    # x_mmr_diversity: the identical unrolled greedy trajectory —
+    # same grid, same integer scores, same (score, vid) tie-break.
+    oracles["x_mmr_diversity"] = (
+        "SELECT sel_rank, vid AS vec_id, rel_d, div_d FROM ("
+        + mmr_fixture_sql("embeddings", "vec_id", "embedding", k=8)
+        + ")"
     )
     oracles["x_nb_classifier"] = """
         -- full NB train+predict pipeline under the pinned contract:

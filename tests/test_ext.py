@@ -2105,3 +2105,56 @@ def test_personalized_pagerank_hand_computed(spark):
     for v in ranks:
         assert got[v] == round(ranks[v], 8), (v, got[v], ranks[v])
     assert got[3] == 0.0
+
+
+def test_mmr_select_matches_greedy_reference(spark):
+    """The whole greedy MMR trajectory must equal a plain-Python
+    integer replay (same grid, same centroid, same scores, same
+    tie-breaks) — and k > n yields exactly n picks, no phantom
+    all-NULL rows from empty-frame aggregates."""
+    import math
+    import random
+
+    from pac_data_pipeline_spark.ext.mmr import mmr_select
+
+    rng = random.Random(31)
+    dim, n, k = 6, 40, 8
+    rows = [
+        (i, [rng.uniform(-0.3, 0.3) for _ in range(dim)])
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # plain-Python replay — floats quantize through float32 first,
+    # exactly like the array<float> column the operator reads
+    import numpy as np
+
+    q = {
+        i: [int(math.floor(float(np.float32(x)) * 1000 + 0.5)) for x in v]
+        for i, v in rows
+    }
+    cent = [
+        int(math.floor((2 * sum(q[i][p] for i in q) + n) / (2 * n)))
+        for p in range(dim)
+    ]
+    d = lambda a, b: sum((x - y) * (x - y) for x, y in zip(a, b))  # noqa: E731
+    rel = {i: d(q[i], cent) for i in q}
+    sel = [min(q, key=lambda i: (rel[i], i))]
+    want = [(1, sel[0], rel[sel[0]], None)]
+    for t in range(2, k + 1):
+        rest = [i for i in q if i not in sel]
+        div = {i: min(d(q[i], q[j]) for j in sel) for i in rest}
+        best = max(rest, key=lambda i: (div[i] - rel[i], -i))
+        sel.append(best)
+        want.append((t, best, rel[best], div[best]))
+
+    got = [
+        (r.sel_rank, r.vid, r.rel_d, r.div_d)
+        for r in mmr_select(df, k=k).orderBy("sel_rank").collect()
+    ]
+    assert got == want
+
+    tiny = spark.createDataFrame(rows[:3], "vec_id long, embedding array<float>")
+    picks = mmr_select(tiny, k=8).collect()
+    assert len(picks) == 3
+    assert sorted(r.sel_rank for r in picks) == [1, 2, 3]
