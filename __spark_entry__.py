@@ -2011,6 +2011,38 @@ def q_x_quantile_sketch(spark, sf_dir):
     return hdr_quantiles(li, "l_returnflag", "l_extendedprice")
 
 
+def q_x_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min sketch heavy hitters (Cormode & Muthukrishnan '05):
+    the exact top-20 tokens scored against a 4×1024 md5-hashed
+    counter matrix — est_cnt ≥ true_cnt always, overshoot bounded by
+    the sketch geometry. The sketch build shuffles ≤ d·w cells per
+    partition regardless of vocabulary size (exact top-k shuffles
+    the distinct domain — the sketch is the 100 TB path); estimates
+    ride a 1-row broadcast of the packed matrix with a scan-side
+    min-fold. Same trim+split tokenization as x_top_tokens so the
+    exact and sketched tiers are directly comparable. Oracle replays
+    the identical md5 bucketing and min-fold."""
+    from pac_data_pipeline_spark.operators.cms import (
+        cms_build,
+        cms_estimate,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim("text"), TOKEN_SEP)).alias("item")
+    ).localCheckpoint()  # feeds both the sketch and the truth side
+    sketch = cms_build(toks)
+    top = (
+        toks.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), "item")
+        .limit(20)
+    )
+    return cms_estimate(sketch, top).select(
+        F.col("item").alias("token"), "true_cnt", "est_cnt"
+    )
+
+
 def q_x_mmr_diversity(spark, sf_dir):
     """MMR diversity selection (Carbonell & Goldstein '98) of 8
     exemplars from the embedding corpus: greedily maximize
@@ -4096,9 +4128,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact-hash green in the local DuckDB gate
         # (tools/check_oracle.py, clean + null-fuzz + empty +
         # unicode + blank clones).
-        # -- (a0) new this round (2) ---------------------------------
+        # -- (a0) new this round (3) ---------------------------------
         "x_quantile_sketch": q_x_quantile_sketch,
         "x_mmr_diversity": q_x_mmr_diversity,
+        "x_cms_heavy_hitters": q_x_cms_heavy_hitters,
         # -- (a) never-driver-verdicted, oracle-backed (21) ----------
         "x_window_tumbling": q_x_window_tumbling,
         "x_window_sliding": q_x_window_sliding,
@@ -4150,7 +4183,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h5_local_volume": q_h5_local_volume,
         "h6_revenue_forecast": q_h6_revenue_forecast,
         "h10_returned_items": q_h10_returned_items,
-        "h14_promo_share": q_h14_promo_share,
         # ---- end of round-6 window (position 50) -------------------
         # NEXT-ROUND TAIL (round-7 plan): once CORRECTNESS_r06 lands,
         # EVERY registry name has a driver verdict (the 31 above get
@@ -4159,11 +4191,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in the round goes to the dict head; (2) remaining window
         # slots round-robin re-verify the OLDEST verdicts — the
         # cursor continues with the REMAINING r01 names in dict order
-        # (s2_sql_source, j2_dedup_keep_first, pipe_csv_report,
-        # p1_normalize_project, p5_literal_metadata, p6_uuid_records,
-        # p7_doc_records, f1_filter_positive, ... through
-        # x_token_regex), then the r02/r03 block, then r04, then r05.
+        # (h14_promo_share, s2_sql_source, j2_dedup_keep_first,
+        # pipe_csv_report, p1_normalize_project, p5_literal_metadata,
+        # p6_uuid_records, p7_doc_records, f1_filter_positive, ...
+        # through x_token_regex), then the r02/r03 block, then r04,
+        # then r05.
         # ---- driver-verdicted r01; next re-check cursor ------------
+        "h14_promo_share": q_h14_promo_share,
         "s2_sql_source": q_s2_sql_source,
         "j2_dedup_keep_first": q_j2_dedup_keep_first,
         # ---- driver-verdicted r05 (round-5 window); code unchanged -
@@ -5085,6 +5119,12 @@ def oracle_sql() -> dict[str, str]:
     oracles["x_quantile_sketch"] = hdr_quantiles_sql(
         "lineitem", "l_returnflag", "l_extendedprice"
     )
+    from pac_data_pipeline_spark.operators.cms import (
+        cms_heavy_hitters_sql,
+    )
+
+    # x_cms_heavy_hitters: identical md5 counter matrix + min-fold.
+    oracles["x_cms_heavy_hitters"] = cms_heavy_hitters_sql()
     from pac_data_pipeline_spark.ext.mmr import mmr_fixture_sql
 
     # x_mmr_diversity: the identical unrolled greedy trajectory —

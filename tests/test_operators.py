@@ -783,3 +783,54 @@ def test_hdr_sketch_exactly_mergeable(spark):
         k = ("x", _py_hdr_bucket(int(v * 100 + 0.5)))
         want[k] = want.get(k, 0) + 1
     assert want == cab
+
+
+def test_cms_overestimates_and_merges(spark):
+    """Count-Min contract: est >= true for EVERY item (counters only
+    over-count), overshoot stays far below the eN bound on a
+    deterministic stream, and merge(sketch(A), sketch(B)) ==
+    sketch(A+B) exactly — the counter matrix is a pure function of
+    the multiset."""
+    import random
+
+    from pac_data_pipeline_spark.operators.cms import (
+        cms_build,
+        cms_estimate,
+    )
+
+    rng = random.Random(43)
+    # zipf-ish stream: item f"t{j}" appears ~1000/j times
+    stream = [f"t{j}" for j in range(1, 60) for _ in range(1000 // j)]
+    rng.shuffle(stream)
+    half = len(stream) // 2
+    df_all = spark.createDataFrame([(s,) for s in stream], "item string")
+    df_a = spark.createDataFrame([(s,) for s in stream[:half]], "item string")
+    df_b = spark.createDataFrame([(s,) for s in stream[half:]], "item string")
+
+    sk = cms_build(df_all)
+    truth = {}
+    for s in stream:
+        truth[s] = truth.get(s, 0) + 1
+    cand = spark.createDataFrame([(t,) for t in truth], "item string")
+    est = {
+        r.item: r.est_cnt for r in cms_estimate(sk, cand).collect()
+    }
+    n = len(stream)
+    for t, true_cnt in truth.items():
+        assert est[t] >= true_cnt, t
+        # e/w * N ~ 0.27% of N; allow 2x slack on the fixed stream
+        assert est[t] - true_cnt <= max(2, int(0.006 * n)), (
+            t, est[t], true_cnt, n,
+        )
+
+    def cells(df):
+        return {
+            (r.row, r.col): r.cnt for r in cms_build(df).collect()
+        }
+
+    ca, cb, cab = cells(df_a), cells(df_b), cells(df_all)
+    merged: dict = {}
+    for d in (ca, cb):
+        for k, v in d.items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == cab

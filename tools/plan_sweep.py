@@ -56,6 +56,7 @@ ALLOWED_BNL = {
     "x_kmeans",           # 1-row centroid-array broadcast (scan-side argmin)
     "x_rfm",              # 1-row quintile-boundary broadcast
     "x_skew_profile",     # 1-row null-count broadcast per column
+    "x_cms_heavy_hitters",  # 1-row packed counter-matrix broadcast
 }
 
 #: The Window+SinglePartition heuristic ANDs two independent plan
