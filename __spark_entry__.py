@@ -2011,6 +2011,24 @@ def q_x_quantile_sketch(spark, sf_dir):
     return hdr_quantiles(li, "l_returnflag", "l_extendedprice")
 
 
+def q_x_temperature_mix(spark, sf_dir):
+    """Temperature-sampled domain mixture (GPT-3/PaLM-style
+    α = 0.5 reweighting) with Hamilton largest-remainder
+    apportionment of a 1M-token budget across the corpus sources —
+    allocations sum to EXACTLY the budget by construction. sqrt is
+    the one libm op IEEE requires correctly rounded, so the weights
+    are engine-exact; everything after is integer quotas/remainders
+    plus shared floor-rounds. Token counts are scan-side
+    size(filter(split)) — no explode, one map-combinable agg to
+    |domains| rows; the apportionment window rides that tiny
+    aggregate. See ext/sampling.temperature_mixture."""
+    from pac_data_pipeline_spark.ext.sampling import temperature_mixture
+
+    return temperature_mixture(
+        _t(spark, sf_dir, "documents"), budget=1_000_000
+    )
+
+
 def q_x_cms_heavy_hitters(spark, sf_dir):
     """Count-Min sketch heavy hitters (Cormode & Muthukrishnan '05):
     the exact top-20 tokens scored against a 4×1024 md5-hashed
@@ -4128,10 +4146,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact-hash green in the local DuckDB gate
         # (tools/check_oracle.py, clean + null-fuzz + empty +
         # unicode + blank clones).
-        # -- (a0) new this round (3) ---------------------------------
+        # -- (a0) new this round (4) ---------------------------------
         "x_quantile_sketch": q_x_quantile_sketch,
         "x_mmr_diversity": q_x_mmr_diversity,
         "x_cms_heavy_hitters": q_x_cms_heavy_hitters,
+        "x_temperature_mix": q_x_temperature_mix,
         # -- (a) never-driver-verdicted, oracle-backed (21) ----------
         "x_window_tumbling": q_x_window_tumbling,
         "x_window_sliding": q_x_window_sliding,
@@ -4182,7 +4201,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h3_shipping_priority": q_h3_shipping_priority,
         "h5_local_volume": q_h5_local_volume,
         "h6_revenue_forecast": q_h6_revenue_forecast,
-        "h10_returned_items": q_h10_returned_items,
         # ---- end of round-6 window (position 50) -------------------
         # NEXT-ROUND TAIL (round-7 plan): once CORRECTNESS_r06 lands,
         # EVERY registry name has a driver verdict (the 31 above get
@@ -4191,12 +4209,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in the round goes to the dict head; (2) remaining window
         # slots round-robin re-verify the OLDEST verdicts — the
         # cursor continues with the REMAINING r01 names in dict order
-        # (h14_promo_share, s2_sql_source, j2_dedup_keep_first,
-        # pipe_csv_report, p1_normalize_project, p5_literal_metadata,
-        # p6_uuid_records, p7_doc_records, f1_filter_positive, ...
-        # through x_token_regex), then the r02/r03 block, then r04,
-        # then r05.
+        # (h10_returned_items, h14_promo_share, s2_sql_source,
+        # j2_dedup_keep_first, pipe_csv_report, p1_normalize_project,
+        # p5_literal_metadata, p6_uuid_records, p7_doc_records,
+        # f1_filter_positive, ... through x_token_regex), then the
+        # r02/r03 block, then r04, then r05.
         # ---- driver-verdicted r01; next re-check cursor ------------
+        "h10_returned_items": q_h10_returned_items,
         "h14_promo_share": q_h14_promo_share,
         "s2_sql_source": q_s2_sql_source,
         "j2_dedup_keep_first": q_j2_dedup_keep_first,
@@ -5125,6 +5144,15 @@ def oracle_sql() -> dict[str, str]:
 
     # x_cms_heavy_hitters: identical md5 counter matrix + min-fold.
     oracles["x_cms_heavy_hitters"] = cms_heavy_hitters_sql()
+    from pac_data_pipeline_spark.ext.sampling import (
+        temperature_mixture_sql,
+    )
+
+    # x_temperature_mix: identical sqrt weights (correctly rounded
+    # IEEE), integer Hamilton quotas, shared floor-rounds.
+    oracles["x_temperature_mix"] = temperature_mixture_sql(
+        budget=1_000_000
+    )
     from pac_data_pipeline_spark.ext.mmr import mmr_fixture_sql
 
     # x_mmr_diversity: the identical unrolled greedy trajectory —

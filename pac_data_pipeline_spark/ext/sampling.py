@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -156,3 +156,170 @@ def weighted_sample(
         .limit(k)
         .drop("__score")
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    budget: int = 1_000_000,
+    weight_scale: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-sampled domain mixture with exact largest-remainder
+    budget apportionment — the "how many tokens from each source"
+    table a pretraining run starts from (GPT-3 / PaLM style α-mixing:
+    weight each domain by ``n_tokens^α`` with α = 0.5 so small
+    domains up-sample and giant ones down-sample, then apportion the
+    token budget to the weights).
+
+    Determinism contract (hash-exact against the SQL mirror):
+    ``sqrt`` is correctly rounded in IEEE 754 — the ONLY float op
+    libms must get exactly right alongside +,−,×,÷ — so
+    ``W_d = floor(sqrt(n_d)·scale + 0.5)`` is identical on every
+    engine; from there everything is integer: Σ W exact, base quota
+    ``B·W_d // ΣW``, leftover distributed to the largest remainders
+    ``B·W_d mod ΣW`` (ties → domain name asc) — Hamilton's method,
+    which by construction hands out EXACTLY ``budget`` tokens (the
+    float-share × budget rounding it replaces can be off by
+    |domains|). Caller contract: ``budget · max(W_d) < 2^63``.
+
+    Scale shape: token counts are scan-side ``size(filter(split))``
+    — no explode, one map-side-combinable agg to |domains| rows;
+    the apportionment window rides that tiny aggregate, never the
+    corpus. NULL-domain rows drop (a NULL source cannot receive an
+    allocation); NULL text counts 0 tokens.
+
+    Returns (source, n_tokens, weight, p, alloc_tokens, epochs):
+    ``p`` the floor-rounded mixture probability, ``epochs`` the
+    pass-count over each domain the allocation implies (the GPT-3
+    table's "epochs elapsed" column).
+    """
+    from pac_data_pipeline_spark.functions.rounding import floor_round
+
+    # token count via the COLUMN API, never an F.expr SQL literal:
+    # Spark's SQL string parser unescapes '\f' to a literal 'f'
+    # (unknown-escape fallback), silently adding the letter f to the
+    # separator class — the column API passes the regex through
+    # untouched. (Caught by the plain-Python replay test; the same
+    # trap as the DuckDB TOKEN_SEP_SQL lesson, mirrored.)
+    ntok = F.size(
+        F.filter(
+            F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))),
+                    r"[ \t\n\f\r]+"),
+            lambda x: x != "",
+        )
+    )
+    agg = (
+        df.filter(F.col(domain_col).isNotNull())
+        .select(
+            F.col(domain_col).cast("string").alias("source"),
+            ntok.cast("bigint").alias("tk"),
+        )
+        .groupBy("source")
+        .agg(F.sum("tk").alias("n_tokens"))
+        .select(
+            "source",
+            "n_tokens",
+            F.floor(
+                F.sqrt(F.col("n_tokens").cast("double"))
+                * F.lit(float(weight_scale))
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("weight"),
+        )
+    )
+    w_tot = Window.partitionBy()
+    w_rank = Window.partitionBy().orderBy(
+        F.desc("rem"), F.asc("source")
+    )
+    quotas = agg.select(
+        "*",
+        F.sum("weight").over(w_tot).alias("tw"),
+    ).select(
+        "*",
+        # exact integer quota — `/` on longs is DOUBLE division and
+        # a cast-back can be one off at scale; `div` never is
+        F.expr(f"({budget} * weight) div tw").alias("base"),
+        F.expr(f"({budget} * weight) % tw").alias("rem"),
+    )
+    ranked = quotas.select(
+        "*",
+        F.row_number().over(w_rank).alias("rk"),
+        (F.lit(budget) - F.sum("base").over(w_tot)).alias("leftover"),
+    )
+    return ranked.select(
+        "source",
+        "n_tokens",
+        "weight",
+        floor_round(F.col("weight") / F.col("tw"), 6).alias("p"),
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("alloc_tokens"),
+        floor_round(
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            )
+            / F.nullif(F.col("n_tokens"), F.lit(0)),
+            6,
+        ).alias("epochs"),
+    )
+
+
+def temperature_mixture_sql(
+    table: str = "documents",
+    domain_col: str = "source",
+    text_col: str = "text",
+    budget: int = 1_000_000,
+    weight_scale: int = 1_000_000,
+) -> str:
+    """The identical mixture as DuckDB SQL — same sqrt (correctly
+    rounded IEEE), same integer quotas/remainders, same tie-break,
+    same floor-rounds."""
+    from pac_data_pipeline_spark.functions.rounding import floor_round_sql
+
+    p = floor_round_sql("CAST(weight AS DOUBLE) / tw", 6)
+    epochs = floor_round_sql(
+        "CAST(alloc_tokens AS DOUBLE) / nullif(n_tokens, 0)", 6
+    )
+    return f"""
+        WITH agg AS (
+            SELECT CAST({domain_col} AS VARCHAR) AS source,
+                   SUM(len(list_filter(string_split_regex(
+                       trim(coalesce({text_col}, ''), ' '),
+                       '[ \\t\\n\\f\\r]+'), x -> x <> ''))) AS n_tokens
+            FROM {table}
+            WHERE {domain_col} IS NOT NULL
+            GROUP BY 1
+        ),
+        wts AS (
+            SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))
+                        * {weight_scale} + 0.5) AS BIGINT) AS weight
+            FROM agg
+        ),
+        quotas AS (
+            SELECT *,
+                   SUM(weight) OVER () AS tw,
+                   ({budget} * weight) // SUM(weight) OVER () AS base,
+                   ({budget} * weight) % SUM(weight) OVER () AS rem
+            FROM wts
+        ),
+        ranked AS (
+            SELECT *,
+                   row_number() OVER (
+                       ORDER BY rem DESC, source ASC) AS rk,
+                   {budget} - SUM(base) OVER () AS leftover
+            FROM quotas
+        )
+        SELECT source, n_tokens, weight,
+               {p} AS p,
+               CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                    AS BIGINT) AS alloc_tokens,
+               {epochs.replace("alloc_tokens",
+                   "(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)")}
+                   AS epochs
+        FROM ranked
+    """

@@ -2158,3 +2158,51 @@ def test_mmr_select_matches_greedy_reference(spark):
     picks = mmr_select(tiny, k=8).collect()
     assert len(picks) == 3
     assert sorted(r.sel_rank for r in picks) == [1, 2, 3]
+
+
+def test_temperature_mixture_hamilton_exact(spark):
+    """Mixture contract: allocations sum to EXACTLY the budget
+    (Hamilton's method — float-share rounding can be off by
+    |domains|), weights equal the plain-Python sqrt replay, leftover
+    goes to the largest remainders with name-asc ties, NULL domains
+    drop, and the whole table matches an integer reference."""
+    import math
+
+    from pac_data_pipeline_spark.ext.sampling import temperature_mixture
+
+    rows = (
+        [("web", "a b c d e f g h")] * 40
+        + [("code", "x y z w")] * 10
+        + [("wiki", "p q")] * 5
+        + [("tiny", "t")] * 1
+        + [(None, "dropped dropped")] * 3
+        + [("web", None)]  # NULL text counts 0 tokens
+    )
+    df = spark.createDataFrame(rows, "source string, text string")
+    budget = 10_000
+    got = {
+        r.source: r
+        for r in temperature_mixture(df, budget=budget).collect()
+    }
+    assert set(got) == {"web", "code", "wiki", "tiny"}
+
+    n = {"web": 40 * 8, "code": 10 * 4, "wiki": 5 * 2, "tiny": 1}
+    w = {d: int(math.floor(math.sqrt(c) * 1e6 + 0.5)) for d, c in n.items()}
+    tw = sum(w.values())
+    base = {d: budget * w[d] // tw for d in w}
+    rem = {d: budget * w[d] % tw for d in w}
+    leftover = budget - sum(base.values())
+    order = sorted(w, key=lambda d: (-rem[d], d))
+    alloc = {
+        d: base[d] + (1 if i < leftover else 0)
+        for i, d in enumerate(order)
+    }
+    assert sum(alloc.values()) == budget
+    for d in w:
+        assert got[d].n_tokens == n[d]
+        assert got[d].weight == w[d]
+        assert got[d].alloc_tokens == alloc[d]
+        assert got[d].p == math.floor(w[d] / tw * 1e6 + 0.5) / 1e6
+        assert got[d].epochs == math.floor(
+            alloc[d] / n[d] * 1e6 + 0.5
+        ) / 1e6

@@ -89,6 +89,10 @@ ALLOWED_GLOBAL_WINDOW = {
     # x_skew_profile's rank windows span the COUNT-OF-COUNTS
     # aggregate — O(sqrt(n_rows)) rows by the k(k+1)/2 bound.
     "x_skew_profile",
+    # x_temperature_mix's apportionment windows (total weight,
+    # remainder rank, leftover) span the |domains|-row aggregate,
+    # never the corpus.
+    "x_temperature_mix",
 }
 
 
