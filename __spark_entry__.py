@@ -2011,6 +2011,25 @@ def q_x_quantile_sketch(spark, sf_dir):
     return hdr_quantiles(li, "l_returnflag", "l_extendedprice")
 
 
+def q_x_dedup_representatives(spark, sf_dir):
+    """Near-dup cluster representative selection: cluster (the
+    x_dedup_clusters candidate graph + components), score every doc
+    (the x_quality_score arithmetic), keep the HIGHEST-QUALITY copy
+    per component (ties → smaller id, NULLS LAST pinned on both
+    engines) — naive keep-first dedup keeps an arbitrary copy; a
+    training pipeline wants the cleanest. One extra hash join + one
+    window on the tiny near-dup components beyond the clustering
+    rounds. Oracle composes the two verified mirrors + the identical
+    window."""
+    from pac_data_pipeline_spark.ext.dedup_text import (
+        dedup_representatives,
+    )
+
+    return dedup_representatives(
+        _t(spark, sf_dir, "documents"), threshold=0.4
+    )
+
+
 def q_x_temperature_mix(spark, sf_dir):
     """Temperature-sampled domain mixture (GPT-3/PaLM-style
     α = 0.5 reweighting) with Hamilton largest-remainder
@@ -4146,11 +4165,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact-hash green in the local DuckDB gate
         # (tools/check_oracle.py, clean + null-fuzz + empty +
         # unicode + blank clones).
-        # -- (a0) new this round (4) ---------------------------------
+        # -- (a0) new this round (5) ---------------------------------
         "x_quantile_sketch": q_x_quantile_sketch,
         "x_mmr_diversity": q_x_mmr_diversity,
         "x_cms_heavy_hitters": q_x_cms_heavy_hitters,
         "x_temperature_mix": q_x_temperature_mix,
+        "x_dedup_representatives": q_x_dedup_representatives,
         # -- (a) never-driver-verdicted, oracle-backed (21) ----------
         "x_window_tumbling": q_x_window_tumbling,
         "x_window_sliding": q_x_window_sliding,
@@ -4200,7 +4220,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_stream_dedup": q_x_stream_dedup,
         "h3_shipping_priority": q_h3_shipping_priority,
         "h5_local_volume": q_h5_local_volume,
-        "h6_revenue_forecast": q_h6_revenue_forecast,
         # ---- end of round-6 window (position 50) -------------------
         # NEXT-ROUND TAIL (round-7 plan): once CORRECTNESS_r06 lands,
         # EVERY registry name has a driver verdict (the 31 above get
@@ -4209,12 +4228,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in the round goes to the dict head; (2) remaining window
         # slots round-robin re-verify the OLDEST verdicts — the
         # cursor continues with the REMAINING r01 names in dict order
-        # (h10_returned_items, h14_promo_share, s2_sql_source,
-        # j2_dedup_keep_first, pipe_csv_report, p1_normalize_project,
-        # p5_literal_metadata, p6_uuid_records, p7_doc_records,
-        # f1_filter_positive, ... through x_token_regex), then the
-        # r02/r03 block, then r04, then r05.
+        # (h6_revenue_forecast, h10_returned_items, h14_promo_share,
+        # s2_sql_source, j2_dedup_keep_first, pipe_csv_report,
+        # p1_normalize_project, p5_literal_metadata, p6_uuid_records,
+        # p7_doc_records, f1_filter_positive, ... through
+        # x_token_regex), then the r02/r03 block, then r04, then r05.
         # ---- driver-verdicted r01; next re-check cursor ------------
+        "h6_revenue_forecast": q_h6_revenue_forecast,
         "h10_returned_items": q_h10_returned_items,
         "h14_promo_share": q_h14_promo_share,
         "s2_sql_source": q_s2_sql_source,
@@ -5596,6 +5616,22 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS component_id
         FROM reach GROUP BY id
+    """
+    # x_dedup_representatives: compose the two verified mirrors —
+    # the recursive-CTE components and the quality arithmetic — and
+    # replay the identical keep window (DESC NULLS LAST pinned; the
+    # engines' desc-null defaults diverge).
+    oracles["x_dedup_representatives"] = f"""
+        WITH comp AS MATERIALIZED ({oracles["x_dedup_clusters"]}),
+        qual AS MATERIALIZED ({oracles["x_quality_score"]})
+        SELECT c.doc_id, c.component_id, q.quality_score,
+               (row_number() OVER (
+                    PARTITION BY c.component_id
+                    ORDER BY q.quality_score DESC NULLS LAST,
+                             c.doc_id ASC) = 1) AS keep,
+               CAST(count(*) OVER (PARTITION BY c.component_id)
+                    AS BIGINT) AS n_dup
+        FROM comp c JOIN qual q USING (doc_id)
     """
     oracles["x_stream_dedup"] = """
         SELECT DISTINCT user_id, event_type FROM events

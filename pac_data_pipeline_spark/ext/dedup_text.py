@@ -884,3 +884,58 @@ def decontaminate(
             (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
         )
     )
+
+
+def dedup_representatives(
+    df: DataFrame,
+    threshold: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup cluster REPRESENTATIVE selection: cluster the corpus
+    (:func:`near_dup_clusters`), score every doc
+    (:func:`~pac_data_pipeline_spark.ext.text.quality_score`), and
+    keep the HIGHEST-QUALITY copy per component (ties → smaller id)
+    — the curation step naive dedup skips: keep-first/min-id keeps
+    an ARBITRARY copy, while a training pipeline wants the cleanest
+    one (Lee et al. 2022 dedup keeps one member per cluster; which
+    member matters for downstream quality).
+
+    Returns one row per doc: (doc_id, component_id, quality_score,
+    keep, n_dup) — ``keep`` marks the representative, ``n_dup`` the
+    cluster size, so the same frame drives both the filtered corpus
+    (``WHERE keep``) and a dup-mass report (``n_dup > 1``).
+
+    Shuffle shape: the component labeling's existing rounds, ONE
+    hash join of the (doc, component) frame with the scan-side
+    quality projection on the id, and ONE window shuffle on
+    component_id — clusters are near-dup groups (tiny, bounded by
+    the dup rate), never a skew risk. NULL-quality docs (NULL text)
+    sort NULLS LAST explicitly on BOTH engines — desc-null placement
+    is an engine default that diverges (the markov tiebreak lesson).
+    """
+    from pyspark.sql import Window
+
+    from pac_data_pipeline_spark.ext.text import quality_score
+
+    clusters = near_dup_clusters(
+        df, threshold=threshold, text_col=text_col, id_col=id_col
+    )
+    qual = quality_score(df, text_col=text_col).select(
+        id_col, "quality_score"
+    )
+    joined = clusters.join(qual, id_col)
+    w = Window.partitionBy("component_id")
+    wr = (
+        Window.partitionBy("component_id")
+        .orderBy(
+            F.col("quality_score").desc_nulls_last(), F.asc(id_col)
+        )
+    )
+    return joined.select(
+        id_col,
+        "component_id",
+        "quality_score",
+        (F.row_number().over(wr) == 1).alias("keep"),
+        F.count(F.lit(1)).over(w).alias("n_dup"),
+    )

@@ -2206,3 +2206,32 @@ def test_temperature_mixture_hamilton_exact(spark):
         assert got[d].epochs == math.floor(
             alloc[d] / n[d] * 1e6 + 0.5
         ) / 1e6
+
+
+def test_dedup_representatives_keeps_best_not_first(spark):
+    """The representative must be the highest-quality member (ties →
+    smaller id) — explicitly DIFFERENT from keep-first/min-id when a
+    later copy is cleaner; NULL-text members sort last; singletons
+    keep themselves; n_dup reports the cluster size."""
+    from pac_data_pipeline_spark.ext.dedup_text import (
+        dedup_representatives,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    # docs 0/1 are near-dups (consecutive ids, high trigram overlap);
+    # doc 1 is the CLEANER copy — keep-first would wrongly keep doc 0
+    df = spark.createDataFrame(
+        [
+            (0, base + " !!! ??? @@@"),   # punct-heavy suffix
+            (1, base + " the of and"),    # stopword-rich suffix
+            (5, "completely unrelated text about something else"),
+            (9, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dedup_representatives(df, 0.3).collect()}
+    assert rows[0].component_id == rows[1].component_id
+    assert rows[1].keep and not rows[0].keep  # best copy, not first
+    assert rows[0].n_dup == 2 and rows[1].n_dup == 2
+    assert rows[5].keep and rows[5].n_dup == 1
+    assert rows[9].keep and rows[9].quality_score is None  # singleton
