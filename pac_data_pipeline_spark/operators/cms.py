@@ -36,9 +36,9 @@ cheap pre-filter (sampled counts, prior round's hitters) instead of
 the exact aggregate.
 
 Reference scope: the reference counts frequencies with pandas
-``value_counts`` on one node; a sublinear-memory sketch is engine
-infrastructure for the 100 TB target, same rationale as the HDR
-quantile sketch beside it.
+``value_counts`` on one node (``pac_data_processor.py:352``); a
+sublinear-memory sketch is engine infrastructure for the 100 TB
+target, same rationale as the HDR quantile sketch beside it.
 """
 
 from __future__ import annotations

@@ -41,8 +41,8 @@ the item's true value v lies in [L, L + 2^(m−B)) with L ≥ 2^m, so
 or negative) collapse into an exact underflow bucket 0; NULLs drop.
 
 Reference scope: the reference's analytics stop at exact pandas
-``quantile`` on a single node (``pac_data_processor.py:347``-ish
-top-k/sum tier); a mergeable sketch is engine infrastructure the
+aggregation on a single node (``pac_data_processor.py:64`` top-k,
+``:352`` value_counts); a mergeable sketch is engine infrastructure the
 100 TB target requires (VERDICT r5 item 7 named it the highest-value
 missing member).
 """
