@@ -4139,32 +4139,31 @@ def q_x_udtf_tokens(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # Dict ORDER is load-bearing: the round driver's correctness
-        # gate checks only the FIRST 50 entries. Round 6 rotation
-        # (per VERDICT r5 item 1): the window is EXACTLY the 31
-        # queries that have never received a driver verdict in
-        # CORRECTNESS_r01-r05 — 21 oracle-backed (streaming windows,
-        # schema-evolution/JSON/VARIANT, hard-negatives, profile,
-        # vector ops) then 10 rows-only-by-design — then the FIVE
-        # queries whose code changed this round (changed-first per
-        # the steady-state policy: x_image_dhash gained its
-        # hash-exact generative-BMP oracle per VERDICT r5 item 3;
-        # x_markov_transitions / x_frequent_pairs / x_ab_test /
-        # x_pii_luhn carry the ADVICE r5 fixes — NULL-tiebreak drop,
-        # shared floor-round for rational ratios, maximal-digit-run
-        # card candidates) — plus 14 re-check slots filled with the
-        # OLDEST verdicts (the r01 block in dict order, starting
-        # a4_party_rollup / a1_groupby_sum / j1_dim_join; the code
-        # under several of them — cleaning, scalar, aggregates — was
-        # refactored since r01). The two round-6 ADDITIONS
-        # (x_quantile_sketch, x_mmr_diversity — VERDICT r5 item 7's
-        # stretch tier) lead the window per the new-first rule: all
-        # 33 never-verdicted names fit in the 50 slots, so putting
-        # them here displaces only two re-checks, never a
-        # first-ever verdict (the tripwire in tests/test_rotation.py
-        # enforces exactly this). All oracle-backed names are
-        # exact-hash green in the local DuckDB gate
-        # (tools/check_oracle.py, clean + null-fuzz + empty +
-        # unicode + blank clones).
+        # gate checks only the FIRST 50 entries. Round 6 window
+        # (per VERDICT r5 items 1 and 7), 50 = 5 + 21 + 10 + 5 + 9:
+        # (a0) the FIVE round-6 additions (VERDICT r5 item 7's
+        #      stretch tier and siblings) lead per the new-first
+        #      rule — all 36 never-verdicted names (5 new + the 31
+        #      queued from r5) fit the 50 slots, so new queries
+        #      displace only re-checks, never a first-ever verdict
+        #      (the tripwire in tests/test_rotation.py enforces
+        #      exactly this);
+        # (a)  21 oracle-backed never-verdicted (streaming windows,
+        #      schema-evolution/JSON/VARIANT, hard-negatives,
+        #      profile, vector ops) then
+        # (b)  10 rows-only-by-design never-verdicted;
+        # (c)  the FIVE queries whose code changed this round
+        #      (changed-first: x_image_dhash gained its hash-exact
+        #      generative-BMP oracle per VERDICT r5 item 3;
+        #      x_markov_transitions / x_frequent_pairs / x_ab_test /
+        #      x_pii_luhn carry the ADVICE r5 fixes);
+        # (d)  NINE re-check slots with the OLDEST verdicts (the r01
+        #      block in dict order, a4_party_rollup through
+        #      h5_local_volume; the code under several — cleaning,
+        #      scalar, aggregates — was refactored since r01).
+        # All oracle-backed names are exact-hash green in the local
+        # DuckDB gate (tools/check_oracle.py, clean + null-fuzz +
+        # empty + unicode + blank clones).
         # -- (a0) new this round (5) ---------------------------------
         "x_quantile_sketch": q_x_quantile_sketch,
         "x_mmr_diversity": q_x_mmr_diversity,
@@ -4210,7 +4209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_frequent_pairs": q_x_frequent_pairs,
         "x_ab_test": q_x_ab_test,
         "x_pii_luhn": q_x_pii_luhn,
-        # -- (d) oldest-verdict re-checks (14 r01 names, dict order) -
+        # -- (d) oldest-verdict re-checks (9 r01 names, dict order) --
         "a4_party_rollup": q_a4_party_rollup,
         "a1_groupby_sum": q_a1_groupby_sum,
         "j1_dim_join": q_j1_dim_join,
@@ -5620,10 +5619,27 @@ def oracle_sql() -> dict[str, str]:
     # x_dedup_representatives: compose the two verified mirrors —
     # the recursive-CTE components and the quality arithmetic — and
     # replay the identical keep window (DESC NULLS LAST pinned; the
-    # engines' desc-null defaults diverge).
+    # engines' desc-null defaults diverge). The ORDERING score swaps
+    # x_quality_score's engine round() for the shared floor-round
+    # (a one-ulp round() divergence flips WHICH doc keeps when it
+    # decides an ordering), mirroring ext/dedup_text.
+    _q_old = (
+        "round(0.5 * sw_ratio\n"
+        "                         + 0.3 * least(n_tok / 100.0, 1.0)\n"
+        "                         + 0.2 * (1.0 - punct_ratio), 6)"
+        " AS quality_score"
+    )
+    _q_new = (
+        "floor((0.5 * sw_ratio"
+        " + 0.3 * least(n_tok / 100.0, 1.0)"
+        " + 0.2 * (1.0 - punct_ratio)) * 1000000 + 0.5)"
+        " / 1000000.0 AS quality_score"
+    )
+    assert _q_old in oracles["x_quality_score"], "qual mirror drifted"
+    _qual_floor = oracles["x_quality_score"].replace(_q_old, _q_new)
     oracles["x_dedup_representatives"] = f"""
         WITH comp AS MATERIALIZED ({oracles["x_dedup_clusters"]}),
-        qual AS MATERIALIZED ({oracles["x_quality_score"]})
+        qual AS MATERIALIZED ({_qual_floor})
         SELECT c.doc_id, c.component_id, q.quality_score,
                (row_number() OVER (
                     PARTITION BY c.component_id
@@ -6275,7 +6291,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         scanned AS (
             SELECT doc_id,
-                   list_filter(regexp_split_to_array(text, '[^0-9]'),
+                   list_filter(regexp_split_to_array(text, '[^0-9]+'),
                        c -> length(c) >= 13 AND length(c) <= 19) AS cands
             FROM fx
         ),

@@ -913,16 +913,25 @@ def dedup_representatives(
     the dup rate), never a skew risk. NULL-quality docs (NULL text)
     sort NULLS LAST explicitly on BOTH engines — desc-null placement
     is an engine default that diverges (the markov tiebreak lesson).
+
+    The ordering score is the quality formula pinned with the
+    shared IEEE floor-round, NOT x_quality_score's engine
+    ``round()``: a one-ulp round() divergence is value noise in a
+    report column but flips WHICH doc gets ``keep`` when it decides
+    an ordering — the same amplification class as the markov
+    tiebreak.
     """
     from pyspark.sql import Window
 
-    from pac_data_pipeline_spark.ext.text import quality_score
+    from pac_data_pipeline_spark.ext.text import quality_parts
+    from pac_data_pipeline_spark.functions.rounding import floor_round
 
     clusters = near_dup_clusters(
         df, threshold=threshold, text_col=text_col, id_col=id_col
     )
-    qual = quality_score(df, text_col=text_col).select(
-        id_col, "quality_score"
+    _, score = quality_parts(text_col)
+    qual = df.select(
+        id_col, floor_round(score, 6).alias("quality_score")
     )
     joined = clusters.join(qual, id_col)
     w = Window.partitionBy("component_id")

@@ -196,16 +196,18 @@ def temperature_mixture(
     """
     from pac_data_pipeline_spark.functions.rounding import floor_round
 
-    # token count via the COLUMN API, never an F.expr SQL literal:
-    # Spark's SQL string parser unescapes '\f' to a literal 'f'
-    # (unknown-escape fallback), silently adding the letter f to the
-    # separator class — the column API passes the regex through
-    # untouched. (Caught by the plain-Python replay test; the same
-    # trap as the DuckDB TOKEN_SEP_SQL lesson, mirrored.)
+    # token count via the shared tokens() contract (COLUMN API,
+    # never an F.expr SQL literal: Spark's SQL string parser
+    # unescapes '\f' to a literal 'f' — unknown-escape fallback —
+    # silently adding the letter f to the separator class; caught
+    # by the plain-Python replay test). Reusing ext.text keeps the
+    # mixture's token counts comparable with x_top_tokens /
+    # x_cms_heavy_hitters by construction.
+    from pac_data_pipeline_spark.ext.text import tokens
+
     ntok = F.size(
         F.filter(
-            F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))),
-                    r"[ \t\n\f\r]+"),
+            tokens(F.coalesce(F.col(text_col), F.lit(""))),
             lambda x: x != "",
         )
     )

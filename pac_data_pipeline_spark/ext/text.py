@@ -165,7 +165,9 @@ def quality_parts(text_col: str = "text") -> tuple[Column, Column]:
     return sw_ratio, score
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """Composite quality score in [0,1]:
     0.5·stopword_ratio + 0.3·min(n_tokens/100, 1) + 0.2·(1 − punct_ratio).
 
@@ -173,7 +175,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     bit-for-bit — the oracle runs the identical formula."""
     sw_ratio, score = quality_parts(text_col)
     return df.select(
-        "doc_id",
+        id_col,
         F.round(sw_ratio, 6).alias("stopword_ratio"),
         F.round(score, 6).alias("quality_score"),
     )
@@ -1171,8 +1173,11 @@ def inverted_index(
 #: '4111111111111111,4012888888881881' yielded one candidate); the
 #: split formulation has no adjacency blind spot and both engines
 #: express it natively (Spark split + filter HOF, DuckDB
-#: regexp_split_to_array + list_filter).
-CARD_SPLIT = r"[^0-9]"
+#: regexp_split_to_array + list_filter). Splitting on RUNS of
+#: non-digits ('+') keeps the array O(#digit-runs); the single-char
+#: class would materialize one empty element per separator
+#: character of prose in the scan stage.
+CARD_SPLIT = r"[^0-9]+"
 
 
 def luhn_valid_col(digits: Column) -> Column:

@@ -115,7 +115,7 @@ def cms_estimate(
     )
     keys = ", ".join(
         "concat('{i}:', CAST(".format(i=i)
-        + _col_expr("item", str(i), width)
+        + _col_expr(f"`{item_col}`", str(i), width)
         + " AS STRING))"
         for i in range(depth)
     )

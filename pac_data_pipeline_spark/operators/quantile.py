@@ -111,8 +111,10 @@ def _quantiles_from_sketch(sketch: DataFrame, qs: tuple[int, ...]) -> DataFrame:
     qdf = cum.select(
         "*", F.explode(F.array(*[F.lit(q) for q in qs])).alias("q")
     )
-    rank = (F.col("n") * F.col("q") + F.lit(99)) / F.lit(100)
-    rank = F.floor(rank).cast("bigint")  # ceil(n*q/100) == (n*q+99)//100
+    # ceil(n*q/100) as EXACT integer division — Column `/` is DOUBLE
+    # division and rounds past 2^53, where the DuckDB mirror's `//`
+    # does not (the sampling.py Hamilton-quota lesson)
+    rank = F.expr("(n * q + 99) div 100")
     return qdf.filter(
         (F.col("cum") >= rank) & (F.col("cum") - F.col("cnt") < rank)
     ).select(
