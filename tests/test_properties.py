@@ -984,3 +984,105 @@ def test_table_checksum_is_permutation_invariant(
     if c is not None:
         cc = table_checksum(c, ("id", "v")).collect()[0]
         assert (cc.n_rows, cc.checksum) != (ca.n_rows, ca.checksum)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=10**12), min_size=1, max_size=400),
+    st.sampled_from([50, 90, 95, 99]),
+)
+def test_hdr_bucket_error_bound_theorem(cents, q):
+    """The HDR sketch's documented guarantee, checked against the
+    exact quantile for ARBITRARY positive integer multisets: the
+    bucket-walk estimate is one-sided (est <= exact) and within
+    relative error 2^-sig_bits. Pure-Python replica of the bucket
+    function (operators/quantile.py) — the Spark==replica equality
+    is pinned separately in test_operators."""
+    B = 7
+
+    def bucket(c: int) -> int:
+        sh = max(c.bit_length() - 1 - B, 0)
+        return (c >> sh) << sh
+
+    counts: dict[int, int] = {}
+    for c in cents:
+        b = bucket(c)
+        counts[b] = counts.get(b, 0) + 1
+    n = len(cents)
+    rank = (n * q + 99) // 100
+    cum, est = 0, None
+    for b in sorted(counts):
+        cum += counts[b]
+        if cum >= rank:
+            est = b
+            break
+    exact = sorted(cents)[rank - 1]
+    assert est is not None
+    assert est <= exact
+    assert (exact - est) / exact < 2**-B
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.text(alphabet="abcdef", min_size=1, max_size=4),
+                min_size=1, max_size=300))
+def test_cms_overestimate_and_row_mass_invariants(stream):
+    """Count-Min structural invariants over ARBITRARY streams, on a
+    pure-Python replica of the md5 column formula
+    (operators/cms.py): every row's counters sum to exactly N (no
+    item lost or double-counted per row), and the min-over-rows
+    estimate never undercounts any item."""
+    import hashlib
+
+    D, W = 4, 64  # narrow width forces heavy collisions
+
+    def col(i: int, tok: str) -> int:
+        h = hashlib.md5(f"{i}:{tok}".encode()).hexdigest()[:8]
+        return int(h, 16) % W
+
+    cells: dict[tuple, int] = {}
+    truth: dict[str, int] = {}
+    for tok in stream:
+        truth[tok] = truth.get(tok, 0) + 1
+        for i in range(D):
+            k = (i, col(i, tok))
+            cells[k] = cells.get(k, 0) + 1
+    n = len(stream)
+    for i in range(D):
+        assert sum(v for (r, _), v in cells.items() if r == i) == n
+    for tok, true_cnt in truth.items():
+        est = min(cells[(i, col(i, tok))] for i in range(D))
+        assert est >= true_cnt
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=40),
+    st.integers(min_value=0, max_value=10**7),
+)
+def test_hamilton_apportionment_quota_rule(weights, budget):
+    """Hamilton largest-remainder apportionment (the
+    temperature_mixture allocator) must satisfy the QUOTA RULE for
+    arbitrary weights: every allocation is floor(exact share) or
+    ceil(exact share), and allocations sum to exactly the budget —
+    the invariants an off-by-one in leftover distribution or tie
+    handling would break."""
+    from fractions import Fraction
+
+    tw = sum(weights)
+    if tw == 0:
+        return  # no weight mass — the operator never reaches this
+    names = [f"d{i}" for i in range(len(weights))]
+    base = {d: budget * w // tw for d, w in zip(names, weights)}
+    rem = {d: budget * w % tw for d, w in zip(names, weights)}
+    leftover = budget - sum(base.values())
+    order = sorted(names, key=lambda d: (-rem[d], d))
+    alloc = {
+        d: base[d] + (1 if i < leftover else 0)
+        for i, d in enumerate(order)
+    }
+    assert sum(alloc.values()) == budget
+    for d, w in zip(names, weights):
+        share = Fraction(budget * w, tw)
+        lo = share.numerator // share.denominator
+        hi = lo if share == lo else lo + 1
+        assert lo <= alloc[d] <= hi, (d, alloc[d], float(share))
