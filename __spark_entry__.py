@@ -4221,8 +4221,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h5_local_volume": q_h5_local_volume,
         # ---- end of round-6 window (position 50) -------------------
         # NEXT-ROUND TAIL (round-7 plan): once CORRECTNESS_r06 lands,
-        # EVERY registry name has a driver verdict (the 31 above get
-        # their first; the changed 5 + oldest 14 refresh theirs).
+        # EVERY registry name has a driver verdict (the 36
+        # never-verdicted above get their first; the changed 5 +
+        # oldest 9 refresh theirs).
         # Steady state from round 7: (1) anything new or code-changed
         # in the round goes to the dict head; (2) remaining window
         # slots round-robin re-verify the OLDEST verdicts — the
