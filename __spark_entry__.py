@@ -2030,6 +2030,22 @@ def q_x_dedup_representatives(spark, sf_dir):
     )
 
 
+def q_x_split_leakage(spark, sf_dir):
+    """Train/val/test split + content-leakage audit: two
+    deterministic md5 split policies side by side — by_doc (bucket
+    the id; the naive split) vs by_content (bucket the normalized
+    fingerprint) — with the count of docs whose exact duplicate
+    landed in a DIFFERENT split. by_content co-locates every dup by
+    construction (n_leaked = 0 proven in-result); by_doc exposes the
+    train-test contamination the duplicates cause (Lee et al. 2022's
+    overlap measurement). Scan-side fingerprints, zero-shuffle
+    splits, one (policy, fp, split) agg + a ≤3-row-per-fp window —
+    never a corpus self-join. See ext/sampling.split_leakage_audit."""
+    from pac_data_pipeline_spark.ext.sampling import split_leakage_audit
+
+    return split_leakage_audit(_t(spark, sf_dir, "documents"))
+
+
 def q_x_temperature_mix(spark, sf_dir):
     """Temperature-sampled domain mixture (GPT-3/PaLM-style
     α = 0.5 reweighting) with Hamilton largest-remainder
@@ -4140,10 +4156,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # Dict ORDER is load-bearing: the round driver's correctness
         # gate checks only the FIRST 50 entries. Round 6 window
-        # (per VERDICT r5 items 1 and 7), 50 = 5 + 21 + 10 + 5 + 9:
-        # (a0) the FIVE round-6 additions (VERDICT r5 item 7's
+        # (per VERDICT r5 items 1 and 7), 50 = 6 + 21 + 10 + 5 + 8:
+        # (a0) the SIX round-6 additions (VERDICT r5 item 7's
         #      stretch tier and siblings) lead per the new-first
-        #      rule — all 36 never-verdicted names (5 new + the 31
+        #      rule — all 37 never-verdicted names (6 new + the 31
         #      queued from r5) fit the 50 slots, so new queries
         #      displace only re-checks, never a first-ever verdict
         #      (the tripwire in tests/test_rotation.py enforces
@@ -4157,19 +4173,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      generative-BMP oracle per VERDICT r5 item 3;
         #      x_markov_transitions / x_frequent_pairs / x_ab_test /
         #      x_pii_luhn carry the ADVICE r5 fixes);
-        # (d)  NINE re-check slots with the OLDEST verdicts (the r01
-        #      block in dict order, a4_party_rollup through
-        #      h5_local_volume; the code under several — cleaning,
+        # (d)  EIGHT re-check slots with the OLDEST verdicts (the
+        #      r01 block in dict order, a4_party_rollup through
+        #      h3_shipping_priority; the code under several — cleaning,
         #      scalar, aggregates — was refactored since r01).
         # All oracle-backed names are exact-hash green in the local
         # DuckDB gate (tools/check_oracle.py, clean + null-fuzz +
         # empty + unicode + blank clones).
-        # -- (a0) new this round (5) ---------------------------------
+        # -- (a0) new this round (6) ---------------------------------
         "x_quantile_sketch": q_x_quantile_sketch,
         "x_mmr_diversity": q_x_mmr_diversity,
         "x_cms_heavy_hitters": q_x_cms_heavy_hitters,
         "x_temperature_mix": q_x_temperature_mix,
         "x_dedup_representatives": q_x_dedup_representatives,
+        "x_split_leakage": q_x_split_leakage,
         # -- (a) never-driver-verdicted, oracle-backed (21) ----------
         "x_window_tumbling": q_x_window_tumbling,
         "x_window_sliding": q_x_window_sliding,
@@ -4209,7 +4226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_frequent_pairs": q_x_frequent_pairs,
         "x_ab_test": q_x_ab_test,
         "x_pii_luhn": q_x_pii_luhn,
-        # -- (d) oldest-verdict re-checks (9 r01 names, dict order) --
+        # -- (d) oldest-verdict re-checks (8 r01 names, dict order) --
         "a4_party_rollup": q_a4_party_rollup,
         "a1_groupby_sum": q_a1_groupby_sum,
         "j1_dim_join": q_j1_dim_join,
@@ -4218,22 +4235,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_stream_sessions": q_x_stream_sessions,
         "x_stream_dedup": q_x_stream_dedup,
         "h3_shipping_priority": q_h3_shipping_priority,
-        "h5_local_volume": q_h5_local_volume,
         # ---- end of round-6 window (position 50) -------------------
         # NEXT-ROUND TAIL (round-7 plan): once CORRECTNESS_r06 lands,
-        # EVERY registry name has a driver verdict (the 36
+        # EVERY registry name has a driver verdict (the 37
         # never-verdicted above get their first; the changed 5 +
-        # oldest 9 refresh theirs).
+        # oldest 8 refresh theirs).
         # Steady state from round 7: (1) anything new or code-changed
         # in the round goes to the dict head; (2) remaining window
         # slots round-robin re-verify the OLDEST verdicts — the
         # cursor continues with the REMAINING r01 names in dict order
-        # (h6_revenue_forecast, h10_returned_items, h14_promo_share,
+        # (h5_local_volume, h6_revenue_forecast, h10_returned_items,
+        # h14_promo_share,
         # s2_sql_source, j2_dedup_keep_first, pipe_csv_report,
         # p1_normalize_project, p5_literal_metadata, p6_uuid_records,
         # p7_doc_records, f1_filter_positive, ... through
         # x_token_regex), then the r02/r03 block, then r04, then r05.
         # ---- driver-verdicted r01; next re-check cursor ------------
+        "h5_local_volume": q_h5_local_volume,
         "h6_revenue_forecast": q_h6_revenue_forecast,
         "h10_returned_items": q_h10_returned_items,
         "h14_promo_share": q_h14_promo_share,
@@ -5616,6 +5634,50 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS component_id
         FROM reach GROUP BY id
+    """
+    # x_split_leakage: compose the verified fingerprint mirror; md5
+    # buckets replay hash_bucket ('0x'||first-8-hex % 100, positive
+    # so % == pmod); the by_content policy buckets coalesce(fp, '')
+    # mirroring the Spark side's NULL-text handling.
+    oracles["x_split_leakage"] = f"""
+        WITH fp AS MATERIALIZED ({oracles["x_fingerprint"]}),
+        assigned AS (
+            SELECT 'by_doc' AS policy, fingerprint,
+                   CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT fingerprint,
+                         CAST(concat('0x', substr(md5(
+                             CAST(doc_id AS VARCHAR)), 1, 8))
+                             AS BIGINT) % 100 AS b
+                  FROM fp)
+            UNION ALL
+            SELECT 'by_content' AS policy, fingerprint,
+                   CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT fingerprint,
+                         CAST(concat('0x', substr(md5(
+                             coalesce(fingerprint, '')), 1, 8))
+                             AS BIGINT) % 100 AS b
+                  FROM fp)
+        ),
+        per AS (
+            SELECT policy, fingerprint, split, count(*) AS c
+            FROM assigned GROUP BY 1, 2, 3
+        ),
+        marked AS (
+            SELECT policy, split, c,
+                   count(*) OVER (PARTITION BY policy, fingerprint)
+                       > 1 AS crosses
+            FROM per
+        )
+        SELECT policy, split,
+               CAST(SUM(c) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN crosses THEN c ELSE 0 END)
+                    AS BIGINT) AS n_leaked
+        FROM marked GROUP BY policy, split
+        ORDER BY policy, split
     """
     # x_dedup_representatives: compose the two verified mirrors —
     # the recursive-CTE components and the quality arithmetic — and

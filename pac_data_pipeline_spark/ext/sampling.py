@@ -325,3 +325,76 @@ def temperature_mixture_sql(
                    AS epochs
         FROM ranked
     """
+
+
+def split_leakage_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Train/val/test split with a CONTENT-LEAKAGE audit — the
+    eval-contamination check a training pipeline runs before
+    trusting held-out numbers: two deterministic md5 split policies
+    side by side, (a) ``by_doc`` (bucket the doc id — the naive
+    split every tutorial writes) and (b) ``by_content`` (bucket the
+    normalized-text fingerprint), with the number of LEAKED docs per
+    split — docs whose exact near-normalization duplicate landed in
+    a DIFFERENT split. Splitting on the content key co-locates every
+    duplicate by construction, so ``by_content`` proves 0 leaked
+    while ``by_doc`` exposes the contamination the duplicates cause
+    (Lee et al. 2022 measure precisely this train-test overlap).
+
+    Scale shape: the fingerprint is scan-side (md5 of normalized
+    text); each policy is a pure column split (no shuffle); the
+    audit is ONE (policy, fingerprint, split) aggregation with
+    map-side partials plus a window over the per-fingerprint split
+    combinations (≤ 3 rows per fingerprint) — never a self-join of
+    the corpus. Deterministic md5 buckets keep membership
+    reproducible across engines and runs (the hash_sample
+    contract); NULL-text docs share the NULL fingerprint and bucket
+    via the empty-string key, mirrored in the oracle.
+
+    Returns (policy, split, n_docs, n_leaked) ordered by both.
+    """
+    from pac_data_pipeline_spark.ext.text import fingerprint
+
+    fp = fingerprint(df.select(F.col(id_col).alias("doc_id"), text_col))
+
+    def assign(policy: str, key) -> DataFrame:
+        b = hash_bucket(key)
+        split = (
+            F.when(b < train_pct, "train")
+            .when(b < train_pct + val_pct, "val")
+            .otherwise("test")
+        )
+        return fp.select(
+            F.lit(policy).alias("policy"),
+            "fingerprint",
+            split.alias("split"),
+        )
+
+    both = assign("by_doc", F.col("doc_id")).unionByName(
+        assign("by_content", F.coalesce(F.col("fingerprint"), F.lit("")))
+    )
+    per = both.groupBy("policy", "fingerprint", "split").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wfp = Window.partitionBy("policy", "fingerprint")
+    marked = per.select(
+        "policy",
+        "split",
+        "c",
+        (F.count(F.lit(1)).over(wfp) > 1).alias("crosses"),
+    )
+    return (
+        marked.groupBy("policy", "split")
+        .agg(
+            F.sum("c").alias("n_docs"),
+            F.sum(F.when(F.col("crosses"), F.col("c")).otherwise(0)).alias(
+                "n_leaked"
+            ),
+        )
+        .orderBy("policy", "split")
+    )

@@ -2235,3 +2235,34 @@ def test_dedup_representatives_keeps_best_not_first(spark):
     assert rows[0].n_dup == 2 and rows[1].n_dup == 2
     assert rows[5].keep and rows[5].n_dup == 1
     assert rows[9].keep and rows[9].quality_score is None  # singleton
+
+
+def test_split_leakage_content_policy_eliminates_leakage(spark):
+    """The audit's whole point: splitting on the content fingerprint
+    co-locates every exact duplicate (n_leaked = 0 by construction),
+    while the naive by-doc split leaks planted dups across splits;
+    per-policy doc counts always sum to the corpus size."""
+    from pac_data_pipeline_spark.ext.sampling import split_leakage_audit
+
+    # 60 unique docs + 40 duplicates of 20 of them (ids far apart so
+    # the id-hash scatters them across splits), + a NULL-text pair
+    rows = [(i, f"unique text number {i}") for i in range(60)]
+    rows += [(1000 + i, f"unique text number {i}") for i in range(20)]
+    rows += [(2000 + i, f"unique text number {i}") for i in range(20)]
+    rows += [(9000, None), (9001, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.policy, r.split): r
+        for r in split_leakage_audit(df).collect()
+    }
+    n = len(rows)
+    for policy in ("by_doc", "by_content"):
+        assert sum(
+            v.n_docs for (p, _), v in out.items() if p == policy
+        ) == n
+    assert all(
+        v.n_leaked == 0 for (p, _), v in out.items() if p == "by_content"
+    )
+    assert sum(
+        v.n_leaked for (p, _), v in out.items() if p == "by_doc"
+    ) > 0
