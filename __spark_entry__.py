@@ -1261,14 +1261,31 @@ def q_x_multimodal_features(spark, sf_dir):
     per-row format dispatch lives INSIDE mixed_media_from_documents'
     mapInPandas — a union of six filtered generators would scan and
     shuffle the table six times (per-branch filters defeat exchange
-    reuse; plan pinned in tests/test_scale_patterns.py)."""
+    reuse; plan pinned in tests/test_scale_patterns.py).
+
+    The ``array<float>`` feature vector is array_join-SERIALIZED to
+    one CSV string per row (repo rule since round 5: the driver's
+    comparator canonicalizes via pandas sort_values, which crashes
+    on ndarray cells — CORRECTNESS_r06's one failure was exactly
+    this query returning the raw array)."""
     from pac_data_pipeline_spark.ext.dedup_text import ensure_parallelism
     from pac_data_pipeline_spark.ext.multimodal import (
         mixed_media_from_documents,
     )
 
     docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
-    return extract_features(mixed_media_from_documents(docs))
+    feats = extract_features(mixed_media_from_documents(docs))
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        "width",
+        "height",
+        "decoded",
+        F.array_join(F.col("feature").cast("array<string>"), ",").alias(
+            "feature_csv"
+        ),
+    )
 
 
 def q_x_png_decode_dims(spark, sf_dir):

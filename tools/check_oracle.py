@@ -104,6 +104,23 @@ def main() -> int:
             n_bad += 1
             continue
         if name not in oracles:
+            # Rows-only queries still flow through the driver's
+            # canonicalizer (sort_values over every column) before it
+            # records row count + schema, so an unsortable cell type
+            # (ndarray/list) crashes the DRIVER even when no oracle
+            # exists — CORRECTNESS_r06's x_multimodal_features failure
+            # hid behind the old len(sdf) short-circuit here. Run the
+            # same canon() locally so that class fails in this gate
+            # first.
+            try:
+                canon(sdf)
+            except Exception as exc:
+                print(
+                    f"[FAIL] {name}: rows-only output not canonicalizable "
+                    f"(driver comparator would crash): {exc}"
+                )
+                n_bad += 1
+                continue
             print(f"[rows-only] {name}: {len(sdf)} rows")
             n_rowsonly += 1
             continue
