@@ -2829,21 +2829,33 @@ def q_pipe_zorder(spark, sf_dir):
 
 
 def q_x_audio_features(spark, sf_dir):
-    """Audio leg of the multimodal path: REAL WAV synthesis per
-    document (RIFF headers, playable bytes) in MIXED encodings —
-    16-bit PCM and 8-bit G.711 μ-law/A-law rotating per doc — then
-    headerwise decode (G.711 expanded to int16) and numpy signal
-    features (duration, RMS, zero-crossing rate) over Arrow batches.
-    Rows-only like the image path: float features; codec round trips
-    are pinned exhaustively (all 256 codes, full int16 sweep) in
-    unit tests."""
+    """Audio leg of the multimodal path with an EXACT oracle: REAL
+    WAV synthesis per document (RIFF headers, playable bytes) in
+    MIXED encodings — 16-bit PCM and 8-bit G.711 μ-law/A-law
+    rotating per doc — then headerwise decode (G.711 expanded to
+    int16) and numpy signal features (duration, RMS, zero-crossing
+    rate) over Arrow batches.
+
+    HASH-EXACT since round 7 (the x_png_decode_dims generative
+    pattern): the square waveform keeps every sample at ±12000 with
+    sign flips on integer half-period boundaries, so the decoded
+    magnitude is the G.711 round-trip constant expand(compress(A))
+    and all three features are closed-form rationals — the DuckDB
+    oracle re-derives them from the generative formulas INCLUDING
+    the full μ-law/A-law segment/mantissa integer math, so any
+    header, codec, or feature bug breaks the hash. The sine
+    waveform (float synthesis) stays the unit-test path; codec
+    round trips are additionally pinned exhaustively (all 256
+    codes, full int16 sweep) in unit tests."""
     from pac_data_pipeline_spark.ext.multimodal import (
         audio_features,
         audio_media_from_documents,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return audio_features(audio_media_from_documents(docs, encoding="mixed"))
+    return audio_features(
+        audio_media_from_documents(docs, encoding="mixed", waveform="square")
+    )
 
 
 def q_h15_top_supplier(spark, sf_dir):
@@ -5103,6 +5115,73 @@ def oracle_sql() -> dict[str, str]:
         JOIN uni USING (w1)
         CROSS JOIN voc
         GROUP BY inst.doc_id
+    """
+    # x_audio_features: recompute audio_media_from_documents'
+    # square-waveform generative formulas AND the G.711 round trip
+    # in pure integer SQL. Per doc: freq = 200 + d%200, n = 800 +
+    # (d%5)*400 samples at 8 kHz, encoding rotates (pcm, mulaw,
+    # alaw) by d%3, amplitude A = 12000. Decoded magnitude =
+    # expand(compress(A)) mirrored from ext/multimodal.py's
+    # mulaw_/alaw_compress/expand (bias 132 / clip 32635; A-law
+    # 13-bit magnitude + segment table), with floor(log2) spelled
+    # length(bin(x))-1 (float log2 is not correctly rounded).
+    # duration = n/8000; RMS = |v|/32768 (all samples share one
+    # magnitude, and k·v² stays under 2^53 so the numpy mean/sqrt
+    # chain is IEEE-exact); zero-cross rate = floor((n-1)/hp)/(n-1)
+    # with half-period hp = 8000 // (2·freq). Round-half parity of
+    # every reachable value was probed Python-vs-DuckDB before this
+    # oracle landed (55 zcr combos + 3 rms + 5 durations).
+    oracles["x_audio_features"] = """
+        WITH p AS (
+            SELECT doc_id,
+                   doc_id % 3 AS enc,
+                   200 + (doc_id % 200) AS freq,
+                   800 + (doc_id % 5) * 400 AS n
+            FROM documents
+        ),
+        mu AS (  -- mulaw: mag = min(A,32635)+132; e = msb-7; v back
+            SELECT GREATEST(0, LEAST(7,
+                       length(bin(LEAST(12000, 32635) + 132)) - 8
+                   )) AS e,
+                   LEAST(12000, 32635) + 132 AS mag
+        ),
+        muv AS (
+            SELECT ((((mag >> (e + 3)) & 15) * 8 + 132) << e) - 132 AS v
+            FROM mu
+        ),
+        al AS (  -- alaw: 13-bit magnitude, segment, mantissa
+            SELECT m.mag13,
+                   CASE WHEN m.mag13 > 31 THEN GREATEST(0, LEAST(8,
+                       length(bin(m.mag13)) - 5)) ELSE 0 END AS seg
+            FROM (SELECT 12000 // 8 AS mag13) m
+        ),
+        alv AS (
+            SELECT CASE WHEN seg = 0
+                   THEN ((CASE WHEN seg < 2 THEN (mag13 >> 1) & 15
+                          ELSE (mag13 >> seg) & 15 END) << 4) + 8
+                   ELSE (((CASE WHEN seg < 2 THEN (mag13 >> 1) & 15
+                           ELSE (mag13 >> seg) & 15 END) << 4) + 264)
+                        << (seg - 1)
+                   END AS v
+            FROM al
+        ),
+        f AS (
+            SELECT p.doc_id, p.n,
+                   8000 // (2 * p.freq) AS hp,
+                   CASE p.enc WHEN 0 THEN 12000
+                              WHEN 1 THEN (SELECT v FROM muv)
+                              ELSE (SELECT v FROM alv) END AS amp
+            FROM p
+        )
+        SELECT doc_id,
+               8000 AS sample_rate,
+               CAST(n AS BIGINT) AS n_samples,
+               ROUND(n / 8000.0, 6) AS duration_s,
+               ROUND(amp / 32768.0, 6) AS rms,
+               ROUND(((n - 1) // hp) / CAST(n - 1 AS DOUBLE), 6)
+                   AS zero_cross_rate,
+               TRUE AS decoded
+        FROM f
     """
     oracles["x_png_decode_dims"] = """
         -- recompute png_media_from_documents' generative dimension

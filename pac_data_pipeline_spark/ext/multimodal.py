@@ -1107,14 +1107,25 @@ def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
 
 
 def audio_media_from_documents(
-    documents: DataFrame, sample_rate: int = 8000, encoding: str = "pcm"
+    documents: DataFrame,
+    sample_rate: int = 8000,
+    encoding: str = "pcm",
+    waveform: str = "sine",
 ) -> DataFrame:
     """Synthesize a REAL audio table from the documents fixture:
-    per doc, a short sine burst whose frequency/duration derive from
+    per doc, a short burst whose frequency/duration derive from
     the doc id — deterministic bytes, decodable by any WAV reader.
     ``encoding``: ``pcm``/``mulaw``/``alaw`` for one format, or
     ``mixed`` to rotate per doc_id so the decoder's format dispatch
-    (PCM + both G.711 laws) is exercised in one job. Arrow-batched
+    (PCM + both G.711 laws) is exercised in one job.
+    ``waveform``: ``sine`` (float synthesis) or ``square`` — the
+    INTEGER-EXACT member of the family (constant ±12000 amplitude,
+    half-period ``sample_rate // (2·freq)`` samples): every decoded
+    sample magnitude is a G.711-round-trip constant and every sign
+    flip lands on an integer boundary, so duration/RMS/zero-cross
+    are closed-form rationals an external engine can recompute —
+    that is what lets x_audio_features carry a hash-exact DuckDB
+    oracle (the x_png_decode_dims generative pattern). Arrow-batched
     mapInPandas, scan-shaped."""
     out_schema = T.StructType(
         [
@@ -1131,8 +1142,16 @@ def audio_media_from_documents(
                 d = int(doc_id)
                 freq = 200 + (d % 200)
                 n = sample_rate // 10 + (d % 5) * sample_rate // 20
-                t = np.arange(n, dtype="float64") / sample_rate
-                wave = (np.sin(2 * np.pi * freq * t) * 12000).astype("<i2")
+                if waveform == "square":
+                    hp = sample_rate // (2 * freq)
+                    wave = (
+                        12000 * (1 - 2 * ((np.arange(n) // hp) % 2))
+                    ).astype("<i2")
+                else:
+                    t = np.arange(n, dtype="float64") / sample_rate
+                    wave = (np.sin(2 * np.pi * freq * t) * 12000).astype(
+                        "<i2"
+                    )
                 enc = (
                     encoding
                     if encoding != "mixed"

@@ -45,7 +45,6 @@ def test_rows_only_set_is_intentional():
         "x_cosine_topk_pq",  # shortlist depends on trained codebooks
         "x_bpe_train",  # iterative merge loop; pinned vs Python reference
         "x_bpe_encode",  # applies trained merges; pinned vs Python reference
-        "x_audio_features",  # float signal features; pinned on known signals
     }
     assert q - o == expected_rows_only
 

@@ -1159,6 +1159,51 @@ def test_wav_g711_container_roundtrip(spark):
         assert abs(rms_mixed[d] - rms_pcm[d]) / rms_pcm[d] < 0.02, d
 
 
+def test_square_waveform_features_are_closed_form(spark):
+    """The square waveform (the hash-exact oracle path): every
+    decoded sample magnitude must equal the G.711 round-trip
+    constant of A=12000 per encoding, and duration/RMS/zero-cross
+    must match the closed-form rationals the DuckDB oracle
+    recomputes — checked here against an INDEPENDENT derivation
+    (explicit expand(compress(A)) calls + the hp flip-count
+    formula), not the SQL."""
+    import numpy as np
+
+    from pac_data_pipeline_spark.ext.multimodal import (
+        alaw_compress,
+        alaw_expand,
+        audio_features,
+        audio_media_from_documents,
+        mulaw_compress,
+        mulaw_expand,
+    )
+
+    docs = spark.createDataFrame(
+        [(d,) for d in (0, 1, 2, 7, 123, 399)], "doc_id long"
+    )
+    rows = {
+        r.doc_id: r
+        for r in audio_features(
+            audio_media_from_documents(
+                docs, encoding="mixed", waveform="square"
+            )
+        ).collect()
+    }
+    amp_of = {
+        0: 12000,
+        1: int(mulaw_expand(mulaw_compress(np.array([12000], np.int16)))[0]),
+        2: int(alaw_expand(alaw_compress(np.array([12000], np.int16)))[0]),
+    }
+    for d, r in rows.items():
+        freq = 200 + d % 200
+        n = 800 + (d % 5) * 400
+        hp = 8000 // (2 * freq)
+        assert r.decoded and r.sample_rate == 8000 and r.n_samples == n
+        assert r.duration_s == round(n / 8000, 6), d
+        assert r.rms == round(amp_of[d % 3] / 32768.0, 6), d
+        assert r.zero_cross_rate == round(((n - 1) // hp) / (n - 1), 6), d
+
+
 def test_tiff_decode_hand_built():
     """Pin decode_tiff against a TIFF assembled BY HAND (not
     encode_tiff): 2x1 RGB, strip data placed AFTER the IFD and the
