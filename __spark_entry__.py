@@ -2075,6 +2075,32 @@ def q_x_split_leakage(spark, sf_dir):
     return split_leakage_audit(_t(spark, sf_dir, "documents"))
 
 
+def q_x_reservoir_sample(spark, sf_dir):
+    """Exactly-100-row stratified reservoir sample over the document
+    sources: Hamilton largest-remainder apportionment of k to the
+    stratum sizes (all integer `div`/`%` — Σ quotas == k by
+    construction), then keep the quota smallest md5(id) keys per
+    stratum — the merge-exact survivor rule a distributed reservoir
+    needs (min-k of a union is min-k of mins, so partial reservoirs
+    merged in ANY order or topology agree; Vitter's Algorithm R
+    state depends on arrival order and would not). Pass 1 is a
+    |strata|-row aggregate carrying the quota window; pass 2 is one
+    corpus shuffle on the stratum key with a rank ≤ quota predicate.
+    See ext/sampling.stratified_reservoir."""
+    from pac_data_pipeline_spark.ext.sampling import stratified_reservoir
+
+    out = stratified_reservoir(
+        _t(spark, sf_dir, "documents"), k=100, strata_col="source"
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        "strat_n",
+        "quota",
+        F.col("rk").cast("bigint").alias("rk"),
+    )
+
+
 def q_x_temperature_mix(spark, sf_dir):
     """Temperature-sampled domain mixture (GPT-3/PaLM-style
     α = 0.5 reweighting) with Hamilton largest-remainder
@@ -4222,6 +4248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DuckDB gate (tools/check_oracle.py, clean + null-fuzz +
         # empty + unicode + blank clones).
         # -- (a0) new this round (6) ---------------------------------
+        "x_reservoir_sample": q_x_reservoir_sample,
         "x_quantile_sketch": q_x_quantile_sketch,
         "x_mmr_diversity": q_x_mmr_diversity,
         "x_cms_heavy_hitters": q_x_cms_heavy_hitters,
@@ -5299,6 +5326,55 @@ def oracle_sql() -> dict[str, str]:
     oracles["x_temperature_mix"] = temperature_mixture_sql(
         budget=1_000_000
     )
+    # x_reservoir_sample: same Hamilton integer quotas over the
+    # per-source counts (HUGEINT window sums cast back to BIGINT
+    # before the // — fetchdf floats them otherwise), same
+    # (md5(id), id) per-stratum rank, same rank ≤ quota survivor
+    # rule. Any quota, hash, or rank divergence breaks the hash.
+    oracles["x_reservoir_sample"] = """
+        WITH c AS (
+            SELECT CAST(source AS VARCHAR) AS __s,
+                   COUNT(*) AS strat_n
+            FROM documents WHERE source IS NOT NULL
+            GROUP BY 1
+        ),
+        q AS (
+            SELECT __s, strat_n,
+                   CAST(SUM(strat_n) OVER () AS BIGINT) AS tn
+            FROM c
+        ),
+        q2 AS (
+            SELECT *,
+                   (100 * strat_n) // tn AS base,
+                   (100 * strat_n) % tn AS rem
+            FROM q
+        ),
+        r AS (
+            SELECT *,
+                   row_number() OVER (ORDER BY rem DESC, __s ASC) AS qrk,
+                   100 - CAST(SUM(base) OVER () AS BIGINT) AS leftover
+            FROM q2
+        ),
+        quo AS (
+            SELECT __s, strat_n,
+                   CAST(base + CASE WHEN qrk <= leftover
+                        THEN 1 ELSE 0 END AS BIGINT) AS quota
+            FROM r
+        ),
+        ranked AS (
+            SELECT doc_id, source, CAST(source AS VARCHAR) AS __s,
+                   row_number() OVER (
+                       PARTITION BY CAST(source AS VARCHAR)
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                doc_id ASC) AS rk
+            FROM documents WHERE source IS NOT NULL
+        )
+        SELECT ranked.doc_id, ranked.source,
+               CAST(quo.strat_n AS BIGINT) AS strat_n, quo.quota,
+               CAST(ranked.rk AS BIGINT) AS rk
+        FROM ranked JOIN quo USING (__s)
+        WHERE ranked.rk <= quo.quota
+    """
     from pac_data_pipeline_spark.ext.mmr import mmr_fixture_sql
 
     # x_mmr_diversity: the identical unrolled greedy trajectory —

@@ -327,6 +327,79 @@ def temperature_mixture_sql(
     """
 
 
+def stratified_reservoir(
+    df: DataFrame,
+    k: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly-``k``-row stratified sample with MERGE-EXACT
+    per-stratum quotas — the deterministic distributed equivalent of
+    per-stratum reservoir sampling (Vitter's Algorithm R keeps a
+    uniform k-subset per reservoir; here the "reservoir survivor"
+    rule is *keep the quota smallest md5 keys*, which is a uniform
+    subset for a hash uniform on ids and — unlike a real reservoir —
+    independent of partitioning, arrival order, and merge topology:
+    any two partial reservoirs merged in any order agree, because
+    min-k of a union is min-k of mins).
+
+    Quotas are Hamilton largest-remainder apportionments of ``k`` to
+    the stratum sizes (the temperature_mixture integer contract: all
+    `div`/`%`, never float shares — Σ quotas == k by construction;
+    ties on remainder break by stratum name asc; caller contract
+    ``k ≤ |df|`` and ``k · max(n_s) < 2^63``). NULL-stratum rows are
+    excluded up front (no quota can target them).
+
+    Scale shape: pass 1 is a map-side-combinable per-stratum count
+    (|strata| rows — the quota window rides that tiny aggregate,
+    never the corpus); pass 2 ranks within stratum by (md5, id) —
+    ONE corpus shuffle on the stratum key — and keeps rank ≤ quota
+    via the broadcast quota table. At 1000 executors a skewed
+    stratum serializes its own window, but the rank predicate is a
+    running top-``quota_s`` — the per-partition-heap TakeOrdered
+    shape — and quota_s ≤ k bounds the state.
+
+    Returns the sampled rows plus (strat_n, quota, rk) lineage.
+    """
+    w_tot = Window.partitionBy()
+    w_rank = Window.partitionBy().orderBy(F.desc("rem"), F.asc("__s"))
+    counts = (
+        df.filter(F.col(strata_col).isNotNull())
+        .groupBy(F.col(strata_col).cast("string").alias("__s"))
+        .agg(F.count(F.lit(1)).alias("strat_n"))
+        .select("*", F.sum("strat_n").over(w_tot).alias("tn"))
+        .select(
+            "*",
+            F.expr(f"({k} * strat_n) div tn").alias("base"),
+            F.expr(f"({k} * strat_n) % tn").alias("rem"),
+        )
+        .select(
+            "*",
+            F.row_number().over(w_rank).alias("qrk"),
+            (F.lit(k) - F.sum("base").over(w_tot)).alias("leftover"),
+        )
+        .select(
+            "__s",
+            "strat_n",
+            (
+                F.col("base")
+                + F.when(F.col("qrk") <= F.col("leftover"), 1).otherwise(0)
+            ).alias("quota"),
+        )
+    )
+    w_strat = Window.partitionBy("__s").orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.filter(F.col(strata_col).isNotNull())
+        .withColumn("__s", F.col(strata_col).cast("string"))
+        .withColumn("rk", F.row_number().over(w_strat))
+        .join(F.broadcast(counts), "__s")
+        .filter(F.col("rk") <= F.col("quota"))
+        .drop("__s")
+    )
+
+
 def split_leakage_audit(
     df: DataFrame,
     text_col: str = "text",

@@ -2347,6 +2347,61 @@ def test_dedup_representatives_keeps_best_not_first(spark):
     assert rows[9].keep and rows[9].quality_score is None  # singleton
 
 
+def test_stratified_reservoir_exact_k_and_merge_exact(spark):
+    """Reservoir contract: output is EXACTLY k rows, per-stratum
+    counts are the Hamilton quotas of the stratum sizes (plain-
+    Python integer replay), survivors are the quota smallest
+    (md5(id), id) keys per stratum, and the survivor rule is
+    MERGE-EXACT: recomputing on any repartitioning selects the
+    identical ids (membership is a pure function of the key)."""
+    import hashlib
+
+    from pac_data_pipeline_spark.ext.sampling import stratified_reservoir
+
+    rows = (
+        [(i, "big") for i in range(60)]
+        + [(i + 100, "mid") for i in range(25)]
+        + [(i + 200, "small") for i in range(7)]
+        + [(999, None)]  # NULL stratum: excluded
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    k = 20
+    out = stratified_reservoir(df, k=k, strata_col="source").collect()
+    assert len(out) == k
+    got_per = {}
+    for r in out:
+        got_per.setdefault(r.source, set()).add(r.doc_id)
+
+    n = {"big": 60, "mid": 25, "small": 7}
+    tn = sum(n.values())
+    base = {s: k * c // tn for s, c in n.items()}
+    rem = {s: k * c % tn for s, c in n.items()}
+    leftover = k - sum(base.values())
+    order = sorted(n, key=lambda s: (-rem[s], s))
+    quota = {
+        s: base[s] + (1 if i < leftover else 0)
+        for i, s in enumerate(order)
+    }
+    assert {s: len(ids) for s, ids in got_per.items()} == {
+        s: q for s, q in quota.items() if q > 0
+    }
+    # survivor rule: quota smallest md5 keys per stratum
+    for s, q in quota.items():
+        ids = [i for i, st in rows if st == s]
+        expect = set(
+            sorted(
+                ids,
+                key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+            )[:q]
+        )
+        assert got_per.get(s, set()) == expect, s
+    # merge-exactness: a different partitioning selects the same set
+    out2 = stratified_reservoir(
+        df.repartition(13, "doc_id"), k=k, strata_col="source"
+    ).collect()
+    assert {r.doc_id for r in out2} == {r.doc_id for r in out}
+
+
 def test_split_leakage_content_policy_eliminates_leakage(spark):
     """The audit's whole point: splitting on the content fingerprint
     co-locates every exact duplicate (n_leaked = 0 by construction),

@@ -93,6 +93,10 @@ ALLOWED_GLOBAL_WINDOW = {
     # remainder rank, leftover) span the |domains|-row aggregate,
     # never the corpus.
     "x_temperature_mix",
+    # x_reservoir_sample's Hamilton quota windows span the
+    # |strata|-row count aggregate (same pattern); the corpus-side
+    # rank is PARTITIONED by stratum, not global.
+    "x_reservoir_sample",
 }
 
 
