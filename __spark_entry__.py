@@ -2040,6 +2040,27 @@ def q_x_quantile_sketch(spark, sf_dir):
     return hdr_quantiles(li, "l_returnflag", "l_extendedprice")
 
 
+def q_x_centroid_quantiles(spark, sf_dir):
+    """Centroid quantile sketch — the SECOND mergeable quantile
+    family next to x_quantile_sketch, t-digest-style readout
+    (Dunning & Ertl: answer quantiles from (centroid, count)
+    clusters) on value-deterministic HDR bucket boundaries: per
+    (key, bucket) the sketch stores (count, sum-of-cents), merge
+    adds both (order-independent, unlike real t-digest), and the
+    estimate is the rank bucket's integer-floor centroid — strictly
+    inside the bucket, so always ≥ x_quantile_sketch's lower-bound
+    estimate and within the same 2^-7 relative error
+    (cross-checked as a property test). Same single
+    map-side-combinable O(buckets) shuffle; global rows derived
+    from per-key sketches only. See operators/quantile.py."""
+    from pac_data_pipeline_spark.operators.quantile import (
+        centroid_quantiles,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return centroid_quantiles(li, "l_returnflag", "l_extendedprice")
+
+
 def q_x_dedup_representatives(spark, sf_dir):
     """Near-dup cluster representative selection: cluster (the
     x_dedup_clusters candidate graph + components), score every doc
@@ -4249,6 +4270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # empty + unicode + blank clones).
         # -- (a0) new this round (6) ---------------------------------
         "x_reservoir_sample": q_x_reservoir_sample,
+        "x_centroid_quantiles": q_x_centroid_quantiles,
         "x_quantile_sketch": q_x_quantile_sketch,
         "x_mmr_diversity": q_x_mmr_diversity,
         "x_cms_heavy_hitters": q_x_cms_heavy_hitters,
@@ -5309,6 +5331,14 @@ def oracle_sql() -> dict[str, str]:
 
     # x_quantile_sketch: the identical integer sketch + rank walk.
     oracles["x_quantile_sketch"] = hdr_quantiles_sql(
+        "lineitem", "l_returnflag", "l_extendedprice"
+    )
+    from pac_data_pipeline_spark.operators.quantile import (
+        centroid_quantiles_sql,
+    )
+
+    # x_centroid_quantiles: identical (cnt, tot) sketch + centroid.
+    oracles["x_centroid_quantiles"] = centroid_quantiles_sql(
         "lineitem", "l_returnflag", "l_extendedprice"
     )
     from pac_data_pipeline_spark.operators.cms import (

@@ -149,6 +149,167 @@ def hdr_quantiles(
     return out.orderBy("key", "q")
 
 
+def centroid_sketch(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    sig_bits: int = DEFAULT_SIG_BITS,
+) -> DataFrame:
+    """CENTROID quantile sketch — the second quantile family next
+    to :func:`hdr_sketch`, in the spirit of t-digest (Dunning &
+    Ertl: summarize a distribution as (centroid, count) clusters and
+    answer quantiles from the centroids). t-digest itself builds
+    clusters by scanning in arrival order, so merge results depend
+    on merge topology; this sketch keeps the centroid READOUT but
+    pins cluster boundaries to the value-deterministic HDR bucket
+    grid — per (key, bucket) it stores (count, sum-of-cents), so
+    merge = add both and sketch(A ∪ B) == merge(sketch(A),
+    sketch(B)) bit-exactly, the property t-digest trades away for
+    adaptive compression. Same single map-side-combinable shuffle of
+    O(buckets) rows; the extra state per bucket is one BIGINT sum
+    (caller contract: Σ cents per (key, bucket) < 2^63)."""
+    cents = f"CAST(floor(CAST({value_col} AS DOUBLE) * 100 + 0.5) AS BIGINT)"
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            F.expr(cents).alias("c"),
+            F.expr(_bucket_expr("c", sig_bits)).alias("bucket"),
+        )
+        .groupBy("key", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("c").alias("tot"),
+        )
+    )
+
+
+def centroid_quantiles(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    sig_bits: int = DEFAULT_SIG_BITS,
+    qs: tuple[int, ...] = (50, 90, 95, 99),
+    merged_key: str = "__ALL__",
+) -> DataFrame:
+    """Quantiles from the centroid sketch: the estimate for percent
+    ``q`` is the CENTROID (integer-floor mean, ``tot div cnt``) of
+    the bucket holding rank ⌈q·n/100⌉ — a strictly tighter point
+    estimate than :func:`hdr_quantiles`' bucket lower bound, since
+    the centroid lies inside [bucket, bucket + width) by
+    construction (the cross-check property pinned in tests:
+    hdr_est ≤ centroid_est, both within 2^−sig_bits relative
+    error). The merged-global rows (key = ``merged_key``) are
+    derived by summing per-key (cnt, tot) pairs — the mergeability
+    demonstration, corpus scanned once. Returns
+    (key, q, est_cents, n) sorted by (key, q)."""
+    sketch = centroid_sketch(df, key_col, value_col, sig_bits).localCheckpoint()
+    merged = (
+        sketch.groupBy("bucket")
+        .agg(F.sum("cnt").alias("cnt"), F.sum("tot").alias("tot"))
+        .select(F.lit(merged_key).alias("key"), "bucket", "cnt", "tot")
+    )
+    per_key = sketch.withColumn("key", F.col("key").cast("string"))
+    allk = per_key.unionByName(merged)
+    w_all = Window.partitionBy("key")
+    w_cum = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = allk.select(
+        "key",
+        "bucket",
+        "cnt",
+        "tot",
+        F.sum("cnt").over(w_all).alias("n"),
+        F.sum("cnt").over(w_cum).alias("cum"),
+    )
+    qdf = cum.select(
+        "*", F.explode(F.array(*[F.lit(q) for q in qs])).alias("q")
+    )
+    rank = F.expr("(n * q + 99) div 100")
+    return (
+        qdf.filter(
+            (F.col("cum") >= rank) & (F.col("cum") - F.col("cnt") < rank)
+        )
+        .select(
+            "key",
+            "q",
+            # underflow bucket (cents < 1, possibly negative sums)
+            # pins to 0 like hdr's lower bound: for bucket ≥ 1 every
+            # summand is positive, so Spark's truncating `div` and
+            # DuckDB's flooring `//` agree; bucket 0's negative tot
+            # is the one case they wouldn't
+            F.expr(
+                "CASE WHEN bucket = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE tot div cnt END"
+            ).alias("est_cents"),
+            "n",
+        )
+        .orderBy("key", "q")
+    )
+
+
+def centroid_quantiles_sql(
+    table: str,
+    key_col: str,
+    value_col: str,
+    sig_bits: int = DEFAULT_SIG_BITS,
+    qs: tuple[int, ...] = (50, 90, 95, 99),
+    merged_key: str = "__ALL__",
+) -> str:
+    """The identical centroid sketch + walk as DuckDB SQL: same
+    cents grid, same bucket truncation, same integer centroid
+    ``tot // cnt``, same ceiling rank — hash-exact against
+    :func:`centroid_quantiles` (HUGEINT window/group sums cast back
+    to BIGINT so fetchdf keeps them integral)."""
+    qs_list = ", ".join(f"({q})" for q in qs)
+    cents = f"CAST(floor(CAST({value_col} AS DOUBLE) * 100 + 0.5) AS BIGINT)"
+    m = "(length(bin(c)) - 1)"
+    sh = f"greatest({m} - {sig_bits}, 0)"
+    return f"""
+        WITH vals AS (
+            SELECT CAST({key_col} AS VARCHAR) AS key, {cents} AS c
+            FROM {table}
+            WHERE {value_col} IS NOT NULL
+        ),
+        sk AS (
+            SELECT key,
+                   CASE WHEN c < 1 THEN CAST(0 AS BIGINT)
+                        ELSE (c >> {sh}) << {sh} END AS bucket,
+                   count(*) AS cnt,
+                   CAST(SUM(c) AS BIGINT) AS tot
+            FROM vals GROUP BY 1, 2
+        ),
+        allk AS (
+            SELECT key, bucket, cnt, tot FROM sk
+            UNION ALL
+            SELECT '{merged_key}' AS key, bucket,
+                   CAST(SUM(cnt) AS BIGINT) AS cnt,
+                   CAST(SUM(tot) AS BIGINT) AS tot
+            FROM sk GROUP BY bucket
+        ),
+        cum AS (
+            SELECT key, bucket, cnt, tot,
+                   SUM(cnt) OVER (PARTITION BY key) AS n,
+                   SUM(cnt) OVER (
+                       PARTITION BY key ORDER BY bucket
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS cum
+            FROM allk
+        )
+        SELECT key, q,
+               CAST(CASE WHEN bucket = 0 THEN 0
+                    ELSE tot // cnt END AS BIGINT) AS est_cents,
+               CAST(n AS BIGINT) AS n
+        FROM cum, (VALUES {qs_list}) qv(q)
+        WHERE cum >= (n * q + 99) // 100
+          AND cum - cnt < (n * q + 99) // 100
+        ORDER BY key, q
+    """
+
+
 def hdr_quantiles_sql(
     table: str,
     key_col: str,

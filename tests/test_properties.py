@@ -1022,6 +1022,57 @@ def test_hdr_bucket_error_bound_theorem(cents, q):
     assert (exact - est) / exact < 2**-B
 
 
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=10**12), min_size=1, max_size=400),
+    st.sampled_from([50, 90, 95, 99]),
+)
+def test_centroid_sketch_dominates_hdr_lower_bound(cents, q):
+    """The centroid family's cross-check guarantee against the HDR
+    family, on pure-Python replicas of both bucket walks: for any
+    positive integer multiset the centroid estimate lies in
+    [hdr_est, hdr_est + bucket width), hence (a) centroid ≥ hdr
+    always, (b) both within 2^-sig_bits relative error of the exact
+    quantile, and (c) the (cnt, tot) sketch is exactly mergeable —
+    summing two halves' sketches reproduces the whole-set sketch."""
+    B = 7
+
+    def bucket(c: int) -> int:
+        sh = max(c.bit_length() - 1 - B, 0)
+        return (c >> sh) << sh
+
+    sk: dict[int, tuple[int, int]] = {}
+    for c in cents:
+        b = bucket(c)
+        cnt, tot = sk.get(b, (0, 0))
+        sk[b] = (cnt + 1, tot + c)
+    n = len(cents)
+    rank = (n * q + 99) // 100
+    cum, hdr_est, cen_est, width = 0, None, None, None
+    for b in sorted(sk):
+        cnt, tot = sk[b]
+        cum += cnt
+        if cum >= rank:
+            hdr_est, cen_est = b, (0 if b == 0 else tot // cnt)
+            sh = max(b.bit_length() - 1 - B, 0)
+            width = 1 << sh
+            break
+    exact = sorted(cents)[rank - 1]
+    assert hdr_est is not None
+    assert hdr_est <= cen_est < hdr_est + width
+    assert cen_est <= max(cents)
+    assert abs(exact - cen_est) / exact < 2**-B
+    # merge-exactness: sketch(A) + sketch(B) == sketch(A ∪ B)
+    half = len(cents) // 2
+    merged: dict[int, tuple[int, int]] = {}
+    for part in (cents[:half], cents[half:]):
+        for c in part:
+            b = bucket(c)
+            cnt, tot = merged.get(b, (0, 0))
+            merged[b] = (cnt + 1, tot + c)
+    assert merged == sk
+
+
 @settings(max_examples=200, deadline=None)
 @given(st.lists(st.text(alphabet="abcdef", min_size=1, max_size=4),
                 min_size=1, max_size=300))
