@@ -116,6 +116,7 @@ from pac_data_pipeline_spark.ext.corpus import (
     unicode_clean,
 )
 from pac_data_pipeline_spark.ext.text import gopher_rules
+from pac_data_pipeline_spark.functions.rounding import floor_round_sql
 from pac_data_pipeline_spark.ext.text import (
     TOKEN_SEP,
     chunk_documents,
@@ -1159,6 +1160,18 @@ def q_x_decontaminate(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     eval_set = d.filter(F.col("doc_id") % 20 == 0)
     return decontaminate(d, eval_set, n=3)
+
+
+def q_x_ngram_novelty(spark, sf_dir):
+    """Per-doc 3-gram novelty fraction (share of a doc's distinct
+    token n-grams first seen in THIS doc — min-id ownership): the
+    n-gram-granular duplication signal from Lee et al. 2022.
+    Scan-side staged-token grams, one gram-keyed min-aggregate
+    (exchange reused by the join back), one doc rollup — never a
+    corpus self-join. See ext/dedup_text.ngram_novelty."""
+    from pac_data_pipeline_spark.ext.dedup_text import ngram_novelty
+
+    return ngram_novelty(_t(spark, sf_dir, "documents"), n=3)
 
 
 def q_x_tfidf_terms(spark, sf_dir):
@@ -4271,6 +4284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (a0) new this round (6) ---------------------------------
         "x_reservoir_sample": q_x_reservoir_sample,
         "x_centroid_quantiles": q_x_centroid_quantiles,
+        "x_ngram_novelty": q_x_ngram_novelty,
         "x_quantile_sketch": q_x_quantile_sketch,
         "x_mmr_diversity": q_x_mmr_diversity,
         "x_cms_heavy_hitters": q_x_cms_heavy_hitters,
@@ -5716,6 +5730,44 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
                coalesce(h.n_hits, 0) >= 1 AS contaminated
         FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """
+    # x_ngram_novelty: same staged 3-gram build as x_decontaminate's
+    # oracle (list-comprehension slices over the shared token split),
+    # same blank/NULL drops, min-id ownership, floor-round ratio.
+    oracles["x_ngram_novelty"] = f"""
+        WITH g AS (
+            SELECT doc_id,
+                   unnest(list_distinct([
+                       array_to_string(toks[i : i + 2], ' ')
+                       FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)
+                   ])) AS gram
+            FROM (SELECT doc_id,
+                         string_split_regex(trim(text, ' '),
+                                            '[ \\t\\n\\f\\r]+') AS toks
+                  FROM documents)
+        ),
+        gg AS (
+            SELECT doc_id, gram FROM g
+            WHERE doc_id IS NOT NULL AND gram IS NOT NULL AND gram <> ''
+        ),
+        first AS (
+            SELECT gram, min(doc_id) AS first_doc FROM gg GROUP BY gram
+        ),
+        per AS (
+            SELECT gg.doc_id,
+                   count(*) AS n_grams,
+                   SUM(CASE WHEN first.first_doc = gg.doc_id
+                       THEN 1 ELSE 0 END) AS n_novel
+            FROM gg JOIN first USING (gram)
+            GROUP BY gg.doc_id
+        )
+        SELECT doc_id,
+               CAST(n_grams AS BIGINT) AS n_grams,
+               CAST(n_novel AS BIGINT) AS n_novel,
+               {floor_round_sql(
+                   "CAST(n_novel AS DOUBLE) / n_grams", 6
+               )} AS novelty
+        FROM per
     """
     oracles["x_tfidf_terms"] = """
         WITH toks AS (

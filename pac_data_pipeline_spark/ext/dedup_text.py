@@ -886,6 +886,69 @@ def decontaminate(
     )
 
 
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY profile — the duplication-aware
+    quality signal behind Lee et al. 2022's finding that repeated
+    text trains worse: for each doc, the fraction of its distinct
+    token n-grams whose FIRST corpus occurrence (min doc id over
+    all docs containing the gram) is this doc. A doc assembled from
+    already-seen text scores near 0; fresh text scores near 1 —
+    compose with a threshold filter to drop low-novelty docs, the
+    n-gram-granular complement of whole-doc dedup.
+
+    Scale shape: the staged-token n-gram build is scan-side
+    (:func:`_with_token_ngrams` — tokenize once, slice an
+    attribute); first-occurrence is ONE min-aggregate shuffled on
+    the gram key; the join back is gram-keyed too, so the exchange
+    is reused, and the per-doc rollup is the only other shuffle.
+    Never a corpus self-join — cross-doc duplication is resolved
+    entirely through the gram-key aggregate. Blank and NULL text
+    yield no qualifying grams and drop (a doc with no content has
+    no novelty to measure); NULL ids drop (min-id ownership needs
+    an id).
+
+    Returns (doc_id, n_grams, n_novel, novelty) with novelty
+    floor-rounded to 6 digits (the rational-ratio contract)."""
+    from pac_data_pipeline_spark.functions.rounding import floor_round
+
+    grams = (
+        _with_token_ngrams(ensure_parallelism(df), text_col, n)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode_outer("grams").alias("gram"),
+        )
+        .filter(
+            F.col("doc_id").isNotNull()
+            & F.col("gram").isNotNull()
+            & (F.col("gram") != "")
+        )
+    )
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            floor_round(
+                F.col("n_novel") / F.col("n_grams"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
 def dedup_representatives(
     df: DataFrame,
     threshold: float = 0.4,

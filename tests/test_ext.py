@@ -735,6 +735,43 @@ def test_interleave_tags_sources(spark):
     assert 30 <= n_b <= 70  # ~50% of b
 
 
+def test_ngram_novelty_planted_duplication(spark):
+    """Novelty semantics on planted structure: an exact copy of an
+    earlier doc scores 0, fresh text scores 1, a half-borrowed doc
+    scores the exact borrowed fraction, and blank/NULL docs drop."""
+    from pac_data_pipeline_spark.ext.dedup_text import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),       # 4 distinct 3-grams, all first here
+            (1, "a b c d e f"),       # exact copy -> novelty 0
+            (2, "a b c d p q r s"),   # grams: abc bcd cde(seen) + dpq pqr qrs... mixed
+            (3, "x y z w v"),         # fresh -> novelty 1
+            (4, ""),                  # blank: drops
+            (5, None),                # NULL: drops
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in ngram_novelty(docs, n=3).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    assert got[0].novelty == 1.0 and got[0].n_grams == 4
+    assert got[1].novelty == 0.0 and got[1].n_novel == 0
+    assert got[3].novelty == 1.0
+    # doc 2: grams = {abc, bcd, cde, dep, epq, pqr, qrs}... compute
+    # independently
+    toks = "a b c d p q r s".split()
+    g2 = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    g0 = {" ".join("a b c d e f".split()[i : i + 3]) for i in range(4)}
+    novel2 = {g for g in g2 if g not in g0}
+    assert got[2].n_grams == len(g2)
+    assert got[2].n_novel == len(novel2)
+    import math
+
+    assert got[2].novelty == math.floor(
+        len(novel2) / len(g2) * 1e6 + 0.5
+    ) / 1e6
+
+
 def test_decontaminate_flags_overlap(spark):
     from pac_data_pipeline_spark.ext.dedup_text import decontaminate
 
