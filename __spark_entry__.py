@@ -4256,158 +4256,138 @@ def q_x_udtf_tokens(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # Dict ORDER is load-bearing: the round driver's correctness
-        # gate checks only the FIRST 50 entries. Round 6 window
-        # (per VERDICT r5 items 1 and 7), 50 = 6 + 21 + 10 + 5 + 8:
-        # (a0) the SIX round-6 additions (VERDICT r5 item 7's
-        #      stretch tier and siblings) lead per the new-first
-        #      rule — all 37 never-verdicted names (6 new + the 31
-        #      queued from r5) fit the 50 slots, so new queries
-        #      displace only re-checks, never a first-ever verdict
-        #      (the tripwire in tests/test_rotation.py enforces
-        #      exactly this);
-        # (a)  21 oracle-backed never-verdicted (streaming windows,
-        #      schema-evolution/JSON/VARIANT, hard-negatives,
-        #      profile, vector ops) then
-        # (b)  10 rows-only-by-design never-verdicted;
-        # (c)  the FIVE queries whose code changed this round
-        #      (changed-first: x_image_dhash gained its hash-exact
-        #      generative-BMP oracle per VERDICT r5 item 3;
-        #      x_markov_transitions / x_frequent_pairs / x_ab_test /
-        #      x_pii_luhn carry the ADVICE r5 fixes);
-        # (d)  EIGHT re-check slots with the OLDEST verdicts (the
-        #      r01 block in dict order, a4_party_rollup through
-        #      h3_shipping_priority; the code under several — cleaning,
-        #      scalar, aggregates — was refactored since r01).
+        # gate checks only the FIRST 50 entries. Round-7 window
+        # (steady-state policy per VERDICT r6 item 2), 50 = 3 + 3 + 44:
+        # (a)  the THREE round-7 additions (stratified reservoir
+        #      sample, centroid quantile sketch, n-gram novelty)
+        #      lead per the new-first rule;
+        # (b)  the THREE queries whose code changed this round
+        #      (x_multimodal_features array_join-serialized for the
+        #      driver comparator — the one red row in
+        #      CORRECTNESS_r06; x_audio_features and
+        #      x_embedding_near_dup upgraded rows-only → hash-exact
+        #      per VERDICT r6 item 4);
+        # (c)  44 re-check slots with the OLDEST verdicts: the 40
+        #      remaining r01 names in dict order (the FULL r01
+        #      block — after this round no r01-era verdict is
+        #      left), then the first 4 of the r03 block
+        #      (x_text_stats, x_quality_score, x_lang_id,
+        #      x_fingerprint).
         # All oracle-backed names are exact-hash green in the local
         # DuckDB gate (tools/check_oracle.py, clean + null-fuzz +
         # empty + unicode + blank clones).
-        # -- (a0) new this round (6) ---------------------------------
+        # -- (a) new this round (3) ----------------------------------
         "x_reservoir_sample": q_x_reservoir_sample,
         "x_centroid_quantiles": q_x_centroid_quantiles,
         "x_ngram_novelty": q_x_ngram_novelty,
-        "x_quantile_sketch": q_x_quantile_sketch,
-        "x_mmr_diversity": q_x_mmr_diversity,
-        "x_cms_heavy_hitters": q_x_cms_heavy_hitters,
-        "x_temperature_mix": q_x_temperature_mix,
-        "x_dedup_representatives": q_x_dedup_representatives,
-        "x_split_leakage": q_x_split_leakage,
-        # -- (a) never-driver-verdicted, oracle-backed (21) ----------
-        "x_window_tumbling": q_x_window_tumbling,
-        "x_window_sliding": q_x_window_sliding,
-        "x_session_window": q_x_session_window,
-        "x_boilerplate": q_x_boilerplate,
-        "x_schema_evolution": q_x_schema_evolution,
-        "x_json_props": q_x_json_props,
-        "x_variant": q_x_variant,
-        "x_stream_enrich": q_x_stream_enrich,
-        "x_stream_dedup_wm": q_x_stream_dedup_wm,
-        "x_stream_cdc": q_x_stream_cdc,
-        "x_stream_sliding": q_x_stream_sliding,
-        "x_hard_negatives": q_x_hard_negatives,
-        "x_negative_pairs": q_x_negative_pairs,
-        "x_incremental_dedup": q_x_incremental_dedup,
-        "x_token_budget": q_x_token_budget,
-        "x_udaf_geomean": q_x_udaf_geomean,
-        "x_profile": q_x_profile,
-        "x_corpus_report": q_x_corpus_report,
-        "x_vec_pool": q_x_vec_pool,
-        "x_vec_norm": q_x_vec_norm,
-        "x_vec_quantize": q_x_vec_quantize,
-        # -- (b) never-driver-verdicted, rows-only-by-design (10) ----
-        "x_minhash_near_dup": q_x_minhash_near_dup,
-        "x_cosine_topk_lsh": q_x_cosine_topk_lsh,
-        "x_cosine_topk_ivf": q_x_cosine_topk_ivf,
-        "x_cosine_topk_pq": q_x_cosine_topk_pq,
-        "x_embedding_near_dup": q_x_embedding_near_dup,
+        # -- (b) code-changed this round (3) --------------------------
         "x_multimodal_features": q_x_multimodal_features,
-        "x_bpe_train": q_x_bpe_train,
-        "x_bpe_encode": q_x_bpe_encode,
         "x_audio_features": q_x_audio_features,
-        "x_hll_distinct": q_x_hll_distinct,
-        # -- (c) code-changed this round (5) -------------------------
-        "x_image_dhash": q_x_image_dhash,
-        "x_markov_transitions": q_x_markov_transitions,
-        "x_frequent_pairs": q_x_frequent_pairs,
-        "x_ab_test": q_x_ab_test,
-        "x_pii_luhn": q_x_pii_luhn,
-        # -- (d) oldest-verdict re-checks (8 r01 names, dict order) --
-        "a4_party_rollup": q_a4_party_rollup,
-        "a1_groupby_sum": q_a1_groupby_sum,
-        "j1_dim_join": q_j1_dim_join,
-        "h_asof_join": q_h_asof_join,
-        "k3_batch_id": q_k3_batch_id,
-        "x_stream_sessions": q_x_stream_sessions,
-        "x_stream_dedup": q_x_stream_dedup,
-        "h3_shipping_priority": q_h3_shipping_priority,
-        # ---- end of round-6 window (position 50) -------------------
-        # NEXT-ROUND TAIL (round-7 plan): once CORRECTNESS_r06 lands,
-        # EVERY registry name has a driver verdict (the 37
-        # never-verdicted above get their first; the changed 5 +
-        # oldest 8 refresh theirs).
-        # Steady state from round 7: (1) anything new or code-changed
-        # in the round goes to the dict head; (2) remaining window
-        # slots round-robin re-verify the OLDEST verdicts — the
-        # cursor continues with the REMAINING r01 names in dict order
-        # (h5_local_volume, h6_revenue_forecast, h10_returned_items,
-        # h14_promo_share,
-        # s2_sql_source, j2_dedup_keep_first, pipe_csv_report,
-        # p1_normalize_project, p5_literal_metadata, p6_uuid_records,
-        # p7_doc_records, f1_filter_positive, ... through
-        # x_token_regex), then the r02/r03 block, then r04, then r05.
-        # ---- driver-verdicted r01; next re-check cursor ------------
+        "x_embedding_near_dup": q_x_embedding_near_dup,
+        # -- (c) oldest-verdict re-checks (40 r01, the full block) ----
         "h5_local_volume": q_h5_local_volume,
         "h6_revenue_forecast": q_h6_revenue_forecast,
         "h10_returned_items": q_h10_returned_items,
         "h14_promo_share": q_h14_promo_share,
         "s2_sql_source": q_s2_sql_source,
         "j2_dedup_keep_first": q_j2_dedup_keep_first,
-        # ---- driver-verdicted r05 (round-5 window); code unchanged -
-        "x_triangles": q_x_triangles,
-        "x_khop_bfs": q_x_khop_bfs,
-        "x_iqr_outliers": q_x_iqr_outliers,
-        "x_ewma": q_x_ewma,
-        "x_kmeans": q_x_kmeans,
-        "x_semantic_dedup": q_x_semantic_dedup,
-        "x_feature_hash": q_x_feature_hash,
-        "x_mutual_info": q_x_mutual_info,
-        "x_auc": q_x_auc,
-        "x_streaks": q_x_streaks,
-        "x_stream_ewma": q_x_stream_ewma,
-        "x_ppr": q_x_ppr,
-        "x_rfm": q_x_rfm,
-        "x_skew_profile": q_x_skew_profile,
-        "x_dedup_eval": q_x_dedup_eval,
-        "x_welch_t": q_x_welch_t,
-        "x_holt": q_x_holt,
-        "x_table_checksum": q_x_table_checksum,
-        "x_benford": q_x_benford,
-        "x_html_extract": q_x_html_extract,
-        "x_html_links": q_x_html_links,
-        "x_html_anchors": q_x_html_anchors,
-        "x_url_normalize": q_x_url_normalize,
-        "x_inverted_index": q_x_inverted_index,
-        "x_psi_drift": q_x_psi_drift,
-        "x_pagerank": q_x_pagerank,
-        "x_cdc_chunks": q_x_cdc_chunks,
-        "x_tokenizer_fertility": q_x_tokenizer_fertility,
-        "h_range_frame": q_h_range_frame,
-        "x_png_decode_dims": q_x_png_decode_dims,
-        "x_webp_decode_dims": q_x_webp_decode_dims,
-        "x_nb_classifier": q_x_nb_classifier,
-        "x_suffix_dups": q_x_suffix_dups,
-        "x_interpolate": q_x_interpolate,
-        "h_lateral": q_h_lateral,
-        "h_regression": q_h_regression,
-        "x_bm25": q_x_bm25,
-        "x_ks_drift": q_x_ks_drift,
-        "x_lm_perplexity": q_x_lm_perplexity,
-        "pipe_json_roundtrip": q_pipe_json_roundtrip,
-        "pipe_orc_roundtrip": q_pipe_orc_roundtrip,
-        "x_sentence_stats": q_x_sentence_stats,
-        "x_simhash_pairs": q_x_simhash_pairs,
-        "x_unicode_clean": q_x_unicode_clean,
-        "x_dq_checks": q_x_dq_checks,
-        # ---- driver-verdicted r04 (round-4 window); code unchanged -
+        "pipe_csv_report": q_pipe_csv_report,
+        "p1_normalize_project": q_p1_normalize_project,
+        "p5_literal_metadata": q_p5_literal_metadata,
+        "p6_uuid_records": q_p6_uuid_records,
+        "p7_doc_records": q_p7_doc_records,
+        "f1_filter_positive": q_f1_filter_positive,
+        "f3_filter_nonempty_key": q_f3_filter_nonempty_key,
+        "f4_drop_all_null": q_f4_drop_all_null,
+        "f5_filter_eq": q_f5_filter_eq,
+        "e1_bin_amounts": q_e1_bin_amounts,
+        "e2_membership_classify": q_e2_membership_classify,
+        "e3_party_keywords": q_e3_party_keywords,
+        "e7_coerce_casts": q_e7_coerce_casts,
+        "e8_date_parse": q_e8_date_parse,
+        "e9_iso_format": q_e9_iso_format,
+        "e10_fillna": q_e10_fillna,
+        "e11_composite_key": q_e11_composite_key,
+        "a2_groupby_sum_entity": q_a2_groupby_sum_entity,
+        "a3_groupby_cycle": q_a3_groupby_cycle,
+        "a5_distinct_count": q_a5_distinct_count,
+        "a6_distinct_values": q_a6_distinct_values,
+        "a7_global_summary": q_a7_global_summary,
+        "a8_value_counts": q_a8_value_counts,
+        "a10_nested_rollup": q_a10_nested_rollup,
+        "o1_top5_orders": q_o1_top5_orders,
+        "o2_top_groups": q_o2_top_groups,
+        "o3_orderby": q_o3_orderby,
+        "j1_anti_misses": q_j1_anti_misses,
+        "j3_reconcile_counts": q_j3_reconcile_counts,
+        "k5_keyed_tree": q_k5_keyed_tree,
+        "p2_generic_clean": q_p2_generic_clean,
+        "h_rank_window": q_h_rank_window,
+        "h_set_except": q_h_set_except,
+        "x_token_regex": q_x_token_regex,
+        # -- (c) oldest-verdict re-checks (first 4 of the r03 block) --
+        "x_text_stats": q_x_text_stats,
+        "x_quality_score": q_x_quality_score,
+        "x_lang_id": q_x_lang_id,
+        "x_fingerprint": q_x_fingerprint,
+        # ---- end of round-7 window (position 50) -------------------
+        # NEXT-ROUND TAIL (round-8 plan): steady state — (1) new or
+        # code-changed queries go to the dict head; (2) remaining
+        # window slots re-verify the OLDEST verdicts. The re-check
+        # cursor continues with the REMAINING r03 names in dict
+        # order (x_dedup_exact_groups, x_dedup_exact, x_simhash,
+        # ... 46 names), then the r04 block, then r05, then r06.
+        # The tail below is ordered by (last-verdict round, prior
+        # dict position), so the cursor is simply 'read on from
+        # position 51'.
+        # ---- last verdicted r03 (46) --------------------------
+        "x_dedup_exact_groups": q_x_dedup_exact_groups,
+        "x_dedup_exact": q_x_dedup_exact,
+        "x_simhash": q_x_simhash,
+        "x_ngram_jaccard": q_x_ngram_jaccard,
+        "x_dedup_clusters": q_x_dedup_clusters,
+        "x_tfidf_terms": q_x_tfidf_terms,
+        "x_decontaminate": q_x_decontaminate,
+        "x_cosine_topk": q_x_cosine_topk,
+        "x_sessionize": q_x_sessionize,
+        "x_session_stats": q_x_session_stats,
+        "x_stream_tumbling": q_x_stream_tumbling,
+        "x_frame_sample": q_x_frame_sample,
+        "h8_market_share": q_h8_market_share,
+        "h12_late_priority": q_h12_late_priority,
+        "h17_small_qty": q_h17_small_qty,
+        "h21_waiting": q_h21_waiting,
+        "x_cc_largestar": q_x_cc_largestar,
+        "x_udtf_tokens": q_x_udtf_tokens,
+        "x_jaccard_join": q_x_jaccard_join,
+        "x_weighted_sample": q_x_weighted_sample,
+        "x_interval_join": q_x_interval_join,
+        "x_minhash_portable": q_x_minhash_portable,
+        "x_embedding_near_dup_axis": q_x_embedding_near_dup_axis,
+        "x_cosine_topk_axis": q_x_cosine_topk_axis,
+        "x_kmv_distinct": q_x_kmv_distinct,
+        "h_window_distinct": q_h_window_distinct,
+        "x_entropy": q_x_entropy,
+        "x_skew_distinct": q_x_skew_distinct,
+        "x_salted_sum": q_x_salted_sum,
+        "h_asof_nearest": q_h_asof_nearest,
+        "h_rollup": q_h_rollup,
+        "h_range_join": q_h_range_join,
+        "h_median": q_h_median,
+        "x_interleave": q_x_interleave,
+        "x_redact_pii": q_x_redact_pii,
+        "x_stream_join": q_x_stream_join,
+        "h_lag_delta": q_h_lag_delta,
+        "h_intersect": q_h_intersect,
+        "x_pack_sequences": q_x_pack_sequences,
+        "x_repetition": q_x_repetition,
+        "x_logfreq_score": q_x_logfreq_score,
+        "x_chunk_dedup": q_x_chunk_dedup,
+        "x_gopher_rules": q_x_gopher_rules,
+        "x_domain_mix": q_x_domain_mix,
+        "x_approx_stats": q_x_approx_stats,
+        "pipe_snowflake_batch": q_pipe_snowflake_batch,
+        # ---- last verdicted r04 (50) --------------------------
         "x_approx_stats_exact": q_x_approx_stats_exact,
         "h_cube": q_h_cube,
         "h_pivot": q_h_pivot,
@@ -4458,92 +4438,100 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_hash_sample": q_x_hash_sample,
         "x_stratified_sample": q_x_stratified_sample,
         "x_top_tokens": q_x_top_tokens,
-        # ---- driver-verdicted in r01/r02/r03; code unchanged -------
-        # (relative order preserved; all also pass the local gate)
-        "x_text_stats": q_x_text_stats,
-        "x_quality_score": q_x_quality_score,
-        "x_lang_id": q_x_lang_id,
-        "x_fingerprint": q_x_fingerprint,
-        "x_dedup_exact_groups": q_x_dedup_exact_groups,
-        "x_dedup_exact": q_x_dedup_exact,
-        "x_simhash": q_x_simhash,
-        "x_ngram_jaccard": q_x_ngram_jaccard,
-        "x_dedup_clusters": q_x_dedup_clusters,
-        "x_tfidf_terms": q_x_tfidf_terms,
-        "x_decontaminate": q_x_decontaminate,
-        "x_cosine_topk": q_x_cosine_topk,
-        "x_sessionize": q_x_sessionize,
-        "x_session_stats": q_x_session_stats,
-        "x_stream_tumbling": q_x_stream_tumbling,
-        "x_frame_sample": q_x_frame_sample,
-        "h8_market_share": q_h8_market_share,
-        "h12_late_priority": q_h12_late_priority,
-        "h17_small_qty": q_h17_small_qty,
-        "h21_waiting": q_h21_waiting,
-        "x_cc_largestar": q_x_cc_largestar,
-        "x_udtf_tokens": q_x_udtf_tokens,
-        "x_jaccard_join": q_x_jaccard_join,
-        "x_weighted_sample": q_x_weighted_sample,
-        "x_interval_join": q_x_interval_join,
-        "x_minhash_portable": q_x_minhash_portable,
-        "x_embedding_near_dup_axis": q_x_embedding_near_dup_axis,
-        "x_cosine_topk_axis": q_x_cosine_topk_axis,
-        "x_kmv_distinct": q_x_kmv_distinct,
-        "h_window_distinct": q_h_window_distinct,
-        "x_entropy": q_x_entropy,
-        "x_skew_distinct": q_x_skew_distinct,
-        "x_salted_sum": q_x_salted_sum,
-        "h_asof_nearest": q_h_asof_nearest,
-        "h_rollup": q_h_rollup,
-        "h_range_join": q_h_range_join,
-        "h_median": q_h_median,
-        "x_interleave": q_x_interleave,
-        "x_redact_pii": q_x_redact_pii,
-        "x_stream_join": q_x_stream_join,
-        "h_lag_delta": q_h_lag_delta,
-        "h_intersect": q_h_intersect,
-        "x_pack_sequences": q_x_pack_sequences,
-        "x_repetition": q_x_repetition,
-        "x_logfreq_score": q_x_logfreq_score,
-        "x_chunk_dedup": q_x_chunk_dedup,
-        "x_gopher_rules": q_x_gopher_rules,
-        "x_domain_mix": q_x_domain_mix,
-        "x_approx_stats": q_x_approx_stats,
-        "pipe_snowflake_batch": q_pipe_snowflake_batch,
-        "pipe_csv_report": q_pipe_csv_report,
-        "p1_normalize_project": q_p1_normalize_project,
-        "p5_literal_metadata": q_p5_literal_metadata,
-        "p6_uuid_records": q_p6_uuid_records,
-        "p7_doc_records": q_p7_doc_records,
-        "f1_filter_positive": q_f1_filter_positive,
-        "f3_filter_nonempty_key": q_f3_filter_nonempty_key,
-        "f4_drop_all_null": q_f4_drop_all_null,
-        "f5_filter_eq": q_f5_filter_eq,
-        "e1_bin_amounts": q_e1_bin_amounts,
-        "e2_membership_classify": q_e2_membership_classify,
-        "e3_party_keywords": q_e3_party_keywords,
-        "e7_coerce_casts": q_e7_coerce_casts,
-        "e8_date_parse": q_e8_date_parse,
-        "e9_iso_format": q_e9_iso_format,
-        "e10_fillna": q_e10_fillna,
-        "e11_composite_key": q_e11_composite_key,
-        "a2_groupby_sum_entity": q_a2_groupby_sum_entity,
-        "a3_groupby_cycle": q_a3_groupby_cycle,
-        "a5_distinct_count": q_a5_distinct_count,
-        "a6_distinct_values": q_a6_distinct_values,
-        "a7_global_summary": q_a7_global_summary,
-        "a8_value_counts": q_a8_value_counts,
-        "a10_nested_rollup": q_a10_nested_rollup,
-        "o1_top5_orders": q_o1_top5_orders,
-        "o2_top_groups": q_o2_top_groups,
-        "o3_orderby": q_o3_orderby,
-        "j1_anti_misses": q_j1_anti_misses,
-        "j3_reconcile_counts": q_j3_reconcile_counts,
-        "k5_keyed_tree": q_k5_keyed_tree,
-        "p2_generic_clean": q_p2_generic_clean,
-        "h_rank_window": q_h_rank_window,
-        "h_set_except": q_h_set_except,
-        "x_token_regex": q_x_token_regex,
+        # ---- last verdicted r05 (45) --------------------------
+        "x_triangles": q_x_triangles,
+        "x_khop_bfs": q_x_khop_bfs,
+        "x_iqr_outliers": q_x_iqr_outliers,
+        "x_ewma": q_x_ewma,
+        "x_kmeans": q_x_kmeans,
+        "x_semantic_dedup": q_x_semantic_dedup,
+        "x_feature_hash": q_x_feature_hash,
+        "x_mutual_info": q_x_mutual_info,
+        "x_auc": q_x_auc,
+        "x_streaks": q_x_streaks,
+        "x_stream_ewma": q_x_stream_ewma,
+        "x_ppr": q_x_ppr,
+        "x_rfm": q_x_rfm,
+        "x_skew_profile": q_x_skew_profile,
+        "x_dedup_eval": q_x_dedup_eval,
+        "x_welch_t": q_x_welch_t,
+        "x_holt": q_x_holt,
+        "x_table_checksum": q_x_table_checksum,
+        "x_benford": q_x_benford,
+        "x_html_extract": q_x_html_extract,
+        "x_html_links": q_x_html_links,
+        "x_html_anchors": q_x_html_anchors,
+        "x_url_normalize": q_x_url_normalize,
+        "x_inverted_index": q_x_inverted_index,
+        "x_psi_drift": q_x_psi_drift,
+        "x_pagerank": q_x_pagerank,
+        "x_cdc_chunks": q_x_cdc_chunks,
+        "x_tokenizer_fertility": q_x_tokenizer_fertility,
+        "h_range_frame": q_h_range_frame,
+        "x_png_decode_dims": q_x_png_decode_dims,
+        "x_webp_decode_dims": q_x_webp_decode_dims,
+        "x_nb_classifier": q_x_nb_classifier,
+        "x_suffix_dups": q_x_suffix_dups,
+        "x_interpolate": q_x_interpolate,
+        "h_lateral": q_h_lateral,
+        "h_regression": q_h_regression,
+        "x_bm25": q_x_bm25,
+        "x_ks_drift": q_x_ks_drift,
+        "x_lm_perplexity": q_x_lm_perplexity,
+        "pipe_json_roundtrip": q_pipe_json_roundtrip,
+        "pipe_orc_roundtrip": q_pipe_orc_roundtrip,
+        "x_sentence_stats": q_x_sentence_stats,
+        "x_simhash_pairs": q_x_simhash_pairs,
+        "x_unicode_clean": q_x_unicode_clean,
+        "x_dq_checks": q_x_dq_checks,
+        # ---- last verdicted r06 (47) --------------------------
+        "x_quantile_sketch": q_x_quantile_sketch,
+        "x_mmr_diversity": q_x_mmr_diversity,
+        "x_cms_heavy_hitters": q_x_cms_heavy_hitters,
+        "x_temperature_mix": q_x_temperature_mix,
+        "x_dedup_representatives": q_x_dedup_representatives,
+        "x_split_leakage": q_x_split_leakage,
+        "x_window_tumbling": q_x_window_tumbling,
+        "x_window_sliding": q_x_window_sliding,
+        "x_session_window": q_x_session_window,
+        "x_boilerplate": q_x_boilerplate,
+        "x_schema_evolution": q_x_schema_evolution,
+        "x_json_props": q_x_json_props,
+        "x_variant": q_x_variant,
+        "x_stream_enrich": q_x_stream_enrich,
+        "x_stream_dedup_wm": q_x_stream_dedup_wm,
+        "x_stream_cdc": q_x_stream_cdc,
+        "x_stream_sliding": q_x_stream_sliding,
+        "x_hard_negatives": q_x_hard_negatives,
+        "x_negative_pairs": q_x_negative_pairs,
+        "x_incremental_dedup": q_x_incremental_dedup,
+        "x_token_budget": q_x_token_budget,
+        "x_udaf_geomean": q_x_udaf_geomean,
+        "x_profile": q_x_profile,
+        "x_corpus_report": q_x_corpus_report,
+        "x_vec_pool": q_x_vec_pool,
+        "x_vec_norm": q_x_vec_norm,
+        "x_vec_quantize": q_x_vec_quantize,
+        "x_minhash_near_dup": q_x_minhash_near_dup,
+        "x_cosine_topk_lsh": q_x_cosine_topk_lsh,
+        "x_cosine_topk_ivf": q_x_cosine_topk_ivf,
+        "x_cosine_topk_pq": q_x_cosine_topk_pq,
+        "x_bpe_train": q_x_bpe_train,
+        "x_bpe_encode": q_x_bpe_encode,
+        "x_hll_distinct": q_x_hll_distinct,
+        "x_image_dhash": q_x_image_dhash,
+        "x_markov_transitions": q_x_markov_transitions,
+        "x_frequent_pairs": q_x_frequent_pairs,
+        "x_ab_test": q_x_ab_test,
+        "x_pii_luhn": q_x_pii_luhn,
+        "a4_party_rollup": q_a4_party_rollup,
+        "a1_groupby_sum": q_a1_groupby_sum,
+        "j1_dim_join": q_j1_dim_join,
+        "h_asof_join": q_h_asof_join,
+        "k3_batch_id": q_k3_batch_id,
+        "x_stream_sessions": q_x_stream_sessions,
+        "x_stream_dedup": q_x_stream_dedup,
+        "h3_shipping_priority": q_h3_shipping_priority,
     }
 
     def _wrap(fn):
