@@ -168,6 +168,7 @@ def cosine_topk_lsh(
     n_probe_bits: int = 1,
     seed: int = 42,
     axis_portable: bool = False,
+    portable: bool = False,
 ) -> DataFrame:
     """Approximate cosine top-k: sign-LSH signatures bucket the
     corpus; each query probes its own bucket plus all buckets within
@@ -182,8 +183,12 @@ def cosine_topk_lsh(
     axis-aligned ones (plane i = axis i): the signature becomes a
     pure SQL expression, so an external engine reproduces buckets,
     probes, cosines, and ranks — the hash-exact evidence tier for
-    this plan shape. Random planes stay the production default
-    (better-conditioned buckets)."""
+    this plan shape. ``portable=True`` keeps FULL hyperplanes but
+    derives them from md5 (:func:`portable_hyperplanes`) — the
+    external engine re-derives the matrix and reproduces the
+    64-term signature folds too, hash-exact through the complete
+    multi-probe path. Random Gaussian planes stay the production
+    default (better-conditioned buckets)."""
     if axis_portable:
 
         def signature(col: str):
@@ -196,7 +201,11 @@ def cosine_topk_lsh(
             return bits.cast("long")
 
     else:
-        planes = random_hyperplanes(dim, n_planes, seed)
+        planes = (
+            portable_hyperplanes(dim, n_planes)
+            if portable
+            else random_hyperplanes(dim, n_planes, seed)
+        )
 
         def signature(col: str):
             return _sign_signature(col, planes)
