@@ -1212,11 +1212,23 @@ def q_x_cosine_topk_lsh(spark, sf_dir):
 
 
 def q_x_cosine_topk_ivf(spark, sf_dir):
-    """IVF approximate cosine top-10: k-means coarse quantizer,
-    n_probe nearest cells per query (rows-only: recall depends on
-    the learned quantizer)."""
+    """IVF approximate cosine top-10 — HASH-EXACT since round 7 via
+    the fixed-point distributed quantizer (ext/kmeans' integer-grid
+    Lloyd, the x_kmeans determinism contract): the DuckDB oracle
+    replays the full unrolled clustering, derives each cell's
+    integer-grid member centroid, picks every query's n_probe
+    nearest cells by exact BIGINT distance, and reproduces the
+    in-cell cosine ranking bit-for-bit — the complete IVF path
+    (quantizer → cells → probes → candidates → ranks) under
+    differential test. The sampled-numpy kmeans++ quantizer stays
+    the production default (at 100 TB the quantizer trains on a
+    bounded sample) and keeps its recall unit tests."""
+    from pac_data_pipeline_spark.ext.similarity import cosine_topk_ivf_grid
+
     emb = _t(spark, sf_dir, "embeddings")
-    return cosine_topk_ivf(emb, queries_from_corpus(emb, n=5), k=10)
+    return cosine_topk_ivf_grid(
+        emb, queries_from_corpus(emb, n=5), k=10, n_cells=8, n_probe=2
+    )
 
 
 def q_x_session_window(spark, sf_dir):
@@ -4266,21 +4278,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # Dict ORDER is load-bearing: the round driver's correctness
         # gate checks only the FIRST 50 entries. Round-7 window
-        # (steady-state policy per VERDICT r6 item 2), 50 = 3 + 4 + 43:
+        # (steady-state policy per VERDICT r6 item 2), 50 = 3 + 5 + 42:
         # (a)  the THREE round-7 additions (stratified reservoir
         #      sample, centroid quantile sketch, n-gram novelty)
         #      lead per the new-first rule;
-        # (b)  the FOUR queries whose code changed this round
+        # (b)  the FIVE queries whose code changed this round
         #      (x_multimodal_features array_join-serialized for the
         #      driver comparator — the one red row in
         #      CORRECTNESS_r06; x_audio_features,
-        #      x_embedding_near_dup, and x_cosine_topk_lsh upgraded
-        #      rows-only → hash-exact per VERDICT r6 item 4);
-        # (c)  43 re-check slots with the OLDEST verdicts: the 40
+        #      x_embedding_near_dup, x_cosine_topk_lsh, and
+        #      x_cosine_topk_ivf upgraded rows-only → hash-exact
+        #      per VERDICT r6 item 4);
+        # (c)  42 re-check slots with the OLDEST verdicts: the 40
         #      remaining r01 names in dict order (the FULL r01
         #      block — after this round no r01-era verdict is
-        #      left), then the first 3 of the r03 block
-        #      (x_text_stats, x_quality_score, x_lang_id).
+        #      left), then the first 2 of the r03 block
+        #      (x_text_stats, x_quality_score).
         # All oracle-backed names are exact-hash green in the local
         # DuckDB gate (tools/check_oracle.py, clean + null-fuzz +
         # empty + unicode + blank clones).
@@ -4288,11 +4301,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_reservoir_sample": q_x_reservoir_sample,
         "x_centroid_quantiles": q_x_centroid_quantiles,
         "x_ngram_novelty": q_x_ngram_novelty,
-        # -- (b) code-changed this round (4) --------------------------
+        # -- (b) code-changed this round (5) --------------------------
         "x_multimodal_features": q_x_multimodal_features,
         "x_audio_features": q_x_audio_features,
         "x_embedding_near_dup": q_x_embedding_near_dup,
         "x_cosine_topk_lsh": q_x_cosine_topk_lsh,
+        "x_cosine_topk_ivf": q_x_cosine_topk_ivf,
         # -- (c) oldest-verdict re-checks (40 r01, the full block) ----
         "h5_local_volume": q_h5_local_volume,
         "h6_revenue_forecast": q_h6_revenue_forecast,
@@ -4337,19 +4351,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (c) oldest-verdict re-checks (first 4 of the r03 block) --
         "x_text_stats": q_x_text_stats,
         "x_quality_score": q_x_quality_score,
-        "x_lang_id": q_x_lang_id,
         # ---- end of round-7 window (position 50) -------------------
         # NEXT-ROUND TAIL (round-8 plan): steady state — (1) new or
         # code-changed queries go to the dict head; (2) remaining
         # window slots re-verify the OLDEST verdicts. The re-check
         # cursor continues with the REMAINING r03 names in dict
-        # order (x_fingerprint, x_dedup_exact_groups, x_dedup_exact,
-        # x_simhash, ... 47 names), then the r04 block, then r05,
-        # then r06.
+        # order (x_lang_id, x_fingerprint, x_dedup_exact_groups,
+        # x_dedup_exact, x_simhash, ... 48 names), then the r04
+        # block, then r05, then r06.
         # The tail below is ordered by (last-verdict round, prior
         # dict position), so the cursor is simply 'read on from
         # position 51'.
-        # ---- last verdicted r03 (47) --------------------------
+        # ---- last verdicted r03 (48) --------------------------
+        "x_lang_id": q_x_lang_id,
         "x_fingerprint": q_x_fingerprint,
         "x_dedup_exact_groups": q_x_dedup_exact_groups,
         "x_dedup_exact": q_x_dedup_exact,
@@ -4523,7 +4537,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_vec_norm": q_x_vec_norm,
         "x_vec_quantize": q_x_vec_quantize,
         "x_minhash_near_dup": q_x_minhash_near_dup,
-        "x_cosine_topk_ivf": q_x_cosine_topk_ivf,
         "x_cosine_topk_pq": q_x_cosine_topk_pq,
         "x_bpe_train": q_x_bpe_train,
         "x_bpe_encode": q_x_bpe_encode,
@@ -6470,6 +6483,14 @@ def oracle_sql() -> dict[str, str]:
     # x_kmeans: fully integer pipeline (1e-3 grid) — distances and
     # centroid updates are exact on both engines by integrality.
     oracles["x_kmeans"] = kmeans_fixture_sql()
+    from pac_data_pipeline_spark.ext.kmeans import ivf_grid_fixture_sql
+
+    # x_cosine_topk_ivf: the unrolled fixed-point quantizer + cell
+    # centroids + BIGINT probe selection + cosine ranking — the
+    # complete IVF path differentially.
+    oracles["x_cosine_topk_ivf"] = ivf_grid_fixture_sql(
+        k=10, n_cells=8, n_probe=2
+    )
     from pac_data_pipeline_spark.ext.kmeans import semantic_dedup_fixture_sql
 
     # x_semantic_dedup: same CTE chain + greedy-by-id pair stage.

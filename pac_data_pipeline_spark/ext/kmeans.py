@@ -184,6 +184,47 @@ def kmeans_assign(
     )
 
 
+def kmeans_cells(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Cluster the corpus and ALSO return the cell representatives —
+    the pieces an IVF index needs: ``(assignments, cells)`` where
+    assignments is ``(vid, cluster)`` and cells is ``(cluster, c)``
+    with ``c`` the integer-grid centroid of the cell's MEMBERS
+    (same round-half-up integer-ratio mean as the Lloyd update, so
+    an external engine reproduces it exactly). Assignments are
+    localCheckpointed — both returned frames and any candidate join
+    reuse the one clustering run."""
+    assigned = _assignments(
+        embeddings, id_col, vec_col, k, n_iter
+    ).localCheckpoint()
+    cells = (
+        assigned.select("cluster", F.posexplode("q").alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "cluster",
+            "pos",
+            F.floor(
+                (2 * F.col("s") + F.col("n")).cast("double")
+                / (2 * F.col("n")).cast("double")
+            ).alias("m"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))), "
+                "s -> s.m)"
+            ).alias("c")
+        )
+    )
+    return assigned.select("vid", "cluster"), cells
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -321,6 +362,90 @@ def kmeans_fixture_sql(
     return (
         "WITH " + ",\n".join(cte)
         + f"\nSELECT vid AS {id_col}, cluster, dist FROM a{n_iter}"
+    )
+
+
+def ivf_grid_fixture_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    n_iter: int = 3,
+    n_queries: int = 5,
+) -> str:
+    """The full fixed-point IVF path as DuckDB SQL — the unrolled
+    k-means CTE chain (:func:`_kmeans_ctes`), per-cell integer-grid
+    member centroids (same integer-ratio floor as the Lloyd
+    update), BIGINT query→cell distances with cid-asc ties, and the
+    in-cell sequential-fold cosine ranking. Hash-exact against
+    :func:`~pac_data_pipeline_spark.ext.similarity.cosine_topk_ivf_grid`."""
+    s = KMEANS_SCALE
+    cte = _kmeans_ctes(table, id_col, vec_col, n_cells, n_iter)
+    cte.append(
+        f"""cells AS (
+            SELECT cluster AS cid, list(m ORDER BY pos) AS c
+            FROM (
+                SELECT cluster, pos,
+                       CAST(floor(CAST(2 * s + n AS DOUBLE)
+                            / CAST(2 * n AS DOUBLE)) AS BIGINT) AS m
+                FROM (
+                    SELECT cluster, t.pos, SUM(q[t.pos]) AS s,
+                           count(*) AS n
+                    FROM a{n_iter},
+                         UNNEST(generate_series(1, len(q))) t(pos)
+                    GROUP BY cluster, t.pos)
+            ) GROUP BY cluster
+        )"""
+    )
+    cte.append(
+        f"""qset AS (
+            SELECT {id_col} AS query_id,
+                   CAST({vec_col} AS DOUBLE[]) AS qv,
+                   list_transform({vec_col}, x -> CAST(floor(
+                       CAST(x AS DOUBLE) * {s} + 0.5) AS BIGINT)) AS qq
+            FROM {table}
+            WHERE {id_col} < {n_queries} AND {vec_col} IS NOT NULL
+        )"""
+    )
+    cte.append(
+        f"""probes AS (
+            SELECT query_id, qv, cid FROM (
+                SELECT q.query_id, q.qv, c.cid,
+                       row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY CAST(list_sum(list_transform(
+                               list_zip(q.qq, c.c),
+                               p -> (p[1]-p[2])*(p[1]-p[2])))
+                               AS BIGINT), c.cid) AS rk
+                FROM qset q CROSS JOIN cells c)
+            WHERE rk <= {n_probe}
+        )"""
+    )
+    cte.append(
+        f"""members AS (
+            SELECT a.vid, a.cluster,
+                   CAST(e.{vec_col} AS DOUBLE[]) AS v
+            FROM a{n_iter} a JOIN {table} e ON e.{id_col} = a.vid
+        )"""
+    )
+    cte.append(
+        """scored AS (
+            SELECT p.query_id, m.vid,
+                   list_cosine_similarity(m.v, p.qv) AS cosine,
+                   row_number() OVER (PARTITION BY p.query_id
+                       ORDER BY list_cosine_similarity(m.v, p.qv) DESC,
+                                m.vid) AS rank
+            FROM probes p JOIN members m ON m.cluster = p.cid
+        )"""
+    )
+    return (
+        "WITH " + ",\n".join(cte)
+        + f"""
+        SELECT query_id, vid AS {id_col},
+               round(cosine, 6) AS cosine,
+               CAST(rank AS BIGINT) AS rank
+        FROM scored WHERE rank <= {k}"""
     )
 
 

@@ -392,6 +392,99 @@ def cosine_topk_ivf(
     )
 
 
+def cosine_topk_ivf_grid(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    n_probe: int = 2,
+    n_iter: int = 3,
+) -> DataFrame:
+    """IVF top-k with the FIXED-POINT distributed quantizer — the
+    hash-exact evidence tier for the IVF plan shape, the way
+    ``portable=True`` is for the hyperplane family: the coarse
+    quantizer is ext/kmeans' integer-grid Lloyd (deterministic
+    min-id init, exact BIGINT distances, integer-ratio centroid
+    rounding — every assignment reproducible by an external SQL
+    engine), cells carry the integer-grid centroid of their
+    MEMBERS, each query probes its ``n_probe`` nearest cells by
+    exact BIGINT squared-L2 on the quantized grid (ties → smaller
+    cell id), and candidates rank by the sequential-fold cosine.
+    The sampled-numpy quantizer (:func:`cosine_topk_ivf`) stays the
+    production default — at 100 TB you train the quantizer on a
+    bounded sample, not the corpus; THIS variant exists to prove
+    the probe/join/rank machinery differentially.
+
+    Scale shape: one clustering run (localCheckpointed, scan-side
+    assignment, O(k·dim·partitions) update shuffles), cells
+    aggregate to ``n_cells`` rows and broadcast; the probe join is
+    corpus ⨝ broadcast(query probes) on the cell id — identical to
+    the production IVF's candidate plan."""
+    from pac_data_pipeline_spark.ext.kmeans import _quantize, kmeans_cells
+
+    assigned, cells = kmeans_cells(
+        embeddings, id_col, vec_col, k=n_cells, n_iter=n_iter
+    )
+    one_row = F.broadcast(
+        cells.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("cluster").alias("cid"), F.col("c"))
+                )
+            ).alias("cs")
+        )
+    )
+    q = queries.filter(F.col("q_vec").isNotNull()).select(
+        "query_id", "q_vec", _quantize("q_vec").alias("qq")
+    )
+    cell_d = q.crossJoin(one_row).select(
+        "query_id",
+        "q_vec",
+        F.explode(
+            F.expr(
+                "transform(cs, s -> struct(s.cid AS cid, "
+                "aggregate(zip_with(qq, s.c, (a, b) -> (a-b)*(a-b)), "
+                "0L, (x, y) -> x + y) AS d))"
+            )
+        ).alias("e"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("e.d").asc(), F.col("e.cid").asc()
+    )
+    probes = (
+        cell_d.withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= n_probe)
+        .select("query_id", "q_vec", F.col("e.cid").alias("cluster"))
+    )
+    corpus = drop_null_vectors(embeddings, vec_col).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("e_vec")
+    )
+    scored = (
+        assigned.join(corpus, "vid")
+        .join(F.broadcast(probes), "cluster")
+        .select(
+            "query_id",
+            F.col("vid").alias(id_col),
+            (
+                _dot("e_vec", "q_vec")
+                / F.nullif(_norm("e_vec") * _norm("q_vec"), F.lit(0.0))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", id_col, F.round("cosine", 6).alias("cosine"), "rank"
+        )
+    )
+
+
 def _pq_codebooks(
     sample: "np.ndarray", m: int, n_codes: int, seed: int, max_iter: int
 ) -> "np.ndarray":

@@ -36,7 +36,6 @@ def test_rows_only_set_is_intentional():
         "p6_uuid_records",  # uuid() nondeterministic
         "k5_keyed_tree",  # JSON key order engine-specific
         "x_minhash_near_dup",  # engine hash function
-        "x_cosine_topk_ivf",  # recall depends on quantizer
         "x_multimodal_features",  # float features; dims ARE decoded
         "x_approx_stats",  # sketches are engine-specific
         "x_hll_distinct",  # HLL estimates are engine-specific

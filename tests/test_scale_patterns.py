@@ -126,6 +126,42 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.5, recall
 
 
+def test_ivf_grid_recall_and_probe_containment(spark):
+    """The fixed-point IVF (hash-exact tier): recall vs brute force
+    holds on the same fixture, every query's self-match is rank 1
+    with cosine 1.0 (the query is in the corpus, so its own cell is
+    always the nearest probe), and every returned candidate really
+    belongs to one of that query's n_probe nearest cells — the
+    invariant that distinguishes IVF from a full scan."""
+    from pac_data_pipeline_spark.ext.kmeans import kmeans_cells
+    from pac_data_pipeline_spark.ext.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf_grid,
+        queries_from_corpus,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = queries_from_corpus(emb, n=5)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk_bruteforce(emb, q, k=10).collect()
+    }
+    rows = cosine_topk_ivf_grid(emb, q, k=10, n_cells=8, n_probe=2).collect()
+    approx = {(r.query_id, r.vec_id) for r in rows}
+    assert len(exact & approx) / len(exact) >= 0.5
+    for r in rows:
+        if r.query_id == r.vec_id:
+            assert r.rank == 1 and r.cosine == 1.0, r
+    # probe containment: candidates only from the probed cells
+    assigned, _cells = kmeans_cells(emb, k=8, n_iter=3)
+    cell_of = {r.vid: r.cluster for r in assigned.collect()}
+    probed: dict[int, set[int]] = {}
+    for r in rows:
+        probed.setdefault(r.query_id, set()).add(cell_of[r.vec_id])
+    for qid, cells_hit in probed.items():
+        assert len(cells_hit) <= 2, (qid, cells_hit)
+
+
 def test_warehouse_layout_end_to_end(spark, tmp_path):
     from pac_data_pipeline_spark.sources.layout import (
         materialize_warehouse,

@@ -97,6 +97,11 @@ ALLOWED_GLOBAL_WINDOW = {
     # |strata|-row count aggregate (same pattern); the corpus-side
     # rank is PARTITIONED by stratum, not global.
     "x_reservoir_sample",
+    # x_cosine_topk_ivf's SinglePartition exchange is the n_cells-row
+    # centroid table collapsing into the 1-row broadcast (the
+    # kmeans assignment pattern); both rank windows are PARTITIONED
+    # by query_id.
+    "x_cosine_topk_ivf",
 }
 
 
