@@ -284,31 +284,36 @@ def _kmeans_ctes(
     vec_col: str,
     k: int,
     n_iter: int,
+    prefix: str = "",
 ) -> list[str]:
     """Shared CTE chain for the SQL mirrors: quantize → init →
-    n_iter × (assign, update). The final CTE ``a{n_iter}`` carries
-    (vid, q, cluster, dist) so callers can compose pair stages on
-    top. ``table`` may be any table NAME or parenthesized subquery.
+    n_iter × (assign, update). The final CTE ``{prefix}a{n_iter}``
+    carries (vid, q, cluster, dist) so callers can compose pair
+    stages on top. ``table`` may be any table NAME or parenthesized
+    subquery; ``prefix`` namespaces the CTE names so several chains
+    coexist in one statement (the per-subspace PQ codebooks).
 
     Distances go through exact BIGINT list arithmetic (order-free
     by integrality); argmin is row_number ordered by (d, cid); the
     centroid update uses the identical integer-ratio floor; empty
     clusters carry the previous centroid via the same left join."""
     s = KMEANS_SCALE
+    x = prefix
     cte = [
-        f"""vecs AS (
+        f"""{x}vecs AS (
             SELECT {id_col} AS vid,
                    list_transform({vec_col}, x -> CAST(floor(
                        CAST(x AS DOUBLE) * {s} + 0.5) AS BIGINT)) AS q
             FROM {table}
             WHERE {id_col} IS NOT NULL AND {vec_col} IS NOT NULL
         )""",
-        f"""c0 AS (
+        f"""{x}c0 AS (
             SELECT row_number() OVER (ORDER BY vid) - 1 AS cid, q AS c
-            FROM vecs ORDER BY vid LIMIT {k}
+            FROM {x}vecs ORDER BY vid LIMIT {k}
         )""",
     ]
-    assign = """a{i} AS (
+    assign = (
+        """{x}a{i} AS (
             SELECT vid, q, cid AS cluster, dist FROM (
                 SELECT v.vid, v.q, c.cid,
                        CAST(list_sum(list_transform(list_zip(v.q, c.c),
@@ -320,13 +325,15 @@ def _kmeans_ctes(
                                list_zip(v.q, c.c),
                                p -> (p[1]-p[2])*(p[1]-p[2])))
                                AS BIGINT), c.cid) AS rk
-                FROM vecs v CROSS JOIN c{p} c)
+                FROM {x}vecs v CROSS JOIN {x}c{p} c)
             WHERE rk = 1
         )"""
-    update = """c{i} AS (
+    )
+    update = (
+        """{x}c{i} AS (
             SELECT o.cid,
                    coalesce(n.c_new, o.c) AS c
-            FROM c{p} o LEFT JOIN (
+            FROM {x}c{p} o LEFT JOIN (
                 SELECT cluster AS cid,
                        list(m ORDER BY pos) AS c_new
                 FROM (
@@ -336,16 +343,17 @@ def _kmeans_ctes(
                     FROM (
                         SELECT cluster, t.pos, SUM(q[t.pos]) AS s,
                                count(*) AS n
-                        FROM a{i},
+                        FROM {x}a{i},
                              UNNEST(generate_series(1, len(q))) t(pos)
                         GROUP BY cluster, t.pos)
                 ) GROUP BY cluster
             ) n ON o.cid = n.cid
         )"""
+    )
     for i in range(1, n_iter):
-        cte.append(assign.format(i=i, p=i - 1))
-        cte.append(update.format(i=i, p=i - 1))
-    cte.append(assign.format(i=n_iter, p=n_iter - 1))
+        cte.append(assign.format(i=i, p=i - 1, x=x))
+        cte.append(update.format(i=i, p=i - 1, x=x))
+    cte.append(assign.format(i=n_iter, p=n_iter - 1, x=x))
     return cte
 
 
@@ -446,6 +454,122 @@ def ivf_grid_fixture_sql(
                round(cosine, 6) AS cosine,
                CAST(rank AS BIGINT) AS rank
         FROM scored WHERE rank <= {k}"""
+    )
+
+
+def pq_grid_fixture_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 10,
+    m: int = 2,
+    n_codes: int = 8,
+    n_iter: int = 2,
+    shortlist: int = 30,
+    n_queries: int = 5,
+) -> str:
+    """The full fixed-point PQ path as DuckDB SQL — ``m``
+    prefix-namespaced unrolled k-means chains (one per subspace),
+    per-code integer member centroids, per-query BIGINT LUTs, ADC
+    sum with (distance, id) shortlist ties, exact cosine rerank.
+    Hash-exact against
+    :func:`~pac_data_pipeline_spark.ext.similarity.cosine_topk_pq_grid`."""
+    s = KMEANS_SCALE
+    sub_len = dim // m
+    cte: list[str] = []
+    for si in range(m):
+        lo, hi = si * sub_len + 1, (si + 1) * sub_len
+        x = f"s{si}_"
+        sub_t = (
+            f"(SELECT {id_col}, {vec_col}[{lo}:{hi}] AS sub FROM {table})"
+        )
+        cte += _kmeans_ctes(sub_t, id_col, "sub", n_codes, n_iter, prefix=x)
+        cte.append(
+            f"""{x}cells AS (
+                SELECT cluster AS cid, list(m ORDER BY pos) AS c
+                FROM (
+                    SELECT cluster, pos,
+                           CAST(floor(CAST(2 * s + n AS DOUBLE)
+                                / CAST(2 * n AS DOUBLE)) AS BIGINT) AS m
+                    FROM (
+                        SELECT cluster, t.pos, SUM(q[t.pos]) AS s,
+                               count(*) AS n
+                        FROM {x}a{n_iter},
+                             UNNEST(generate_series(1, len(q))) t(pos)
+                        GROUP BY cluster, t.pos)
+                ) GROUP BY cluster
+            )"""
+        )
+        cte.append(
+            f"""{x}lut AS (
+                SELECT q.query_id, c.cid,
+                       CAST(list_sum(list_transform(list_zip(q.qq, c.c),
+                           p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d
+                FROM (SELECT {id_col} AS query_id,
+                             list_transform({vec_col}[{lo}:{hi}],
+                                 x -> CAST(floor(CAST(x AS DOUBLE) * {s}
+                                      + 0.5) AS BIGINT)) AS qq
+                      FROM {table}
+                      WHERE {id_col} < {n_queries}
+                        AND {vec_col} IS NOT NULL) q
+                CROSS JOIN {x}cells c
+            )"""
+        )
+    code_cols = ", ".join(
+        f"s{si}_a{n_iter}.cluster AS code_{si}" for si in range(m)
+    )
+    code_joins = f"s0_a{n_iter}" + "".join(
+        f" JOIN s{si}_a{n_iter} USING (vid)" for si in range(1, m)
+    )
+    cte.append(
+        f"codes AS (SELECT vid, {code_cols} FROM {code_joins})"
+    )
+    lut_joins = "codes JOIN s0_lut l0 ON l0.cid = codes.code_0" + "".join(
+        f" JOIN s{si}_lut l{si} ON l{si}.cid = codes.code_{si}"
+        f" AND l{si}.query_id = l0.query_id"
+        for si in range(1, m)
+    )
+    d_sum = " + ".join(f"l{si}.d" for si in range(m))
+    cte.append(
+        f"""adc AS (
+            SELECT l0.query_id, codes.vid, {d_sum} AS adc_d
+            FROM {lut_joins}
+        )"""
+    )
+    cte.append(
+        f"""short AS (
+            SELECT query_id, vid FROM (
+                SELECT query_id, vid,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY adc_d ASC, vid ASC) AS rk
+                FROM adc)
+            WHERE rk <= {shortlist}
+        )"""
+    )
+    cte.append(
+        f"""reranked AS (
+            SELECT sh.query_id, sh.vid,
+                   list_cosine_similarity(
+                       CAST(e.{vec_col} AS DOUBLE[]),
+                       CAST(qe.{vec_col} AS DOUBLE[])) AS cosine,
+                   row_number() OVER (PARTITION BY sh.query_id
+                       ORDER BY list_cosine_similarity(
+                           CAST(e.{vec_col} AS DOUBLE[]),
+                           CAST(qe.{vec_col} AS DOUBLE[])) DESC,
+                           sh.vid) AS rank
+            FROM short sh
+            JOIN {table} e ON e.{id_col} = sh.vid
+            JOIN {table} qe ON qe.{id_col} = sh.query_id
+        )"""
+    )
+    return (
+        "WITH " + ",\n".join(cte)
+        + f"""
+        SELECT query_id, vid AS {id_col},
+               round(cosine, 6) AS cosine,
+               CAST(rank AS BIGINT) AS rank
+        FROM reranked WHERE rank <= {k}"""
     )
 
 

@@ -485,6 +485,135 @@ def cosine_topk_ivf_grid(
     )
 
 
+def cosine_topk_pq_grid(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 2,
+    n_codes: int = 8,
+    n_iter: int = 2,
+    shortlist: int = 30,
+) -> DataFrame:
+    """PQ + exact rerank with FIXED-POINT per-subspace codebooks —
+    the hash-exact evidence tier for the product-quantization plan
+    shape: each of the ``m`` subspaces trains its codebook with the
+    integer-grid distributed Lloyd (the x_kmeans contract — min-id
+    init, BIGINT distances, integer-ratio centroid rounding),
+    vectors encode as their subspace cluster ids, the asymmetric-
+    distance score is an exact BIGINT sum of per-subspace
+    query→codeword distances (deterministic shortlist: ties →
+    smaller id), and the shortlist reranks by TRUE sequential-fold
+    cosine — approximation affects only which rows make the
+    shortlist, never the reported score, exactly like the
+    production PQ. The bounded-sample numpy codebooks
+    (:func:`cosine_topk_pq`) stay the production default; THIS
+    variant proves the encode/LUT/ADC/shortlist/rerank machinery
+    differentially.
+
+    Scale shape: ``m`` clustering runs (each scan-side assignment +
+    O(codes·dim) update shuffles), per-query LUTs are |Q|·n_codes
+    rows and broadcast; the ADC scan touches only the m-column
+    codes table (the 100 TB I/O story of PQ) and reranks
+    ``shortlist`` float rows per query."""
+    from pac_data_pipeline_spark.ext.kmeans import _quantize, kmeans_cells
+
+    sub_len = dim // m
+    q = queries.filter(F.col("q_vec").isNotNull()).select(
+        "query_id", "q_vec"
+    )
+    codes = None
+    luts = []
+    for si in range(m):
+        lo = si * sub_len + 1
+        sub = embeddings.select(
+            F.col(id_col),
+            F.expr(f"slice({vec_col}, {lo}, {sub_len})").alias("sub"),
+        )
+        assigned_s, cells_s = kmeans_cells(
+            sub, id_col, "sub", k=n_codes, n_iter=n_iter
+        )
+        code_s = assigned_s.select(
+            "vid", F.col("cluster").alias(f"code_{si}")
+        )
+        codes = code_s if codes is None else codes.join(code_s, "vid")
+        one_row = F.broadcast(
+            cells_s.agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("cluster").alias("cid"), F.col("c"))
+                    )
+                ).alias("cs")
+            )
+        )
+        qsub = q.select(
+            "query_id",
+            F.expr(f"slice(q_vec, {lo}, {sub_len})").alias("sub"),
+        ).select("query_id", _quantize("sub").alias("qq"))
+        luts.append(
+            qsub.crossJoin(one_row)
+            .select(
+                "query_id",
+                F.explode(
+                    F.expr(
+                        "transform(cs, s -> struct(s.cid AS cid, "
+                        "aggregate(zip_with(qq, s.c, "
+                        "(a, b) -> (a-b)*(a-b)), 0L, "
+                        "(x, y) -> x + y) AS d))"
+                    )
+                ).alias("e"),
+            )
+            .select(
+                "query_id",
+                F.col("e.cid").alias(f"code_{si}"),
+                F.col("e.d").alias(f"d_{si}"),
+            )
+        )
+    adc = codes.join(F.broadcast(luts[0]), "code_0")
+    for si in range(1, m):
+        adc = adc.join(F.broadcast(luts[si]), ["query_id", f"code_{si}"])
+    adc_d = None
+    for si in range(m):
+        t = F.col(f"d_{si}")
+        adc_d = t if adc_d is None else adc_d + t
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d").asc(), F.col("vid").asc()
+    )
+    short = (
+        adc.select("query_id", "vid", adc_d.alias("adc_d"))
+        .withColumn("__r", F.row_number().over(w_short))
+        .filter(F.col("__r") <= shortlist)
+        .select("query_id", "vid")
+    )
+    corpus = drop_null_vectors(embeddings, vec_col).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("e_vec")
+    )
+    scored = (
+        short.join(corpus, "vid")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            F.col("vid").alias(id_col),
+            (
+                _dot("e_vec", "q_vec")
+                / F.nullif(_norm("e_vec") * _norm("q_vec"), F.lit(0.0))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", id_col, F.round("cosine", 6).alias("cosine"), "rank"
+        )
+    )
+
+
 def _pq_codebooks(
     sample: "np.ndarray", m: int, n_codes: int, seed: int, max_iter: int
 ) -> "np.ndarray":

@@ -162,6 +162,37 @@ def test_ivf_grid_recall_and_probe_containment(spark):
         assert len(cells_hit) <= 2, (qid, cells_hit)
 
 
+def test_pq_grid_recall_and_true_scores(spark):
+    """The fixed-point PQ (hash-exact tier): recall vs brute force,
+    self-match at rank 1 with cosine 1.0, and — the PQ contract —
+    every emitted cosine equals the EXACT brute-force cosine for
+    that (query, vector) pair (approximation may only affect which
+    rows make the shortlist, never the reported score)."""
+    from pac_data_pipeline_spark.ext.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_pq_grid,
+        queries_from_corpus,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = queries_from_corpus(emb, n=5)
+    exact_rows = cosine_topk_bruteforce(emb, q, k=50).collect()
+    exact_cos = {(r.query_id, r.vec_id): r.cosine for r in exact_rows}
+    exact_top10 = {
+        (r.query_id, r.vec_id) for r in exact_rows if r.rank <= 10
+    }
+    rows = cosine_topk_pq_grid(
+        emb, q, k=10, m=2, n_codes=8, n_iter=2
+    ).collect()
+    approx = {(r.query_id, r.vec_id) for r in rows}
+    assert len(exact_top10 & approx) / len(exact_top10) >= 0.4
+    for r in rows:
+        if r.query_id == r.vec_id:
+            assert r.rank == 1 and r.cosine == 1.0, r
+        if (r.query_id, r.vec_id) in exact_cos:
+            assert r.cosine == exact_cos[(r.query_id, r.vec_id)], r
+
+
 def test_warehouse_layout_end_to_end(spark, tmp_path):
     from pac_data_pipeline_spark.sources.layout import (
         materialize_warehouse,

@@ -102,6 +102,10 @@ ALLOWED_GLOBAL_WINDOW = {
     # kmeans assignment pattern); both rank windows are PARTITIONED
     # by query_id.
     "x_cosine_topk_ivf",
+    # x_cosine_topk_pq: same — the n_codes-row per-subspace codebook
+    # tables collapse into 1-row broadcasts; shortlist and rerank
+    # windows are PARTITIONED by query_id.
+    "x_cosine_topk_pq",
 }
 
 
