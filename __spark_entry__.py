@@ -1227,7 +1227,8 @@ def q_x_cosine_topk_ivf(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return cosine_topk_ivf_grid(
-        emb, queries_from_corpus(emb, n=5), k=10, n_cells=8, n_probe=2
+        emb, queries_from_corpus(emb, n=5), k=10, n_cells=8, n_probe=2,
+        n_iter=2,
     )
 
 
@@ -6502,7 +6503,7 @@ def oracle_sql() -> dict[str, str]:
     # centroids + BIGINT probe selection + cosine ranking — the
     # complete IVF path differentially.
     oracles["x_cosine_topk_ivf"] = ivf_grid_fixture_sql(
-        k=10, n_cells=8, n_probe=2
+        k=10, n_cells=8, n_probe=2, n_iter=2
     )
     from pac_data_pipeline_spark.ext.kmeans import pq_grid_fixture_sql
 
