@@ -147,9 +147,7 @@ from pac_data_pipeline_spark.operators.skew import (
 )
 from pac_data_pipeline_spark.ext.similarity import (
     cosine_topk_bruteforce,
-    cosine_topk_ivf,
     cosine_topk_lsh,
-    cosine_topk_pq,
     embedding_near_dup_pairs,
     queries_from_corpus,
 )
@@ -4523,7 +4521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_simhash_pairs": q_x_simhash_pairs,
         "x_unicode_clean": q_x_unicode_clean,
         "x_dq_checks": q_x_dq_checks,
-        # ---- last verdicted r06 (47) --------------------------
+        # ---- last verdicted r06 (44) --------------------------
         "x_quantile_sketch": q_x_quantile_sketch,
         "x_mmr_diversity": q_x_mmr_diversity,
         "x_cms_heavy_hitters": q_x_cms_heavy_hitters,
@@ -5403,7 +5401,8 @@ def oracle_sql() -> dict[str, str]:
         WITH c AS (
             SELECT CAST(source AS VARCHAR) AS __s,
                    COUNT(*) AS strat_n
-            FROM documents WHERE source IS NOT NULL
+            FROM documents
+            WHERE source IS NOT NULL AND doc_id IS NOT NULL
             GROUP BY 1
         ),
         q AS (
@@ -5435,7 +5434,8 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY CAST(source AS VARCHAR)
                        ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
                                 doc_id ASC) AS rk
-            FROM documents WHERE source IS NOT NULL
+            FROM documents
+            WHERE source IS NOT NULL AND doc_id IS NOT NULL
         )
         SELECT ranked.doc_id, ranked.source,
                CAST(quo.strat_n AS BIGINT) AS strat_n, quo.quota,
@@ -5760,7 +5760,7 @@ def oracle_sql() -> dict[str, str]:
     # same blank/NULL drops, min-id ownership, floor-round ratio.
     oracles["x_ngram_novelty"] = f"""
         WITH g AS (
-            SELECT doc_id,
+            SELECT doc_id, len(toks) AS n_toks,
                    unnest(list_distinct([
                        array_to_string(toks[i : i + 2], ' ')
                        FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)
@@ -5773,6 +5773,7 @@ def oracle_sql() -> dict[str, str]:
         gg AS (
             SELECT doc_id, gram FROM g
             WHERE doc_id IS NOT NULL AND gram IS NOT NULL AND gram <> ''
+              AND n_toks >= 3
         ),
         first AS (
             SELECT gram, min(doc_id) AS first_doc FROM gg GROUP BY gram

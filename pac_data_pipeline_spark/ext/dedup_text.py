@@ -909,8 +909,12 @@ def ngram_novelty(
     Never a corpus self-join — cross-doc duplication is resolved
     entirely through the gram-key aggregate. Blank and NULL text
     yield no qualifying grams and drop (a doc with no content has
-    no novelty to measure); NULL ids drop (min-id ownership needs
-    an id).
+    no novelty to measure); so do docs SHORTER than ``n`` tokens —
+    _with_token_ngrams' ``greatest(…, 1)`` floor would hand such a
+    doc one sub-``n`` pseudo-gram that can never collide with a
+    real n-gram, scoring a fully-duplicated short fragment as
+    maximally novel (the inverse of the signal). NULL ids drop
+    (min-id ownership needs an id).
 
     Returns (doc_id, n_grams, n_novel, novelty) with novelty
     floor-rounded to 6 digits (the rational-ratio contract)."""
@@ -918,6 +922,7 @@ def ngram_novelty(
 
     grams = (
         _with_token_ngrams(ensure_parallelism(df), text_col, n)
+        .filter(F.size("__toks") >= n)
         .select(
             F.col(id_col).alias("doc_id"),
             F.explode_outer("grams").alias("gram"),

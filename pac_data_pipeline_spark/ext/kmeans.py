@@ -278,6 +278,35 @@ def semantic_dedup(
     ).select(F.col("vid").alias(id_col), "cluster", "dup_of")
 
 
+def _int_mean_sql(src: str) -> str:
+    """(cluster, list c) — per-cluster, per-dimension integer-ratio
+    floor mean of the quantized members in CTE ``src``: THE centroid
+    formula of the fixed-point contract, shared by the Lloyd-update
+    CTE and the IVF/PQ cell-representative CTEs so the three SQL
+    mirrors cannot drift from each other (Spark twins:
+    ``_assignments``' update stage and :func:`kmeans_cells`)."""
+    return f"""SELECT cluster AS cid,
+                       list(m ORDER BY pos) AS c
+                FROM (
+                    SELECT cluster, pos,
+                           CAST(floor(CAST(2 * s + n AS DOUBLE)
+                                / CAST(2 * n AS DOUBLE)) AS BIGINT) AS m
+                    FROM (
+                        SELECT cluster, t.pos, SUM(q[t.pos]) AS s,
+                               count(*) AS n
+                        FROM {src},
+                             UNNEST(generate_series(1, len(q))) t(pos)
+                        GROUP BY cluster, t.pos)
+                ) GROUP BY cluster"""
+
+
+def _cells_cte(name: str, src: str) -> str:
+    """A ``{name}`` CTE holding each cluster's integer member
+    centroid — the IVF/PQ cell representative, MATERIALIZED like
+    every other multiply-referenced member of the chain."""
+    return f"{name} AS MATERIALIZED ({_int_mean_sql(src)})"
+
+
 def _kmeans_ctes(
     table: str,
     id_col: str,
@@ -293,27 +322,35 @@ def _kmeans_ctes(
     subquery; ``prefix`` namespaces the CTE names so several chains
     coexist in one statement (the per-subspace PQ codebooks).
 
+    Every CTE is ``AS MATERIALIZED``: each ``a{{i}}``/``c{{i}}`` is
+    referenced twice (next assign + update / assign + carry join),
+    and DuckDB re-inlines non-materialized CTEs into EVERY consumer
+    — ~2^depth re-evaluations of the Lloyd chain (the round-6
+    unrolled-greedy lesson, already applied in ext/mmr.py).
+
     Distances go through exact BIGINT list arithmetic (order-free
     by integrality); argmin is row_number ordered by (d, cid); the
-    centroid update uses the identical integer-ratio floor; empty
-    clusters carry the previous centroid via the same left join."""
+    centroid update uses the identical integer-ratio floor
+    (:func:`_int_mean_sql`); empty clusters carry the previous
+    centroid via the left join."""
     s = KMEANS_SCALE
     x = prefix
     cte = [
-        f"""{x}vecs AS (
+        f"""{x}vecs AS MATERIALIZED (
             SELECT {id_col} AS vid,
                    list_transform({vec_col}, x -> CAST(floor(
                        CAST(x AS DOUBLE) * {s} + 0.5) AS BIGINT)) AS q
             FROM {table}
             WHERE {id_col} IS NOT NULL AND {vec_col} IS NOT NULL
         )""",
-        f"""{x}c0 AS (
+        f"""{x}c0 AS MATERIALIZED (
             SELECT row_number() OVER (ORDER BY vid) - 1 AS cid, q AS c
             FROM {x}vecs ORDER BY vid LIMIT {k}
         )""",
     ]
-    assign = (
-        """{x}a{i} AS (
+
+    def assign(i: int, p: int) -> str:
+        return f"""{x}a{i} AS MATERIALIZED (
             SELECT vid, q, cid AS cluster, dist FROM (
                 SELECT v.vid, v.q, c.cid,
                        CAST(list_sum(list_transform(list_zip(v.q, c.c),
@@ -328,32 +365,20 @@ def _kmeans_ctes(
                 FROM {x}vecs v CROSS JOIN {x}c{p} c)
             WHERE rk = 1
         )"""
-    )
-    update = (
-        """{x}c{i} AS (
+
+    def update(i: int, p: int) -> str:
+        return f"""{x}c{i} AS MATERIALIZED (
             SELECT o.cid,
-                   coalesce(n.c_new, o.c) AS c
+                   coalesce(n.c, o.c) AS c
             FROM {x}c{p} o LEFT JOIN (
-                SELECT cluster AS cid,
-                       list(m ORDER BY pos) AS c_new
-                FROM (
-                    SELECT cluster, pos,
-                           CAST(floor(CAST(2 * s + n AS DOUBLE)
-                                / CAST(2 * n AS DOUBLE)) AS BIGINT) AS m
-                    FROM (
-                        SELECT cluster, t.pos, SUM(q[t.pos]) AS s,
-                               count(*) AS n
-                        FROM {x}a{i},
-                             UNNEST(generate_series(1, len(q))) t(pos)
-                        GROUP BY cluster, t.pos)
-                ) GROUP BY cluster
+                {_int_mean_sql(f"{x}a{i}")}
             ) n ON o.cid = n.cid
         )"""
-    )
+
     for i in range(1, n_iter):
-        cte.append(assign.format(i=i, p=i - 1, x=x))
-        cte.append(update.format(i=i, p=i - 1, x=x))
-    cte.append(assign.format(i=n_iter, p=n_iter - 1, x=x))
+        cte.append(assign(i, i - 1))
+        cte.append(update(i, i - 1))
+    cte.append(assign(n_iter, n_iter - 1))
     return cte
 
 
@@ -391,22 +416,7 @@ def ivf_grid_fixture_sql(
     :func:`~pac_data_pipeline_spark.ext.similarity.cosine_topk_ivf_grid`."""
     s = KMEANS_SCALE
     cte = _kmeans_ctes(table, id_col, vec_col, n_cells, n_iter)
-    cte.append(
-        f"""cells AS (
-            SELECT cluster AS cid, list(m ORDER BY pos) AS c
-            FROM (
-                SELECT cluster, pos,
-                       CAST(floor(CAST(2 * s + n AS DOUBLE)
-                            / CAST(2 * n AS DOUBLE)) AS BIGINT) AS m
-                FROM (
-                    SELECT cluster, t.pos, SUM(q[t.pos]) AS s,
-                           count(*) AS n
-                    FROM a{n_iter},
-                         UNNEST(generate_series(1, len(q))) t(pos)
-                    GROUP BY cluster, t.pos)
-            ) GROUP BY cluster
-        )"""
-    )
+    cte.append(_cells_cte("cells", f"a{n_iter}"))
     cte.append(
         f"""qset AS (
             SELECT {id_col} AS query_id,
@@ -475,6 +485,8 @@ def pq_grid_fixture_sql(
     sum with (distance, id) shortlist ties, exact cosine rerank.
     Hash-exact against
     :func:`~pac_data_pipeline_spark.ext.similarity.cosine_topk_pq_grid`."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
     s = KMEANS_SCALE
     sub_len = dim // m
     cte: list[str] = []
@@ -485,22 +497,7 @@ def pq_grid_fixture_sql(
             f"(SELECT {id_col}, {vec_col}[{lo}:{hi}] AS sub FROM {table})"
         )
         cte += _kmeans_ctes(sub_t, id_col, "sub", n_codes, n_iter, prefix=x)
-        cte.append(
-            f"""{x}cells AS (
-                SELECT cluster AS cid, list(m ORDER BY pos) AS c
-                FROM (
-                    SELECT cluster, pos,
-                           CAST(floor(CAST(2 * s + n AS DOUBLE)
-                                / CAST(2 * n AS DOUBLE)) AS BIGINT) AS m
-                    FROM (
-                        SELECT cluster, t.pos, SUM(q[t.pos]) AS s,
-                               count(*) AS n
-                        FROM {x}a{n_iter},
-                             UNNEST(generate_series(1, len(q))) t(pos)
-                        GROUP BY cluster, t.pos)
-                ) GROUP BY cluster
-            )"""
-        )
+        cte.append(_cells_cte(f"{x}cells", f"{x}a{n_iter}"))
         cte.append(
             f"""{x}lut AS (
                 SELECT q.query_id, c.cid,

@@ -347,8 +347,15 @@ def stratified_reservoir(
     the stratum sizes (the temperature_mixture integer contract: all
     `div`/`%`, never float shares — Σ quotas == k by construction;
     ties on remainder break by stratum name asc; caller contract
-    ``k ≤ |df|`` and ``k · max(n_s) < 2^63``). NULL-stratum rows are
-    excluded up front (no quota can target them).
+    ``k ≤ |eligible rows|`` and ``k · max(n_s) < 2^63``).
+    ELIGIBLE means non-NULL stratum AND non-NULL id: NULL-stratum
+    rows have no quota to target, and NULL-id rows have no hash key
+    — and Spark ASC sorts NULLs FIRST while external engines sort
+    them LAST, so letting a NULL id into the rank would silently
+    hand rank 1 to different rows on different engines (the
+    ngram_novelty NULL-id rule). With k above the eligible count,
+    quotas exceed what strata can fill and the output shrinks
+    accordingly (mirrored on both engines).
 
     Scale shape: pass 1 is a map-side-combinable per-stratum count
     (|strata| rows — the quota window rides that tiny aggregate,
@@ -361,11 +368,13 @@ def stratified_reservoir(
 
     Returns the sampled rows plus (strat_n, quota, rk) lineage.
     """
+    eligible = df.filter(
+        F.col(strata_col).isNotNull() & F.col(id_col).isNotNull()
+    )
     w_tot = Window.partitionBy()
     w_rank = Window.partitionBy().orderBy(F.desc("rem"), F.asc("__s"))
     counts = (
-        df.filter(F.col(strata_col).isNotNull())
-        .groupBy(F.col(strata_col).cast("string").alias("__s"))
+        eligible.groupBy(F.col(strata_col).cast("string").alias("__s"))
         .agg(F.count(F.lit(1)).alias("strat_n"))
         .select("*", F.sum("strat_n").over(w_tot).alias("tn"))
         .select(
@@ -391,8 +400,7 @@ def stratified_reservoir(
         F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
     )
     return (
-        df.filter(F.col(strata_col).isNotNull())
-        .withColumn("__s", F.col(strata_col).cast("string"))
+        eligible.withColumn("__s", F.col(strata_col).cast("string"))
         .withColumn("rk", F.row_number().over(w_strat))
         .join(F.broadcast(counts), "__s")
         .filter(F.col("rk") <= F.col("quota"))

@@ -520,6 +520,11 @@ def cosine_topk_pq_grid(
     ``shortlist`` float rows per query."""
     from pac_data_pipeline_spark.ext.kmeans import _quantize, kmeans_cells
 
+    if dim % m:
+        raise ValueError(
+            f"dim={dim} not divisible by m={m}: trailing dimensions "
+            "would silently drop out of the encoding"
+        )
     sub_len = dim // m
     q = queries.filter(F.col("q_vec").isNotNull()).select(
         "query_id", "q_vec"

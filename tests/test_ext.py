@@ -749,6 +749,9 @@ def test_ngram_novelty_planted_duplication(spark):
             (3, "x y z w v"),         # fresh -> novelty 1
             (4, ""),                  # blank: drops
             (5, None),                # NULL: drops
+            (6, "a b"),               # < n tokens: drops (a sub-n
+            #   pseudo-gram would score this fully-borrowed
+            #   fragment as novelty 1.0 — the inverse signal)
         ],
         "doc_id long, text string",
     )

@@ -149,9 +149,13 @@ def test_ivf_grid_recall_and_probe_containment(spark):
     rows = cosine_topk_ivf_grid(emb, q, k=10, n_cells=8, n_probe=2).collect()
     approx = {(r.query_id, r.vec_id) for r in rows}
     assert len(exact & approx) / len(exact) >= 0.5
-    for r in rows:
-        if r.query_id == r.vec_id:
-            assert r.rank == 1 and r.cosine == 1.0, r
+    # every query MUST return its own vector (its cell is always
+    # probed) — presence first, so the rank-1 check can't pass
+    # vacuously if a join bug drops the self pair
+    self_rows = {r.query_id: r for r in rows if r.query_id == r.vec_id}
+    assert set(self_rows) == {r.query_id for r in q.collect()}
+    for r in self_rows.values():
+        assert r.rank == 1 and r.cosine == 1.0, r
     # probe containment: candidates only from the probed cells
     assigned, _cells = kmeans_cells(emb, k=8, n_iter=3)
     cell_of = {r.vid: r.cluster for r in assigned.collect()}
@@ -186,9 +190,14 @@ def test_pq_grid_recall_and_true_scores(spark):
     ).collect()
     approx = {(r.query_id, r.vec_id) for r in rows}
     assert len(exact_top10 & approx) / len(exact_top10) >= 0.4
+    # presence first (non-vacuous): the query's own codes give ADC
+    # distance 0... not guaranteed minimal, but the self pair must
+    # survive a 30-row shortlist on this fixture
+    self_rows = {r.query_id: r for r in rows if r.query_id == r.vec_id}
+    assert set(self_rows) == {r.query_id for r in q.collect()}
+    for r in self_rows.values():
+        assert r.rank == 1 and r.cosine == 1.0, r
     for r in rows:
-        if r.query_id == r.vec_id:
-            assert r.rank == 1 and r.cosine == 1.0, r
         if (r.query_id, r.vec_id) in exact_cos:
             assert r.cosine == exact_cos[(r.query_id, r.vec_id)], r
 
