@@ -2403,11 +2403,16 @@ def test_stratified_reservoir_exact_k_and_merge_exact(spark):
         + [(i + 100, "mid") for i in range(25)]
         + [(i + 200, "small") for i in range(7)]
         + [(999, None)]  # NULL stratum: excluded
+        + [(None, "big")]  # NULL id: excluded — md5(NULL) sorts
+        #   FIRST on Spark and LAST on external engines, so letting
+        #   it into the rank silently hands rank 1 to different
+        #   rows per engine (the round-7 review finding)
     )
     df = spark.createDataFrame(rows, "doc_id long, source string")
     k = 20
     out = stratified_reservoir(df, k=k, strata_col="source").collect()
     assert len(out) == k
+    assert all(r.doc_id is not None for r in out)
     got_per = {}
     for r in out:
         got_per.setdefault(r.source, set()).add(r.doc_id)
