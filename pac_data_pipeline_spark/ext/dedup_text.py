@@ -903,11 +903,15 @@ def ngram_novelty(
 
     Scale shape: the staged-token n-gram build is scan-side
     (:func:`_with_token_ngrams` — tokenize once, slice an
-    attribute); first-occurrence is ONE min-aggregate shuffled on
-    the gram key; the join back is gram-keyed too, so the exchange
-    is reused, and the per-doc rollup is the only other shuffle.
+    attribute) and runs ONCE: first-occurrence is a gram-partitioned
+    window ``min`` over the exploded rows, not a min-aggregate
+    joined back — the aggregate+join formulation re-evaluates the
+    whole tokenize+explode subplan on the probe side (2 FileScans;
+    the partial-agg below the exchange defeats ReusedExchange), so
+    the plan here is 1 scan + the gram exchange + the per-doc
+    rollup exchange, pinned in tests/test_scale_patterns.py.
     Never a corpus self-join — cross-doc duplication is resolved
-    entirely through the gram-key aggregate. Blank and NULL text
+    entirely through the gram-key window. Blank and NULL text
     yield no qualifying grams and drop (a doc with no content has
     no novelty to measure); so do docs SHORTER than ``n`` tokens —
     _with_token_ngrams' ``greatest(…, 1)`` floor would hand such a
@@ -933,9 +937,11 @@ def ngram_novelty(
             & (F.col("gram") != "")
         )
     )
-    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    from pyspark.sql import Window
+
+    w_gram = Window.partitionBy("gram")
     return (
-        grams.join(first, "gram")
+        grams.withColumn("first_doc", F.min("doc_id").over(w_gram))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

@@ -126,6 +126,25 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.5, recall
 
 
+def test_ngram_novelty_single_scan(spark):
+    """x_ngram_novelty must tokenize the corpus ONCE: the gram-
+    partitioned window-min formulation keeps one FileScan and two
+    hash exchanges (gram window + doc rollup). The rejected
+    min-aggregate + join-back formulation re-evaluates the whole
+    tokenize+explode subplan on the probe side (2 FileScans) —
+    partial aggregation below the exchange defeats ReusedExchange."""
+    import re
+
+    import __spark_entry__ as entry
+
+    df = entry.queries()["x_ngram_novelty"](spark, "/root/testdata/sf0.001")
+    p = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert len(re.findall(r"FileScan", p)) == 1, p
+    assert len(re.findall(r"Exchange hash", p)) == 2, p
+
+
 def test_ivf_grid_recall_and_probe_containment(spark):
     """The fixed-point IVF (hash-exact tier): recall vs brute force
     holds on the same fixture, every query's self-match is rank 1
