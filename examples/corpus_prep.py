@@ -2,7 +2,9 @@
 testdata: HTML-to-text extraction (pages synthesized, links
 harvested, URLs canonicalized) -> quality gates -> NB domain
 classifier -> exact + chunk-level dedup -> substring-duplication
-audit -> decontamination -> domain mixing, finishing with a
+audit -> decontamination -> domain mixing -> n-gram novelty gate ->
+temperature-sampled token budget -> stratified reservoir sample ->
+train/val/test split with leakage audit, finishing with a
 per-source report card.
 
 Run:  python examples/corpus_prep.py [sf_dir]
@@ -18,7 +20,11 @@ from pac_data_pipeline_spark.sources.readers import scan_parquet
 from pac_data_pipeline_spark.ext.text import corpus_report, gopher_rules
 from pac_data_pipeline_spark.ext.classify import nb_classify
 from pac_data_pipeline_spark.ext.corpus import chunk_dedup, suffix_duplication
-from pac_data_pipeline_spark.ext.dedup_text import decontaminate, exact_dedup
+from pac_data_pipeline_spark.ext.dedup_text import (
+    decontaminate,
+    exact_dedup,
+    ngram_novelty,
+)
 from pac_data_pipeline_spark.ext.html import (
     html_extract,
     html_links,
@@ -26,7 +32,12 @@ from pac_data_pipeline_spark.ext.html import (
     html_wrap,
     url_normalize_col,
 )
-from pac_data_pipeline_spark.ext.sampling import domain_mix
+from pac_data_pipeline_spark.ext.sampling import (
+    domain_mix,
+    split_leakage_audit,
+    stratified_reservoir,
+    temperature_mixture,
+)
 
 from pyspark.sql import functions as F
 
@@ -88,6 +99,24 @@ def main() -> None:
         budget=200,
     )
     print("after domain mixing:", mixed.count())
+
+    # duplication-aware freshness gate (Lee et al. 2022): drop docs
+    # mostly assembled from n-grams first seen elsewhere
+    novelty = ngram_novelty(clean, n=3)
+    fresh = clean.join(
+        novelty.filter(F.col("novelty") >= 0.2).select("doc_id"), "doc_id"
+    )
+    print("after novelty gate (>= 0.2):", fresh.count())
+
+    print("temperature-sampled token budget (GPT-3 style, α = 0.5):")
+    temperature_mixture(fresh, budget=100_000).show(10, truncate=False)
+
+    sample = stratified_reservoir(fresh, k=40, strata_col="source")
+    print("stratified reservoir (exactly k = 40) per source:")
+    sample.groupBy("source").count().orderBy("source").show(10)
+
+    print("train/val/test split policies + content-leakage audit:")
+    split_leakage_audit(fresh).show(10, truncate=False)
 
     corpus_report(clean).show(10, truncate=False)
     spark.stop()
