@@ -361,10 +361,13 @@ def stratified_reservoir(
     (|strata| rows — the quota window rides that tiny aggregate,
     never the corpus); pass 2 ranks within stratum by (md5, id) —
     ONE corpus shuffle on the stratum key — and keeps rank ≤ quota
-    via the broadcast quota table. At 1000 executors a skewed
-    stratum serializes its own window, but the rank predicate is a
-    running top-``quota_s`` — the per-partition-heap TakeOrdered
-    shape — and quota_s ≤ k bounds the state.
+    via the broadcast quota table. quota_s is a COLUMN, which the
+    rank-limit pushdown cannot see, so an explicit ``rank ≤ k``
+    LITERAL pre-filter rides the same window: Catalyst turns it
+    into WindowGroupLimit (per-partition top-k heaps, pinned in
+    tests/test_scale_patterns.py) — a skewed stratum keeps k rows
+    of window state instead of sorting itself end to end, and the
+    quota filter then prunes within those k.
 
     Returns the sampled rows plus (strat_n, quota, rk) lineage.
     """
@@ -402,6 +405,7 @@ def stratified_reservoir(
     return (
         eligible.withColumn("__s", F.col(strata_col).cast("string"))
         .withColumn("rk", F.row_number().over(w_strat))
+        .filter(F.col("rk") <= F.lit(k))
         .join(F.broadcast(counts), "__s")
         .filter(F.col("rk") <= F.col("quota"))
         .drop("__s")

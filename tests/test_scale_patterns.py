@@ -126,6 +126,23 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.5, recall
 
 
+def test_reservoir_rank_gets_window_group_limit(spark):
+    """x_reservoir_sample's per-stratum rank must plan as
+    WindowGroupLimit (per-partition top-k heaps): the quota bound is
+    a COLUMN the rank-limit pushdown cannot see, so the literal
+    ``rank ≤ k`` pre-filter exists precisely to trigger it — without
+    it a skewed stratum sorts itself end to end for 100 survivors."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["x_reservoir_sample"](
+        spark, "/root/testdata/sf0.001"
+    )
+    p = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "WindowGroupLimit" in p, p
+
+
 def test_ngram_novelty_single_scan(spark):
     """x_ngram_novelty must tokenize the corpus ONCE: the gram-
     partitioned window-min formulation keeps one FileScan and two
