@@ -785,6 +785,71 @@ def test_hdr_sketch_exactly_mergeable(spark):
     assert want == cab
 
 
+def test_centroid_sketch_mergeable_and_dominates_hdr(spark):
+    """Centroid-family operator contract on Spark itself (the
+    pure-Python twin lives in test_properties): (count, sum) merge
+    is bit-exact, the centroid estimate is always >= the HDR lower
+    bound for the same (key, q), within the same 2^-7 relative
+    error of the exact quantile, and the underflow bucket pins to
+    0 even with negative sums."""
+    import random
+
+    from pac_data_pipeline_spark.operators.quantile import (
+        centroid_quantiles,
+        centroid_sketch,
+        hdr_quantiles,
+    )
+
+    rng = random.Random(7)
+    vals = [round(rng.uniform(0.01, 50_000.0), 2) for _ in range(2_000)]
+    df = spark.createDataFrame([("k", v) for v in vals], "g string, v double")
+    cen = {
+        (r.key, r.q): r.est_cents
+        for r in centroid_quantiles(df, "g", "v").collect()
+    }
+    hdr = {
+        (r.key, r.q): r.est_cents
+        for r in hdr_quantiles(df, "g", "v").collect()
+    }
+    cents = sorted(int(v * 100 + 0.5) for v in vals)
+    for q in (50, 90, 95, 99):
+        exact = cents[(len(cents) * q + 99) // 100 - 1]
+        assert hdr[("k", q)] <= cen[("k", q)], q
+        assert abs(exact - cen[("k", q)]) / exact < 2**-7, q
+        assert cen[("__ALL__", q)] == cen[("k", q)]
+
+    # merge = add both components, bit-exactly
+    a = [("x", round(rng.uniform(0.0, 9_000.0), 2)) for _ in range(500)]
+    b = [("x", round(rng.uniform(0.0, 9_000.0), 2)) for _ in range(400)]
+
+    def pairs(rows):
+        d = spark.createDataFrame(rows, "g string, v double")
+        return {
+            (r.key, r.bucket): (r.cnt, r.tot)
+            for r in centroid_sketch(d, "g", "v").collect()
+        }
+
+    ca, cb, cab = pairs(a), pairs(b), pairs(a + b)
+    merged: dict = {}
+    for d in (ca, cb):
+        for k, (c, t) in d.items():
+            mc, mt = merged.get(k, (0, 0))
+            merged[k] = (mc + c, mt + t)
+    assert merged == cab
+
+    # negative values: bucket 0 centroid pins to 0 on both engines
+    # (truncating div vs flooring // would diverge on negative tot)
+    neg = spark.createDataFrame(
+        [("n", -12.5), ("n", -1.0), ("n", 0.002)], "g string, v double"
+    )
+    got = {
+        r.q: r.est_cents
+        for r in centroid_quantiles(neg, "g", "v").collect()
+        if r.key == "n"
+    }
+    assert all(v == 0 for v in got.values()), got
+
+
 def test_cms_overestimates_and_merges(spark):
     """Count-Min contract: est >= true for EVERY item (counters only
     over-count), overshoot stays far below the eN bound on a
