@@ -3202,9 +3202,14 @@ def q_x_bpe_train(spark, sf_dir):
     """BPE tokenizer training (8 merges) over the documents corpus:
     corpus-wide vocab aggregation once, then per-round JVM pair
     counting + Arrow-batched merge application on the vocab frame.
-    Rows-only: the merge loop is inherently iterative (no single
-    SQL oracle); equality with a plain-Python reference trainer is
-    pinned in tests/test_ext.py."""
+    HASH-EXACT since round 7: the DuckDB oracle unrolls the merge
+    loop into MATERIALIZED CTE rounds — identical vocab, identical
+    (count DESC, left, right) tie-break, and the doubled-space
+    rewrite reproducing Python's lookaround-bounded re.sub (see
+    ext/text.bpe_train_sql) — so any divergence in any round's pair
+    counts or chosen merge breaks the hash. Equality with a
+    plain-Python reference trainer stays pinned in
+    tests/test_ext.py."""
     from pac_data_pipeline_spark.ext.text import bpe_train
 
     return bpe_train(_t(spark, sf_dir, "documents"), n_merges=8)
@@ -3214,9 +3219,15 @@ def q_x_bpe_encode(spark, sf_dir):
     """The other half of the tokenizer lifecycle: train 8 merges,
     then ENCODE the corpus with them — greedy lowest-rank merge per
     word, broadcast merge table, Arrow batches with a capped
-    per-partition word memo, zero shuffles on the corpus side. Rows-only like
-    training; greedy-encode equivalence with an independent
-    merge-all reference is pinned in tests/test_ext.py."""
+    per-partition word memo, zero shuffles on the corpus side.
+    HASH-EXACT since round 7: the oracle unrolls train AND the
+    greedy encoder — 16 single-replacement steps over the distinct
+    word set, each picking the lowest-rank applicable pair and its
+    leftmost occurrence exactly like the Python loop (see
+    ext/text.bpe_encode_sql) — so the whole tokenizer LIFECYCLE is
+    under differential test. Greedy-encode equivalence with an
+    independent merge-all reference stays pinned in
+    tests/test_ext.py."""
     from pac_data_pipeline_spark.ext.text import bpe_encode, bpe_train
 
     docs = _t(spark, sf_dir, "documents")
@@ -4289,23 +4300,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # Dict ORDER is load-bearing: the round driver's correctness
         # gate checks only the FIRST 50 entries. Round-7 window
-        # (steady-state policy per VERDICT r6 item 2), 50 = 3 + 6 + 41:
+        # (steady-state policy per VERDICT r6 item 2), 50 = 3 + 8 + 39:
         # (a)  the THREE round-7 additions (stratified reservoir
         #      sample, centroid quantile sketch, n-gram novelty)
         #      lead per the new-first rule;
-        # (b)  the SIX queries whose code changed this round
-        #      (x_multimodal_features array_join-serialized for the
-        #      driver comparator — the one red row in
+        # (b)  the EIGHT queries whose code or oracle changed this
+        #      round (x_multimodal_features array_join-serialized
+        #      for the driver comparator — the one red row in
         #      CORRECTNESS_r06; x_audio_features,
         #      x_embedding_near_dup, x_cosine_topk_lsh,
-        #      x_cosine_topk_ivf, and x_cosine_topk_pq upgraded
-        #      rows-only → hash-exact per VERDICT r6 item 4 — the
-        #      whole ANN tier now carries differential evidence);
-        # (c)  41 re-check slots with the OLDEST verdicts: the 40
-        #      remaining r01 names in dict order (the FULL r01
-        #      block — after this round no r01-era verdict is
-        #      left), then the first 1 of the r03 block
-        #      (x_text_stats).
+        #      x_cosine_topk_ivf, x_cosine_topk_pq, x_bpe_train,
+        #      and x_bpe_encode upgraded rows-only → hash-exact per
+        #      VERDICT r6 item 4 — the whole ANN tier AND the BPE
+        #      tokenizer lifecycle now carry differential
+        #      evidence);
+        # (c)  39 re-check slots with the OLDEST verdicts: the r01
+        #      block in dict order, through h_set_except — only
+        #      x_token_regex (the last r01 name) was displaced by
+        #      the late BPE upgrades and heads the round-8 cursor.
         # All oracle-backed names are exact-hash green in the local
         # DuckDB gate (tools/check_oracle.py, clean + null-fuzz +
         # empty + unicode + blank clones).
@@ -4320,7 +4332,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_cosine_topk_lsh": q_x_cosine_topk_lsh,
         "x_cosine_topk_ivf": q_x_cosine_topk_ivf,
         "x_cosine_topk_pq": q_x_cosine_topk_pq,
-        # -- (c) oldest-verdict re-checks (40 r01, the full block) ----
+        "x_bpe_train": q_x_bpe_train,
+        "x_bpe_encode": q_x_bpe_encode,
+        # -- (c) oldest-verdict re-checks (39 of the 40 r01 names) ----
         "h5_local_volume": q_h5_local_volume,
         "h6_revenue_forecast": q_h6_revenue_forecast,
         "h10_returned_items": q_h10_returned_items,
@@ -4360,21 +4374,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p2_generic_clean": q_p2_generic_clean,
         "h_rank_window": q_h_rank_window,
         "h_set_except": q_h_set_except,
-        "x_token_regex": q_x_token_regex,
-        # -- (c) oldest-verdict re-checks (first 1 of the r03 block) --
-        "x_text_stats": q_x_text_stats,
         # ---- end of round-7 window (position 50) -------------------
         # NEXT-ROUND TAIL (round-8 plan): steady state — (1) new or
         # code-changed queries go to the dict head; (2) remaining
         # window slots re-verify the OLDEST verdicts. The re-check
-        # cursor continues with the REMAINING r03 names in dict
-        # order (x_quality_score, x_lang_id, x_fingerprint,
-        # x_dedup_exact_groups, x_dedup_exact, x_simhash, ... 49
+        # cursor starts with x_token_regex (the ONE r01 name the
+        # late BPE upgrades displaced from this round's window —
+        # every other r01 verdict refreshes in r07), then the r03
+        # block in dict order (x_text_stats, x_quality_score,
+        # x_lang_id, x_fingerprint,
+        # x_dedup_exact_groups, x_dedup_exact, x_simhash, ... 50
         # names), then the r04 block, then r05, then r06.
         # The tail below is ordered by (last-verdict round, prior
         # dict position), so the cursor is simply 'read on from
         # position 51'.
-        # ---- last verdicted r03 (49) --------------------------
+        # ---- last verdicted r01 (1) ---------------------------
+        "x_token_regex": q_x_token_regex,
+        # ---- last verdicted r03 (50) --------------------------
+        "x_text_stats": q_x_text_stats,
         "x_quality_score": q_x_quality_score,
         "x_lang_id": q_x_lang_id,
         "x_fingerprint": q_x_fingerprint,
@@ -4550,8 +4567,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_vec_norm": q_x_vec_norm,
         "x_vec_quantize": q_x_vec_quantize,
         "x_minhash_near_dup": q_x_minhash_near_dup,
-        "x_bpe_train": q_x_bpe_train,
-        "x_bpe_encode": q_x_bpe_encode,
         "x_hll_distinct": q_x_hll_distinct,
         "x_image_dhash": q_x_image_dhash,
         "x_markov_transitions": q_x_markov_transitions,
@@ -5173,6 +5188,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT o_orderkey, o_orderstatus FROM orders
         WHERE o_orderstatus = 'F'
     """
+    from pac_data_pipeline_spark.ext.text import (
+        bpe_encode_sql,
+        bpe_train_sql,
+    )
+
+    # x_bpe_train / x_bpe_encode: the iterative merge loop and the
+    # greedy encoder, both UNROLLED into MATERIALIZED CTE chains —
+    # identical vocab aggregation, (count DESC, left, right)
+    # tie-break, doubled-space rewrite (Python lookaround
+    # semantics), and lowest-rank-leftmost greedy steps. Any
+    # divergence in any round's pair counts, the chosen merge, the
+    # rewrite, or the greedy order breaks the hash.
+    oracles["x_bpe_train"] = bpe_train_sql(n_merges=8)
+    oracles["x_bpe_encode"] = bpe_encode_sql(n_merges=8)
     oracles["x_lm_perplexity"] = """
         WITH t AS (
             -- ascii_lower contract: translate A-Z only; engine

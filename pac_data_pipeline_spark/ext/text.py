@@ -918,6 +918,166 @@ def bpe_encode(
     )
 
 
+def _bpe_train_ctes(n_merges: int, table: str, text_col: str) -> list[str]:
+    """Unrolled BPE-training CTE chain for the DuckDB mirror: one
+    vocab aggregation, then per round (pair counts over the vocab →
+    top-1 by (count DESC, left, right) — :func:`bpe_train`'s exact
+    tie-break → merge rewrite). Every CTE is AS MATERIALIZED (the
+    round-6 inlined-CTE lesson; t{{k}} feeds both the next rewrite
+    and the final union).
+
+    The rewrite is the DOUBLED-SPACE trick: Python's
+    ``(?<!\\S)l r(?!\\S)`` lookarounds don't exist in RE2-land and a
+    plain ``replace(' l r ', …)`` consumes the shared boundary space
+    so back-to-back occurrences stop matching ("a a a a" must merge
+    to "aa aa", not "aa a a"). Doubling every separator gives each
+    token its own boundary space — non-overlapping left-to-right
+    replacement then matches Python's ``re.sub`` exactly, and at
+    most two spaces ever abut, so one ``replace('  ', ' ')`` pass
+    restores the form."""
+    cte = [
+        f"""w0 AS MATERIALIZED (
+            SELECT array_to_string([substring(w, i, 1)
+                       FOR i IN range(1, len(w) + 1)], ' ') AS syms,
+                   freq
+            FROM (
+                SELECT w, count(*) AS freq FROM (
+                    SELECT unnest(list_filter(string_split_regex(
+                        trim({text_col}, ' '),
+                        '[ \\t\\n\\f\\r]+'), x -> x <> '')) AS w
+                    FROM {table} WHERE {text_col} IS NOT NULL
+                ) GROUP BY w)
+        )"""
+    ]
+    for k in range(n_merges):
+        cte.append(
+            f"""p{k} AS MATERIALIZED (
+            SELECT u[1] AS l, u[2] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+            FROM (SELECT unnest(list_zip(string_split(syms, ' '),
+                   string_split(syms, ' ')[2:])) AS u, freq FROM w{k})
+            WHERE u[2] IS NOT NULL GROUP BY 1, 2
+        )"""
+        )
+        cte.append(
+            f"""t{k} AS MATERIALIZED (
+            SELECT {k} AS rank, l, r, cnt FROM p{k}
+            ORDER BY cnt DESC, l, r LIMIT 1
+        )"""
+        )
+        if k < n_merges - 1:
+            cte.append(
+                f"""w{k + 1} AS MATERIALIZED (
+                SELECT trim(replace(replace(
+                         ' ' || replace(syms, ' ', '  ') || ' ',
+                         ' ' || (SELECT l FROM t{k}) || '  '
+                             || (SELECT r FROM t{k}) || ' ',
+                         ' ' || (SELECT l FROM t{k})
+                             || (SELECT r FROM t{k}) || ' '),
+                       '  ', ' '), ' ') AS syms, freq FROM w{k}
+            )"""
+            )
+    return cte
+
+
+def bpe_train_sql(
+    n_merges: int = 8,
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """:func:`bpe_train` as one DuckDB statement — the iterative
+    merge loop unrolled, hash-exact against the Spark trainer."""
+    cte = _bpe_train_ctes(n_merges, table, text_col)
+    sel = " UNION ALL ".join(
+        f"SELECT rank, l AS left, r AS right, cnt AS pair_count FROM t{k}"
+        for k in range(n_merges)
+    )
+    return "WITH " + ",\n".join(cte) + "\nSELECT * FROM (" + sel + ")"
+
+
+def bpe_encode_sql(
+    n_merges: int = 8,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    greedy_steps: int = 16,
+) -> str:
+    """:func:`bpe_encode` (train + greedy encode) as one DuckDB
+    statement. The greedy loop — merge the LEFTMOST occurrence of
+    the LOWEST-RANK applicable pair, repeat — is unrolled to
+    ``greedy_steps`` single-replacement steps over the DISTINCT
+    word set, each step a rank-ordered CASE over the 1-row merge
+    table (first rank whose doubled-space pattern occurs wins;
+    strpos gives the leftmost occurrence; substr surgery replaces
+    exactly one). A word of L characters merges at most L−1 times,
+    so ``greedy_steps`` ≥ max word length − 1 makes the fixpoint
+    exact (the corpus tops out at 8-character words; 16 is
+    headroom, and converged steps are identity). Per-doc rollup
+    joins occurrences to the encoded word set — the SQL analogue of
+    the Spark side's per-partition word memo."""
+    cte = _bpe_train_ctes(n_merges, table, text_col)
+    mm_cols = ", ".join(
+        f"(SELECT l FROM t{k}) AS l{k}, (SELECT r FROM t{k}) AS r{k}"
+        for k in range(n_merges)
+    )
+    cte.append(f"mm AS MATERIALIZED (SELECT {mm_cols})")
+    cte.append(
+        f"""occ AS MATERIALIZED (
+        SELECT {id_col} AS doc_id, unnest(list_filter(string_split_regex(
+            trim(coalesce({text_col}, ''), ' '),
+            '[ \\t\\n\\f\\r]+'), x -> x <> '')) AS w
+        FROM {table}
+    )"""
+    )
+    cte.append(
+        """e0 AS MATERIALIZED (
+        SELECT w, array_to_string([substring(w, i, 1)
+                   FOR i IN range(1, len(w) + 1)], ' ') AS d
+        FROM (SELECT DISTINCT w FROM occ)
+    )"""
+    )
+
+    def pat(k: int) -> str:
+        return f"' ' || mm.l{k} || '  ' || mm.r{k} || ' '"
+
+    def rep(k: int) -> str:
+        return f"' ' || mm.l{k} || mm.r{k} || ' '"
+
+    for s in range(greedy_steps):
+        branches = " ".join(
+            f"WHEN strpos(dd, {pat(k)}) > 0 THEN trim(replace("
+            f"substr(dd, 1, strpos(dd, {pat(k)}) - 1) || {rep(k)} || "
+            f"substr(dd, strpos(dd, {pat(k)}) + len({pat(k)})), "
+            f"'  ', ' '), ' ')"
+            for k in range(n_merges)
+        )
+        cte.append(
+            f"""e{s + 1} AS MATERIALIZED (
+            SELECT w, CASE {branches} ELSE d END AS d
+            FROM (SELECT w, d, ' ' || replace(d, ' ', '  ') || ' ' AS dd
+                  FROM e{s}) CROSS JOIN mm
+        )"""
+        )
+    cte.append(
+        f"""nsym AS MATERIALIZED (
+        SELECT w, len(string_split(d, ' ')) AS n FROM e{greedy_steps}
+    )"""
+    )
+    cte.append(
+        """per AS MATERIALIZED (
+        SELECT occ.doc_id, count(*) AS n_ws, SUM(nsym.n) AS n_bpe
+        FROM occ JOIN nsym USING (w) GROUP BY occ.doc_id
+    )"""
+    )
+    return (
+        "WITH " + ",\n".join(cte)
+        + f"""
+        SELECT d.{id_col} AS doc_id,
+               CAST(coalesce(per.n_ws, 0) AS BIGINT) AS n_tokens_ws,
+               CAST(coalesce(per.n_bpe, 0) AS BIGINT) AS n_tokens_bpe
+        FROM {table} d LEFT JOIN per ON d.{id_col} = per.doc_id"""
+    )
+
+
 def ngram_lm_score(
     df: DataFrame,
     text_col: str = "text",

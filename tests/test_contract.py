@@ -39,8 +39,6 @@ def test_rows_only_set_is_intentional():
         "x_multimodal_features",  # float features; dims ARE decoded
         "x_approx_stats",  # sketches are engine-specific
         "x_hll_distinct",  # HLL estimates are engine-specific
-        "x_bpe_train",  # iterative merge loop; pinned vs Python reference
-        "x_bpe_encode",  # applies trained merges; pinned vs Python reference
     }
     assert q - o == expected_rows_only
 
