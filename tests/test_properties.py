@@ -1024,6 +1024,43 @@ def test_hdr_bucket_error_bound_theorem(cents, q):
 
 @settings(max_examples=300, deadline=None)
 @given(
+    st.lists(
+        st.sampled_from(["a", "b", "ab", "ba", "aab", "c"]),
+        min_size=1,
+        max_size=12,
+    ),
+    st.sampled_from([("a", "b"), ("a", "a"), ("ab", "a"), ("b", "ba")]),
+)
+def test_bpe_doubled_space_rewrite_matches_python_resub(toks, pair):
+    """The BPE oracle's doubled-space rewrite (ext/text.bpe_train_sql)
+    vs Python's lookaround-bounded re.sub, on ADVERSARIAL symbol
+    sequences: multi-char symbols that are prefixes/suffixes of each
+    other, back-to-back occurrences ("a a a a" must give "aa aa"),
+    and overlapping self-pairs ("a a a" must give "aa a"). A naive
+    single-space replace consumes the shared boundary space and
+    breaks exactly these cases — this replays the SQL string
+    pipeline in pure Python so hypothesis can sweep the corner
+    cases the corpus never hits."""
+    import re
+
+    l, r = pair
+    syms = " ".join(toks)
+    pat = re.compile(
+        r"(?<!\S)" + re.escape(l) + " " + re.escape(r) + r"(?!\S)"
+    )
+    want = pat.sub(l + r, syms)
+
+    # the oracle's pipeline: double separators, bounded replace,
+    # collapse, trim — plain str.replace IS DuckDB replace()
+    # (non-overlapping, left-to-right, continue after replacement)
+    d = " " + syms.replace(" ", "  ") + " "
+    d = d.replace(f" {l}  {r} ", f" {l}{r} ")
+    got = d.replace("  ", " ").strip(" ")
+    assert got == want, (syms, pair, got, want)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
     st.lists(st.integers(min_value=1, max_value=10**12), min_size=1, max_size=400),
     st.sampled_from([50, 90, 95, 99]),
 )
