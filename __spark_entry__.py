@@ -1164,9 +1164,12 @@ def q_x_ngram_novelty(spark, sf_dir):
     """Per-doc 3-gram novelty fraction (share of a doc's distinct
     token n-grams first seen in THIS doc — min-id ownership): the
     n-gram-granular duplication signal from Lee et al. 2022.
-    Scan-side staged-token grams, one gram-keyed min-aggregate
-    (exchange reused by the join back), one doc rollup — never a
-    corpus self-join. See ext/dedup_text.ngram_novelty."""
+    Scan-side staged-token grams tokenized ONCE, first-occurrence
+    via a gram-partitioned window min (the aggregate+join-back
+    formulation re-scans the tokenize subplan on the probe side),
+    one doc rollup — never a corpus self-join; 1-FileScan plan
+    pinned in tests/test_scale_patterns.py. See
+    ext/dedup_text.ngram_novelty."""
     from pac_data_pipeline_spark.ext.dedup_text import ngram_novelty
 
     return ngram_novelty(_t(spark, sf_dir, "documents"), n=3)

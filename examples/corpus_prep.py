@@ -101,9 +101,11 @@ def main() -> None:
     print("after domain mixing:", mixed.count())
 
     # duplication-aware freshness gate (Lee et al. 2022): drop docs
-    # mostly assembled from n-grams first seen elsewhere
-    novelty = ngram_novelty(clean, n=3)
-    fresh = clean.join(
+    # mostly assembled from n-grams first seen elsewhere — the gate
+    # consumes the MIXED corpus so the chain really is
+    # mix -> novelty -> budget -> sample -> split
+    novelty = ngram_novelty(mixed, n=3)
+    fresh = mixed.join(
         novelty.filter(F.col("novelty") >= 0.2).select("doc_id"), "doc_id"
     )
     print("after novelty gate (>= 0.2):", fresh.count())

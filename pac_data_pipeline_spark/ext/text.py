@@ -1057,9 +1057,26 @@ def bpe_encode_sql(
                   FROM e{s}) CROSS JOIN mm
         )"""
         )
+    # fixpoint tripwire: a word of more than greedy_steps+1 chars
+    # could merge more times than the unrolled steps cover, and the
+    # oracle would silently under-merge it — turning a CORRECT Spark
+    # result into an opaque hash mismatch. Fail loudly with the
+    # cause named instead (today's corpora top out at 8-char words;
+    # this guards a future testdata regeneration with long tokens).
+    cte.append(
+        f"""glim AS MATERIALIZED (
+        SELECT CASE WHEN max(len(w)) > {greedy_steps + 1}
+               THEN error('bpe_encode_sql: word longer than '
+                    || '{greedy_steps + 1} chars exceeds the '
+                    || 'greedy_steps={greedy_steps} fixpoint bound')
+               ELSE 1 END AS ok
+        FROM e0
+    )"""
+    )
     cte.append(
         f"""nsym AS MATERIALIZED (
-        SELECT w, len(string_split(d, ' ')) AS n FROM e{greedy_steps}
+        SELECT w, len(string_split(d, ' ')) AS n
+        FROM e{greedy_steps} CROSS JOIN glim
     )"""
     )
     cte.append(

@@ -134,12 +134,7 @@ def test_reservoir_rank_gets_window_group_limit(spark):
     it a skewed stratum sorts itself end to end for 100 survivors."""
     import __spark_entry__ as entry
 
-    df = entry.queries()["x_reservoir_sample"](
-        spark, "/root/testdata/sf0.001"
-    )
-    p = spark.sparkContext._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "simple"
-    )
+    p = plan(entry.queries()["x_reservoir_sample"](spark, SF), "simple")
     assert "WindowGroupLimit" in p, p
 
 
@@ -154,10 +149,7 @@ def test_ngram_novelty_single_scan(spark):
 
     import __spark_entry__ as entry
 
-    df = entry.queries()["x_ngram_novelty"](spark, "/root/testdata/sf0.001")
-    p = spark.sparkContext._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "simple"
-    )
+    p = plan(entry.queries()["x_ngram_novelty"](spark, SF), "simple")
     assert len(re.findall(r"FileScan", p)) == 1, p
     assert len(re.findall(r"Exchange hash", p)) == 2, p
 
