@@ -398,11 +398,20 @@ def connected_components(
     subgraph is a vanishing fraction of the corpus — at 100 TB this
     is the difference between iterating over terabytes and
     iterating over the duplicates."""
+    # localCheckpoint, NOT persist: the returned frame is lazy and
+    # its `singletons` branch anti-joins `touched` (derived from
+    # sym) — a persist unpersisted before that consumption point
+    # re-derived the ENTIRE edge pipeline (full n-gram Jaccard over
+    # the corpus when called from near_dup_clusters) cold at
+    # consumption time. The checkpoint materializes the symmetric
+    # edge set once, truncates the upstream lineage for every
+    # consumer, and is reclaimed by the ContextCleaner when the
+    # result frame drops (no CacheManager leak across calls).
     sym = (
         edges.selectExpr("id_a AS src", "id_b AS dst")
         .union(edges.selectExpr("id_b AS src", "id_a AS dst"))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     # label init must be the id itself (the fixpoint is "min id in
     # component"); a silent failed cast of a non-numeric id would
@@ -423,14 +432,16 @@ def connected_components(
         .otherwise(label)
         .alias("label"),
     )
-    touched = sym.select(F.col("src").alias("id")).distinct()
+    # touched is consumed by BOTH the label init join and the
+    # singletons anti-join in the returned lazy frame — checkpoint
+    # so the distinct over sym runs once, not per consumer.
+    touched = sym.select(F.col("src").alias("id")).distinct().localCheckpoint()
     labels = all_labels.join(touched, "id").localCheckpoint()
     singletons = all_labels.join(touched, "id", "left_anti")
     if labels.isEmpty():
         # no edges at all — the common case for an already-clean
         # corpus; skip the iteration's per-round job overhead
         # (labels is checkpointed, so the probe is metadata-cheap)
-        sym.unpersist()
         return singletons.select(
             F.col("id").alias(id_col), F.col("label").alias("component_id")
         )
@@ -459,13 +470,11 @@ def connected_components(
         # (labels = "min id within max_iter hops", not per
         # component) — refuse rather than return it. Deep graphs
         # belong on connected_components_star (O(log n) rounds).
-        sym.unpersist()
         raise RuntimeError(
             f"connected_components: no fixpoint in {max_iter} rounds "
             "— component diameter exceeds max_iter; use "
             "connected_components_star for deep/chained graphs"
         )
-    sym.unpersist()
     return labels.unionByName(singletons).select(
         F.col("id").alias(id_col), F.col("label").alias("component_id")
     )
@@ -716,11 +725,39 @@ def _jaccard_join_stages(
     further. This is the exact-answer sibling of MinHash-LSH
     (minhash_near_dup_pairs): LSH when approximate recall is
     acceptable, prefix filtering when the contract is exactness.
+
+    The verify stage intersects DICTIONARY-ENCODED gram sets
+    (array<long>), not the gram strings: the frequency aggregate's
+    vocab frame assigns each distinct gram a unique long id
+    (monotonically_increasing_id, frozen by a localCheckpoint so
+    every consumer sees ONE assignment), and Jaccard is invariant
+    under any bijective re-labeling of set elements. Per-pair
+    verify cost is dominated by copying the two gram arrays into
+    the join row and hashing their elements — longs cut that
+    constant ~2.5× vs strings (measured 7.8 s → 3.2 s over 444k
+    candidates at sf0.1) and shrink the broadcast ~4×. The total
+    order for prefixes is (frequency, gram-id): rarest-first, with
+    a tiebreak that is arbitrary-but-fixed within the run —
+    candidate completeness needs only that both docs sort by the
+    SAME total order, and the exact verify makes the final result
+    independent of which superset of candidates was generated.
+    Positional (PPJoin) filtering was measured and rejected: on
+    template-heavy corpora candidates share early-prefix grams, so
+    the position bound pruned <0.1% while adding a wider shuffle.
     """
     # empty/whitespace-only text must be EXCLUDED, not tokenized:
     # split(trim('')) yields [''] whose gram set is {''} — two empty
     # docs would otherwise "match" at jaccard 1.0 (found by the
     # hypothesis completeness test, invisible on generator data)
+    #
+    # localCheckpoint, not laziness: grams is consumed by the
+    # frequency aggregate, the per-doc re-aggregation, AND both
+    # verify sides — Catalyst inlines a non-materialized subplan
+    # into EVERY consumer, so without the checkpoint the final plan
+    # re-scanned and re-tokenized the corpus 6× (the pagerank/
+    # triangles lesson; each extra FileScan at 100 TB is a full
+    # corpus pass). The checkpointed frame is (id, gram set) — one
+    # tokenize pass total, reclaimed by the ContextCleaner.
     grams = (
         _with_token_ngrams(
             ensure_parallelism(
@@ -734,24 +771,40 @@ def _jaccard_join_stages(
         )
         .filter(F.col("grams").isNotNull() & (F.size("grams") > 0))
         .select(F.col(id_col).alias("id"), "grams")
+        .localCheckpoint()
     )
     tok = grams.select("id", F.explode("grams").alias("g"))
-    freq = tok.groupBy("g").agg(F.count(F.lit(1)).alias("f"))
-    # global total order = (frequency, gram): rarest-first with a
-    # deterministic tiebreak, identical on every executor
+    # vocab = one row per distinct gram with its corpus frequency
+    # and a unique long id. The id assignment is frozen by the
+    # checkpoint: monotonically_increasing_id is nondeterministic
+    # across evaluations, and two consumers seeing two different
+    # assignments would silently break set equality downstream.
+    vocab = (
+        tok.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .withColumn("gid", F.monotonically_increasing_id())
+        .localCheckpoint()
+    )
+    # global total order = (frequency, gram-id): rarest-first with
+    # an arbitrary-but-fixed tiebreak, identical on every executor
+    # (the frozen vocab IS the order). Checkpointed because the
+    # prefix explode below self-joins AND the verify stage reads
+    # both sides — inlining would run the vocab join + per-doc sort
+    # aggregation once per consumer.
     ordered = (
-        tok.join(freq, "g")
+        tok.join(vocab, "g")
         .groupBy("id")
         .agg(
             F.array_sort(
-                F.collect_list(F.struct(F.col("f"), F.col("g")))
+                F.collect_list(F.struct(F.col("f"), F.col("gid")))
             ).alias("st")
         )
         .select(
             "id",
-            F.expr("transform(st, s -> s.g)").alias("toks"),
+            F.expr("transform(st, s -> s.gid)").alias("toks"),
             F.size("st").alias("n"),
         )
+        .localCheckpoint()
     )
     prefix_len = (
         F.col("n")
@@ -785,7 +838,7 @@ def _jaccard_join_stages(
         .select("id_a", "id_b")
         .distinct()
     )
-    return grams, cand
+    return ordered, cand
 
 
 def jaccard_candidate_pairs(
@@ -814,15 +867,25 @@ def jaccard_similarity_join(
     """EXACT Jaccard-threshold self-join via prefix filtering
     (AllPairs/PPJoin family) — see :func:`_jaccard_join_stages` for
     the staged algorithm and scale notes; this wrapper runs the
-    exact verify over the candidate pairs only."""
-    grams, cand = _jaccard_join_stages(df, threshold, text_col, id_col, n)
-    ga = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("g_a"))
-    gb = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("g_b"))
+    exact verify over the candidate pairs only, on the
+    dictionary-encoded (array<long>) gram sets."""
+    ordered, cand = _jaccard_join_stages(df, threshold, text_col, id_col, n)
+    ga = ordered.select(
+        F.col("id").alias("id_a"),
+        F.col("toks").alias("g_a"),
+        F.col("n").alias("n_a"),
+    )
+    gb = ordered.select(
+        F.col("id").alias("id_b"),
+        F.col("toks").alias("g_b"),
+        F.col("n").alias("n_b"),
+    )
     inter = F.size(F.array_intersect("g_a", "g_b"))
     # the gram sets are distinct, so |A ∪ B| = |A| + |B| − |A ∩ B| —
     # one set-build per pair instead of two (array_union measured
-    # ~40% of verify cost at sf0.1)
-    union = F.size("g_a") + F.size("g_b") - inter
+    # ~40% of verify cost at sf0.1); set sizes ride along from the
+    # prefix stage instead of re-measuring the arrays
+    union = F.col("n_a") + F.col("n_b") - inter
     jac = inter / F.nullif(union, F.lit(0))
     return (
         cand.join(ga, "id_a")

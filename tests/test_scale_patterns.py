@@ -553,6 +553,34 @@ def test_mixed_media_single_scan_single_shuffle(spark):
     assert rows and all(r.decoded for r in rows)
 
 
+def test_dedup_cluster_family_scans_corpus_once(spark):
+    """Regression pin for the multi-consumer corpus re-scan in the
+    dedup-cluster family: before the localCheckpoint boundaries in
+    `_jaccard_join_stages` (grams/ordered) and
+    `connected_components` (sym/touched — a persist unpersisted
+    before the returned lazy frame was consumed re-derived the full
+    n-gram edge pipeline at consumption time), these plans carried
+    6 / 9 / 10 FileScans of documents.parquet, EACH a full corpus
+    re-tokenization — a genuine 100 TB scale-killer despite green
+    correctness. Pinned: the verify join reads only checkpointed
+    frames (0 scans), clustering re-reads the corpus once for the
+    singleton union, representatives once more for the quality
+    projection."""
+    import re
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+
+    def scans(name):
+        p = plan(qs[name](spark, SF), "simple")
+        return len(re.findall(r"FileScan", p))
+
+    assert scans("x_jaccard_join") == 0
+    assert scans("x_dedup_clusters") <= 1
+    assert scans("x_dedup_representatives") <= 2
+
+
 def test_iterative_graph_plans_have_bounded_scans(spark):
     """Regression pin for the plan-inlining explosion: an
     unmaterialized multi-consumer subplan (the 5-way-union edge
