@@ -2005,12 +2005,14 @@ def q_x_pii_luhn(spark, sf_dir):
 
 def q_x_cdc_chunks(spark, sf_dir):
     """Content-defined chunking + corpus duplication profile: chunk
-    boundaries from a content-hash mask (md5-of-window ends in '0' —
-    the engine-portable stand-in for a rolling Buzhash), so edits
-    shift ONE chunk instead of re-aligning every fixed block; then
+    boundaries from a content-hash mask (polynomial window hash over
+    code points hits a 1/16 mask — exact integer arithmetic both
+    engines reproduce bit-for-bit, evaluated as one numpy Arrow
+    batch; md5 and xxhash64 JVM tiers beside it), so edits shift ONE
+    chunk instead of re-aligning every fixed block; then
     per-fingerprint occurrence/doc counts — the storage-dedup
-    priority table. Chunking is shuffle-free scan-stage HOFs; the
-    profile is one map-side-combinable shuffle on the fingerprint."""
+    priority table. Chunking is shuffle-free; the profile is one
+    map-side-combinable shuffle on the fingerprint."""
     from pac_data_pipeline_spark.ext.corpus import cdc_chunks, cdc_dup_profile
 
     return cdc_dup_profile(cdc_chunks(_t(spark, sf_dir, "documents")))
@@ -6632,15 +6634,26 @@ def oracle_sql() -> dict[str, str]:
                    AS chars_per_token
         FROM d GROUP BY lang
     """
-    # x_cdc_chunks: same boundary mask (md5-of-8-char-window ends in
-    # '0'), same 1-based inclusive slicing; generate_series is the
-    # inclusive-end twin of Spark's sequence(); the CASE mirrors the
-    # short-text single-chunk clause.
+    # x_cdc_chunks: the poly-tier boundary contract (ext/corpus.py
+    # CDC_POLY_* constants) — fold (acc*257 + codepoint) % (2^31-1)
+    # over the 8-char window, boundary when h % 16 = 0. unicode()
+    # mirrors Spark/numpy code points exactly (probed incl. astral);
+    # ::BIGINT keeps DuckDB's fold out of INT32 overflow;
+    # list_reduce without an init seeds acc with the first element,
+    # identical to init 0 since (0*257 + c0) % M = c0. The CASE
+    # mirrors the short-text single-chunk clause; generate_series is
+    # the inclusive-end twin of Spark's sequence().
     oracles["x_cdc_chunks"] = """
         WITH d AS (
             SELECT doc_id, text, length(text) AS n
             FROM documents
             WHERE text IS NOT NULL AND length(text) > 0
+        ),
+        cs AS (
+            SELECT doc_id, text, n,
+                   [unicode(substring(text, i, 1))::BIGINT
+                    FOR i IN range(1, n + 1)] AS codes
+            FROM d
         ),
         b AS (
             SELECT doc_id, text, n,
@@ -6648,9 +6661,11 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN n >= 9
                             THEN generate_series(2, n - 7)
                             ELSE [] END,
-                       p -> substring(md5(substring(text, p, 8)), 32, 1)
-                            = '0') AS bounds
-            FROM d
+                       p -> list_reduce(codes[p:p+7],
+                                (acc, c) -> (acc * 257 + c)
+                                            % 2147483647) % 16 = 0
+                   ) AS bounds
+            FROM cs
         ),
         c AS (
             SELECT doc_id, text,

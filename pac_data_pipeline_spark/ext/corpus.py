@@ -332,11 +332,23 @@ def suffix_duplication(
     )
 
 
+#: polynomial window-hash constants shared by the Spark ``poly``
+#: tier and the DuckDB oracle (the shared-constant contract used by
+#: every portable tier): base 257 > any single UTF-8 byte spread,
+#: modulus 2^31 − 1 keeps every intermediate (< 2^39 + 2^21) exact
+#: in int64 on numpy, the JVM, and DuckDB alike; the 1/16 mask
+#: gives ~16 + window/2 char mean chunks.
+CDC_POLY_BASE = 257
+CDC_POLY_MOD = 2147483647
+CDC_MASK = 16
+
+
 def cdc_chunks(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     window: int = 8,
+    hash: str = "poly",
 ) -> DataFrame:
     """Content-defined chunking (the FastCDC/rsync idea): chunk
     boundaries are positions whose local content hash hits a target
@@ -344,44 +356,71 @@ def cdc_chunks(
     instead of re-aligning every fixed-width block — the property
     that makes chunk-level storage dedup survive edits.
 
-    Contract (engine-portable, documented because it IS the oracle):
-    a boundary sits before position p (1-based, p > 1) when the
-    lowercase-hex md5 of the ``window`` chars starting at p ends in
-    '0' — a 1/16 mask, ~16 + window/2 char mean chunk length.
-    md5-per-position is the portability trade: a production pipeline
-    rolls a Buzhash at O(1)/char, but no two engines agree on a
-    rolling hash, while md5(substring) is bit-identical everywhere
-    (same choice as the sampling tier's md5-derived fractions).
-    Short texts (< window + 1 chars) form a single chunk.
+    Boundary contract: a boundary sits before position p (1-based,
+    p > 1, windows must fit) when the hash of the ``window`` chars
+    starting at p hits a 1/16 mask. Three hash tiers:
 
-    One output row per (doc, chunk): ordinal, chunk text, md5
-    fingerprint. All scan-stage HOFs; downstream dedup
-    (:func:`cdc_dup_profile`) adds the one fingerprint shuffle. The
-    per-position hashing is compute-bound (~len(text) md5 calls per
-    doc), so the input fans out to cluster parallelism first — the
-    one-row-group testdata quirk would otherwise run the whole
-    corpus on a single task (first bench: 162 s single-task vs ~6 s
-    fanned out at sf0.1); at production scale the scan already has
-    ≥ cores splits and the fan-out is a no-op.
+    * ``poly`` (default, THE ORACLE TIER): polynomial window hash
+      over unicode code points, ``fold(c: acc·257 + c mod 2^31−1)``,
+      boundary when ``h % 16 == 0``. Exact integer arithmetic that
+      any engine reproduces bit-for-bit (the DuckDB oracle mirrors
+      it with a list comprehension + list_reduce), evaluated as a
+      numpy sliding-window batch inside ONE Arrow ``mapInPandas`` —
+      measured 0.7 s at sf0.1 vs 7.4 s for per-position JVM md5 and
+      41 s for the same fold as interpreted HOF lambdas (per-element
+      lambda dispatch, not arithmetic, is the cost). This is the
+      documented exception to "stay JVM-side": the op is compute-
+      bound per row with zero shuffle, exactly the Arrow-batch
+      profile (same judgment as the multimodal codecs).
+    * ``md5``: boundary when the lowercase-hex md5 of the window
+      ends in '0'. JVM-only path (no Python workers), bit-identical
+      everywhere, ~10× the poly tier's cost — kept for environments
+      that cannot run Arrow workers.
+    * ``xxhash64``: boundary when ``pmod(xxhash64(window), 16) == 0``
+      — the fastest pure-JVM tier, engine-specific hash (rows-only
+      comparable, the minhash production-tier trade).
+
+    Short texts (< window + 1 chars) form a single chunk. One output
+    row per (doc, chunk): ordinal, chunk text, md5 fingerprint.
+    Downstream dedup (:func:`cdc_dup_profile`) adds the one
+    fingerprint shuffle. All tiers fan out to cluster parallelism
+    first — the one-row-group testdata quirk would otherwise run the
+    whole corpus on a single task (first bench: 162 s single-task vs
+    ~6 s fanned out at sf0.1); at production scale the scan already
+    has ≥ cores splits and the fan-out is a no-op.
     """
     from pac_data_pipeline_spark.ext.dedup_text import ensure_parallelism
 
-    df = ensure_parallelism(df)
+    if hash not in ("poly", "md5", "xxhash64"):
+        raise ValueError(
+            f"hash must be 'poly', 'md5', or 'xxhash64', got {hash!r}"
+        )
     t = F.col(text_col)
     n = F.length(t)
+    df = ensure_parallelism(df.filter(t.isNotNull() & (n > 0)))
+    if hash == "poly":
+        return _cdc_chunks_poly(df, text_col, id_col, window)
     # candidate boundary positions: 2 .. len-window+1 (a boundary at
     # 1 would make an empty first chunk; windows must fit)
     pos = F.when(
         n >= window + 1,
         F.sequence(F.lit(2), n - F.lit(window - 1)),
     ).otherwise(F.array().cast("array<int>"))
-    bounds = F.filter(
-        pos,
-        lambda p: F.md5(t.substr(p, F.lit(window))).substr(
-            F.lit(32), F.lit(1)
+    if hash == "md5":
+        bexpr = (
+            lambda p: F.md5(t.substr(p, F.lit(window))).substr(
+                F.lit(32), F.lit(1)
+            )
+            == "0"
         )
-        == "0",
-    )
+    else:
+        bexpr = (
+            lambda p: F.pmod(
+                F.xxhash64(t.substr(p, F.lit(window))), F.lit(CDC_MASK)
+            )
+            == 0
+        )
+    bounds = F.filter(pos, bexpr)
     starts = F.concat(F.array(F.lit(1)), bounds)
     ends = F.concat(bounds, F.array(n + 1))
     chunks = F.transform(
@@ -391,18 +430,80 @@ def cdc_chunks(
             F.element_at(ends, i) - F.element_at(starts, i),
         ),
     )
-    return (
-        df.filter(t.isNotNull() & (n > 0))
-        .select(
-            id_col,
-            F.posexplode(chunks).alias("chunk_ord", "chunk"),
-        )
-        .select(
-            id_col,
-            "chunk_ord",
-            "chunk",
-            F.md5(F.col("chunk")).alias("chunk_hash"),
-        )
+    return df.select(
+        id_col,
+        F.posexplode(chunks).alias("chunk_ord", "chunk"),
+    ).select(
+        id_col,
+        "chunk_ord",
+        "chunk",
+        F.md5(F.col("chunk")).alias("chunk_hash"),
+    )
+
+
+def _cdc_chunks_poly(
+    df: DataFrame, text_col: str, id_col: str, window: int
+) -> DataFrame:
+    """The ``poly`` tier of :func:`cdc_chunks`: one Arrow batch pass,
+    numpy sliding-window polynomial hash, chunk split in Python.
+    UTF-32 decode gives the code-point array directly, matching
+    Spark's/DuckDB's code-point-based substring semantics (probed:
+    both return identical code points for BMP and astral chars)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    id_field = df.schema[id_col]
+    schema = StructType(
+        [
+            StructField(id_field.name, id_field.dataType),
+            StructField("chunk_ord", IntegerType()),
+            StructField("chunk", StringType()),
+        ]
+    )
+    base, mod, mask = CDC_POLY_BASE, CDC_POLY_MOD, CDC_MASK
+
+    def gen(batches):
+        for pdf in batches:
+            out_id, out_ord, out_chunk = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                # the frame is pre-filtered to non-empty text; the
+                # guard keeps the worker total if callers compose
+                # the generator over unfiltered frames
+                if text is None or len(text) == 0:
+                    continue
+                codes = np.frombuffer(
+                    text.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                n = len(codes)
+                if n >= window + 1:
+                    # windows starting at 0-based 0..n-window; a
+                    # boundary may sit at starts 1..n-window (never
+                    # 0 — an empty first chunk)
+                    win = np.lib.stride_tricks.sliding_window_view(
+                        codes, window
+                    )
+                    h = np.zeros(len(win), dtype=np.int64)
+                    for k in range(window):
+                        h = (h * base + win[:, k]) % mod
+                    bpos = np.nonzero(h[1:] % mask == 0)[0] + 1
+                else:
+                    bpos = np.array([], dtype=np.int64)
+                starts = np.concatenate(([0], bpos))
+                ends = np.concatenate((bpos, [n]))
+                for j, (s, e) in enumerate(zip(starts, ends)):
+                    out_id.append(did)
+                    out_ord.append(j)
+                    out_chunk.append(text[int(s) : int(e)])
+            yield pd.DataFrame(
+                {id_col: out_id, "chunk_ord": out_ord, "chunk": out_chunk}
+            )
+
+    return df.mapInPandas(gen, schema).select(
+        id_col,
+        "chunk_ord",
+        "chunk",
+        F.md5(F.col("chunk")).alias("chunk_hash"),
     )
 
 

@@ -219,11 +219,13 @@ def test_suffix_duplication_identical_docs_cap(spark):
     assert rows[0].max_dup_len == 64  # long shared text hits the cap
 
 
-def test_cdc_chunks_shift_resistance(spark):
-    """The defining CDC property: a prefix insertion changes ONLY the
-    first chunk — every later chunk fingerprint survives and dedupes
-    across the two versions. Also: chunks reassemble to the original
-    text, short/empty/NULL texts behave per contract."""
+@pytest.mark.parametrize("tier", ["poly", "md5", "xxhash64"])
+def test_cdc_chunks_shift_resistance(spark, tier):
+    """The defining CDC property, held by EVERY hash tier: a prefix
+    insertion changes ONLY the first chunk — every later chunk
+    fingerprint survives and dedupes across the two versions. Also:
+    chunks reassemble to the original text, short/empty/NULL texts
+    behave per contract."""
     from pac_data_pipeline_spark.ext.corpus import cdc_chunks, cdc_dup_profile
 
     base = ("the quick brown fox jumps over the lazy dog "
@@ -232,7 +234,7 @@ def test_cdc_chunks_shift_resistance(spark):
         [(0, base), (1, "XX" + base), (2, "short"), (3, None), (4, "")],
         "doc_id long, text string",
     )
-    rows = cdc_chunks(df).collect()
+    rows = cdc_chunks(df, hash=tier).collect()
     by_doc = {}
     for r in sorted(rows, key=lambda r: (r.doc_id, r.chunk_ord)):
         by_doc.setdefault(r.doc_id, []).append(r)
@@ -247,6 +249,41 @@ def test_cdc_chunks_shift_resistance(spark):
     assert h0[1:] == h1[1:]
     assert h0[0] != h1[0]
 
-    prof = {r.chunk_hash: r for r in cdc_dup_profile(cdc_chunks(df)).collect()}
+    prof = {
+        r.chunk_hash: r
+        for r in cdc_dup_profile(cdc_chunks(df, hash=tier)).collect()
+    }
     for h in h0[1:]:
-        assert prof[h].n_docs == 2 and prof[h].n_occurrences == 2
+        # >= 2, not == 2: the fixture's "again and again" tail can
+        # legitimately repeat a chunk WITHIN one doc when a tier's
+        # boundary lands inside the repetition
+        assert prof[h].n_docs == 2 and prof[h].n_occurrences >= 2
+
+
+def test_cdc_tiers_equivalent_chunk_stats(spark):
+    """The three boundary hashes are interchangeable STATISTICALLY:
+    same 1/16 mask → same expected chunk count and mean length, so
+    on a real corpus every tier's chunk count must land in a narrow
+    band of every other's (they differ only in WHICH positions hit
+    the mask). Also pins that every tier reassembles losslessly:
+    total chunk chars == total corpus chars."""
+    from pac_data_pipeline_spark.ext.corpus import cdc_chunks
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    total_chars = docs.selectExpr(
+        "sum(length(text)) AS t"
+    ).first().t
+    counts = {}
+    for tier in ("poly", "md5", "xxhash64"):
+        agg = (
+            cdc_chunks(docs, hash=tier)
+            .selectExpr("count(*) AS n", "sum(length(chunk)) AS chars")
+            .first()
+        )
+        counts[tier] = agg.n
+        assert agg.chars == total_chars, tier
+    lo, hi = min(counts.values()), max(counts.values())
+    assert lo > 0 and hi / lo < 1.25, counts
+    # a raising guard, not a silent fallback, on a tier typo
+    with pytest.raises(ValueError, match="hash must be"):
+        cdc_chunks(docs, hash="buzhash")
