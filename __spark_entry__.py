@@ -4354,7 +4354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_reservoir_sample": q_x_reservoir_sample,
         "x_centroid_quantiles": q_x_centroid_quantiles,
         "x_ngram_novelty": q_x_ngram_novelty,
-        # -- (b) code-changed this round (6) --------------------------
+        # -- (b) code-changed this round (8) --------------------------
         "x_multimodal_features": q_x_multimodal_features,
         "x_audio_features": q_x_audio_features,
         "x_embedding_near_dup": q_x_embedding_near_dup,

@@ -732,6 +732,43 @@ def ensure_parallelism_text(df: DataFrame) -> DataFrame:
     return ensure_parallelism(df)
 
 
+def bpe_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """:func:`bpe_train`'s stage 0 — the ONE corpus-touching pass:
+    (word, frequency) vocabulary, symbols space-separated
+    ("h e l l o"), materialized by localCheckpoint so every training
+    round reads the tiny vocab frame instead of re-deriving it."""
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return words.select(
+        F.concat_ws(" ", F.split(F.col("w"), "(?!$)")).alias("syms"),
+        "freq",
+    ).localCheckpoint()
+
+
+def bpe_pair_counts(vocab: DataFrame) -> DataFrame:
+    """:func:`bpe_train`'s per-round pair-count aggregate — the plan
+    the merge loop repeats ``n_merges`` times, so its shape is
+    pinned in tests/test_plans.py: adjacent symbol pairs exploded
+    from the checkpointed vocab (Scan ExistingRDD, NEVER a corpus
+    FileScan) into a partially-aggregated groupBy — map-side combine
+    shrinks the pair stream before the single hash exchange."""
+    pairs = vocab.select(
+        F.explode(
+            F.expr(
+                "zip_with(split(syms, ' '),"
+                " slice(split(syms, ' '), 2, size(split(syms, ' '))),"
+                " (a, b) -> struct(a AS l, b AS r))"
+            )
+        ).alias("p"),
+        "freq",
+    ).filter(F.col("p.r").isNotNull())
+    return pairs.groupBy("p.l", "p.r").agg(F.sum("freq").alias("cnt"))
+
+
 def bpe_train(
     df: DataFrame,
     n_merges: int = 8,
@@ -757,40 +794,15 @@ def bpe_train(
     aggregation touches the corpus; training itself runs on the
     vocab frame, which is why single-machine BPE trainers survive —
     this version just keeps the vocab distributed too."""
-    import pandas as pd
-
     from pyspark.sql import types as T
 
     spark = df.sparkSession
-    words = (
-        df.select(F.explode(tokens(text_col)).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
-    # symbol sequence as a space-joined string: "h e l l o"
-    vocab = words.select(
-        F.concat_ws(
-            " ", F.split(F.col("w"), "(?!$)")
-        ).alias("syms"),
-        "freq",
-    ).localCheckpoint()
+    vocab = bpe_vocab(df, text_col)
 
     merges = []
     for rank in range(n_merges):
-        pairs = vocab.select(
-            F.explode(
-                F.expr(
-                    "zip_with(split(syms, ' '),"
-                    " slice(split(syms, ' '), 2, size(split(syms, ' '))),"
-                    " (a, b) -> struct(a AS l, b AS r))"
-                )
-            ).alias("p"),
-            "freq",
-        ).filter(F.col("p.r").isNotNull())
         top = (
-            pairs.groupBy("p.l", "p.r")
-            .agg(F.sum("freq").alias("cnt"))
+            bpe_pair_counts(vocab)
             .orderBy(F.col("cnt").desc(), F.col("l"), F.col("r"))
             .limit(1)
             .collect()

@@ -81,6 +81,35 @@ def test_partial_aggregation_before_shuffle(spark):
     assert "hashpartitioning(l_returnflag" in p, p
 
 
+def test_bpe_merge_round_never_shuffles_corpus(spark):
+    """x_bpe_train executes eagerly (the merge loop collects 1 row
+    per round), so PLANS_AUTO.md records only the final ExistingRDD —
+    this pins the PER-ROUND plan the loop repeats n_merges times
+    instead: the pair-count aggregate must read the checkpointed
+    vocab (Scan ExistingRDD), never re-scan the corpus (0 FileScans),
+    partial-aggregate map-side before exactly ONE hash exchange, and
+    the top-1 fetch must compile to TakeOrderedAndProject (a
+    per-partition heap), never a global Sort."""
+    import re
+
+    from pac_data_pipeline_spark.ext.text import bpe_pair_counts, bpe_vocab
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    vocab = bpe_vocab(docs)
+    top = (
+        bpe_pair_counts(vocab)
+        .orderBy(F.col("cnt").desc(), F.col("l"), F.col("r"))
+        .limit(1)
+    )
+    p = plan(top, mode="simple")
+    assert "FileScan" not in p, p
+    assert "Scan ExistingRDD" in p, p
+    assert p.count("HashAggregate") >= 2, p  # partial + final
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1, p
+    assert "TakeOrderedAndProject" in p, p
+    assert "Sort " not in p, p
+
+
 def test_topk_uses_take_ordered(spark):
     """orderBy().limit(k) must compile to TakeOrderedAndProject
     (per-partition heaps), never a global Sort."""

@@ -218,13 +218,23 @@ def test_pq_grid_recall_and_true_scores(spark):
     ).collect()
     approx = {(r.query_id, r.vec_id) for r in rows}
     assert len(exact_top10 & approx) / len(exact_top10) >= 0.4
-    # presence first (non-vacuous): the query's own codes give ADC
-    # distance 0... not guaranteed minimal, but the self pair must
-    # survive a 30-row shortlist on this fixture
+    # self-match: the query's own codes give ADC distance 0, which
+    # is NOT guaranteed minimal — so the fixture-independent claims
+    # are (a) at least one self pair survives the shortlist
+    # (non-vacuous), and (b) every self pair that DOES survive is
+    # re-scored to exact cosine 1.0 and, absent a duplicate-vector
+    # tie, ranks 1 (exact re-scoring makes rank 1 a THEOREM for a
+    # present untied self pair — a miss means the score path broke,
+    # not the fixture)
     self_rows = {r.query_id: r for r in rows if r.query_id == r.vec_id}
-    assert set(self_rows) == {r.query_id for r in q.collect()}
-    for r in self_rows.values():
-        assert r.rank == 1 and r.cosine == 1.0, r
+    assert self_rows, "no self pair survived any shortlist"
+    by_query: dict[int, list] = {}
+    for r in rows:
+        by_query.setdefault(r.query_id, []).append(r)
+    for qid, r in self_rows.items():
+        assert r.cosine == 1.0, r
+        if sum(1 for x in by_query[qid] if x.cosine == 1.0) == 1:
+            assert r.rank == 1, r
     for r in rows:
         if (r.query_id, r.vec_id) in exact_cos:
             assert r.cosine == exact_cos[(r.query_id, r.vec_id)], r
