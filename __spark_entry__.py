@@ -3944,6 +3944,51 @@ def q_x_gopher_rules(spark, sf_dir):
     return gopher_rules(_t(spark, sf_dir, "documents"))
 
 
+def _c4_fixture(documents):
+    """Deterministic multi-line 'web pages' for the C4 filter query
+    (the x_pii_luhn planted-fixture pattern — single-line TPC-H-ish
+    documents have no line structure, so the fixture builds one from
+    formulas BOTH engines restate): six lines per doc, each a token
+    slice of the doc text plus a suffix cycling through terminal
+    punctuation / no punctuation / a 'javascript' marker, and on
+    doc_id % 11 / % 13 an extra 'lorem ipsum' / brace line that
+    triggers the page-level drops."""
+    toks = F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), TOKEN_SEP)
+    d = F.col("doc_id")
+    suffixes = [".", "!", "", " javascript?", "?", "."]
+
+    def line(i):
+        start = (d + F.lit(i * 3)) % 20 + 1
+        length = (d * 3 + F.lit(i)) % 5 + 2
+        content = F.array_join(F.slice(toks, start, length), " ")
+        pick = ((d * 7 + F.lit(i)) % 6).cast("int")
+        suffix = F.element_at(
+            F.array(*[F.lit(s) for s in suffixes]), pick + 1
+        )
+        return F.concat(content, suffix)
+
+    page = F.concat(
+        F.concat_ws("\n", *[line(i) for i in range(6)]),
+        F.when(d % 11 == 0, F.lit("\nlorem ipsum dolor sit."))
+        .otherwise(F.lit("")),
+        F.when(d % 13 == 0, F.lit("\nconfig { x }")).otherwise(F.lit("")),
+    )
+    return documents.select("doc_id", page.alias("text"))
+
+
+def q_x_c4_filters(spark, sf_dir):
+    """C4 cleaning filters (Raffel et al. 2020 §2.2) over planted
+    multi-line pages: line-level terminal-punctuation / min-words /
+    javascript gates, page-level lorem-ipsum / brace / min-kept
+    gates — metrics + keep + the surviving text in one scan-stage
+    projection (ext/text.c4_page_filters). The oracle re-derives
+    the fixture AND the filters from the same shared constants, so
+    every line verdict and every rejoined clean_text is hash-checked."""
+    from pac_data_pipeline_spark.ext.text import c4_page_filters
+
+    return c4_page_filters(_c4_fixture(_t(spark, sf_dir, "documents")))
+
+
 def q_x_domain_mix(spark, sf_dir):
     """Deterministic dataset mixing: rebalance four source domains
     to 40/30/20/10 shares of a 200-row budget via md5-bucket
@@ -4351,6 +4396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # empty + unicode + blank clones).
         # -- (a) new this round (3) ----------------------------------
         "x_mjpeg_frames": q_x_mjpeg_frames,
+        "x_c4_filters": q_x_c4_filters,
         "x_reservoir_sample": q_x_reservoir_sample,
         "x_centroid_quantiles": q_x_centroid_quantiles,
         "x_ngram_novelty": q_x_ngram_novelty,
@@ -7543,6 +7589,67 @@ def oracle_sql() -> dict[str, str]:
         SELECT chunk_text, count(DISTINCT doc_id) AS n_docs
         FROM c GROUP BY chunk_text
         HAVING count(DISTINCT doc_id) >= 2
+    """
+    # x_c4_filters: fixture AND filters re-derived from the shared
+    # constants (ext/text.py C4_*). Lines: token-slice content +
+    # suffix cycle; coalesce() guards DuckDB's NULL on fully
+    # out-of-range list slices (Spark slice returns [] → '').
+    # Filters mirror c4_page_filters exactly: trim strips ASCII
+    # space on both engines, last-char terminal punct, TOKEN_SEP
+    # word count, ascii_lower javascript/lorem-ipsum folds.
+    _c4_fold = (
+        "translate({c}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',"
+        " 'abcdefghijklmnopqrstuvwxyz')"
+    )
+    _c4_lines = ",\n                ".join(
+        "coalesce(array_to_string(toks["
+        f"(doc_id + {i * 3}) % 20 + 1 : (doc_id + {i * 3}) % 20"
+        f" + (doc_id * 3 + {i}) % 5 + 2], ' '), '')"
+        " || (['.', '!', '', ' javascript?', '?', '.'])"
+        f"[(doc_id * 7 + {i}) % 6 + 1]"
+        for i in range(6)
+    )
+    oracles["x_c4_filters"] = f"""
+        WITH base AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(coalesce(text, ''), ' '),
+                                         '[ \\t\\n\\f\\r]+') AS toks
+            FROM documents
+        ),
+        pages AS (
+            SELECT doc_id,
+                   concat_ws(chr(10),
+                {_c4_lines})
+                   || CASE WHEN doc_id % 11 = 0
+                           THEN chr(10) || 'lorem ipsum dolor sit.'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 13 = 0
+                           THEN chr(10) || 'config {{ x }}'
+                           ELSE '' END AS text
+            FROM base
+        ),
+        f AS (
+            SELECT doc_id, text,
+                   string_split(text, chr(10)) AS ls,
+                   list_filter(string_split(text, chr(10)),
+                       l -> length(trim(l, ' ')) >= 1
+                            AND substring(trim(l, ' '),
+                                          length(trim(l, ' ')), 1)
+                                IN ('.', '!', '?', '"')
+                            AND len(regexp_split_to_array(trim(l, ' '),
+                                    '[ \\t\\n\\f\\r]+')) >= 3
+                            AND NOT contains({_c4_fold.format(c="l")},
+                                             'javascript')) AS kept
+            FROM pages
+        )
+        SELECT doc_id,
+               CAST(len(ls) AS BIGINT) AS n_lines,
+               CAST(len(kept) AS BIGINT) AS n_kept,
+               (len(kept) >= 3
+                AND NOT contains({_c4_fold.format(c="text")}, 'lorem ipsum')
+                AND NOT contains(text, '{{')) AS keep,
+               array_to_string(kept, chr(10)) AS clean_text
+        FROM f
     """
     oracles["x_gopher_rules"] = """
         WITH t AS (

@@ -613,6 +613,85 @@ def gopher_rules(
     )
 
 
+#: C4 filter contract constants (Raffel et al. 2020, "Exploring the
+#: Limits of Transfer Learning…", §2.2 — the cleaning rules behind
+#: the public C4 corpus), shared verbatim by the Spark operator and
+#: the DuckDB oracle so the two sides cannot drift.
+C4_TERMINAL_PUNCT = (".", "!", "?", '"')
+C4_MIN_LINE_WORDS = 3
+C4_MIN_KEPT_LINES = 3
+#: line-level drop marker (C4 drops any line with the word
+#: "javascript"); matched case-insensitively under the ascii_lower
+#: contract.
+C4_LINE_BAD = "javascript"
+#: page-level drop markers: boilerplate placeholder text (folded)
+#: and source-code braces (literal).
+C4_PAGE_BAD_FOLDED = "lorem ipsum"
+C4_PAGE_BAD_LITERAL = "{"
+
+
+def c4_page_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = C4_MIN_LINE_WORDS,
+    min_kept_lines: int = C4_MIN_KEPT_LINES,
+) -> DataFrame:
+    """The C4 cleaning pipeline's line- and page-level filters
+    (Raffel et al. 2020 §2.2) as one scan-stage projection:
+
+    * a LINE survives iff it ends in terminal punctuation
+      (``. ! ? "``), has ≥ ``min_line_words`` words, and does not
+      mention ``javascript`` (case-folded);
+    * a PAGE survives iff ≥ ``min_kept_lines`` lines survived and
+      the raw text contains neither ``lorem ipsum`` (case-folded)
+      nor ``{``.
+
+    Emits (id, n_lines, n_kept, keep, clean_text) where clean_text
+    is the surviving lines rejoined — metrics stay in the output so
+    threshold tuning is a reporting query, not a rerun (the
+    gopher_rules convention). Lines split on LF exactly; words and
+    case folding follow the TOKEN_SEP / ascii_lower portable
+    contracts, and line trimming strips ASCII space only (both
+    engines' default ``trim``). All higher-order functions over the
+    staged line array: whole-stage codegen, zero shuffles — at
+    100 TB this is one pass over the text bytes, exactly like
+    :func:`gopher_rules`."""
+    # NULL-free staging: a NULL page becomes the empty page (0
+    # lines, dropped) instead of threading NULL through every HOF
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.when(text == "", F.array().cast("array<string>")).otherwise(
+        F.split(text, "\n")
+    )
+
+    def line_ok(line: Column) -> Column:
+        t = F.trim(line)
+        last = t.substr(F.length(t), F.lit(1))
+        words = F.size(F.split(t, TOKEN_SEP))
+        return (
+            (F.length(t) >= 1)
+            & last.isin(*C4_TERMINAL_PUNCT)
+            & (words >= min_line_words)
+            & ~ascii_lower(line).contains(C4_LINE_BAD)
+        )
+
+    df = df.withColumn("__lines", lines)
+    kept = F.filter(F.col("__lines"), line_ok)
+    n_kept = F.size(kept)
+    page_ok = (
+        (n_kept >= min_kept_lines)
+        & ~ascii_lower(text).contains(C4_PAGE_BAD_FOLDED)
+        & ~text.contains(C4_PAGE_BAD_LITERAL)
+    )
+    return df.select(
+        id_col,
+        F.size("__lines").cast("bigint").alias("n_lines"),
+        n_kept.cast("bigint").alias("n_kept"),
+        page_ok.alias("keep"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )
+
+
 def corpus_report(
     df: DataFrame, source_col: str = "source", text_col: str = "text"
 ) -> DataFrame:

@@ -80,6 +80,53 @@ def test_gopher_rules_flags(spark):
     assert out[3]["mean_word_len"] == pytest.approx(3.0)
 
 
+def test_c4_page_filters_line_and_page_gates(spark):
+    """Hand-built pages hit every C4 gate independently: terminal
+    punctuation, min words per line, the javascript line drop, the
+    lorem-ipsum and brace page drops, the min-kept-lines page gate,
+    and NULL-text handling — with clean_text rejoining exactly the
+    surviving lines."""
+    from pac_data_pipeline_spark.ext.text import c4_page_filters
+
+    good = (
+        "The quick brown fox jumps.\n"
+        "no terminal punctuation here\n"
+        "Short one.\n"
+        'A quoted closing line she said."\n'
+        "Beware JavaScript ads everywhere.\n"
+        "Is this a real question?"
+    )
+    lorem = "One good line here.\nAnother good line too.\nA third fine line.\nbut Lorem Ipsum dolor."
+    brace = "One good line here.\nAnother good line too.\nA third fine line.\nfunction() { return 1; }."
+    thin = "Only one keepable line survives here.\nnope\nno.\n"
+    df = _docs(
+        spark,
+        [(1, good), (2, lorem), (3, brace), (4, thin), (5, None)],
+    )
+    out = {r["doc_id"]: r for r in c4_page_filters(df).collect()}
+    # doc 1: 6 lines; kept = terminal-punct + >=3 words + no
+    # javascript → lines 1, 4, 6 ("Short one." fails min words)
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (6, 3)
+    assert out[1]["keep"] is True
+    assert out[1]["clean_text"] == (
+        "The quick brown fox jumps.\n"
+        'A quoted closing line she said."\n'
+        "Is this a real question?"
+    )
+    # lorem/brace pages keep enough lines (the markers are PAGE
+    # gates, so their own lines pass line-level) but die at page
+    # level
+    assert out[2]["n_kept"] == 4 and out[2]["keep"] is False
+    assert out[3]["n_kept"] == 4 and out[3]["keep"] is False
+    # thin page: only 1 kept line < 3 → dropped
+    assert out[4]["n_kept"] == 1 and out[4]["keep"] is False
+    # NULL text: the empty page, not a NULL row
+    assert (out[5]["n_lines"], out[5]["n_kept"], out[5]["keep"]) == (
+        0, 0, False,
+    )
+    assert out[5]["clean_text"] == ""
+
+
 def test_unicode_clean_nfc_and_controls(spark):
     # e + combining acute (NFD) must normalize to precomposed é;
     # control chars stripped; whitespace runs collapsed.
