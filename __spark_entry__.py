@@ -4372,100 +4372,40 @@ def q_x_udtf_tokens(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # Dict ORDER is load-bearing: the round driver's correctness
-        # gate checks only the FIRST 50 entries. Round-7 window
-        # (steady-state policy per VERDICT r6 item 2), 50 = 3 + 8 + 39:
-        # (a)  the THREE round-7 additions (stratified reservoir
-        #      sample, centroid quantile sketch, n-gram novelty)
-        #      lead per the new-first rule;
-        # (b)  the EIGHT queries whose code or oracle changed this
-        #      round (x_multimodal_features array_join-serialized
-        #      for the driver comparator — the one red row in
-        #      CORRECTNESS_r06; x_audio_features,
-        #      x_embedding_near_dup, x_cosine_topk_lsh,
-        #      x_cosine_topk_ivf, x_cosine_topk_pq, x_bpe_train,
-        #      and x_bpe_encode upgraded rows-only → hash-exact per
-        #      VERDICT r6 item 4 — the whole ANN tier AND the BPE
-        #      tokenizer lifecycle now carry differential
-        #      evidence);
-        # (c)  39 re-check slots with the OLDEST verdicts: the r01
-        #      block in dict order, through h_set_except — only
-        #      x_token_regex (the last r01 name) was displaced by
-        #      the late BPE upgrades and heads the round-8 cursor.
+        # gate checks only the FIRST 50 entries. Round-8 window
+        # (steady-state policy), 50 = 2 + 7 + 41:
+        # (a)  the TWO round-8 additions (x_mjpeg_frames — Motion-
+        #      JPEG compressed-video frame sampling; x_c4_filters —
+        #      the C4/Raffel-et-al line+page cleaning gates), both
+        #      hash-exact from day one;
+        # (b)  the SEVEN queries whose code changed this round: the
+        #      dedup-cluster family localCheckpoint/dictionary-encode
+        #      fix (x_jaccard_join, x_dedup_clusters,
+        #      x_dedup_representatives), the CDC poly-hash oracle
+        #      tier (x_cdc_chunks), the AVI demux codec dispatch
+        #      (x_frame_sample), and the bpe_vocab/bpe_pair_counts
+        #      refactor (x_bpe_train, x_bpe_encode — the encoder
+        #      trains through the same loop);
+        # (c)  41 re-check slots with the OLDEST verdicts:
+        #      x_token_regex (the one remaining r01 verdict), then
+        #      the r03 block in dict order through x_pack_sequences,
+        #      skipping the three r03 names already in (b).
         # All oracle-backed names are exact-hash green in the local
         # DuckDB gate (tools/check_oracle.py, clean + null-fuzz +
         # empty + unicode + blank clones).
-        # -- (a) new this round (3) ----------------------------------
+        # -- (a) new this round (2) ----------------------------------
         "x_mjpeg_frames": q_x_mjpeg_frames,
         "x_c4_filters": q_x_c4_filters,
-        "x_reservoir_sample": q_x_reservoir_sample,
-        "x_centroid_quantiles": q_x_centroid_quantiles,
-        "x_ngram_novelty": q_x_ngram_novelty,
-        # -- (b) code-changed this round (8) --------------------------
-        "x_multimodal_features": q_x_multimodal_features,
-        "x_audio_features": q_x_audio_features,
-        "x_embedding_near_dup": q_x_embedding_near_dup,
-        "x_cosine_topk_lsh": q_x_cosine_topk_lsh,
-        "x_cosine_topk_ivf": q_x_cosine_topk_ivf,
-        "x_cosine_topk_pq": q_x_cosine_topk_pq,
+        # -- (b) code-changed this round (7) --------------------------
+        "x_jaccard_join": q_x_jaccard_join,
+        "x_dedup_clusters": q_x_dedup_clusters,
+        "x_dedup_representatives": q_x_dedup_representatives,
+        "x_cdc_chunks": q_x_cdc_chunks,
+        "x_frame_sample": q_x_frame_sample,
         "x_bpe_train": q_x_bpe_train,
         "x_bpe_encode": q_x_bpe_encode,
-        # -- (c) oldest-verdict re-checks (39 of the 40 r01 names) ----
-        "h5_local_volume": q_h5_local_volume,
-        "h6_revenue_forecast": q_h6_revenue_forecast,
-        "h10_returned_items": q_h10_returned_items,
-        "h14_promo_share": q_h14_promo_share,
-        "s2_sql_source": q_s2_sql_source,
-        "j2_dedup_keep_first": q_j2_dedup_keep_first,
-        "pipe_csv_report": q_pipe_csv_report,
-        "p1_normalize_project": q_p1_normalize_project,
-        "p5_literal_metadata": q_p5_literal_metadata,
-        "p6_uuid_records": q_p6_uuid_records,
-        "p7_doc_records": q_p7_doc_records,
-        "f1_filter_positive": q_f1_filter_positive,
-        "f3_filter_nonempty_key": q_f3_filter_nonempty_key,
-        "f4_drop_all_null": q_f4_drop_all_null,
-        "f5_filter_eq": q_f5_filter_eq,
-        "e1_bin_amounts": q_e1_bin_amounts,
-        "e2_membership_classify": q_e2_membership_classify,
-        "e3_party_keywords": q_e3_party_keywords,
-        "e7_coerce_casts": q_e7_coerce_casts,
-        "e8_date_parse": q_e8_date_parse,
-        "e9_iso_format": q_e9_iso_format,
-        "e10_fillna": q_e10_fillna,
-        "e11_composite_key": q_e11_composite_key,
-        "a2_groupby_sum_entity": q_a2_groupby_sum_entity,
-        "a3_groupby_cycle": q_a3_groupby_cycle,
-        "a5_distinct_count": q_a5_distinct_count,
-        "a6_distinct_values": q_a6_distinct_values,
-        "a7_global_summary": q_a7_global_summary,
-        "a8_value_counts": q_a8_value_counts,
-        "a10_nested_rollup": q_a10_nested_rollup,
-        "o1_top5_orders": q_o1_top5_orders,
-        "o2_top_groups": q_o2_top_groups,
-        "o3_orderby": q_o3_orderby,
-        "j1_anti_misses": q_j1_anti_misses,
-        "j3_reconcile_counts": q_j3_reconcile_counts,
-        "k5_keyed_tree": q_k5_keyed_tree,
-        "p2_generic_clean": q_p2_generic_clean,
-        "h_rank_window": q_h_rank_window,
-        "h_set_except": q_h_set_except,
-        # ---- end of round-7 window (position 50) -------------------
-        # NEXT-ROUND TAIL (round-8 plan): steady state — (1) new or
-        # code-changed queries go to the dict head; (2) remaining
-        # window slots re-verify the OLDEST verdicts. The re-check
-        # cursor starts with x_token_regex (the ONE r01 name the
-        # late BPE upgrades displaced from this round's window —
-        # every other r01 verdict refreshes in r07), then the r03
-        # block in dict order (x_text_stats, x_quality_score,
-        # x_lang_id, x_fingerprint,
-        # x_dedup_exact_groups, x_dedup_exact, x_simhash, ... 50
-        # names), then the r04 block, then r05, then r06.
-        # The tail below is ordered by (last-verdict round, prior
-        # dict position), so the cursor is simply 'read on from
-        # position 51'.
-        # ---- last verdicted r01 (1) ---------------------------
+        # -- (c) oldest-verdict re-checks (41: last r01 + r03 head) ----
         "x_token_regex": q_x_token_regex,
-        # ---- last verdicted r03 (50) --------------------------
         "x_text_stats": q_x_text_stats,
         "x_quality_score": q_x_quality_score,
         "x_lang_id": q_x_lang_id,
@@ -4474,21 +4414,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dedup_exact": q_x_dedup_exact,
         "x_simhash": q_x_simhash,
         "x_ngram_jaccard": q_x_ngram_jaccard,
-        "x_dedup_clusters": q_x_dedup_clusters,
         "x_tfidf_terms": q_x_tfidf_terms,
         "x_decontaminate": q_x_decontaminate,
         "x_cosine_topk": q_x_cosine_topk,
         "x_sessionize": q_x_sessionize,
         "x_session_stats": q_x_session_stats,
         "x_stream_tumbling": q_x_stream_tumbling,
-        "x_frame_sample": q_x_frame_sample,
         "h8_market_share": q_h8_market_share,
         "h12_late_priority": q_h12_late_priority,
         "h17_small_qty": q_h17_small_qty,
         "h21_waiting": q_h21_waiting,
         "x_cc_largestar": q_x_cc_largestar,
         "x_udtf_tokens": q_x_udtf_tokens,
-        "x_jaccard_join": q_x_jaccard_join,
         "x_weighted_sample": q_x_weighted_sample,
         "x_interval_join": q_x_interval_join,
         "x_minhash_portable": q_x_minhash_portable,
@@ -4509,6 +4446,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h_lag_delta": q_h_lag_delta,
         "h_intersect": q_h_intersect,
         "x_pack_sequences": q_x_pack_sequences,
+        # ---- end of round-8 window (position 50) -------------------
+        # NEXT-ROUND TAIL (round-9 plan): steady state — (1) new or
+        # code-changed queries go to the dict head; (2) remaining
+        # window slots re-verify the OLDEST verdicts. The re-check
+        # cursor starts with the SEVEN r03 leftovers this round's
+        # (b) section displaced (x_repetition through
+        # pipe_snowflake_batch), then the r04 block in dict order
+        # (x_approx_stats_exact, h_cube, ...), then r05, r06, r07.
+        # The tail below is ordered by (last-verdict round, prior
+        # dict position), so the cursor is simply 'read on from
+        # position 51'.
+        # ---- last verdicted r03 (7 leftovers) ------------------
         "x_repetition": q_x_repetition,
         "x_logfreq_score": q_x_logfreq_score,
         "x_chunk_dedup": q_x_chunk_dedup,
@@ -4567,7 +4516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_hash_sample": q_x_hash_sample,
         "x_stratified_sample": q_x_stratified_sample,
         "x_top_tokens": q_x_top_tokens,
-        # ---- last verdicted r05 (45) --------------------------
+        # ---- last verdicted r05 (44) --------------------------
         "x_triangles": q_x_triangles,
         "x_khop_bfs": q_x_khop_bfs,
         "x_iqr_outliers": q_x_iqr_outliers,
@@ -4594,7 +4543,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_inverted_index": q_x_inverted_index,
         "x_psi_drift": q_x_psi_drift,
         "x_pagerank": q_x_pagerank,
-        "x_cdc_chunks": q_x_cdc_chunks,
         "x_tokenizer_fertility": q_x_tokenizer_fertility,
         "h_range_frame": q_h_range_frame,
         "x_png_decode_dims": q_x_png_decode_dims,
@@ -4613,12 +4561,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_simhash_pairs": q_x_simhash_pairs,
         "x_unicode_clean": q_x_unicode_clean,
         "x_dq_checks": q_x_dq_checks,
-        # ---- last verdicted r06 (44) --------------------------
+        # ---- last verdicted r06 (41) --------------------------
         "x_quantile_sketch": q_x_quantile_sketch,
         "x_mmr_diversity": q_x_mmr_diversity,
         "x_cms_heavy_hitters": q_x_cms_heavy_hitters,
         "x_temperature_mix": q_x_temperature_mix,
-        "x_dedup_representatives": q_x_dedup_representatives,
         "x_split_leakage": q_x_split_leakage,
         "x_window_tumbling": q_x_window_tumbling,
         "x_window_sliding": q_x_window_sliding,
@@ -4656,6 +4603,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_stream_sessions": q_x_stream_sessions,
         "x_stream_dedup": q_x_stream_dedup,
         "h3_shipping_priority": q_h3_shipping_priority,
+        # ---- last verdicted r07 (48) --------------------------
+        "x_reservoir_sample": q_x_reservoir_sample,
+        "x_centroid_quantiles": q_x_centroid_quantiles,
+        "x_ngram_novelty": q_x_ngram_novelty,
+        "x_multimodal_features": q_x_multimodal_features,
+        "x_audio_features": q_x_audio_features,
+        "x_embedding_near_dup": q_x_embedding_near_dup,
+        "x_cosine_topk_lsh": q_x_cosine_topk_lsh,
+        "x_cosine_topk_ivf": q_x_cosine_topk_ivf,
+        "x_cosine_topk_pq": q_x_cosine_topk_pq,
+        "h5_local_volume": q_h5_local_volume,
+        "h6_revenue_forecast": q_h6_revenue_forecast,
+        "h10_returned_items": q_h10_returned_items,
+        "h14_promo_share": q_h14_promo_share,
+        "s2_sql_source": q_s2_sql_source,
+        "j2_dedup_keep_first": q_j2_dedup_keep_first,
+        "pipe_csv_report": q_pipe_csv_report,
+        "p1_normalize_project": q_p1_normalize_project,
+        "p5_literal_metadata": q_p5_literal_metadata,
+        "p6_uuid_records": q_p6_uuid_records,
+        "p7_doc_records": q_p7_doc_records,
+        "f1_filter_positive": q_f1_filter_positive,
+        "f3_filter_nonempty_key": q_f3_filter_nonempty_key,
+        "f4_drop_all_null": q_f4_drop_all_null,
+        "f5_filter_eq": q_f5_filter_eq,
+        "e1_bin_amounts": q_e1_bin_amounts,
+        "e2_membership_classify": q_e2_membership_classify,
+        "e3_party_keywords": q_e3_party_keywords,
+        "e7_coerce_casts": q_e7_coerce_casts,
+        "e8_date_parse": q_e8_date_parse,
+        "e9_iso_format": q_e9_iso_format,
+        "e10_fillna": q_e10_fillna,
+        "e11_composite_key": q_e11_composite_key,
+        "a2_groupby_sum_entity": q_a2_groupby_sum_entity,
+        "a3_groupby_cycle": q_a3_groupby_cycle,
+        "a5_distinct_count": q_a5_distinct_count,
+        "a6_distinct_values": q_a6_distinct_values,
+        "a7_global_summary": q_a7_global_summary,
+        "a8_value_counts": q_a8_value_counts,
+        "a10_nested_rollup": q_a10_nested_rollup,
+        "o1_top5_orders": q_o1_top5_orders,
+        "o2_top_groups": q_o2_top_groups,
+        "o3_orderby": q_o3_orderby,
+        "j1_anti_misses": q_j1_anti_misses,
+        "j3_reconcile_counts": q_j3_reconcile_counts,
+        "k5_keyed_tree": q_k5_keyed_tree,
+        "p2_generic_clean": q_p2_generic_clean,
+        "h_rank_window": q_h_rank_window,
+        "h_set_except": q_h_set_except,
     }
 
     def _wrap(fn):
