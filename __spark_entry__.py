@@ -3923,6 +3923,29 @@ def q_x_cosine_topk_pq(spark, sf_dir):
     )
 
 
+def q_x_cosine_topk_ivfpq(spark, sf_dir):
+    """IVFADC — IVF coarse routing composed with residual product
+    quantization (Jégou et al. 2011 §IV, the FAISS ``IVFx,PQy``
+    index): queries probe 2 of 8 cells, candidates score by BIGINT
+    asymmetric distance against per-(query, cell) residual LUTs
+    from 2×8 shared residual codebooks, and the shortlist reranks
+    by true cosine. Hash-exact from day one via the fixed-point
+    contract: the DuckDB oracle replays the coarse Lloyd chain,
+    the integer residuals, BOTH residual-codebook chains, the LUT/
+    ADC/shortlist arithmetic, and the rerank bit-for-bit. This is
+    the 100 TB serving shape — inverted lists bound the scan, codes
+    bound the I/O, and the two approximations compose."""
+    from pac_data_pipeline_spark.ext.similarity import (
+        cosine_topk_ivfadc_grid,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_ivfadc_grid(
+        emb, queries_from_corpus(emb), k=10, n_cells=8, n_probe=2,
+        m=2, n_codes=8, n_iter=2,
+    )
+
+
 def q_x_chunk_dedup(spark, sf_dir):
     """Chunk-level exact span dedup (Lee et al. fixed-window
     formulation): 32-token windows, corpus-wide first occurrence
@@ -4396,6 +4419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (a) new this round (2) ----------------------------------
         "x_mjpeg_frames": q_x_mjpeg_frames,
         "x_c4_filters": q_x_c4_filters,
+        # -- (a2) new, session 2 --------------------------------------
+        "x_cosine_topk_ivfpq": q_x_cosine_topk_ivfpq,
         # -- (b) code-changed this round (7) --------------------------
         "x_jaccard_join": q_x_jaccard_join,
         "x_dedup_clusters": q_x_dedup_clusters,
@@ -6628,6 +6653,14 @@ def oracle_sql() -> dict[str, str]:
     # LUT/ADC + deterministic shortlist + exact rerank.
     oracles["x_cosine_topk_pq"] = pq_grid_fixture_sql(
         k=10, m=2, n_codes=8, n_iter=2
+    )
+    from pac_data_pipeline_spark.ext.kmeans import ivfadc_grid_fixture_sql
+
+    # x_cosine_topk_ivfpq: coarse chain + integer residuals + both
+    # residual-codebook chains + per-(query, cell) LUTs + ADC +
+    # exact rerank — the composed IVF×PQ mirror.
+    oracles["x_cosine_topk_ivfpq"] = ivfadc_grid_fixture_sql(
+        k=10, n_cells=8, n_probe=2, m=2, n_codes=8, n_iter=2
     )
     from pac_data_pipeline_spark.ext.kmeans import semantic_dedup_fixture_sql
 

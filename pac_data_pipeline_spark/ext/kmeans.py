@@ -570,6 +570,143 @@ def pq_grid_fixture_sql(
     )
 
 
+def ivfadc_grid_fixture_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 2,
+    n_codes: int = 8,
+    n_iter: int = 2,
+    shortlist: int = 30,
+    n_queries: int = 5,
+) -> str:
+    """The full fixed-point IVFADC path as DuckDB SQL — the coarse
+    unrolled k-means chain, integer cell centroids, exact BIGINT
+    residuals, ``m`` prefix-namespaced residual-codebook chains
+    (each re-quantizing the integer residual ×SCALE exactly, the
+    same double multiply Spark's ``_quantize`` performs on the
+    integer input), per-(query, probed-cell) residual LUTs, ADC sum
+    with (distance, id) shortlist ties, and the exact cosine
+    rerank. Hash-exact against
+    :func:`~pac_data_pipeline_spark.ext.similarity.cosine_topk_ivfadc_grid`."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    s = KMEANS_SCALE
+    sub_len = dim // m
+    cte = _kmeans_ctes(table, id_col, vec_col, n_cells, n_iter)
+    cte.append(_cells_cte("cells", f"a{n_iter}"))
+    cte.append(
+        f"""resid AS MATERIALIZED (
+            SELECT a.vid, a.cluster,
+                   list_transform(list_zip(a.q, c.c),
+                       p -> p[1] - p[2]) AS r
+            FROM a{n_iter} a JOIN cells c ON a.cluster = c.cid
+        )"""
+    )
+    for si in range(m):
+        lo, hi = si * sub_len + 1, (si + 1) * sub_len
+        x = f"s{si}_"
+        sub_t = f"(SELECT vid, r[{lo}:{hi}] AS sub FROM resid)"
+        cte += _kmeans_ctes(sub_t, "vid", "sub", n_codes, n_iter, prefix=x)
+        cte.append(_cells_cte(f"{x}cells", f"{x}a{n_iter}"))
+    cte.append(
+        f"""qset AS (
+            SELECT {id_col} AS query_id,
+                   CAST({vec_col} AS DOUBLE[]) AS qv,
+                   list_transform({vec_col}, x -> CAST(floor(
+                       CAST(x AS DOUBLE) * {s} + 0.5) AS BIGINT)) AS qq
+            FROM {table}
+            WHERE {id_col} < {n_queries} AND {vec_col} IS NOT NULL
+        )"""
+    )
+    cte.append(
+        f"""probes AS MATERIALIZED (
+            SELECT query_id, cid,
+                   list_transform(list_zip(qq, c),
+                       p -> (p[1] - p[2]) * {s}) AS qr
+            FROM (
+                SELECT q.query_id, q.qq, c.cid, c.c,
+                       row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY CAST(list_sum(list_transform(
+                               list_zip(q.qq, c.c),
+                               p -> (p[1]-p[2])*(p[1]-p[2])))
+                               AS BIGINT), c.cid) AS rk
+                FROM qset q CROSS JOIN cells c)
+            WHERE rk <= {n_probe}
+        )"""
+    )
+    for si in range(m):
+        lo, hi = si * sub_len + 1, (si + 1) * sub_len
+        cte.append(
+            f"""s{si}_lut AS (
+                SELECT p.query_id, p.cid AS pcell, c.cid AS code,
+                       CAST(list_sum(list_transform(
+                           list_zip(p.qr[{lo}:{hi}], c.c),
+                           u -> (u[1]-u[2])*(u[1]-u[2]))) AS BIGINT) AS d
+                FROM probes p CROSS JOIN s{si}_cells c
+            )"""
+        )
+    code_cols = ", ".join(
+        f"s{si}_a{n_iter}.cluster AS code_{si}" for si in range(m)
+    )
+    code_joins = f"s0_a{n_iter}" + "".join(
+        f" JOIN s{si}_a{n_iter} USING (vid)" for si in range(1, m)
+    )
+    cte.append(f"codes AS (SELECT vid, {code_cols} FROM {code_joins})")
+    lut_joins = "".join(
+        f" JOIN s{si}_lut l{si} ON l{si}.query_id = p.query_id"
+        f" AND l{si}.pcell = p.cid AND l{si}.code = codes.code_{si}"
+        for si in range(m)
+    )
+    d_sum = " + ".join(f"l{si}.d" for si in range(m))
+    cte.append(
+        f"""adc AS (
+            SELECT p.query_id, r.vid, {d_sum} AS adc_d
+            FROM probes p
+            JOIN resid r ON r.cluster = p.cid
+            JOIN codes ON codes.vid = r.vid{lut_joins}
+        )"""
+    )
+    cte.append(
+        f"""short AS (
+            SELECT query_id, vid FROM (
+                SELECT query_id, vid,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY adc_d ASC, vid ASC) AS rk
+                FROM adc)
+            WHERE rk <= {shortlist}
+        )"""
+    )
+    cte.append(
+        f"""reranked AS (
+            SELECT sh.query_id, sh.vid,
+                   list_cosine_similarity(
+                       CAST(e.{vec_col} AS DOUBLE[]),
+                       CAST(qe.{vec_col} AS DOUBLE[])) AS cosine,
+                   row_number() OVER (PARTITION BY sh.query_id
+                       ORDER BY list_cosine_similarity(
+                           CAST(e.{vec_col} AS DOUBLE[]),
+                           CAST(qe.{vec_col} AS DOUBLE[])) DESC,
+                           sh.vid) AS rank
+            FROM short sh
+            JOIN {table} e ON e.{id_col} = sh.vid
+            JOIN {table} qe ON qe.{id_col} = sh.query_id
+        )"""
+    )
+    return (
+        "WITH " + ",\n".join(cte)
+        + f"""
+        SELECT query_id, vid AS {id_col},
+               round(cosine, 6) AS cosine,
+               CAST(rank AS BIGINT) AS rank
+        FROM reranked WHERE rank <= {k}"""
+    )
+
+
 #: Planted near-duplicate fixture constants, shared by the Spark
 #: builder and the SQL source below: every (id % MOD == 0) vector is
 #: cloned to id + OFFSET with +SHIFT (float32) on dimension

@@ -619,6 +619,237 @@ def cosine_topk_pq_grid(
     )
 
 
+def cosine_topk_ivfadc_grid(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 2,
+    n_codes: int = 8,
+    n_iter: int = 2,
+    shortlist: int = 30,
+) -> DataFrame:
+    """IVFADC — the composed IVF + residual-PQ index (Jégou et al.,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011
+    §IV; the FAISS ``IVFx,PQy`` architecture): a coarse quantizer
+    routes each vector to a cell, the RESIDUAL (vector − cell
+    centroid) is product-quantized with ONE codebook set shared
+    across cells, and a query scans only its ``n_probe`` probed
+    cells, scoring candidates by asymmetric distance against
+    per-(query, cell) lookup tables built from the query's own
+    residual in that cell. This is what production ANN serves at
+    scale: the inverted lists bound the scan (IVF) and the codes
+    bound the I/O (PQ) — the two approximations compose, and
+    residual encoding keeps the codebook centered where the data
+    actually is inside each cell.
+
+    Fixed-point evidence tier (the x_kmeans determinism contract):
+    the coarse quantizer is the integer-grid distributed Lloyd,
+    residuals are exact BIGINT differences on that grid, and the
+    subspace codebooks re-quantize the integer residuals ×SCALE
+    (an exact operation — every residual coordinate is an integer
+    ≪ 2^52, so the ×1000 double multiply is exact), giving BIGINT
+    ADC distances reproducible by an external SQL engine. The
+    shortlist reranks by TRUE sequential-fold cosine, so the
+    approximations affect only which rows make the shortlist,
+    never a reported score. The bounded-sample numpy tiers
+    (:func:`cosine_topk_ivf`, :func:`cosine_topk_pq`) remain the
+    production quantizer-training defaults.
+
+    Scale shape: one coarse clustering + ``m`` residual clusterings
+    (each scan-side assignment, O(codes·dim·partitions) update
+    shuffles); cells and codebooks broadcast as 1-row tables; LUTs
+    are |Q|·n_probe·n_codes rows and broadcast; the candidate scan
+    touches only probed cells' code rows (inverted-list pruning ×
+    m-column I/O), and only ``shortlist`` float vectors per query
+    are ever reranked."""
+    from pac_data_pipeline_spark.ext.kmeans import (
+        KMEANS_SCALE,
+        _quantize,
+        kmeans_cells,
+    )
+
+    if dim % m:
+        raise ValueError(
+            f"dim={dim} not divisible by m={m}: trailing dimensions "
+            "would silently drop out of the encoding"
+        )
+    sub_len = dim // m
+    assigned, cells = kmeans_cells(
+        embeddings, id_col, vec_col, k=n_cells, n_iter=n_iter
+    )
+    corpus = drop_null_vectors(embeddings, vec_col).select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("e_vec"),
+        _quantize(vec_col).alias("q"),
+    )
+    # residual = quantized vector − its cell's integer centroid:
+    # exact BIGINT subtraction. Consumed by m codebook trainings +
+    # the candidate join — materialize or every consumer re-derives
+    # the coarse clustering (the round-5 multi-consumer lesson).
+    resid = (
+        assigned.join(corpus, "vid")
+        .join(
+            F.broadcast(cells.select(F.col("cluster"), F.col("c"))),
+            "cluster",
+        )
+        .select(
+            "vid",
+            "cluster",
+            "e_vec",
+            F.expr("zip_with(q, c, (a, b) -> a - b)").alias("r"),
+        )
+        .localCheckpoint()
+    )
+    codes = None
+    luts = []
+    # query side: probe the n_probe nearest cells by exact BIGINT
+    # grid distance (ties → smaller cell id), carrying each probed
+    # cell's centroid so the query residual is computable per cell.
+    one_row_cells = F.broadcast(
+        cells.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("cluster").alias("cid"), F.col("c"))
+                )
+            ).alias("cs")
+        )
+    )
+    q = queries.filter(F.col("q_vec").isNotNull()).select(
+        "query_id", "q_vec", _quantize("q_vec").alias("qq")
+    )
+    cell_d = q.crossJoin(one_row_cells).select(
+        "query_id",
+        "q_vec",
+        "qq",
+        F.explode(
+            F.expr(
+                "transform(cs, s -> struct(s.cid AS cid, s.c AS c, "
+                "aggregate(zip_with(qq, s.c, (a, b) -> (a-b)*(a-b)), "
+                "0L, (x, y) -> x + y) AS d))"
+            )
+        ).alias("e"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("e.d").asc(), F.col("e.cid").asc()
+    )
+    probes = (
+        cell_d.withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= n_probe)
+        .select(
+            "query_id",
+            F.col("e.cid").alias("cluster"),
+            # query residual on the codebook grid: the codebooks
+            # train on integer residuals re-quantized ×SCALE, so the
+            # query residual scales by the same exact factor.
+            F.expr(
+                f"zip_with(qq, e.c, (a, b) -> (a - b) * {KMEANS_SCALE}L)"
+            ).alias("qr"),
+        )
+        .localCheckpoint()  # m LUT builds + the candidate join
+    )
+    for si in range(m):
+        lo = si * sub_len + 1
+        sub = resid.select(
+            "vid", F.expr(f"slice(r, {lo}, {sub_len})").alias("sub")
+        )
+        assigned_s, cells_s = kmeans_cells(
+            sub, "vid", "sub", k=n_codes, n_iter=n_iter
+        )
+        code_s = assigned_s.select(
+            "vid", F.col("cluster").alias(f"code_{si}")
+        )
+        codes = code_s if codes is None else codes.join(code_s, "vid")
+        one_row = F.broadcast(
+            cells_s.agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("cluster").alias("cid"), F.col("c"))
+                    )
+                ).alias("cs")
+            )
+        )
+        luts.append(
+            probes.select(
+                "query_id",
+                "cluster",
+                F.expr(f"slice(qr, {lo}, {sub_len})").alias("qsub"),
+            )
+            .crossJoin(one_row)
+            .select(
+                "query_id",
+                "cluster",
+                F.explode(
+                    F.expr(
+                        "transform(cs, s -> struct(s.cid AS cid, "
+                        "aggregate(zip_with(qsub, s.c, "
+                        "(a, b) -> (a-b)*(a-b)), 0L, "
+                        "(x, y) -> x + y) AS d))"
+                    )
+                ).alias("e"),
+            )
+            .select(
+                "query_id",
+                "cluster",
+                F.col("e.cid").alias(f"code_{si}"),
+                F.col("e.d").alias(f"d_{si}"),
+            )
+        )
+    # candidates: only rows in probed cells (inverted-list pruning),
+    # scored from their m code columns via the broadcast LUTs.
+    cand = (
+        resid.select("vid", "cluster")
+        .join(F.broadcast(probes.select("query_id", "cluster")), "cluster")
+        .join(codes, "vid")
+    )
+    adc = cand.join(
+        F.broadcast(luts[0]), ["query_id", "cluster", "code_0"]
+    )
+    for si in range(1, m):
+        adc = adc.join(
+            F.broadcast(luts[si]), ["query_id", "cluster", f"code_{si}"]
+        )
+    adc_d = None
+    for si in range(m):
+        t = F.col(f"d_{si}")
+        adc_d = t if adc_d is None else adc_d + t
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d").asc(), F.col("vid").asc()
+    )
+    short = (
+        adc.select("query_id", "vid", adc_d.alias("adc_d"))
+        .withColumn("__r", F.row_number().over(w_short))
+        .filter(F.col("__r") <= shortlist)
+        .select("query_id", "vid")
+    )
+    scored = (
+        short.join(resid.select("vid", "e_vec"), "vid")
+        .join(F.broadcast(q.select("query_id", "q_vec")), "query_id")
+        .select(
+            "query_id",
+            F.col("vid").alias(id_col),
+            (
+                _dot("e_vec", "q_vec")
+                / F.nullif(_norm("e_vec") * _norm("q_vec"), F.lit(0.0))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", id_col, F.round("cosine", 6).alias("cosine"), "rank"
+        )
+    )
+
+
 def _pq_codebooks(
     sample: "np.ndarray", m: int, n_codes: int, seed: int, max_iter: int
 ) -> "np.ndarray":

@@ -240,6 +240,61 @@ def test_pq_grid_recall_and_true_scores(spark):
             assert r.cosine == exact_cos[(r.query_id, r.vec_id)], r
 
 
+def test_ivfadc_grid_recall_containment_and_true_scores(spark):
+    """The fixed-point IVFADC (hash-exact tier) composes the IVF and
+    PQ invariants: recall vs brute force on the same fixture, probe
+    containment (every candidate comes from one of the query's
+    n_probe nearest cells — the inverted-list property), and the PQ
+    score contract (every emitted cosine equals the exact
+    brute-force cosine — residual quantization may only affect
+    which rows make the shortlist, never a reported score).
+    Self-match follows the PQ robustness pattern: the query's own
+    residual codes need not minimize ADC, so assert presence of at
+    least one self pair, then exactness/rank for those present."""
+    from pac_data_pipeline_spark.ext.kmeans import kmeans_cells
+    from pac_data_pipeline_spark.ext.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivfadc_grid,
+        queries_from_corpus,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = queries_from_corpus(emb, n=5)
+    exact_rows = cosine_topk_bruteforce(emb, q, k=50).collect()
+    exact_cos = {(r.query_id, r.vec_id): r.cosine for r in exact_rows}
+    exact_top10 = {
+        (r.query_id, r.vec_id) for r in exact_rows if r.rank <= 10
+    }
+    rows = cosine_topk_ivfadc_grid(
+        emb, q, k=10, n_cells=8, n_probe=2, m=2, n_codes=8, n_iter=2
+    ).collect()
+    approx = {(r.query_id, r.vec_id) for r in rows}
+    # double approximation (IVF pruning × residual PQ shortlist):
+    # expect less than either alone, but well above chance
+    assert len(exact_top10 & approx) / len(exact_top10) >= 0.3
+    self_rows = {r.query_id: r for r in rows if r.query_id == r.vec_id}
+    assert self_rows, "no self pair survived any shortlist"
+    by_query: dict[int, list] = {}
+    for r in rows:
+        by_query.setdefault(r.query_id, []).append(r)
+    for qid, r in self_rows.items():
+        assert r.cosine == 1.0, r
+        if sum(1 for x in by_query[qid] if x.cosine == 1.0) == 1:
+            assert r.rank == 1, r
+    # every reported score is the TRUE cosine
+    for r in rows:
+        if (r.query_id, r.vec_id) in exact_cos:
+            assert r.cosine == exact_cos[(r.query_id, r.vec_id)], r
+    # probe containment: candidates only from probed cells
+    assigned, _cells = kmeans_cells(emb, k=8, n_iter=2)
+    cell_of = {r.vid: r.cluster for r in assigned.collect()}
+    probed: dict[int, set[int]] = {}
+    for r in rows:
+        probed.setdefault(r.query_id, set()).add(cell_of[r.vec_id])
+    for qid, cells_hit in probed.items():
+        assert len(cells_hit) <= 2, (qid, cells_hit)
+
+
 def test_warehouse_layout_end_to_end(spark, tmp_path):
     from pac_data_pipeline_spark.sources.layout import (
         materialize_warehouse,

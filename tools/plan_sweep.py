@@ -38,6 +38,7 @@ ALLOWED_BNL = {
     "x_cosine_topk",      # 5-row query set vs corpus (documented)
     "x_cosine_topk_ivf",  # 1-row centroid-probe broadcast
     "x_cosine_topk_pq",   # 5-row query set, ADC scoring
+    "x_cosine_topk_ivfpq",  # 1-row cell + residual-codebook broadcasts
     "x_logfreq_score",    # 1-row corpus-total broadcast
     "x_collocations",     # 1-row bigram-total broadcast
     "h22_idle_rich",      # 1-row global-average broadcast
@@ -106,6 +107,10 @@ ALLOWED_GLOBAL_WINDOW = {
     # tables collapse into 1-row broadcasts; shortlist and rerank
     # windows are PARTITIONED by query_id.
     "x_cosine_topk_pq",
+    # x_cosine_topk_ivfpq composes both of the above: cell AND
+    # residual-codebook tables collapse into 1-row broadcasts; the
+    # probe/shortlist/rerank windows are PARTITIONED by query_id.
+    "x_cosine_topk_ivfpq",
 }
 
 
