@@ -3164,6 +3164,212 @@ def q_h9_profit(spark, sf_dir):
     )
 
 
+#: Derived PARTSUPP — the testdata ships no partsupp table, so the
+#: four TPC-H shapes that need one (Q2/Q11/Q16/Q20) derive it
+#: deterministically from lineitem's observed (partkey, suppkey)
+#: pairs, with integer-formula availability and cost standing in for
+#: dbgen's pseudo-random columns (engine-exact arithmetic: BIGINT
+#: multiply/mod only, cost kept in cents). Both engines evaluate the
+#: SAME expression strings, so the derivation cannot drift.
+PS_AVAIL_SQL = "(ps_partkey * 13 + ps_suppkey * 17) % 9999 + 1"
+PS_COST_CENTS_SQL = "(ps_partkey * 7 + ps_suppkey * 11) % 90000 + 10000"
+PARTSUPP_SQL = f"""
+    SELECT ps_partkey, ps_suppkey,
+           CAST({PS_AVAIL_SQL} AS BIGINT) AS ps_availqty,
+           CAST({PS_COST_CENTS_SQL} AS BIGINT) AS ps_cost_cents
+    FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+                          l_suppkey AS ps_suppkey
+          FROM lineitem
+          WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL) t
+"""
+
+
+def _derived_partsupp(spark, sf_dir):
+    """The Spark twin of :data:`PARTSUPP_SQL`: one distinct over the
+    fact's (partkey, suppkey) pairs — a single shuffle on the pair
+    key — then scan-stage integer formulas."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull()
+        )
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+        .select(
+            "ps_partkey",
+            "ps_suppkey",
+            F.expr(PS_AVAIL_SQL).cast("long").alias("ps_availqty"),
+            F.expr(PS_COST_CENTS_SQL).cast("long").alias("ps_cost_cents"),
+        )
+    )
+
+
+def q_h2_min_cost(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier): for ECONOMY parts of
+    size ≤ 15, find every AMERICA-region supplier whose (derived)
+    supply cost equals the part's regional minimum — the correlated
+    scalar subquery of the original, expressed as a part-partitioned
+    window min so the region-filtered partsupp is scanned ONCE
+    instead of once per correlation. Dims broadcast; the window
+    partitions by part key (never global)."""
+    from pyspark.sql import Window
+
+    ps = _derived_partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    p = _t(spark, sf_dir, "part")
+    nr = F.broadcast(
+        n.join(
+            r.filter(F.col("r_name") == "AMERICA"),
+            n.n_regionkey == r.r_regionkey,
+        ).select("n_nationkey", "n_name")
+    )
+    p_sel = F.broadcast(
+        p.filter(
+            (F.col("p_size") <= 15) & (F.col("p_type") == "ECONOMY")
+        ).select("p_partkey", "p_brand")
+    )
+    regional = (
+        ps.join(
+            F.broadcast(s.select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")),
+            ps.ps_suppkey == F.col("s_suppkey"),
+        )
+        .join(nr, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(p_sel, ps.ps_partkey == F.col("p_partkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        regional.withColumn(
+            "min_cents", F.min("ps_cost_cents").over(w)
+        )
+        .filter(F.col("ps_cost_cents") == F.col("min_cents"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "p_partkey",
+            "p_brand",
+            (F.col("ps_cost_cents") / F.lit(100.0)).alias("supplycost"),
+        )
+    )
+
+
+def q_h11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (important stock identification): total
+    (derived) inventory value per part held by one national group's
+    suppliers (nations ≡ 3 mod 5 — a single nation is empty at the
+    smallest test SF), keeping parts whose value exceeds 0.1% of the
+    group's total — the global-share HAVING. Value stays in exact
+    BIGINT cents and the share test multiplies through
+    (sum · 1000 > total) instead of dividing, so no float ever
+    decides membership; the 1-row group total broadcasts."""
+    ps = _derived_partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    nat = F.broadcast(
+        n.filter(F.col("n_nationkey") % 5 == 3).select("n_nationkey")
+    )
+    held = (
+        ps.join(
+            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            ps.ps_suppkey == F.col("s_suppkey"),
+        )
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "ps_partkey",
+            (F.col("ps_cost_cents") * F.col("ps_availqty")).alias("v"),
+        )
+    )
+    per_part = held.groupBy("ps_partkey").agg(F.sum("v").alias("v_cents"))
+    total = F.broadcast(held.agg(F.sum("v").alias("t_cents")))
+    return (
+        per_part.crossJoin(total)
+        .filter(F.col("v_cents") * 1000 > F.col("t_cents"))
+        .select(
+            "ps_partkey",
+            (F.col("v_cents") / F.lit(100.0)).alias("value"),
+        )
+    )
+
+
+def q_h16_parts_suppliers(spark, sf_dir):
+    """TPC-H Q16 shape (parts/supplier relationship): distinct
+    supplier count per (brand, type, size) bucket over the derived
+    partsupp, excluding one brand, one type, sizes outside the probe
+    list, and 'complaint' suppliers — the original's comment-LIKE
+    exclusion stands in as negative account balance (the schema
+    carries no s_comment). The exclusion list is tiny and
+    broadcasts as a left-anti join; the count-distinct shuffles
+    once on the full grouping key."""
+    ps = _derived_partsupp(spark, sf_dir)
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    bad = F.broadcast(
+        s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    )
+    p_sel = F.broadcast(
+        p.filter(
+            (F.col("p_brand") != "Brand#2")
+            & (F.col("p_type") != "ECONOMY")
+            & F.col("p_size").isin(1, 4, 7, 10, 14, 23, 36, 45)
+        ).select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        ps.join(bad, ps.ps_suppkey == bad.s_suppkey, "left_anti")
+        .join(p_sel, ps.ps_partkey == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_h20_potential_promo(spark, sf_dir):
+    """TPC-H Q20 shape (potential part promotion): suppliers in
+    nations 0–4 holding excess stock of 'red %' parts — derived
+    availability must exceed half the quantity they shipped of that
+    part during 1996. The nested INs become semi joins; quantities
+    fold to exact BIGINT (floor-then-cast, identical on both
+    engines) and the half test multiplies through (2·avail > qty).
+    Output is the distinct qualifying supplier list."""
+    ps = _derived_partsupp(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part")
+    red = F.broadcast(
+        p.filter(F.col("p_name").startswith("red ")).select("p_partkey")
+    )
+    shipped = (
+        li.join(red, li.l_partkey == red.p_partkey)
+        .filter(F.year("l_shipdate") == 1996)
+        .groupBy(
+            F.col("l_partkey").alias("sh_partkey"),
+            F.col("l_suppkey").alias("sh_suppkey"),
+        )
+        .agg(
+            F.sum(F.floor("l_quantity").cast("long")).alias("qty")
+        )
+    )
+    excess = (
+        ps.join(red, ps.ps_partkey == red.p_partkey, "left_semi")
+        .join(
+            shipped,
+            (ps.ps_partkey == shipped.sh_partkey)
+            & (ps.ps_suppkey == shipped.sh_suppkey),
+        )
+        .filter(F.col("ps_availqty") * 2 > F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        s.filter(F.col("s_nationkey") < 5)
+        .join(excess, s.s_suppkey == excess.ps_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
 def q_pipe_index_align(spark, sf_dir):
     """§3.4 end-to-end (index_align_to_firebase.py): SQL source →
     schema-agnostic transform → keyed JSON documents → doc store,
@@ -4421,6 +4627,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_c4_filters": q_x_c4_filters,
         # -- (a2) new, session 2 --------------------------------------
         "x_cosine_topk_ivfpq": q_x_cosine_topk_ivfpq,
+        "h2_min_cost": q_h2_min_cost,
+        "h11_important_stock": q_h11_important_stock,
+        "h16_parts_suppliers": q_h16_parts_suppliers,
+        "h20_potential_promo": q_h20_potential_promo,
         # -- (b) code-changed this round (7) --------------------------
         "x_jaccard_join": q_x_jaccard_join,
         "x_dedup_clusters": q_x_dedup_clusters,
@@ -7911,6 +8121,82 @@ def oracle_sql() -> dict[str, str]:
         JOIN nation n ON s.s_nationkey = n.n_nationkey
         WHERE p.p_name LIKE '%a%'
         GROUP BY 1, 2
+    """
+    oracles["h2_min_cost"] = f"""
+        WITH partsupp AS ({PARTSUPP_SQL}),
+        regional AS (
+            SELECT ps.ps_partkey, ps.ps_cost_cents,
+                   s.s_name, s.s_acctbal, n.n_name, p.p_brand
+            FROM partsupp ps
+            JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            JOIN part p ON ps.ps_partkey = p.p_partkey
+            WHERE r.r_name = 'AMERICA'
+              AND p.p_size <= 15 AND p.p_type = 'ECONOMY'
+        )
+        SELECT round(s_acctbal, 2) AS s_acctbal, s_name,
+               n_name AS nation, ps_partkey AS p_partkey, p_brand,
+               ps_cost_cents / 100.0 AS supplycost
+        FROM (
+            SELECT *, min(ps_cost_cents) OVER (
+                       PARTITION BY ps_partkey) AS min_cents
+            FROM regional)
+        WHERE ps_cost_cents = min_cents
+    """
+    oracles["h11_important_stock"] = f"""
+        WITH partsupp AS ({PARTSUPP_SQL}),
+        held AS (
+            SELECT ps.ps_partkey,
+                   ps.ps_cost_cents * ps.ps_availqty AS v
+            FROM partsupp ps
+            JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE n.n_nationkey % 5 = 3
+        ),
+        per_part AS (
+            SELECT ps_partkey, sum(v) AS v_cents FROM held GROUP BY 1
+        ),
+        tot AS (SELECT sum(v) AS t_cents FROM held)
+        SELECT ps_partkey, v_cents / 100.0 AS value
+        FROM per_part, tot
+        WHERE v_cents * 1000 > t_cents
+    """
+    oracles["h16_parts_suppliers"] = f"""
+        WITH partsupp AS ({PARTSUPP_SQL})
+        SELECT p.p_brand, p.p_type, p.p_size,
+               count(DISTINCT ps.ps_suppkey) AS supplier_cnt
+        FROM partsupp ps
+        JOIN part p ON ps.ps_partkey = p.p_partkey
+        WHERE p.p_brand <> 'Brand#2' AND p.p_type <> 'ECONOMY'
+          AND p.p_size IN (1, 4, 7, 10, 14, 23, 36, 45)
+          AND ps.ps_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+    """
+    oracles["h20_potential_promo"] = f"""
+        WITH partsupp AS ({PARTSUPP_SQL}),
+        red AS (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'red %'
+        ),
+        shipped AS (
+            SELECT l_partkey, l_suppkey,
+                   sum(CAST(floor(l_quantity) AS BIGINT)) AS qty
+            FROM lineitem JOIN red ON l_partkey = p_partkey
+            WHERE year(l_shipdate) = 1996
+            GROUP BY 1, 2
+        ),
+        excess AS (
+            SELECT DISTINCT ps.ps_suppkey
+            FROM partsupp ps
+            JOIN shipped sh ON ps.ps_partkey = sh.l_partkey
+                           AND ps.ps_suppkey = sh.l_suppkey
+            WHERE ps.ps_partkey IN (SELECT p_partkey FROM red)
+              AND ps.ps_availqty * 2 > sh.qty
+        )
+        SELECT s.s_suppkey, s.s_name
+        FROM supplier s JOIN excess e ON s.s_suppkey = e.ps_suppkey
+        WHERE s.s_nationkey < 5
     """
     oracles["pipe_index_align"] = """
         SELECT s_suppkey, s_name, s_nationkey,

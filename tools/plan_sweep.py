@@ -42,6 +42,7 @@ ALLOWED_BNL = {
     "x_logfreq_score",    # 1-row corpus-total broadcast
     "x_collocations",     # 1-row bigram-total broadcast
     "h22_idle_rich",      # 1-row global-average broadcast
+    "h11_important_stock",  # 1-row national-total broadcast (share HAVING)
     "h_equidepth",        # 1-row quantile-bounds broadcast
     "x_tfidf_terms",      # 1-row corpus doc-count broadcast
     "x_token_budget",     # 1-row cutoff broadcast
