@@ -949,6 +949,110 @@ def decontaminate(
     )
 
 
+def bloom_decontaminate(
+    df: DataFrame,
+    contamination: DataFrame,
+    n: int = 3,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom-filter decontamination — the constant-memory scale path
+    beside :func:`decontaminate`'s exact gram join (Bloom 1970).
+
+    Each contamination n-gram sets ``n_hashes`` bit positions
+    (``portable_hash60("{j}:{gram}") mod n_bits``); a training gram
+    is bloom-POSITIVE when all of its positions are set. No false
+    negatives by construction — every doc the exact join flags, this
+    flags too (pinned as a property test) — and a tunable
+    false-positive rate (~(s/m)^k) in the other direction.
+
+    Why this exists next to the exact join: the exact gram set is
+    O(|eval| · tokens) strings on the wire; the bloom filter is a
+    FIXED n_bits/8 bytes (128 KiB at the 2^20 default) no matter how
+    large the benchmark suite grows — at 100 TB you broadcast the
+    bitmap, not the grams. In DataFrame terms the bitmap is the
+    distinct set-bit table (≤ n_bits rows, bounded regardless of
+    eval size) and membership is a broadcast join on the position —
+    the relational rendering of a bitmap probe, which is also what
+    keeps the DuckDB oracle hash-exact. The corpus side explodes to
+    (doc, gram, j) and never shuffles for the probe; the only
+    aggregations are per-(doc, gram) position counts and the per-doc
+    rollup.
+
+    Returns (doc_id, n_bloom_hits, contaminated) for every input
+    doc; ``n_bloom_hits`` counts a doc's DISTINCT bloom-positive
+    grams (the exact join counts occurrence hits — a bloom filter
+    answers set membership, so the distinct-gram count is its
+    natural unit)."""
+    # NULL grams (null text) must drop explicitly: the exact join
+    # discards them through equi-join semantics, but concat_ws
+    # swallows a null gram into just "{j}" — null-text eval docs
+    # would set the three "{j}" positions and every null-text
+    # training doc would probe them right back as a phantom hit
+    # (the null-fuzz gate's favorite failure class).
+    set_bits = (
+        _with_token_ngrams(ensure_parallelism(contamination), text_col, n)
+        .select(F.explode_outer("grams").alias("gram"))
+        .filter(F.col("gram").isNotNull())
+        .select(
+            F.explode(
+                F.array(*[F.lit(j) for j in range(n_hashes)])
+            ).alias("j"),
+            "gram",
+        )
+        .select(
+            (
+                portable_hash60(
+                    F.concat_ws(":", F.col("j"), F.col("gram"))
+                )
+                % n_bits
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    doc_grams = (
+        _with_token_ngrams(ensure_parallelism(df), text_col, n)
+        .select(F.col(id_col), F.explode_outer("grams").alias("gram"))
+        .filter(F.col("gram").isNotNull())
+    )
+    probes = doc_grams.select(
+        id_col,
+        "gram",
+        F.explode(F.array(*[F.lit(j) for j in range(n_hashes)])).alias("j"),
+    ).select(
+        id_col,
+        "gram",
+        "j",
+        (
+            portable_hash60(F.concat_ws(":", F.col("j"), F.col("gram")))
+            % n_bits
+        ).alias("pos"),
+    )
+    gram_hits = (
+        probes.join(F.broadcast(set_bits), "pos")
+        .groupBy(id_col, "gram")
+        .agg(F.count_distinct("j").alias("__n_set"))
+        .filter(F.col("__n_set") == n_hashes)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
+    )
+    return (
+        df.select(id_col)
+        .join(gram_hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bloom_hits", F.lit(0)).cast("bigint").alias(
+                "n_bloom_hits"
+            ),
+            (F.coalesce("n_bloom_hits", F.lit(0)) >= 1).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
 def ngram_novelty(
     df: DataFrame,
     text_col: str = "text",

@@ -1096,3 +1096,61 @@ def embedding_near_dup_pairs_axis(
     return pairs.select(
         "id_a", "id_b", F.round(cos, 6).alias("cosine")
     ).filter(F.col("cosine") >= threshold)
+
+
+# -- hybrid retrieval fusion --------------------------------------------------
+
+
+def rrf_fuse(
+    legs: dict[str, DataFrame],
+    k: int = 60,
+    top_k: int = 20,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR
+    2009) of multiple retrieval legs — the standard way to combine a
+    sparse (BM25) and a dense (embedding-cosine) ranking without
+    calibrating their incomparable score scales.
+
+    Each leg is an already-truncated ranked frame (``id_col``,
+    ``rank_col`` with ranks 1..n); the fused score is the paper's
+    ``Σ_legs 1/(k + rank)`` rendered in fixed-point micro-units —
+    ``1_000_000 div (k + rank)`` summed as an exact bigint, which is
+    what lets a SQL oracle reproduce the fusion bit-for-bit (the
+    exact-rational contract; k=60 per the paper). Ties break on the
+    smaller id. A doc absent from a leg contributes nothing for it
+    (the paper's convention), and the per-leg rank is carried
+    through as a nullable ``rank_<leg>`` column for inspection.
+
+    Scale shape: the legs are top-k outputs — bounded frames
+    (hundreds of rows), not corpora — so the union + id rollup +
+    final TakeOrderedAndProject are all trivially small; the heavy
+    lifting lives in the legs themselves (BM25's filtered token
+    stream, ANN's bucketed probes). Fusion adds no corpus scan and
+    no unbounded shuffle by construction.
+    """
+    from functools import reduce
+
+    names = sorted(legs)
+    parts = [
+        legs[name].select(
+            F.col(id_col),
+            F.col(rank_col).cast("long").alias("__rank"),
+            F.lit(name).alias("__leg"),
+        )
+        for name in names
+    ]
+    u = reduce(DataFrame.unionByName, parts)
+    scored = u.groupBy(id_col).agg(
+        F.sum(F.expr(f"1000000L div ({k} + __rank)")).alias("rrf_micro"),
+        *[
+            F.max(
+                F.when(F.col("__leg") == name, F.col("__rank"))
+            ).alias(f"rank_{name}")
+            for name in names
+        ],
+    )
+    return scored.orderBy(
+        F.desc("rrf_micro"), F.asc(id_col)
+    ).limit(top_k)

@@ -2534,3 +2534,141 @@ def test_split_leakage_content_policy_eliminates_leakage(spark):
     assert sum(
         v.n_leaked for (p, _), v in out.items() if p == "by_doc"
     ) > 0
+
+
+def test_bloom_decontaminate_superset_of_exact_and_null_safe(spark):
+    """Bloom membership has no false negatives: every doc the exact
+    gram join flags, the bloom path must flag; a gram-disjoint doc
+    stays clean (2^20 bits vs a handful of set bits — deterministic
+    given the fixed md5 positions); a NULL-text doc must NOT be
+    flagged (the concat_ws null-swallow guard)."""
+    from pac_data_pipeline_spark.ext.dedup_text import (
+        bloom_decontaminate,
+        decontaminate,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "totally unrelated words appear in this document"),
+            (3, "quick brown fox runs far away tonight"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [(100, "a the quick brown fox sat down")],
+        "doc_id long, text string",
+    )
+    exact = {
+        r.doc_id: r.contaminated
+        for r in decontaminate(docs, eval_set, n=3).collect()
+    }
+    bloom = {
+        r.doc_id: (r.n_bloom_hits, r.contaminated)
+        for r in bloom_decontaminate(docs, eval_set, n=3).collect()
+    }
+    assert set(bloom) == {1, 2, 3, 4}
+    for doc_id, flagged in exact.items():
+        if flagged:
+            assert bloom[doc_id][1], f"false negative on doc {doc_id}"
+    assert bloom[2] == (0, False)
+    assert bloom[4] == (0, False)
+    # distinct-gram counting: doc 3 shares exactly one distinct
+    # 3-gram ("quick brown fox") with the eval set
+    assert bloom[3][0] == 1
+
+
+def test_dsir_scores_fixed_point_formula(spark):
+    """The micro-unit DSIR score is exact integer arithmetic —
+    replay the formula in Python over a tiny corpus and demand
+    bit-equality; a target-bigram doc must outscore a raw-only doc;
+    featureless docs (single token / NULL text) score 0 with
+    n_feats 0."""
+    from pyspark.sql import functions as F
+
+    from pac_data_pipeline_spark.ext.dsir import dsir_scores
+
+    rows = [
+        (0, "alpha beta alpha beta", "en"),
+        (1, "alpha beta gamma", "en"),
+        (2, "alpha beta delta", "de"),      # target-like bigram
+        (3, "zeta eta theta iota", "de"),   # raw-only bigrams
+        (4, "solo", "de"),                  # featureless: 1 token
+        (5, None, "de"),                    # featureless: null text
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r.doc_id: (r.n_feats, r.dsir_micro)
+        for r in dsir_scores(
+            docs, F.col("lang") == "en", target_cols=("lang",)
+        ).collect()
+    }
+
+    # python replay of the exact contract
+    import hashlib
+
+    B = 1024
+
+    def bucket(gram):
+        return (int(hashlib.md5(gram.encode()).hexdigest()[:15], 16)) % B
+
+    def bigrams(text):
+        toks = [t for t in __import__("re").split(r"[ \t\n\f\r]+", text.strip())]
+        return [f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)] if len(toks) >= 2 else []
+
+    from collections import Counter
+
+    per_doc = {i: Counter(bucket(g) for g in bigrams(t)) for i, t, _ in rows if t}
+    raw = Counter()
+    tgt = Counter()
+    for i, t, lang in rows:
+        if not t:
+            continue
+        raw.update(per_doc[i])
+        if lang == "en":
+            tgt.update(per_doc[i])
+    R, T = sum(raw.values()), sum(tgt.values())
+
+    def w_micro(b):
+        return (1_000_000 * (tgt[b] + 1) * (R + B)) // ((raw[b] + 1) * (T + B))
+
+    for i, t, _ in rows:
+        cnts = per_doc.get(i, Counter())
+        exp_feats = sum(cnts.values())
+        exp_score = sum(c * w_micro(b) for b, c in cnts.items())
+        assert out[i] == (exp_feats, exp_score), f"doc {i}"
+
+    # the target-like doc outscores the raw-only doc per feature
+    assert out[2][1] / out[2][0] > out[3][1] / out[3][0]
+    assert out[4] == (0, 0) and out[5] == (0, 0)
+
+
+def test_rrf_fuse_exact_scores_and_tiebreak(spark):
+    """RRF micro scores are exact floor divisions; a doc in both
+    legs beats single-leg docs; equal scores tie-break on the
+    smaller id; per-leg ranks carry through as nullable columns."""
+    from pac_data_pipeline_spark.ext.similarity import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rank long"
+    )
+    sem = spark.createDataFrame(
+        [(20, 1), (40, 2), (50, 3)], "doc_id long, rank long"
+    )
+    out = rrf_fuse({"lex": lex, "sem": sem}, k=60, top_k=10).collect()
+    rows = {r.doc_id: r for r in out}
+    m = 1_000_000
+    assert rows[20].rrf_micro == m // 62 + m // 61
+    assert rows[10].rrf_micro == m // 61
+    assert rows[40].rrf_micro == m // 62
+    assert rows[10].rank_lex == 1 and rows[10].rank_sem is None
+    assert rows[20].rank_lex == 2 and rows[20].rank_sem == 1
+    # ordering: 20 first (both legs), then ties broken by id —
+    # 10 (1/61) before 50? no: 1/61 > 1/63, check full order
+    got_order = [r.doc_id for r in out]
+    assert got_order[0] == 20
+    assert got_order == sorted(
+        got_order,
+        key=lambda d: (-rows[d].rrf_micro, d),
+    )

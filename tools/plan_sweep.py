@@ -59,6 +59,9 @@ ALLOWED_BNL = {
     "x_rfm",              # 1-row quintile-boundary broadcast
     "x_skew_profile",     # 1-row null-count broadcast per column
     "x_cms_heavy_hitters",  # 1-row packed counter-matrix broadcast
+    "x_dsir_weights",     # 1-row (R, T) feature-total broadcast
+    "x_rrf_fusion",       # 1-row (N, avgdl) BM25-stats broadcast +
+                          # 1-row query-vector broadcast (dense leg)
 }
 
 #: The Window+SinglePartition heuristic ANDs two independent plan
@@ -112,6 +115,10 @@ ALLOWED_GLOBAL_WINDOW = {
     # residual-codebook tables collapse into 1-row broadcasts; the
     # probe/shortlist/rerank windows are PARTITIONED by query_id.
     "x_cosine_topk_ivfpq",
+    # x_rrf_fusion's two rank windows span the legs' top-100
+    # TakeOrderedAndProject outputs (≤100 rows each), never the
+    # corpus — fusion is post-retrieval by construction.
+    "x_rrf_fusion",
 }
 
 
