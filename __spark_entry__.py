@@ -4662,7 +4662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # Dict ORDER is load-bearing: the round driver's correctness
         # gate checks only the FIRST 50 entries. Round-8 window
-        # (steady-state policy), 50 = 2 + 5 + 3 + 7 + 33:
+        # (steady-state policy), 50 = 2 + 5 + 3 + 8 + 32:
         # (a)  the TWO round-8 additions (x_mjpeg_frames — Motion-
         #      JPEG compressed-video frame sampling; x_c4_filters —
         #      the C4/Raffel-et-al line+page cleaning gates), both
@@ -4672,20 +4672,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (a3) THREE session-3 additions: DSIR importance scoring,
         #      Bloom-filter decontamination, RRF hybrid fusion —
         #      hash-exact from day one;
-        # (b)  the SEVEN queries whose code changed this round: the
+        # (b)  the EIGHT queries whose code changed this round: the
         #      dedup-cluster family localCheckpoint/dictionary-encode
         #      fix (x_jaccard_join, x_dedup_clusters,
         #      x_dedup_representatives), the CDC poly-hash oracle
         #      tier (x_cdc_chunks), the AVI demux codec dispatch
         #      (x_frame_sample), and the bpe_vocab/bpe_pair_counts
         #      refactor (x_bpe_train, x_bpe_encode — the encoder
-        #      trains through the same loop);
-        # (c)  the remaining 33 slots re-check the OLDEST verdicts:
+        #      trains through the same loop), and the session-3
+        #      bm25_rank single-pass restructure (x_bm25 — one
+        #      tokenize scan + checkpointed per-doc aggregate
+        #      instead of 5 corpus FileScans);
+        # (c)  the remaining 32 slots re-check the OLDEST verdicts:
         #      x_token_regex (the one remaining r01 verdict), then
-        #      the r03 block in dict order through h_rollup,
+        #      the r03 block in dict order through h_asof_nearest,
         #      skipping the three r03 names already in (b). The
-        #      eight r03 names the session-2/3 additions displaced
-        #      (h_range_join … x_pack_sequences) head the tail.
+        #      nine r03 names the session-2/3 additions displaced
+        #      (h_rollup … x_pack_sequences) head the tail.
         # All oracle-backed names are exact-hash green in the local
         # DuckDB gate (tools/check_oracle.py, clean + null-fuzz +
         # empty + unicode + blank clones).
@@ -4702,7 +4705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dsir_weights": q_x_dsir_weights,
         "x_bloom_decontaminate": q_x_bloom_decontaminate,
         "x_rrf_fusion": q_x_rrf_fusion,
-        # -- (b) code-changed this round (7) --------------------------
+        # -- (b) code-changed this round (8) --------------------------
         "x_jaccard_join": q_x_jaccard_join,
         "x_dedup_clusters": q_x_dedup_clusters,
         "x_dedup_representatives": q_x_dedup_representatives,
@@ -4710,7 +4713,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_frame_sample": q_x_frame_sample,
         "x_bpe_train": q_x_bpe_train,
         "x_bpe_encode": q_x_bpe_encode,
-        # -- (c) oldest-verdict re-checks (33: last r01 + r03 head) ----
+        "x_bm25": q_x_bm25,
+        # -- (c) oldest-verdict re-checks (32: last r01 + r03 head) ----
         "x_token_regex": q_x_token_regex,
         "x_text_stats": q_x_text_stats,
         "x_quality_score": q_x_quality_score,
@@ -4743,7 +4747,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_skew_distinct": q_x_skew_distinct,
         "x_salted_sum": q_x_salted_sum,
         "h_asof_nearest": q_h_asof_nearest,
-        "h_rollup": q_h_rollup,
         # ---- end of round-8 window (position 50) -------------------
         # NEXT-ROUND TAIL (round-9 plan): steady state — (1) new or
         # code-changed queries go to the dict head; (2) remaining
@@ -4757,7 +4760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # The tail below is ordered by (last-verdict round, prior
         # dict position), so the cursor is simply 'read on from
         # position 51'.
-        # ---- last verdicted r03 (8 displaced from the window) --
+        # ---- last verdicted r03 (9 displaced from the window) --
+        "h_rollup": q_h_rollup,
         "h_range_join": q_h_range_join,
         "h_median": q_h_median,
         "x_interleave": q_x_interleave,
@@ -4861,7 +4865,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_interpolate": q_x_interpolate,
         "h_lateral": q_h_lateral,
         "h_regression": q_h_regression,
-        "x_bm25": q_x_bm25,
         "x_ks_drift": q_x_ks_drift,
         "x_lm_perplexity": q_x_lm_perplexity,
         "pipe_json_roundtrip": q_pipe_json_roundtrip,

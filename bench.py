@@ -159,6 +159,25 @@ def main() -> None:
         .awaitTermination()
     )
 
+    # Arrow mapInPandas machinery: the first Python-batch query in a
+    # session pays the Arrow runner spin-up PLUS in-worker imports of
+    # numpy and the ext codec modules across all 32 workers —
+    # measured ~3-4 s charged to whichever Python-heavy query the
+    # rotation puts first (x_mjpeg_frames: 6.0 s first / 1.7 s
+    # steady at r8; the docstore warmup above exercises the Python
+    # DataSource runner, which does NOT share this cost). Warm with
+    # an 8-row multimodal decode so position in the rotation stops
+    # moving the number.
+    from pac_data_pipeline_spark.ext.multimodal import (
+        frame_sample,
+        mjpeg_video_media_from_documents,
+    )
+
+    tiny8 = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(8)
+    frame_sample(
+        mjpeg_video_media_from_documents(tiny8), every_n=2
+    ).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name, fn in entrymod.queries().items():

@@ -1319,38 +1319,62 @@ def bm25_rank(
     (idf: ``ln(1 + (N − df + 0.5)/(df + 0.5))``; tf saturation k1,
     length normalization b against the corpus-average length).
 
-    Scale shape: the term filter sits UNDER the (doc, token) count
-    aggregate, so only query-term occurrences ever shuffle — corpus
-    cost is the scan plus a |q|-filtered token stream, not a full
-    vocabulary aggregation. Document lengths are one map-side-
-    combinable count; N/avgdl ride along as a broadcast 1-row
-    aggregate (N counts ALL docs; token-less docs contribute length
-    0 to avgdl). Term document-frequencies are |q| rows, broadcast.
-    The final top-k is orderBy+limit → TakeOrderedAndProject
-    (per-partition heaps), never a global sort. Scores are rounded
-    before the cut so cross-engine float noise cannot flip the
-    boundary; ties break on the smaller doc id.
+    Scale shape: the corpus tokenizes ONCE — document length and
+    all |q| term frequencies come out of a single per-doc
+    conditional aggregate (one scan, one shuffle on the doc id).
+    That per-doc frame is |docs| rows (not tokens) and has three
+    consumers (corpus stats, document frequencies, scoring), so it
+    localCheckpoints — the pre-r8 formulation derived dl/tf/stats/
+    dfreq as separate consumers of the lazy token stream and
+    Catalyst inlined the tokenize subplan into each: 4-5 FileScans
+    of the corpus, each a full re-tokenization (the dedup-cluster
+    lesson; pinned in tests/test_scale_patterns.py). N rides on a
+    second id-only scan (N counts ALL docs; token-less docs
+    contribute length 0 to avgdl); N/avgdl and the |q|-row dfreq
+    table broadcast. The final top-k is orderBy+limit →
+    TakeOrderedAndProject (per-partition heaps), never a global
+    sort. Scores are rounded before the cut so cross-engine float
+    noise cannot flip the boundary; ties break on the smaller doc
+    id.
     """
     q = sorted(set(query_terms))
     toks = df.select(
         F.col(id_col),
         F.explode(tokens(ascii_lower(F.col(text_col)))).alias("token"),
     ).filter(F.col("token") != "")
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    per_doc = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(
+                F.when(F.col("token") == t, 1).otherwise(0)
+            ).alias(f"__tf_{i}")
+            for i, t in enumerate(q)
+        ],
+    ).localCheckpoint()  # |docs| rows; 3 consumers below
     stats = df.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
-        F.broadcast(dl.agg(F.sum("dl").alias("tot_len")))
+        F.broadcast(per_doc.agg(F.sum("dl").alias("tot_len")))
+    )
+    # unpivot the conditional counts back to (id, token, tf) rows —
+    # struct literals, not stack(), so query terms never splice
+    # into SQL text; dl rides along, saving the join the old
+    # formulation paid
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("token"),
+                F.col(f"__tf_{i}").alias("tf"),
+            )
+            for i, t in enumerate(q)
+        ]
     )
     tf = (
-        toks.filter(F.col("token").isin(q))
-        .groupBy(id_col, "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        per_doc.select(F.col(id_col), "dl", F.explode(pairs).alias("p"))
+        .select(id_col, "dl", F.col("p.token"), F.col("p.tf"))
+        .filter(F.col("tf") > 0)
     )
-    dfreq = tf.groupBy("token").agg(
-        F.countDistinct(id_col).alias("dfreq")
-    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
     scored = (
         tf.join(F.broadcast(dfreq), "token")
-        .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
         .select(
             id_col,

@@ -678,3 +678,32 @@ def test_iterative_graph_plans_have_bounded_scans(spark):
     s3 = scans(khop_distances(nodes, edges, n_hops=3))
     s6 = scans(khop_distances(nodes, edges, n_hops=6))
     assert s3 == s6, (s3, s6)
+
+
+def test_selection_retrieval_family_scans_corpus_once(spark):
+    """Scan-count pins for the r8 data-selection/retrieval family —
+    the same multi-consumer discipline as the dedup-cluster pin
+    above. bm25_rank pre-r8 derived dl/tf/stats/dfreq as four
+    consumers of the lazy token stream: Catalyst inlined the
+    tokenize subplan into each (5 corpus FileScans; x_rrf_fusion
+    inherited 7). With the per-doc conditional aggregate
+    localCheckpointed: one tokenize pass + one id-only N scan.
+    x_dsir_weights checkpoints its (doc,bucket) frame for its three
+    consumers (1 residual scan: the final doc-id list);
+    x_bloom_decontaminate reads the corpus twice (probe grams +
+    doc-id list) and the eval set once — all three scans narrow or
+    gram-bearing exactly once."""
+    import re
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+
+    def scans(name):
+        p = plan(qs[name](spark, SF), "simple")
+        return len(re.findall(r"FileScan", p))
+
+    assert scans("x_bm25") == 1
+    assert scans("x_rrf_fusion") <= 3
+    assert scans("x_dsir_weights") == 1
+    assert scans("x_bloom_decontaminate") <= 3
