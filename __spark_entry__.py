@@ -4662,7 +4662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # Dict ORDER is load-bearing: the round driver's correctness
         # gate checks only the FIRST 50 entries. Round-8 window
-        # (steady-state policy), 50 = 2 + 5 + 3 + 8 + 32:
+        # (steady-state policy), 50 = 2 + 5 + 3 + 13 + 27:
         # (a)  the TWO round-8 additions (x_mjpeg_frames — Motion-
         #      JPEG compressed-video frame sampling; x_c4_filters —
         #      the C4/Raffel-et-al line+page cleaning gates), both
@@ -4680,15 +4680,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      (x_frame_sample), and the bpe_vocab/bpe_pair_counts
         #      refactor (x_bpe_train, x_bpe_encode — the encoder
         #      trains through the same loop), and the session-3
-        #      bm25_rank single-pass restructure (x_bm25 — one
-        #      tokenize scan + checkpointed per-doc aggregate
-        #      instead of 5 corpus FileScans);
-        # (c)  the remaining 32 slots re-check the OLDEST verdicts:
+        #      multi-consumer re-scan fixes — bm25_rank's
+        #      single-pass per-doc aggregate (x_bm25: 5 corpus
+        #      FileScans → 1; x_rrf_fusion inherited), the
+        #      checkpointed (doc,token)/pair-count/gram frames
+        #      (x_tfidf_terms 3→1, x_collocations 4→2,
+        #      x_lm_perplexity 4→1, x_ngram_jaccard 4→2), and the
+        #      melted one-pass skew profile (x_skew_profile 6→0);
+        # (c)  the remaining 27 slots re-check the OLDEST verdicts:
         #      x_token_regex (the one remaining r01 verdict), then
-        #      the r03 block in dict order through h_asof_nearest,
-        #      skipping the three r03 names already in (b). The
-        #      nine r03 names the session-2/3 additions displaced
-        #      (h_rollup … x_pack_sequences) head the tail.
+        #      the r03 block in dict order through x_entropy,
+        #      skipping the r03 names already in (b). The twelve
+        #      r03 names sessions 2/3 displaced (x_skew_distinct …
+        #      x_pack_sequences) head the tail.
         # All oracle-backed names are exact-hash green in the local
         # DuckDB gate (tools/check_oracle.py, clean + null-fuzz +
         # empty + unicode + blank clones).
@@ -4705,7 +4709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dsir_weights": q_x_dsir_weights,
         "x_bloom_decontaminate": q_x_bloom_decontaminate,
         "x_rrf_fusion": q_x_rrf_fusion,
-        # -- (b) code-changed this round (8) --------------------------
+        # -- (b) code-changed this round (13) --------------------------
         "x_jaccard_join": q_x_jaccard_join,
         "x_dedup_clusters": q_x_dedup_clusters,
         "x_dedup_representatives": q_x_dedup_representatives,
@@ -4714,7 +4718,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_bpe_train": q_x_bpe_train,
         "x_bpe_encode": q_x_bpe_encode,
         "x_bm25": q_x_bm25,
-        # -- (c) oldest-verdict re-checks (32: last r01 + r03 head) ----
+        "x_tfidf_terms": q_x_tfidf_terms,
+        "x_collocations": q_x_collocations,
+        "x_lm_perplexity": q_x_lm_perplexity,
+        "x_ngram_jaccard": q_x_ngram_jaccard,
+        "x_skew_profile": q_x_skew_profile,
+        # -- (c) oldest-verdict re-checks (27: last r01 + r03 head) ----
         "x_token_regex": q_x_token_regex,
         "x_text_stats": q_x_text_stats,
         "x_quality_score": q_x_quality_score,
@@ -4723,8 +4732,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dedup_exact_groups": q_x_dedup_exact_groups,
         "x_dedup_exact": q_x_dedup_exact,
         "x_simhash": q_x_simhash,
-        "x_ngram_jaccard": q_x_ngram_jaccard,
-        "x_tfidf_terms": q_x_tfidf_terms,
         "x_decontaminate": q_x_decontaminate,
         "x_cosine_topk": q_x_cosine_topk,
         "x_sessionize": q_x_sessionize,
@@ -4744,9 +4751,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_kmv_distinct": q_x_kmv_distinct,
         "h_window_distinct": q_h_window_distinct,
         "x_entropy": q_x_entropy,
-        "x_skew_distinct": q_x_skew_distinct,
-        "x_salted_sum": q_x_salted_sum,
-        "h_asof_nearest": q_h_asof_nearest,
         # ---- end of round-8 window (position 50) -------------------
         # NEXT-ROUND TAIL (round-9 plan): steady state — (1) new or
         # code-changed queries go to the dict head; (2) remaining
@@ -4760,7 +4764,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # The tail below is ordered by (last-verdict round, prior
         # dict position), so the cursor is simply 'read on from
         # position 51'.
-        # ---- last verdicted r03 (9 displaced from the window) --
+        # ---- last verdicted r03 (12 displaced from the window) --
+        "x_skew_distinct": q_x_skew_distinct,
+        "x_salted_sum": q_x_salted_sum,
+        "h_asof_nearest": q_h_asof_nearest,
         "h_rollup": q_h_rollup,
         "h_range_join": q_h_range_join,
         "h_median": q_h_median,
@@ -4824,7 +4831,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h_nullsafe_join": q_h_nullsafe_join,
         "h_asof_forward": q_h_asof_forward,
         "x_entity_resolution": q_x_entity_resolution,
-        "x_collocations": q_x_collocations,
         "x_doc_chunks": q_x_doc_chunks,
         "x_hash_sample": q_x_hash_sample,
         "x_stratified_sample": q_x_stratified_sample,
@@ -4843,7 +4849,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_stream_ewma": q_x_stream_ewma,
         "x_ppr": q_x_ppr,
         "x_rfm": q_x_rfm,
-        "x_skew_profile": q_x_skew_profile,
         "x_dedup_eval": q_x_dedup_eval,
         "x_welch_t": q_x_welch_t,
         "x_holt": q_x_holt,
@@ -4866,7 +4871,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h_lateral": q_h_lateral,
         "h_regression": q_h_regression,
         "x_ks_drift": q_x_ks_drift,
-        "x_lm_perplexity": q_x_lm_perplexity,
         "pipe_json_roundtrip": q_pipe_json_roundtrip,
         "pipe_orc_roundtrip": q_pipe_orc_roundtrip,
         "x_sentence_stats": q_x_sentence_stats,

@@ -673,10 +673,18 @@ def ngram_jaccard_pairs(
     """Exact token n-gram Jaccard for given candidate pairs
     (id_a, id_b) — the verification stage after LSH narrows
     candidates. array_intersect/array_union on distinct n-gram
-    sets; per-pair cost linear in document length."""
-    docs = _with_token_ngrams(
-        ensure_parallelism(df), text_col, n
-    ).select(F.col(id_col), "grams")
+    sets; per-pair cost linear in document length.
+
+    The gram frame localCheckpoints: both verify sides consume it,
+    and Catalyst inlines an unmaterialized subplan into each — the
+    pre-r8 plan tokenized the corpus once per side (the
+    _jaccard_join_stages lesson applied to the pair-verify
+    entrypoint)."""
+    docs = (
+        _with_token_ngrams(ensure_parallelism(df), text_col, n)
+        .select(F.col(id_col), "grams")
+        .localCheckpoint()  # 2 consumers: the a- and b-side joins
+    )
     a = docs.select(F.col(id_col).alias("id_a"), F.col("grams").alias("g_a"))
     b = docs.select(F.col(id_col).alias("id_b"), F.col("grams").alias("g_b"))
     inter = F.size(F.array_intersect("g_a", "g_b"))

@@ -295,16 +295,22 @@ def tf_idf_top_terms(
     key spreads hot tokens like the skew-safe distinct pattern] →
     token document-frequency [shuffle 2, |vocab| rows] → broadcast
     the vocab stats back onto the per-doc counts → per-doc top-k
-    window [reuses shuffle 1's partitioning]. The corpus size joins
-    in as a broadcast 1-row aggregate, keeping the whole plan lazy.
-    Scores are rounded before ranking so cross-engine log ULP noise
-    can't flip the order (tiebreak: token)."""
+    window [reuses shuffle 1's partitioning]. The (doc, token)
+    count frame localCheckpoints: the document-frequency aggregate
+    AND the scoring join both consume it, and Catalyst inlines an
+    unmaterialized subplan into each — the pre-r8 plan re-scanned
+    and re-tokenized the corpus per consumer (the bm25/dedup-cluster
+    lesson). The corpus size joins in as a broadcast 1-row
+    aggregate. Scores are rounded before ranking so cross-engine
+    log ULP noise can't flip the order (tiebreak: token)."""
     from pyspark.sql import Window
 
     toks = (
         df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
     )
-    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    tf = toks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint()  # 2 consumers: dfreq + the scoring join
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -758,19 +764,26 @@ def pmi_collocations(
             )
         ).alias("bg")
     ).filter(F.col("bg").isNotNull())
-    bi_counts = (
+    # one bigram aggregation serves BOTH the min_count-filtered
+    # count table and the corpus total (Σ c_xy ≡ the instance
+    # count): the pre-r8 plan derived n_total from the raw bigram
+    # stream, a second full scan+re-tokenization of the corpus —
+    # localCheckpoint because the |vocab-pairs|-row frame has two
+    # consumers (the bm25/dedup-cluster multi-consumer lesson)
+    bi_all = (
         bigrams.select("bg.w1", "bg.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_xy"))
-        .filter(F.col("c_xy") >= min_count)
+        .localCheckpoint()
     )
+    bi_counts = bi_all.filter(F.col("c_xy") >= min_count)
     uni_counts = (
         toked.select(F.explode_outer("__toks").alias("w"))
         .filter(F.col("w").isNotNull())
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    n_bi = bigrams.agg(F.count(F.lit(1)).alias("n_total"))
+    n_bi = bi_all.agg(F.sum("c_xy").alias("n_total"))
     scored = (
         bi_counts.join(
             uni_counts.select(
@@ -1207,12 +1220,20 @@ def ngram_lm_score(
     utf8proc). Documents with fewer than two tokens have no bigrams
     and drop out (inner-join semantics, mirrored by the oracle).
 
-    Scale shape: two map-side-combinable count aggregations (bigram
-    and unigram vocabularies — |V| and |V²∩corpus| rows, far below
-    corpus size), then the instance stream joins the two count
-    tables (AQE converts to broadcast when they fit) and one
-    per-document aggregate. The corpus is never self-joined and the
-    model "training" IS the counting pass — no iteration.
+    Scale shape: the model trains in ONE corpus pass — zip_with
+    pads the final token of each doc with a NULL successor, so the
+    (w1, w2) pair aggregate carries BOTH vocabularies: unigram
+    counts are the per-w1 rollup (every token appears exactly once
+    as w1), bigram counts are the non-NULL-w2 rows. That
+    |V²∩corpus|-row frame localCheckpoints (three consumers: uni,
+    big, and V — the pre-r8 plan derived uni and big as separate
+    consumers of the lazy token stream and Catalyst re-scanned and
+    re-tokenized the corpus per consumer; the bm25/dedup-cluster
+    lesson). The instance stream then joins the two count tables
+    (AQE converts to broadcast when they fit) and one per-document
+    aggregate — 2 corpus passes total. The corpus is never
+    self-joined and the model "training" IS the counting pass — no
+    iteration.
     avg_nll is rounded to 3 decimals: per-doc terms are few and
     similar magnitude, so double-summation order noise (~1e-13)
     cannot flip the rounding."""
@@ -1237,13 +1258,25 @@ def ngram_lm_score(
         .filter(F.col("bg.w2").isNotNull())
         .select(id_col, "bg.w1", "bg.w2")
     )
-    uni = (
-        toks.select(F.explode("toks").alias("w1"))
-        .groupBy("w1")
-        .agg(F.count(F.lit(1)).alias("c1"))
+    pair_counts = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "zip_with(toks, slice(toks, 2, size(toks)),"
+                    " (a, b) -> struct(a AS w1, b AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")  # w2 NULL = end-of-doc pad
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()  # 3 consumers: uni, big, vocab-size
     )
+    uni = pair_counts.groupBy("w1").agg(F.sum("c").alias("c1"))
     vocab = uni.agg(F.count(F.lit(1)).alias("v"))
-    big = inst.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    big = pair_counts.filter(F.col("w2").isNotNull()).select(
+        "w1", "w2", F.col("c").alias("c2")
+    )
     # attach the 1-row V to the VOCAB-sized count table, not the
     # corpus-sized instance stream — the broadcast-nested-loop pass
     # then touches |V| rows instead of every bigram instance

@@ -86,98 +86,132 @@ def key_skew_profile(
     skew hints, or a broadcast redesign BEFORE the 100 TB run burns
     a night on one straggler task.
 
-    Scale shape: one groupBy per column builds key counts (the same
-    shuffle the real query would pay), then everything else derives
-    from the COUNT-OF-COUNTS aggregate — at most O(√n_rows) rows
-    (distinct count values), since k distinct counts require
-    ≥ k(k+1)/2 rows. Gini and the top-n share both come from window
-    sums over that tiny frame via the tied-block rank identity
-    (Σ ranks over a tied block = k·K_prev + k(k+1)/2), so every
-    intermediate is an exact integer and the final divisions are
-    the only inexact steps (round-``digits``). NULL keys are
-    reported separately (``null_rows``) and excluded from the
-    distribution (a NULL join key never co-locates anyway).
+    Scale shape: ONE corpus pass for every profiled column — the
+    columns melt into (column, key) pairs at the scan (keys cast to
+    string, injective for join-key types; counting only needs group
+    identity), so the fact table is read once and shuffles once on
+    the pair key instead of once per column (the pre-r8 per-column
+    loop cost |cols| full scans — 6 FileScans of lineitem at three
+    columns, each a full pass at 100 TB). Everything downstream
+    derives from the per-column COUNT-OF-COUNTS aggregate — at most
+    O(√n_rows) rows per column (k distinct counts require
+    ≥ k(k+1)/2 rows) — which localCheckpoints because the null
+    report and the distribution stats both consume it (inlining
+    would re-derive the corpus-wide counts per consumer). Gini and
+    the top-n share come from column-partitioned window sums via
+    the tied-block rank identity (Σ ranks over a tied block =
+    k·K_prev + k(k+1)/2), so every intermediate is an exact integer
+    and the final divisions are the only inexact steps
+    (round-``digits``). NULL keys are reported separately
+    (``null_rows``) and excluded from the distribution (a NULL join
+    key never co-locates anyway).
     """
     from pyspark.sql import Window
 
-    outs = []
-    for col in cols:
-        counts = df.groupBy(F.col(col).alias("k")).agg(
-            F.count(F.lit(1)).alias("c")
-        )
-        nulls = counts.agg(
-            F.coalesce(
-                F.sum(F.when(F.col("k").isNull(), F.col("c"))), F.lit(0)
-            ).alias("null_rows")
-        )
-        coc = (
-            counts.filter(F.col("k").isNotNull())
-            .groupBy("c")
-            .agg(F.count(F.lit(1)).alias("kc"))
-        )
-        w_desc = Window.orderBy(F.desc("c")).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        w_asc = Window.orderBy(F.asc("c")).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        stepped = coc.select(
-            "c",
-            "kc",
-            (F.sum("kc").over(w_desc) - F.col("kc")).alias("prev_desc"),
-            (F.sum("kc").over(w_asc) - F.col("kc")).alias("prev_asc"),
-        )
-        agg = stepped.agg(
-            F.sum(F.col("c") * F.col("kc")).alias("rows_nn"),
-            F.sum("kc").alias("n_keys"),
-            F.max("c").alias("top1"),
-            F.sum(
-                F.col("c")
-                * F.greatest(
-                    F.lit(0),
-                    F.least(
-                        F.col("kc"), F.lit(top_n) - F.col("prev_desc")
-                    ),
-                )
-            ).alias("topn_sum"),
-            F.sum(
-                F.col("c")
-                * (
-                    F.col("kc") * F.col("prev_asc")
-                    + F.expr("(kc * (kc + 1)) div 2")
-                )
-            ).alias("rank_sum"),
-        )
-        rows = F.col("rows_nn").cast("double")
-        keys = F.col("n_keys").cast("double")
-        gini = (
-            2.0 * F.col("rank_sum").cast("double")
-            / F.nullif(keys * rows, F.lit(0.0))
-            - (keys + 1.0) / F.nullif(keys, F.lit(0.0))
-        )
-        outs.append(
-            agg.crossJoin(F.broadcast(nulls)).select(
-                F.lit(col).alias("column"),
-                (F.col("rows_nn") + F.col("null_rows")).alias("n_rows"),
-                "null_rows",
-                "n_keys",
-                F.round(
-                    F.col("top1").cast("double")
-                    / F.nullif(rows, F.lit(0.0)),
-                    digits,
-                ).alias("top1_share"),
-                F.round(
-                    F.col("topn_sum").cast("double")
-                    / F.nullif(rows, F.lit(0.0)),
-                    digits,
-                ).alias("topn_share"),
-                F.round(gini, digits).alias("gini"),
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("k"),
+                    )
+                    for c in cols
+                ]
             )
+        ).alias("p")
+    ).select("p.column", "p.k")
+    counts = pairs.groupBy("column", "k").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    coc_all = (
+        counts.groupBy(
+            "column", F.col("k").isNull().alias("is_null"), "c"
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out
+        .agg(F.count(F.lit(1)).alias("kc"))
+        .localCheckpoint()  # O(|cols|·√n) rows; 2 consumers below
+    )
+    nulls = (
+        coc_all.filter(F.col("is_null"))
+        .groupBy("column")
+        .agg(F.sum(F.col("c") * F.col("kc")).alias("null_rows"))
+    )
+    coc = coc_all.filter(~F.col("is_null")).select("column", "c", "kc")
+    w_desc = (
+        Window.partitionBy("column")
+        .orderBy(F.desc("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_asc = (
+        Window.partitionBy("column")
+        .orderBy(F.asc("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stepped = coc.select(
+        "column",
+        "c",
+        "kc",
+        (F.sum("kc").over(w_desc) - F.col("kc")).alias("prev_desc"),
+        (F.sum("kc").over(w_asc) - F.col("kc")).alias("prev_asc"),
+    )
+    agg = stepped.groupBy("column").agg(
+        F.sum(F.col("c") * F.col("kc")).alias("rows_nn"),
+        F.sum("kc").alias("n_keys"),
+        F.max("c").alias("top1"),
+        F.sum(
+            F.col("c")
+            * F.greatest(
+                F.lit(0),
+                F.least(
+                    F.col("kc"), F.lit(top_n) - F.col("prev_desc")
+                ),
+            )
+        ).alias("topn_sum"),
+        F.sum(
+            F.col("c")
+            * (
+                F.col("kc") * F.col("prev_asc")
+                + F.expr("(kc * (kc + 1)) div 2")
+            )
+        ).alias("rank_sum"),
+    )
+    rows = F.col("rows_nn").cast("double")
+    keys = F.col("n_keys").cast("double")
+    gini = (
+        2.0 * F.col("rank_sum").cast("double")
+        / F.nullif(keys * rows, F.lit(0.0))
+        - (keys + 1.0) / F.nullif(keys, F.lit(0.0))
+    )
+    # one row per profiled column ALWAYS — a column with zero
+    # non-null keys (or an empty table: the --empty fuzz clone) has
+    # no agg row, but the report contract (and the SQL oracle's
+    # scalar aggregates) emit it with NULL stats and null_rows 0
+    seed = df.sparkSession.range(1).select(
+        F.explode(
+            F.array(*[F.lit(c) for c in cols])
+        ).alias("column")
+    )
+    return seed.join(agg, "column", "left").join(
+        nulls, "column", "left"
+    ).select(
+        "column",
+        (
+            F.col("rows_nn")
+            + F.coalesce(F.col("null_rows"), F.lit(0))
+        ).alias("n_rows"),
+        F.coalesce(F.col("null_rows"), F.lit(0)).alias("null_rows"),
+        "n_keys",
+        F.round(
+            F.col("top1").cast("double") / F.nullif(rows, F.lit(0.0)),
+            digits,
+        ).alias("top1_share"),
+        F.round(
+            F.col("topn_sum").cast("double")
+            / F.nullif(rows, F.lit(0.0)),
+            digits,
+        ).alias("topn_share"),
+        F.round(gini, digits).alias("gini"),
+    )
 
 
 def key_skew_profile_sql(

@@ -707,3 +707,12 @@ def test_selection_retrieval_family_scans_corpus_once(spark):
     assert scans("x_rrf_fusion") <= 3
     assert scans("x_dsir_weights") == 1
     assert scans("x_bloom_decontaminate") <= 3
+    # the text-stats family, same fix (was 3/4/4/4/6 corpus scans):
+    # checkpointed (doc,token) counts, one-aggregate bigram stats,
+    # padded-pair LM counts, checkpointed gram frame, melted
+    # one-pass skew profile
+    assert scans("x_tfidf_terms") == 1
+    assert scans("x_collocations") <= 2
+    assert scans("x_lm_perplexity") == 1
+    assert scans("x_ngram_jaccard") <= 2
+    assert scans("x_skew_profile") == 0

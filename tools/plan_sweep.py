@@ -57,7 +57,6 @@ ALLOWED_BNL = {
     "x_khop_bfs",         # 1-row node-count broadcast (edge fixture mod-N)
     "x_kmeans",           # 1-row centroid-array broadcast (scan-side argmin)
     "x_rfm",              # 1-row quintile-boundary broadcast
-    "x_skew_profile",     # 1-row null-count broadcast per column
     "x_cms_heavy_hitters",  # 1-row packed counter-matrix broadcast
     "x_dsir_weights",     # 1-row (R, T) feature-total broadcast
     "x_rrf_fusion",       # 1-row (N, avgdl) BM25-stats broadcast +
@@ -91,9 +90,6 @@ ALLOWED_GLOBAL_WINDOW = {
     # x_benford's SUM() OVER () total spans the 9-row digit
     # aggregate, not the input.
     "x_benford",
-    # x_skew_profile's rank windows span the COUNT-OF-COUNTS
-    # aggregate — O(sqrt(n_rows)) rows by the k(k+1)/2 bound.
-    "x_skew_profile",
     # x_temperature_mix's apportionment windows (total weight,
     # remainder rank, leftover) span the |domains|-row aggregate,
     # never the corpus.
