@@ -4662,7 +4662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # Dict ORDER is load-bearing: the round driver's correctness
         # gate checks only the FIRST 50 entries. Round-8 window
-        # (steady-state policy), 50 = 2 + 5 + 3 + 13 + 27:
+        # (steady-state policy), 50 = 2 + 5 + 3 + 18 + 22:
         # (a)  the TWO round-8 additions (x_mjpeg_frames — Motion-
         #      JPEG compressed-video frame sampling; x_c4_filters —
         #      the C4/Raffel-et-al line+page cleaning gates), both
@@ -4686,12 +4686,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      checkpointed (doc,token)/pair-count/gram frames
         #      (x_tfidf_terms 3→1, x_collocations 4→2,
         #      x_lm_perplexity 4→1, x_ngram_jaccard 4→2), and the
-        #      melted one-pass skew profile (x_skew_profile 6→0);
-        # (c)  the remaining 27 slots re-check the OLDEST verdicts:
+        #      melted one-pass skew profile (x_skew_profile 6→0),
+        #      the one-pass J3 reconciliation (4→2), the
+        #      checkpointed train-corpus stage boundary (4→1), the
+        #      materialized pagerank/ppr node lists (8→0 each), and
+        #      the checkpointed logfreq vocab table (3→1);
+        # (c)  the remaining 22 slots re-check the OLDEST verdicts:
         #      x_token_regex (the one remaining r01 verdict), then
-        #      the r03 block in dict order through x_entropy,
-        #      skipping the r03 names already in (b). The twelve
-        #      r03 names sessions 2/3 displaced (x_skew_distinct …
+        #      the r03 block in dict order through
+        #      x_minhash_portable, skipping the r03 names already
+        #      in (b). The seventeen r03 names sessions 2/3
+        #      displaced (x_embedding_near_dup_axis …
         #      x_pack_sequences) head the tail.
         # All oracle-backed names are exact-hash green in the local
         # DuckDB gate (tools/check_oracle.py, clean + null-fuzz +
@@ -4709,7 +4714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dsir_weights": q_x_dsir_weights,
         "x_bloom_decontaminate": q_x_bloom_decontaminate,
         "x_rrf_fusion": q_x_rrf_fusion,
-        # -- (b) code-changed this round (13) --------------------------
+        # -- (b) code-changed this round (18) --------------------------
         "x_jaccard_join": q_x_jaccard_join,
         "x_dedup_clusters": q_x_dedup_clusters,
         "x_dedup_representatives": q_x_dedup_representatives,
@@ -4723,6 +4728,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_lm_perplexity": q_x_lm_perplexity,
         "x_ngram_jaccard": q_x_ngram_jaccard,
         "x_skew_profile": q_x_skew_profile,
+        "j3_reconcile_counts": q_j3_reconcile_counts,
+        "pipe_train_corpus": q_pipe_train_corpus,
+        "x_pagerank": q_x_pagerank,
+        "x_ppr": q_x_ppr,
+        "x_logfreq_score": q_x_logfreq_score,
         # -- (c) oldest-verdict re-checks (27: last r01 + r03 head) ----
         "x_token_regex": q_x_token_regex,
         "x_text_stats": q_x_text_stats,
@@ -4746,11 +4756,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_weighted_sample": q_x_weighted_sample,
         "x_interval_join": q_x_interval_join,
         "x_minhash_portable": q_x_minhash_portable,
-        "x_embedding_near_dup_axis": q_x_embedding_near_dup_axis,
-        "x_cosine_topk_axis": q_x_cosine_topk_axis,
-        "x_kmv_distinct": q_x_kmv_distinct,
-        "h_window_distinct": q_h_window_distinct,
-        "x_entropy": q_x_entropy,
         # ---- end of round-8 window (position 50) -------------------
         # NEXT-ROUND TAIL (round-9 plan): steady state — (1) new or
         # code-changed queries go to the dict head; (2) remaining
@@ -4764,7 +4769,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # The tail below is ordered by (last-verdict round, prior
         # dict position), so the cursor is simply 'read on from
         # position 51'.
-        # ---- last verdicted r03 (12 displaced from the window) --
+        # ---- last verdicted r03 (17 displaced from the window) --
+        "x_embedding_near_dup_axis": q_x_embedding_near_dup_axis,
+        "x_cosine_topk_axis": q_x_cosine_topk_axis,
+        "x_kmv_distinct": q_x_kmv_distinct,
+        "h_window_distinct": q_h_window_distinct,
+        "x_entropy": q_x_entropy,
         "x_skew_distinct": q_x_skew_distinct,
         "x_salted_sum": q_x_salted_sum,
         "h_asof_nearest": q_h_asof_nearest,
@@ -4779,7 +4789,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_pack_sequences": q_x_pack_sequences,
         # ---- last verdicted r03 (7 leftovers) ------------------
         "x_repetition": q_x_repetition,
-        "x_logfreq_score": q_x_logfreq_score,
         "x_chunk_dedup": q_x_chunk_dedup,
         "x_gopher_rules": q_x_gopher_rules,
         "x_domain_mix": q_x_domain_mix,
@@ -4813,7 +4822,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_partitioned": q_pipe_partitioned,
         "pipe_zorder": q_pipe_zorder,
         "pipe_index_align": q_pipe_index_align,
-        "pipe_train_corpus": q_pipe_train_corpus,
         "pipe_csv_roundtrip": q_pipe_csv_roundtrip,
         "x_jdbc_roundtrip": q_x_jdbc_roundtrip,
         "x_docstore_roundtrip": q_x_docstore_roundtrip,
@@ -4847,7 +4855,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_auc": q_x_auc,
         "x_streaks": q_x_streaks,
         "x_stream_ewma": q_x_stream_ewma,
-        "x_ppr": q_x_ppr,
         "x_rfm": q_x_rfm,
         "x_dedup_eval": q_x_dedup_eval,
         "x_welch_t": q_x_welch_t,
@@ -4860,7 +4867,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_url_normalize": q_x_url_normalize,
         "x_inverted_index": q_x_inverted_index,
         "x_psi_drift": q_x_psi_drift,
-        "x_pagerank": q_x_pagerank,
         "x_tokenizer_fertility": q_x_tokenizer_fertility,
         "h_range_frame": q_h_range_frame,
         "x_png_decode_dims": q_x_png_decode_dims,
@@ -4963,7 +4969,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o2_top_groups": q_o2_top_groups,
         "o3_orderby": q_o3_orderby,
         "j1_anti_misses": q_j1_anti_misses,
-        "j3_reconcile_counts": q_j3_reconcile_counts,
         "k5_keyed_tree": q_k5_keyed_tree,
         "p2_generic_clean": q_p2_generic_clean,
         "h_rank_window": q_h_rank_window,

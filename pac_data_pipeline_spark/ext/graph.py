@@ -57,7 +57,12 @@ def pagerank(
     # construction into each consumer — the synthetic 5-way-union
     # fixture ballooned to 100+ FileScans at 3 iterations. Cut the
     # lineage once; executor-local blocks, no CacheManager entry.
+    # The NODE list is a multi-consumer too (the count, the initial
+    # ranks, and one left join per iteration): un-materialized it
+    # cost n_iter+2 full column scans of the corpus (8 FileScans at
+    # 3 iterations) — same fix, |V| ids once.
     edges = edges.localCheckpoint()
+    nodes = nodes.select(id_col).localCheckpoint()
     n_row = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("__n")))
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__od"))
     ranks = nodes.crossJoin(n_row).select(
@@ -397,7 +402,10 @@ def personalized_pagerank(
     the seed set)."""
     edges = edges.localCheckpoint()
     is_seed = (F.col(id_col) % seed_mod == 0).cast("int")
-    seeded = nodes.select(id_col, is_seed.alias("__s"))
+    # seeded (id, flag) feeds the seed count, the initial ranks, and
+    # every iteration's left join — materialize once (the pagerank
+    # node-list fix; 8 corpus FileScans at 3 iterations before)
+    seeded = nodes.select(id_col, is_seed.alias("__s")).localCheckpoint()
     n_row = F.broadcast(
         seeded.agg(F.sum("__s").cast("double").alias("__ns"))
     )

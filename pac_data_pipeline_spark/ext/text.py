@@ -471,14 +471,19 @@ def token_logfreq_score(
 
     Plan: one (doc, token) explode feeds BOTH the corpus frequency
     table (pair-keyed aggregate, hot tokens spread) and the per-doc
-    average; the vocab-sized frequency table and the 1-row total
-    broadcast back onto the exploded stream, so the corpus side
-    shuffles once on doc_id only. Scores round to 6 before hashing
-    so summation order can't flip the value."""
+    average; the vocab-sized frequency table localCheckpoints (its
+    two consumers — the 1-row total and the scoring join — would
+    otherwise each re-tokenize the corpus; the bm25/dedup-cluster
+    lesson) and broadcasts with the total back onto the exploded
+    stream, so the corpus side shuffles once on doc_id only. Scores
+    round to 6 before hashing so summation order can't flip the
+    value."""
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), TOKEN_SEP)).alias("token")
     )
-    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    freq = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n")
+    ).localCheckpoint()  # vocab-sized; 2 consumers below
     total = freq.agg(F.sum("n").alias("total"))
     return (
         toks.join(F.broadcast(freq), "token")

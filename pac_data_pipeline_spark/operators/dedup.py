@@ -52,16 +52,60 @@ def reconcile_counts(
 ) -> DataFrame:
     """J3: upload-vs-existing reconciliation (check_duplicates.py:
     124-172) — counts of incoming, existing, and incoming rows not
-    present in existing (left-anti join on all common columns)."""
+    present in existing (anti-join semantics on all common columns).
+
+    Scale shape: ONE pass over each input. The pre-r8 formulation
+    ran the two side counts plus a left-anti join as three separate
+    consumers — four scans of the fact when both sides read the
+    same table. Instead the sides union with membership markers and
+    ONE group-by over the common columns yields all three counts.
+    Anti-join NULL semantics are preserved explicitly: a join on
+    columns never matches NULL keys (an incoming row with any NULL
+    common column is always "new"), while groupBy treats NULLs as
+    equal — so the "new" bucket counts groups with zero existing
+    rows OR any NULL column."""
     common = [c for c in incoming.columns if c in set(existing.columns)]
-    new_rows = incoming.join(existing, on=common, how="left_anti")
-    return (
-        incoming.agg(F.count(F.lit(1)).alias("n")).withColumn("side", F.lit(label_in))
+    tagged = (
+        incoming.select(*common)
+        .withColumn("__in", F.lit(1))
+        .withColumn("__ex", F.lit(0))
         .unionByName(
-            existing.agg(F.count(F.lit(1)).alias("n")).withColumn("side", F.lit(label_ex))
+            existing.select(*common)
+            .withColumn("__in", F.lit(0))
+            .withColumn("__ex", F.lit(1))
         )
-        .unionByName(
-            new_rows.agg(F.count(F.lit(1)).alias("n")).withColumn("side", F.lit("new"))
-        )
-        .select("side", "n")
     )
+    grouped = tagged.groupBy(*common).agg(
+        F.sum("__in").alias("__ic"), F.sum("__ex").alias("__ec")
+    )
+    any_null = None
+    for c in common:
+        cond = F.col(c).isNull()
+        any_null = cond if any_null is None else (any_null | cond)
+    is_new = (F.col("__ec") == 0) | (
+        any_null if any_null is not None else F.lit(False)
+    )
+    totals = grouped.agg(
+        F.coalesce(F.sum("__ic"), F.lit(0)).cast("bigint").alias("n_in"),
+        F.coalesce(F.sum("__ec"), F.lit(0)).cast("bigint").alias("n_ex"),
+        F.coalesce(
+            F.sum(F.when(is_new, F.col("__ic")).otherwise(0)), F.lit(0)
+        ).cast("bigint").alias("n_new"),
+    )
+    return totals.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(label_in).alias("side"),
+                    F.col("n_in").alias("n"),
+                ),
+                F.struct(
+                    F.lit(label_ex).alias("side"),
+                    F.col("n_ex").alias("n"),
+                ),
+                F.struct(
+                    F.lit("new").alias("side"), F.col("n_new").alias("n")
+                ),
+            )
+        ).alias("p")
+    ).select("p.side", "p.n")

@@ -173,7 +173,14 @@ def train_corpus_pipeline(
         (F.col("quality_score") >= quality_min)
         & (F.col("lang_guess") == lang)
     )
-    deduped = exact_dedup(kept)
+    # stage boundary: the dedup survivors feed THREE consumers
+    # (decontamination's gram explode, its doc-id spine, and the
+    # final manifest join) — un-materialized, Catalyst re-ran the
+    # full filter+sha256-window chain per consumer (4 corpus
+    # FileScans). In production this boundary is a parquet write
+    # between pipeline stages; in one-plan form it's a
+    # localCheckpoint of the kept subset.
+    deduped = exact_dedup(kept).localCheckpoint()
     eval_set = docs.filter(F.col("doc_id") % eval_mod == 0)
     flags = decontaminate(deduped, eval_set, n=ngram_n)
     return (

@@ -716,3 +716,29 @@ def test_selection_retrieval_family_scans_corpus_once(spark):
     assert scans("x_lm_perplexity") == 1
     assert scans("x_ngram_jaccard") <= 2
     assert scans("x_skew_profile") == 0
+
+
+def test_graph_pipeline_reconcile_scan_counts(spark):
+    """Scan pins for the remaining r8 multi-consumer fixes:
+    pagerank/ppr materialize the node list (was n_iter+2 corpus
+    column scans — 8 FileScans at 3 iterations), the train-corpus
+    pipeline checkpoints its dedup stage boundary (was 4: the
+    survivors fed decontamination's gram explode, its doc-id spine,
+    AND the manifest join), J3 reconciliation collapses two side
+    counts + an anti join into one union-aggregate pass (2 scans =
+    one per input frame), and logfreq's vocab table checkpoints."""
+    import re
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+
+    def scans(name):
+        p = plan(qs[name](spark, SF), "simple")
+        return len(re.findall(r"FileScan", p))
+
+    assert scans("x_pagerank") == 0
+    assert scans("x_ppr") == 0
+    assert scans("pipe_train_corpus") <= 1
+    assert scans("j3_reconcile_counts") <= 2
+    assert scans("x_logfreq_score") == 1
