@@ -483,3 +483,79 @@ def split_leakage_audit(
         )
         .orderBy("policy", "split")
     )
+
+
+def doremi_reweight(
+    doc_losses: DataFrame,
+    domain_col: str = "source",
+    loss_col: str = "loss_micro",
+) -> DataFrame:
+    """One domain-reweighting step in the DoReMi direction (Xie et
+    al., NeurIPS 2023): up-weight domains whose loss EXCEEDS the
+    corpus-wide reference (the proxy model finds them hard /
+    under-trained), down-weight easy ones — the mixture-setting
+    complement of per-instance DSIR selection.
+
+    DoReMi proper runs exponentiated-gradient updates inside a
+    proxy-model training loop; this is the LINEARIZED one-step
+    rendering over an already-computed per-document loss column
+    (e.g. the corpus-LM avg_nll in micro-nats): with uniform prior
+    weights, ``exp(η·excess) ≈ 1 + η·excess``, so
+
+        w_raw(d)    = max(0, 1_000_000 + excess_micro(d))      (η = 1)
+        weight_ppm  = (1_000_000 · w_raw) div Σ w_raw
+
+    — every quantity an exact integer (floor divisions on positive
+    operands only), which is what makes the step reproducible
+    bit-for-bit by a SQL oracle; the exponentiated production
+    variant is one ``F.exp`` swap away and deliberately not the
+    oracle tier (the DSIR/log-domain convention).
+
+    ``doc_losses`` is (domain_col, loss_col) with one row per scored
+    document, loss an exact non-negative integer (micro-units).
+    Returns one row per domain: (domain, n_docs, dom_loss_micro,
+    excess_micro, weight_ppm). NULL domains group together (an
+    unlabeled shard is still a shard); domains whose mean loss sits
+    more than one unit below the reference floor at weight 0 —
+    dropped from the next mixture, the clamp DoReMi applies through
+    the simplex projection.
+
+    Scale shape: ONE shuffle (the per-domain aggregate over the
+    per-doc loss frame); the |domains|-row aggregate
+    localCheckpoints because the reference total, the weight
+    normalizer, and the final projection all consume it — inlining
+    would re-run the upstream corpus scoring once per consumer (the
+    bm25/dedup-cluster lesson). Totals ride 1-row broadcasts.
+    """
+    dom = (
+        doc_losses.groupBy(domain_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(loss_col).alias("__s"),
+        )
+        .localCheckpoint()  # tiny; 3 consumers below
+    )
+    tot = dom.agg(
+        F.sum("__s").alias("__st"), F.sum("n_docs").alias("__nt")
+    )
+    d2 = dom.crossJoin(F.broadcast(tot)).select(
+        domain_col,
+        "n_docs",
+        F.expr("__s div n_docs").alias("dom_loss_micro"),
+        F.expr("(__s div n_docs) - (__st div __nt)").alias(
+            "excess_micro"
+        ),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.lit(1_000_000)
+            + F.expr("(__s div n_docs) - (__st div __nt)"),
+        ).alias("__w_raw"),
+    )
+    w_tot = d2.agg(F.sum("__w_raw").alias("__wt"))
+    return d2.crossJoin(F.broadcast(w_tot)).select(
+        domain_col,
+        "n_docs",
+        "dom_loss_micro",
+        "excess_micro",
+        F.expr("(1000000 * __w_raw) div __wt").alias("weight_ppm"),
+    )

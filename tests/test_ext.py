@@ -2672,3 +2672,46 @@ def test_rrf_fuse_exact_scores_and_tiebreak(spark):
         got_order,
         key=lambda d: (-rows[d].rrf_micro, d),
     )
+
+
+def test_doremi_reweight_exact_step(spark):
+    """The linearized DoReMi step is exact integer arithmetic —
+    replay in Python and demand equality; a higher-loss domain gets
+    a larger weight; ppm shares sum to ≤ 1e6 (floor division);
+    NULL domains group together; a domain far below the reference
+    clamps to weight 0."""
+    from pac_data_pipeline_spark.ext.sampling import doremi_reweight
+
+    rows = [
+        ("web", 5_000_000), ("web", 7_000_000),
+        ("wiki", 2_000_000), ("wiki", 2_200_000),
+        (None, 9_000_000),
+        ("easy", 1_000), ("easy", 3_000),  # far below ref -> clamp 0
+    ]
+    df = spark.createDataFrame(rows, "source string, loss_micro long")
+    out = {r.source: r for r in doremi_reweight(df).collect()}
+
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])
+    for s, l in rows:
+        agg[s][0] += 1
+        agg[s][1] += l
+    st = sum(v[1] for v in agg.values())
+    nt = sum(v[0] for v in agg.values())
+    ref = st // nt
+    w_raw = {}
+    for s, (n, tot) in agg.items():
+        mean = tot // n
+        w_raw[s] = max(0, 1_000_000 + (mean - ref))
+    wt = sum(w_raw.values())
+    for s, (n, tot) in agg.items():
+        mean = tot // n
+        r = out[s]
+        assert (r.n_docs, r.dom_loss_micro, r.excess_micro) == (
+            n, mean, mean - ref
+        ), s
+        assert r.weight_ppm == (1_000_000 * w_raw[s]) // wt, s
+    assert out["easy"].weight_ppm == 0
+    assert out[None].weight_ppm > out["wiki"].weight_ppm
+    assert sum(r.weight_ppm for r in out.values()) <= 1_000_000

@@ -49,6 +49,9 @@ ALLOWED_BNL = {
     "x_hard_negatives",   # 5-row anchor set vs corpus
     "x_negative_pairs",   # 1-row corpus-count broadcast
     "x_lm_perplexity",    # 1-row vocabulary-size broadcast
+    "x_doremi_weights",   # 1-row vocab + reference-total + weight-
+                          # normalizer broadcasts over the
+                          # |domains|-row aggregate
     "x_nb_classifier",    # |labels|-row label-stats broadcast
     "x_bm25",             # 1-row (N, avgdl) corpus-stats broadcast
     "x_pagerank",         # 1-row node-count broadcast (teleport term)
