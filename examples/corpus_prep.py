@@ -2,10 +2,11 @@
 testdata: HTML-to-text extraction (pages synthesized, links
 harvested, URLs canonicalized) -> quality gates -> NB domain
 classifier -> exact + chunk-level dedup -> substring-duplication
-audit -> decontamination -> domain mixing -> n-gram novelty gate ->
+audit -> decontamination (exact + Bloom scale path) -> DSIR
+importance selection -> domain mixing -> n-gram novelty gate ->
 temperature-sampled token budget -> stratified reservoir sample ->
-train/val/test split with leakage audit, finishing with a
-per-source report card.
+train/val/test split with leakage audit, finishing with a DoReMi
+next-round mixture update and a per-source report card.
 
 Run:  python examples/corpus_prep.py [sf_dir]
 """
@@ -21,10 +22,12 @@ from pac_data_pipeline_spark.ext.text import corpus_report, gopher_rules
 from pac_data_pipeline_spark.ext.classify import nb_classify
 from pac_data_pipeline_spark.ext.corpus import chunk_dedup, suffix_duplication
 from pac_data_pipeline_spark.ext.dedup_text import (
+    bloom_decontaminate,
     decontaminate,
     exact_dedup,
     ngram_novelty,
 )
+from pac_data_pipeline_spark.ext.dsir import dsir_scores
 from pac_data_pipeline_spark.ext.html import (
     html_extract,
     html_links,
@@ -34,6 +37,7 @@ from pac_data_pipeline_spark.ext.html import (
 )
 from pac_data_pipeline_spark.ext.sampling import (
     domain_mix,
+    doremi_reweight,
     split_leakage_audit,
     stratified_reservoir,
     temperature_mixture,
@@ -93,6 +97,26 @@ def main() -> None:
     clean = deduped.join(flags, "doc_id").filter(~F.col("contaminated"))
     print("after decontamination:", clean.count())
 
+    # the Bloom tier flags a SUPERSET of the exact join (no false
+    # negatives) from a fixed-size broadcast bitmap — the shape that
+    # survives a benchmark suite 1000x this size
+    bloom = bloom_decontaminate(deduped, eval_set, n=8)
+    print(
+        "bloom-flagged (>= exact by construction):",
+        bloom.filter(F.col("contaminated")).count(),
+        "vs exact:",
+        flags.filter(F.col("contaminated")).count(),
+    )
+
+    # DSIR importance selection (Xie et al. 2023): keep the docs
+    # whose hashed-bigram profile looks most like the EN target
+    dsir = dsir_scores(docs, F.col("lang") == "en", target_cols=("lang",))
+    keep = dsir.filter(F.col("n_feats") > 0).orderBy(
+        F.desc("dsir_micro"), "doc_id"
+    ).limit(400).select("doc_id")
+    clean = clean.join(keep, "doc_id")
+    print("after DSIR selection (top 400 target-like):", clean.count())
+
     mixed = domain_mix(
         clean,
         targets={"src0": 0.3, "src1": 0.3, "src2": 0.2, "src3": 0.2},
@@ -119,6 +143,25 @@ def main() -> None:
 
     print("train/val/test split policies + content-leakage audit:")
     split_leakage_audit(fresh).show(10, truncate=False)
+
+    # DoReMi-step mixture update: which domains should the NEXT
+    # training round up-weight? (per-domain excess corpus-LM loss)
+    from pac_data_pipeline_spark.ext.text import ngram_lm_score
+
+    losses = (
+        ngram_lm_score(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            "source",
+            F.round(F.col("avg_nll") * 1000).cast("long").alias(
+                "loss_micro"
+            ),
+        )
+    )
+    print("DoReMi next-round domain weights (ppm):")
+    doremi_reweight(losses).orderBy(F.desc("weight_ppm")).show(
+        10, truncate=False
+    )
 
     corpus_report(clean).show(10, truncate=False)
     spark.stop()
