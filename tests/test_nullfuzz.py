@@ -51,3 +51,74 @@ def test_representative_queries_survive_null_fuzz(fuzz_dir):
     )
     assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-2000:]
     assert ", 0 failed," in r.stdout, r.stdout[-3000:]
+
+
+DUP_REPRESENTATIVES = [
+    # the dedup/near-dup family against a clone where the positive
+    # class actually exists: the generator's clean data has almost
+    # no genuine duplicates, so without this gate these queries'
+    # verdicts never exercise a real duplicate group / near-dup
+    # band / cosine-1 pair
+    "x_dedup_exact_groups",  # real multi-member content-hash groups
+    "j2_dedup_keep_first",   # keep-first across real duplicates
+    "x_minhash_portable",    # LSH bands actually colliding
+    "x_simhash_pairs",       # hamming-band pairs firing
+    "x_jaccard_join",        # prefix-filter candidates surviving verify
+    "x_dedup_clusters",      # multi-node connected components
+    "x_dedup_representatives",
+    "x_ngram_novelty",       # assembled-from-seen docs scoring low
+    "x_chunk_dedup",         # window-level spans deduping
+    "x_embedding_near_dup_axis",  # exact-copy vectors at cosine 1
+    "x_decontaminate",       # duplicated text crossing the eval set
+    "x_bloom_decontaminate",
+]
+
+
+@pytest.fixture(scope="module")
+def dupes_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("sf_dupes"))
+    r = subprocess.run(
+        [
+            sys.executable,
+            "tools/nullfuzz.py",
+            "--dupes",
+            "/root/testdata/sf0.001",
+            out,
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    return out
+
+
+def test_dedup_family_fires_and_matches_on_duplicate_injection(dupes_dir):
+    """Differential + non-vacuous: the dedup family must hash-match
+    its oracles on the duplicate-injected clone AND actually find
+    duplication (exact groups shrink below the row count)."""
+    r = subprocess.run(
+        [
+            sys.executable,
+            "tools/check_oracle.py",
+            dupes_dir,
+            *DUP_REPRESENTATIVES,
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-2000:]
+    assert ", 0 failed," in r.stdout, r.stdout[-3000:]
+    # non-vacuous: exact dedup found real groups (fewer groups than
+    # docs) — parse its [ok] line row count from the gate output
+    import re as _re
+
+    m = _re.search(r"\[ok\] x_dedup_exact_groups: (\d+) rows", r.stdout)
+    assert m, r.stdout[-2000:]
+    import duckdb as _duck
+
+    n_docs = _duck.connect().execute(
+        f"SELECT count(*) FROM '{dupes_dir}/documents.parquet'"
+    ).fetchone()[0]
+    assert int(m.group(1)) < n_docs, (m.group(1), n_docs)

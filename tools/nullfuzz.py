@@ -5,6 +5,7 @@ differential gate against it:
     python tools/nullfuzz.py --empty [src_sf_dir] [out_dir]
     python tools/nullfuzz.py --unicode [src_sf_dir] [out_dir]
     python tools/nullfuzz.py --blank [src_sf_dir] [out_dir]
+    python tools/nullfuzz.py --dupes [src_sf_dir] [out_dir]
     python tools/check_oracle.py <out_dir>
 
 Deterministically nulls ~5% of every non-key column (md5 of
@@ -18,9 +19,14 @@ appends non-ASCII payloads (combining chars, CJK, emoji, Latin-1
 supplements) to 10% of document texts — the Java-regex vs RE2 vs
 codepoint-length parity check for the text operators. ``--blank``
 replaces ~12% of document texts with empty/whitespace-only strings
-— the tokenizes-to-[''] class that NULL fuzzing cannot reach. Every query
-passes all four gates with the same verdict set as clean data
-(161 ok / 12 rows-only, 0 failed).
+— the tokenizes-to-[''] class that NULL fuzzing cannot reach.
+``--dupes`` injects real duplication: ~8% of document texts become
+an exact copy of another document and ~8% a near-copy (one token
+appended); every 11th embedding becomes an exact copy of another
+vector. The generator's clean data has almost no genuine duplicates,
+so without this clone the dedup/novelty/near-dup family's verdicts
+never see the positive class they exist to find. Every query passes
+all five gates with the same verdict set as clean data.
 """
 
 from __future__ import annotations
@@ -43,16 +49,18 @@ KEYS = {
 
 
 def main() -> None:
-    flags = {"--empty", "--unicode", "--blank"}
+    flags = {"--empty", "--unicode", "--blank", "--dupes"}
     args = [a for a in sys.argv[1:] if a not in flags]
     empty = "--empty" in sys.argv[1:]
     unicode_mode = "--unicode" in sys.argv[1:]
     blank_mode = "--blank" in sys.argv[1:]
+    dupes_mode = "--dupes" in sys.argv[1:]
     src = args[0] if len(args) > 0 else "/root/testdata/sf0.001"
     dst = args[1] if len(args) > 1 else (
         "/tmp/sf_empty" if empty
         else "/tmp/sf_unifuzz" if unicode_mode
         else "/tmp/sf_blank" if blank_mode
+        else "/tmp/sf_dupes" if dupes_mode
         else "/tmp/sf_nullfuzz"
     )
     os.makedirs(dst, exist_ok=True)
@@ -93,6 +101,56 @@ def main() -> None:
             """
         )
         print(f"[blank] documents; wrote {dst}")
+        return
+    if dupes_mode:
+        import shutil
+
+        for t in TABLES:
+            if t not in ("documents", "embeddings"):
+                shutil.copy(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+        # donor rid = (rid*7 mod N)+1 — deterministic, rarely self;
+        # exact copies feed exact/minhash/simhash/CC positives, the
+        # appended-token copies feed the near-dup (but not exact)
+        # band, and duplicated embeddings feed cosine-1 ANN pairs
+        con.execute(
+            f"""
+            COPY (
+                WITH n AS (
+                    SELECT *, row_number() OVER () AS rid,
+                           count(*) OVER () AS nn
+                    FROM '{src}/documents.parquet'
+                )
+                SELECT d.doc_id,
+                       CASE WHEN d.rid % 13 = 0 THEN donor.text
+                            WHEN d.rid % 13 = 5
+                            THEN donor.text || ' appended'
+                            ELSE d.text END AS text,
+                       d.lang, d.source, d.n_chars
+                FROM n d
+                LEFT JOIN n donor
+                  ON donor.rid = ((d.rid * 7) % d.nn) + 1
+            ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
+            """
+        )
+        con.execute(
+            f"""
+            COPY (
+                WITH n AS (
+                    SELECT *, row_number() OVER () AS rid,
+                           count(*) OVER () AS nn
+                    FROM '{src}/embeddings.parquet'
+                )
+                SELECT e.vec_id,
+                       CASE WHEN e.rid % 11 = 0 THEN donor.embedding
+                            ELSE e.embedding END AS embedding,
+                       e.label
+                FROM n e
+                LEFT JOIN n donor
+                  ON donor.rid = ((e.rid * 7) % e.nn) + 1
+            ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
+            """
+        )
+        print(f"[dupes] documents + embeddings; wrote {dst}")
         return
     if unicode_mode:
         import shutil
