@@ -4685,21 +4685,47 @@ def q_x_doremi_weights(spark, sf_dir):
     return doremi_reweight(per_doc)
 
 
+def q_x_video_near_dup(spark, sf_dir):
+    """VIDEO near-dup — the missing modality tier of the dHash
+    family: real uncompressed AVIs demuxed, every 2nd frame decoded,
+    each frame's integer-exact 64-bit dHash banded into byte-bands,
+    and videos paired when any sampled frame lands within Hamming 4
+    (re-mux/re-container robust). HASH-EXACT via the generative-
+    formula oracle pattern (x_image_dhash): the raw-DIB frames
+    round-trip bit-exactly (unit-pinned), pixel bytes are the
+    document text tiled with a per-frame suffix byte, and dHash is
+    pure integer cross-multiplication — so the oracle re-derives
+    every frame hash from the formulas (dims 4+d%5 × 4+3d%5,
+    2+d%4 frames) and brute-forces the pairs. The only corpus
+    shuffle is the (band, value) equi-join."""
+    from pac_data_pipeline_spark.ext.dedup_text import ensure_parallelism
+    from pac_data_pipeline_spark.ext.multimodal import (
+        video_frame_dhash,
+        video_media_from_documents,
+        video_near_dup,
+    )
+
+    media = video_media_from_documents(
+        ensure_parallelism(_t(spark, sf_dir, "documents"))
+    )
+    return video_near_dup(video_frame_dhash(media, every_n=2), max_hamming=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # Dict ORDER is load-bearing: the round driver's correctness
         # gate checks only the FIRST 50 entries. Round-8 window
-        # (steady-state policy), 50 = 2 + 5 + 4 + 18 + 21:
+        # (steady-state policy), 50 = 2 + 5 + 5 + 18 + 20:
         # (a)  the TWO round-8 additions (x_mjpeg_frames — Motion-
         #      JPEG compressed-video frame sampling; x_c4_filters —
         #      the C4/Raffel-et-al line+page cleaning gates), both
         #      hash-exact from day one;
         # (a2) FIVE session-2 additions: the IVFADC ANN tier and the
         #      four partsupp-derived TPC-H shapes completing all 22;
-        # (a3) FOUR session-3 additions: DSIR importance scoring,
+        # (a3) FIVE session-3 additions: DSIR importance scoring,
         #      Bloom-filter decontamination, RRF hybrid fusion,
-        #      DoReMi-step domain reweighting — hash-exact from
-        #      day one;
+        #      DoReMi-step domain reweighting, video near-dup —
+        #      hash-exact from day one;
         # (b)  the EIGHT queries whose code changed this round: the
         #      dedup-cluster family localCheckpoint/dictionary-encode
         #      fix (x_jaccard_join, x_dedup_clusters,
@@ -4719,12 +4745,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      checkpointed train-corpus stage boundary (4→1), the
         #      materialized pagerank/ppr node lists (8→0 each), and
         #      the checkpointed logfreq vocab table (3→1);
-        # (c)  the remaining 21 slots re-check the OLDEST verdicts:
+        # (c)  the remaining 20 slots re-check the OLDEST verdicts:
         #      x_token_regex (the one remaining r01 verdict), then
         #      the r03 block in dict order through
-        #      x_interval_join, skipping the r03 names already
-        #      in (b). The eighteen r03 names sessions 2/3
-        #      displaced (x_minhash_portable …
+        #      x_weighted_sample, skipping the r03 names already
+        #      in (b). The nineteen r03 names sessions 2/3
+        #      displaced (x_interval_join …
         #      x_pack_sequences) head the tail.
         # All oracle-backed names are exact-hash green in the local
         # DuckDB gate (tools/check_oracle.py, clean + null-fuzz +
@@ -4738,11 +4764,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h11_important_stock": q_h11_important_stock,
         "h16_parts_suppliers": q_h16_parts_suppliers,
         "h20_potential_promo": q_h20_potential_promo,
-        # -- (a3) new, session 3 (4) ----------------------------------
+        # -- (a3) new, session 3 (5) ----------------------------------
         "x_dsir_weights": q_x_dsir_weights,
         "x_bloom_decontaminate": q_x_bloom_decontaminate,
         "x_rrf_fusion": q_x_rrf_fusion,
         "x_doremi_weights": q_x_doremi_weights,
+        "x_video_near_dup": q_x_video_near_dup,
         # -- (b) code-changed this round (18) --------------------------
         "x_jaccard_join": q_x_jaccard_join,
         "x_dedup_clusters": q_x_dedup_clusters,
@@ -4783,7 +4810,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_cc_largestar": q_x_cc_largestar,
         "x_udtf_tokens": q_x_udtf_tokens,
         "x_weighted_sample": q_x_weighted_sample,
-        "x_interval_join": q_x_interval_join,
         # ---- end of round-8 window (position 50) -------------------
         # NEXT-ROUND TAIL (round-9 plan): steady state — (1) new or
         # code-changed queries go to the dict head; (2) remaining
@@ -4797,7 +4823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # The tail below is ordered by (last-verdict round, prior
         # dict position), so the cursor is simply 'read on from
         # position 51'.
-        # ---- last verdicted r03 (18 displaced from the window) --
+        # ---- last verdicted r03 (19 displaced from the window) --
+        "x_interval_join": q_x_interval_join,
         "x_minhash_portable": q_x_minhash_portable,
         "x_embedding_near_dup_axis": q_x_embedding_near_dup_axis,
         "x_cosine_topk_axis": q_x_cosine_topk_axis,
@@ -9337,6 +9364,94 @@ def oracle_sql() -> dict[str, str]:
                CAST(excess_micro AS BIGINT) AS excess_micro,
                CAST((1000000 * w_raw) // wt.w AS BIGINT) AS weight_ppm
         FROM d2 CROSS JOIN wt
+    """
+    # x_video_near_dup: generative-formula oracle (the x_image_dhash
+    # pattern, extended per frame) — raw-DIB AVI frames round-trip
+    # bit-exactly, so each sampled frame's pixels are the document
+    # text tiled with a per-frame suffix byte (seed = utf8(text or
+    # 'None' or 'x') + [f+1]); chsum is channel-order-invariant (the
+    # DIB BGR convention cancels), dHash is pure integer
+    # cross-multiplication, and pairs brute-force at Hamming <= 4.
+    oracles["x_video_near_dup"] = """
+        WITH raw AS (
+            SELECT doc_id,
+                   hex(encode(CASE WHEN text IS NULL THEN 'None'
+                              ELSE text END)) AS hx0
+            FROM documents
+        ),
+        docs AS (
+            SELECT doc_id,
+                   CASE WHEN hx0 = '' THEN '78' ELSE hx0 END AS hx,
+                   CAST(4 + doc_id % 5 AS BIGINT) AS w,
+                   CAST(4 + (doc_id * 3) % 5 AS BIGINT) AS h,
+                   CAST(2 + doc_id % 4 AS BIGINT) AS nf
+            FROM raw
+        ),
+        frames AS (
+            SELECT d.doc_id, d.hx, d.w, d.h, ff.f AS f,
+                   length(CASE WHEN d.hx = '' THEN '78'
+                          ELSE d.hx END) // 2 AS tlen
+            FROM docs d, range(0, 5) ff(f)
+            WHERE ff.f % 2 = 0 AND ff.f < d.nf
+        ),
+        px AS (
+            SELECT doc_id, f, w, h, yy.y AS y, xx.x AS x,
+                   CASE WHEN ((yy.y*w + xx.x)*3    ) % (tlen+1) = tlen
+                        THEN f + 1
+                        ELSE CAST('0x' || substr(hx,
+                          2*(((yy.y*w + xx.x)*3    ) % (tlen+1)) + 1, 2)
+                          AS INT) END
+                 + CASE WHEN ((yy.y*w + xx.x)*3 + 1) % (tlen+1) = tlen
+                        THEN f + 1
+                        ELSE CAST('0x' || substr(hx,
+                          2*(((yy.y*w + xx.x)*3 + 1) % (tlen+1)) + 1, 2)
+                          AS INT) END
+                 + CASE WHEN ((yy.y*w + xx.x)*3 + 2) % (tlen+1) = tlen
+                        THEN f + 1
+                        ELSE CAST('0x' || substr(hx,
+                          2*(((yy.y*w + xx.x)*3 + 2) % (tlen+1)) + 1, 2)
+                          AS INT) END AS chsum
+            FROM frames, range(0, 8) yy(y), range(0, 8) xx(x)
+            WHERE yy.y < h AND xx.x < w
+        ),
+        cells AS (
+            SELECT p.doc_id, p.f, rr.r AS r, cc.c AS c,
+                   SUM(p.chsum) AS tot, COUNT(*) AS cnt
+            FROM frames d
+            CROSS JOIN range(0, 8) rr(r)
+            CROSS JOIN range(0, 9) cc(c)
+            JOIN px p ON p.doc_id = d.doc_id AND p.f = d.f
+               AND p.y >= (rr.r * d.h) // 8
+               AND p.y < greatest(((rr.r + 1) * d.h) // 8,
+                                  (rr.r * d.h) // 8 + 1)
+               AND p.x >= (cc.c * d.w) // 9
+               AND p.x < greatest(((cc.c + 1) * d.w) // 9,
+                                  (cc.c * d.w) // 9 + 1)
+            GROUP BY 1, 2, 3, 4
+        ),
+        bits AS (
+            SELECT l.doc_id, l.f,
+                   CAST(SUM(CASE WHEN l.tot * r.cnt > r.tot * l.cnt THEN
+                       CASE WHEN l.r * 8 + l.c = 63
+                            THEN CAST(-9223372036854775808 AS BIGINT)
+                            ELSE CAST(1 AS BIGINT) << (l.r * 8 + l.c)
+                       END ELSE 0 END) AS BIGINT) AS dh
+            FROM cells l
+            JOIN cells r ON r.doc_id = l.doc_id AND r.f = l.f
+                        AND r.r = l.r AND r.c = l.c + 1
+            WHERE l.c < 8
+            GROUP BY 1, 2
+        ),
+        fp AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.dh, b.dh)) AS hamming
+            FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.dh, b.dh)) <= 4
+        )
+        SELECT id_a, id_b,
+               CAST(count(*) AS BIGINT) AS n_frame_matches,
+               CAST(min(hamming) AS INT) AS min_hamming
+        FROM fp GROUP BY 1, 2
     """
     oracles["x_udtf_tokens"] = """
         SELECT doc_id,

@@ -1413,3 +1413,105 @@ def dhash_near_dup(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+def video_frame_dhash(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Per-sampled-frame perceptual hash over AVI payloads — the
+    video arm of the dHash family: demux the RIFF envelope, decode
+    every ``every_n``-th frame (raw-DIB reshape or full MJPEG
+    entropy decode), and emit the integer-exact 64-bit dHash of the
+    decoded pixels (:func:`_dhash_bits` — channel-summed byte
+    totals, so the DIB BGR convention cannot perturb the bits).
+    One output row per sampled frame; non-AVI payloads skip.
+    Arrow-batched; fans out first (decode is compute-bound)."""
+    from pac_data_pipeline_spark.ext.avi import decode_avi_frame, parse_avi
+    from pac_data_pipeline_spark.ext.dedup_text import ensure_parallelism
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                b = bytes(payload)
+                try:
+                    stream = parse_avi(b)
+                except _CODEC_ERRORS:
+                    continue
+                for idx in range(0, stream.n_frames, every_n):
+                    try:
+                        px = decode_avi_frame(b, stream, idx)
+                    except _CODEC_ERRORS:
+                        continue
+                    rows.append((int(doc_id), idx, _dhash_bits(px)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "dhash"]
+            )
+
+    return ensure_parallelism(
+        media.select("doc_id", "content")
+    ).mapInPandas(batches, "doc_id long, frame_idx int, dhash long")
+
+
+def video_near_dup(
+    frame_hashes: DataFrame, max_hamming: int = 4, bands: int = 8
+) -> DataFrame:
+    """Near-duplicate VIDEO pairs from sampled-frame dHashes: two
+    videos match when any of their sampled frames land within
+    ``max_hamming`` bits — the re-encode/re-container/trim-robust
+    dedup signal for video corpora (a re-muxed copy shares every
+    frame; a trimmed copy still shares most).
+
+    Scale shape: identical to the image tier — the 64-bit hash
+    splits into ``bands`` byte-bands and candidates share an exact
+    band (lossless for Hamming ≤ bands−1 by pigeonhole), so the only
+    shuffle is the (band, value) equi-join; frames never pair
+    all-against-all, and video pairs aggregate from frame pairs with
+    one tiny group-by. Returns (id_a, id_b, n_frame_matches,
+    min_hamming)."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    h = frame_hashes.filter(F.col("dhash").isNotNull())
+    banded = h.select(
+        "doc_id",
+        "frame_idx",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.shiftrightunsigned(
+                                F.col("dhash"), b * width
+                            ).bitwiseAND(F.lit(mask))
+                        ).alias("val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "frame_idx", "dhash", "bv.band", "bv.val")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    frame_pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("a.frame_idx").alias("f_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("b.frame_idx").alias("f_b"),
+            F.bit_count(
+                F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return frame_pairs.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("n_frame_matches"),
+        F.min("hamming").alias("min_hamming"),
+    )

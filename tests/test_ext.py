@@ -2715,3 +2715,37 @@ def test_doremi_reweight_exact_step(spark):
     assert out["easy"].weight_ppm == 0
     assert out[None].weight_ppm > out["wiki"].weight_ppm
     assert sum(r.weight_ppm for r in out.values()) <= 1_000_000
+
+
+def test_video_near_dup_identical_videos_at_hamming_zero(spark):
+    """Two documents with identical text and congruent ids (same
+    formula dims + frame count) synthesize identical AVIs — the
+    video pair must surface with every sampled frame matching at
+    Hamming 0; an unrelated doc with different text must not pair
+    at 0 with them."""
+    from pac_data_pipeline_spark.ext.multimodal import (
+        video_frame_dhash,
+        video_media_from_documents,
+        video_near_dup,
+    )
+
+    # ids 0 and 20 are congruent mod 5/4: same w, h, n_frames
+    docs = spark.createDataFrame(
+        [
+            (0, "the exact same video payload text"),
+            (20, "the exact same video payload text"),
+            (3, "completely different content here entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    media = video_media_from_documents(docs)
+    hashes = video_frame_dhash(media, every_n=2)
+    out = {
+        (r.id_a, r.id_b): (r.n_frame_matches, r.min_hamming)
+        for r in video_near_dup(hashes, max_hamming=4).collect()
+    }
+    assert (0, 20) in out
+    n_matches, min_h = out[(0, 20)]
+    assert min_h == 0
+    # n_frames = 2 + 0 % 4 = 2, every_n=2 -> one sampled frame each
+    assert n_matches == 1
