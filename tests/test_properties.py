@@ -1174,3 +1174,116 @@ def test_hamilton_apportionment_quota_rule(weights, budget):
         lo = share.numerator // share.denominator
         hi = lo if share == lo else lo + 1
         assert lo <= alloc[d] <= hi, (d, alloc[d], float(share))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de", "zh"]),
+            st.lists(
+                st.sampled_from("abcdefg"), min_size=0, max_size=12
+            ).map(lambda ws: " ".join(ws)),
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_dsir_scores_match_python_mirror(spark_session_holder, rows):
+    """The fixed-point DSIR contract (ext/dsir.py) against a
+    trivially-correct Python mirror over arbitrary tiny corpora —
+    bucket hashing, add-one smoothing, integer floor divisions, and
+    the featureless-doc zero must all agree exactly, for any mix of
+    languages, empty/short texts, and duplicate bigrams."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from pac_data_pipeline_spark.ext.dsir import dsir_scores
+
+    spark = spark_session_holder
+    data = [(i, lang, txt) for i, (lang, txt) in enumerate(rows)]
+    if not data:
+        return
+    df = spark.createDataFrame(
+        data, "doc_id long, lang string, text string"
+    )
+    got = {
+        r.doc_id: (r.n_feats, r.dsir_micro)
+        for r in dsir_scores(
+            df, F.col("lang") == "en", n_buckets=64,
+            target_cols=("lang",),
+        ).collect()
+    }
+
+    B = 64
+
+    def bigrams(t):
+        toks = re.split(r"[ \t\n\f\r]+", t.strip())
+        if len(toks) < 2:
+            return []
+        return [f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+
+    per = {i: Counter(bucket(g) for g in bigrams(t)) for i, _, t in data}
+    raw, tgt = Counter(), Counter()
+    for i, lang, _ in data:
+        raw.update(per[i])
+        if lang == "en":
+            tgt.update(per[i])
+    R, T = sum(raw.values()), sum(tgt.values())
+    for i, _, _ in data:
+        cnts = per[i]
+        exp_n = sum(cnts.values())
+        exp_s = sum(
+            c * ((1_000_000 * (tgt[b] + 1) * (R + B))
+                 // ((raw[b] + 1) * (T + B)))
+            for b, c in cnts.items()
+        )
+        assert got[i] == (exp_n, exp_s), (i, got[i], (exp_n, exp_s))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=3, max_size=10)
+        .map(lambda ws: " ".join(ws)),
+        min_size=1,
+        max_size=15,
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+def test_bloom_decontaminate_never_false_negative(
+    spark_session_holder, texts, eval_mod
+):
+    """Bloom membership is a SUPERSET of exact membership for ANY
+    corpus and eval split: every doc the exact 3-gram join flags,
+    the bloom path must flag too (no false negatives — the bloom
+    guarantee the operator's 100 TB story rests on)."""
+    from pyspark.sql import functions as F
+
+    from pac_data_pipeline_spark.ext.dedup_text import (
+        bloom_decontaminate,
+        decontaminate,
+    )
+
+    spark = spark_session_holder
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    eval_set = df.filter(F.col("doc_id") % eval_mod == 0)
+    exact = {
+        r.doc_id: r.contaminated
+        for r in decontaminate(df, eval_set, n=3).collect()
+    }
+    bloom = {
+        r.doc_id: r.contaminated
+        for r in bloom_decontaminate(df, eval_set, n=3).collect()
+    }
+    for doc_id, flagged in exact.items():
+        if flagged:
+            assert bloom[doc_id], f"false negative on doc {doc_id}"
