@@ -457,12 +457,20 @@ def q_j1_anti_misses(spark, sf_dir):
 
 
 def q_j2_dedup_keep_first(spark, sf_dir):
-    """J2: keep-first dedup by composite key with explicit order."""
+    """J2: keep-first dedup by composite key with explicit order.
+    The order includes price and quantity as final tiebreaks:
+    keep-first is only DEFINED up to the order's ties, so the order
+    must totally determine every emitted column — the skew fuzz
+    clone (collapsed part/supp keys) exposed payload-distinct ties
+    where Spark and the oracle legitimately picked different
+    winners."""
     li = _t(spark, sf_dir, "lineitem")
     out = dedup_keep_first(
         li,
         key_cols=("l_orderkey", "l_linenumber"),
-        order_cols=("l_partkey", "l_suppkey"),
+        order_cols=(
+            "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity",
+        ),
     )
     return out.select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
@@ -4715,7 +4723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # Dict ORDER is load-bearing: the round driver's correctness
         # gate checks only the FIRST 50 entries. Round-8 window
-        # (steady-state policy), 50 = 2 + 5 + 5 + 18 + 20:
+        # (steady-state policy), 50 = 2 + 5 + 5 + 21 + 17:
         # (a)  the TWO round-8 additions (x_mjpeg_frames — Motion-
         #      JPEG compressed-video frame sampling; x_c4_filters —
         #      the C4/Raffel-et-al line+page cleaning gates), both
@@ -4743,15 +4751,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      melted one-pass skew profile (x_skew_profile 6→0),
         #      the one-pass J3 reconciliation (4→2), the
         #      checkpointed train-corpus stage boundary (4→1), the
-        #      materialized pagerank/ppr node lists (8→0 each), and
-        #      the checkpointed logfreq vocab table (3→1);
-        # (c)  the remaining 20 slots re-check the OLDEST verdicts:
+        #      materialized pagerank/ppr node lists (8→0 each),
+        #      the checkpointed logfreq vocab table (3→1), and the
+        #      skew-clone fixes — total-order keep-first tiebreaks
+        #      (j2_dedup_keep_first, pipe_snowflake_batch) and
+        #      canonical-cents JSON money rendering
+        #      (a10_nested_rollup);
+        # (c)  the remaining 17 slots re-check the OLDEST verdicts:
         #      x_token_regex (the one remaining r01 verdict), then
-        #      the r03 block in dict order through
-        #      x_weighted_sample, skipping the r03 names already
-        #      in (b). The nineteen r03 names sessions 2/3
-        #      displaced (x_interval_join …
-        #      x_pack_sequences) head the tail.
+        #      the r03 block in dict order through h21_waiting,
+        #      skipping the r03 names already in (b). The
+        #      twenty-two r03 names sessions 2/3 displaced
+        #      (x_cc_largestar … x_pack_sequences) head the tail.
         # All oracle-backed names are exact-hash green in the local
         # DuckDB gate (tools/check_oracle.py, clean + null-fuzz +
         # empty + unicode + blank clones).
@@ -4770,7 +4781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_rrf_fusion": q_x_rrf_fusion,
         "x_doremi_weights": q_x_doremi_weights,
         "x_video_near_dup": q_x_video_near_dup,
-        # -- (b) code-changed this round (18) --------------------------
+        # -- (b) code-changed this round (21) --------------------------
         "x_jaccard_join": q_x_jaccard_join,
         "x_dedup_clusters": q_x_dedup_clusters,
         "x_dedup_representatives": q_x_dedup_representatives,
@@ -4789,6 +4800,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_pagerank": q_x_pagerank,
         "x_ppr": q_x_ppr,
         "x_logfreq_score": q_x_logfreq_score,
+        "j2_dedup_keep_first": q_j2_dedup_keep_first,
+        "pipe_snowflake_batch": q_pipe_snowflake_batch,
+        "a10_nested_rollup": q_a10_nested_rollup,
         # -- (c) oldest-verdict re-checks (27: last r01 + r03 head) ----
         "x_token_regex": q_x_token_regex,
         "x_text_stats": q_x_text_stats,
@@ -4807,9 +4821,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h12_late_priority": q_h12_late_priority,
         "h17_small_qty": q_h17_small_qty,
         "h21_waiting": q_h21_waiting,
-        "x_cc_largestar": q_x_cc_largestar,
-        "x_udtf_tokens": q_x_udtf_tokens,
-        "x_weighted_sample": q_x_weighted_sample,
         # ---- end of round-8 window (position 50) -------------------
         # NEXT-ROUND TAIL (round-9 plan): steady state — (1) new or
         # code-changed queries go to the dict head; (2) remaining
@@ -4823,7 +4834,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # The tail below is ordered by (last-verdict round, prior
         # dict position), so the cursor is simply 'read on from
         # position 51'.
-        # ---- last verdicted r03 (19 displaced from the window) --
+        # ---- last verdicted r03 (22 displaced from the window) --
+        "x_cc_largestar": q_x_cc_largestar,
+        "x_udtf_tokens": q_x_udtf_tokens,
+        "x_weighted_sample": q_x_weighted_sample,
         "x_interval_join": q_x_interval_join,
         "x_minhash_portable": q_x_minhash_portable,
         "x_embedding_near_dup_axis": q_x_embedding_near_dup_axis,
@@ -4849,7 +4863,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_gopher_rules": q_x_gopher_rules,
         "x_domain_mix": q_x_domain_mix,
         "x_approx_stats": q_x_approx_stats,
-        "pipe_snowflake_batch": q_pipe_snowflake_batch,
         # ---- last verdicted r04 (50) --------------------------
         "x_approx_stats_exact": q_x_approx_stats_exact,
         "h_cube": q_h_cube,
@@ -4996,7 +5009,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h10_returned_items": q_h10_returned_items,
         "h14_promo_share": q_h14_promo_share,
         "s2_sql_source": q_s2_sql_source,
-        "j2_dedup_keep_first": q_j2_dedup_keep_first,
         "pipe_csv_report": q_pipe_csv_report,
         "p1_normalize_project": q_p1_normalize_project,
         "p5_literal_metadata": q_p5_literal_metadata,
@@ -5020,7 +5032,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a6_distinct_values": q_a6_distinct_values,
         "a7_global_summary": q_a7_global_summary,
         "a8_value_counts": q_a8_value_counts,
-        "a10_nested_rollup": q_a10_nested_rollup,
         "o1_top5_orders": q_o1_top5_orders,
         "o2_top_groups": q_o2_top_groups,
         "o3_orderby": q_o3_orderby,
@@ -5260,12 +5271,28 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY l_suppkey, cycle
                 HAVING democrat_total > 0 OR republican_total > 0
             )
+            -- canonical two-decimal JSON numbers from exact integer
+            -- cents (Java Double.toString goes scientific above 1e7
+            -- where DuckDB prints plain decimal — skew-clone find)
             SELECT concat_ws('/', 'brands', s.s_name, 'records',
                              CAST(r.cycle AS VARCHAR), 'pac') AS path,
-                   to_json(struct_pack(
-                       democrat := round(r.democrat_total, 2),
-                       republican := round(r.republican_total, 2)
-                   ))::VARCHAR AS payload
+                   concat('{"democrat":',
+                          CAST(CAST(round(round(r.democrat_total, 2)
+                                          * 100) AS BIGINT) // 100
+                               AS VARCHAR),
+                          '.',
+                          lpad(CAST(CAST(round(round(r.democrat_total, 2)
+                                               * 100) AS BIGINT) % 100
+                                    AS VARCHAR), 2, '0'),
+                          ',"republican":',
+                          CAST(CAST(round(round(r.republican_total, 2)
+                                          * 100) AS BIGINT) // 100
+                               AS VARCHAR),
+                          '.',
+                          lpad(CAST(CAST(round(round(r.republican_total, 2)
+                                               * 100) AS BIGINT) % 100
+                                    AS VARCHAR), 2, '0'),
+                          '}') AS payload
             FROM rolled r JOIN supplier s ON r.l_suppkey = s.s_suppkey
         """,
         "o1_top5_orders": """
@@ -5301,7 +5328,9 @@ def oracle_sql() -> dict[str, str]:
             FROM (
                 SELECT *, row_number() OVER (
                     PARTITION BY l_orderkey, l_linenumber
-                    ORDER BY l_partkey NULLS FIRST, l_suppkey NULLS FIRST) AS rn
+                    ORDER BY l_partkey NULLS FIRST, l_suppkey NULLS FIRST,
+                             l_extendedprice NULLS FIRST,
+                             l_quantity NULLS FIRST) AS rn
                 FROM lineitem
             ) WHERE rn = 1
         """,
@@ -6137,9 +6166,12 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["pipe_snowflake_batch"] = """
         WITH dedup AS (
+            -- tiebreaks mirror the CLEANED null→0.0 money columns
             SELECT *, row_number() OVER (
                 PARTITION BY l_orderkey, l_linenumber
-                ORDER BY l_partkey NULLS FIRST, l_suppkey NULLS FIRST) AS rn
+                ORDER BY l_partkey NULLS FIRST, l_suppkey NULLS FIRST,
+                         coalesce(CAST(l_extendedprice AS DOUBLE), 0.0),
+                         coalesce(CAST(l_quantity AS DOUBLE), 0.0)) AS rn
             FROM lineitem
         ),
         kept AS (SELECT * FROM dedup WHERE rn = 1),

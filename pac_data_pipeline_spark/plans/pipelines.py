@@ -113,10 +113,16 @@ def snowflake_batch_pipeline(
 
     li = scan_parquet(spark, f"{sf_dir}/lineitem.parquet")
     cleaned = clean(li)
+    # price + quantity as final tiebreaks: keep-first must totally
+    # order every emitted column or the winner is engine-dependent
+    # on payload-distinct ties (skew-clone find; both are the
+    # CLEANED null→0.0 values, mirrored by the oracle)
     deduped = dedup_keep_first(
         cleaned,
         key_cols=("l_orderkey", "l_linenumber"),
-        order_cols=("l_partkey", "l_suppkey"),
+        order_cols=(
+            "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity",
+        ),
     )
     sharded = with_upload_shard(
         deduped, key_cols=("l_orderkey", "l_linenumber"), n_shards=n_shards

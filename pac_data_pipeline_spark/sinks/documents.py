@@ -118,7 +118,25 @@ def nested_path_records(
     """K4: ``brands/{brand}/records/{cycle}/pac → {democrat,
     republican}`` (pac_snowflake_realtime.py:200). The write path
     becomes columns + a JSON payload; a partitioned write on
-    (brand, cycle) reproduces the tree layout."""
+    (brand, cycle) reproduces the tree layout.
+
+    The money fields render as CANONICAL two-decimal JSON numbers
+    built from exact integer cents — NOT ``to_json`` over doubles:
+    Java's ``Double.toString`` switches to scientific notation above
+    1e7 (``6.32634773E7``) where other engines print plain decimal,
+    a parity trap invisible on small fixtures and found by the skew
+    fuzz clone the first time a rollup crossed the threshold.
+    Amounts are non-negative by the rollup's ``> 0`` gate (the cents
+    split below assumes it)."""
+
+    def money(col):
+        cents = F.round(F.col(col) * 100).cast("long")
+        return F.concat(
+            F.floor(cents / F.lit(100)).cast("long").cast("string"),
+            F.lit("."),
+            F.lpad((cents % 100).cast("string"), 2, "0"),
+        )
+
     return df.select(
         F.concat_ws(
             "/",
@@ -128,11 +146,12 @@ def nested_path_records(
             F.col(cycle_col).cast("string"),
             F.lit("pac"),
         ).alias("path"),
-        F.to_json(
-            F.struct(
-                F.col(democrat_col).alias("democrat"),
-                F.col(republican_col).alias("republican"),
-            )
+        F.concat(
+            F.lit('{"democrat":'),
+            money(democrat_col),
+            F.lit(',"republican":'),
+            money(republican_col),
+            F.lit("}"),
         ).alias("payload"),
     )
 

@@ -122,3 +122,60 @@ def test_dedup_family_fires_and_matches_on_duplicate_injection(dupes_dir):
         f"SELECT count(*) FROM '{dupes_dir}/documents.parquet'"
     ).fetchone()[0]
     assert int(m.group(1)) < n_docs, (m.group(1), n_docs)
+
+
+SKEW_REPRESENTATIVES = [
+    # the three queries the skew clone actually broke (underdetermined
+    # keep-first ties; Double.toString scientific notation above 1e7)
+    "j2_dedup_keep_first",
+    "pipe_snowflake_batch",
+    "a10_nested_rollup",
+    # the skew-safe operators, under real heavy hitters for once
+    "x_salted_sum",
+    "x_skew_distinct",
+    "x_skew_profile",
+    "a1_groupby_sum",
+    "x_top_tokens",
+    "x_sessionize",
+]
+
+
+@pytest.fixture(scope="module")
+def skew_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("sf_skew"))
+    r = subprocess.run(
+        [
+            sys.executable,
+            "tools/nullfuzz.py",
+            "--skew",
+            "/root/testdata/sf0.001",
+            out,
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    return out
+
+
+def test_skew_clone_gate(skew_dir):
+    """Heavy-hitter robustness: the gate must hold when one user owns
+    ~35% of events, one part ~30% of lineitem, and a stopword floods
+    20% of documents. This clone found two real defect classes on
+    first run: keep-first dedup with a non-total order (engine-
+    dependent winners on payload-distinct ties) and Java
+    Double.toString scientific notation in JSON payloads above 1e7."""
+    r = subprocess.run(
+        [
+            sys.executable,
+            "tools/check_oracle.py",
+            skew_dir,
+            *SKEW_REPRESENTATIVES,
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-2000:]
+    assert ", 0 failed," in r.stdout, r.stdout[-3000:]

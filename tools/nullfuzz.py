@@ -6,6 +6,7 @@ differential gate against it:
     python tools/nullfuzz.py --unicode [src_sf_dir] [out_dir]
     python tools/nullfuzz.py --blank [src_sf_dir] [out_dir]
     python tools/nullfuzz.py --dupes [src_sf_dir] [out_dir]
+    python tools/nullfuzz.py --skew [src_sf_dir] [out_dir]
     python tools/check_oracle.py <out_dir>
 
 Deterministically nulls ~5% of every non-key column (md5 of
@@ -25,8 +26,13 @@ an exact copy of another document and ~8% a near-copy (one token
 appended); every 11th embedding becomes an exact copy of another
 vector. The generator's clean data has almost no genuine duplicates,
 so without this clone the dedup/novelty/near-dup family's verdicts
-never see the positive class they exist to find. Every query passes
-all five gates with the same verdict set as clean data.
+never see the positive class they exist to find. ``--skew`` injects
+heavy hitters: ~35% of events collapse onto one user and one event
+type, ~30% of lineitem rows onto one part/supplier, ~20% of document
+tokens onto one repeated token — the straggler-making distribution
+the salted/skew-safe/AQE paths exist for, absent from the
+quasi-uniform generator data. Every query passes all six gates with
+the same verdict set as clean data.
 """
 
 from __future__ import annotations
@@ -49,18 +55,20 @@ KEYS = {
 
 
 def main() -> None:
-    flags = {"--empty", "--unicode", "--blank", "--dupes"}
+    flags = {"--empty", "--unicode", "--blank", "--dupes", "--skew"}
     args = [a for a in sys.argv[1:] if a not in flags]
     empty = "--empty" in sys.argv[1:]
     unicode_mode = "--unicode" in sys.argv[1:]
     blank_mode = "--blank" in sys.argv[1:]
     dupes_mode = "--dupes" in sys.argv[1:]
+    skew_mode = "--skew" in sys.argv[1:]
     src = args[0] if len(args) > 0 else "/root/testdata/sf0.001"
     dst = args[1] if len(args) > 1 else (
         "/tmp/sf_empty" if empty
         else "/tmp/sf_unifuzz" if unicode_mode
         else "/tmp/sf_blank" if blank_mode
         else "/tmp/sf_dupes" if dupes_mode
+        else "/tmp/sf_skew" if skew_mode
         else "/tmp/sf_nullfuzz"
     )
     os.makedirs(dst, exist_ok=True)
@@ -101,6 +109,68 @@ def main() -> None:
             """
         )
         print(f"[blank] documents; wrote {dst}")
+        return
+    if skew_mode:
+        import shutil
+
+        for t in TABLES:
+            if t not in ("events", "lineitem", "documents"):
+                shutil.copy(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+        # heavy hitters: collapse a deterministic slice of each
+        # skew-sensitive key onto ONE value — the one-user flood /
+        # hot-part / stopword-storm distributions
+        con.execute(
+            f"""
+            COPY (
+                WITH n AS (
+                    SELECT *, row_number() OVER () AS rid
+                    FROM '{src}/events.parquet'
+                )
+                SELECT event_id, ts,
+                       CASE WHEN rid % 20 < 7 THEN 1
+                            ELSE user_id END AS user_id,
+                       CASE WHEN rid % 20 < 7 THEN 'view'
+                            ELSE event_type END AS event_type,
+                       value, props
+                FROM n
+            ) TO '{dst}/events.parquet' (FORMAT PARQUET)
+            """
+        )
+        con.execute(
+            f"""
+            COPY (
+                WITH n AS (
+                    SELECT *, row_number() OVER () AS rid
+                    FROM '{src}/lineitem.parquet'
+                )
+                SELECT * REPLACE (
+                    CASE WHEN rid % 10 < 3 THEN 1
+                         ELSE l_partkey END AS l_partkey,
+                    CASE WHEN rid % 10 < 3 THEN 1
+                         ELSE l_suppkey END AS l_suppkey
+                )
+                FROM n
+            ) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)
+            """
+        )
+        con.execute(
+            f"""
+            COPY (
+                WITH n AS (
+                    SELECT *, row_number() OVER () AS rid
+                    FROM '{src}/documents.parquet'
+                )
+                SELECT doc_id,
+                       CASE WHEN rid % 5 = 0 AND text IS NOT NULL
+                            THEN text || ' the the the the the the'
+                                 || ' the the the the the the'
+                            ELSE text END AS text,
+                       lang, source, n_chars
+                FROM n
+            ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
+            """
+        )
+        print(f"[skew] events + lineitem + documents; wrote {dst}")
         return
     if dupes_mode:
         import shutil
