@@ -52,6 +52,18 @@ def main() -> None:
 
     from pac_data_pipeline_spark.ext.text import ngram_lm_score
 
+    print("-- video near-dup: sampled-frame dHash over real AVI payloads")
+    from pac_data_pipeline_spark.ext.multimodal import (
+        video_frame_dhash,
+        video_media_from_documents,
+        video_near_dup,
+    )
+
+    vids = video_media_from_documents(docs.limit(120))
+    pairs = video_near_dup(video_frame_dhash(vids, every_n=2), max_hamming=4)
+    print("   near-dup video pairs (any frame within Hamming 4):")
+    pairs.orderBy("min_hamming", "id_a", "id_b").show(8)
+
     print("-- corpus-LM perplexity filter: most / least corpus-like docs")
     scored = ngram_lm_score(docs).join(
         docs.select("doc_id", F.substring("text", 1, 48).alias("snippet")),
