@@ -31,7 +31,16 @@ def to_doc_records(
     """P7/E9/K1: row → ``{collection, document_id, data}`` document
     (reference pac_data_processor.py:113-127). Timestamps named in
     ``iso_date_cols`` are ISO-8601 serialized; ``data`` is a JSON
-    object of every column."""
+    object of every column.
+
+    Cross-engine JSON-TEXT caveat: double columns render through
+    Java's ``Double.toString``, which switches to scientific
+    notation outside [1e-3, 1e7) while most SQL engines print plain
+    decimal — fine for row-level amounts like ``o_totalprice``
+    (bounded ≪ 1e7), but any payload carrying SUMS or micro-scale
+    floats must render canonically instead (the integer-cents
+    pattern in :func:`nested_path_records`, added after the skew
+    fuzz clone pushed a rollup payload over the threshold)."""
     body = df
     for c in iso_date_cols:
         body = body.withColumn(c, iso_timestamp(c))
