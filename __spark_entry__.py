@@ -4719,21 +4719,37 @@ def q_x_video_near_dup(spark, sf_dir):
     return video_near_dup(video_frame_dhash(media, every_n=2), max_hamming=4)
 
 
+def q_x_lsh_tuning(spark, sf_dir):
+    """LSH operating-point table: one shared 64-hash portable
+    MinHash signature split three ways — (16,4), (8,8), (4,16)
+    bands×rows — with candidate volume, exact-shingle-Jaccard≥0.5
+    verification, precision, and TREC-style pooled recall per
+    config (aligned band splits make the most-bands config's
+    candidates a superset, so the pool is complete for the family).
+    The parameter-choice tool run BEFORE committing a banding to a
+    100 TB dedup pass; all counts and ppm divisions exact integers.
+    See ext/dedup_text.lsh_tuning_table."""
+    from pac_data_pipeline_spark.ext.dedup_text import lsh_tuning_table
+
+    return lsh_tuning_table(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # Dict ORDER is load-bearing: the round driver's correctness
         # gate checks only the FIRST 50 entries. Round-8 window
-        # (steady-state policy), 50 = 2 + 5 + 5 + 21 + 17:
+        # (steady-state policy), 50 = 2 + 5 + 6 + 21 + 16:
         # (a)  the TWO round-8 additions (x_mjpeg_frames — Motion-
         #      JPEG compressed-video frame sampling; x_c4_filters —
         #      the C4/Raffel-et-al line+page cleaning gates), both
         #      hash-exact from day one;
         # (a2) FIVE session-2 additions: the IVFADC ANN tier and the
         #      four partsupp-derived TPC-H shapes completing all 22;
-        # (a3) FIVE session-3 additions: DSIR importance scoring,
+        # (a3) SIX session-3 additions: DSIR importance scoring,
         #      Bloom-filter decontamination, RRF hybrid fusion,
-        #      DoReMi-step domain reweighting, video near-dup —
-        #      hash-exact from day one;
+        #      DoReMi-step domain reweighting, video near-dup, the
+        #      LSH operating-point tuning table — hash-exact from
+        #      day one;
         # (b)  the EIGHT queries whose code changed this round: the
         #      dedup-cluster family localCheckpoint/dictionary-encode
         #      fix (x_jaccard_join, x_dedup_clusters,
@@ -4757,12 +4773,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      (j2_dedup_keep_first, pipe_snowflake_batch) and
         #      canonical-cents JSON money rendering
         #      (a10_nested_rollup);
-        # (c)  the remaining 17 slots re-check the OLDEST verdicts:
+        # (c)  the remaining 16 slots re-check the OLDEST verdicts:
         #      x_token_regex (the one remaining r01 verdict), then
-        #      the r03 block in dict order through h21_waiting,
+        #      the r03 block in dict order through h17_small_qty,
         #      skipping the r03 names already in (b). The
-        #      twenty-two r03 names sessions 2/3 displaced
-        #      (x_cc_largestar … x_pack_sequences) head the tail.
+        #      twenty-three r03 names sessions 2/3 displaced
+        #      (h21_waiting … x_pack_sequences) head the tail.
         # All oracle-backed names are exact-hash green in the local
         # DuckDB gate (tools/check_oracle.py, clean + null-fuzz +
         # empty + unicode + blank clones).
@@ -4775,12 +4791,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h11_important_stock": q_h11_important_stock,
         "h16_parts_suppliers": q_h16_parts_suppliers,
         "h20_potential_promo": q_h20_potential_promo,
-        # -- (a3) new, session 3 (5) ----------------------------------
+        # -- (a3) new, session 3 (6) ----------------------------------
         "x_dsir_weights": q_x_dsir_weights,
         "x_bloom_decontaminate": q_x_bloom_decontaminate,
         "x_rrf_fusion": q_x_rrf_fusion,
         "x_doremi_weights": q_x_doremi_weights,
         "x_video_near_dup": q_x_video_near_dup,
+        "x_lsh_tuning": q_x_lsh_tuning,
         # -- (b) code-changed this round (21) --------------------------
         "x_jaccard_join": q_x_jaccard_join,
         "x_dedup_clusters": q_x_dedup_clusters,
@@ -4820,7 +4837,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h8_market_share": q_h8_market_share,
         "h12_late_priority": q_h12_late_priority,
         "h17_small_qty": q_h17_small_qty,
-        "h21_waiting": q_h21_waiting,
         # ---- end of round-8 window (position 50) -------------------
         # NEXT-ROUND TAIL (round-9 plan): steady state — (1) new or
         # code-changed queries go to the dict head; (2) remaining
@@ -4834,7 +4850,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # The tail below is ordered by (last-verdict round, prior
         # dict position), so the cursor is simply 'read on from
         # position 51'.
-        # ---- last verdicted r03 (22 displaced from the window) --
+        # ---- last verdicted r03 (23 displaced from the window) --
+        "h21_waiting": q_h21_waiting,
         "x_cc_largestar": q_x_cc_largestar,
         "x_udtf_tokens": q_x_udtf_tokens,
         "x_weighted_sample": q_x_weighted_sample,
@@ -9484,6 +9501,153 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_frame_matches,
                CAST(min(hamming) AS INT) AS min_hamming
         FROM fp GROUP BY 1, 2
+    """
+    # x_lsh_tuning: the portable-minhash signature CTEs (the
+    # x_minhash_portable template) split three ways, exact shingle
+    # Jaccard verification per candidate, and integer ppm precision
+    # / TREC-pooled recall per config.
+    oracles["x_lsh_tuning"] = """
+        WITH sh AS (
+            SELECT doc_id,
+                   unnest([substring(text, i, 5)
+                           FOR i IN range(1, greatest(length(text) - 4, 1)
+                                             + 1)]) AS s
+            FROM documents
+            WHERE text IS NOT NULL
+        ),
+        h AS (
+            SELECT doc_id,
+                   CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) AS h
+            FROM sh
+        ),
+        m AS (
+            SELECT doc_id, h % 64 AS b, min(h) AS mh
+            FROM h GROUP BY 1, 2
+        ),
+        g AS (SELECT doc_id, min(mh) AS gmin FROM m GROUP BY 1),
+        grid AS (
+            SELECT g.doc_id, r.b
+            FROM g CROSS JOIN (SELECT unnest(range(64)) AS b) r
+        ),
+        sig AS (
+            SELECT grid.doc_id, grid.b, coalesce(m.mh, g2.gmin) AS v
+            FROM grid
+            LEFT JOIN m ON m.doc_id = grid.doc_id AND m.b = grid.b
+            JOIN g g2 ON g2.doc_id = grid.doc_id
+        ),
+        ss AS (
+            SELECT doc_id AS id,
+                   list_distinct([substring(text, i, 5)
+                       FOR i IN range(1, greatest(length(text) - 4, 1)
+                                         + 1)]) AS sh
+            FROM documents
+            WHERE text IS NOT NULL AND doc_id IS NOT NULL
+        ),
+        bandhash_16 AS (
+            SELECT doc_id, CAST(b // 4 AS INT) AS band_id,
+                   CAST('0x' || substring(md5(
+                       string_agg(CAST(v AS VARCHAR), '|' ORDER BY b)
+                   ), 1, 15) AS BIGINT) AS bh
+            FROM sig GROUP BY doc_id, b // 4
+        ),
+        cand_16 AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bandhash_16 a JOIN bandhash_16 b
+              ON a.band_id = b.band_id AND a.bh = b.bh
+             AND a.doc_id < b.doc_id
+        ),
+        ver_16 AS (
+            SELECT 16 AS bands, 4 AS rows_per_band,
+                   c.id_a, c.id_b,
+                   (len(list_intersect(sa.sh, sb.sh)) * 1.0
+                    / nullif(len(sa.sh) + len(sb.sh)
+                             - len(list_intersect(sa.sh, sb.sh)), 0))
+                       >= 0.5 AS verified
+            FROM cand_16 c
+            JOIN ss sa ON sa.id = c.id_a
+            JOIN ss sb ON sb.id = c.id_b
+        ),
+        bandhash_8 AS (
+            SELECT doc_id, CAST(b // 8 AS INT) AS band_id,
+                   CAST('0x' || substring(md5(
+                       string_agg(CAST(v AS VARCHAR), '|' ORDER BY b)
+                   ), 1, 15) AS BIGINT) AS bh
+            FROM sig GROUP BY doc_id, b // 8
+        ),
+        cand_8 AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bandhash_8 a JOIN bandhash_8 b
+              ON a.band_id = b.band_id AND a.bh = b.bh
+             AND a.doc_id < b.doc_id
+        ),
+        ver_8 AS (
+            SELECT 8 AS bands, 8 AS rows_per_band,
+                   c.id_a, c.id_b,
+                   (len(list_intersect(sa.sh, sb.sh)) * 1.0
+                    / nullif(len(sa.sh) + len(sb.sh)
+                             - len(list_intersect(sa.sh, sb.sh)), 0))
+                       >= 0.5 AS verified
+            FROM cand_8 c
+            JOIN ss sa ON sa.id = c.id_a
+            JOIN ss sb ON sb.id = c.id_b
+        ),
+        bandhash_4 AS (
+            SELECT doc_id, CAST(b // 16 AS INT) AS band_id,
+                   CAST('0x' || substring(md5(
+                       string_agg(CAST(v AS VARCHAR), '|' ORDER BY b)
+                   ), 1, 15) AS BIGINT) AS bh
+            FROM sig GROUP BY doc_id, b // 16
+        ),
+        cand_4 AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bandhash_4 a JOIN bandhash_4 b
+              ON a.band_id = b.band_id AND a.bh = b.bh
+             AND a.doc_id < b.doc_id
+        ),
+        ver_4 AS (
+            SELECT 4 AS bands, 16 AS rows_per_band,
+                   c.id_a, c.id_b,
+                   (len(list_intersect(sa.sh, sb.sh)) * 1.0
+                    / nullif(len(sa.sh) + len(sb.sh)
+                             - len(list_intersect(sa.sh, sb.sh)), 0))
+                       >= 0.5 AS verified
+            FROM cand_4 c
+            JOIN ss sa ON sa.id = c.id_a
+            JOIN ss sb ON sb.id = c.id_b
+        ),
+        allr AS (
+            SELECT * FROM ver_16
+            UNION ALL SELECT * FROM ver_8
+            UNION ALL SELECT * FROM ver_4
+        ),
+        per AS (
+            SELECT bands, rows_per_band,
+                   CAST(count(*) AS BIGINT) AS n_candidates,
+                   CAST(sum(CASE WHEN verified THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_verified
+            FROM allr GROUP BY 1, 2
+        ),
+        pool AS (
+            SELECT CAST(count(*) AS BIGINT) AS np
+            FROM (SELECT DISTINCT id_a, id_b FROM allr WHERE verified)
+        ),
+        seed AS (
+            SELECT * FROM (VALUES (16, 4), (8, 8), (4, 16))
+                AS t(bands, rows_per_band)
+        )
+        SELECT s.bands, s.rows_per_band,
+               coalesce(p.n_candidates, 0) AS n_candidates,
+               coalesce(p.n_verified, 0) AS n_verified,
+               CASE WHEN coalesce(p.n_candidates, 0) > 0 THEN
+                   CAST((1000000 * coalesce(p.n_verified, 0))
+                        // p.n_candidates AS BIGINT) END
+                   AS precision_ppm,
+               CASE WHEN pool.np > 0 THEN
+                   CAST((1000000 * coalesce(p.n_verified, 0))
+                        // pool.np AS BIGINT) END AS pooled_recall_ppm
+        FROM seed s
+        LEFT JOIN per p USING (bands, rows_per_band)
+        CROSS JOIN pool
     """
     oracles["x_udtf_tokens"] = """
         SELECT doc_id,

@@ -1197,3 +1197,120 @@ def dedup_representatives(
         (F.row_number().over(wr) == 1).alias("keep"),
         F.count(F.lit(1)).over(w).alias("n_dup"),
     )
+
+
+def lsh_tuning_table(
+    df: DataFrame,
+    configs: tuple[tuple[int, int], ...] = ((16, 4), (8, 8), (4, 16)),
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH operating-point table — the parameter-choice tool a
+    dedup run needs BEFORE committing a banding to 100 TB: for each
+    (bands, rows_per_band) split of one shared MinHash signature,
+    the candidate volume, how many candidates verify at exact
+    shingle-Jaccard ≥ ``threshold``, precision, and POOLED recall
+    (share of the union of verified pairs across all evaluated
+    configs — the TREC pooling convention, since exhaustive
+    ground truth is exactly the all-pairs join LSH exists to avoid;
+    with aligned band splits the most-bands config's candidates are
+    a superset, so the pool is complete for the evaluated family).
+
+    Everything is exact integers (counts + ppm floor divisions), so
+    a SQL oracle reproduces the table bit-for-bit from the portable
+    md5 tier. Scale shape: ONE signature build localCheckpoints and
+    serves every config; per-config banding is the standard bucket
+    join; exact verification touches only candidates (never
+    all-pairs); the per-pair frame localCheckpoints for its two
+    consumers (per-config aggregate + the pooled union). Returns
+    one row per config: (bands, rows_per_band, n_candidates,
+    n_verified, precision_ppm, pooled_recall_ppm) — ppm NULL where
+    the denominator is empty."""
+    from functools import reduce
+
+    sigs = minhash_signature(
+        df, text_col, id_col, num_hashes, shingle_k, portable=True
+    ).localCheckpoint()
+    shingle_sets = (
+        df.filter(
+            F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
+        )
+        .select(
+            F.col(id_col).alias("__id"),
+            char_shingles(text_col, shingle_k).alias("__sh"),
+        )
+        .localCheckpoint()  # verify side; consumed once per config
+    )
+    per_config = []
+    for bands, rows in configs:
+        cand = lsh_candidate_pairs(
+            sigs, id_col, bands, rows, portable=True
+        )
+        a = shingle_sets.select(
+            F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")
+        )
+        b = shingle_sets.select(
+            F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = (
+            F.size("sh_a") + F.size("sh_b") - inter
+        )
+        per_config.append(
+            cand.join(a, "id_a")
+            .join(b, "id_b")
+            .select(
+                F.lit(bands).alias("bands"),
+                F.lit(rows).alias("rows_per_band"),
+                "id_a",
+                "id_b",
+                (
+                    inter / F.nullif(union, F.lit(0))
+                    >= F.lit(threshold)
+                ).alias("__verified"),
+            )
+        )
+    all_rows = reduce(DataFrame.unionByName, per_config).localCheckpoint()
+    per = all_rows.groupBy("bands", "rows_per_band").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(
+            F.when(F.col("__verified"), 1).otherwise(0)
+        ).cast("bigint").alias("n_verified"),
+    )
+    pooled = (
+        all_rows.filter(F.col("__verified"))
+        .select("id_a", "id_b")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("__n_pool"))
+    )
+    # every configured row must appear even with zero candidates
+    # (the --empty clone contract)
+    seed = df.sparkSession.createDataFrame(
+        [(b, r) for b, r in configs], "bands int, rows_per_band int"
+    )
+    return (
+        seed.join(per, ["bands", "rows_per_band"], "left")
+        .crossJoin(F.broadcast(pooled))
+        .select(
+            "bands",
+            "rows_per_band",
+            F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias(
+                "n_candidates"
+            ),
+            F.coalesce("n_verified", F.lit(0)).cast("bigint").alias(
+                "n_verified"
+            ),
+            F.expr(
+                "CASE WHEN coalesce(n_candidates, 0) > 0 THEN"
+                " (1000000 * coalesce(n_verified, 0))"
+                " div n_candidates END"
+            ).alias("precision_ppm"),
+            F.expr(
+                "CASE WHEN __n_pool > 0 THEN"
+                " (1000000 * coalesce(n_verified, 0)) div __n_pool END"
+            ).alias("pooled_recall_ppm"),
+        )
+    )

@@ -2749,3 +2749,35 @@ def test_video_near_dup_identical_videos_at_hamming_zero(spark):
     assert min_h == 0
     # n_frames = 2 + 0 % 4 = 2, every_n=2 -> one sampled frame each
     assert n_matches == 1
+
+
+def test_lsh_tuning_table_invariants(spark):
+    """Aligned band splits nest (a 16-row band match implies its
+    four aligned 4-row sub-bands match), so candidate and verified
+    counts are non-decreasing in the band count; an exact duplicate
+    pair (identical signatures) is a candidate AND verified at EVERY
+    config; pooled recall is 1e6 for the most-bands config (its
+    candidates are the pool's superset)."""
+    from pac_data_pipeline_spark.ext.dedup_text import lsh_tuning_table
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                      # exact duplicate of 1
+            (3, base + " with a small suffix change"),  # near-dup
+            (4, "completely different content lives here instead"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.bands: r for r in lsh_tuning_table(docs).collect()}
+    assert set(rows) == {4, 8, 16}
+    assert rows[4].n_candidates <= rows[8].n_candidates <= rows[16].n_candidates
+    assert rows[4].n_verified <= rows[8].n_verified <= rows[16].n_verified
+    # the exact-dup pair collides in every band at every config
+    assert rows[4].n_verified >= 1
+    assert rows[16].pooled_recall_ppm == 1_000_000
+    for r in rows.values():
+        if r.n_candidates:
+            assert r.precision_ppm == (1_000_000 * r.n_verified) // r.n_candidates

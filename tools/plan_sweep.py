@@ -52,6 +52,8 @@ ALLOWED_BNL = {
     "x_doremi_weights",   # 1-row vocab + reference-total + weight-
                           # normalizer broadcasts over the
                           # |domains|-row aggregate
+    "x_lsh_tuning",       # 1-row pooled-verified-count broadcast
+                          # onto the 3-row config table
     "x_nb_classifier",    # |labels|-row label-stats broadcast
     "x_bm25",             # 1-row (N, avgdl) corpus-stats broadcast
     "x_pagerank",         # 1-row node-count broadcast (teleport term)
