@@ -9536,8 +9536,13 @@ def oracle_sql() -> dict[str, str]:
             JOIN g g2 ON g2.doc_id = grid.doc_id
         ),
         ss AS (
+            -- hashed shingle sets (60-bit md5 longs): same Jaccard
+            -- as the string sets up to negligible collisions both
+            -- engines see identically; long-list intersects are
+            -- what keeps the three-config verify cheap
             SELECT doc_id AS id,
-                   list_distinct([substring(text, i, 5)
+                   list_distinct([CAST('0x' || substring(md5(
+                       substring(text, i, 5)), 1, 15) AS BIGINT)
                        FOR i IN range(1, greatest(length(text) - 4, 1)
                                          + 1)]) AS sh
             FROM documents

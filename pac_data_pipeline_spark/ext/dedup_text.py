@@ -1223,68 +1223,111 @@ def lsh_tuning_table(
     a SQL oracle reproduces the table bit-for-bit from the portable
     md5 tier. Scale shape: ONE signature build localCheckpoints and
     serves every config; per-config banding is the standard bucket
-    join; exact verification touches only candidates (never
-    all-pairs); the per-pair frame localCheckpoints for its two
-    consumers (per-config aggregate + the pooled union). Returns
+    join; exact verification touches only DISTINCT candidates —
+    aligned configs nest, so verifying the per-config unions
+    separately would re-verify the strictest config's pairs three
+    times — and runs on DICTIONARY-style hashed shingle sets
+    (arrays of 60-bit md5 longs, not 5-char strings: same Jaccard
+    up to negligible 60-bit collisions, which both engines see
+    identically, at a fraction of the intersect cost — the
+    jaccard-join encoding lesson). The candidate-pair union and the
+    per-pair verdicts localCheckpoint (two consumers each). Returns
     one row per config: (bands, rows_per_band, n_candidates,
     n_verified, precision_ppm, pooled_recall_ppm) — ppm NULL where
     the denominator is empty."""
     from functools import reduce
 
-    sigs = minhash_signature(
-        df, text_col, id_col, num_hashes, shingle_k, portable=True
+    # ONE md5 pass over the corpus shingles feeds BOTH the OPH
+    # signature (identical algebra to minhash_signature(portable))
+    # and the verify-side hashed shingle sets — building them
+    # independently paid the shingle-hash pass twice (measured ~3 s
+    # each at sf0.1; the corpus-scan/multi-consumer discipline one
+    # level down, applied to compute instead of I/O).
+    sh = F.expr(
+        f"transform(sequence(1, greatest(length({text_col})"
+        f" - {shingle_k} + 1, 1)),"
+        f" i -> substring({text_col}, i, {shingle_k}))"
+    )
+    hashed = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.explode(sh).alias("__s"))
+        .filter(F.col("__s").isNotNull())
+        .select(F.col(id_col), portable_hash60(F.col("__s")).alias("h"))
+        .localCheckpoint()  # 2 consumers: signature + shingle sets
+    )
+    mins = hashed.withColumn(
+        "b", F.pmod("h", F.lit(num_hashes))
+    ).groupBy(id_col, "b").agg(F.min("h").alias("mh"))
+    assembled = mins.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("b", "mh"))
+        ).alias("__m"),
+        F.min("mh").alias("__gmin"),
+    )
+    sigs = assembled.select(
+        F.col(id_col),
+        F.expr(
+            f"transform(sequence(0, {num_hashes - 1}),"
+            f" i -> coalesce(__m[CAST(i AS BIGINT)], __gmin))"
+        ).alias("minhash"),
     ).localCheckpoint()
     shingle_sets = (
-        df.filter(
-            F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
-        )
-        .select(
-            F.col(id_col).alias("__id"),
-            char_shingles(text_col, shingle_k).alias("__sh"),
-        )
-        .localCheckpoint()  # verify side; consumed once per config
+        hashed.filter(F.col(id_col).isNotNull())
+        .groupBy(id_col)
+        .agg(F.collect_set("h").alias("__sh"))
+        .select(F.col(id_col).alias("__id"), "__sh")
+        .localCheckpoint()  # both verify sides read it
     )
     per_config = []
     for bands, rows in configs:
         cand = lsh_candidate_pairs(
             sigs, id_col, bands, rows, portable=True
         )
-        a = shingle_sets.select(
-            F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")
-        )
-        b = shingle_sets.select(
-            F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")
-        )
-        inter = F.size(F.array_intersect("sh_a", "sh_b"))
-        union = (
-            F.size("sh_a") + F.size("sh_b") - inter
-        )
         per_config.append(
-            cand.join(a, "id_a")
-            .join(b, "id_b")
-            .select(
+            cand.select(
                 F.lit(bands).alias("bands"),
                 F.lit(rows).alias("rows_per_band"),
                 "id_a",
                 "id_b",
-                (
-                    inter / F.nullif(union, F.lit(0))
-                    >= F.lit(threshold)
-                ).alias("__verified"),
             )
         )
-    all_rows = reduce(DataFrame.unionByName, per_config).localCheckpoint()
+    all_pairs = reduce(DataFrame.unionByName, per_config).localCheckpoint()
+    a = shingle_sets.select(
+        F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")
+    )
+    b = shingle_sets.select(
+        F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    # shuffle_hash, not sort-merge: the verify joins carry ~KB-wide
+    # shingle arrays per row, and SMJ would SORT that payload on
+    # both sides — hash joins move it once, unsorted (the flood
+    # config's 100k+ candidates made the two sorts the dominant
+    # cost at sf0.1)
+    verdicts = (
+        all_pairs.select("id_a", "id_b")
+        .distinct()
+        .join(a.hint("shuffle_hash"), "id_a")
+        .join(b.hint("shuffle_hash"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                inter / F.nullif(union, F.lit(0)) >= F.lit(threshold)
+            ).alias("__verified"),
+        )
+        .localCheckpoint()  # per-config rollup + pooled count
+    )
+    all_rows = all_pairs.join(verdicts, ["id_a", "id_b"])
     per = all_rows.groupBy("bands", "rows_per_band").agg(
         F.count(F.lit(1)).alias("n_candidates"),
         F.sum(
             F.when(F.col("__verified"), 1).otherwise(0)
         ).cast("bigint").alias("n_verified"),
     )
-    pooled = (
-        all_rows.filter(F.col("__verified"))
-        .select("id_a", "id_b")
-        .distinct()
-        .agg(F.count(F.lit(1)).alias("__n_pool"))
+    pooled = verdicts.filter(F.col("__verified")).agg(
+        F.count(F.lit(1)).alias("__n_pool")
     )
     # every configured row must appear even with zero candidates
     # (the --empty clone contract)
