@@ -4220,10 +4220,24 @@ def q_x_c4_filters(spark, sf_dir):
     gates — metrics + keep + the surviving text in one scan-stage
     projection (ext/text.c4_page_filters). The oracle re-derives
     the fixture AND the filters from the same shared constants, so
-    every line verdict and every rejoined clean_text is hash-checked."""
+    every line verdict and every rejoined clean_text is hash-checked.
+
+    Output contract is newline-free: clean_text (the surviving
+    lines rejoined with LF — C4 semantics need the LF internally)
+    is emitted as its md5 hex digest, because the driver's value
+    hasher is line-oriented and canonicalizes embedded newlines
+    differently per engine (the r8 hash-fail). md5 keeps every
+    byte of every surviving line under differential check."""
     from pac_data_pipeline_spark.ext.text import c4_page_filters
 
-    return c4_page_filters(_c4_fixture(_t(spark, sf_dir, "documents")))
+    out = c4_page_filters(_c4_fixture(_t(spark, sf_dir, "documents")))
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        "keep",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+    )
 
 
 def q_x_domain_mix(spark, sf_dir):
@@ -8078,7 +8092,7 @@ def oracle_sql() -> dict[str, str]:
                (len(kept) >= 3
                 AND NOT contains({_c4_fold.format(c="text")}, 'lorem ipsum')
                 AND NOT contains(text, '{{')) AS keep,
-               array_to_string(kept, chr(10)) AS clean_text
+               md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
         FROM f
     """
     oracles["x_gopher_rules"] = """
