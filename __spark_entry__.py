@@ -5529,9 +5529,12 @@ def oracle_sql() -> dict[str, str]:
                 WHERE e.embedding IS NOT NULL
             ),
             ranked AS (
+                -- rank over round(cosine, 6), mirroring the Spark
+                -- side's round-before-rank convention: ULP noise
+                -- between summation orders cannot flip a rank
                 SELECT query_id, vec_id, cosine,
                        row_number() OVER (PARTITION BY query_id
-                           ORDER BY cosine DESC, vec_id) AS rank
+                           ORDER BY round(cosine, 6) DESC, vec_id) AS rank
                 FROM scored
             )
             SELECT query_id, vec_id, round(cosine, 6) AS cosine,
@@ -7310,13 +7313,14 @@ def oracle_sql() -> dict[str, str]:
                                'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
                                'abcdefghijklmnopqrstuvwxyz'),
                            ' '), '[ \t\n\f\r]+')) AS t
-                FROM documents
+                FROM documents WHERE doc_id IS NOT NULL
             )
             WHERE t <> ''
         ),
         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
         stats AS (
-            SELECT (SELECT count(*) FROM documents) AS n_docs,
+            SELECT (SELECT count(*) FROM documents
+                    WHERE doc_id IS NOT NULL) AS n_docs,
                    (SELECT sum(dl) FROM dl) AS tot_len
         ),
         tf AS (
@@ -9202,7 +9206,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         w AS (
             SELECT bucket,
-                   CAST((1000000 * (t_b + 1) * (r_tot + 1024))
+                   CAST((CAST(1000000 AS HUGEINT) * (t_b + 1)
+                         * (r_tot + 1024))
                         // ((r_b + 1) * (t_tot + 1024)) AS BIGINT)
                        AS w_micro
             FROM bs CROSS JOIN tot
@@ -9274,13 +9279,14 @@ def oracle_sql() -> dict[str, str]:
                                'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
                                'abcdefghijklmnopqrstuvwxyz'),
                            ' '), '[ \\t\\n\\f\\r]+')) AS t
-                FROM documents
+                FROM documents WHERE doc_id IS NOT NULL
             )
             WHERE t <> ''
         ),
         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
         stats AS (
-            SELECT (SELECT count(*) FROM documents) AS n_docs,
+            SELECT (SELECT count(*) FROM documents
+                    WHERE doc_id IS NOT NULL) AS n_docs,
                    (SELECT sum(dl) FROM dl) AS tot_len
         ),
         tf AS (
@@ -9327,10 +9333,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.embedding IS NOT NULL
         ),
         sem AS (
+            -- round-before-rank (the Spark side's convention): ULP
+            -- noise on near-tied cosines cannot flip the leg ranks
             SELECT doc_id, rank FROM (
                 SELECT doc_id,
-                       row_number() OVER (ORDER BY cosine DESC, doc_id)
-                           AS rank
+                       row_number() OVER (ORDER BY round(cosine, 6) DESC,
+                                          doc_id) AS rank
                 FROM cos
             ) WHERE rank <= 100
         ),

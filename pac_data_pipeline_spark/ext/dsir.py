@@ -35,11 +35,10 @@ Scale shape (designed for the 100 TB case):
   are a 1-row broadcast cross-join (whitelisted pattern). The
   corpus never shuffles a second time.
 
-Overflow headroom: the micro-numerator is ≤ 1e6·(T+B)·(R+B); with
-bigint math that caps the corpus around ~5e6 feature occurrences per
-side at 1e6 scaling — beyond that, normalize the scale factor down
-or lift the weight computation to DECIMAL(38,0), both one-line
-changes (documented, not silently truncated).
+Overflow headroom: the micro-numerator 1e6·(T+B)·(R+B) is computed
+in DECIMAL(38,0) — exact to 1e38, which covers ~1e16 feature
+occurrences per side (far past 100 TB of text), and ANSI-errors
+loudly rather than wrapping beyond that.
 """
 
 from __future__ import annotations
@@ -129,8 +128,16 @@ def dsir_scores(
         bucket_stats.crossJoin(F.broadcast(totals))
         .select(
             "bucket",
+            # DECIMAL(38,0) numerator: bigint math would silently
+            # wrap past ~3e6 feature occurrences per side (Spark
+            # non-ANSI wraps; DuckDB promotes) — decimal keeps the
+            # product exact to 1e38 and ANSI-errors loudly beyond,
+            # which covers any physical corpus (1e6·R·T ≤ ~4e32 at
+            # 100 TB). `div` on decimals returns the exact integral
+            # quotient as bigint.
             F.expr(
-                f"({MICRO}L * (t_b + 1) * (r_tot + {n_buckets}))"
+                f"(CAST({MICRO} AS DECIMAL(38,0)) * (t_b + 1)"
+                f" * (r_tot + {n_buckets}))"
                 f" div ((r_b + 1) * (t_tot + {n_buckets}))"
             ).alias("w_micro"),
         )

@@ -60,7 +60,14 @@ def cosine_topk_bruteforce(
 
     ``queries`` is (query_id, q_vec). Plan: broadcast-nested-loop
     join (corpus never shuffles), dot/norms as array folds, then a
-    per-query window for the top k with vec_id tiebreak."""
+    per-query window for the top k with vec_id tiebreak.
+
+    Ranks are assigned over ``round(cosine, 6)`` — the same value
+    the output emits — so float ULP noise between engines'
+    summation orders (Spark's sequential fold vs an oracle's
+    list_cosine_similarity) can never flip a rank or the top-k
+    boundary (the tf_idf/bm25 round-before-cut convention); exact
+    rounded ties break on the smaller id."""
     q = F.broadcast(
         queries.filter(F.col("q_vec").isNotNull()).select(
             F.col("query_id"), F.col("q_vec")
@@ -80,7 +87,7 @@ def cosine_topk_bruteforce(
         )
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
+        F.round("cosine", 6).desc(), F.col(id_col).asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -1367,14 +1367,22 @@ def bm25_rank(
     Catalyst inlined the tokenize subplan into each: 4-5 FileScans
     of the corpus, each a full re-tokenization (the dedup-cluster
     lesson; pinned in tests/test_scale_patterns.py). N rides on a
-    second id-only scan (N counts ALL docs; token-less docs
-    contribute length 0 to avgdl); N/avgdl and the |q|-row dfreq
+    second id-only scan (N counts all docs with a non-NULL id —
+    NULL-id docs are excluded from every corpus statistic;
+    token-less docs contribute length 0 to avgdl); N/avgdl and
+    the |q|-row dfreq
     table broadcast. The final top-k is orderBy+limit →
     TakeOrderedAndProject (per-partition heaps), never a global
     sort. Scores are rounded before the cut so cross-engine float
     noise cannot flip the boundary; ties break on the smaller doc
     id.
     """
+    # NULL-id docs are unrankable (the output IS doc ids) and must
+    # not inflate dfreq/N/avgdl — pre-r8 dfreq was
+    # countDistinct(doc_id), which a row count over the per-doc
+    # frame silently diverges from on NULL ids (the dsir/bloom
+    # convention: filter ids first).
+    df = df.filter(F.col(id_col).isNotNull())
     q = sorted(set(query_terms))
     toks = df.select(
         F.col(id_col),

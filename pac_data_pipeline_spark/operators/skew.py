@@ -88,8 +88,8 @@ def key_skew_profile(
 
     Scale shape: ONE corpus pass for every profiled column — the
     columns melt into (column, key) pairs at the scan (keys cast to
-    string, injective for join-key types; counting only needs group
-    identity), so the fact table is read once and shuffles once on
+    string; counting only needs group identity), so the fact table
+    is read once and shuffles once on
     the pair key instead of once per column (the pre-r8 per-column
     loop cost |cols| full scans — 6 FileScans of lineitem at three
     columns, each a full pass at 100 TB). Everything downstream
@@ -105,8 +105,36 @@ def key_skew_profile(
     (round-``digits``). NULL keys are reported separately
     (``null_rows``) and excluded from the distribution (a NULL join
     key never co-locates anyway).
+
+    CONTRACT: profiled columns must have a type whose
+    cast-to-string is injective over distinct values — integral,
+    string, boolean, decimal (fixed scale per column), date,
+    timestamp, float/double (shortest-round-trip rendering). The
+    melt REJECTS binary and nested (array/map/struct) columns with
+    a TypeError instead of silently merging distinct keys whose
+    string rendering collides (a binary column's invalid-UTF-8
+    bytes all render alike, deflating n_keys and gini); pre-hash
+    such a key (``xxhash64``/``md5``) into a column and profile
+    that instead.
     """
     from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    _melt_safe = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.StringType, T.BooleanType, T.DecimalType, T.DateType,
+        T.TimestampType, T.TimestampNTZType, T.FloatType,
+        T.DoubleType,
+    )
+    for c in cols:
+        dt = df.schema[c].dataType
+        if not isinstance(dt, _melt_safe):
+            raise TypeError(
+                f"key_skew_profile: column {c!r} has type "
+                f"{dt.simpleString()}, whose string rendering is not "
+                "injective over distinct values — pre-hash it "
+                "(xxhash64/md5) and profile the hash column instead"
+            )
 
     pairs = df.select(
         F.explode(

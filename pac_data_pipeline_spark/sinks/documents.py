@@ -135,15 +135,19 @@ def nested_path_records(
     1e7 (``6.32634773E7``) where other engines print plain decimal,
     a parity trap invisible on small fixtures and found by the skew
     fuzz clone the first time a rollup crossed the threshold.
-    Amounts are non-negative by the rollup's ``> 0`` gate (the cents
-    split below assumes it)."""
+    Negative amounts render with an explicit sign over the absolute
+    cents (floor-of-signed-division would emit ``-1.-50``) — this is
+    a general sink helper, so it cannot lean on any one caller's
+    ``> 0`` HAVING gate."""
 
     def money(col):
         cents = F.round(F.col(col) * 100).cast("long")
+        mag = F.abs(cents)
         return F.concat(
-            F.floor(cents / F.lit(100)).cast("long").cast("string"),
+            F.when(cents < 0, F.lit("-")).otherwise(F.lit("")),
+            F.floor(mag / F.lit(100)).cast("long").cast("string"),
             F.lit("."),
-            F.lpad((cents % 100).cast("string"), 2, "0"),
+            F.lpad((mag % 100).cast("string"), 2, "0"),
         )
 
     return df.select(

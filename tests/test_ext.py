@@ -2644,6 +2644,30 @@ def test_dsir_scores_fixed_point_formula(spark):
     assert out[4] == (0, 0) and out[5] == (0, 0)
 
 
+def test_dsir_weight_exact_past_bigint_wrap(spark):
+    """The w_micro numerator 1e6*(t_b+1)*(r_tot+B) exceeds int64 at
+    ~3e6 feature occurrences per side; the DECIMAL(38,0) path must
+    return the exact integral quotient where bigint math would wrap
+    (or ANSI-error). One doc with N identical bigrams lands them all
+    in one bucket, so t_b = r_b = r_tot = t_tot = N and the exact
+    expected score is N * (1e6*(N+1)*(N+1024) // ((N+1)*(N+1024)))."""
+    from pyspark.sql import functions as F
+
+    from pac_data_pipeline_spark.ext.dsir import dsir_scores
+
+    n = 3_200_000  # 1e6*(n+1)*(n+1024) ≈ 1.02e19 > 2^63-1
+    text = "a " * n + "a"  # n bigrams, all "a a"
+    docs = spark.createDataFrame(
+        [(0, text, "en")], "doc_id long, text string, lang string"
+    )
+    row = dsir_scores(
+        docs, F.col("lang") == "en", target_cols=("lang",)
+    ).collect()[0]
+    w = (1_000_000 * (n + 1) * (n + 1024)) // ((n + 1) * (n + 1024))
+    assert 1_000_000 * (n + 1) * (n + 1024) > 2**63 - 1  # wrap regime
+    assert (row.n_feats, row.dsir_micro) == (n, n * w)
+
+
 def test_rrf_fuse_exact_scores_and_tiebreak(spark):
     """RRF micro scores are exact floor divisions; a doc in both
     legs beats single-leg docs; equal scores tie-break on the
@@ -2781,3 +2805,27 @@ def test_lsh_tuning_table_invariants(spark):
     for r in rows.values():
         if r.n_candidates:
             assert r.precision_ppm == (1_000_000 * r.n_verified) // r.n_candidates
+
+
+def test_bm25_null_doc_id_excluded_from_all_stats(spark):
+    """A NULL-id document containing a query term must not move
+    dfreq, N, avgdl, or any score: the output IS doc ids, so a
+    NULL-id doc is unrankable and is excluded from every corpus
+    statistic (restores the pre-r8 countDistinct(doc_id) dfreq
+    semantics the per-doc row count silently changed)."""
+    from pac_data_pipeline_spark.ext.text import bm25_rank
+
+    base = [
+        (1, "spark shuffles data across the cluster nodes"),
+        (2, "hash joins beat sort merge on small builds"),
+        (3, "window functions rank rows within partitions"),
+    ]
+    clean = spark.createDataFrame(base, "doc_id long, text string")
+    dirty = spark.createDataFrame(
+        base + [(None, "spark spark hash window spark")],
+        "doc_id long, text string",
+    )
+    terms = ["spark", "hash", "window"]
+    a = sorted((r.doc_id, r.score) for r in bm25_rank(clean, terms).collect())
+    b = sorted((r.doc_id, r.score) for r in bm25_rank(dirty, terms).collect())
+    assert a == b

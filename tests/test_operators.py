@@ -703,6 +703,26 @@ def test_key_skew_profile_hand_computed(spark):
     assert u.gini == 0.0 and u.top1_share == round(1 / 3, 6)
 
 
+def test_key_skew_profile_rejects_non_injective_types(spark):
+    """The string-melt contract: binary and nested columns (whose
+    cast-to-string merges distinct values) raise TypeError with
+    pre-hash guidance instead of silently deflating n_keys/gini;
+    injective types still profile."""
+    import pytest
+
+    from pac_data_pipeline_spark.operators.skew import key_skew_profile
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x00a"), [1])],
+        "k int, b binary, arr array<int>",
+    )
+    with pytest.raises(TypeError, match="pre-hash"):
+        key_skew_profile(df, ("b",))
+    with pytest.raises(TypeError, match="arr"):
+        key_skew_profile(df, ("k", "arr"))
+    assert key_skew_profile(df, ("k",)).collect()[0].n_keys == 1
+
+
 def _py_hdr_bucket(c: int, sig_bits: int = 7) -> int:
     if c < 1:
         return 0

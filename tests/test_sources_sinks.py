@@ -147,3 +147,31 @@ def test_jdbc_derby_roundtrip_with_pushdown(spark, tmp_path):
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "EqualTo" in plan
     assert filtered.count() == 20
+
+
+def test_nested_path_records_money_signs_and_plain_decimal(spark):
+    """money() renders canonical two-decimal JSON numbers for
+    negative, zero, sub-dollar, and >1e7 amounts — the signed path
+    (floor-of-signed-division would emit '-1.-50') and the
+    Double.toString scientific-notation trap in one pin."""
+    from pac_data_pipeline_spark.sinks.documents import nested_path_records
+
+    rows = [
+        ("b", 2024, -1.5, 0.0),
+        ("b", 2026, -0.07, 63263477.3),
+        ("b", 2028, 12.34, -12345678.9),
+    ]
+    df = spark.createDataFrame(
+        rows, "brand string, cycle int, democrat_total double,"
+        " republican_total double"
+    )
+    out = {r.path: r.payload for r in nested_path_records(df).collect()}
+    assert out["brands/b/records/2024/pac"] == (
+        '{"democrat":-1.50,"republican":0.00}'
+    )
+    assert out["brands/b/records/2026/pac"] == (
+        '{"democrat":-0.07,"republican":63263477.30}'
+    )
+    assert out["brands/b/records/2028/pac"] == (
+        '{"democrat":12.34,"republican":-12345678.90}'
+    )
