@@ -4742,10 +4742,18 @@ def q_x_lsh_tuning(spark, sf_dir):
     candidates a superset, so the pool is complete for the family).
     The parameter-choice tool run BEFORE committing a banding to a
     100 TB dedup pass; all counts and ppm divisions exact integers.
+    Runs through the sample_fraction=0.5 knob — the documented
+    100 TB workflow (tune on a deterministic md5-bucket sample,
+    commit the banding on the full corpus) — with the oracle
+    mirroring the exact bucket membership, so the sampled path
+    itself is under differential check and the flooded (16,4)
+    config's quadratic verify stays bounded in the bench.
     See ext/dedup_text.lsh_tuning_table."""
     from pac_data_pipeline_spark.ext.dedup_text import lsh_tuning_table
 
-    return lsh_tuning_table(_t(spark, sf_dir, "documents"))
+    return lsh_tuning_table(
+        _t(spark, sf_dir, "documents"), sample_fraction=0.5
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -9536,6 +9544,8 @@ def oracle_sql() -> dict[str, str]:
                                              + 1)]) AS s
             FROM documents
             WHERE text IS NOT NULL
+              AND CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         AS BIGINT) % 10000 < 5000
         ),
         h AS (
             SELECT doc_id,
@@ -9569,6 +9579,8 @@ def oracle_sql() -> dict[str, str]:
                                          + 1)]) AS sh
             FROM documents
             WHERE text IS NOT NULL AND doc_id IS NOT NULL
+              AND CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         AS BIGINT) % 10000 < 5000
         ),
         bandhash_16 AS (
             SELECT doc_id, CAST(b // 4 AS INT) AS band_id,

@@ -644,6 +644,14 @@ def _with_token_ngrams(
     the tokenization is once-per-row and the lambda only slices an
     attribute. CollapseProject keeps the multi-referenced non-cheap
     column materialized."""
+    # the gram build binds the token array to a lambda variable via
+    # a single-element transform (`transform(array(__toks), t ->
+    # ...)[0]`): CollapseProject inlines the staged `__toks` =
+    # split(...) into every reference site, and measured at sf0.1
+    # that re-split (once per consuming expression per row) was ~3×
+    # the single-evaluation cost — inside the let-binding every
+    # inner reference is the lambda attribute `t`, evaluated once
+    # per row no matter how many expressions consume the grams
     return df.withColumn(
         "__toks", F.expr(f"split(trim({text_col}), '{TOKEN_SEP_SQL}')")
     ).withColumn(
@@ -653,11 +661,10 @@ def _with_token_ngrams(
         # and every pair of null docs would "match" with jaccard 1.0
         F.when(
             F.col("__toks").isNotNull(),
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(1, greatest(size(__toks) - {n} + 1, 1)),"
-                    f" i -> concat_ws(' ', slice(__toks, i, {n})))"
-                )
+            F.expr(
+                f"transform(array(__toks), t -> array_distinct("
+                f"transform(sequence(1, greatest(size(t) - {n} + 1, 1)),"
+                f" i -> concat_ws(' ', slice(t, i, {n})))))[0]"
             ),
         ),
     )
@@ -718,11 +725,24 @@ def _jaccard_join_stages(
     negatives.
 
     The theorem: sort every document's gram set by one global total
-    order; if |x ∩ y| / |x ∪ y| ≥ t then x and y must share at
-    least one gram among each side's first |x| − ⌈t·|x|⌉ + 1 grams.
-    So candidates = docs sharing a PREFIX gram — and ordering the
-    vocabulary rarest-first makes prefixes carry the rarest grams,
-    keeping every bucket small.
+    order; if J(x, y) ≥ t then the SMALLEST common gram w lies
+    within both docs' prefixes (all grams of x before w's position
+    are non-shared, and x holds ≥ α = ⌈t/(1+t)·(|x|+|y|)⌉ shared
+    grams at positions ≥ pos(w), so pos_x(w) ≤ |x| − α + 1; same
+    for y). Each side's prefix length substitutes its worst-case
+    admissible partner into α — PPJoin's asymmetric prefixes
+    (Xiao et al. 2008): the LARGER doc y (partners have |x| ≥
+    t·|y|) indexes its first |y| − ⌈t·|y|⌉ + 1 grams, while the
+    SMALLER doc x (partners have |y| ≥ |x|, so α ≥
+    ⌈2t/(1+t)·|x|⌉) only PROBES with its first
+    |x| − ⌈2t/(1+t)·|x|⌉ + 1 — the shorter mid-prefix. Candidates
+    = (probe gram of smaller doc) ⋈ (index gram of larger doc),
+    and ordering the vocabulary rarest-first makes prefixes carry
+    the rarest grams, keeping every bucket small. The asymmetry is
+    measured, not cosmetic: at sf0.1 it cuts the prefix join from
+    555k to 331k rows and candidates from 444,508 to 314,530
+    (−29%) with zero verify-output change (pinned in
+    tests/test_scale_patterns.py).
 
     Shuffle budget: gram-frequency aggregate (pair-keyed, skew-free)
     → frequency join back (AQE broadcasts the vocab side when it
@@ -749,9 +769,24 @@ def _jaccard_join_stages(
     candidate completeness needs only that both docs sort by the
     SAME total order, and the exact verify makes the final result
     independent of which superset of candidates was generated.
-    Positional (PPJoin) filtering was measured and rejected: on
-    template-heavy corpora candidates share early-prefix grams, so
-    the position bound pruned <0.1% while adding a wider shuffle.
+
+    PPJoin's POSITIONAL filter rides the same join rows for free:
+    a shared gram at (1-based) positions (p_a, p_b) bounds the
+    overlap by min(p_a, p_b) − 1 (shared grams sorting before it)
+    + 1 (itself) + min(|x| − p_a, |y| − p_b) (shared grams after
+    it), so any row whose bound falls below α(x, y) − ε cannot
+    witness a qualifying pair and drops before the distinct — a
+    scan-stage row filter, no extra shuffle. (The groupBy-min
+    formulation — the full pair-level min over all shared prefix
+    grams — was measured and rejected: on this template-heavy
+    corpus it pruned <0.2% beyond the row filter while making the
+    pair aggregation ~2× slower than distinct.) All float prefix/
+    size bounds carry an explicit ε-guard in the SAFE direction
+    (longer prefix / keep the pair): ⌈2t/(1+t)·n⌉ in binary
+    floating point can exceed the exact rational at exact-multiple
+    boundaries (t=0.4, n=7: 0.8/1.4·7 rounds just above 4), and a
+    too-short prefix is a silent false negative the verify stage
+    can never repair.
     """
     # empty/whitespace-only text must be EXCLUDED, not tokenized:
     # split(trim('')) yields [''] whose gram set is {''} — two empty
@@ -766,6 +801,13 @@ def _jaccard_join_stages(
     # triangles lesson; each extra FileScan at 100 TB is a full
     # corpus pass). The checkpointed frame is (id, gram set) — one
     # tokenize pass total, reclaimed by the ContextCleaner.
+    # checkpoint BEFORE the size/null filter: filtering on
+    # size(grams) upstream of the materialization makes Catalyst
+    # evaluate the whole gram-build expression twice per row (once
+    # for the predicate, once for the projection) — measured ~3 s
+    # of the stage's 4 s at sf0.1. Post-checkpoint the filter reads
+    # the materialized column for free; the few null/empty rows the
+    # checkpoint carries are noise.
     grams = (
         _with_token_ngrams(
             ensure_parallelism(
@@ -777,10 +819,9 @@ def _jaccard_join_stages(
             text_col,
             n,
         )
-        .filter(F.col("grams").isNotNull() & (F.size("grams") > 0))
         .select(F.col(id_col).alias("id"), "grams")
         .localCheckpoint()
-    )
+    ).filter(F.col("grams").isNotNull() & (F.size("grams") > 0))
     tok = grams.select("id", F.explode("grams").alias("g"))
     # vocab = one row per distinct gram with its corpus frequency
     # and a unique long id. The id assignment is frozen by the
@@ -814,36 +855,76 @@ def _jaccard_join_stages(
         )
         .localCheckpoint()
     )
-    prefix_len = (
+    t = threshold
+    # ε-guard inside every ceil: the float product must never round
+    # UP past the exact rational (that would shorten a prefix — a
+    # silent false negative); rounding DOWN only lengthens it
+    index_len = (
         F.col("n")
-        - F.ceil(F.lit(threshold) * F.col("n")).cast("int")
+        - F.ceil(F.lit(t) * F.col("n") - F.lit(1e-6)).cast("int")
         + F.lit(1)
-    )
-    # slice() takes the length as a column: stage it first
+    ).cast("int")
+    probe_len = (
+        F.col("n")
+        - F.ceil(
+            F.lit(2 * t / (1 + t)) * F.col("n") - F.lit(1e-6)
+        ).cast("int")
+        + F.lit(1)
+    ).cast("int")
+    # slice() takes the length as a column: stage it first; the
+    # probe prefix is a PREFIX of the index prefix, so one explode
+    # serves both sides (position rides along for the positional
+    # filter — 0-based from posexplode, 1-based in the bound)
     pref = (
-        ordered.withColumn("__plen", prefix_len.cast("int"))
+        ordered.withColumn("__ilen", index_len)
+        .withColumn("__mlen", probe_len)
         .select(
             "id",
             "n",
-            F.explode(F.expr("slice(toks, 1, __plen)")).alias("g"),
+            "__mlen",
+            F.posexplode(F.expr("slice(toks, 1, __ilen)")).alias(
+                "pos0", "g"
+            ),
         )
     )
-    a = pref.select(
-        F.col("id").alias("id_a"), F.col("n").alias("n_a"), "g"
+    a = pref.filter(F.col("pos0") < F.col("__mlen")).select(
+        F.col("id").alias("id_a"),
+        F.col("n").alias("n_a"),
+        (F.col("pos0") + 1).alias("p_a"),
+        "g",
     )
     b = pref.select(
-        F.col("id").alias("id_b"), F.col("n").alias("n_b"), "g"
+        F.col("id").alias("id_b"),
+        F.col("n").alias("n_b"),
+        (F.col("pos0") + 1).alias("p_b"),
+        "g",
+    )
+    # the probe side is the SMALLER doc of the pair under the
+    # (size, id) total order — ties on size keep completeness
+    # because equal sizes make the two prefix bounds identical
+    smaller = (F.col("n_a") < F.col("n_b")) | (
+        (F.col("n_a") == F.col("n_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    size_ok = (
+        F.lit(t) * F.col("n_b") <= F.col("n_a") + F.lit(1e-9)
+    )
+    # PPJoin positional bound for THIS shared gram; a failing row
+    # proves the pair misses the threshold, but the pair may still
+    # enter through another (passing) shared-prefix-gram row — the
+    # row filter is conservative and shuffle-free
+    ubound = F.least("p_a", "p_b") + F.least(
+        F.col("n_a") - F.col("p_a"), F.col("n_b") - F.col("p_b")
+    )
+    alpha = (
+        F.lit(t) * (F.col("n_a") + F.col("n_b")) / F.lit(1.0 + t)
     )
     cand = (
         a.join(b, "g")
-        .filter(
-            (F.col("id_a") < F.col("id_b"))
-            & (
-                F.lit(threshold) * F.greatest("n_a", "n_b")
-                <= F.least("n_a", "n_b")
-            )
+        .filter(smaller & size_ok & (ubound + F.lit(1e-9) >= alpha))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
         )
-        .select("id_a", "id_b")
         .distinct()
     )
     return ordered, cand
@@ -896,8 +977,13 @@ def jaccard_similarity_join(
     union = F.col("n_a") + F.col("n_b") - inter
     jac = inter / F.nullif(union, F.lit(0))
     return (
-        cand.join(ga, "id_a")
-        .join(gb, "id_b")
+        # shuffle_hash, not sort-merge: SMJ sorts the array-carrying
+        # candidate stream and evaluates the jaccard predicate inside
+        # the join condition — measured 4.0 s vs 1.1 s at sf0.1 (the
+        # x_lsh_tuning verify lesson); hash build sides are the
+        # bounded per-partition gram-set slices
+        cand.join(ga.hint("shuffle_hash"), "id_a")
+        .join(gb.hint("shuffle_hash"), "id_b")
         # threshold on the raw ratio (exact-int division, engine-
         # portable); round only the emitted column
         .filter(jac >= threshold)
@@ -1207,6 +1293,7 @@ def lsh_tuning_table(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sample_fraction: float | None = None,
 ) -> DataFrame:
     """LSH operating-point table — the parameter-choice tool a
     dedup run needs BEFORE committing a banding to 100 TB: for each
@@ -1234,8 +1321,33 @@ def lsh_tuning_table(
     per-pair verdicts localCheckpoint (two consumers each). Returns
     one row per config: (bands, rows_per_band, n_candidates,
     n_verified, precision_ppm, pooled_recall_ppm) — ppm NULL where
-    the denominator is empty."""
+    the denominator is empty.
+
+    ``sample_fraction`` is the 100 TB workflow in one call: tune on
+    a deterministic md5-bucket sample of the corpus (the
+    ``domain_mix`` membership convention — a pure function of the
+    id, so the same docs are selected on any engine, partitioning,
+    or rerun), then run the chosen banding on the full corpus.
+    Precision/recall of a banding are per-pair rates, well
+    estimated from a sample; the exact verify over the flooded
+    config's candidates is quadratic-ish in sample size, which is
+    exactly why tuning must NOT run on the full corpus. None (the
+    default) keeps the full-corpus table — the differential-oracle
+    tier."""
     from functools import reduce
+
+    from pac_data_pipeline_spark.ext.sampling import hash_bucket
+
+    if sample_fraction is not None:
+        if not 0.0 < sample_fraction <= 1.0:
+            raise ValueError(
+                f"sample_fraction must be in (0, 1], got {sample_fraction}"
+            )
+        n_buckets = 10_000
+        df = df.filter(
+            hash_bucket(F.col(id_col), n_buckets)
+            < int(sample_fraction * n_buckets)
+        )
 
     # ONE md5 pass over the corpus shingles feeds BOTH the OPH
     # signature (identical algebra to minhash_signature(portable))

@@ -869,6 +869,18 @@ def _decode_avi_first(payload: bytes):
 
 
 def _decode_real(payload: bytes):  # pragma: no cover - env has no codec libs
+    """PERMANENT documented boundary, not deferred work (decided
+    round 9; rationale in README "Codec boundary"): lossy VP8 and
+    inter-frame video stay out because this environment offers no
+    independent source of conformant bitstreams (no libvpx/ffmpeg,
+    no new deps) — a from-scratch VP8 intra decoder could only be
+    tested against a from-scratch encoder, proving
+    self-consistency rather than spec conformance, which fails the
+    repo's verification bar (every shipped codec is checked
+    against independently-constructed bitstreams). This function
+    is the plug-in point: an environment with PyAV simply wires
+    ``av.open`` here and inherits the full frame-sampling /
+    feature / near-dup pipeline unchanged."""
     try:
         import av  # noqa: F401  (PyAV / ffmpeg bindings)
     except ImportError as exc:

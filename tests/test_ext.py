@@ -2829,3 +2829,44 @@ def test_bm25_null_doc_id_excluded_from_all_stats(spark):
     a = sorted((r.doc_id, r.score) for r in bm25_rank(clean, terms).collect())
     b = sorted((r.doc_id, r.score) for r in bm25_rank(dirty, terms).collect())
     assert a == b
+
+
+def test_lsh_tuning_table_sample_knob_deterministic(spark):
+    """The 100 TB workflow knob: sample_fraction tunes on a
+    deterministic md5-bucket subset — membership is a pure function
+    of the id (same docs on any run/partitioning), the sampled
+    table equals the full table computed over exactly the member
+    docs, and out-of-range fractions fail loudly."""
+    import hashlib
+
+    import pytest
+
+    from pac_data_pipeline_spark.ext.dedup_text import lsh_tuning_table
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (i, base + (f" tail {i}" if i % 3 == 0 else ""))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    frac = 0.5
+    member = {
+        i for i, _ in rows
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10_000
+        < int(frac * 10_000)
+    }
+    sampled = lsh_tuning_table(docs, sample_fraction=frac).collect()
+    manual = lsh_tuning_table(
+        docs.filter(docs.doc_id.isin(*member))
+    ).collect()
+    key = lambda r: (r.bands, r.rows_per_band)  # noqa: E731
+    assert sorted(map(tuple, sampled)) == sorted(map(tuple, manual))
+    assert {key(r) for r in sampled} == {(16, 4), (8, 8), (4, 16)}
+    # rerun selects the identical membership → identical table
+    again = lsh_tuning_table(docs, sample_fraction=frac).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, sampled))
+    with pytest.raises(ValueError, match="sample_fraction"):
+        lsh_tuning_table(docs, sample_fraction=0.0)
+    with pytest.raises(ValueError, match="sample_fraction"):
+        lsh_tuning_table(docs, sample_fraction=1.5)

@@ -588,6 +588,13 @@ def test_jaccard_prefix_filter_prunes_candidates(spark):
     all_pairs = n * (n - 1) / 2
     cand = jaccard_candidate_pairs(docs, threshold=0.4).count()
     assert cand < 0.1 * all_pairs, (cand, all_pairs)
+    # PPJoin asymmetric mid-prefix probe + positional row filter:
+    # the symmetric-prefix AllPairs formulation produced 1,523
+    # candidates on this fixture (444,508 at sf0.1); the r9
+    # formulation produces 460 (314,5xx at sf0.1). Pin the
+    # reduction with headroom for generator drift — a regression
+    # to symmetric prefixes lands far above this line.
+    assert cand < 800, cand
     # and the verified answer is a subset of the candidates
     matches = jaccard_similarity_join(docs, threshold=0.4).count()
     assert matches <= cand
