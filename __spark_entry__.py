@@ -4759,120 +4759,64 @@ def q_x_lsh_tuning(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # Dict ORDER is load-bearing: the round driver's correctness
-        # gate checks only the FIRST 50 entries. Round-8 window
-        # (steady-state policy), 50 = 2 + 5 + 6 + 21 + 16:
-        # (a)  the TWO round-8 additions (x_mjpeg_frames — Motion-
-        #      JPEG compressed-video frame sampling; x_c4_filters —
-        #      the C4/Raffel-et-al line+page cleaning gates), both
-        #      hash-exact from day one;
-        # (a2) FIVE session-2 additions: the IVFADC ANN tier and the
-        #      four partsupp-derived TPC-H shapes completing all 22;
-        # (a3) SIX session-3 additions: DSIR importance scoring,
-        #      Bloom-filter decontamination, RRF hybrid fusion,
-        #      DoReMi-step domain reweighting, video near-dup, the
-        #      LSH operating-point tuning table — hash-exact from
-        #      day one;
-        # (b)  the EIGHT queries whose code changed this round: the
-        #      dedup-cluster family localCheckpoint/dictionary-encode
-        #      fix (x_jaccard_join, x_dedup_clusters,
-        #      x_dedup_representatives), the CDC poly-hash oracle
-        #      tier (x_cdc_chunks), the AVI demux codec dispatch
-        #      (x_frame_sample), and the bpe_vocab/bpe_pair_counts
-        #      refactor (x_bpe_train, x_bpe_encode — the encoder
-        #      trains through the same loop), and the session-3
-        #      multi-consumer re-scan fixes — bm25_rank's
-        #      single-pass per-doc aggregate (x_bm25: 5 corpus
-        #      FileScans → 1; x_rrf_fusion inherited), the
-        #      checkpointed (doc,token)/pair-count/gram frames
-        #      (x_tfidf_terms 3→1, x_collocations 4→2,
-        #      x_lm_perplexity 4→1, x_ngram_jaccard 4→2), and the
-        #      melted one-pass skew profile (x_skew_profile 6→0),
-        #      the one-pass J3 reconciliation (4→2), the
-        #      checkpointed train-corpus stage boundary (4→1), the
-        #      materialized pagerank/ppr node lists (8→0 each),
-        #      the checkpointed logfreq vocab table (3→1), and the
-        #      skew-clone fixes — total-order keep-first tiebreaks
-        #      (j2_dedup_keep_first, pipe_snowflake_batch) and
-        #      canonical-cents JSON money rendering
-        #      (a10_nested_rollup);
-        # (c)  the remaining 16 slots re-check the OLDEST verdicts:
-        #      x_token_regex (the one remaining r01 verdict), then
-        #      the r03 block in dict order through h17_small_qty,
-        #      skipping the r03 names already in (b). The
-        #      twenty-three r03 names sessions 2/3 displaced
-        #      (h21_waiting … x_pack_sequences) head the tail.
+        # gate checks only the FIRST 50 entries. Round-9 window
+        # (steady-state policy), 50 = 13 + 10 + 27:
+        # (a)  the THIRTEEN queries whose code or output contract
+        #      changed this round: x_c4_filters (newline-free
+        #      md5(clean_text) contract — the r8 hash-fail fix),
+        #      x_lsh_tuning (sample_fraction=0.5 tier, oracle
+        #      mirrors the md5-bucket membership), the five
+        #      consumers of the let-binding n-gram builder
+        #      (x_jaccard_join — also PPJoin mid-prefix probe +
+        #      positional filter + shuffle_hash verify —
+        #      x_ngram_jaccard, x_decontaminate,
+        #      x_bloom_decontaminate, x_ngram_novelty),
+        #      x_dsir_weights (DECIMAL(38,0) w_micro numerator),
+        #      x_bm25 + x_rrf_fusion (NULL-id exclusion; dense-leg
+        #      round-before-rank), x_cosine_topk (round-before-rank
+        #      window), a10_nested_rollup (signed money rendering),
+        #      x_skew_profile (melt type guard);
+        # (b)  the TEN r04/r05-verdicted pipe/roundtrip queries the
+        #      rotation has not re-verified since (green but stale
+        #      4 rounds — the VERDICT r8 rotation ask);
+        # (c)  the remaining 27 slots continue the oldest-verdict
+        #      cursor from position 51 of the round-8 dict
+        #      (h21_waiting ... x_domain_mix: the r03 names the
+        #      session-2/3 additions displaced, then the r03
+        #      leftovers through x_domain_mix).
+        # The tail stays ordered by (last-verdict round, prior dict
+        # position) — old-tail leftovers first, the r8-verdicted
+        # window names last — so next round's cursor again reads on
+        # from position 51.
         # All oracle-backed names are exact-hash green in the local
-        # DuckDB gate (tools/check_oracle.py, clean + null-fuzz +
-        # empty + unicode + blank clones).
-        # -- (a) new this round (2) ----------------------------------
-        "x_mjpeg_frames": q_x_mjpeg_frames,
+        # DuckDB gate (tools/check_oracle.py, clean + all six fuzz
+        # clones).
+        # -- (a) code/contract changed this round (13) ----------------
         "x_c4_filters": q_x_c4_filters,
-        # -- (a2) new, session 2 (5) ----------------------------------
-        "x_cosine_topk_ivfpq": q_x_cosine_topk_ivfpq,
-        "h2_min_cost": q_h2_min_cost,
-        "h11_important_stock": q_h11_important_stock,
-        "h16_parts_suppliers": q_h16_parts_suppliers,
-        "h20_potential_promo": q_h20_potential_promo,
-        # -- (a3) new, session 3 (6) ----------------------------------
-        "x_dsir_weights": q_x_dsir_weights,
-        "x_bloom_decontaminate": q_x_bloom_decontaminate,
-        "x_rrf_fusion": q_x_rrf_fusion,
-        "x_doremi_weights": q_x_doremi_weights,
-        "x_video_near_dup": q_x_video_near_dup,
         "x_lsh_tuning": q_x_lsh_tuning,
-        # -- (b) code-changed this round (21) --------------------------
         "x_jaccard_join": q_x_jaccard_join,
-        "x_dedup_clusters": q_x_dedup_clusters,
-        "x_dedup_representatives": q_x_dedup_representatives,
-        "x_cdc_chunks": q_x_cdc_chunks,
-        "x_frame_sample": q_x_frame_sample,
-        "x_bpe_train": q_x_bpe_train,
-        "x_bpe_encode": q_x_bpe_encode,
-        "x_bm25": q_x_bm25,
-        "x_tfidf_terms": q_x_tfidf_terms,
-        "x_collocations": q_x_collocations,
-        "x_lm_perplexity": q_x_lm_perplexity,
         "x_ngram_jaccard": q_x_ngram_jaccard,
-        "x_skew_profile": q_x_skew_profile,
-        "j3_reconcile_counts": q_j3_reconcile_counts,
-        "pipe_train_corpus": q_pipe_train_corpus,
-        "x_pagerank": q_x_pagerank,
-        "x_ppr": q_x_ppr,
-        "x_logfreq_score": q_x_logfreq_score,
-        "j2_dedup_keep_first": q_j2_dedup_keep_first,
-        "pipe_snowflake_batch": q_pipe_snowflake_batch,
-        "a10_nested_rollup": q_a10_nested_rollup,
-        # -- (c) oldest-verdict re-checks (27: last r01 + r03 head) ----
-        "x_token_regex": q_x_token_regex,
-        "x_text_stats": q_x_text_stats,
-        "x_quality_score": q_x_quality_score,
-        "x_lang_id": q_x_lang_id,
-        "x_fingerprint": q_x_fingerprint,
-        "x_dedup_exact_groups": q_x_dedup_exact_groups,
-        "x_dedup_exact": q_x_dedup_exact,
-        "x_simhash": q_x_simhash,
         "x_decontaminate": q_x_decontaminate,
+        "x_bloom_decontaminate": q_x_bloom_decontaminate,
+        "x_ngram_novelty": q_x_ngram_novelty,
+        "x_dsir_weights": q_x_dsir_weights,
+        "x_bm25": q_x_bm25,
+        "x_rrf_fusion": q_x_rrf_fusion,
         "x_cosine_topk": q_x_cosine_topk,
-        "x_sessionize": q_x_sessionize,
-        "x_session_stats": q_x_session_stats,
-        "x_stream_tumbling": q_x_stream_tumbling,
-        "h8_market_share": q_h8_market_share,
-        "h12_late_priority": q_h12_late_priority,
-        "h17_small_qty": q_h17_small_qty,
-        # ---- end of round-8 window (position 50) -------------------
-        # NEXT-ROUND TAIL (round-9 plan): steady state — (1) new or
-        # code-changed queries go to the dict head; (2) remaining
-        # window slots re-verify the OLDEST verdicts. The re-check
-        # cursor starts with the EIGHT r03 names the session-2/3
-        # additions pushed below position 50 (h_range_join …
-        # x_pack_sequences), then the SEVEN r03 leftovers this
-        # round's (b) section displaced (x_repetition through
-        # pipe_snowflake_batch), then the r04 block in dict order
-        # (x_approx_stats_exact, h_cube, ...), then r05, r06, r07.
-        # The tail below is ordered by (last-verdict round, prior
-        # dict position), so the cursor is simply 'read on from
-        # position 51'.
-        # ---- last verdicted r03 (23 displaced from the window) --
+        "a10_nested_rollup": q_a10_nested_rollup,
+        "x_skew_profile": q_x_skew_profile,
+        # -- (b) stale r04/r05 rotation block (10) ---------------------
+        "pipe_csv_roundtrip": q_pipe_csv_roundtrip,
+        "pipe_index_align": q_pipe_index_align,
+        "pipe_json_roundtrip": q_pipe_json_roundtrip,
+        "pipe_orc_roundtrip": q_pipe_orc_roundtrip,
+        "pipe_partitioned": q_pipe_partitioned,
+        "pipe_zorder": q_pipe_zorder,
+        "x_catalog_probe": q_x_catalog_probe,
+        "x_docstore_roundtrip": q_x_docstore_roundtrip,
+        "x_jdbc_roundtrip": q_x_jdbc_roundtrip,
+        "x_write_verify": q_x_write_verify,
+        # -- (c) oldest-verdict cursor from r8 position 51 (27) --------
         "h21_waiting": q_h21_waiting,
         "x_cc_largestar": q_x_cc_largestar,
         "x_udtf_tokens": q_x_udtf_tokens,
@@ -4896,13 +4840,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h_lag_delta": q_h_lag_delta,
         "h_intersect": q_h_intersect,
         "x_pack_sequences": q_x_pack_sequences,
-        # ---- last verdicted r03 (7 leftovers) ------------------
         "x_repetition": q_x_repetition,
         "x_chunk_dedup": q_x_chunk_dedup,
         "x_gopher_rules": q_x_gopher_rules,
         "x_domain_mix": q_x_domain_mix,
+        # ---- end of round-9 window (position 50) ---------------------
         "x_approx_stats": q_x_approx_stats,
-        # ---- last verdicted r04 (50) --------------------------
         "x_approx_stats_exact": q_x_approx_stats_exact,
         "h_cube": q_h_cube,
         "h_pivot": q_h_pivot,
@@ -4927,14 +4870,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h13_count_distribution": q_h13_count_distribution,
         "h15_top_supplier": q_h15_top_supplier,
         "h19_bracket_filter": q_h19_bracket_filter,
-        "pipe_partitioned": q_pipe_partitioned,
-        "pipe_zorder": q_pipe_zorder,
-        "pipe_index_align": q_pipe_index_align,
-        "pipe_csv_roundtrip": q_pipe_csv_roundtrip,
-        "x_jdbc_roundtrip": q_x_jdbc_roundtrip,
-        "x_docstore_roundtrip": q_x_docstore_roundtrip,
-        "x_catalog_probe": q_x_catalog_probe,
-        "x_write_verify": q_x_write_verify,
         "x_scd2": q_x_scd2,
         "x_gap_fill": q_x_gap_fill,
         "x_zscore": q_x_zscore,
@@ -4951,7 +4886,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_hash_sample": q_x_hash_sample,
         "x_stratified_sample": q_x_stratified_sample,
         "x_top_tokens": q_x_top_tokens,
-        # ---- last verdicted r05 (44) --------------------------
         "x_triangles": q_x_triangles,
         "x_khop_bfs": q_x_khop_bfs,
         "x_iqr_outliers": q_x_iqr_outliers,
@@ -4985,13 +4919,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h_lateral": q_h_lateral,
         "h_regression": q_h_regression,
         "x_ks_drift": q_x_ks_drift,
-        "pipe_json_roundtrip": q_pipe_json_roundtrip,
-        "pipe_orc_roundtrip": q_pipe_orc_roundtrip,
         "x_sentence_stats": q_x_sentence_stats,
         "x_simhash_pairs": q_x_simhash_pairs,
         "x_unicode_clean": q_x_unicode_clean,
         "x_dq_checks": q_x_dq_checks,
-        # ---- last verdicted r06 (41) --------------------------
         "x_quantile_sketch": q_x_quantile_sketch,
         "x_mmr_diversity": q_x_mmr_diversity,
         "x_cms_heavy_hitters": q_x_cms_heavy_hitters,
@@ -5033,10 +4964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_stream_sessions": q_x_stream_sessions,
         "x_stream_dedup": q_x_stream_dedup,
         "h3_shipping_priority": q_h3_shipping_priority,
-        # ---- last verdicted r07 (48) --------------------------
         "x_reservoir_sample": q_x_reservoir_sample,
         "x_centroid_quantiles": q_x_centroid_quantiles,
-        "x_ngram_novelty": q_x_ngram_novelty,
         "x_multimodal_features": q_x_multimodal_features,
         "x_audio_features": q_x_audio_features,
         "x_embedding_near_dup": q_x_embedding_near_dup,
@@ -5079,6 +5008,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p2_generic_clean": q_p2_generic_clean,
         "h_rank_window": q_h_rank_window,
         "h_set_except": q_h_set_except,
+        # ---- r8-verdicted names (newest verdicts, cursor end) --------
+        "x_mjpeg_frames": q_x_mjpeg_frames,
+        "x_cosine_topk_ivfpq": q_x_cosine_topk_ivfpq,
+        "h2_min_cost": q_h2_min_cost,
+        "h11_important_stock": q_h11_important_stock,
+        "h16_parts_suppliers": q_h16_parts_suppliers,
+        "h20_potential_promo": q_h20_potential_promo,
+        "x_doremi_weights": q_x_doremi_weights,
+        "x_video_near_dup": q_x_video_near_dup,
+        "x_dedup_clusters": q_x_dedup_clusters,
+        "x_dedup_representatives": q_x_dedup_representatives,
+        "x_cdc_chunks": q_x_cdc_chunks,
+        "x_frame_sample": q_x_frame_sample,
+        "x_bpe_train": q_x_bpe_train,
+        "x_bpe_encode": q_x_bpe_encode,
+        "x_tfidf_terms": q_x_tfidf_terms,
+        "x_collocations": q_x_collocations,
+        "x_lm_perplexity": q_x_lm_perplexity,
+        "j3_reconcile_counts": q_j3_reconcile_counts,
+        "pipe_train_corpus": q_pipe_train_corpus,
+        "x_pagerank": q_x_pagerank,
+        "x_ppr": q_x_ppr,
+        "x_logfreq_score": q_x_logfreq_score,
+        "j2_dedup_keep_first": q_j2_dedup_keep_first,
+        "pipe_snowflake_batch": q_pipe_snowflake_batch,
+        "x_token_regex": q_x_token_regex,
+        "x_text_stats": q_x_text_stats,
+        "x_quality_score": q_x_quality_score,
+        "x_lang_id": q_x_lang_id,
+        "x_fingerprint": q_x_fingerprint,
+        "x_dedup_exact_groups": q_x_dedup_exact_groups,
+        "x_dedup_exact": q_x_dedup_exact,
+        "x_simhash": q_x_simhash,
+        "x_sessionize": q_x_sessionize,
+        "x_session_stats": q_x_session_stats,
+        "x_stream_tumbling": q_x_stream_tumbling,
+        "h8_market_share": q_h8_market_share,
+        "h12_late_priority": q_h12_late_priority,
+        "h17_small_qty": q_h17_small_qty,
     }
 
     def _wrap(fn):

@@ -63,7 +63,16 @@ def reconcile_counts(
     columns never matches NULL keys (an incoming row with any NULL
     common column is always "new"), while groupBy treats NULLs as
     equal — so the "new" bucket counts groups with zero existing
-    rows OR any NULL column."""
+    rows OR any NULL column.
+
+    A literal left-anti-join formulation (shuffle_hash anti for
+    n_new + two scalar count aggregates) measured ~2.8× faster at
+    sf0.1 (0.37 s vs 1.0 s) and was REJECTED: its three consumers
+    scan each input twice (count pass + join pass) — four corpus
+    reads where this shape pays exactly one per side, and at 100 TB
+    the duplicated full-table reads dwarf the local hash-agg
+    overhead the anti join avoids. Wall time on a 5 MB bench slice
+    is the wrong objective for a scan-bound trade."""
     common = [c for c in incoming.columns if c in set(existing.columns)]
     tagged = (
         incoming.select(*common)
