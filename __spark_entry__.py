@@ -4733,6 +4733,60 @@ def q_x_video_near_dup(spark, sf_dir):
     return video_near_dup(video_frame_dhash(media, every_n=2), max_hamming=4)
 
 
+def _title_fixture(documents):
+    """Deterministic short-string 'titles' for the edit-distance
+    join (the _c4_fixture planted-fixture pattern — generator docs
+    are full paragraphs, where character-level edit distance is
+    meaningless): ``doc <id%97> rev <id%7> <first-token prefix>``.
+    Docs sharing residues and token prefixes sit within 1-2 edits;
+    the token component keeps the fuzz clones (null/blank/unicode
+    text) load-bearing. The token is ASCII-sanitized because the
+    portable contract pins per-codepoint distance and DuckDB's
+    levenshtein counts bytes."""
+    tok = F.element_at(
+        F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), TOKEN_SEP),
+        1,
+    )
+    clean = F.regexp_replace(tok, "[^ -~]", "")
+    title = F.concat(
+        F.lit("doc "),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit(" rev "),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(" "),
+        F.substring(clean, 1, 8),
+    )
+    return documents.select("doc_id", title.alias("text"))
+
+
+def q_x_edit_join(spark, sf_dir):
+    """EXACT edit-distance threshold self-join (Ed-Join family:
+    occurrence-annotated q-gram prefixes under a rarity order +
+    length filter + exact Levenshtein verify) over planted titles —
+    every pair within 2 edits, no all-pairs product. The brute-force
+    all-pairs oracle proves COMPLETENESS of the constant-width
+    (k·q+1) prefix scheme, not just precision; distances are
+    hash-checked per pair. See ext/dedup_text.edit_distance_join."""
+    from pac_data_pipeline_spark.ext.dedup_text import edit_distance_join
+
+    return edit_distance_join(
+        _title_fixture(_t(spark, sf_dir, "documents")), max_dist=2, q=2
+    )
+
+
+def q_x_zipf_fit(spark, sf_dir):
+    """Zipf rank-frequency fit over the top-1000 vocabulary head +
+    head-coverage mass: one corpus scan, checkpointed vocab
+    aggregate, TakeOrderedAndProject head, bounded rank window,
+    regr_slope/intercept/r2 rounded to 4 (cross-engine summation
+    order), coverage as exact ppm floor division. The corpus health
+    check run before committing a tokenizer vocab or stopword list.
+    See ext/text.zipf_fit."""
+    from pac_data_pipeline_spark.ext.text import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"), top_n=1000)
+
+
 def q_x_lsh_tuning(spark, sf_dir):
     """LSH operating-point table: one shared 64-hash portable
     MinHash signature split three ways — (16,4), (8,8), (4,16)
@@ -4760,7 +4814,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # Dict ORDER is load-bearing: the round driver's correctness
         # gate checks only the FIRST 50 entries. Round-9 window
-        # (steady-state policy), 50 = 13 + 10 + 27:
+        # (steady-state policy), 50 = 2 + 13 + 10 + 25:
+        # (a0) TWO new queries this round: x_edit_join — the exact
+        #      edit-distance threshold self-join (Ed-Join family),
+        #      hash-exact from day one via the planted title fixture
+        #      and a brute-force all-pairs oracle — and x_zipf_fit,
+        #      the Zipf head fit + coverage corpus health check;
         # (a)  the THIRTEEN queries whose code or output contract
         #      changed this round: x_c4_filters (newline-free
         #      md5(clean_text) contract — the r8 hash-fail fix),
@@ -4783,7 +4842,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      cursor from position 51 of the round-8 dict
         #      (h21_waiting ... x_domain_mix: the r03 names the
         #      session-2/3 additions displaced, then the r03
-        #      leftovers through x_domain_mix).
+        #      leftovers through x_chunk_dedup; x_gopher_rules and
+        #      x_domain_mix slip to positions 51-52 — the head of
+        #      next round's cursor).
         # The tail stays ordered by (last-verdict round, prior dict
         # position) — old-tail leftovers first, the r8-verdicted
         # window names last — so next round's cursor again reads on
@@ -4791,6 +4852,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # All oracle-backed names are exact-hash green in the local
         # DuckDB gate (tools/check_oracle.py, clean + all six fuzz
         # clones).
+        # -- (a0) new this round (2) -----------------------------------
+        "x_edit_join": q_x_edit_join,
+        "x_zipf_fit": q_x_zipf_fit,
         # -- (a) code/contract changed this round (13) ----------------
         "x_c4_filters": q_x_c4_filters,
         "x_lsh_tuning": q_x_lsh_tuning,
@@ -9141,6 +9205,77 @@ def oracle_sql() -> dict[str, str]:
         WHERE len(list_intersect(a.grams, b.grams))
               / (1.0 * nullif(len(list_distinct(
                     list_concat(a.grams, b.grams))), 0)) >= 0.4
+    """
+    # x_edit_join: fixture re-derived from the shared formulas
+    # (doc/rev residues + ASCII-sanitized first-token prefix), then
+    # BRUTE-FORCE all-pairs Levenshtein ≤ 2 with the same ±k length
+    # filter and ≥6-char contract floor — proving the prefix
+    # scheme's completeness, not just precision. ASCII-only inputs
+    # by construction (Spark levenshtein is per-codepoint, DuckDB's
+    # per-byte; they agree exactly on ASCII).
+    oracles["x_edit_join"] = """
+        WITH base AS (
+            SELECT doc_id,
+                   'doc ' || CAST(doc_id % 97 AS VARCHAR)
+                   || ' rev ' || CAST(doc_id % 7 AS VARCHAR) || ' '
+                   || substring(regexp_replace(
+                          (string_split_regex(trim(coalesce(text, ''),
+                                                   ' '),
+                                              '[ \\t\\n\\f\\r]+'))[1],
+                          '[^ -~]', '', 'g'), 1, 8) AS s
+            FROM documents
+            WHERE doc_id IS NOT NULL
+        ),
+        f AS (
+            SELECT doc_id, s FROM base
+            WHERE s IS NOT NULL AND length(s) >= 6
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(levenshtein(a.s, b.s) AS INT) AS dist
+        FROM f a JOIN f b
+          ON a.doc_id < b.doc_id
+         AND abs(length(a.s) - length(b.s)) <= 2
+        WHERE levenshtein(a.s, b.s) <= 2
+    """
+    # x_zipf_fit: same token/fold contract as x_bm25, head cut and
+    # rank both ordered (freq DESC, token) so the boundary is
+    # deterministic; regression moments round to 4 (cross-engine
+    # summation order), coverage is exact integer ppm.
+    oracles["x_zipf_fit"] = """
+        WITH tok AS (
+            SELECT t FROM (
+                SELECT unnest(regexp_split_to_array(trim(
+                           translate(text,
+                               'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                               'abcdefghijklmnopqrstuvwxyz'),
+                           ' '), '[ \\t\\n\\f\\r]+')) AS t
+                FROM documents WHERE text IS NOT NULL
+            ) WHERE t <> ''
+        ),
+        vocab AS (SELECT t, count(*) AS f FROM tok GROUP BY t),
+        tot AS (
+            SELECT CAST(coalesce(sum(f), 0) AS BIGINT) AS corpus_tokens,
+                   CAST(count(*) AS BIGINT) AS n_vocab
+            FROM vocab
+        ),
+        head AS (
+            SELECT f, row_number() OVER (ORDER BY f DESC, t) AS r
+            FROM (SELECT t, f FROM vocab ORDER BY f DESC, t LIMIT 1000)
+        ),
+        fit AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_terms,
+                   CAST(coalesce(sum(f), 0) AS BIGINT) AS head_tokens,
+                   round(regr_slope(ln(f), ln(r)), 4) AS slope,
+                   round(regr_intercept(ln(f), ln(r)), 4) AS intercept,
+                   round(regr_r2(ln(f), ln(r)), 4) AS r2
+            FROM head
+        )
+        SELECT n_terms, head_tokens, corpus_tokens, n_vocab,
+               CASE WHEN corpus_tokens > 0 THEN
+                   CAST((1000000 * head_tokens) // corpus_tokens
+                        AS BIGINT) END AS head_coverage_ppm,
+               slope, intercept, r2
+        FROM fit CROSS JOIN tot
     """
     # x_dsir_weights: exact-integer replay of the fixed-point DSIR
     # contract (ext/dsir.py) — same staged bigram split, the same

@@ -991,6 +991,134 @@ def jaccard_similarity_join(
     )
 
 
+def edit_distance_join(
+    df: DataFrame,
+    max_dist: int = 2,
+    q: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT edit-distance threshold self-join (the Ed-Join family,
+    Gravano et al. 2001 count filtering + Xiao et al. 2008 q-gram
+    prefixes): every pair of strings with Levenshtein distance ≤
+    ``max_dist``, without the all-pairs product — the string-metric
+    sibling of :func:`jaccard_similarity_join` for titles, names,
+    URLs, and other short keys where token-set similarity is too
+    coarse.
+
+    The theorem chain: one edit operation destroys at most ``q``
+    positional q-grams, so ed(a, b) ≤ k implies the q-gram BAGS
+    share ≥ T = max(|a|,|b|) − q + 1 − k·q grams. Bags become sets
+    by numbering each gram's occurrences — the i-th ``"ab"`` in a
+    is the element ("ab", i) — under which bag intersection IS set
+    intersection, and the smallest-common-element prefix argument
+    (see :func:`_jaccard_join_stages`) applies with α = T: both
+    sides must share an occurrence-annotated gram among their first
+    n_pos − T + 1 ≤ k·q + 1 elements in ANY global total order.
+    Rarity-first ordering — corpus frequency, then (gram, occ) as
+    the unique tiebreak, no synthetic ids needed — keeps the
+    constant-width prefixes on the rarest grams.
+
+    CONTRACT: strings shorter than (k+1)·q characters are EXCLUDED
+    (n_pos ≤ k·q makes T < 1 — e.g. ed("ab", "cd") = 2 with zero
+    shared grams — so no gram-sharing scheme can be complete; tiny
+    strings need a different algorithm, and at corpus scale they
+    all-pairs among themselves by the metric's own geometry, which
+    is exactly the plan shape this join exists to avoid). Distance
+    is per-CODEPOINT (Spark semantics); keep inputs ASCII for
+    engine-portable oracles — DuckDB's levenshtein counts bytes.
+
+    Scale shape (the jaccard-join stages one-for-one): gram explode
+    → per-element corpus-frequency aggregate → per-string sorted
+    re-aggregation (all shuffles keyed by string id or element) →
+    constant-width prefix explode → equi-join on (gram, occ) with
+    the ±k length filter → exact Levenshtein verify over DISTINCT
+    candidates only, strings attached via shuffle_hash joins (SMJ
+    would sort the candidate stream; the jaccard verify lesson).
+    Emits (id_a, id_b, dist) with id_a < id_b."""
+    from pyspark.sql import Window
+
+    k = int(max_dist)
+    min_len = (k + 1) * q
+    strings = (
+        ensure_parallelism(
+            df.filter(
+                F.col(text_col).isNotNull()
+                & (F.length(text_col) >= min_len)
+            )
+        )
+        .select(F.col(id_col).alias("id"), F.col(text_col).alias("s"))
+        .localCheckpoint()  # elems below + both verify sides
+    )
+    elems = (
+        strings.withColumn("len", F.length("s"))
+        .select(
+            "id",
+            "len",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, length(s) - {q} + 1),"
+                    f" i -> substring(s, i, {q}))"
+                )
+            ).alias("i", "g"),
+        )
+        # occurrence number: the multiset-to-set annotation, ordered
+        # by gram position within the string (per-(id, gram) window,
+        # never global)
+        .withColumn(
+            "occ",
+            F.row_number().over(
+                Window.partitionBy("id", "g").orderBy("i")
+            ),
+        )
+        .select("id", "len", "g", "occ")
+        .localCheckpoint()  # freq aggregate + per-string sort
+    )
+    freq = elems.groupBy("g", "occ").agg(F.count(F.lit(1)).alias("f"))
+    prefix_w = k * q + 1
+    pref = (
+        elems.join(freq, ["g", "occ"])
+        .groupBy("id", "len")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct("f", "g", "occ"))
+                ),
+                1,
+                prefix_w,
+            ).alias("pre")
+        )
+        .select(
+            "id", "len", F.explode("pre").alias("e")
+        )
+        .select("id", "len", F.col("e.g").alias("g"), F.col("e.occ").alias("occ"))
+    )
+    a = pref.select(
+        F.col("id").alias("id_a"), F.col("len").alias("len_a"), "g", "occ"
+    )
+    b = pref.select(
+        F.col("id").alias("id_b"), F.col("len").alias("len_b"), "g", "occ"
+    )
+    cand = (
+        a.join(b, ["g", "occ"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= k)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = strings.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
+    sb = strings.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
+    dist = F.levenshtein("s_a", "s_b")
+    return (
+        cand.join(sa.hint("shuffle_hash"), "id_a")
+        .join(sb.hint("shuffle_hash"), "id_b")
+        .filter(dist <= k)
+        .select("id_a", "id_b", dist.cast("int").alias("dist"))
+    )
+
+
 # -- decontamination ----------------------------------------------------------
 
 

@@ -703,6 +703,82 @@ def c4_page_filters(
     )
 
 
+def zipf_fit(
+    df: DataFrame,
+    top_n: int = 1000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf rank-frequency fit over the head of the vocabulary —
+    the one-row corpus health check (a natural corpus follows
+    ln f ≈ c − s·ln r with s ≈ 1; template/boilerplate floods and
+    synthetic data bend the head) plus head-coverage mass, the
+    number that sizes stopword lists and tokenizer vocabularies.
+
+    Emits ONE row: (n_terms, head_tokens, corpus_tokens, n_vocab,
+    head_coverage_ppm, slope, intercept, r2) — the regression is
+    ln(freq) on ln(rank) over the ``top_n`` most frequent terms
+    (ranked freq-desc with token tiebreak; fitting the head is
+    standard practice — the tail bends by Heaps' law), coverage is
+    an exact ppm floor division, and the regression moments round
+    to 4 before emission (cross-engine summation order).
+
+    Scale shape: ONE corpus scan into the (token, freq) aggregate;
+    that vocab frame localCheckpoints because THREE consumers read
+    it (the top-n head, the corpus totals, nothing re-reads the
+    corpus — the totals are Σf over vocab, not a second scan). The
+    head is orderBy+limit → TakeOrderedAndProject (per-partition
+    heaps, never a global sort); the rank window spans the ≤top_n
+    head rows only (whitelisted bounded-window pattern, like
+    x_rrf_fusion's leg ranks)."""
+    from pyspark.sql import Window
+
+    tok = df.filter(F.col(text_col).isNotNull()).select(
+        F.explode(tokens(ascii_lower(F.col(text_col)))).alias("t")
+    ).filter(F.col("t") != "")
+    vocab = tok.groupBy("t").agg(
+        F.count(F.lit(1)).alias("f")
+    ).localCheckpoint()
+    totals = vocab.agg(
+        F.coalesce(F.sum("f"), F.lit(0)).cast("bigint").alias(
+            "corpus_tokens"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_vocab"),
+    )
+    head = (
+        vocab.orderBy(F.desc("f"), F.asc("t"))
+        .limit(top_n)
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.orderBy(F.desc("f"), F.asc("t"))
+            ),
+        )
+    )
+    lnf, lnr = F.log("f"), F.log("r")
+    fit = head.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.coalesce(F.sum("f"), F.lit(0)).cast("bigint").alias(
+            "head_tokens"
+        ),
+        F.round(F.regr_slope(lnf, lnr), 4).alias("slope"),
+        F.round(F.regr_intercept(lnf, lnr), 4).alias("intercept"),
+        F.round(F.regr_r2(lnf, lnr), 4).alias("r2"),
+    )
+    return fit.crossJoin(F.broadcast(totals)).select(
+        "n_terms",
+        "head_tokens",
+        "corpus_tokens",
+        "n_vocab",
+        F.expr(
+            "CASE WHEN corpus_tokens > 0 THEN"
+            " (1000000 * head_tokens) div corpus_tokens END"
+        ).alias("head_coverage_ppm"),
+        "slope",
+        "intercept",
+        "r2",
+    )
+
+
 def corpus_report(
     df: DataFrame, source_col: str = "source", text_col: str = "text"
 ) -> DataFrame:

@@ -2870,3 +2870,90 @@ def test_lsh_tuning_table_sample_knob_deterministic(spark):
         lsh_tuning_table(docs, sample_fraction=0.0)
     with pytest.raises(ValueError, match="sample_fraction"):
         lsh_tuning_table(docs, sample_fraction=1.5)
+
+
+def _py_lev(a, b):
+    m, n = len(a), len(b)
+    d = list(range(n + 1))
+    for i in range(1, m + 1):
+        prev, d[0] = d[0], i
+        for j in range(1, n + 1):
+            prev, d[j] = d[j], min(
+                d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+            )
+    return d[n]
+
+
+def test_edit_distance_join_exact_vs_bruteforce(spark):
+    """Ed-Join completeness and exactness on hand-built strings:
+    every pair within 2 edits that brute force finds, with the same
+    distances; strings under the (k+1)*q contract floor are
+    excluded; NULL/empty text never pairs."""
+    import itertools
+
+    from pac_data_pipeline_spark.ext.dedup_text import edit_distance_join
+
+    strs = [
+        "kitten house", "sitten house", "sittin houses", "kitten mouse",
+        "wholly different string", "wholy different string",
+        "abcdef", "abcdxf", "zzzzzz", "abcde",  # len 5 < 6: excluded
+        "doc 42 rev 3 alpha", "doc 43 rev 3 alpha", "doc 42 rev 3 alphb",
+        "aaaaaa", "aaaaab",  # repeated grams: occurrence annotation
+        None, "",
+    ]
+    rows = [(i, s) for i, s in enumerate(strs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_join(df, max_dist=2, q=2).collect()
+    }
+    want = {
+        (i, j, _py_lev(a, b))
+        for (i, a), (j, b) in itertools.combinations(
+            [(i, s) for i, s in rows if s and len(s) >= 6], 2
+        )
+        if _py_lev(a, b) <= 2
+    }
+    assert got == want
+    assert (13, 14, 1) in got  # the repeated-gram pair survived
+    assert not any(9 in (a, b) for a, b, _ in got)  # contract floor
+
+
+def test_zipf_fit_hand_computed(spark):
+    """Zipf head fit replayed in Python: freqs a:4 b:2 c:1 give
+    ranks 1..3; slope/intercept/r2 are the least-squares moments of
+    (ln r, ln f) rounded to 4; a top_n=2 cut keeps the two most
+    frequent terms and reports exact ppm coverage 6/7."""
+    import math
+
+    from pac_data_pipeline_spark.ext.text import zipf_fit
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c"), (3, "a"), (4, None)],
+        "doc_id long, text string",
+    )
+    full = zipf_fit(docs, top_n=1000).collect()[0]
+    pts = [(math.log(1), math.log(4)), (math.log(2), math.log(2)),
+           (math.log(3), math.log(1))]
+    n = len(pts)
+    mx = sum(x for x, _ in pts) / n
+    my = sum(y for _, y in pts) / n
+    sxx = sum((x - mx) ** 2 for x, _ in pts)
+    sxy = sum((x - mx) * (y - my) for x, y in pts)
+    syy = sum((y - my) ** 2 for _, y in pts)
+    slope = sxy / sxx
+    assert full.n_terms == 3 and full.n_vocab == 3
+    assert full.head_tokens == 7 and full.corpus_tokens == 7
+    assert full.head_coverage_ppm == 1_000_000
+    assert full.slope == round(slope, 4)
+    assert full.intercept == round(my - slope * mx, 4)
+    assert full.r2 == round(sxy * sxy / (sxx * syy), 4)
+
+    cut = zipf_fit(docs, top_n=2).collect()[0]
+    assert (cut.n_terms, cut.head_tokens, cut.corpus_tokens) == (2, 6, 7)
+    assert cut.head_coverage_ppm == (1_000_000 * 6) // 7
+    assert cut.n_vocab == 3
+
+    empty = zipf_fit(docs.filter("doc_id < 0")).collect()[0]
+    assert (empty.n_terms, empty.corpus_tokens) == (0, 0)
+    assert empty.slope is None and empty.head_coverage_ppm is None

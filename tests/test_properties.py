@@ -324,6 +324,51 @@ def test_jaccard_join_complete_vs_bruteforce(spark_session_holder, token_lists):
     assert got == naive_jaccard_join(docs, 0.4)
 
 
+def _naive_lev(a, b):
+    m, n = len(a), len(b)
+    d = list(range(n + 1))
+    for i in range(1, m + 1):
+        prev, d[0] = d[0], i
+        for j in range(1, n + 1):
+            prev, d[j] = d[j], min(
+                d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+            )
+    return d[n]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_edit_join_complete_vs_bruteforce(spark_session_holder, strings):
+    """Ed-Join's occurrence-annotated q-gram prefix scheme must be
+    COMPLETE over a tiny alphabet — the adversarial case where
+    repeated grams make the bag/set distinction load-bearing and
+    boundary distances cluster at the threshold."""
+    from pac_data_pipeline_spark.ext.dedup_text import edit_distance_join
+
+    spark = spark_session_holder
+    k, q = 2, 2
+    docs = [(i, s) for i, s in enumerate(strings)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_join(df, max_dist=k, q=q).collect()
+    }
+    eligible = [(i, s) for i, s in docs if s and len(s) >= (k + 1) * q]
+    want = set()
+    for x, (i, a) in enumerate(eligible):
+        for j, b in eligible[x + 1:]:
+            d = _naive_lev(a, b)
+            if d <= k:
+                want.add((i, j, d))
+    assert got == want
+
+
 def naive_asof(left, right, direction):
     """Reference as-of: per left row scan all right rows of its
     group. left/right: list of (by, t, v)."""

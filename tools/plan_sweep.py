@@ -64,6 +64,8 @@ ALLOWED_BNL = {
     "x_rfm",              # 1-row quintile-boundary broadcast
     "x_cms_heavy_hitters",  # 1-row packed counter-matrix broadcast
     "x_dsir_weights",     # 1-row (R, T) feature-total broadcast
+    "x_zipf_fit",         # 1-row corpus-totals broadcast onto the
+                          # 1-row head regression
     "x_rrf_fusion",       # 1-row (N, avgdl) BM25-stats broadcast +
                           # 1-row query-vector broadcast (dense leg)
 }
@@ -120,6 +122,10 @@ ALLOWED_GLOBAL_WINDOW = {
     # TakeOrderedAndProject outputs (≤100 rows each), never the
     # corpus — fusion is post-retrieval by construction.
     "x_rrf_fusion",
+    # x_zipf_fit's rank window spans the top-1000
+    # TakeOrderedAndProject vocabulary head, never the corpus or
+    # the full vocab (which aggregates separately).
+    "x_zipf_fit",
 }
 
 
