@@ -4787,6 +4787,20 @@ def q_x_zipf_fit(spark, sf_dir):
     return zipf_fit(_t(spark, sf_dir, "documents"), top_n=1000)
 
 
+def q_x_jl_project(spark, sf_dir):
+    """Johnson-Lindenstrauss projection 64 -> 16 dims through the
+    portable md5-Rademacher matrix (Achlioptas 2003: +-1 entries
+    carry the JL guarantee): sequential-fold dots, 1/sqrt(16)
+    scale, long (vec_id, j, value) output — the pre-ANN compression
+    step; zero shuffles, zero Python. The oracle re-derives the
+    matrix from the md5 formula and replays each fold with an
+    ordered list_reduce, so every projected coordinate is
+    hash-checked. See ext/similarity.jl_project."""
+    from pac_data_pipeline_spark.ext.similarity import jl_project
+
+    return jl_project(_t(spark, sf_dir, "embeddings"), out_dim=16, dim=64)
+
+
 def q_x_lsh_tuning(spark, sf_dir):
     """LSH operating-point table: one shared 64-hash portable
     MinHash signature split three ways — (16,4), (8,8), (4,16)
@@ -4814,12 +4828,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # Dict ORDER is load-bearing: the round driver's correctness
         # gate checks only the FIRST 50 entries. Round-9 window
-        # (steady-state policy), 50 = 2 + 13 + 10 + 25:
-        # (a0) TWO new queries this round: x_edit_join — the exact
+        # (steady-state policy), 50 = 3 + 13 + 10 + 24:
+        # (a0) THREE new queries this round: x_edit_join — the exact
         #      edit-distance threshold self-join (Ed-Join family),
         #      hash-exact from day one via the planted title fixture
-        #      and a brute-force all-pairs oracle — and x_zipf_fit,
-        #      the Zipf head fit + coverage corpus health check;
+        #      and a brute-force all-pairs oracle — x_zipf_fit, the
+        #      Zipf head fit + coverage corpus health check — and
+        #      x_jl_project, the portable-Rademacher JL projection;
         # (a)  the THIRTEEN queries whose code or output contract
         #      changed this round: x_c4_filters (newline-free
         #      md5(clean_text) contract — the r8 hash-fail fix),
@@ -4842,9 +4857,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      cursor from position 51 of the round-8 dict
         #      (h21_waiting ... x_domain_mix: the r03 names the
         #      session-2/3 additions displaced, then the r03
-        #      leftovers through x_chunk_dedup; x_gopher_rules and
-        #      x_domain_mix slip to positions 51-52 — the head of
-        #      next round's cursor).
+        #      leftovers through x_repetition; x_chunk_dedup,
+        #      x_gopher_rules and x_domain_mix slip to positions
+        #      51-53 — the head of next round's cursor).
         # The tail stays ordered by (last-verdict round, prior dict
         # position) — old-tail leftovers first, the r8-verdicted
         # window names last — so next round's cursor again reads on
@@ -4852,9 +4867,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # All oracle-backed names are exact-hash green in the local
         # DuckDB gate (tools/check_oracle.py, clean + all six fuzz
         # clones).
-        # -- (a0) new this round (2) -----------------------------------
+        # -- (a0) new this round (3) -----------------------------------
         "x_edit_join": q_x_edit_join,
         "x_zipf_fit": q_x_zipf_fit,
+        "x_jl_project": q_x_jl_project,
         # -- (a) code/contract changed this round (13) ----------------
         "x_c4_filters": q_x_c4_filters,
         "x_lsh_tuning": q_x_lsh_tuning,
@@ -9236,6 +9252,25 @@ def oracle_sql() -> dict[str, str]:
           ON a.doc_id < b.doc_id
          AND abs(length(a.s) - length(b.s)) <= 2
         WHERE levenshtein(a.s, b.s) <= 2
+    """
+    # x_jl_project: the md5-Rademacher matrix re-derived from the
+    # shared formula (portable_hyperplanes — first hex digit of
+    # md5('plane:p:i') < 8 -> +1 else -1), each projection replayed
+    # as an ORDERED list_reduce fold, so coordinates match
+    # bit-for-bit before the emitted round(6).
+    oracles["x_jl_project"] = """
+        SELECT vec_id, CAST(p AS INT) AS j,
+               round(list_reduce(
+                   [CAST(embedding[i + 1] AS DOUBLE) *
+                    (CASE WHEN CAST('0x' || substring(
+                              md5('plane:' || p || ':' || i), 1, 1)
+                          AS INT) < 8
+                          THEN CAST(1.0 AS DOUBLE)
+                          ELSE CAST(-1.0 AS DOUBLE) END)
+                    FOR i IN range(0, 64)],
+                   (a, b) -> a + b) * (1.0 / sqrt(16.0)), 6) AS value
+        FROM embeddings, range(0, 16) t(p)
+        WHERE embedding IS NOT NULL
     """
     # x_zipf_fit: same token/fold contract as x_bm25, head cut and
     # rank both ordered (freq DESC, token) so the boundary is

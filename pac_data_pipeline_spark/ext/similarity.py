@@ -164,6 +164,70 @@ def _sign_signature(vec_col: str, planes: list[list[float]]) -> Column:
     return sig
 
 
+def jl_project(
+    embeddings: DataFrame,
+    out_dim: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    portable: bool = True,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection of an embedding
+    column to ``out_dim`` dimensions — the standard pre-ANN
+    compression (project once, then run the brute/LSH/IVF tiers on
+    vectors ``dim/out_dim``× cheaper; JL bounds the pairwise
+    distance distortion, and Achlioptas 2003 shows ±1 Rademacher
+    entries give the same guarantee as Gaussians).
+
+    ``portable=True`` (default) derives the ±1 matrix from md5
+    (:func:`portable_hyperplanes` — coefficient (p, i) from the
+    first hex digit of ``md5("plane:{p}:{i}")``), so any engine
+    with md5 re-derives the exact matrix; projections are
+    sequential folds over the zipped arrays (deterministic
+    summation order — an oracle replays them bit-for-bit with an
+    ordered list_reduce, no round-before-compare slack needed
+    beyond the emitted round(6)). ``portable=False`` swaps in
+    Gaussian planes from the driver RNG (production default
+    elsewhere in this family). Scale factor is the JL-standard
+    1/√out_dim, applied AFTER the fold on both engines.
+
+    Scale shape: pure scan-stage column expressions — the matrix
+    inlines as array literals folded at plan time, zero shuffles,
+    zero Python. Emits LONG format (id, j, value): the driver
+    hashes scalars, and long output feeds groupBy-style consumers
+    without array plumbing."""
+    import math
+
+    planes = (
+        portable_hyperplanes(dim, out_dim)
+        if portable
+        else random_hyperplanes(dim, out_dim)
+    )
+    scale = 1.0 / math.sqrt(out_dim)
+    dots = []
+    for plane in planes:
+        arr = "array(" + ",".join(
+            f"CAST({x!r} AS DOUBLE)" for x in plane
+        ) + ")"
+        dots.append(
+            F.expr(
+                f"aggregate(zip_with({vec_col}, {arr},"
+                f" (x, y) -> CAST(x AS DOUBLE) * y),"
+                f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+        )
+    return (
+        drop_null_vectors(embeddings, vec_col)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.array(*[F.round(d * F.lit(scale), 6) for d in dots])
+            ).alias("j", "value"),
+        )
+        .select(id_col, "j", "value")
+    )
+
+
 def cosine_topk_lsh(
     embeddings: DataFrame,
     queries: DataFrame,

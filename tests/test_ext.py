@@ -2957,3 +2957,37 @@ def test_zipf_fit_hand_computed(spark):
     empty = zipf_fit(docs.filter("doc_id < 0")).collect()[0]
     assert (empty.n_terms, empty.corpus_tokens) == (0, 0)
     assert empty.slope is None and empty.head_coverage_ppm is None
+
+
+def test_jl_project_matches_numpy_replay(spark):
+    """Projected coordinates equal the numpy replay of the portable
+    md5-Rademacher matrix (sequential-fold order, 1/sqrt(out_dim)
+    scale, round 6); null vectors drop; long output is (id, j,
+    value) with out_dim rows per vector."""
+    import math
+
+    import numpy as np
+
+    from pac_data_pipeline_spark.ext.similarity import (
+        jl_project,
+        portable_hyperplanes,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((3, 64)).astype("float32")
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    rows.append((99, None))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        (r.vec_id, r.j): r.value
+        for r in jl_project(df, out_dim=16, dim=64).collect()
+    }
+    assert len(out) == 3 * 16 and not any(i == 99 for i, _ in out)
+    planes = np.array(portable_hyperplanes(64, 16))
+    scale = 1.0 / math.sqrt(16)
+    for i, v in enumerate(vecs):
+        for j in range(16):
+            acc = 0.0
+            for x, r_ in zip(v, planes[j]):
+                acc += float(x) * r_
+            assert out[(i, j)] == round(acc * scale, 6), (i, j)
