@@ -4801,6 +4801,22 @@ def q_x_jl_project(spark, sf_dir):
     return jl_project(_t(spark, sf_dir, "embeddings"), out_dim=16, dim=64)
 
 
+def q_x_jl_recall(spark, sf_dir):
+    """Recall@10 of JL-16 vs exact-64 cosine for 5 corpus queries —
+    the operating-point evaluation run before committing the
+    compressed tier (the lsh_tuning convention). Both legs are the
+    brute-force broadcast pattern with round-before-rank windows
+    partitioned by query; overlap and ppm are exact integers. The
+    oracle replays the projection (ordered list_reduce folds), both
+    rankings, and the overlap. See ext/similarity.jl_recall."""
+    from pac_data_pipeline_spark.ext.similarity import jl_recall
+
+    return jl_recall(
+        _t(spark, sf_dir, "embeddings"), k=10, n_queries=5,
+        out_dim=16, dim=64,
+    )
+
+
 def q_x_lsh_tuning(spark, sf_dir):
     """LSH operating-point table: one shared 64-hash portable
     MinHash signature split three ways — (16,4), (8,8), (4,16)
@@ -4828,13 +4844,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # Dict ORDER is load-bearing: the round driver's correctness
         # gate checks only the FIRST 50 entries. Round-9 window
-        # (steady-state policy), 50 = 3 + 13 + 10 + 24:
-        # (a0) THREE new queries this round: x_edit_join — the exact
+        # (steady-state policy), 50 = 4 + 13 + 10 + 23:
+        # (a0) FOUR new queries this round: x_edit_join — the exact
         #      edit-distance threshold self-join (Ed-Join family),
         #      hash-exact from day one via the planted title fixture
         #      and a brute-force all-pairs oracle — x_zipf_fit, the
-        #      Zipf head fit + coverage corpus health check — and
-        #      x_jl_project, the portable-Rademacher JL projection;
+        #      Zipf head fit + coverage corpus health check —
+        #      x_jl_project, the portable-Rademacher JL projection —
+        #      and x_jl_recall, its recall@k operating-point eval;
         # (a)  the THIRTEEN queries whose code or output contract
         #      changed this round: x_c4_filters (newline-free
         #      md5(clean_text) contract — the r8 hash-fail fix),
@@ -4857,9 +4874,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      cursor from position 51 of the round-8 dict
         #      (h21_waiting ... x_domain_mix: the r03 names the
         #      session-2/3 additions displaced, then the r03
-        #      leftovers through x_repetition; x_chunk_dedup,
-        #      x_gopher_rules and x_domain_mix slip to positions
-        #      51-53 — the head of next round's cursor).
+        #      leftovers through x_pack_sequences; x_repetition,
+        #      x_chunk_dedup, x_gopher_rules and x_domain_mix slip
+        #      to positions 51-54 — the head of next round's
+        #      cursor).
         # The tail stays ordered by (last-verdict round, prior dict
         # position) — old-tail leftovers first, the r8-verdicted
         # window names last — so next round's cursor again reads on
@@ -4867,10 +4885,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # All oracle-backed names are exact-hash green in the local
         # DuckDB gate (tools/check_oracle.py, clean + all six fuzz
         # clones).
-        # -- (a0) new this round (3) -----------------------------------
+        # -- (a0) new this round (4) -----------------------------------
         "x_edit_join": q_x_edit_join,
         "x_zipf_fit": q_x_zipf_fit,
         "x_jl_project": q_x_jl_project,
+        "x_jl_recall": q_x_jl_recall,
         # -- (a) code/contract changed this round (13) ----------------
         "x_c4_filters": q_x_c4_filters,
         "x_lsh_tuning": q_x_lsh_tuning,
@@ -9271,6 +9290,81 @@ def oracle_sql() -> dict[str, str]:
                    (a, b) -> a + b) * (1.0 / sqrt(16.0)), 6) AS value
         FROM embeddings, range(0, 16) t(p)
         WHERE embedding IS NOT NULL
+    """
+    # x_jl_recall: the x_jl_project projection CTE, both top-10
+    # rankings (exact 64-dim and projected 16-dim cosine, rank over
+    # round(cosine, 6) with id tiebreak — the round-before-rank
+    # convention), and the exact integer overlap/ppm.
+    oracles["x_jl_recall"] = """
+        WITH pr AS (
+            SELECT vec_id, p,
+                   round(list_reduce(
+                       [CAST(embedding[i + 1] AS DOUBLE) *
+                        (CASE WHEN CAST('0x' || substring(
+                                  md5('plane:' || p || ':' || i), 1, 1)
+                              AS INT) < 8
+                              THEN CAST(1.0 AS DOUBLE)
+                              ELSE CAST(-1.0 AS DOUBLE) END)
+                        FOR i IN range(0, 64)],
+                       (a, b) -> a + b) * (1.0 / sqrt(16.0)), 6)
+                       AS value
+            FROM embeddings, range(0, 16) t(p)
+            WHERE embedding IS NOT NULL
+        ),
+        pv AS (
+            SELECT vec_id, list(value ORDER BY p) AS v
+            FROM pr GROUP BY vec_id
+        ),
+        eq AS (
+            SELECT vec_id AS query_id,
+                   CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings
+            WHERE vec_id < 5 AND embedding IS NOT NULL
+        ),
+        es AS (
+            SELECT q.query_id, e.vec_id,
+                   list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), q.qv) AS c
+            FROM embeddings e CROSS JOIN eq q
+            WHERE e.embedding IS NOT NULL
+        ),
+        er AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY round(c, 6) DESC, vec_id) AS rnk
+                FROM es
+            ) WHERE rnk <= 10
+        ),
+        pq AS (SELECT vec_id AS query_id, v AS qv FROM pv
+               WHERE vec_id < 5),
+        ps AS (
+            SELECT q.query_id, e.vec_id,
+                   list_cosine_similarity(e.v, q.qv) AS c
+            FROM pv e CROSS JOIN pq q
+        ),
+        ar AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY round(c, 6) DESC, vec_id) AS rnk
+                FROM ps
+            ) WHERE rnk <= 10
+        ),
+        ex AS (
+            SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+            FROM er GROUP BY 1
+        ),
+        hits AS (
+            SELECT er.query_id, CAST(count(*) AS BIGINT) AS n_hits
+            FROM er JOIN ar USING (query_id, vec_id) GROUP BY 1
+        )
+        SELECT ex.query_id, ex.n_exact,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               CASE WHEN ex.n_exact > 0 THEN
+                   CAST((1000000 * coalesce(h.n_hits, 0))
+                        // ex.n_exact AS BIGINT) END AS recall_ppm
+        FROM ex LEFT JOIN hits h USING (query_id)
     """
     # x_zipf_fit: same token/fold contract as x_bm25, head cut and
     # rank both ordered (freq DESC, token) so the boundary is

@@ -228,6 +228,84 @@ def jl_project(
     )
 
 
+def jl_recall(
+    embeddings: DataFrame,
+    k: int = 10,
+    n_queries: int = 5,
+    out_dim: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the JL-compressed space against exact full-dim
+    cosine — the evaluation you run BEFORE routing a 100 TB ANN
+    pass through :func:`jl_project` (the lsh_tuning_table
+    convention: measure the operating point, then commit). Per
+    query: the exact top-k in the original space, the top-k in the
+    projected space, and the overlap as an exact ppm floor
+    division.
+
+    Scale shape: the projection is scan-stage; the projected
+    vectors localCheckpoint (corpus side + query side read them);
+    both top-k legs are the brute-force broadcast pattern (bounded
+    query set, corpus never shuffles, round-before-rank windows
+    PARTITIONED by query); the overlap join touches 2·n_queries·k
+    rows. Emits (query_id, n_exact, n_hits, recall_ppm)."""
+    proj = jl_project(embeddings, out_dim, dim, id_col, vec_col)
+    pvec = (
+        proj.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("j", "value"))
+            ).alias("st")
+        )
+        .select(
+            F.col(id_col),
+            F.expr("transform(st, s -> s.value)").alias(vec_col),
+        )
+        .localCheckpoint()  # corpus side + query side below
+    )
+    exact = cosine_topk_bruteforce(
+        embeddings,
+        queries_from_corpus(embeddings, n_queries, id_col, vec_col),
+        k,
+        id_col,
+        vec_col,
+    )
+    approx = cosine_topk_bruteforce(
+        pvec,
+        queries_from_corpus(pvec, n_queries, id_col, vec_col),
+        k,
+        id_col,
+        vec_col,
+    )
+    hits = exact.join(
+        approx.select("query_id", id_col),
+        ["query_id", id_col],
+        "left_semi",
+    )
+    per = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    hitc = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        per.join(hitc, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias(
+                "n_hits"
+            ),
+            F.expr(
+                "CASE WHEN n_exact > 0 THEN"
+                " (1000000 * coalesce(n_hits, 0)) div n_exact END"
+            ).alias("recall_ppm"),
+        )
+    )
+
+
 def cosine_topk_lsh(
     embeddings: DataFrame,
     queries: DataFrame,

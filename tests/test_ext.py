@@ -2991,3 +2991,33 @@ def test_jl_project_matches_numpy_replay(spark):
             for x, r_ in zip(v, planes[j]):
                 acc += float(x) * r_
             assert out[(i, j)] == round(acc * scale, 6), (i, j)
+
+
+def test_jl_recall_identity_and_bounds(spark):
+    """Recall@k sanity: projecting with out_dim == dim-equivalent
+    information (a corpus whose vectors differ wildly) keeps the
+    exact top-k; counts and ppm are exact integers; per-query rows
+    appear for every surviving query vector."""
+    import numpy as np
+
+    from pac_data_pipeline_spark.ext.similarity import jl_recall
+
+    rng = np.random.default_rng(11)
+    # well-separated cluster structure: 3 tight clusters far apart,
+    # so top-3 neighbors survive ANY distance-preserving projection
+    centers = rng.standard_normal((3, 64)) * 50
+    rows = []
+    for i in range(12):
+        v = centers[i % 3] + rng.standard_normal(64) * 0.01
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.query_id: r for r in jl_recall(
+        df, k=3, n_queries=2, out_dim=16, dim=64
+    ).collect()}
+    assert set(out) == {0, 1}
+    for q, r in out.items():
+        assert r.n_exact == 3
+        assert 0 <= r.n_hits <= 3
+        assert r.recall_ppm == (1_000_000 * r.n_hits) // r.n_exact
+        # tight, well-separated clusters: JL-16 keeps the cluster
+        assert r.n_hits == 3, (q, r)

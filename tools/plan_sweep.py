@@ -66,6 +66,8 @@ ALLOWED_BNL = {
     "x_dsir_weights",     # 1-row (R, T) feature-total broadcast
     "x_zipf_fit",         # 1-row corpus-totals broadcast onto the
                           # 1-row head regression
+    "x_jl_recall",        # 5-row query sets vs corpus, both legs
+                          # (the x_cosine_topk pattern, twice)
     "x_rrf_fusion",       # 1-row (N, avgdl) BM25-stats broadcast +
                           # 1-row query-vector broadcast (dense leg)
 }
