@@ -4801,6 +4801,44 @@ def q_x_jl_project(spark, sf_dir):
     return jl_project(_t(spark, sf_dir, "embeddings"), out_dim=16, dim=64)
 
 
+def _quote_fixture(documents):
+    """Planted containment pairs: every doc_id % 10 == 0 document
+    contributes a 'quote' row (id + 10_000_000) whose text is a
+    10-token contiguous slice of the SAME document — its 3-gram set
+    is a subset of the parent's, so containment is 1.0 by
+    construction. Generator docs are near-unique, so without the
+    plant the positive class would be empty on clean data (the
+    x_pii_luhn planted-fixture pattern); both engines restate the
+    slice formula."""
+    toks = F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), TOKEN_SEP)
+    quote = F.array_join(F.slice(toks, 4, 10), " ")
+    full = documents.select("doc_id", "text")
+    quotes = documents.filter(
+        F.col("doc_id").isNotNull() & (F.col("doc_id") % 10 == 0)
+    ).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        quote.alias("text"),
+    )
+    return full.unionByName(quotes)
+
+
+def q_x_containment_join(spark, sf_dir):
+    """EXACT set-containment join (|A∩B|/|A| ≥ 0.7): the asymmetric
+    near-dup detector — quotes and partial copies that Jaccard
+    misses by construction. Probe-side rarity prefixes vs the
+    container's full inverted gram list, positional + size row
+    filters, exact verify over distinct candidates; contained side
+    floored at 5 grams (contract). Brute-force ordered-pairs oracle
+    proves completeness. See ext/dedup_text.containment_join."""
+    from pac_data_pipeline_spark.ext.dedup_text import containment_join
+
+    return containment_join(
+        _quote_fixture(_t(spark, sf_dir, "documents")),
+        threshold=0.7,
+        min_grams=5,
+    )
+
+
 def q_x_jl_recall(spark, sf_dir):
     """Recall@10 of JL-16 vs exact-64 cosine for 5 corpus queries —
     the operating-point evaluation run before committing the
@@ -4844,14 +4882,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # Dict ORDER is load-bearing: the round driver's correctness
         # gate checks only the FIRST 50 entries. Round-9 window
-        # (steady-state policy), 50 = 4 + 13 + 10 + 23:
-        # (a0) FOUR new queries this round: x_edit_join — the exact
+        # (steady-state policy), 50 = 5 + 13 + 10 + 22:
+        # (a0) FIVE new queries this round: x_edit_join — the exact
         #      edit-distance threshold self-join (Ed-Join family),
         #      hash-exact from day one via the planted title fixture
         #      and a brute-force all-pairs oracle — x_zipf_fit, the
         #      Zipf head fit + coverage corpus health check —
         #      x_jl_project, the portable-Rademacher JL projection —
-        #      and x_jl_recall, its recall@k operating-point eval;
+        #      x_jl_recall, its recall@k operating-point eval — and
+        #      x_containment_join, the asymmetric quote/partial-copy
+        #      detector with a brute-force ordered-pairs oracle;
         # (a)  the THIRTEEN queries whose code or output contract
         #      changed this round: x_c4_filters (newline-free
         #      md5(clean_text) contract — the r8 hash-fail fix),
@@ -4874,10 +4914,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      cursor from position 51 of the round-8 dict
         #      (h21_waiting ... x_domain_mix: the r03 names the
         #      session-2/3 additions displaced, then the r03
-        #      leftovers through x_pack_sequences; x_repetition,
-        #      x_chunk_dedup, x_gopher_rules and x_domain_mix slip
-        #      to positions 51-54 — the head of next round's
-        #      cursor).
+        #      leftovers through h_intersect; x_pack_sequences,
+        #      x_repetition, x_chunk_dedup, x_gopher_rules and
+        #      x_domain_mix slip to positions 51-55 — the head of
+        #      next round's cursor).
         # The tail stays ordered by (last-verdict round, prior dict
         # position) — old-tail leftovers first, the r8-verdicted
         # window names last — so next round's cursor again reads on
@@ -4885,11 +4925,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # All oracle-backed names are exact-hash green in the local
         # DuckDB gate (tools/check_oracle.py, clean + all six fuzz
         # clones).
-        # -- (a0) new this round (4) -----------------------------------
+        # -- (a0) new this round (5) -----------------------------------
         "x_edit_join": q_x_edit_join,
         "x_zipf_fit": q_x_zipf_fit,
         "x_jl_project": q_x_jl_project,
         "x_jl_recall": q_x_jl_recall,
+        "x_containment_join": q_x_containment_join,
         # -- (a) code/contract changed this round (13) ----------------
         "x_c4_filters": q_x_c4_filters,
         "x_lsh_tuning": q_x_lsh_tuning,
@@ -9290,6 +9331,45 @@ def oracle_sql() -> dict[str, str]:
                    (a, b) -> a + b) * (1.0 / sqrt(16.0)), 6) AS value
         FROM embeddings, range(0, 16) t(p)
         WHERE embedding IS NOT NULL
+    """
+    # x_containment_join: fixture (full docs + 10-token-slice
+    # quotes) re-derived from the shared formulas, then brute-force
+    # ORDERED pairs with the same distinct-3-gram sets, >= 5-gram
+    # floor on the contained side, and the raw-ratio threshold —
+    # completeness of the asymmetric prefix scheme, not just
+    # precision.
+    oracles["x_containment_join"] = """
+        WITH raw AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 10000000 AS doc_id,
+                   array_to_string(
+                       (string_split_regex(trim(coalesce(text, ''),
+                                                ' '),
+                                           '[ \t\n\f\r]+'))[4 : 13],
+                       ' ') AS text
+            FROM documents
+            WHERE doc_id IS NOT NULL AND doc_id % 10 = 0
+        ),
+        d AS (
+            SELECT doc_id,
+                   list_distinct([
+                       array_to_string(toks[i : i + 2], ' ')
+                       FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)
+                   ]) AS grams
+            FROM (SELECT doc_id,
+                         string_split_regex(trim(text, ' '),
+                                            '[ \t\n\f\r]+') AS toks
+                  FROM raw
+                  WHERE text IS NOT NULL AND trim(text, ' ') <> '')
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.grams, b.grams))
+                     / (1.0 * len(a.grams)), 6) AS containment
+        FROM d a JOIN d b ON a.doc_id <> b.doc_id
+        WHERE len(a.grams) >= 5
+          AND len(list_intersect(a.grams, b.grams))
+              / (1.0 * len(a.grams)) >= 0.7
     """
     # x_jl_recall: the x_jl_project projection CTE, both top-10
     # rankings (exact 64-dim and projected 16-dim cosine, rank over

@@ -711,6 +711,75 @@ def ngram_jaccard_pairs(
     )
 
 
+def _ordered_gram_sets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+) -> DataFrame:
+    """Shared candidate-generation substrate for the set-similarity
+    join family (jaccard, containment): each surviving doc's
+    DISTINCT n-gram set, dictionary-encoded to longs and sorted by
+    the rarest-first total order (corpus frequency, frozen gram
+    id). Returns the checkpointed (id, toks, n) frame."""
+    # empty/whitespace-only text must be EXCLUDED, not tokenized:
+    # split(trim('')) yields [''] whose gram set is {''} — two empty
+    # docs would otherwise "match" at jaccard 1.0 (found by the
+    # hypothesis completeness test, invisible on generator data)
+    #
+    # localCheckpoint, not laziness: grams is consumed by the
+    # frequency aggregate, the per-doc re-aggregation, AND both
+    # verify sides — Catalyst inlines a non-materialized subplan
+    # into EVERY consumer, so without the checkpoint the final plan
+    # re-scanned and re-tokenized the corpus 6× (the pagerank/
+    # triangles lesson; each extra FileScan at 100 TB is a full
+    # corpus pass); checkpoint BEFORE the size/null filter, because
+    # filtering on size(grams) upstream of the materialization makes
+    # Catalyst evaluate the whole gram-build expression twice per
+    # row — measured ~3 s of the stage's 4 s at sf0.1. The vocab
+    # checkpoint freezes monotonically_increasing_id (it is
+    # nondeterministic across evaluations, and two consumers seeing
+    # two assignments would silently break set equality downstream);
+    # the ordered checkpoint exists because the prefix explode
+    # self-joins AND the verify stage reads both sides.
+    grams = (
+        _with_token_ngrams(
+            ensure_parallelism(
+                df.filter(
+                    F.col(text_col).isNotNull()
+                    & (F.trim(F.col(text_col)) != "")
+                )
+            ),
+            text_col,
+            n,
+        )
+        .select(F.col(id_col).alias("id"), "grams")
+        .localCheckpoint()
+    ).filter(F.col("grams").isNotNull() & (F.size("grams") > 0))
+    tok = grams.select("id", F.explode("grams").alias("g"))
+    vocab = (
+        tok.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .withColumn("gid", F.monotonically_increasing_id())
+        .localCheckpoint()
+    )
+    return (
+        tok.join(vocab, "g")
+        .groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("f"), F.col("gid")))
+            ).alias("st")
+        )
+        .select(
+            "id",
+            F.expr("transform(st, s -> s.gid)").alias("toks"),
+            F.size("st").alias("n"),
+        )
+        .localCheckpoint()
+    )
+
+
 def _jaccard_join_stages(
     df: DataFrame,
     threshold: float,
@@ -788,73 +857,7 @@ def _jaccard_join_stages(
     too-short prefix is a silent false negative the verify stage
     can never repair.
     """
-    # empty/whitespace-only text must be EXCLUDED, not tokenized:
-    # split(trim('')) yields [''] whose gram set is {''} — two empty
-    # docs would otherwise "match" at jaccard 1.0 (found by the
-    # hypothesis completeness test, invisible on generator data)
-    #
-    # localCheckpoint, not laziness: grams is consumed by the
-    # frequency aggregate, the per-doc re-aggregation, AND both
-    # verify sides — Catalyst inlines a non-materialized subplan
-    # into EVERY consumer, so without the checkpoint the final plan
-    # re-scanned and re-tokenized the corpus 6× (the pagerank/
-    # triangles lesson; each extra FileScan at 100 TB is a full
-    # corpus pass). The checkpointed frame is (id, gram set) — one
-    # tokenize pass total, reclaimed by the ContextCleaner.
-    # checkpoint BEFORE the size/null filter: filtering on
-    # size(grams) upstream of the materialization makes Catalyst
-    # evaluate the whole gram-build expression twice per row (once
-    # for the predicate, once for the projection) — measured ~3 s
-    # of the stage's 4 s at sf0.1. Post-checkpoint the filter reads
-    # the materialized column for free; the few null/empty rows the
-    # checkpoint carries are noise.
-    grams = (
-        _with_token_ngrams(
-            ensure_parallelism(
-                df.filter(
-                    F.col(text_col).isNotNull()
-                    & (F.trim(F.col(text_col)) != "")
-                )
-            ),
-            text_col,
-            n,
-        )
-        .select(F.col(id_col).alias("id"), "grams")
-        .localCheckpoint()
-    ).filter(F.col("grams").isNotNull() & (F.size("grams") > 0))
-    tok = grams.select("id", F.explode("grams").alias("g"))
-    # vocab = one row per distinct gram with its corpus frequency
-    # and a unique long id. The id assignment is frozen by the
-    # checkpoint: monotonically_increasing_id is nondeterministic
-    # across evaluations, and two consumers seeing two different
-    # assignments would silently break set equality downstream.
-    vocab = (
-        tok.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("f"))
-        .withColumn("gid", F.monotonically_increasing_id())
-        .localCheckpoint()
-    )
-    # global total order = (frequency, gram-id): rarest-first with
-    # an arbitrary-but-fixed tiebreak, identical on every executor
-    # (the frozen vocab IS the order). Checkpointed because the
-    # prefix explode below self-joins AND the verify stage reads
-    # both sides — inlining would run the vocab join + per-doc sort
-    # aggregation once per consumer.
-    ordered = (
-        tok.join(vocab, "g")
-        .groupBy("id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("f"), F.col("gid")))
-            ).alias("st")
-        )
-        .select(
-            "id",
-            F.expr("transform(st, s -> s.gid)").alias("toks"),
-            F.size("st").alias("n"),
-        )
-        .localCheckpoint()
-    )
+    ordered = _ordered_gram_sets(df, text_col, id_col, n)
     t = threshold
     # ε-guard inside every ceil: the float product must never round
     # UP past the exact rational (that would shorten a prefix — a
@@ -988,6 +991,99 @@ def jaccard_similarity_join(
         # portable); round only the emitted column
         .filter(jac >= threshold)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def containment_join(
+    df: DataFrame,
+    threshold: float = 0.7,
+    min_grams: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """EXACT set-CONTAINMENT join: every ORDERED pair (A, B) with
+    |A ∩ B| / |A| ≥ threshold — the asymmetric near-dup detector
+    Jaccard misses by construction (a 50-gram quote inside a
+    5000-gram page has Jaccard ≈ 0.01 but containment 1.0): quotes,
+    partial copies, pages that engulf another document.
+
+    Candidate theorem (the prefix-filter lemma with α = ⌈t·|A|⌉):
+    containment ≥ t means A shares ≥ α grams with B, so the
+    smallest common gram sits within A's first |A| − α + 1 elements
+    of the global rarity order. The CONTAINER side has no usable
+    prefix (its partners can be arbitrarily small), so B joins with
+    its FULL gram list — the inverted-index asymmetry the
+    decontamination operator already uses; the probe side's rare
+    prefix grams keep the bucket lists short. The positional bound
+    (min(p_a, p_b) − 1 + 1 + min(|A| − p_a, |B| − p_b) ≥ α − ε)
+    rides the join rows as a free row filter, and |B| ≥ ⌈t·|A|⌉
+    prunes by size. Verify is exact: intersect the
+    dictionary-encoded sets over DISTINCT candidates only,
+    shuffle_hash (the jaccard verify lesson).
+
+    ``min_grams`` floors the CONTAINED side (default 5): a 1-gram
+    doc is "contained" in every page sharing that gram — noise by
+    the metric's own geometry, excluded by contract (mirror the
+    floor in any differential oracle). Emits (id_a, id_b,
+    containment) where id_a is the contained doc; both directions
+    of a pair can appear. All float bounds carry ε-guards in the
+    safe direction (longer prefix / keep)."""
+    t = threshold
+    ordered = _ordered_gram_sets(df, text_col, id_col, n)
+    probe_len = (
+        F.col("n")
+        - F.ceil(F.lit(t) * F.col("n") - F.lit(1e-6)).cast("int")
+        + F.lit(1)
+    ).cast("int")
+    a = (
+        ordered.filter(F.col("n") >= min_grams)
+        .withColumn("__plen", probe_len)
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("n").alias("n_a"),
+            F.posexplode(F.expr("slice(toks, 1, __plen)")).alias(
+                "pos0", "g"
+            ),
+        )
+        .select("id_a", "n_a", (F.col("pos0") + 1).alias("p_a"), "g")
+    )
+    b = ordered.select(
+        F.col("id").alias("id_b"),
+        F.col("n").alias("n_b"),
+        F.posexplode("toks").alias("pos0", "g"),
+    ).select("id_b", "n_b", (F.col("pos0") + 1).alias("p_b"), "g")
+    alpha = F.ceil(F.lit(t) * F.col("n_a") - F.lit(1e-6))
+    ubound = F.least("p_a", "p_b") + F.least(
+        F.col("n_a") - F.col("p_a"), F.col("n_b") - F.col("p_b")
+    )
+    cand = (
+        a.join(b, "g")
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.col("n_b") >= alpha)
+            & (ubound >= alpha)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ga = ordered.select(
+        F.col("id").alias("id_a"),
+        F.col("toks").alias("g_a"),
+        F.col("n").alias("n_a"),
+    )
+    gb = ordered.select(
+        F.col("id").alias("id_b"),
+        F.col("toks").alias("g_b"),
+        F.col("n").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    cont = inter / F.col("n_a")
+    return (
+        cand.join(ga.hint("shuffle_hash"), "id_a")
+        .join(gb.hint("shuffle_hash"), "id_b")
+        .filter(cont >= t)
+        .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
     )
 
 

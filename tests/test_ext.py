@@ -3021,3 +3021,46 @@ def test_jl_recall_identity_and_bounds(spark):
         assert r.recall_ppm == (1_000_000 * r.n_hits) // r.n_exact
         # tight, well-separated clusters: JL-16 keeps the cluster
         assert r.n_hits == 3, (q, r)
+
+
+def test_containment_join_exact_vs_bruteforce(spark):
+    """Containment completeness on hand-built docs: a contiguous
+    quote scores 1.0 against its parent; ordered-pair asymmetry
+    (the parent is NOT contained in the quote); the min_grams floor
+    excludes tiny contained sides; results equal the brute-force
+    replay."""
+    import itertools
+    import re
+
+    from pac_data_pipeline_spark.ext.dedup_text import containment_join
+
+    def grams(text, n=3):
+        toks = re.split(r"[ \t\n\f\r]+", text.strip())
+        upper = max(len(toks) - n + 1, 1)
+        return {" ".join(toks[i:i + n]) for i in range(upper)}
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog near the "
+            "old barn today"),
+        (1, "quick brown fox jumps over the lazy dog"),
+        (2, "completely different words live here in this other "
+            "document thing"),
+        (3, "different words live here in this"),  # 4 grams < 5
+        (4, "the quick brown fox"),                # 2 grams < 5
+        (5, None),
+        (6, "   "),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.containment)
+        for r in containment_join(df, 0.7, min_grams=5).collect()
+    }
+    g = {i: grams(t) for i, t in docs if t and t.strip()}
+    want = {
+        (i, j, round(len(g[i] & g[j]) / len(g[i]), 6))
+        for i, j in itertools.permutations(g, 2)
+        if len(g[i]) >= 5 and len(g[i] & g[j]) / len(g[i]) >= 0.7
+    }
+    assert got == want
+    assert (1, 0, 1.0) in got
+    assert not any(a == 0 and b == 1 for a, b, _ in got)  # asymmetric

@@ -369,6 +369,56 @@ def test_edit_join_complete_vs_bruteforce(spark_session_holder, strings):
     assert got == want
 
 
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e"]),
+            min_size=0,
+            max_size=10,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_containment_join_complete_vs_bruteforce(
+    spark_session_holder, token_lists
+):
+    """The asymmetric containment prefix scheme must be COMPLETE
+    over a tiny shared vocabulary — min_grams=1 so every surviving
+    doc participates and boundary ratios cluster at the
+    threshold."""
+    import re
+
+    from pac_data_pipeline_spark.ext.dedup_text import containment_join
+
+    spark = spark_session_holder
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.containment)
+        for r in containment_join(
+            df, threshold=0.6, min_grams=1, n=3
+        ).collect()
+    }
+    g = {}
+    for i, text in docs:
+        if not text or not text.strip():
+            continue
+        toks = re.split(r"\s+", text.strip())
+        upper = max(len(toks) - 3 + 1, 1)
+        g[i] = {" ".join(toks[k:k + 3]) for k in range(upper)}
+    want = set()
+    for i in g:
+        for j in g:
+            if i == j:
+                continue
+            c = len(g[i] & g[j]) / len(g[i])
+            if c >= 0.6:
+                want.add((i, j, round(c, 6)))
+    assert got == want
+
+
 def naive_asof(left, right, direction):
     """Reference as-of: per left row scan all right rows of its
     group. left/right: list of (by, t, v)."""
