@@ -1678,6 +1678,21 @@ def q_x_pagerank(spark, sf_dir):
     return pagerank(nodes, functional_edges(nodes))
 
 
+def q_x_hits(spark, sf_dir):
+    """HITS hubs & authorities (Kleinberg 1999) over the same
+    deterministic functional link graph as x_pagerank: three
+    synchronous iterations unrolled into one lazy plan, L1
+    normalization, every aggregate round-12-synchronized across
+    engines (the pagerank float discipline); per iteration one
+    shuffle per direction plus two 1-row L1-total broadcasts.
+    Fully differential: the oracle unrolls the identical CTE chain
+    from the same constants. See ext/graph.hits."""
+    from pac_data_pipeline_spark.ext.graph import functional_edges, hits
+
+    nodes = _t(spark, sf_dir, "documents").select("doc_id")
+    return hits(nodes, functional_edges(nodes))
+
+
 def q_x_triangles(spark, sf_dir):
     """Per-vertex triangle participation over the deterministic link
     graph (multiplier links + the two successor links that guarantee
@@ -4882,7 +4897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # Dict ORDER is load-bearing: the round driver's correctness
         # gate checks only the FIRST 50 entries. Round-9 window
-        # (steady-state policy), 50 = 5 + 13 + 10 + 22:
+        # (steady-state policy), 50 = 6 + 13 + 10 + 21:
         # (a0) FIVE new queries this round: x_edit_join — the exact
         #      edit-distance threshold self-join (Ed-Join family),
         #      hash-exact from day one via the planted title fixture
@@ -4891,7 +4906,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      x_jl_project, the portable-Rademacher JL projection —
         #      x_jl_recall, its recall@k operating-point eval — and
         #      x_containment_join, the asymmetric quote/partial-copy
-        #      detector with a brute-force ordered-pairs oracle;
+        #      detector with a brute-force ordered-pairs oracle —
+        #      plus x_hits (Kleinberg hubs & authorities, the
+        #      pagerank float discipline, unrolled-CTE oracle);
         # (a)  the THIRTEEN queries whose code or output contract
         #      changed this round: x_c4_filters (newline-free
         #      md5(clean_text) contract — the r8 hash-fail fix),
@@ -4914,10 +4931,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      cursor from position 51 of the round-8 dict
         #      (h21_waiting ... x_domain_mix: the r03 names the
         #      session-2/3 additions displaced, then the r03
-        #      leftovers through h_intersect; x_pack_sequences,
-        #      x_repetition, x_chunk_dedup, x_gopher_rules and
-        #      x_domain_mix slip to positions 51-55 — the head of
-        #      next round's cursor).
+        #      leftovers through h_lag_delta; h_intersect,
+        #      x_pack_sequences, x_repetition, x_chunk_dedup,
+        #      x_gopher_rules and x_domain_mix slip to positions
+        #      51-56 — the head of next round's cursor).
         # The tail stays ordered by (last-verdict round, prior dict
         # position) — old-tail leftovers first, the r8-verdicted
         # window names last — so next round's cursor again reads on
@@ -4925,12 +4942,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # All oracle-backed names are exact-hash green in the local
         # DuckDB gate (tools/check_oracle.py, clean + all six fuzz
         # clones).
-        # -- (a0) new this round (5) -----------------------------------
+        # -- (a0) new this round (6) -----------------------------------
         "x_edit_join": q_x_edit_join,
         "x_zipf_fit": q_x_zipf_fit,
         "x_jl_project": q_x_jl_project,
         "x_jl_recall": q_x_jl_recall,
         "x_containment_join": q_x_containment_join,
+        "x_hits": q_x_hits,
         # -- (a) code/contract changed this round (13) ----------------
         "x_c4_filters": q_x_c4_filters,
         "x_lsh_tuning": q_x_lsh_tuning,
@@ -7093,12 +7111,14 @@ def oracle_sql() -> dict[str, str]:
         FROM counts
     """
     from pac_data_pipeline_spark.ext.graph import (
+        hits_fixture_sql,
         khop_fixture_sql,
         pagerank_fixture_sql,
         triangle_fixture_sql,
     )
 
     oracles["x_pagerank"] = pagerank_fixture_sql()
+    oracles["x_hits"] = hits_fixture_sql()
     from pac_data_pipeline_spark.ext.graph import (
         personalized_pagerank_fixture_sql,
     )

@@ -144,6 +144,183 @@ def pagerank_fixture_sql(
     )
 
 
+def hits(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    n_iter: int = 3,
+    digits: int = 8,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) with ``n_iter``
+    unrolled synchronous iterations and L1 normalization — the
+    second classic link-quality signal next to :func:`pagerank`
+    (authorities: pointed at by good hubs; hubs: point at good
+    authorities — the asymmetry PageRank's single score collapses).
+
+    Float discipline (the pagerank round-synchronization pattern):
+    every aggregate — the per-node mass sums AND the L1 totals —
+    rounds to 12 before it feeds the next expression, so the two
+    engines' summation orders re-synchronize at every step instead
+    of drifting through 2·n_iter chained sums. Empty edge sets
+    (the --empty clone) produce all-zero scores via the nullif
+    guard, not a division error.
+
+    Scale shape: edges and the node list localCheckpoint (every
+    iteration consumes both — un-materialized, Catalyst inlines
+    the edge construction per consumer; the pagerank lesson); per
+    iteration one shuffle per direction (groupBy dst, groupBy src)
+    plus two 1-row L1-total broadcasts (whitelisted tiny-build
+    pattern)."""
+    edges = edges.localCheckpoint()
+    nodes = nodes.select(id_col).localCheckpoint()
+    n_row = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("__n")))
+    hub = nodes.crossJoin(n_row).select(
+        id_col, F.round(F.lit(1.0) / F.col("__n"), 12).alias("hub")
+    )
+    auth = None
+    for _ in range(n_iter):
+        raw_a = (
+            edges.join(
+                hub.select(
+                    F.col(id_col).alias("src"), F.col("hub").alias("__h")
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.round(F.sum("__h"), 12).alias("__a"))
+            # TWO consumers (the L1 total + the normalization join):
+            # un-materialized, Catalyst inlines the whole prior
+            # chain into both, doubling the plan PER ITERATION —
+            # 2^(2·n_iter) leaf duplication froze planning at 3
+            # iterations. ≤|V| rows per checkpoint.
+            .localCheckpoint()
+        )
+        ta = F.broadcast(
+            raw_a.agg(F.round(F.sum("__a"), 12).alias("__ta"))
+        )
+        auth = (
+            nodes.crossJoin(ta)
+            .join(raw_a, F.col(id_col) == F.col("dst"), "left")
+            .select(
+                id_col,
+                F.round(
+                    F.coalesce(F.col("__a"), F.lit(0.0))
+                    / F.nullif(F.col("__ta"), F.lit(0.0)),
+                    12,
+                ).alias("auth"),
+            )
+            .select(
+                id_col, F.coalesce("auth", F.lit(0.0)).alias("auth")
+            )
+        )
+        raw_h = (
+            edges.join(
+                auth.select(
+                    F.col(id_col).alias("dst"),
+                    F.col("auth").alias("__av"),
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.round(F.sum("__av"), 12).alias("__hh"))
+            .localCheckpoint()  # same two-consumer shape as raw_a
+        )
+        th = F.broadcast(
+            raw_h.agg(F.round(F.sum("__hh"), 12).alias("__th"))
+        )
+        hub = (
+            nodes.crossJoin(th)
+            .join(raw_h, F.col(id_col) == F.col("src"), "left")
+            .select(
+                id_col,
+                F.round(
+                    F.coalesce(F.col("__hh"), F.lit(0.0))
+                    / F.nullif(F.col("__th"), F.lit(0.0)),
+                    12,
+                ).alias("hub"),
+            )
+            .select(id_col, F.coalesce("hub", F.lit(0.0)).alias("hub"))
+        )
+    return (
+        nodes.join(hub, id_col)
+        .join(auth, id_col)
+        .select(
+            id_col,
+            F.round("hub", digits).alias("hub"),
+            F.round("auth", digits).alias("auth"),
+        )
+    )
+
+
+def hits_fixture_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    n_iter: int = 3,
+    multipliers: tuple[tuple[int, int], ...] = ((7, 1), (13, 5), (31, 11)),
+    digits: int = 8,
+) -> str:
+    """The functional-graph HITS as DuckDB SQL with the iterations
+    unrolled into chained CTEs, generated from the SAME constants
+    as the Spark path (the pagerank_fixture_sql pattern); every
+    aggregate rounds to 12 at the same synchronization points.
+    Every multiply-referenced CTE is MATERIALIZED: DuckDB otherwise
+    INLINES re-referenced CTEs, and the per-iteration double
+    references (total + join) expand the chain 2^(2·n_iter)-fold —
+    the SQL twin of the Spark side's localCheckpoint discipline."""
+    unions = " UNION ALL ".join(
+        f"SELECT {id_col} AS src, ({id_col} * {a} + {b}) % "
+        f"(SELECT c FROM n) AS dst FROM nodes"
+        for a, b in multipliers
+    )
+    cte = [
+        f"nodes AS (SELECT {id_col} FROM {table})",
+        "n AS (SELECT count(*) AS c FROM nodes)",
+        f"edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({unions}) "
+        "WHERE src <> dst)",
+        f"h0 AS MATERIALIZED (SELECT {id_col}, round(1.0 / (SELECT c FROM n), 12) "
+        "AS hub FROM nodes)",
+    ]
+    for k in range(1, n_iter + 1):
+        cte.append(
+            f"ra{k} AS MATERIALIZED (SELECT e.dst, round(sum(h.hub), 12) AS a "
+            f"FROM edges e JOIN h{k-1} h ON e.src = h.{id_col} "
+            f"GROUP BY e.dst)"
+        )
+        cte.append(
+            f"ta{k} AS MATERIALIZED (SELECT round(sum(a), 12) AS t FROM ra{k})"
+        )
+        cte.append(
+            f"a{k} AS MATERIALIZED (SELECT nodes.{id_col}, "
+            f"coalesce(round(coalesce(r.a, CAST(0 AS DOUBLE)) "
+            f"/ nullif((SELECT t FROM ta{k}), 0), 12), "
+            f"CAST(0 AS DOUBLE)) AS auth "
+            f"FROM nodes LEFT JOIN ra{k} r ON nodes.{id_col} = r.dst)"
+        )
+        cte.append(
+            f"rh{k} AS MATERIALIZED (SELECT e.src, round(sum(a.auth), 12) AS h "
+            f"FROM edges e JOIN a{k} a ON e.dst = a.{id_col} "
+            f"GROUP BY e.src)"
+        )
+        cte.append(
+            f"th{k} AS MATERIALIZED (SELECT round(sum(h), 12) AS t FROM rh{k})"
+        )
+        cte.append(
+            f"h{k} AS MATERIALIZED (SELECT nodes.{id_col}, "
+            f"coalesce(round(coalesce(r.h, CAST(0 AS DOUBLE)) "
+            f"/ nullif((SELECT t FROM th{k}), 0), 12), "
+            f"CAST(0 AS DOUBLE)) AS hub "
+            f"FROM nodes LEFT JOIN rh{k} r ON nodes.{id_col} = r.src)"
+        )
+    return (
+        "WITH " + ", ".join(cte)
+        + f" SELECT h{n_iter}.{id_col}, "
+        + f"round(h{n_iter}.hub, {digits}) AS hub, "
+        + f"round(a{n_iter}.auth, {digits}) AS auth "
+        + f"FROM h{n_iter} JOIN a{n_iter} "
+        + f"ON h{n_iter}.{id_col} = a{n_iter}.{id_col}"
+    )
+
+
 #: Edge families for triangle/BFS fixtures: the three modular
 #: multiplier links (a functional graph is triangle-free — linear
 #: maps almost never close 3-cycles, verified empirically) PLUS the

@@ -3064,3 +3064,26 @@ def test_containment_join_exact_vs_bruteforce(spark):
     assert got == want
     assert (1, 0, 1.0) in got
     assert not any(a == 0 and b == 1 for a, b, _ in got)  # asymmetric
+
+
+def test_hits_hand_computed(spark):
+    """HITS on a 4-node star: hub/authority separation the fixture
+    is built to show — node 0 points at 1,2,3 (pure hub), nodes
+    1,2,3 point nowhere. After any number of iterations hub(0)=1,
+    auth(1)=auth(2)=auth(3)=1/3, and the complements are 0. An
+    empty edge set yields all-zero scores, not a division error."""
+    from pac_data_pipeline_spark.ext.graph import hits
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "src long, dst long"
+    )
+    out = {r.doc_id: (r.hub, r.auth) for r in hits(nodes, edges).collect()}
+    third = round(round(1 / 3, 12), 8)
+    assert out[0] == (1.0, 0.0)
+    for i in (1, 2, 3):
+        assert out[i] == (0.0, third)
+
+    none = spark.createDataFrame([], "src long, dst long")
+    zeros = {r.doc_id: (r.hub, r.auth) for r in hits(nodes, none).collect()}
+    assert all(v == (0.0, 0.0) for v in zeros.values())

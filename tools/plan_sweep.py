@@ -57,6 +57,8 @@ ALLOWED_BNL = {
     "x_nb_classifier",    # |labels|-row label-stats broadcast
     "x_bm25",             # 1-row (N, avgdl) corpus-stats broadcast
     "x_pagerank",         # 1-row node-count broadcast (teleport term)
+    "x_hits",             # 1-row node-count + per-iteration 1-row
+                          # L1-total broadcasts
     "x_ppr",              # 1-row seed-count broadcast (teleport term)
     "x_triangles",        # 1-row node-count broadcast (edge fixture mod-N)
     "x_khop_bfs",         # 1-row node-count broadcast (edge fixture mod-N)
