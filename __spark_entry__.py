@@ -4854,6 +4854,31 @@ def q_x_containment_join(spark, sf_dir):
     )
 
 
+def q_x_kanon_audit(spark, sf_dir):
+    """k-anonymity / l-diversity re-identification audit over
+    orders quasi-identifiers (customer bucket, order priority) with
+    o_orderstatus as the sensitive attribute: one equivalence-class
+    shuffle, one pass over the class frame for all three k
+    thresholds, exact ppm shares — the governance gate before a
+    record-level data release. See
+    operators/quality.k_anonymity_audit."""
+    from pac_data_pipeline_spark.operators.quality import (
+        k_anonymity_audit,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 500).alias("cust_bucket"),
+        F.col("o_orderpriority"),
+        F.col("o_orderstatus"),
+    )
+    return k_anonymity_audit(
+        o,
+        quasi_cols=("cust_bucket", "o_orderpriority"),
+        sensitive_col="o_orderstatus",
+        k_thresholds=(2, 5, 10),
+    )
+
+
 def q_x_jl_recall(spark, sf_dir):
     """Recall@10 of JL-16 vs exact-64 cosine for 5 corpus queries —
     the operating-point evaluation run before committing the
@@ -4897,7 +4922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # Dict ORDER is load-bearing: the round driver's correctness
         # gate checks only the FIRST 50 entries. Round-9 window
-        # (steady-state policy), 50 = 6 + 13 + 10 + 21:
+        # (steady-state policy), 50 = 7 + 13 + 10 + 20:
         # (a0) FIVE new queries this round: x_edit_join — the exact
         #      edit-distance threshold self-join (Ed-Join family),
         #      hash-exact from day one via the planted title fixture
@@ -4908,7 +4933,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      x_containment_join, the asymmetric quote/partial-copy
         #      detector with a brute-force ordered-pairs oracle —
         #      plus x_hits (Kleinberg hubs & authorities, the
-        #      pagerank float discipline, unrolled-CTE oracle);
+        #      pagerank float discipline, unrolled-CTE oracle) and
+        #      x_kanon_audit (k-anonymity / l-diversity release
+        #      governance gate);
         # (a)  the THIRTEEN queries whose code or output contract
         #      changed this round: x_c4_filters (newline-free
         #      md5(clean_text) contract — the r8 hash-fail fix),
@@ -4931,10 +4958,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      cursor from position 51 of the round-8 dict
         #      (h21_waiting ... x_domain_mix: the r03 names the
         #      session-2/3 additions displaced, then the r03
-        #      leftovers through h_lag_delta; h_intersect,
-        #      x_pack_sequences, x_repetition, x_chunk_dedup,
-        #      x_gopher_rules and x_domain_mix slip to positions
-        #      51-56 — the head of next round's cursor).
+        #      leftovers through x_stream_join; h_lag_delta,
+        #      h_intersect, x_pack_sequences, x_repetition,
+        #      x_chunk_dedup, x_gopher_rules and x_domain_mix slip
+        #      to positions 51-57 — the head of next round's
+        #      cursor).
         # The tail stays ordered by (last-verdict round, prior dict
         # position) — old-tail leftovers first, the r8-verdicted
         # window names last — so next round's cursor again reads on
@@ -4942,13 +4970,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # All oracle-backed names are exact-hash green in the local
         # DuckDB gate (tools/check_oracle.py, clean + all six fuzz
         # clones).
-        # -- (a0) new this round (6) -----------------------------------
+        # -- (a0) new this round (7) -----------------------------------
         "x_edit_join": q_x_edit_join,
         "x_zipf_fit": q_x_zipf_fit,
         "x_jl_project": q_x_jl_project,
         "x_jl_recall": q_x_jl_recall,
         "x_containment_join": q_x_containment_join,
         "x_hits": q_x_hits,
+        "x_kanon_audit": q_x_kanon_audit,
         # -- (a) code/contract changed this round (13) ----------------
         "x_c4_filters": q_x_c4_filters,
         "x_lsh_tuning": q_x_lsh_tuning,
@@ -9390,6 +9419,53 @@ def oracle_sql() -> dict[str, str]:
         WHERE len(a.grams) >= 5
           AND len(list_intersect(a.grams, b.grams))
               / (1.0 * len(a.grams)) >= 0.7
+    """
+    # x_kanon_audit: equivalence classes on the same quasi-id
+    # formulas, per-threshold conditional counts, exact ppm floor
+    # division, count(DISTINCT sensitive) for l-diversity.
+    oracles["x_kanon_audit"] = """
+        WITH q AS (
+            SELECT o_custkey % 500 AS cust_bucket,
+                   o_orderpriority, o_orderstatus
+            FROM orders
+        ),
+        cls AS (
+            SELECT cust_bucket, o_orderpriority,
+                   count(*) AS n,
+                   count(DISTINCT o_orderstatus) AS l
+            FROM q GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_classes,
+                   CAST(min(n) AS BIGINT) AS min_class_size,
+                   CAST(min(l) AS BIGINT) AS min_l_diversity
+            FROM cls
+        ),
+        per AS (
+            -- LEFT JOIN ON TRUE, not CROSS JOIN: every threshold
+            -- row must survive an EMPTY class frame (the --empty
+            -- clone), mirroring the Spark side's explode over the
+            -- always-1-row aggregate
+            SELECT ks.k,
+                   CAST(coalesce(sum(CASE WHEN cls.n < ks.k
+                                          THEN 1 END), 0)
+                        AS BIGINT) AS classes_below_k,
+                   CAST(coalesce(sum(CASE WHEN cls.n < ks.k
+                                          THEN cls.n END), 0)
+                        AS BIGINT) AS rows_below_k
+            FROM (SELECT unnest([2, 5, 10]) AS k) ks
+            LEFT JOIN cls ON TRUE
+            GROUP BY ks.k
+        )
+        SELECT CAST(per.k AS INT) AS k,
+               tot.n_rows, tot.n_classes,
+               per.classes_below_k, per.rows_below_k,
+               CASE WHEN tot.n_rows > 0 THEN
+                   CAST((1000000 * per.rows_below_k) // tot.n_rows
+                        AS BIGINT) END AS rows_below_ppm,
+               tot.min_class_size, tot.min_l_diversity
+        FROM per CROSS JOIN tot
     """
     # x_jl_recall: the x_jl_project projection CTE, both top-10
     # rankings (exact 64-dim and projected 16-dim cosine, rank over

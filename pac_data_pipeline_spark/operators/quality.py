@@ -23,6 +23,102 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: tuple[str, ...],
+    sensitive_col: str | None = None,
+    k_thresholds: tuple[int, ...] = (2, 5, 10),
+) -> DataFrame:
+    """k-anonymity re-identification audit (Sweeney 2002) over a
+    quasi-identifier column set, with Machanavajjhala et al.'s
+    l-diversity when a sensitive column is named — the governance
+    gate a training-data release runs before shipping records that
+    could be joined back to individuals: a row whose quasi-id
+    combination is shared by fewer than k rows is re-identifiable
+    at confidence 1/|group|.
+
+    One row per threshold k: total rows, equivalence-class count,
+    classes below k, rows below k (exact ppm share), the global
+    minimum class size, and (with ``sensitive_col``) the minimum
+    per-class count of distinct sensitive values — l-diversity 1
+    means an attacker who locates the class learns the secret even
+    without pinpointing the row. NULL quasi-id values group
+    together (groupBy semantics) — correct for this audit, since
+    identical NULL patterns are mutually indistinguishable to a
+    linking attacker; NULL sensitive values don't count toward
+    diversity (count-distinct semantics, both engines).
+
+    Scale shape: ONE shuffle — the equivalence-class aggregate on
+    the quasi-id key — then every threshold's counts come out of a
+    single pass over the class frame (|classes| rows) as
+    conditional aggregates, unpivoted to long rows via the
+    explode-of-structs pattern; no per-threshold rescans, nothing
+    collects."""
+    ldiv = (
+        F.count_distinct(F.col(sensitive_col))
+        if sensitive_col
+        else F.lit(None).cast("bigint")
+    )
+    classes = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).alias("__n"),
+        ldiv.alias("__l"),
+    )
+    agg_cols = [
+        F.sum("__n").alias("__rows"),
+        F.count(F.lit(1)).alias("__classes"),
+        F.min("__n").alias("__min_class"),
+        F.min("__l").alias("__min_l"),
+    ]
+    for k in k_thresholds:
+        agg_cols.append(
+            F.sum(F.when(F.col("__n") < k, 1).otherwise(0)).alias(
+                f"__c_{k}"
+            )
+        )
+        agg_cols.append(
+            F.sum(
+                F.when(F.col("__n") < k, F.col("__n")).otherwise(0)
+            ).alias(f"__r_{k}")
+        )
+    tot = classes.agg(*agg_cols)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.col(f"__c_{k}").alias("classes_below_k"),
+                F.col(f"__r_{k}").alias("rows_below_k"),
+            )
+            for k in k_thresholds
+        ]
+    )
+    return (
+        tot.select(
+            F.explode(rows).alias("p"),
+            "__rows",
+            "__classes",
+            "__min_class",
+            "__min_l",
+        )
+        .select(
+            F.col("p.k").alias("k"),
+            F.coalesce("__rows", F.lit(0)).cast("bigint").alias("n_rows"),
+            F.col("__classes").cast("bigint").alias("n_classes"),
+            F.coalesce("p.classes_below_k", F.lit(0)).cast("bigint").alias(
+                "classes_below_k"
+            ),
+            F.coalesce("p.rows_below_k", F.lit(0)).cast("bigint").alias(
+                "rows_below_k"
+            ),
+            F.expr(
+                "CASE WHEN coalesce(__rows, 0) > 0 THEN"
+                " (1000000 * coalesce(p.rows_below_k, 0)) div __rows END"
+            ).alias("rows_below_ppm"),
+            F.col("__min_class").cast("bigint").alias("min_class_size"),
+            F.col("__min_l").cast("bigint").alias("min_l_diversity"),
+        )
+    )
+
+
 def check_unique(df: DataFrame, cols: tuple[str, ...], name: str) -> DataFrame:
     """Violations = total rows − distinct key rows (0 ⇒ the columns
     form a key)."""

@@ -919,3 +919,39 @@ def test_cms_overestimates_and_merges(spark):
         for k, v in d.items():
             merged[k] = merged.get(k, 0) + v
     assert merged == cab
+
+
+def test_k_anonymity_audit_hand_computed(spark):
+    """Classes {(a,x):3, (a,y):1, (b,x):2} with sensitive values:
+    at k=2 the singleton class re-identifies 1 row; at k=5 all 6
+    rows sit below; min class size 1; l-diversity 1 (class (a,y)
+    has one distinct secret; NULL secrets don't count). NULL quasi
+    values group together."""
+    from pac_data_pipeline_spark.operators.quality import (
+        k_anonymity_audit,
+    )
+
+    rows = [
+        ("a", "x", "s1"), ("a", "x", "s2"), ("a", "x", None),
+        ("a", "y", "s1"),
+        ("b", "x", "s1"), ("b", "x", "s1"),
+    ]
+    df = spark.createDataFrame(rows, "q1 string, q2 string, sec string")
+    out = {r.k: r for r in k_anonymity_audit(
+        df, ("q1", "q2"), sensitive_col="sec", k_thresholds=(2, 5)
+    ).collect()}
+    assert out[2].n_rows == 6 and out[2].n_classes == 3
+    assert (out[2].classes_below_k, out[2].rows_below_k) == (1, 1)
+    assert out[2].rows_below_ppm == (1_000_000 * 1) // 6
+    assert out[2].min_class_size == 1
+    assert out[2].min_l_diversity == 1  # (b,x) has {s1}; (a,y) {s1}
+    assert (out[5].classes_below_k, out[5].rows_below_k) == (3, 6)
+    assert out[5].rows_below_ppm == 1_000_000
+
+    # NULL quasi values are one equivalence class
+    nulls = spark.createDataFrame(
+        [(None, "x", "s1"), (None, "x", "s2")],
+        "q1 string, q2 string, sec string",
+    )
+    r = k_anonymity_audit(nulls, ("q1", "q2"), "sec", (2,)).collect()[0]
+    assert (r.n_classes, r.classes_below_k, r.min_l_diversity) == (1, 0, 2)
