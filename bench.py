@@ -178,6 +178,31 @@ def main() -> None:
         mjpeg_video_media_from_documents(tiny8), every_n=2
     ).write.format("noop").mode("overwrite").save()
 
+    # The r9 set-similarity shapes: the OPH banding + shuffle_hash
+    # verify (lsh_tuning), the prefix-join + array-intersect verify
+    # (jaccard/containment), and the occurrence-annotated gram
+    # explode + levenshtein verify (edit join) each compile distinct
+    # codegen classes — measured ~2 s of first-run JIT charged to
+    # whichever lands first in the rotation (x_edit_join 5.9 s
+    # in-bench vs 3.7 s isolated-warm at r9). Warm on a 64-row
+    # slice: JIT'd classes, not results.
+    from pac_data_pipeline_spark.ext.dedup_text import (
+        containment_join,
+        edit_distance_join,
+        jaccard_similarity_join,
+        lsh_tuning_table,
+    )
+
+    tiny64 = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(64)
+    lsh_tuning_table(tiny64).write.format("noop").mode("overwrite").save()
+    jaccard_similarity_join(tiny64).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    containment_join(tiny64).write.format("noop").mode("overwrite").save()
+    edit_distance_join(
+        tiny64.selectExpr("doc_id", "substring(text, 1, 24) AS text")
+    ).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name, fn in entrymod.queries().items():
