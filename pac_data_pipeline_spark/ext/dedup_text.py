@@ -903,8 +903,16 @@ def _jaccard_join_stages(
         "g",
     )
     # the probe side is the SMALLER doc of the pair under the
-    # (size, id) total order — ties on size keep completeness
-    # because equal sizes make the two prefix bounds identical
+    # (size, id) total order. Completeness: for |y| >= |x| a
+    # qualifying pair needs overlap >= ceil(2t/(1+t)·|x|), so it
+    # must share a gram between x's mid-prefix and y's index
+    # prefix (Xiao et al., PPJoin) — the argument only needs
+    # |probe| <= |container|, which the (size, id) tie order
+    # preserves on equal sizes. NOTE: for t < 1 the mid-prefix
+    # (fraction 2t/(1+t)) is strictly SHORTER than the index
+    # prefix (fraction t) even at equal sizes — the two bounds
+    # are never "identical", so don't collapse the asymmetric
+    # prefixes into one shared width.
     smaller = (F.col("n_a") < F.col("n_b")) | (
         (F.col("n_a") == F.col("n_b")) & (F.col("id_a") < F.col("id_b"))
     )

@@ -131,10 +131,12 @@ def dsir_scores(
             # DECIMAL(38,0) numerator: bigint math would silently
             # wrap past ~3e6 feature occurrences per side (Spark
             # non-ANSI wraps; DuckDB promotes) — decimal keeps the
-            # product exact to 1e38 and ANSI-errors loudly beyond,
-            # which covers any physical corpus (1e6·R·T ≤ ~4e32 at
-            # 100 TB). `div` on decimals returns the exact integral
-            # quotient as bigint.
+            # product exact to 1e38; past that, this session's
+            # default non-ANSI mode yields NULL (not an error —
+            # spark.sql.ansi.enabled is unset repo-wide), which is
+            # still unreachable for any physical corpus
+            # (1e6·R·T ≤ ~4e32 at 100 TB). `div` on decimals
+            # returns the exact integral quotient as bigint.
             F.expr(
                 f"(CAST({MICRO} AS DECIMAL(38,0)) * (t_b + 1)"
                 f" * (r_tot + {n_buckets}))"

@@ -171,6 +171,10 @@ def hits(
     iteration one shuffle per direction (groupBy dst, groupBy src)
     plus two 1-row L1-total broadcasts (whitelisted tiny-build
     pattern)."""
+    if n_iter < 1:
+        # n_iter=0 would leave auth unbound and crash the final
+        # join (the pagerank fixture contract)
+        raise ValueError("n_iter must be >= 1")
     edges = edges.localCheckpoint()
     nodes = nodes.select(id_col).localCheckpoint()
     n_row = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("__n")))
@@ -267,6 +271,10 @@ def hits_fixture_sql(
     INLINES re-referenced CTEs, and the per-iteration double
     references (total + join) expand the chain 2^(2·n_iter)-fold —
     the SQL twin of the Spark side's localCheckpoint discipline."""
+    if n_iter < 1:
+        # mirrors hits(): n_iter=0 would emit SQL referencing a
+        # nonexistent a0 CTE
+        raise ValueError("n_iter must be >= 1")
     unions = " UNION ALL ".join(
         f"SELECT {id_col} AS src, ({id_col} * {a} + {b}) % "
         f"(SELECT c FROM n) AS dst FROM nodes"

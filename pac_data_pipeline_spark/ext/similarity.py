@@ -209,9 +209,14 @@ def jl_project(
         arr = "array(" + ",".join(
             f"CAST({x!r} AS DOUBLE)" for x in plane
         ) + ")"
+        # slice to dim FIRST: zip_with pads the shorter side with
+        # NULLs, so a ragged >dim vector would NULL every
+        # coordinate while the DuckDB oracle (fixed range(0,dim)
+        # comprehension) stays non-NULL — a silent differential
+        # hole on fuzz-mutated embeddings
         dots.append(
             F.expr(
-                f"aggregate(zip_with({vec_col}, {arr},"
+                f"aggregate(zip_with(slice({vec_col}, 1, {dim}), {arr},"
                 f" (x, y) -> CAST(x AS DOUBLE) * y),"
                 f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
             )

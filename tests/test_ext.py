@@ -2993,6 +2993,28 @@ def test_jl_project_matches_numpy_replay(spark):
             assert out[(i, j)] == round(acc * scale, 6), (i, j)
 
 
+def test_jl_project_ragged_overlength_vector(spark):
+    """A >dim embedding projects from its FIRST dim coordinates
+    (slice-before-zip), matching the oracle's fixed range(0,dim)
+    comprehension — zip_with would otherwise NULL-pad the plane
+    side and silently NULL every coordinate of the over-length
+    row (the advisor-found differential hole)."""
+    from pac_data_pipeline_spark.ext.similarity import jl_project
+
+    base = [float(k % 7 - 3) for k in range(64)]
+    df = spark.createDataFrame(
+        [(0, base), (1, base + [1000.0, -1000.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {}
+    for r in jl_project(df, out_dim=4, dim=64).collect():
+        out.setdefault(r.vec_id, {})[r.j] = r.value
+    assert len(out[1]) == 4
+    assert all(v is not None for v in out[1].values())
+    # the tail past dim is ignored, so both rows project identically
+    assert out[0] == out[1]
+
+
 def test_jl_recall_identity_and_bounds(spark):
     """Recall@k sanity: projecting with out_dim == dim-equivalent
     information (a corpus whose vectors differ wildly) keeps the
@@ -3087,3 +3109,20 @@ def test_hits_hand_computed(spark):
     none = spark.createDataFrame([], "src long, dst long")
     zeros = {r.doc_id: (r.hub, r.auth) for r in hits(nodes, none).collect()}
     assert all(v == (0.0, 0.0) for v in zeros.values())
+
+
+def test_hits_rejects_zero_iterations(spark):
+    """n_iter=0 is a contract error in BOTH engines' builders —
+    hits() would crash joining an unbound auth frame and
+    hits_fixture_sql() would reference a nonexistent a0 CTE — so
+    each raises ValueError up front (the pagerank fixture
+    contract)."""
+    import pytest as _pytest
+    from pac_data_pipeline_spark.ext.graph import hits, hits_fixture_sql
+
+    nodes = spark.createDataFrame([(0,)], "doc_id long")
+    edges = spark.createDataFrame([], "src long, dst long")
+    with _pytest.raises(ValueError, match="n_iter"):
+        hits(nodes, edges, n_iter=0)
+    with _pytest.raises(ValueError, match="n_iter"):
+        hits_fixture_sql(n_iter=0)
