@@ -501,6 +501,39 @@ def q_k5_keyed_tree(spark, sf_dir):
     return keyed_json_tree(sup, id_col="s_suppkey")
 
 
+def q_x_keyed_tree_exploded(spark, sf_dir):
+    """K5's hash-exact sibling (SURVEY §7.6 remedy): build the SAME
+    whole-tree keyed JSON document as k5_keyed_tree, then round-trip
+    it back through Spark's own JSON parser into exploded typed
+    (key, s_name, s_acctbal) rows. JSON key order and float/escape
+    RENDERING cancel out in the round-trip, so the oracle is plain
+    SQL over supplier — if map_from_entries dropped, duplicated, or
+    mangled any keyed payload, the hash breaks. This upgrades the K5
+    sink shape from rows-only to differential evidence."""
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    tree = keyed_json_tree(sup, id_col="s_suppkey")
+    return (
+        tree.select(
+            F.explode(F.from_json("tree", "map<string,string>")).alias(
+                "key", "val"
+            )
+        )
+        .select(
+            "key",
+            F.from_json(
+                "val", "s_name string, s_acctbal double"
+            ).alias("p"),
+        )
+        .select(
+            "key",
+            F.col("p.s_name").alias("s_name"),
+            F.round("p.s_acctbal", 2).alias("s_acctbal"),
+        )
+    )
+
+
 def q_p6_uuid_records(spark, sf_dir):
     """P6: synthetic per-row uuid (nondeterministic → rows-only)."""
     o = _t(spark, sf_dir, "orders")
@@ -3491,6 +3524,41 @@ def q_x_bpe_encode(spark, sf_dir):
     return bpe_encode(docs, bpe_train(docs, n_merges=8))
 
 
+def q_x_unigram_train(spark, sf_dir):
+    """Unigram-LM (SentencePiece-style) tokenizer training — the
+    OTHER mainstream LLM tokenizer family next to BPE (Kudo 2018;
+    the Llama/T5/Gemma lineages train unigram): substring seeding
+    over the (word, freq) vocab frame, then hard-EM rounds —
+    Viterbi re-segmentation, recount, zero-count pruning, round-6
+    -ln(cnt/total) cost refresh. ONE corpus pass total; EM runs on
+    the vocab frame with the piece table as a bounded per-round
+    collect (ext/unigram.py). HASH-EXACT: the oracle unrolls the EM
+    loop AND the per-position Viterbi DP into MATERIALIZED CTEs
+    with the identical (cost ASC, piece-length DESC) tie order, so
+    any divergence in any round's segmentations, counts, pruning,
+    or costs breaks the hash."""
+    from pac_data_pipeline_spark.ext.unigram import unigram_train
+
+    return unigram_train(_t(spark, sf_dir, "documents"))
+
+
+def q_x_unigram_encode(spark, sf_dir):
+    """The unigram lifecycle's other half: train the piece table,
+    then Viterbi-ENCODE the corpus with it — broadcast piece table,
+    Arrow batches with a capped per-partition word memo, zero
+    corpus shuffles (the bpe_encode shape). HASH-EXACT: the oracle
+    re-derives train AND runs one more unrolled Viterbi chain under
+    the final piece table, then the per-doc rollup — the whole
+    tokenizer lifecycle under differential test."""
+    from pac_data_pipeline_spark.ext.unigram import (
+        unigram_encode,
+        unigram_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_encode(docs, unigram_train(docs))
+
+
 def q_x_catalog_probe(spark, sf_dir):
     """S6 schema introspection as a checked query: every table's
     (table, column, ordinal, ANSI type) from the scan schemas —
@@ -4921,109 +4989,43 @@ def q_x_lsh_tuning(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # Dict ORDER is load-bearing: the round driver's correctness
-        # gate checks only the FIRST 50 entries. Round-9 window
-        # (steady-state policy), 50 = 7 + 13 + 10 + 20:
-        # (a0) FIVE new queries this round: x_edit_join — the exact
-        #      edit-distance threshold self-join (Ed-Join family),
-        #      hash-exact from day one via the planted title fixture
-        #      and a brute-force all-pairs oracle — x_zipf_fit, the
-        #      Zipf head fit + coverage corpus health check —
-        #      x_jl_project, the portable-Rademacher JL projection —
-        #      x_jl_recall, its recall@k operating-point eval — and
-        #      x_containment_join, the asymmetric quote/partial-copy
-        #      detector with a brute-force ordered-pairs oracle —
-        #      plus x_hits (Kleinberg hubs & authorities, the
-        #      pagerank float discipline, unrolled-CTE oracle) and
-        #      x_kanon_audit (k-anonymity / l-diversity release
-        #      governance gate);
-        # (a)  the THIRTEEN queries whose code or output contract
-        #      changed this round: x_c4_filters (newline-free
-        #      md5(clean_text) contract — the r8 hash-fail fix),
-        #      x_lsh_tuning (sample_fraction=0.5 tier, oracle
-        #      mirrors the md5-bucket membership), the five
-        #      consumers of the let-binding n-gram builder
-        #      (x_jaccard_join — also PPJoin mid-prefix probe +
-        #      positional filter + shuffle_hash verify —
-        #      x_ngram_jaccard, x_decontaminate,
-        #      x_bloom_decontaminate, x_ngram_novelty),
-        #      x_dsir_weights (DECIMAL(38,0) w_micro numerator),
-        #      x_bm25 + x_rrf_fusion (NULL-id exclusion; dense-leg
-        #      round-before-rank), x_cosine_topk (round-before-rank
-        #      window), a10_nested_rollup (signed money rendering),
-        #      x_skew_profile (melt type guard);
-        # (b)  the TEN r04/r05-verdicted pipe/roundtrip queries the
-        #      rotation has not re-verified since (green but stale
-        #      4 rounds — the VERDICT r8 rotation ask);
-        # (c)  the remaining 27 slots continue the oldest-verdict
-        #      cursor from position 51 of the round-8 dict
-        #      (h21_waiting ... x_domain_mix: the r03 names the
-        #      session-2/3 additions displaced, then the r03
-        #      leftovers through x_stream_join; h_lag_delta,
-        #      h_intersect, x_pack_sequences, x_repetition,
-        #      x_chunk_dedup, x_gopher_rules and x_domain_mix slip
-        #      to positions 51-57 — the head of next round's
-        #      cursor).
+        # gate checks only the FIRST 50 entries. Round-10 window
+        # (steady-state policy), 50 = 3 + 8 + 39:
+        # (a0) THREE new queries this round: x_unigram_train /
+        #      x_unigram_encode — the unigram-LM (SentencePiece-
+        #      style) tokenizer lifecycle, hard-EM rounds + Viterbi
+        #      encode with the EM loop and the per-position DP
+        #      unrolled in the oracle (VERDICT r9 "What's missing
+        #      #1") — and x_keyed_tree_exploded, the K5 tree's
+        #      hash-exact sibling (SURVEY §7.6 remedy: the tree
+        #      round-trips through Spark's own JSON parser to typed
+        #      rows, upgrading the K5 shape from rows-only to
+        #      differential evidence);
+        # (b)  the r3/r4 staleness tail the r9 VERDICT flagged (48
+        #      queries last driver-verdicted in r3/r4): all 8 r3
+        #      names (h_lag_delta ... x_approx_stats) and the first
+        #      39 r4 names (x_approx_stats_exact ...
+        #      x_stratified_sample), continuing the oldest-verdict
+        #      cursor in (last-verdict round, prior dict position)
+        #      order. x_top_tokens — the 40th r4 name — slips to
+        #      position 51, the head of next round's cursor.
+        # This round's code-changed queries (x_jl_project /
+        # x_jl_recall slice-to-dim, x_hits n_iter guard) produce
+        # bit-identical output on valid-width/n_iter>=1 inputs and
+        # were re-verified r9-fresh, so they do NOT take window
+        # slots; the local differential gate covers them.
         # The tail stays ordered by (last-verdict round, prior dict
-        # position) — old-tail leftovers first, the r8-verdicted
-        # window names last — so next round's cursor again reads on
-        # from position 51.
+        # position) — x_top_tokens first, then the r5-r8 leftovers,
+        # the r9-verdicted window names last — so next round's
+        # cursor again reads on from position 51.
         # All oracle-backed names are exact-hash green in the local
-        # DuckDB gate (tools/check_oracle.py, clean + all six fuzz
+        # DuckDB gate (tools/check_oracle.py, clean + all fuzz
         # clones).
-        # -- (a0) new this round (7) -----------------------------------
-        "x_edit_join": q_x_edit_join,
-        "x_zipf_fit": q_x_zipf_fit,
-        "x_jl_project": q_x_jl_project,
-        "x_jl_recall": q_x_jl_recall,
-        "x_containment_join": q_x_containment_join,
-        "x_hits": q_x_hits,
-        "x_kanon_audit": q_x_kanon_audit,
-        # -- (a) code/contract changed this round (13) ----------------
-        "x_c4_filters": q_x_c4_filters,
-        "x_lsh_tuning": q_x_lsh_tuning,
-        "x_jaccard_join": q_x_jaccard_join,
-        "x_ngram_jaccard": q_x_ngram_jaccard,
-        "x_decontaminate": q_x_decontaminate,
-        "x_bloom_decontaminate": q_x_bloom_decontaminate,
-        "x_ngram_novelty": q_x_ngram_novelty,
-        "x_dsir_weights": q_x_dsir_weights,
-        "x_bm25": q_x_bm25,
-        "x_rrf_fusion": q_x_rrf_fusion,
-        "x_cosine_topk": q_x_cosine_topk,
-        "a10_nested_rollup": q_a10_nested_rollup,
-        "x_skew_profile": q_x_skew_profile,
-        # -- (b) stale r04/r05 rotation block (10) ---------------------
-        "pipe_csv_roundtrip": q_pipe_csv_roundtrip,
-        "pipe_index_align": q_pipe_index_align,
-        "pipe_json_roundtrip": q_pipe_json_roundtrip,
-        "pipe_orc_roundtrip": q_pipe_orc_roundtrip,
-        "pipe_partitioned": q_pipe_partitioned,
-        "pipe_zorder": q_pipe_zorder,
-        "x_catalog_probe": q_x_catalog_probe,
-        "x_docstore_roundtrip": q_x_docstore_roundtrip,
-        "x_jdbc_roundtrip": q_x_jdbc_roundtrip,
-        "x_write_verify": q_x_write_verify,
-        # -- (c) oldest-verdict cursor from r8 position 51 (27) --------
-        "h21_waiting": q_h21_waiting,
-        "x_cc_largestar": q_x_cc_largestar,
-        "x_udtf_tokens": q_x_udtf_tokens,
-        "x_weighted_sample": q_x_weighted_sample,
-        "x_interval_join": q_x_interval_join,
-        "x_minhash_portable": q_x_minhash_portable,
-        "x_embedding_near_dup_axis": q_x_embedding_near_dup_axis,
-        "x_cosine_topk_axis": q_x_cosine_topk_axis,
-        "x_kmv_distinct": q_x_kmv_distinct,
-        "h_window_distinct": q_h_window_distinct,
-        "x_entropy": q_x_entropy,
-        "x_skew_distinct": q_x_skew_distinct,
-        "x_salted_sum": q_x_salted_sum,
-        "h_asof_nearest": q_h_asof_nearest,
-        "h_rollup": q_h_rollup,
-        "h_range_join": q_h_range_join,
-        "h_median": q_h_median,
-        "x_interleave": q_x_interleave,
-        "x_redact_pii": q_x_redact_pii,
-        "x_stream_join": q_x_stream_join,
+        # -- (a0) new this round (3) -----------------------------------
+        "x_unigram_train": q_x_unigram_train,
+        "x_unigram_encode": q_x_unigram_encode,
+        "x_keyed_tree_exploded": q_x_keyed_tree_exploded,
+        # -- (b) r3/r4 staleness-tail rotation block (47) ---------------
         "h_lag_delta": q_h_lag_delta,
         "h_intersect": q_h_intersect,
         "x_pack_sequences": q_x_pack_sequences,
@@ -5031,7 +5033,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_chunk_dedup": q_x_chunk_dedup,
         "x_gopher_rules": q_x_gopher_rules,
         "x_domain_mix": q_x_domain_mix,
-        # ---- end of round-9 window (position 50) ---------------------
         "x_approx_stats": q_x_approx_stats,
         "x_approx_stats_exact": q_x_approx_stats_exact,
         "h_cube": q_h_cube,
@@ -5072,7 +5073,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_doc_chunks": q_x_doc_chunks,
         "x_hash_sample": q_x_hash_sample,
         "x_stratified_sample": q_x_stratified_sample,
+        # ---- end of round-10 window (position 50) --------------------
         "x_top_tokens": q_x_top_tokens,
+        # ---- r5-r8 leftovers, oldest verdicts first ------------------
         "x_triangles": q_x_triangles,
         "x_khop_bfs": q_x_khop_bfs,
         "x_iqr_outliers": q_x_iqr_outliers,
@@ -5195,7 +5198,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p2_generic_clean": q_p2_generic_clean,
         "h_rank_window": q_h_rank_window,
         "h_set_except": q_h_set_except,
-        # ---- r8-verdicted names (newest verdicts, cursor end) --------
         "x_mjpeg_frames": q_x_mjpeg_frames,
         "x_cosine_topk_ivfpq": q_x_cosine_topk_ivfpq,
         "h2_min_cost": q_h2_min_cost,
@@ -5234,6 +5236,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h8_market_share": q_h8_market_share,
         "h12_late_priority": q_h12_late_priority,
         "h17_small_qty": q_h17_small_qty,
+        # ---- r9-verdicted names (newest verdicts, cursor end) --------
+        "x_edit_join": q_x_edit_join,
+        "x_zipf_fit": q_x_zipf_fit,
+        "x_jl_project": q_x_jl_project,
+        "x_jl_recall": q_x_jl_recall,
+        "x_containment_join": q_x_containment_join,
+        "x_hits": q_x_hits,
+        "x_kanon_audit": q_x_kanon_audit,
+        "x_c4_filters": q_x_c4_filters,
+        "x_lsh_tuning": q_x_lsh_tuning,
+        "x_jaccard_join": q_x_jaccard_join,
+        "x_ngram_jaccard": q_x_ngram_jaccard,
+        "x_decontaminate": q_x_decontaminate,
+        "x_bloom_decontaminate": q_x_bloom_decontaminate,
+        "x_ngram_novelty": q_x_ngram_novelty,
+        "x_dsir_weights": q_x_dsir_weights,
+        "x_bm25": q_x_bm25,
+        "x_rrf_fusion": q_x_rrf_fusion,
+        "x_cosine_topk": q_x_cosine_topk,
+        "a10_nested_rollup": q_a10_nested_rollup,
+        "x_skew_profile": q_x_skew_profile,
+        "pipe_csv_roundtrip": q_pipe_csv_roundtrip,
+        "pipe_index_align": q_pipe_index_align,
+        "pipe_json_roundtrip": q_pipe_json_roundtrip,
+        "pipe_orc_roundtrip": q_pipe_orc_roundtrip,
+        "pipe_partitioned": q_pipe_partitioned,
+        "pipe_zorder": q_pipe_zorder,
+        "x_catalog_probe": q_x_catalog_probe,
+        "x_docstore_roundtrip": q_x_docstore_roundtrip,
+        "x_jdbc_roundtrip": q_x_jdbc_roundtrip,
+        "x_write_verify": q_x_write_verify,
+        "h21_waiting": q_h21_waiting,
+        "x_cc_largestar": q_x_cc_largestar,
+        "x_udtf_tokens": q_x_udtf_tokens,
+        "x_weighted_sample": q_x_weighted_sample,
+        "x_interval_join": q_x_interval_join,
+        "x_minhash_portable": q_x_minhash_portable,
+        "x_embedding_near_dup_axis": q_x_embedding_near_dup_axis,
+        "x_cosine_topk_axis": q_x_cosine_topk_axis,
+        "x_kmv_distinct": q_x_kmv_distinct,
+        "h_window_distinct": q_h_window_distinct,
+        "x_entropy": q_x_entropy,
+        "x_skew_distinct": q_x_skew_distinct,
+        "x_salted_sum": q_x_salted_sum,
+        "h_asof_nearest": q_h_asof_nearest,
+        "h_rollup": q_h_rollup,
+        "h_range_join": q_h_range_join,
+        "h_median": q_h_median,
+        "x_interleave": q_x_interleave,
+        "x_redact_pii": q_x_redact_pii,
+        "x_stream_join": q_x_stream_join,
     }
 
     def _wrap(fn):
@@ -5892,6 +5945,30 @@ def oracle_sql() -> dict[str, str]:
     # rewrite, or the greedy order breaks the hash.
     oracles["x_bpe_train"] = bpe_train_sql(n_merges=8)
     oracles["x_bpe_encode"] = bpe_encode_sql(n_merges=8)
+
+    from pac_data_pipeline_spark.ext.unigram import (
+        unigram_encode_sql,
+        unigram_train_sql,
+    )
+
+    # x_unigram_train / x_unigram_encode: hard-EM rounds and the
+    # Viterbi DP unrolled position by position — identical seed
+    # selection (cnt DESC, piece ASC), identical (cost ASC, longer-
+    # piece-first) DP tie order, identical char-floor pruning. The
+    # only transcendental (-ln(cnt/total)) rounds to 6 on both
+    # engines before anything consumes it.
+    oracles["x_unigram_train"] = unigram_train_sql()
+    oracles["x_unigram_encode"] = unigram_encode_sql()
+
+    # x_keyed_tree_exploded: the K5 tree round-trips through
+    # Spark's own JSON parser back to typed rows, so the oracle is
+    # plain supplier SQL — rendering cancels, keyed payloads don't.
+    oracles["x_keyed_tree_exploded"] = """
+        SELECT CAST(s_suppkey AS VARCHAR) AS key,
+               s_name,
+               round(s_acctbal, 2) AS s_acctbal
+        FROM supplier
+    """
     oracles["x_lm_perplexity"] = """
         WITH t AS (
             -- ascii_lower contract: translate A-Z only; engine
