@@ -5009,11 +5009,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      cursor in (last-verdict round, prior dict position)
         #      order. x_top_tokens — the 40th r4 name — slips to
         #      position 51, the head of next round's cursor.
-        # This round's code-changed queries (x_jl_project /
-        # x_jl_recall slice-to-dim, x_hits n_iter guard) produce
-        # bit-identical output on valid-width/n_iter>=1 inputs and
-        # were re-verified r9-fresh, so they do NOT take window
-        # slots; the local differential gate covers them.
+        # This round's code-changed queries do NOT take window
+        # slots because each is re-proven hash-identical by the
+        # local gate on clean data + all SEVEN fuzz clones:
+        # x_jl_project / x_jl_recall (slice-to-dim, identical on
+        # valid-width vectors), x_hits (n_iter>=1 guard only),
+        # x_suffix_dups (char-array starts stage — same output,
+        # O(|doc|) instead of O(|doc|^2), the --patho megadoc fix),
+        # and the nine oracle-TEXT-only de-quadratications
+        # (concat_ws/indexed-comprehension gram and chunk builders
+        # — Spark plans untouched).
         # The tail stays ordered by (last-verdict round, prior dict
         # position) — x_top_tokens first, then the r5-r8 leftovers,
         # the r9-verdicted window names last — so next round's
@@ -5714,7 +5719,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        CASE WHEN toks IS NULL THEN NULL
                             ELSE list_distinct([
-                                array_to_string(toks[i : i + 2], ' ')
+                                CASE WHEN toks[i] IS NULL THEN NULL ELSE concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]) END
                                 FOR i IN range(1,
                                     greatest(len(toks) - 2, 1) + 1)
                             ]) END AS grams
@@ -6320,25 +6325,38 @@ def oracle_sql() -> dict[str, str]:
     oracles["x_suffix_dups"] = """
         -- replay the k-bounded suffix sort: token-aligned starts
         -- under the TOKEN_SEP contract, 64-byte suffix keys, 8-byte
-        -- prefix buckets, neighbor LCP via monotone prefix counting
-        WITH starts AS (
-            SELECT doc_id, text, p
+        -- prefix buckets, neighbor LCP via monotone prefix counting.
+        -- CHAR-ARRAY formulation (the Spark side's twin): substring
+        -- and list SLICING are both O(pos) in DuckDB, so per-
+        -- position substring probes / slices make a 1 MB document
+        -- quadratic — list INDEXING is O(1), so the keys build from
+        -- ch[p + j] nested comprehensions; array_to_string skips
+        -- the out-of-range NULLs, reproducing substring's clamp
+        WITH sfx AS (
+            SELECT doc_id,
+                   (u).pos AS p, (u).s AS s, (u).b AS b
             FROM (
-                SELECT doc_id, text,
-                       unnest(range(1, length(text) + 1)) AS p
-                FROM documents
+                SELECT doc_id,
+                       unnest([struct_pack(
+                           pos := p,
+                           s := array_to_string(
+                               [ch[p + j] FOR j IN range(0, 64)], ''),
+                           b := array_to_string(
+                               [ch[p + j] FOR j IN range(0, 8)], ''))
+                         FOR p IN starts]) AS u
+                FROM (
+                    SELECT doc_id, ch,
+                           [p FOR p IN range(1, len(ch) + 1)
+                            IF instr(concat(' ', chr(9), chr(10),
+                                     chr(12), chr(13)), ch[p]) = 0
+                               AND (p = 1 OR instr(
+                                     concat(' ', chr(9), chr(10),
+                                            chr(12), chr(13)),
+                                     ch[p - 1]) > 0)] AS starts
+                    FROM (SELECT doc_id, string_split(text, '') AS ch
+                          FROM documents)
+                )
             )
-            WHERE instr(concat(' ', chr(9), chr(10), chr(12), chr(13)),
-                        substring(text, p, 1)) = 0
-              AND (p = 1 OR instr(
-                        concat(' ', chr(9), chr(10), chr(12), chr(13)),
-                        substring(text, p - 1, 1)) > 0)
-        ),
-        sfx AS (
-            SELECT doc_id, p,
-                   substring(text, p, 64) AS s,
-                   substring(text, p, 8) AS b
-            FROM starts
         ),
         nb AS (
             SELECT doc_id, p, s,
@@ -6536,7 +6554,7 @@ def oracle_sql() -> dict[str, str]:
         WITH g AS (
             SELECT doc_id,
                    unnest(list_distinct([
-                       array_to_string(toks[i : i + 2], ' ')
+                       CASE WHEN toks[i] IS NULL THEN NULL ELSE concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]) END
                        FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)
                    ])) AS gram
             FROM (SELECT doc_id,
@@ -6561,7 +6579,7 @@ def oracle_sql() -> dict[str, str]:
         WITH g AS (
             SELECT doc_id, len(toks) AS n_toks,
                    unnest(list_distinct([
-                       array_to_string(toks[i : i + 2], ' ')
+                       CASE WHEN toks[i] IS NULL THEN NULL ELSE concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]) END
                        FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)
                    ])) AS gram
             FROM (SELECT doc_id,
@@ -6636,7 +6654,7 @@ def oracle_sql() -> dict[str, str]:
                CAST(n AS BIGINT) AS n_tokens,
                CAST(i AS BIGINT) AS chunk_id,
                CAST(i * 96 AS BIGINT) AS start_token,
-               array_to_string(toks[i * 96 + 1 : i * 96 + 128], ' ')
+               array_to_string([toks[i * 96 + j] FOR j IN range(1, 129)], ' ')
                    AS chunk_text
         FROM c, LATERAL (SELECT unnest(range(0, n_chunks)) AS i) u
     """
@@ -6697,7 +6715,7 @@ def oracle_sql() -> dict[str, str]:
         g AS (
             SELECT doc_id,
                    list_distinct([
-                       array_to_string(toks[i : i + 2], ' ')
+                       CASE WHEN toks[i] IS NULL THEN NULL ELSE concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]) END
                        FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)
                    ]) AS grams
             FROM (SELECT doc_id,
@@ -8033,7 +8051,7 @@ def oracle_sql() -> dict[str, str]:
         all_g AS (
             SELECT doc_id,
                    unnest(list_distinct([
-                       array_to_string(toks[i : i + 3], ' ')
+                       CASE WHEN toks[i] IS NULL THEN NULL ELSE concat_ws(' ', toks[i], toks[i + 1], toks[i + 2], toks[i + 3]) END
                        FOR i IN range(1, greatest(len(toks) - 4 + 1, 1) + 1)
                    ])) AS gram
             FROM t
@@ -8236,7 +8254,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         c AS (
             SELECT doc_id, i AS chunk_id,
-                   array_to_string(toks[i * 32 + 1 : i * 32 + 32], ' ')
+                   array_to_string([toks[i * 32 + j] FOR j IN range(1, 33)], ' ')
                        AS chunk_text
             FROM t, LATERAL (
                 SELECT unnest(range(0, greatest(
@@ -8269,7 +8287,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         c AS (
             SELECT doc_id,
-                   array_to_string(toks[i * 32 + 1 : i * 32 + 32], ' ')
+                   array_to_string([toks[i * 32 + j] FOR j IN range(1, 33)], ' ')
                        AS chunk_text
             FROM t, LATERAL (
                 SELECT unnest(range(0, greatest(
@@ -9390,7 +9408,7 @@ def oracle_sql() -> dict[str, str]:
         WITH d AS (
             SELECT doc_id,
                    list_distinct([
-                       array_to_string(toks[i : i + 2], ' ')
+                       CASE WHEN toks[i] IS NULL THEN NULL ELSE concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]) END
                        FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)
                    ]) AS grams
             FROM (SELECT doc_id,
@@ -9480,7 +9498,7 @@ def oracle_sql() -> dict[str, str]:
         d AS (
             SELECT doc_id,
                    list_distinct([
-                       array_to_string(toks[i : i + 2], ' ')
+                       CASE WHEN toks[i] IS NULL THEN NULL ELSE concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]) END
                        FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)
                    ]) AS grams
             FROM (SELECT doc_id,
@@ -9674,7 +9692,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         g AS (
             SELECT doc_id, lang,
-                   unnest([array_to_string(toks[i : i + 1], ' ')
+                   unnest([CASE WHEN toks[i] IS NULL THEN NULL ELSE concat_ws(' ', toks[i], toks[i + 1]) END
                            FOR i IN range(1, len(toks))]) AS gram
             FROM t WHERE doc_id IS NOT NULL AND len(toks) >= 2
         ),
@@ -9726,7 +9744,7 @@ def oracle_sql() -> dict[str, str]:
         WITH g AS (
             SELECT doc_id,
                    unnest(list_distinct([
-                       array_to_string(toks[i : i + 2], ' ')
+                       CASE WHEN toks[i] IS NULL THEN NULL ELSE concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]) END
                        FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)
                    ])) AS gram
             FROM (SELECT doc_id,

@@ -263,23 +263,41 @@ def suffix_duplication(
     (empty/null) documents with zeros.
     """
     sep = _SEP_CHARS_SQL
+    # Per-row CHAR-ARRAY formulation, not substring-per-position:
+    # UTF8String.substring is O(pos) (a byte scan to the codepoint
+    # offset), so the old substring(text, p, ...) probes made one
+    # 1 MB document cost O(|doc|^2) ~ 1e12 char steps — the --patho
+    # fuzz clone's megadoc hung exactly there. split(text, '') pays
+    # O(|doc|) once; element_at is O(1), slice is O(cap); and the
+    # (pos, s, b) structs are built INSIDE the row before the
+    # explode, so exploded rows carry 72-char keys instead of each
+    # duplicating the whole document text.
     starts = (
         df.select(
             F.col(id_col),
-            F.col(text_col).alias("__t"),
-            F.explode(
-                F.expr(
-                    f"filter(sequence(1, length({text_col})), p -> "
-                    f"instr({sep}, substring({text_col}, p, 1)) = 0 AND "
-                    f"(p = 1 OR instr({sep}, substring({text_col}, p - 1, 1)) > 0))"
-                )
-            ).alias("pos"),
+            F.expr(f"split({text_col}, '')").alias("__ch"),
         )
         .select(
             id_col,
-            "pos",
-            F.expr(f"substring(__t, pos, {cap})").alias("s"),
-            F.expr(f"substring(__t, pos, {bucket})").alias("b"),
+            F.explode(
+                F.expr(
+                    f"transform("
+                    f"filter(sequence(1, size(__ch)), p -> "
+                    f"instr({sep}, element_at(__ch, p)) = 0 AND "
+                    f"(p = 1 OR instr({sep},"
+                    f" element_at(__ch, greatest(p - 1, 1))) > 0)), "
+                    f"p -> struct("
+                    f"p AS pos, "
+                    f"array_join(slice(__ch, p, {cap}), '') AS s, "
+                    f"array_join(slice(__ch, p, {bucket}), '') AS b))"
+                )
+            ).alias("__sfx"),
+        )
+        .select(
+            id_col,
+            F.col("__sfx.pos").alias("pos"),
+            F.col("__sfx.s").alias("s"),
+            F.col("__sfx.b").alias("b"),
         )
     )
     w = Window.partitionBy("b").orderBy("s", id_col, "pos")

@@ -179,3 +179,79 @@ def test_skew_clone_gate(skew_dir):
     )
     assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-2000:]
     assert ", 0 failed," in r.stdout, r.stdout[-3000:]
+
+
+PATHO_REPRESENTATIVES = [
+    # the gram-explode family, whose quadratic-in-|doc| prefix
+    # machinery has per-doc guards (min_grams, tiny-string
+    # exclusion, k-bounded suffixes) that were contract-tested but
+    # never fuzz-gated end-to-end against pathological LENGTHS
+    "x_jaccard_join",
+    "x_containment_join",
+    "x_edit_join",
+    "x_suffix_dups",
+    "x_lsh_tuning",
+    "x_ngram_novelty",
+    "x_chunk_dedup",
+    "x_doc_chunks",
+    # length-sensitive quality/stat filters on a 1 MB doc and a
+    # 0-length flood
+    "x_gopher_rules",
+    "x_c4_filters",
+    "x_sentence_stats",
+    "x_token_budget",
+    # the tokenizer lifecycles: their oracles' unrolled word-length
+    # tripwires must HOLD (short words inside huge docs), not fire
+    "x_bpe_encode",
+    "x_unigram_encode",
+]
+
+
+@pytest.fixture(scope="module")
+def patho_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("sf_patho"))
+    r = subprocess.run(
+        [
+            sys.executable,
+            "tools/nullfuzz.py",
+            "--patho",
+            "/root/testdata/sf0.001",
+            out,
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    return out
+
+
+def test_patho_clone_gate(patho_dir):
+    """Pathological-length robustness: the gate must hold with one
+    ~1 MB document, an 80-doc contiguous 0-length flood, and
+    max-length single-line unicode docs in the corpus. Non-vacuity
+    is asserted on the clone itself (the megadoc and the flood
+    really exist), so a future generator edit can't silently turn
+    this into a no-op gate."""
+    import duckdb as _duck
+
+    big, flood = _duck.connect().execute(
+        f"""SELECT max(len(text)),
+                   sum(CASE WHEN text = '' THEN 1 ELSE 0 END)
+            FROM '{patho_dir}/documents.parquet'"""
+    ).fetchone()
+    assert big >= 1_000_000, big
+    assert flood >= 50, flood
+    r = subprocess.run(
+        [
+            sys.executable,
+            "tools/check_oracle.py",
+            patho_dir,
+            *PATHO_REPRESENTATIVES,
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-2000:]
+    assert ", 0 failed," in r.stdout, r.stdout[-3000:]

@@ -7,6 +7,7 @@ differential gate against it:
     python tools/nullfuzz.py --blank [src_sf_dir] [out_dir]
     python tools/nullfuzz.py --dupes [src_sf_dir] [out_dir]
     python tools/nullfuzz.py --skew [src_sf_dir] [out_dir]
+    python tools/nullfuzz.py --patho [src_sf_dir] [out_dir]
     python tools/check_oracle.py <out_dir>
 
 Deterministically nulls ~5% of every non-key column (md5 of
@@ -31,8 +32,17 @@ heavy hitters: ~35% of events collapse onto one user and one event
 type, ~30% of lineitem rows onto one part/supplier, ~20% of document
 tokens onto one repeated token — the straggler-making distribution
 the salted/skew-safe/AQE paths exist for, absent from the
-quasi-uniform generator data. Every query passes all six gates with
-the same verdict set as clean data.
+quasi-uniform generator data. ``--patho`` injects pathological
+DOCUMENT LENGTHS: one ~1 MB document (a short sentence repeated —
+huge |doc|, tiny distinct-gram set, so the gram-explode family's
+quadratic-in-|doc| prefix machinery is exercised without an
+all-pairs blowup), an 80-document contiguous 0-length flood, and
+max-length single-line unicode documents built from ≤2-char words
+(long LINES, short WORDS — the word-length tripwires in the
+BPE/unigram oracles stay inside their unrolled bounds by
+construction, which is itself part of the contract under test).
+Every query passes all seven gates with the same verdict set as
+clean data.
 """
 
 from __future__ import annotations
@@ -55,13 +65,15 @@ KEYS = {
 
 
 def main() -> None:
-    flags = {"--empty", "--unicode", "--blank", "--dupes", "--skew"}
+    flags = {"--empty", "--unicode", "--blank", "--dupes", "--skew",
+             "--patho"}
     args = [a for a in sys.argv[1:] if a not in flags]
     empty = "--empty" in sys.argv[1:]
     unicode_mode = "--unicode" in sys.argv[1:]
     blank_mode = "--blank" in sys.argv[1:]
     dupes_mode = "--dupes" in sys.argv[1:]
     skew_mode = "--skew" in sys.argv[1:]
+    patho_mode = "--patho" in sys.argv[1:]
     src = args[0] if len(args) > 0 else "/root/testdata/sf0.001"
     dst = args[1] if len(args) > 1 else (
         "/tmp/sf_empty" if empty
@@ -69,6 +81,7 @@ def main() -> None:
         else "/tmp/sf_blank" if blank_mode
         else "/tmp/sf_dupes" if dupes_mode
         else "/tmp/sf_skew" if skew_mode
+        else "/tmp/sf_patho" if patho_mode
         else "/tmp/sf_nullfuzz"
     )
     os.makedirs(dst, exist_ok=True)
@@ -221,6 +234,45 @@ def main() -> None:
             """
         )
         print(f"[dupes] documents + embeddings; wrote {dst}")
+        return
+    if patho_mode:
+        import shutil
+
+        for t in TABLES:
+            if t != "documents":
+                shutil.copy(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+        # pathological LENGTHS, not pathological content: the
+        # megadoc is a 9-token sentence repeated to ~1 MB (so its
+        # DISTINCT gram set stays tiny and the brute-force pair
+        # oracles stay tractable while every per-doc explode /
+        # prefix bound / chunker sees six orders of magnitude more
+        # characters than the median); the 0-length flood is
+        # CONTIGUOUS (one partition eats all of it); the unicode
+        # max-line docs are one enormous line of ≤2-char words
+        # (long lines, short words — inside the tokenizer oracles'
+        # unrolled word-length bounds by construction)
+        con.execute(
+            f"""
+            COPY (
+                WITH n AS (
+                    SELECT *, row_number() OVER () AS rid
+                    FROM '{src}/documents.parquet'
+                )
+                SELECT doc_id,
+                       CASE WHEN rid = 1
+                            THEN repeat(
+                              'the quick brown fox jumps over a lazy dog ',
+                              24000)
+                            WHEN rid >= 100 AND rid < 180 THEN ''
+                            WHEN rid % 29 = 3
+                            THEN repeat('é漢 字m 🙂a ', 600)
+                            ELSE text END AS text,
+                       lang, source, n_chars
+                FROM n
+            ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
+            """
+        )
+        print(f"[patho] documents; wrote {dst}")
         return
     if unicode_mode:
         import shutil
