@@ -7489,30 +7489,35 @@ def oracle_sql() -> dict[str, str]:
     # the inclusive-end twin of Spark's sequence().
     oracles["x_cdc_chunks"] = """
         WITH d AS (
-            SELECT doc_id, text, length(text) AS n
+            -- char-array formulation throughout: substring(text, p, k)
+            -- and list slices are O(p) in DuckDB, so the per-position
+            -- forms were O(|doc|^2) on the --patho megadoc; indexed
+            -- comprehensions over the split-once char list are linear
+            SELECT doc_id, text, length(text) AS n,
+                   string_split(text, '') AS ch
             FROM documents
             WHERE text IS NOT NULL AND length(text) > 0
         ),
         cs AS (
-            SELECT doc_id, text, n,
-                   [unicode(substring(text, i, 1))::BIGINT
-                    FOR i IN range(1, n + 1)] AS codes
+            SELECT doc_id, n, ch,
+                   [unicode(c)::BIGINT FOR c IN ch] AS codes
             FROM d
         ),
         b AS (
-            SELECT doc_id, text, n,
+            SELECT doc_id, n, ch,
                    list_filter(
                        CASE WHEN n >= 9
                             THEN generate_series(2, n - 7)
                             ELSE [] END,
-                       p -> list_reduce(codes[p:p+7],
+                       p -> list_reduce(
+                                [codes[p + j] FOR j IN range(0, 8)],
                                 (acc, c) -> (acc * 257 + c)
                                             % 2147483647) % 16 = 0
                    ) AS bounds
             FROM cs
         ),
         c AS (
-            SELECT doc_id, text,
+            SELECT doc_id, ch,
                    list_prepend(1, bounds) AS starts,
                    list_append(bounds, n + 1) AS ends
             FROM b
@@ -7520,7 +7525,9 @@ def oracle_sql() -> dict[str, str]:
         x AS (
             SELECT doc_id,
                    unnest([
-                       substring(text, starts[i], ends[i] - starts[i])
+                       array_to_string(
+                           [ch[starts[i] + j]
+                            FOR j IN range(0, ends[i] - starts[i])], '')
                        FOR i IN range(1, len(starts) + 1)
                    ]) AS chunk
             FROM c
@@ -9330,11 +9337,12 @@ def oracle_sql() -> dict[str, str]:
     oracles["x_minhash_portable"] = """
         WITH sh AS (
             SELECT doc_id,
-                   unnest([substring(text, i, 5)
-                           FOR i IN range(1, greatest(length(text) - 4, 1)
+                   unnest([array_to_string(
+                               [ch[i + j] FOR j IN range(0, 5)], '')
+                           FOR i IN range(1, greatest(len(ch) - 4, 1)
                                              + 1)]) AS s
-            FROM documents
-            WHERE text IS NOT NULL
+            FROM (SELECT doc_id, string_split(text, '') AS ch
+                  FROM documents WHERE text IS NOT NULL)
         ),
         h AS (
             SELECT doc_id,
@@ -10093,12 +10101,13 @@ def oracle_sql() -> dict[str, str]:
     oracles["x_lsh_tuning"] = """
         WITH sh AS (
             SELECT doc_id,
-                   unnest([substring(text, i, 5)
-                           FOR i IN range(1, greatest(length(text) - 4, 1)
+                   unnest([array_to_string(
+                               [ch[i + j] FOR j IN range(0, 5)], '')
+                           FOR i IN range(1, greatest(len(ch) - 4, 1)
                                              + 1)]) AS s
-            FROM documents
-            WHERE text IS NOT NULL
-              AND CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+            FROM (SELECT doc_id, string_split(text, '') AS ch
+                  FROM documents WHERE text IS NOT NULL)
+            WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
                          AS BIGINT) % 10000 < 5000
         ),
         h AS (
@@ -10128,10 +10137,13 @@ def oracle_sql() -> dict[str, str]:
             -- what keeps the three-config verify cheap
             SELECT doc_id AS id,
                    list_distinct([CAST('0x' || substring(md5(
-                       substring(text, i, 5)), 1, 15) AS BIGINT)
-                       FOR i IN range(1, greatest(length(text) - 4, 1)
+                       array_to_string(
+                           [ch[i + j] FOR j IN range(0, 5)], '')),
+                       1, 15) AS BIGINT)
+                       FOR i IN range(1, greatest(len(ch) - 4, 1)
                                          + 1)]) AS sh
-            FROM documents
+            FROM (SELECT doc_id, text, string_split(text, '') AS ch
+                  FROM documents)
             WHERE text IS NOT NULL AND doc_id IS NOT NULL
               AND CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
                          AS BIGINT) % 10000 < 5000

@@ -66,15 +66,27 @@ def exact_dedup(
 # -- MinHash + LSH -----------------------------------------------------------
 
 
+def _char_gram_sql(name: str, k: int) -> str:
+    """Char k-gram array of string expression ``name`` — the
+    let-binding CHAR-ARRAY formulation. ``substring(text, i, k)``
+    per position is O(i) (UTF8String scans bytes to the codepoint
+    offset), which made ONE --patho 1 MB document cost O(|doc|^2) ~
+    5e11 steps in a single task; binding ``split(text, '')`` to a
+    lambda attribute via the single-element-transform let (the
+    _with_token_ngrams trick) pays O(|doc|) once and each gram is an
+    O(k) slice+join. Edge semantics are byte-identical to the
+    substring form: null → [null], '' → [''], short strings clamp."""
+    return (
+        f"transform(array(split({name}, '')), c ->"
+        f" transform(sequence(1, greatest(size(c) - {k} + 1, 1)),"
+        f" i -> array_join(slice(c, i, {k}), '')))[0]"
+    )
+
+
 def char_shingles(name: str, k: int = 5) -> Column:
     """Character k-shingles of column ``name`` as a distinct array —
     computed with ``sequence``+``transform``, no explode, no Python."""
-    return F.array_distinct(
-        F.expr(
-            f"transform(sequence(1, greatest(length({name}) - {k} + 1, 1)),"
-            f" i -> substring({name}, i, {k}))"
-        )
-    )
+    return F.array_distinct(F.expr(_char_gram_sql(name, k)))
 
 
 def portable_hash60(col: Column) -> Column:
@@ -109,12 +121,9 @@ def minhash_signature(
     # NOTE: no array_distinct — min() is idempotent under duplicate
     # shingles, and deduplicating 300-element string arrays per row
     # costs more than hashing the duplicates.
-    sh = F.expr(
-        f"transform(sequence(1, greatest(length({text_col}) - {shingle_k} + 1, 1)),"
-        f" i -> substring({text_col}, i, {shingle_k}))"
-    )
+    sh = F.expr(_char_gram_sql(text_col, shingle_k))
     # null text: the transform yields [null] (greatest() ignores the
-    # null length), and while xxhash64 hashes a null input to a
+    # null size), and while xxhash64 hashes a null input to a
     # value, md5 propagates it — a null bucket key would abort
     # map_from_entries. Null shingles carry no content either way.
     exploded = (
@@ -381,16 +390,21 @@ def connected_components(
     that turns pairwise near-dup candidates into dedup GROUPS (keep
     one doc per component).
 
-    Min-label propagation: every node starts labeled with its own
-    id; each round pushes labels across edges and keeps the minimum;
-    fixpoint = components labeled by their smallest member. Each
-    round is one join + one aggregation (both shuffle on the node
-    id, so the partitioning is reused); `localCheckpoint` truncates
-    the growing lineage — without it the plan doubles every round.
-    Rounds needed = component diameter; near-dup components are
-    shallow (pairs/small clusters), so this converges in 2-4 rounds
-    where a pathological chain would need its length (use
-    large-star/small-star if that ever becomes the workload).
+    Min-label propagation WITH pointer-jumping: every node starts
+    labeled with its own id; each round (1) pushes labels across
+    edges and keeps the minimum, then (2) SHORTCUTS through the
+    fresh mapping — label'(x) = min(label(x), label(label(x))) —
+    so the distance a label travels roughly triples per round
+    instead of growing by one. Fixpoint (components labeled by
+    their smallest member) is unchanged; only the rounds to reach
+    it drop from O(diameter) to O(log diameter). The --patho
+    clone's 80-deep duplicate chain (an empty-text flood where
+    every adjacent pair is an exact dup) needed this: plain
+    propagation refused at 25 rounds, shortcutted converges in ~7.
+    Each round is one edge join + one aggregation + one label
+    self-join (all shuffling on the node id, partitioning reused);
+    `localCheckpoint` truncates the growing lineage — without it
+    the plan doubles every round.
 
     The iteration runs ONLY over nodes incident to an edge: an
     isolated node's label can never change, so the per-round shuffle
@@ -450,10 +464,27 @@ def connected_components(
             sym.join(labels, sym.src == labels.id)
             .select(F.col("dst").alias("id"), "label")
         )
-        new_labels = (
+        prop = (
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
+        )
+        # pointer-jumping shortcut: compose through the propagated
+        # map. A label is always the id of some touched node (it
+        # started as one and min() preserves membership), so the
+        # lookup hits; the left join + coalesce is belt-and-braces.
+        hop = prop.select(
+            F.col("id").alias("__pid"), F.col("label").alias("__plabel")
+        )
+        new_labels = (
+            prop.join(hop, prop.label == hop.__pid, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("__plabel"), F.col("label")),
+                ).alias("label"),
+            )
             .localCheckpoint()
         )
         changed = (
@@ -1159,10 +1190,13 @@ def edit_distance_join(
         .select(
             "id",
             "len",
+            # min_len filter above guarantees size(c) >= q, so the
+            # no-greatest sequence stays ascending from 1
             F.posexplode(
                 F.expr(
-                    f"transform(sequence(1, length(s) - {q} + 1),"
-                    f" i -> substring(s, i, {q}))"
+                    f"transform(array(split(s, '')), c ->"
+                    f" transform(sequence(1, size(c) - {q} + 1),"
+                    f" i -> array_join(slice(c, i, {q}), '')))[0]"
                 )
             ).alias("i", "g"),
         )
@@ -1587,11 +1621,7 @@ def lsh_tuning_table(
     # independently paid the shingle-hash pass twice (measured ~3 s
     # each at sf0.1; the corpus-scan/multi-consumer discipline one
     # level down, applied to compute instead of I/O).
-    sh = F.expr(
-        f"transform(sequence(1, greatest(length({text_col})"
-        f" - {shingle_k} + 1, 1)),"
-        f" i -> substring({text_col}, i, {shingle_k}))"
-    )
+    sh = F.expr(_char_gram_sql(text_col, shingle_k))
     hashed = (
         ensure_parallelism(df)
         .select(F.col(id_col), F.explode(sh).alias("__s"))

@@ -575,13 +575,15 @@ def test_connected_components_chain_and_islands(spark):
 def test_connected_components_raises_on_unconverged(spark):
     from pac_data_pipeline_spark.ext.dedup_text import connected_components
 
-    nodes = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    nodes = spark.createDataFrame([(i,) for i in range(80)], "doc_id long")
     chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(11)], "id_a long, id_b long"
+        [(i, i + 1) for i in range(79)], "id_a long, id_b long"
     )
-    # diameter 11 > max_iter 3: must refuse, never return partial labels
+    # pointer-jumping reach grows ≤ 3^rounds: 3^2 = 9 << diameter 79,
+    # so max_iter=2 cannot converge — must refuse, never return
+    # partial labels
     with pytest.raises(RuntimeError, match="no fixpoint"):
-        connected_components(nodes, chain, max_iter=3).collect()
+        connected_components(nodes, chain, max_iter=2).collect()
 
 
 def test_cc_star_matches_label_propagation(spark):
