@@ -66,20 +66,44 @@ def exact_dedup(
 # -- MinHash + LSH -----------------------------------------------------------
 
 
+#: Length threshold for the direct-substring gram branch. Below it
+#: the O(len²/2) substring scans stay under ~8M char-steps per row
+#: (sub-ms); above it the char-array branch's O(len·k) wins. The
+#: cutover exists because HOF lambdas run INTERPRETED: per-element
+#: slice+array_join costs ~4× per-element substring, so forcing the
+#: char-array form on ordinary ~250-char docs regressed the minhash
+#: family ~4× at sf0.1 — the hybrid keeps the median-doc fast path
+#: AND bounds the pathological one.
+_GRAM_DIRECT_MAX = 4096
+
+
 def _char_gram_sql(name: str, k: int) -> str:
-    """Char k-gram array of string expression ``name`` — the
-    let-binding CHAR-ARRAY formulation. ``substring(text, i, k)``
-    per position is O(i) (UTF8String scans bytes to the codepoint
-    offset), which made ONE --patho 1 MB document cost O(|doc|^2) ~
-    5e11 steps in a single task; binding ``split(text, '')`` to a
-    lambda attribute via the single-element-transform let (the
-    _with_token_ngrams trick) pays O(|doc|) once and each gram is an
-    O(k) slice+join. Edge semantics are byte-identical to the
-    substring form: null → [null], '' → [''], short strings clamp."""
-    return (
+    """Char k-gram array of string expression ``name`` — length-
+    adaptive. ``substring(text, i, k)`` per position is O(i)
+    (UTF8String scans bytes to the codepoint offset), which made ONE
+    --patho 1 MB document cost O(|doc|^2) ~ 5e11 steps in a single
+    task; but it is also the FASTEST form for ordinary documents
+    (interpreted-HOF per-element cost is all dispatch). So: direct
+    substring per position for rows up to ``_GRAM_DIRECT_MAX``
+    chars, and for longer rows the let-binding char-array form
+    (bind ``split(text, '')`` once via the single-element-transform
+    let — the _with_token_ngrams trick — then O(k) slice+join per
+    gram). CaseWhen evaluates only the taken branch per row. Both
+    branches produce byte-identical arrays (null → [null],
+    '' → [''], short strings clamp), pinned by the differential
+    gates on every clone."""
+    direct = (
+        f"transform(sequence(1, greatest(length({name}) - {k} + 1, 1)),"
+        f" i -> substring({name}, i, {k}))"
+    )
+    chararr = (
         f"transform(array(split({name}, '')), c ->"
         f" transform(sequence(1, greatest(size(c) - {k} + 1, 1)),"
         f" i -> array_join(slice(c, i, {k}), '')))[0]"
+    )
+    return (
+        f"CASE WHEN length({name}) <= {_GRAM_DIRECT_MAX}"
+        f" THEN {direct} ELSE {chararr} END"
     )
 
 
@@ -1190,13 +1214,18 @@ def edit_distance_join(
         .select(
             "id",
             "len",
-            # min_len filter above guarantees size(c) >= q, so the
-            # no-greatest sequence stays ascending from 1
+            # min_len filter above guarantees length(s) >= q, so the
+            # no-greatest sequences stay ascending from 1; same
+            # length-adaptive hybrid as _char_gram_sql (substring is
+            # O(pos) — quadratic on megadocs, fastest on short rows)
             F.posexplode(
                 F.expr(
-                    f"transform(array(split(s, '')), c ->"
+                    f"CASE WHEN length(s) <= {_GRAM_DIRECT_MAX} THEN"
+                    f" transform(sequence(1, length(s) - {q} + 1),"
+                    f" i -> substring(s, i, {q}))"
+                    f" ELSE transform(array(split(s, '')), c ->"
                     f" transform(sequence(1, size(c) - {q} + 1),"
-                    f" i -> array_join(slice(c, i, {q}), '')))[0]"
+                    f" i -> array_join(slice(c, i, {q}), '')))[0] END"
                 )
             ).alias("i", "g"),
         )
