@@ -5063,7 +5063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # All oracle-backed names are exact-hash green in the local
         # DuckDB gate (tools/check_oracle.py, clean + all fuzz
         # clones).
-        # -- (a0) new this round (3) -----------------------------------
+        # -- (a0) new this round (5) -----------------------------------
         "x_unigram_train": q_x_unigram_train,
         "x_unigram_encode": q_x_unigram_encode,
         "x_keyed_tree_exploded": q_x_keyed_tree_exploded,

@@ -488,10 +488,15 @@ def connected_components(
             sym.join(labels, sym.src == labels.id)
             .select(F.col("dst").alias("id"), "label")
         )
+        # prop is consumed twice below (as itself and as the hop
+        # side of the pointer-jumping self-join) — checkpoint so the
+        # union+groupBy (which embeds the msgs edge join) runs once
+        # per round instead of being inlined into both join sides.
         prop = (
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
+            .localCheckpoint()
         )
         # pointer-jumping shortcut: compose through the propagated
         # map. A label is always the id of some touched node (it

@@ -90,6 +90,8 @@ def wordpiece_train(
     corpus. Per round: pair + unit counts on the vocab frame (two
     tiny shuffles), a 1-row argmax collect, one Arrow merge rewrite
     — the :func:`ext.text.bpe_train` loop with a different argmax."""
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
     from pyspark.sql import types as T
 
     spark = df.sparkSession
@@ -306,6 +308,10 @@ def wordpiece_train_sql(
     text_col: str = "text",
 ) -> str:
     """:func:`wordpiece_train` as one DuckDB statement."""
+    if n_merges < 1:
+        # an empty UNION ALL list would emit 'SELECT * FROM ()' —
+        # fail loudly like the hits()/hits_fixture_sql n_iter guards
+        raise ValueError("n_merges must be >= 1")
     cte = _wordpiece_train_ctes(n_merges, table, text_col)
     sel = " UNION ALL ".join(
         f"SELECT rank, l AS left, r AS right, cnt AS pair_count, "
@@ -329,6 +335,8 @@ def wordpiece_encode_sql(
     piece (theta-join on substring = piece, max over piece length)
     or one character. Words longer than ``n_steps`` trip the loud
     guard (the bpe_encode_sql glim pattern)."""
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
     cte = _wordpiece_train_ctes(n_merges, table, text_col)
     pieces = " UNION ALL ".join(
         f"SELECT (SELECT l FROM t{k}) || (SELECT r FROM t{k}) AS piece"

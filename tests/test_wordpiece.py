@@ -129,3 +129,24 @@ def test_wordpiece_score_quotient_bounded(spark):
     df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
     for r in wordpiece_train(df).collect():
         assert 0 < r.score_q <= _SCALE, r
+
+
+def test_wordpiece_n_merges_guard(spark):
+    """n_merges=0 fails loudly everywhere (an empty UNION ALL list
+    would otherwise emit malformed 'SELECT * FROM ()' SQL) — the
+    same contract as the hits()/hits_fixture_sql n_iter guards."""
+    import pytest
+
+    from pac_data_pipeline_spark.ext.wordpiece import (
+        wordpiece_encode_sql,
+        wordpiece_train_sql,
+    )
+
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    for n in (0, -1):
+        with pytest.raises(ValueError, match="n_merges"):
+            wordpiece_train(df, n_merges=n)
+        with pytest.raises(ValueError, match="n_merges"):
+            wordpiece_train_sql(n_merges=n)
+        with pytest.raises(ValueError, match="n_merges"):
+            wordpiece_encode_sql(n_merges=n)
