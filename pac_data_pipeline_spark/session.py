@@ -24,6 +24,13 @@ from pyspark.sql import SparkSession
 
 #: Confs that must be set before the JVM starts.
 STARTUP_CONF = {
+    # local mode's default 1g driver heap is shared by every task
+    # thread — at 32 threads that's ~30 MB/task, which fits sf0.1
+    # but OOMs the similarity-join family on the sf≈1 scaling clone
+    # (measured round 11). Size the single local JVM like the
+    # executor fleet it stands in for; a cluster submitter sets
+    # spark.executor.memory instead and this conf is irrelevant.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
