@@ -17,6 +17,8 @@ higher-order array functions) — no Python in the hot path.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -840,6 +842,12 @@ def _ordered_gram_sets(
     )
 
 
+#: Prefix length above which a doc posts single grams instead of
+#: gram pairs (pair posting is O(prefix²) per doc — a --patho2
+#: megadoc with a 6.4k-gram prefix must not post 20M pairs).
+_PAIR_PREFIX_CAP = 64
+
+
 def _jaccard_join_stages(
     df: DataFrame,
     threshold: float,
@@ -879,7 +887,15 @@ def _jaccard_join_stages(
     exact verify on the candidates only. Every stage is keyed or
     bounded; the only pairwise work is on prefix-bucket candidates,
     which the size filter (t·max(|x|,|y|) ≤ min(|x|,|y|)) prunes
-    further. This is the exact-answer sibling of MinHash-LSH
+    further.
+
+    Round 11: candidate generation is TWO-TIERED (see the inline
+    block) — gram-PAIR posting over +1-extended prefixes for normal
+    docs (the Adapt-Join extended-prefix theorem; keeps candidate
+    growth linear when the gram space saturates, the regime the
+    sf1 scaling clone exposed as a 1.5 decade exponent), single-gram
+    posting for tiny docs (a qualifying pair may share only one
+    gram) and huge-prefix docs (pair posting is O(prefix²) per doc). This is the exact-answer sibling of MinHash-LSH
     (minhash_near_dup_pairs): LSH when approximate recall is
     acceptable, prefix filtering when the contract is exactness.
 
@@ -934,33 +950,51 @@ def _jaccard_join_stages(
         ).cast("int")
         + F.lit(1)
     ).cast("int")
-    # slice() takes the length as a column: stage it first; the
-    # probe prefix is a PREFIX of the index prefix, so one explode
-    # serves both sides (position rides along for the positional
-    # filter — 0-based from posexplode, 1-based in the bound)
-    pref = (
+    # -- two-tier candidate generation (round 11) ---------------------
+    # The single-gram prefix join is Ω(Σ_g a_g·b_g): when the gram
+    # space SATURATES (boilerplate floods, template corpora, the
+    # fixed-lexicon sf1 scaling clone), every posting list grows
+    # linearly with the corpus and candidates grow QUADRATICALLY —
+    # measured as a 1.5 wall-time decade exponent at sf0.1→1 before
+    # this change. Tier A posts gram PAIRS instead (the extended-
+    # prefix theorem, Adapt-Join family — Wang, Li & Feng, SIGMOD
+    # 2012): if overlap(x, y) ≥ α ≥ 2 then the 2nd-smallest shared
+    # gram w2 sits within the first |x| − α + 2 grams of BOTH docs
+    # (the α − 2 shared grams above it bound its position), so every
+    # qualifying pair shares a PAIR of grams inside the +1-extended
+    # prefixes and the join key becomes (g1, g2) — pair-bucket
+    # collision rates stay sparse long after single-gram buckets
+    # saturate. Tier B keeps the c=1 single-gram join for the docs
+    # the pair tier must not or cannot serve: tiny docs (a
+    # qualifying pair with n_a + n_b < 2(1+t)/t may share only ONE
+    # gram) and huge-prefix docs (pair posting is quadratic in
+    # prefix length — the --patho2 megadoc would post C(6.4k, 2)
+    # pairs). Pairs are covered exactly once-or-more: (S, S) by the
+    # pair tier, anything touching B by the single-gram tiers; the
+    # exact verify downstream dedups and decides.
+    small_bound = int(math.ceil(2 * (1 + t) / t))
+    base = (
         ordered.withColumn("__ilen", index_len)
         .withColumn("__mlen", probe_len)
-        .select(
-            "id",
-            "n",
-            "__mlen",
-            F.posexplode(F.expr("slice(toks, 1, __ilen)")).alias(
-                "pos0", "g"
-            ),
+        .withColumn(
+            "__tier_b",
+            (index_len + F.lit(1) > F.lit(_PAIR_PREFIX_CAP))
+            | (F.col("n") <= F.lit(small_bound)),
         )
     )
-    a = pref.filter(F.col("pos0") < F.col("__mlen")).select(
-        F.col("id").alias("id_a"),
-        F.col("n").alias("n_a"),
-        (F.col("pos0") + 1).alias("p_a"),
-        "g",
-    )
-    b = pref.select(
-        F.col("id").alias("id_b"),
-        F.col("n").alias("n_b"),
-        (F.col("pos0") + 1).alias("p_b"),
-        "g",
+    # one explode serves both single-gram sides (the probe prefix is
+    # a PREFIX of the index prefix; position rides along for the
+    # positional filter — 0-based from posexplode, 1-based in the
+    # bound). The +1 extension only feeds the pair tier.
+    pref = base.select(
+        "id",
+        "n",
+        "__mlen",
+        "__ilen",
+        "__tier_b",
+        F.posexplode(F.expr("slice(toks, 1, __ilen + 1)")).alias(
+            "pos0", "g"
+        ),
     )
     # the probe side is the SMALLER doc of the pair under the
     # (size, id) total order. Completeness: for |y| >= |x| a
@@ -979,19 +1013,114 @@ def _jaccard_join_stages(
     size_ok = (
         F.lit(t) * F.col("n_b") <= F.col("n_a") + F.lit(1e-9)
     )
-    # PPJoin positional bound for THIS shared gram; a failing row
-    # proves the pair misses the threshold, but the pair may still
-    # enter through another (passing) shared-prefix-gram row — the
-    # row filter is conservative and shuffle-free
-    ubound = F.least("p_a", "p_b") + F.least(
-        F.col("n_a") - F.col("p_a"), F.col("n_b") - F.col("p_b")
-    )
     alpha = (
         F.lit(t) * (F.col("n_a") + F.col("n_b")) / F.lit(1.0 + t)
     )
+
+    # PPJoin positional bound for a shared gram at 1-based positions
+    # (pa, pb): overlap ≤ (shared grams sorting before it) + itself
+    # + (shared grams after it). A failing row proves the pair
+    # misses the threshold; the pair may still enter through another
+    # shared gram's row — a conservative, shuffle-free row filter.
+    def _ubound(pa: str, pb: str):
+        return F.least(F.col(pa), F.col(pb)) + F.least(
+            F.col("n_a") - F.col(pa), F.col("n_b") - F.col(pb)
+        )
+
+    # ---- tier A: c=2 gram-pair posting over the extended prefixes
+    pair_src = base.filter(~F.col("__tier_b")).select(
+        "id",
+        "n",
+        "__mlen",
+        F.expr("slice(toks, 1, __ilen + 1)").alias("__pref"),
+    )
+    pairs = (
+        pair_src.select(
+            "id",
+            "n",
+            "__mlen",
+            "__pref",
+            F.posexplode("__pref").alias("i0", "g1"),
+        )
+        .select(
+            "id",
+            "n",
+            "__mlen",
+            (F.col("i0") + 1).alias("p1"),
+            "g1",
+            F.posexplode(
+                F.expr("slice(__pref, i0 + 2, size(__pref))")
+            ).alias("j0", "g2"),
+        )
+        .select(
+            "id",
+            "n",
+            "__mlen",
+            "p1",
+            "g1",
+            (F.col("p1") + F.col("j0") + 1).alias("p2"),
+            "g2",
+        )
+    )
+    pa2 = pairs.filter(F.col("p2") <= F.col("__mlen") + 1).select(
+        F.col("id").alias("id_a"),
+        F.col("n").alias("n_a"),
+        F.col("p1").alias("p1_a"),
+        F.col("p2").alias("p2_a"),
+        "g1",
+        "g2",
+    )
+    pb2 = pairs.select(
+        F.col("id").alias("id_b"),
+        F.col("n").alias("n_b"),
+        F.col("p1").alias("p1_b"),
+        F.col("p2").alias("p2_b"),
+        "g1",
+        "g2",
+    )
+    cand_pairs = (
+        pa2.join(pb2, ["g1", "g2"])
+        .filter(
+            smaller
+            & size_ok
+            & (_ubound("p1_a", "p1_b") + F.lit(1e-9) >= alpha)
+            & (_ubound("p2_a", "p2_b") + F.lit(1e-9) >= alpha)
+        )
+        .select("id_a", "id_b")
+    )
+    # ---- tier B: c=1 single-gram join wherever a B doc is involved
+    a1 = pref.filter(F.col("pos0") < F.col("__mlen")).select(
+        F.col("id").alias("id_a"),
+        F.col("n").alias("n_a"),
+        (F.col("pos0") + 1).alias("p_a"),
+        "g",
+        F.col("__tier_b").alias("tb_a"),
+    )
+    b1 = pref.filter(F.col("pos0") < F.col("__ilen")).select(
+        F.col("id").alias("id_b"),
+        F.col("n").alias("n_b"),
+        (F.col("pos0") + 1).alias("p_b"),
+        "g",
+        F.col("__tier_b").alias("tb_b"),
+    )
+    c1_filter = smaller & size_ok & (
+        _ubound("p_a", "p_b") + F.lit(1e-9) >= alpha
+    )
+    c1a = (
+        a1.filter(F.col("tb_a"))
+        .join(b1, "g")
+        .filter(c1_filter)
+        .select("id_a", "id_b")
+    )
+    c1b = (
+        a1.filter(~F.col("tb_a"))
+        .join(b1.filter(F.col("tb_b")), "g")
+        .filter(c1_filter)
+        .select("id_a", "id_b")
+    )
     cand = (
-        a.join(b, "g")
-        .filter(smaller & size_ok & (ubound + F.lit(1e-9) >= alpha))
+        cand_pairs.unionByName(c1a)
+        .unionByName(c1b)
         .select(
             F.least("id_a", "id_b").alias("id_a"),
             F.greatest("id_a", "id_b").alias("id_b"),
