@@ -1168,6 +1168,55 @@ def q_x_hash_sample(spark, sf_dir):
     )
 
 
+def q_x_roundtrip_bpe(spark, sf_dir):
+    """Tokenizer round-trip contract, BPE family: train on the
+    held-in split (even doc_ids), encode+detokenize EVERY document,
+    assert detok(encode(doc)) == normalized(doc) by actual string
+    reconstruction. BPE merges only concatenate a word's own
+    characters, so lossless must hold for all docs — the flag
+    VERIFIES the invariant (and the held-out piece counts differ
+    from x_bpe_encode's full-corpus training, so the hash is a new
+    measurement, not a re-verdict)."""
+    from pac_data_pipeline_spark.ext.roundtrip import (
+        _train_split,
+        bpe_roundtrip,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_roundtrip(_train_split(d), d)
+
+
+def q_x_roundtrip_unigram(spark, sf_dir):
+    """Round-trip contract, unigram-LM family: held-in training,
+    Viterbi encode of everything, UNK for words the trained piece
+    table cannot reach (a held-out character has no piece). On the
+    clean corpus both splits share one alphabet (n_unk = 0); the
+    --unicode/--patho fuzz clones plant held-out-only characters,
+    which is where the UNK path earns its differential verdict."""
+    from pac_data_pipeline_spark.ext.roundtrip import (
+        _train_split,
+        unigram_roundtrip,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_roundtrip(_train_split(d), d)
+
+
+def q_x_roundtrip_wordpiece(spark, sf_dir):
+    """Round-trip contract, WordPiece family: held-in training,
+    greedy longest-match encode with the single-character fallback
+    RESTRICTED to the training alphabet (standard WordPiece vocab
+    semantics) — a word containing an unseen character becomes
+    [UNK] wholesale, the lossy case n_unk accounts for."""
+    from pac_data_pipeline_spark.ext.roundtrip import (
+        _train_split,
+        wordpiece_roundtrip,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return wordpiece_roundtrip(_train_split(d), d)
+
+
 def q_x_stratified_sample(spark, sf_dir):
     """Per-language sampling rates (en 50%, de 20%, others 5%)."""
     return stratified_hash_sample(
@@ -4796,6 +4845,139 @@ def q_x_rrf_fusion(spark, sf_dir):
     return rrf_fuse({"lex": lex, "sem": sem}, k=60, top_k=20)
 
 
+#: The hybrid eval queries for x_retrieval_eval: disjoint 3-term
+#: lexical queries (all from the generator lexicon) paired with
+#: query vectors 0/1/2 (doc and vec ids are aligned in the
+#: testdata). Shared by the Spark query and its oracle SQL.
+_RETRIEVAL_QUERIES = {
+    0: ["spark", "hash", "window"],
+    1: ["merge", "sort", "batch"],
+    2: ["vector", "scan", "table"],
+}
+
+
+def q_x_retrieval_eval(spark, sf_dir):
+    """Ranking-quality eval over the retrieval stack (VERDICT r10
+    Next #5): nDCG@10 + reciprocal rank per (system, query) for the
+    sparse BM25 leg, the dense exact-cosine leg, and their RRF
+    fusion, against planted graded relevance — lexical grade from
+    distinct-query-term coverage (3 terms → 2, 2 → 1), semantic
+    grade from the exact-cosine neighborhood (top-20 → 2, top-60 →
+    1), summed. Every metric is an exact integer (micro-unit
+    discount table from ndcg_discount_micro, bigint DCG sums, ppm
+    floor divisions), so the oracle replays the evaluation
+    bit-for-bit. All rank windows span top-100 legs, never the
+    corpus; the one corpus-sized frame (lexical grades) rolls up
+    through a single (query, doc) aggregate."""
+    from pyspark.sql import Window
+
+    from pac_data_pipeline_spark.ext.similarity import (
+        cosine_topk_bruteforce,
+        queries_from_corpus,
+        retrieval_eval,
+        rrf_fuse,
+    )
+    from pac_data_pipeline_spark.ext.text import (
+        ascii_lower,
+        bm25_rank,
+        tokens,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    # one brute-force pass serves the 3 dense runs, the 3 fusion
+    # legs, and the semantic grades
+    dense_all = cosine_topk_bruteforce(
+        emb, queries_from_corpus(emb, n=3), k=100
+    ).localCheckpoint()
+    runs = []
+    for qid, terms in sorted(_RETRIEVAL_QUERIES.items()):
+        lex = (
+            bm25_rank(d, terms, top_k=100)
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.orderBy(F.desc("score"), F.asc("doc_id"))
+                ),
+            )
+            .select("doc_id", "rank")
+            .localCheckpoint()  # consumed as a run AND a fusion leg
+        )
+        sem = dense_all.filter(F.col("query_id") == qid).select(
+            F.col("vec_id").alias("doc_id"), "rank"
+        )
+        fused = (
+            rrf_fuse({"lex": lex, "sem": sem}, k=60, top_k=100)
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
+                ),
+            )
+            .select("doc_id", "rank")
+        )
+        for system, leg in (("bm25", lex), ("dense", sem), ("rrf", fused)):
+            runs.append(
+                leg.select(
+                    F.lit(system).alias("system"),
+                    F.lit(qid).cast("int").alias("query_id"),
+                    F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("rank").cast("int").alias("rank"),
+                )
+            )
+    from functools import reduce
+
+    from pyspark.sql import DataFrame as _DF
+
+    all_runs = reduce(_DF.unionByName, runs)
+    term_rows = [
+        (qid, t)
+        for qid, ts in sorted(_RETRIEVAL_QUERIES.items())
+        for t in ts
+    ]
+    tm = F.broadcast(
+        spark.createDataFrame(term_rows, "query_id int, token string")
+    )
+    toks = (
+        d.filter(F.col("doc_id").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(tokens(ascii_lower(F.col("text")))).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    lexg = (
+        toks.join(tm, "token")
+        .groupBy("query_id", "doc_id")
+        .agg(F.countDistinct("token").alias("nt"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.when(F.col("nt") >= 3, 2)
+            .when(F.col("nt") == 2, 1)
+            .otherwise(0)
+            .alias("lex_rel"),
+        )
+    )
+    semg = dense_all.filter(F.col("rank") <= 60).select(
+        F.col("query_id").cast("int").alias("query_id"),
+        F.col("vec_id").alias("doc_id"),
+        F.when(F.col("rank") <= 20, 2).otherwise(1).alias("sem_rel"),
+    )
+    qrels = (
+        lexg.join(semg, ["query_id", "doc_id"], "full")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.coalesce("lex_rel", F.lit(0))
+                + F.coalesce("sem_rel", F.lit(0))
+            ).alias("rel"),
+        )
+    )
+    return retrieval_eval(all_runs, qrels, k=10)
+
+
 def q_x_doremi_weights(spark, sf_dir):
     """Domain mixture reweighting in the DoReMi direction (Xie et
     al. 2023), linearized one-step tier: per-doc corpus-LM loss
@@ -5063,7 +5245,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # All oracle-backed names are exact-hash green in the local
         # DuckDB gate (tools/check_oracle.py, clean + all fuzz
         # clones).
-        # -- (a0) new this round (5) -----------------------------------
+        # -- (a0) new this round (r11) ----------------------------------
+        "x_retrieval_eval": q_x_retrieval_eval,
+        "x_roundtrip_bpe": q_x_roundtrip_bpe,
+        "x_roundtrip_unigram": q_x_roundtrip_unigram,
+        "x_roundtrip_wordpiece": q_x_roundtrip_wordpiece,
+        # -- (a1) new last round (5) -------------------------------------
         "x_unigram_train": q_x_unigram_train,
         "x_unigram_encode": q_x_unigram_encode,
         "x_keyed_tree_exploded": q_x_keyed_tree_exploded,
@@ -6015,6 +6202,21 @@ def oracle_sql() -> dict[str, str]:
     # 18 steps with a word-length tripwire.
     oracles["x_wordpiece_train"] = wordpiece_train_sql(n_merges=8)
     oracles["x_wordpiece_encode"] = wordpiece_encode_sql(n_merges=8)
+
+    # x_roundtrip_{bpe,unigram,wordpiece}: the train chains over the
+    # held-in split (even doc_ids), segmentation replayed over the
+    # FULL corpus's distinct words, per-doc piece/UNK/lossless
+    # rollups — detok(encode(doc)) == normalized(doc) differentially
+    # verified (VERDICT r10 Next #6).
+    from pac_data_pipeline_spark.ext.roundtrip import (
+        bpe_roundtrip_sql,
+        unigram_roundtrip_sql,
+        wordpiece_roundtrip_sql,
+    )
+
+    oracles["x_roundtrip_bpe"] = bpe_roundtrip_sql(n_merges=8)
+    oracles["x_roundtrip_unigram"] = unigram_roundtrip_sql()
+    oracles["x_roundtrip_wordpiece"] = wordpiece_roundtrip_sql(n_merges=8)
 
     # x_keyed_tree_exploded: the K5 tree round-trips through
     # Spark's own JSON parser back to typed rows, so the oracle is
@@ -9929,6 +10131,188 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, rrf_micro, rank_lex, rank_sem
         FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 20
+    """
+    # x_retrieval_eval: the x_bm25 + x_cosine/x_rrf_fusion oracle
+    # patterns parameterized over the 3 hybrid queries, then the
+    # nDCG@10/RR evaluation in exact integers. The discount table
+    # interpolates the SAME Python-generated literals the Spark
+    # side consumes (ndcg_discount_micro), so the irrational log2
+    # discounts cannot drift between engines.
+    from pac_data_pipeline_spark.ext.similarity import (
+        ndcg_discount_micro as _ndcg_disc,
+    )
+
+    _disc_rows = ", ".join(
+        f"({pos}, {micro})" for pos, micro in _ndcg_disc(10)
+    )
+    _qterm_rows = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, ts in sorted(_RETRIEVAL_QUERIES.items())
+        for t in ts
+    )
+    oracles["x_retrieval_eval"] = f"""
+        WITH qterms(query_id, token) AS (VALUES {_qterm_rows}),
+        disc(pos, disc_micro) AS (VALUES {_disc_rows}),
+        toks AS MATERIALIZED (
+            SELECT doc_id, t AS token
+            FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(
+                           translate(text,
+                               'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                               'abcdefghijklmnopqrstuvwxyz'),
+                           ' '), '[ \\t\\n\\f\\r]+')) AS t
+                FROM documents WHERE doc_id IS NOT NULL
+            )
+            WHERE t <> ''
+        ),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (
+            SELECT (SELECT count(*) FROM documents
+                    WHERE doc_id IS NOT NULL) AS n_docs,
+                   (SELECT sum(dl) FROM dl) AS tot_len
+        ),
+        tf AS (
+            SELECT q.query_id, t.doc_id, t.token, count(*) AS tf
+            FROM toks t JOIN qterms q USING (token)
+            GROUP BY 1, 2, 3
+        ),
+        dfreq AS (
+            SELECT query_id, token, count(DISTINCT doc_id) AS dfreq
+            FROM tf GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT tf.query_id, tf.doc_id,
+                   round(sum(
+                       ln(1 + (s.n_docs - df.dfreq + 0.5)
+                              / (df.dfreq + 0.5))
+                       * tf.tf * (1.2 + 1)
+                       / (tf.tf + 1.2 * (1 - 0.75
+                              + 0.75 * dl.dl
+                                / (s.tot_len / s.n_docs)))
+                   ), 4) AS score
+            FROM tf
+            JOIN dfreq df USING (query_id, token)
+            JOIN dl USING (doc_id)
+            CROSS JOIN stats s
+            GROUP BY 1, 2
+        ),
+        lex AS MATERIALIZED (
+            SELECT query_id, doc_id, rank FROM (
+                SELECT query_id, doc_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, doc_id) AS rank
+                FROM scored
+            ) WHERE rank <= 100
+        ),
+        qv AS (
+            SELECT vec_id AS query_id,
+                   CAST(embedding AS DOUBLE[]) AS q_vec
+            FROM embeddings
+            WHERE vec_id IN (0, 1, 2) AND embedding IS NOT NULL
+        ),
+        cos AS (
+            SELECT qv.query_id, e.vec_id AS doc_id,
+                   list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), qv.q_vec) AS cosine
+            FROM embeddings e CROSS JOIN qv
+            WHERE e.embedding IS NOT NULL
+        ),
+        sem AS MATERIALIZED (
+            SELECT query_id, doc_id, rank FROM (
+                SELECT query_id, doc_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY round(cosine, 6) DESC, doc_id)
+                           AS rank
+                FROM cos
+            ) WHERE rank <= 100
+        ),
+        fusedranked AS MATERIALIZED (
+            SELECT query_id, doc_id, rank FROM (
+                SELECT query_id, doc_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY rrf_micro DESC, doc_id) AS rank
+                FROM (
+                    SELECT query_id, doc_id,
+                           CAST(sum(1000000 // (60 + rank)) AS BIGINT)
+                               AS rrf_micro
+                    FROM (SELECT * FROM lex
+                          UNION ALL SELECT * FROM sem)
+                    GROUP BY 1, 2
+                )
+            ) WHERE rank <= 100
+        ),
+        runs AS MATERIALIZED (
+            SELECT 'bm25' AS system, query_id, doc_id, rank FROM lex
+            UNION ALL
+            SELECT 'dense', query_id, doc_id, rank FROM sem
+            UNION ALL
+            SELECT 'rrf', query_id, doc_id, rank FROM fusedranked
+        ),
+        lexg AS (
+            SELECT q.query_id, t.doc_id,
+                   CASE WHEN count(DISTINCT t.token) >= 3 THEN 2
+                        WHEN count(DISTINCT t.token) = 2 THEN 1
+                        ELSE 0 END AS lex_rel
+            FROM toks t JOIN qterms q USING (token)
+            GROUP BY 1, 2
+        ),
+        semg AS (
+            SELECT query_id, doc_id,
+                   CASE WHEN rank <= 20 THEN 2 ELSE 1 END AS sem_rel
+            FROM sem WHERE rank <= 60
+        ),
+        qrels AS MATERIALIZED (
+            SELECT query_id, doc_id,
+                   coalesce(lex_rel, 0) + coalesce(sem_rel, 0) AS rel
+            FROM lexg FULL JOIN semg USING (query_id, doc_id)
+            WHERE coalesce(lex_rel, 0) + coalesce(sem_rel, 0) > 0
+        ),
+        graded AS MATERIALIZED (
+            SELECT r.system, r.query_id, r.rank,
+                   coalesce(qr.rel, 0) AS rel
+            FROM runs r LEFT JOIN qrels qr USING (query_id, doc_id)
+        ),
+        grid AS (SELECT DISTINCT system, query_id FROM graded),
+        dcg AS (
+            SELECT g.system, g.query_id,
+                   CAST(sum(((CAST(1 AS BIGINT) << g.rel) - 1)
+                            * d.disc_micro) AS BIGINT) AS dcg_micro
+            FROM graded g JOIN disc d ON g.rank = d.pos
+            GROUP BY 1, 2
+        ),
+        ideal AS (
+            SELECT query_id, pos, rel FROM (
+                SELECT query_id, rel,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY rel DESC, doc_id) AS pos
+                FROM qrels
+            ) WHERE pos <= 10
+        ),
+        idcg AS (
+            SELECT i.query_id,
+                   CAST(sum(((CAST(1 AS BIGINT) << i.rel) - 1)
+                            * d.disc_micro) AS BIGINT) AS idcg_micro
+            FROM ideal i JOIN disc d USING (pos)
+            GROUP BY 1
+        ),
+        rr AS (
+            SELECT system, query_id, min(rank) AS first_rel
+            FROM graded WHERE rel >= 1 GROUP BY 1, 2
+        )
+        SELECT g.system, g.query_id,
+               CASE WHEN idcg.idcg_micro > 0 THEN
+                   CAST((1000000 * coalesce(dcg.dcg_micro, 0))
+                        // idcg.idcg_micro AS BIGINT)
+               ELSE 0 END AS ndcg_ppm,
+               CASE WHEN rr.first_rel IS NOT NULL THEN
+                   CAST(1000000 // rr.first_rel AS BIGINT)
+               ELSE 0 END AS rr_micro
+        FROM grid g
+        LEFT JOIN dcg USING (system, query_id)
+        LEFT JOIN idcg USING (query_id)
+        LEFT JOIN rr USING (system, query_id)
+        ORDER BY system, query_id
     """
     # x_doremi_weights: the x_lm_perplexity scorer CTE chain verbatim,
     # then the exact-integer DoReMi step — loss in micro-nats

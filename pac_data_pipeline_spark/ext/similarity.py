@@ -311,6 +311,130 @@ def jl_recall(
     )
 
 
+def ndcg_discount_micro(k: int = 10) -> list[tuple[int, int]]:
+    """The nDCG position-discount table in fixed-point micro-units:
+    ``(pos, round(1e6 / log2(pos + 1)))`` for pos 1..k. Both the
+    Spark evaluator and any SQL oracle consume THESE literal
+    integers (generated once, here), so the irrational log2
+    discounts can never introduce cross-engine float drift — the
+    same shared-constant discipline as the simhash plane tables."""
+    import math as _math
+
+    return [
+        (pos, round(1_000_000 / _math.log2(pos + 1)))
+        for pos in range(1, k + 1)
+    ]
+
+
+def retrieval_eval(
+    runs: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Ranking-quality evaluation — nDCG@k and reciprocal rank per
+    (system, query) against graded relevance, in exact integer
+    units (Järvelin & Kekäläinen 2002 for nDCG; the standard
+    2^rel − 1 gain). This is the measure-before-commit convention
+    (lsh_tuning_table / jl_recall) applied to the retrieval stack
+    itself: it answers "did RRF fusion actually beat the legs it
+    fused?" with a number instead of a hope.
+
+    ``runs``: (system, query_id, doc_id, rank) — each system's
+    already-truncated ranked list per query (rank 1-based; top-100
+    legs are the expected shape). ``qrels``: (query_id, doc_id,
+    rel) with integer grades ≥ 0; ungraded docs count as rel 0.
+
+    Exactness: gains ``2^rel − 1`` are exact bigints; position
+    discounts come from :func:`ndcg_discount_micro` (shared literal
+    integers); DCG/IDCG are bigint sums of gain·discount;
+    ``ndcg_ppm = 10^6·DCG div IDCG`` and ``rr_micro = 10^6 div
+    first_relevant_rank`` are floor divisions — an oracle replays
+    every bit.
+
+    Scale shape: runs are bounded top-k frames, so the rank joins
+    and per-(system, query) rollups touch hundreds of rows; the
+    only corpus-sized input is qrels, which contributes one
+    window (PARTITIONED by query, row_number ≤ k →
+    WindowGroupLimit per-partition heaps) for the ideal-DCG
+    prefix and one broadcast-sized graded join against the runs.
+    Nothing here rescans a corpus."""
+    spark = runs.sparkSession
+    disc = F.broadcast(
+        spark.createDataFrame(
+            ndcg_discount_micro(k), "pos int, disc_micro bigint"
+        )
+    )
+    rel = qrels.select(
+        "query_id",
+        "doc_id",
+        F.col("rel").cast("int").alias("rel"),
+    ).filter(F.col("rel") > 0)
+    graded = (
+        runs.select(
+            "system",
+            "query_id",
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .join(rel, ["query_id", "doc_id"], "left")
+        .select(
+            "system",
+            "query_id",
+            "rank",
+            F.coalesce("rel", F.lit(0)).alias("rel"),
+        )
+    )
+    # graded feeds the DCG rollup AND the first-relevant-rank
+    # rollup; it is runs-sized (bounded), so the checkpoint is a
+    # few hundred rows — multi-consumer discipline, not capacity
+    graded = graded.localCheckpoint()
+    grid = graded.select("system", "query_id").distinct()
+    gain = F.expr("shiftleft(1L, rel) - 1L")
+    dcg = (
+        graded.filter(F.col("rank") <= k)
+        .join(disc, graded.rank == disc.pos)
+        .groupBy("system", "query_id")
+        .agg(F.sum(gain * F.col("disc_micro")).alias("dcg_micro"))
+    )
+    # ideal DCG: the top-k grades per query over the WHOLE graded
+    # set, positions assigned by (rel desc, doc_id) — deterministic
+    # tie order so both engines pick the same ideal prefix
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("doc_id").asc()
+    )
+    idcg = (
+        rel.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= k)
+        .join(disc, "pos")
+        .groupBy("query_id")
+        .agg(F.sum(gain * F.col("disc_micro")).alias("idcg_micro"))
+    )
+    rr = (
+        graded.filter(F.col("rel") >= 1)
+        .groupBy("system", "query_id")
+        .agg(F.min("rank").alias("first_rel"))
+    )
+    return (
+        grid.join(dcg, ["system", "query_id"], "left")
+        .join(idcg, "query_id", "left")
+        .join(rr, ["system", "query_id"], "left")
+        .select(
+            "system",
+            "query_id",
+            F.expr(
+                "CASE WHEN idcg_micro > 0 THEN"
+                " (1000000 * coalesce(dcg_micro, 0L)) div idcg_micro"
+                " ELSE 0L END"
+            ).alias("ndcg_ppm"),
+            F.expr(
+                "CASE WHEN first_rel IS NOT NULL THEN"
+                " 1000000L div first_rel ELSE 0L END"
+            ).alias("rr_micro"),
+        )
+        .orderBy("system", "query_id")
+    )
+
+
 def cosine_topk_lsh(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -352,7 +352,12 @@ def unigram_encode(
 
 
 def _dp_chain(
-    tag: str, vtab: str, n_pos: int, max_piece_len: int
+    tag: str,
+    vtab: str,
+    n_pos: int,
+    max_piece_len: int,
+    src: str = "wv",
+    lim: str = "wlim",
 ) -> list[str]:
     """One unrolled Viterbi chain: d{tag}0..d{tag}{n_pos} over the
     distinct-word frame ``wv`` against piece table ``vtab``, then
@@ -363,7 +368,8 @@ def _dp_chain(
     just its cost — matches."""
     cte = [
         f"d{tag}0 AS MATERIALIZED (SELECT w, freq,"
-        " CAST(0 AS DOUBLE) AS cost, '' AS seg FROM wv CROSS JOIN wlim)"
+        f" CAST(0 AS DOUBLE) AS cost, '' AS seg FROM {src}"
+        f" CROSS JOIN {lim})"
     ]
     for i in range(1, n_pos + 1):
         arms = []
