@@ -255,3 +255,77 @@ def test_patho_clone_gate(patho_dir):
     )
     assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-2000:]
     assert ", 0 failed," in r.stdout, r.stdout[-3000:]
+
+
+PATHO2_REPRESENTATIVES = [
+    # the distinct-gram axis: vocab-frame tokenizer lifecycles (the
+    # word frame jumps ~30 -> ~20k entries), the prefix/posting-list
+    # similarity joins (every megadoc gram is globally rare, so it
+    # lands IN the rarest-first prefixes), and the suffix machinery
+    # (15k unique suffix starts in one doc)
+    "x_bpe_train",
+    "x_bpe_encode",
+    "x_unigram_train",
+    "x_unigram_encode",
+    "x_wordpiece_train",
+    "x_wordpiece_encode",
+    "x_roundtrip_bpe",
+    "x_roundtrip_unigram",
+    "x_roundtrip_wordpiece",
+    "x_jaccard_join",
+    "x_containment_join",
+    "x_suffix_dups",
+    "x_top_tokens",
+    "x_ngram_novelty",
+]
+
+
+@pytest.fixture(scope="module")
+def patho2_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("sf_patho2"))
+    r = subprocess.run(
+        [
+            sys.executable,
+            "tools/nullfuzz.py",
+            "--patho2",
+            "/root/testdata/sf0.001",
+            out,
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    return out
+
+
+def test_patho2_clone_gate(patho2_dir):
+    """High-entropy megadoc robustness: the distinct-gram axis the
+    repeated-sentence --patho clone deliberately avoids. Non-vacuity
+    asserted on the clone itself: the corpus-wide distinct-word
+    count must exceed 15k (vs ~30 in generator data), so a future
+    generator edit can't silently reduce this to a no-op gate."""
+    import duckdb as _duck
+
+    nwords, big = _duck.connect().execute(
+        f"""SELECT count(DISTINCT w), max(len(text)) FROM (
+                SELECT unnest(string_split_regex(trim(text, ' '),
+                    '[ \\t\\n\\f\\r]+')) AS w, text
+                FROM '{patho2_dir}/documents.parquet'
+            )"""
+    ).fetchone()
+    assert nwords >= 15_000, nwords
+    assert big >= 100_000, big
+    r = subprocess.run(
+        [
+            sys.executable,
+            "tools/check_oracle.py",
+            patho2_dir,
+            *PATHO2_REPRESENTATIVES,
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-2000:]
+    assert ", 0 failed," in r.stdout, r.stdout[-3000:]

@@ -8,6 +8,7 @@ differential gate against it:
     python tools/nullfuzz.py --dupes [src_sf_dir] [out_dir]
     python tools/nullfuzz.py --skew [src_sf_dir] [out_dir]
     python tools/nullfuzz.py --patho [src_sf_dir] [out_dir]
+    python tools/nullfuzz.py --patho2 [src_sf_dir] [out_dir]
     python tools/check_oracle.py <out_dir>
 
 Deterministically nulls ~5% of every non-key column (md5 of
@@ -41,7 +42,12 @@ max-length single-line unicode documents built from ≤2-char words
 (long LINES, short WORDS — the word-length tripwires in the
 BPE/unigram oracles stay inside their unrolled bounds by
 construction, which is itself part of the contract under test).
-Every query passes all seven gates with the same verdict set as
+``--patho2`` injects pathological DISTINCT-GRAM VOLUME — the axis
+--patho's repeated-sentence megadoc deliberately avoids: a
+~15k-unique-word megadoc plus scattered 400-unique-word docs, so
+the corpus-wide vocab frame jumps ~30 → ~20k entries while words
+stay short enough for the unrolled oracles to brute-force.
+Every query passes all eight gates with the same verdict set as
 clean data.
 """
 
@@ -66,7 +72,7 @@ KEYS = {
 
 def main() -> None:
     flags = {"--empty", "--unicode", "--blank", "--dupes", "--skew",
-             "--patho"}
+             "--patho", "--patho2"}
     args = [a for a in sys.argv[1:] if a not in flags]
     empty = "--empty" in sys.argv[1:]
     unicode_mode = "--unicode" in sys.argv[1:]
@@ -74,6 +80,7 @@ def main() -> None:
     dupes_mode = "--dupes" in sys.argv[1:]
     skew_mode = "--skew" in sys.argv[1:]
     patho_mode = "--patho" in sys.argv[1:]
+    patho2_mode = "--patho2" in sys.argv[1:]
     src = args[0] if len(args) > 0 else "/root/testdata/sf0.001"
     dst = args[1] if len(args) > 1 else (
         "/tmp/sf_empty" if empty
@@ -82,6 +89,7 @@ def main() -> None:
         else "/tmp/sf_dupes" if dupes_mode
         else "/tmp/sf_skew" if skew_mode
         else "/tmp/sf_patho" if patho_mode
+        else "/tmp/sf_patho2" if patho2_mode
         else "/tmp/sf_nullfuzz"
     )
     os.makedirs(dst, exist_ok=True)
@@ -273,6 +281,50 @@ def main() -> None:
             """
         )
         print(f"[patho] documents; wrote {dst}")
+        return
+    if patho2_mode:
+        import shutil
+
+        for t in TABLES:
+            if t != "documents":
+                shutil.copy(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+        # pathological DISTINCT-GRAM VOLUME — the axis --patho's
+        # repeated-sentence megadoc deliberately avoids (tiny
+        # distinct-gram set, for oracle tractability). One
+        # ~15k-word megadoc where EVERY word (hence every word
+        # n-gram and every suffix start) is unique, plus a
+        # scattering of 400-unique-word docs (words disambiguated
+        # per doc), so the corpus-wide distinct-word frame jumps
+        # from ~30 to ~20k entries: the vocab-frame tokenizer
+        # trainers, prefix/posting-list builders, and suffix
+        # machinery all meet a HIGH-ENTROPY document at a size the
+        # unrolled brute-force oracles can still replay (words stay
+        # ≤ 10 chars, well inside the 18-position DP bounds).
+        con.execute(
+            f"""
+            COPY (
+                WITH n AS (
+                    SELECT *, row_number() OVER () AS rid
+                    FROM '{src}/documents.parquet'
+                )
+                SELECT doc_id,
+                       CASE WHEN rid = 1
+                            THEN (SELECT string_agg(
+                                      'q' || lpad(to_hex(g), 5, '0'),
+                                      ' ' ORDER BY g)
+                                  FROM generate_series(1, 15000) t(g))
+                            WHEN rid % 37 = 5
+                            THEN (SELECT string_agg(
+                                      'r' || n.rid || 'x' || to_hex(g),
+                                      ' ' ORDER BY g)
+                                  FROM generate_series(1, 400) t(g))
+                            ELSE text END AS text,
+                       lang, source, n_chars
+                FROM n
+            ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
+            """
+        )
+        print(f"[patho2] documents; wrote {dst}")
         return
     if unicode_mode:
         import shutil
