@@ -5204,59 +5204,92 @@ def q_x_lsh_tuning(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # Dict ORDER is load-bearing: the round driver's correctness
-        # gate checks only the FIRST 50 entries. Round-10 window
-        # (steady-state policy), 50 = 5 + 8 + 37:
-        # (a0) FIVE new queries this round: x_unigram_train /
-        #      x_unigram_encode — the unigram-LM (SentencePiece-
-        #      style) tokenizer lifecycle, hard-EM rounds + Viterbi
-        #      encode with the EM loop and the per-position DP
-        #      unrolled in the oracle (VERDICT r9 "What's missing
-        #      #1") — and x_keyed_tree_exploded, the K5 tree's
-        #      hash-exact sibling (SURVEY §7.6 remedy: the tree
-        #      round-trips through Spark's own JSON parser to typed
-        #      rows, upgrading the K5 shape from rows-only to
-        #      differential evidence) — plus x_wordpiece_train /
-        #      x_wordpiece_encode, the THIRD tokenizer family (BERT
-        #      lineage; likelihood-ratio argmax as an exact 128-bit
-        #      integer quotient, greedy longest-match encode);
-        # (b)  the r3/r4 staleness tail the r9 VERDICT flagged (48
-        #      queries last driver-verdicted in r3/r4): all 8 r3
-        #      names (h_lag_delta ... x_approx_stats) and the first
-        #      37 r4 names (x_approx_stats_exact ... x_doc_chunks),
-        #      continuing the oldest-verdict cursor in (last-verdict
-        #      round, prior dict position) order. x_hash_sample,
-        #      x_stratified_sample and x_top_tokens — the last three
-        #      r4 names — slip to positions 51-53, the head of next
-        #      round's cursor.
-        # This round's code-changed queries do NOT take window
-        # slots because each is re-proven hash-identical by the
-        # local gate on clean data + all SEVEN fuzz clones:
-        # x_jl_project / x_jl_recall (slice-to-dim, identical on
-        # valid-width vectors), x_hits (n_iter>=1 guard only),
-        # x_suffix_dups (char-array starts stage — same output,
-        # O(|doc|) instead of O(|doc|^2), the --patho megadoc fix),
-        # and the nine oracle-TEXT-only de-quadratications
-        # (concat_ws/indexed-comprehension gram and chunk builders
-        # — Spark plans untouched).
-        # The tail stays ordered by (last-verdict round, prior dict
-        # position) — x_top_tokens first, then the r5-r8 leftovers,
-        # the r9-verdicted window names last — so next round's
-        # cursor again reads on from position 51.
+        # gate checks only the FIRST 50 entries. Round-11 window,
+        # 50 = 4 + 40 + 6:
+        # (a0) FOUR new queries this round: x_retrieval_eval (nDCG@10
+        #      + RR over the BM25 / dense-cosine / RRF-fusion stack
+        #      against planted graded relevance — VERDICT r10 Next
+        #      #5) and x_roundtrip_{bpe,unigram,wordpiece} (the
+        #      tokenizer round-trip contract: held-in training,
+        #      full-corpus encode+detok, UNK accounting — VERDICT
+        #      r10 Next #6);
+        # (b)  the entire remaining staleness tail (VERDICT r10 Next
+        #      #3): the 3 r4-verdicted names and all 37 r5-verdicted
+        #      names, oldest cursor first — after this round no
+        #      registry query's verdict is older than r6;
+        # (c)  six re-checks of code this round touched: the
+        #      two-tier jaccard candidate generator (gram-pair
+        #      posting, the sf1 saturation fix), the CC family over
+        #      the checkpointed prop frame (r10 advisor), and
+        #      x_edit_join whose pair tier was measured and
+        #      REVERTED (the re-verdict proves the revert clean).
         # All oracle-backed names are exact-hash green in the local
-        # DuckDB gate (tools/check_oracle.py, clean + all fuzz
-        # clones).
+        # DuckDB gate (tools/check_oracle.py, clean + all EIGHT fuzz
+        # clones incl. the new --patho2 high-entropy megadoc).
         # -- (a0) new this round (r11) ----------------------------------
         "x_retrieval_eval": q_x_retrieval_eval,
         "x_roundtrip_bpe": q_x_roundtrip_bpe,
         "x_roundtrip_unigram": q_x_roundtrip_unigram,
         "x_roundtrip_wordpiece": q_x_roundtrip_wordpiece,
-        # -- (a1) new last round (5) -------------------------------------
+        # -- (b) staleness rotation r11: the 3 r4- and 37 r5-verdicted
+        # queries (nothing older than r5 remains), oldest first ---------
+        "x_hash_sample": q_x_hash_sample,
+        "x_stratified_sample": q_x_stratified_sample,
+        "x_top_tokens": q_x_top_tokens,
+        "h_lateral": q_h_lateral,
+        "h_range_frame": q_h_range_frame,
+        "h_regression": q_h_regression,
+        "x_auc": q_x_auc,
+        "x_benford": q_x_benford,
+        "x_dedup_eval": q_x_dedup_eval,
+        "x_dq_checks": q_x_dq_checks,
+        "x_ewma": q_x_ewma,
+        "x_feature_hash": q_x_feature_hash,
+        "x_holt": q_x_holt,
+        "x_html_anchors": q_x_html_anchors,
+        "x_html_extract": q_x_html_extract,
+        "x_html_links": q_x_html_links,
+        "x_interpolate": q_x_interpolate,
+        "x_inverted_index": q_x_inverted_index,
+        "x_iqr_outliers": q_x_iqr_outliers,
+        "x_khop_bfs": q_x_khop_bfs,
+        "x_kmeans": q_x_kmeans,
+        "x_ks_drift": q_x_ks_drift,
+        "x_mutual_info": q_x_mutual_info,
+        "x_nb_classifier": q_x_nb_classifier,
+        "x_png_decode_dims": q_x_png_decode_dims,
+        "x_psi_drift": q_x_psi_drift,
+        "x_rfm": q_x_rfm,
+        "x_semantic_dedup": q_x_semantic_dedup,
+        "x_sentence_stats": q_x_sentence_stats,
+        "x_simhash_pairs": q_x_simhash_pairs,
+        "x_streaks": q_x_streaks,
+        "x_stream_ewma": q_x_stream_ewma,
+        "x_suffix_dups": q_x_suffix_dups,
+        "x_table_checksum": q_x_table_checksum,
+        "x_tokenizer_fertility": q_x_tokenizer_fertility,
+        "x_triangles": q_x_triangles,
+        "x_unicode_clean": q_x_unicode_clean,
+        "x_url_normalize": q_x_url_normalize,
+        "x_webp_decode_dims": q_x_webp_decode_dims,
+        "x_welch_t": q_x_welch_t,
+        # -- (c) re-checks: code touched this round (two-tier jaccard
+        # candidates; CC prop checkpoint; edit-join pair tier measured
+        # and REVERTED -- re-verdict proves the revert is clean) --------
+        "x_jaccard_join": q_x_jaccard_join,
+        "x_dedup_clusters": q_x_dedup_clusters,
+        "x_cc_largestar": q_x_cc_largestar,
+        "x_dedup_representatives": q_x_dedup_representatives,
+        "x_entity_resolution": q_x_entity_resolution,
+        "x_edit_join": q_x_edit_join,
+        # ---- end of round-11 window (position 50) --------------------
+        # ---- r6+ tail, oldest verdicts first: the round-10 window -----
         "x_unigram_train": q_x_unigram_train,
         "x_unigram_encode": q_x_unigram_encode,
         "x_keyed_tree_exploded": q_x_keyed_tree_exploded,
         "x_wordpiece_train": q_x_wordpiece_train,
         "x_wordpiece_encode": q_x_wordpiece_encode,
-        # -- (b) r3/r4 staleness-tail rotation block (45) ---------------
+        # (r10-verdicted block, continued)
         "h_lag_delta": q_h_lag_delta,
         "h_intersect": q_h_intersect,
         "x_pack_sequences": q_x_pack_sequences,
@@ -5300,50 +5333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h_except_all": q_h_except_all,
         "h_nullsafe_join": q_h_nullsafe_join,
         "h_asof_forward": q_h_asof_forward,
-        "x_entity_resolution": q_x_entity_resolution,
         "x_doc_chunks": q_x_doc_chunks,
-        # ---- end of round-10 window (position 50) --------------------
-        "x_hash_sample": q_x_hash_sample,
-        # ---- r5-r8 leftovers, oldest verdicts first ------------------
-        "x_stratified_sample": q_x_stratified_sample,
-        "x_top_tokens": q_x_top_tokens,
-        "x_triangles": q_x_triangles,
-        "x_khop_bfs": q_x_khop_bfs,
-        "x_iqr_outliers": q_x_iqr_outliers,
-        "x_ewma": q_x_ewma,
-        "x_kmeans": q_x_kmeans,
-        "x_semantic_dedup": q_x_semantic_dedup,
-        "x_feature_hash": q_x_feature_hash,
-        "x_mutual_info": q_x_mutual_info,
-        "x_auc": q_x_auc,
-        "x_streaks": q_x_streaks,
-        "x_stream_ewma": q_x_stream_ewma,
-        "x_rfm": q_x_rfm,
-        "x_dedup_eval": q_x_dedup_eval,
-        "x_welch_t": q_x_welch_t,
-        "x_holt": q_x_holt,
-        "x_table_checksum": q_x_table_checksum,
-        "x_benford": q_x_benford,
-        "x_html_extract": q_x_html_extract,
-        "x_html_links": q_x_html_links,
-        "x_html_anchors": q_x_html_anchors,
-        "x_url_normalize": q_x_url_normalize,
-        "x_inverted_index": q_x_inverted_index,
-        "x_psi_drift": q_x_psi_drift,
-        "x_tokenizer_fertility": q_x_tokenizer_fertility,
-        "h_range_frame": q_h_range_frame,
-        "x_png_decode_dims": q_x_png_decode_dims,
-        "x_webp_decode_dims": q_x_webp_decode_dims,
-        "x_nb_classifier": q_x_nb_classifier,
-        "x_suffix_dups": q_x_suffix_dups,
-        "x_interpolate": q_x_interpolate,
-        "h_lateral": q_h_lateral,
-        "h_regression": q_h_regression,
-        "x_ks_drift": q_x_ks_drift,
-        "x_sentence_stats": q_x_sentence_stats,
-        "x_simhash_pairs": q_x_simhash_pairs,
-        "x_unicode_clean": q_x_unicode_clean,
-        "x_dq_checks": q_x_dq_checks,
         "x_quantile_sketch": q_x_quantile_sketch,
         "x_mmr_diversity": q_x_mmr_diversity,
         "x_cms_heavy_hitters": q_x_cms_heavy_hitters,
@@ -5437,8 +5427,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h20_potential_promo": q_h20_potential_promo,
         "x_doremi_weights": q_x_doremi_weights,
         "x_video_near_dup": q_x_video_near_dup,
-        "x_dedup_clusters": q_x_dedup_clusters,
-        "x_dedup_representatives": q_x_dedup_representatives,
         "x_cdc_chunks": q_x_cdc_chunks,
         "x_frame_sample": q_x_frame_sample,
         "x_bpe_train": q_x_bpe_train,
@@ -5468,7 +5456,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h12_late_priority": q_h12_late_priority,
         "h17_small_qty": q_h17_small_qty,
         # ---- r9-verdicted names (newest verdicts, cursor end) --------
-        "x_edit_join": q_x_edit_join,
         "x_zipf_fit": q_x_zipf_fit,
         "x_jl_project": q_x_jl_project,
         "x_jl_recall": q_x_jl_recall,
@@ -5477,7 +5464,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_kanon_audit": q_x_kanon_audit,
         "x_c4_filters": q_x_c4_filters,
         "x_lsh_tuning": q_x_lsh_tuning,
-        "x_jaccard_join": q_x_jaccard_join,
         "x_ngram_jaccard": q_x_ngram_jaccard,
         "x_decontaminate": q_x_decontaminate,
         "x_bloom_decontaminate": q_x_bloom_decontaminate,
@@ -5499,7 +5485,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_jdbc_roundtrip": q_x_jdbc_roundtrip,
         "x_write_verify": q_x_write_verify,
         "h21_waiting": q_h21_waiting,
-        "x_cc_largestar": q_x_cc_largestar,
         "x_udtf_tokens": q_x_udtf_tokens,
         "x_weighted_sample": q_x_weighted_sample,
         "x_interval_join": q_x_interval_join,
