@@ -4685,6 +4685,30 @@ def q_x_jaccard_join(spark, sf_dir):
     )
 
 
+def q_x_snm_dedup(spark, sf_dir):
+    """Multi-pass Sorted-Neighborhood near-dup pairs (Hernández &
+    Stolfo 1995) — the THIRD candidate-generation family next to
+    signature banding (LSH) and prefix filtering (PPJoin): sort the
+    corpus on a derived key, compare only rank-neighbors within a
+    window of 8, two passes (forward / reversed normalized-text
+    key), exact token-3-gram Jaccard verify at 0.4 on the union.
+    Global ranks come from range-sort + monotonically_increasing_id
+    local offsets + a P-row offset table (the zipWithIndex collect
+    in DataFrame form — no global window anywhere); neighborhood
+    pairing is a band-bucket equi-join. The oracle replays the
+    identical total order (row_number at sf0.01 scale), window
+    pairing, pass union, and verify — SNM is a heuristic generator,
+    so the differential contract mirrors the windowing rather than
+    proving completeness (contrast x_jaccard_join's brute-force
+    completeness oracle). See ext/snm.py for the per-stage 100 TB
+    audit."""
+    from pac_data_pipeline_spark.ext.snm import snm_dedup_pairs
+
+    return snm_dedup_pairs(
+        _t(spark, sf_dir, "documents"), window=8, n=3, threshold=0.4
+    )
+
+
 def q_x_interval_join(spark, sf_dir):
     """Interval × interval OVERLAP join: user activity sessions
     (lag-based bounds) overlapping the top-5 revenue days' promo
@@ -5231,6 +5255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_roundtrip_bpe": q_x_roundtrip_bpe,
         "x_roundtrip_unigram": q_x_roundtrip_unigram,
         "x_roundtrip_wordpiece": q_x_roundtrip_wordpiece,
+        "x_snm_dedup": q_x_snm_dedup,
         # -- (b) staleness rotation r11: the 3 r4- and 37 r5-verdicted
         # queries (nothing older than r5 remains), oldest first ---------
         "x_hash_sample": q_x_hash_sample,
@@ -5945,6 +5970,64 @@ def oracle_sql() -> dict[str, str]:
                                    list_concat(a.grams, b.grams))), 0), 6)
                    END AS jaccard
             FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+        """,
+        "x_snm_dedup": """
+            WITH base AS (
+                SELECT doc_id,
+                       lower(regexp_replace(coalesce(text, ''),
+                                            '[^ -~]', '', 'g')) AS s
+                FROM documents
+            ),
+            k AS (
+                SELECT doc_id,
+                       substring(s, 1, 16) AS k_fwd,
+                       substring(reverse(s), 1, 16) AS k_rev
+                FROM base
+            ),
+            r1 AS (SELECT doc_id,
+                          row_number() OVER (ORDER BY k_fwd, doc_id) AS r
+                   FROM k),
+            r2 AS (SELECT doc_id,
+                          row_number() OVER (ORDER BY k_rev, doc_id) AS r
+                   FROM k),
+            p1 AS (SELECT least(a.doc_id, b.doc_id) AS id_a,
+                          greatest(a.doc_id, b.doc_id) AS id_b
+                   FROM r1 a JOIN r1 b
+                     ON b.r > a.r AND b.r <= a.r + 7),
+            p2 AS (SELECT least(a.doc_id, b.doc_id) AS id_a,
+                          greatest(a.doc_id, b.doc_id) AS id_b
+                   FROM r2 a JOIN r2 b
+                     ON b.r > a.r AND b.r <= a.r + 7),
+            cand AS (
+                SELECT id_a, id_b, count(*) AS passes
+                FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+                GROUP BY 1, 2
+            ),
+            g AS (
+                SELECT doc_id,
+                       CASE WHEN toks IS NULL THEN NULL
+                            ELSE list_distinct([
+                                CASE WHEN toks[i] IS NULL THEN NULL ELSE concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]) END
+                                FOR i IN range(1,
+                                    greatest(len(toks) - 2, 1) + 1)
+                            ]) END AS grams
+                FROM (SELECT doc_id,
+                             string_split_regex(trim(text, ' '), '[ \\t\\n\\f\\r]+') AS toks
+                      FROM documents)
+            )
+            SELECT c.id_a, c.id_b, CAST(c.passes AS BIGINT) AS passes,
+                   round(len(list_intersect(a.grams, b.grams))
+                         / nullif(len(list_distinct(
+                               list_concat(a.grams, b.grams))), 0), 6)
+                       AS jaccard
+            FROM cand c
+            JOIN g a ON a.doc_id = c.id_a
+            JOIN g b ON b.doc_id = c.id_b
+            WHERE a.grams IS NOT NULL AND b.grams IS NOT NULL
+              AND round(len(list_intersect(a.grams, b.grams))
+                        / nullif(len(list_distinct(
+                              list_concat(a.grams, b.grams))), 0), 6)
+                  >= 0.4
         """,
         "x_cosine_topk": """
             WITH q AS (
