@@ -1080,6 +1080,39 @@ def q_x_kmv_distinct(spark, sf_dir):
     return kmv_distinct(e, "event_type", "user_id", k=64)
 
 
+def q_x_theta_setops(spark, sf_dir):
+    """Theta-sketch SET ALGEBRA over two KMV sketches (Dasgupta/
+    Lang/Rhodes framework: a KMV sketch is a theta sketch with
+    θ = h_(k)) — estimated |A|, |B|, |A∪B|, |A∩B|, |A∖B| where A/B
+    are the distinct token-3-gram spaces of the corpus's even/odd
+    doc_id halves, NEXT TO the exact answers so the estimator's
+    error is part of the differential record. The sketches are
+    distributed top-k heads (TakeOrderedAndProject — never a
+    single-partition window) over the portable md5-fraction used by
+    x_kmv_distinct; every set operation then runs on ≤ 2k rows with
+    1-row theta broadcasts. The answer to "how much does split A's
+    gram space overlap split B's" WITHOUT a full cross-set join —
+    the mergeable-sketch path for cross-corpus contamination
+    estimates at 100 TB. See operators/stats.theta_sketch_setops."""
+    from pac_data_pipeline_spark.ext.dedup_text import (
+        _with_token_ngrams,
+        ensure_parallelism,
+    )
+    from pac_data_pipeline_spark.operators.stats import (
+        theta_sketch_setops,
+    )
+
+    g = _with_token_ngrams(
+        ensure_parallelism(_t(spark, sf_dir, "documents")), "text", 3
+    ).select("doc_id", F.explode("grams").alias("gram"))
+    return theta_sketch_setops(
+        g.filter(F.col("doc_id") % 2 == 0),
+        g.filter(F.col("doc_id") % 2 == 1),
+        "gram",
+        k=64,
+    )
+
+
 def q_x_embedding_near_dup_axis(spark, sf_dir):
     """Embedding near-dup with axis-aligned sign-LSH buckets — the
     SQL-expressible member of the hyperplane family, carrying the
@@ -5256,6 +5289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_roundtrip_unigram": q_x_roundtrip_unigram,
         "x_roundtrip_wordpiece": q_x_roundtrip_wordpiece,
         "x_snm_dedup": q_x_snm_dedup,
+        "x_theta_setops": q_x_theta_setops,
         # -- (b) staleness rotation r11: the 3 r4- and 37 r5-verdicted
         # queries (nothing older than r5 remains), oldest first ---------
         "x_hash_sample": q_x_hash_sample,
@@ -9720,6 +9754,91 @@ def oracle_sql() -> dict[str, str]:
                           THEN CAST(count(*) AS DOUBLE)
                           ELSE 63.0 / max(u) END, 4) AS est_distinct
         FROM r WHERE rn <= 64 GROUP BY event_type
+    """
+    oracles["x_theta_setops"] = """
+        WITH g AS (
+            SELECT doc_id,
+                   CASE WHEN toks IS NULL THEN NULL
+                        ELSE list_distinct([
+                            CASE WHEN toks[i] IS NULL THEN NULL ELSE concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]) END
+                            FOR i IN range(1,
+                                greatest(len(toks) - 2, 1) + 1)
+                        ]) END AS grams
+            FROM (SELECT doc_id,
+                         string_split_regex(trim(text, ' '), '[ \\t\\n\\f\\r]+') AS toks
+                  FROM documents)
+        ),
+        mem AS (
+            SELECT doc_id % 2 AS half, unnest(grams) AS gram
+            FROM g WHERE grams IS NOT NULL
+        ),
+        u AS (
+            SELECT DISTINCT half,
+                   (CAST('0x' || substring(md5(gram), 1, 15) AS BIGINT)
+                    + 1.0) / 1152921504606846976.0 AS u
+            FROM mem WHERE gram IS NOT NULL
+        ),
+        ka AS (SELECT u FROM u WHERE half = 0 ORDER BY u LIMIT 64),
+        kb AS (SELECT u FROM u WHERE half = 1 ORDER BY u LIMIT 64),
+        th AS (
+            SELECT a.th_a, b.th_b, least(a.th_a, b.th_b) AS th
+            FROM (SELECT CASE WHEN count(*) < 64
+                              THEN CAST(2.0 AS DOUBLE)
+                              ELSE max(u) END AS th_a FROM ka) a,
+                 (SELECT CASE WHEN count(*) < 64
+                              THEN CAST(2.0 AS DOUBLE)
+                              ELSE max(u) END AS th_b FROM kb) b
+        ),
+        merged AS (
+            SELECT u, max(in_a) AS in_a, max(in_b) AS in_b
+            FROM (SELECT u, 1 AS in_a, 0 AS in_b FROM ka
+                  UNION ALL
+                  SELECT u, 0 AS in_a, 1 AS in_b FROM kb)
+            GROUP BY u
+        ),
+        ret AS (
+            SELECT coalesce(sum(CASE WHEN in_a = 1 AND u < th.th_a
+                                     THEN 1 END), 0) AS ra,
+                   coalesce(sum(CASE WHEN in_b = 1 AND u < th.th_b
+                                     THEN 1 END), 0) AS rb,
+                   coalesce(sum(CASE WHEN u < th.th THEN 1 END), 0) AS ru,
+                   coalesce(sum(CASE WHEN in_a = 1 AND in_b = 1
+                                     AND u < th.th THEN 1 END), 0) AS ri,
+                   coalesce(sum(CASE WHEN in_a = 1 AND in_b = 0
+                                     AND u < th.th THEN 1 END), 0) AS rd,
+                   max(th.th_a) AS th_a, max(th.th_b) AS th_b,
+                   max(th.th) AS th
+            FROM merged, th
+        ),
+        ex AS (
+            SELECT coalesce(sum(CASE WHEN half = 0 THEN 1 END), 0) AS ex_a,
+                   coalesce(sum(CASE WHEN half = 1 THEN 1 END), 0) AS ex_b,
+                   count(DISTINCT u) AS ex_u,
+                   coalesce((SELECT count(*) FROM
+                       (SELECT u FROM u WHERE half = 0
+                        INTERSECT SELECT u FROM u WHERE half = 1)), 0)
+                       AS ex_i
+            FROM (SELECT DISTINCT half, u FROM u)
+        )
+        SELECT op, est, CAST(exact AS BIGINT) AS exact FROM (
+            SELECT 'a' AS op,
+                   round(ra / least(th_a, CAST(1.0 AS DOUBLE)), 4) AS est,
+                   ex_a AS exact FROM ret, ex
+            UNION ALL
+            SELECT 'b', round(rb / least(th_b, CAST(1.0 AS DOUBLE)), 4),
+                   ex_b FROM ret, ex
+            UNION ALL
+            SELECT 'union', round(ru / least(th, CAST(1.0 AS DOUBLE)), 4),
+                   ex_u FROM ret, ex
+            UNION ALL
+            SELECT 'intersect',
+                   round(ri / least(th, CAST(1.0 AS DOUBLE)), 4),
+                   ex_i FROM ret, ex
+            UNION ALL
+            SELECT 'a_not_b',
+                   round(rd / least(th, CAST(1.0 AS DOUBLE)), 4),
+                   ex_a - ex_i FROM ret, ex
+        )
     """
     oracles["x_weighted_sample"] = """
         SELECT o_orderkey, round(o_totalprice, 2) AS total_price

@@ -260,6 +260,152 @@ def kmv_distinct(
     )
 
 
+def _md5_fraction(col: F.Column) -> F.Column:
+    """The portable uniform-(0,1] hash fraction shared by the KMV
+    and theta-sketch tiers: first 15 md5 hex chars as a 60-bit
+    integer, +1, over 2^60 — reproducible bit-for-bit by any engine
+    with md5 (the x_kmv_distinct contract)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 60))
+
+
+#: Exact-mode theta sentinel: a sketch that saw fewer than k
+#: distinct values keeps EVERYTHING (retention threshold above any
+#: possible u) and divides by 1.0 (the theta-sketch exact mode).
+_THETA_EXACT = 2.0
+
+
+def theta_sketch_setops(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str = "text",
+    k: int = 64,
+) -> DataFrame:
+    """Theta-sketch set operations over two KMV sketches (the
+    Dasgupta/Lang/Rhodes theta-sketch framework: a KMV sketch IS a
+    theta sketch with θ = h_(k)) — estimate |A|, |B|, |A∪B|, |A∩B|
+    and |A∖B| from two k-value sketches, next to the exact answers
+    so the estimator's error is part of the differential record
+    (the repo's measure-before-committing convention).
+
+    This is what mergeable-sketch set algebra buys at 100 TB: each
+    side's sketch is its k smallest md5 fractions — computed by
+    Spark's distributed top-k (``TakeOrderedAndProject``: partial
+    per-partition heads, never a single-partition window) — and
+    every set operation then runs on ≤ 2k rows. Union is the
+    retained-hash union under θ = min(θ_A, θ_B); intersection and
+    difference filter the same merged frame; estimates divide the
+    retained count by θ (θ = 1 in exact mode, i.e. a side with
+    < k distinct values reports exactly).
+
+    Output: one row per op ∈ (a, b, union, intersect, a_not_b) with
+    ``est`` (rounded 4) and ``exact`` (the true distinct counts from
+    one full-frame merge — linear, one shuffle, kept so the sketch
+    never ships unmeasured). NULL values are excluded on both
+    sides, matching :func:`kmv_distinct`."""
+    ua = (
+        a.filter(F.col(value_col).isNotNull())
+        .select(_md5_fraction(F.col(value_col)).alias("__u"))
+        .distinct()
+    )
+    ub = (
+        b.filter(F.col(value_col).isNotNull())
+        .select(_md5_fraction(F.col(value_col)).alias("__u"))
+        .distinct()
+    )
+    # full-frame merge once: serves BOTH the exact counts and (via
+    # the top-k heads below) the sketches — localCheckpoint so the
+    # distinct shuffles run once per side
+    ua = ua.localCheckpoint()
+    ub = ub.localCheckpoint()
+
+    def _tag(df: DataFrame, ia: int, ib: int) -> DataFrame:
+        return df.select(
+            "__u", F.lit(ia).alias("__ia"), F.lit(ib).alias("__ib")
+        )
+
+    full = (
+        _tag(ua, 1, 0)
+        .unionAll(_tag(ub, 0, 1))
+        .groupBy("__u")
+        .agg(F.max("__ia").alias("in_a"), F.max("__ib").alias("in_b"))
+    )
+    # coalesce: sum over an EMPTY frame is NULL in both engines, but
+    # the exact counts should read 0 on the empty fuzz clone
+    exact = full.agg(
+        F.coalesce(F.sum("in_a"), F.lit(0)).cast("long").alias("ex_a"),
+        F.coalesce(F.sum("in_b"), F.lit(0)).cast("long").alias("ex_b"),
+        F.count(F.lit(1)).cast("long").alias("ex_u"),
+        F.coalesce(F.sum(F.col("in_a") * F.col("in_b")), F.lit(0))
+        .cast("long")
+        .alias("ex_i"),
+    ).select(
+        "ex_a", "ex_b", "ex_u", "ex_i",
+        (F.col("ex_a") - F.col("ex_i")).alias("ex_d"),
+    )
+
+    ka = ua.orderBy("__u").limit(k).localCheckpoint()  # k-row sketch
+    kb = ub.orderBy("__u").limit(k).localCheckpoint()
+
+    def _theta(kdf: DataFrame, name: str) -> DataFrame:
+        return kdf.agg(
+            F.when(F.count(F.lit(1)) < k, F.lit(_THETA_EXACT))
+            .otherwise(F.max("__u"))
+            .alias(name)
+        )
+
+    thetas = (
+        _theta(ka, "th_a")
+        .crossJoin(_theta(kb, "th_b"))
+        .withColumn("th", F.least("th_a", "th_b"))
+    )
+    merged = (
+        _tag(ka, 1, 0)
+        .unionAll(_tag(kb, 0, 1))
+        .groupBy("__u")
+        .agg(F.max("__ia").alias("in_a"), F.max("__ib").alias("in_b"))
+        .crossJoin(F.broadcast(thetas))  # 1-row theta broadcast
+    )
+    u, th_a, th_b, th = (
+        F.col("__u"), F.col("th_a"), F.col("th_b"), F.col("th")
+    )
+    def _cnt(cond: F.Column, name: str) -> F.Column:
+        return F.coalesce(F.sum(cond.cast("long")), F.lit(0)).alias(name)
+
+    ret = merged.agg(
+        _cnt((F.col("in_a") == 1) & (u < th_a), "ra"),
+        _cnt((F.col("in_b") == 1) & (u < th_b), "rb"),
+        _cnt(u < th, "ru"),
+        _cnt((F.col("in_a") == 1) & (F.col("in_b") == 1) & (u < th), "ri"),
+        _cnt((F.col("in_a") == 1) & (F.col("in_b") == 0) & (u < th), "rd"),
+        F.max(th_a).alias("th_a"),
+        F.max(th_b).alias("th_b"),
+        F.max(th).alias("th"),
+    )
+
+    def _est(cnt: str, theta: F.Column) -> F.Column:
+        return F.round(F.col(cnt) / F.least(theta, F.lit(1.0)), 4)
+
+    row = ret.crossJoin(exact).select(
+        _est("ra", th_a).alias("est_a"),
+        _est("rb", th_b).alias("est_b"),
+        _est("ru", th).alias("est_union"),
+        _est("ri", th).alias("est_intersect"),
+        _est("rd", th).alias("est_a_not_b"),
+        "ex_a", "ex_b", "ex_u", "ex_i", "ex_d",
+    )
+    return row.selectExpr(
+        "stack(5, 'a', est_a, ex_a,"
+        " 'b', est_b, ex_b,"
+        " 'union', est_union, ex_u,"
+        " 'intersect', est_intersect, ex_i,"
+        " 'a_not_b', est_a_not_b, ex_d) AS (op, est, exact)"
+    )
+
+
 def ks_drift(
     df: DataFrame,
     key_col: str,

@@ -339,3 +339,68 @@ def test_welch_t_hand_computed(spark):
     assert g.t_stat == round(-20.0 / math.sqrt(50.0), 4)
     f = got["flat"]
     assert f.t_stat is None and f.mean_a == 7.0 and f.mean_b == 7.0
+
+
+def test_theta_setops_exact_mode_below_k(spark):
+    """Both sides under k distinct values: theta = exact mode, every
+    estimate equals the true count, and the set algebra is exact on
+    a hand-built overlap: A = 0..29, B = 20..49 (|I| = 10)."""
+    from pac_data_pipeline_spark.operators.stats import (
+        theta_sketch_setops,
+    )
+
+    a = spark.createDataFrame([(str(i),) for i in range(30)], "v string")
+    b = spark.createDataFrame(
+        [(str(i),) for i in range(20, 50)], "v string"
+    )
+    got = {
+        r.op: r for r in theta_sketch_setops(a, b, "v", k=64).collect()
+    }
+    for op, n in [
+        ("a", 30), ("b", 30), ("union", 50),
+        ("intersect", 10), ("a_not_b", 20),
+    ]:
+        assert got[op].exact == n
+        assert got[op].est == float(n)  # exact mode: est == truth
+
+
+def test_theta_setops_sketch_mode_estimates(spark):
+    """Above k the estimates are approximate but consistent: union
+    within a loose KMV error band, identical sets estimate equal,
+    and disjoint sets intersect at ~0."""
+    from pac_data_pipeline_spark.operators.stats import (
+        theta_sketch_setops,
+    )
+
+    a = spark.createDataFrame([(f"x{i}",) for i in range(2000)], "v string")
+    same = {r.op: r for r in theta_sketch_setops(a, a, "v", k=128).collect()}
+    assert same["a"].est == same["b"].est == same["union"].est
+    assert same["intersect"].exact == 2000
+    # k=128 KMV: relative error ~ 1/sqrt(k) ≈ 9%; allow 4 sigma
+    assert abs(same["a"].est - 2000) / 2000 < 0.36
+    assert same["a_not_b"].est == 0.0
+
+    b = spark.createDataFrame([(f"y{i}",) for i in range(2000)], "v string")
+    disj = {r.op: r for r in theta_sketch_setops(a, b, "v", k=128).collect()}
+    assert disj["intersect"].exact == 0
+    # retained-intersection of disjoint uniform hashes is almost
+    # surely empty under theta
+    assert disj["intersect"].est == 0.0
+
+
+def test_theta_setops_null_and_empty_sides(spark):
+    """NULL members are excluded; an empty side yields exact zeros
+    and never poisons the union with NULL arithmetic."""
+    from pac_data_pipeline_spark.operators.stats import (
+        theta_sketch_setops,
+    )
+
+    a = spark.createDataFrame(
+        [("p",), (None,), ("q",)], "v string"
+    )
+    b = spark.createDataFrame([], "v string")
+    got = {r.op: r for r in theta_sketch_setops(a, b, "v", k=8).collect()}
+    assert got["a"].exact == 2 and got["a"].est == 2.0
+    assert got["b"].exact == 0
+    assert got["union"].exact == 2
+    assert got["intersect"].exact == 0 and got["a_not_b"].exact == 2

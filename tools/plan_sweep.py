@@ -72,6 +72,9 @@ ALLOWED_BNL = {
                           # (the x_cosine_topk pattern, twice)
     "x_rrf_fusion",       # 1-row (N, avgdl) BM25-stats broadcast +
                           # 1-row query-vector broadcast (dense leg)
+    "x_theta_setops",     # 1-row theta broadcasts + 1-row sketch/
+                          # exact aggregate cross-joins (all frames
+                          # ≤ 2k sketch rows by construction)
 }
 
 #: The Window+SinglePartition heuristic ANDs two independent plan
