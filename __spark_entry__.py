@@ -1080,6 +1080,24 @@ def q_x_kmv_distinct(spark, sf_dir):
     return kmv_distinct(e, "event_type", "user_id", k=64)
 
 
+def q_x_kcenter_coreset(spark, sf_dir):
+    """Greedy k-center coreset (farthest-point sampling — Gonzalez
+    1985, the Sener & Savarese active-learning selection): 8 centers
+    chosen by unrolled max-min rounds over the 1e-3 integer grid the
+    k-means family shares, reported with nearest-center membership
+    counts and exact coverage radii. Per round: 1-row center-table
+    broadcast + scan-side BIGINT fold + TakeOrderedAndProject argmax
+    — the corpus never shuffles until the final |k|-group rollup.
+    The oracle replays every round's argmax and the final assignment
+    with identical integer arithmetic and tie order, so the whole
+    SELECTION SEQUENCE is differentially verified. The keep-the-
+    skeleton complement of x_semantic_dedup's drop-the-redundant.
+    See ext/kcenter.py."""
+    from pac_data_pipeline_spark.ext.kcenter import kcenter_coreset
+
+    return kcenter_coreset(_t(spark, sf_dir, "embeddings"), k=8)
+
+
 def q_x_theta_setops(spark, sf_dir):
     """Theta-sketch SET ALGEBRA over two KMV sketches (Dasgupta/
     Lang/Rhodes framework: a KMV sketch is a theta sketch with
@@ -5290,6 +5308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_roundtrip_wordpiece": q_x_roundtrip_wordpiece,
         "x_snm_dedup": q_x_snm_dedup,
         "x_theta_setops": q_x_theta_setops,
+        "x_kcenter_coreset": q_x_kcenter_coreset,
         # -- (b) staleness rotation r11: the 3 r4- and 37 r5-verdicted
         # queries (nothing older than r5 remains), oldest first ---------
         "x_hash_sample": q_x_hash_sample,
@@ -7672,6 +7691,12 @@ def oracle_sql() -> dict[str, str]:
     # x_kmeans: fully integer pipeline (1e-3 grid) — distances and
     # centroid updates are exact on both engines by integrality.
     oracles["x_kmeans"] = kmeans_fixture_sql()
+
+    from pac_data_pipeline_spark.ext.kcenter import kcenter_fixture_sql
+
+    # x_kcenter_coreset: the greedy selection sequence replayed
+    # round by round on the same integer grid (see ext/kcenter.py)
+    oracles["x_kcenter_coreset"] = kcenter_fixture_sql(k=8)
     from pac_data_pipeline_spark.ext.kmeans import ivf_grid_fixture_sql
 
     # x_cosine_topk_ivf: the unrolled fixed-point quantizer + cell

@@ -75,6 +75,8 @@ ALLOWED_BNL = {
     "x_theta_setops",     # 1-row theta broadcasts + 1-row sketch/
                           # exact aggregate cross-joins (all frames
                           # ≤ 2k sketch rows by construction)
+    "x_kcenter_coreset",  # 1-row center-table broadcast per greedy
+                          # round (the x_kmeans centroid pattern)
 }
 
 #: The Window+SinglePartition heuristic ANDs two independent plan
