@@ -5280,18 +5280,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # Dict ORDER is load-bearing: the round driver's correctness
         # gate checks only the FIRST 50 entries. Round-11 window,
-        # 50 = 4 + 40 + 6:
-        # (a0) FOUR new queries this round: x_retrieval_eval (nDCG@10
+        # 50 = 7 + 37 + 6:
+        # (a0) SEVEN new queries this round: x_retrieval_eval (nDCG@10
         #      + RR over the BM25 / dense-cosine / RRF-fusion stack
         #      against planted graded relevance — VERDICT r10 Next
-        #      #5) and x_roundtrip_{bpe,unigram,wordpiece} (the
+        #      #5), x_roundtrip_{bpe,unigram,wordpiece} (the
         #      tokenizer round-trip contract: held-in training,
         #      full-corpus encode+detok, UNK accounting — VERDICT
-        #      r10 Next #6);
-        # (b)  the entire remaining staleness tail (VERDICT r10 Next
-        #      #3): the 3 r4-verdicted names and all 37 r5-verdicted
-        #      names, oldest cursor first — after this round no
-        #      registry query's verdict is older than r6;
+        #      r10 Next #6), x_snm_dedup (sorted-neighborhood: the
+        #      third candidate-generation family), x_theta_setops
+        #      (KMV theta-sketch set algebra with exact siblings),
+        #      and x_kcenter_coreset (greedy farthest-point
+        #      selection on the k-means integer grid);
+        # (b)  the staleness tail (VERDICT r10 Next #3): the 3
+        #      r4-verdicted names and 34 of the 37 r5-verdicted
+        #      names, oldest cursor first — the final three r5 names
+        #      (x_url_normalize, x_webp_decode_dims, x_welch_t) are
+        #      displaced past position 50 by the three extra new
+        #      queries and lead the r12 rotation instead;
         # (c)  six re-checks of code this round touched: the
         #      two-tier jaccard candidate generator (gram-pair
         #      posting, the sf1 saturation fix), the CC family over
@@ -5348,9 +5354,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_tokenizer_fertility": q_x_tokenizer_fertility,
         "x_triangles": q_x_triangles,
         "x_unicode_clean": q_x_unicode_clean,
-        "x_url_normalize": q_x_url_normalize,
-        "x_webp_decode_dims": q_x_webp_decode_dims,
-        "x_welch_t": q_x_welch_t,
         # -- (c) re-checks: code touched this round (two-tier jaccard
         # candidates; CC prop checkpoint; edit-join pair tier measured
         # and REVERTED -- re-verdict proves the revert is clean) --------
@@ -5361,6 +5364,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_entity_resolution": q_x_entity_resolution,
         "x_edit_join": q_x_edit_join,
         # ---- end of round-11 window (position 50) --------------------
+        # the three r5 names displaced by this round's extra new
+        # queries — they lead the r12 rotation
+        "x_url_normalize": q_x_url_normalize,
+        "x_webp_decode_dims": q_x_webp_decode_dims,
+        "x_welch_t": q_x_welch_t,
         # ---- r6+ tail, oldest verdicts first: the round-10 window -----
         "x_unigram_train": q_x_unigram_train,
         "x_unigram_encode": q_x_unigram_encode,
