@@ -1080,6 +1080,24 @@ def q_x_kmv_distinct(spark, sf_dir):
     return kmv_distinct(e, "event_type", "user_id", k=64)
 
 
+def q_x_dictionary_scan(spark, sf_dir):
+    """Multi-pattern DICTIONARY SCAN (Aho–Corasick 1975) — the
+    banned-phrase/watchlist stage: mine the top-8 token 2/3/4-grams
+    of the even-doc half, compile them into a failure-link automaton
+    (bounded 24-row collect), and match the odd half in ONE token
+    pass per document — O(tokens) regardless of dictionary size,
+    where per-pattern contains() or a regex alternation scales with
+    the dictionary. Overlapping matches all count. The brute-force
+    oracle re-mines the identical dictionary and counts via indexed
+    token-window joins (megadoc-safe — no O(position) probes), so
+    the automaton's counts are proven equal to the naive
+    definition — the x_jaccard_join completeness pattern applied to
+    string matching. See ext/dictscan.py."""
+    from pac_data_pipeline_spark.ext.dictscan import dictionary_scan
+
+    return dictionary_scan(_t(spark, sf_dir, "documents"))
+
+
 def q_x_kcenter_coreset(spark, sf_dir):
     """Greedy k-center coreset (farthest-point sampling — Gonzalez
     1985, the Sener & Savarese active-learning selection): 8 centers
@@ -5280,8 +5298,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # Dict ORDER is load-bearing: the round driver's correctness
         # gate checks only the FIRST 50 entries. Round-11 window,
-        # 50 = 7 + 37 + 6:
-        # (a0) SEVEN new queries this round: x_retrieval_eval (nDCG@10
+        # 50 = 8 + 36 + 6:
+        # (a0) EIGHT new queries this round: x_retrieval_eval (nDCG@10
         #      + RR over the BM25 / dense-cosine / RRF-fusion stack
         #      against planted graded relevance — VERDICT r10 Next
         #      #5), x_roundtrip_{bpe,unigram,wordpiece} (the
@@ -5290,14 +5308,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      r10 Next #6), x_snm_dedup (sorted-neighborhood: the
         #      third candidate-generation family), x_theta_setops
         #      (KMV theta-sketch set algebra with exact siblings),
-        #      and x_kcenter_coreset (greedy farthest-point
-        #      selection on the k-means integer grid);
+        #      x_kcenter_coreset (greedy farthest-point selection on
+        #      the k-means integer grid), and x_dictionary_scan
+        #      (Aho-Corasick multi-pattern phrase matching, mined
+        #      from the even half and applied to the odd half);
         # (b)  the staleness tail (VERDICT r10 Next #3): the 3
-        #      r4-verdicted names and 34 of the 37 r5-verdicted
-        #      names, oldest cursor first — the final three r5 names
-        #      (x_url_normalize, x_webp_decode_dims, x_welch_t) are
-        #      displaced past position 50 by the three extra new
-        #      queries and lead the r12 rotation instead;
+        #      r4-verdicted names and 33 of the 37 r5-verdicted
+        #      names, oldest cursor first — the final four r5 names
+        #      (x_unicode_clean, x_url_normalize,
+        #      x_webp_decode_dims, x_welch_t) are displaced past
+        #      position 50 by the four extra new queries and lead
+        #      the r12 rotation instead;
         # (c)  six re-checks of code this round touched: the
         #      two-tier jaccard candidate generator (gram-pair
         #      posting, the sf1 saturation fix), the CC family over
@@ -5315,6 +5336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_snm_dedup": q_x_snm_dedup,
         "x_theta_setops": q_x_theta_setops,
         "x_kcenter_coreset": q_x_kcenter_coreset,
+        "x_dictionary_scan": q_x_dictionary_scan,
         # -- (b) staleness rotation r11: the 3 r4- and 37 r5-verdicted
         # queries (nothing older than r5 remains), oldest first ---------
         "x_hash_sample": q_x_hash_sample,
@@ -5353,7 +5375,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_table_checksum": q_x_table_checksum,
         "x_tokenizer_fertility": q_x_tokenizer_fertility,
         "x_triangles": q_x_triangles,
-        "x_unicode_clean": q_x_unicode_clean,
         # -- (c) re-checks: code touched this round (two-tier jaccard
         # candidates; CC prop checkpoint; edit-join pair tier measured
         # and REVERTED -- re-verdict proves the revert is clean) --------
@@ -5364,8 +5385,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_entity_resolution": q_x_entity_resolution,
         "x_edit_join": q_x_edit_join,
         # ---- end of round-11 window (position 50) --------------------
-        # the three r5 names displaced by this round's extra new
+        # the four r5 names displaced by this round's extra new
         # queries — they lead the r12 rotation
+        "x_unicode_clean": q_x_unicode_clean,
         "x_url_normalize": q_x_url_normalize,
         "x_webp_decode_dims": q_x_webp_decode_dims,
         "x_welch_t": q_x_welch_t,
@@ -7705,6 +7727,12 @@ def oracle_sql() -> dict[str, str]:
     # x_kcenter_coreset: the greedy selection sequence replayed
     # round by round on the same integer grid (see ext/kcenter.py)
     oracles["x_kcenter_coreset"] = kcenter_fixture_sql(k=8)
+
+    from pac_data_pipeline_spark.ext.dictscan import dictionary_scan_sql
+
+    # x_dictionary_scan: brute-force window-join mirror of the
+    # Aho-Corasick pass (see ext/dictscan.py)
+    oracles["x_dictionary_scan"] = dictionary_scan_sql()
     from pac_data_pipeline_spark.ext.kmeans import ivf_grid_fixture_sql
 
     # x_cosine_topk_ivf: the unrolled fixed-point quantizer + cell
