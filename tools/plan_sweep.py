@@ -77,6 +77,8 @@ ALLOWED_BNL = {
                           # ≤ 2k sketch rows by construction)
     "x_kcenter_coreset",  # 1-row center-table broadcast per greedy
                           # round (the x_kmeans centroid pattern)
+    "x_textrank",         # 1-row node-count broadcast (teleport
+                          # term — the x_pagerank pattern)
 }
 
 #: The Window+SinglePartition heuristic ANDs two independent plan
