@@ -3758,8 +3758,10 @@ def q_x_catalog_probe(spark, sf_dir):
         )
         for i, (col, dtype) in enumerate(describe_schema(df)):
             rows.append((t, col, i, ansi.get(dtype, dtype)))
-    return spark.createDataFrame(
-        rows, "table_name string, column_name string, ordinal int, "
+    from pac_data_pipeline_spark.session import local_table
+
+    return local_table(
+        spark, rows, "table_name string, column_name string, ordinal int, "
         "data_type string"
     )
 
@@ -3777,7 +3779,10 @@ def q_x_write_verify(spark, sf_dir):
     expected = n.count()
     n.write.mode("overwrite").parquet(out)
     v = verify_write(spark, out, expected)
-    return spark.createDataFrame(
+    from pac_data_pipeline_spark.session import local_table
+
+    return local_table(
+        spark,
         [(expected, v["actual"], v["ok"])],
         "expected long, actual long, ok boolean",
     )
@@ -5041,6 +5046,8 @@ def q_x_retrieval_eval(spark, sf_dir):
 
     from pyspark.sql import DataFrame as _DF
 
+    from pac_data_pipeline_spark.session import local_table
+
     all_runs = reduce(_DF.unionByName, runs)
     term_rows = [
         (qid, t)
@@ -5048,7 +5055,7 @@ def q_x_retrieval_eval(spark, sf_dir):
         for t in ts
     ]
     tm = F.broadcast(
-        spark.createDataFrame(term_rows, "query_id int, token string")
+        local_table(spark, term_rows, "query_id int, token string")
     )
     toks = (
         d.filter(F.col("doc_id").isNotNull())

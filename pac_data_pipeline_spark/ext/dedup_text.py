@@ -37,6 +37,27 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
+def pin_join_parallelism(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-repartition on ``keys`` at the session shuffle
+    parallelism, as a USER-SPECIFIED exchange AQE will not coalesce.
+
+    AQE's partition coalescing is byte-driven; a verify join whose
+    input is a few hundred KB of candidate ids but whose OUTPUT rows
+    each pay an array-intersect / exact-distance evaluation gets
+    coalesced to one task and serializes minutes of CPU behind one
+    core (measured round 11: the SemDeDup pair stage and the SNM
+    gram verify both ran as single 2-3 s tasks on a 32-core box —
+    guide §2.5, the small-bytes/heavy-CPU corner AQE cannot see).
+    The join needs this exchange anyway — pinning it converts the
+    implicit coalescible shuffle into an explicit fixed-width one,
+    so no extra shuffle is paid and the stage keeps cluster
+    parallelism at any scale. Cost: AQE skew-splitting is off for
+    the pinned exchange — callers bound per-key work by
+    construction (salted keys / windowed buckets) before pinning."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *keys)
+
+
 def exact_dedup_groups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -767,8 +788,14 @@ def ngram_jaccard_pairs(
         F.round(inter / F.nullif(union, F.lit(0)), 6),
     )
     return (
-        pairs.join(a, "id_a")
-        .join(b, "id_b")
+        # the id_b join is where the per-pair intersect/union
+        # evaluates — pin BOTH inputs so AQE's byte-driven
+        # coalescing cannot serialize the verify CPU onto one task
+        # (r11 measurement: x_snm_dedup's verify ran as ONE 2.7 s
+        # task at local[32]; if AQE broadcasts one side, the other,
+        # streamed side keeps the pinned width)
+        pin_join_parallelism(pairs.join(a, "id_a"), "id_b")
+        .join(pin_join_parallelism(b, "id_b"), "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
     )
 
@@ -1868,8 +1895,12 @@ def lsh_tuning_table(
     )
     # every configured row must appear even with zero candidates
     # (the --empty clone contract)
-    seed = df.sparkSession.createDataFrame(
-        [(b, r) for b, r in configs], "bands int, rows_per_band int"
+    from pac_data_pipeline_spark.session import local_table
+
+    seed = local_table(
+        df.sparkSession,
+        [(b, r) for b, r in configs],
+        "bands int, rows_per_band int",
     )
     return (
         seed.join(per, ["bands", "rows_per_band"], "left")

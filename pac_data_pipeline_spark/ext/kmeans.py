@@ -253,14 +253,50 @@ def semantic_dedup(
     assigned = _assignments(
         embeddings, id_col, vec_col, k, n_iter
     ).localCheckpoint()  # 3 consumers (both pair sides + final join)
+    # The pair self-join has only k distinct keys; with bench-scale
+    # k=8 the whole quadratic distance stage lands on ≤8 tasks (AQE
+    # then coalesces the few hundred KB to ONE — measured a single
+    # 2.2 s task at local[32], guide §2.5). Salt the a-side and
+    # replicate the b-side S ways so k·S ≳ the configured shuffle
+    # parallelism, and PIN the exchange (user-specified repartition,
+    # exempt from AQE byte-coalescing). S derives from the session,
+    # not a constant: at production k (clusters ≫ cores, the
+    # documented SemDeDup regime) S collapses to 1 and the salt is
+    # a no-op — replication cost only exists in the small-k regime
+    # that needs it. Pair set, filter, and min-aggregation are
+    # unchanged: every cluster-mate pair still meets exactly once
+    # (a lives in one salt bucket, b visits all S).
+    n_part = int(
+        embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    s_salt = max(1, -(-2 * n_part // max(k, 1)))  # ceil(2·P / k)
     a = assigned.select(
-        "cluster", F.col("vid").alias("a_vid"), F.col("q").alias("a_q")
+        "cluster",
+        F.pmod(F.xxhash64("vid"), F.lit(s_salt)).alias("__salt"),
+        F.col("vid").alias("a_vid"),
+        F.col("q").alias("a_q"),
     )
     b = assigned.select(
-        "cluster", F.col("vid").alias("b_vid"), F.col("q").alias("b_q")
+        "cluster",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"), F.lit(s_salt - 1).cast("long")
+            )
+        ).alias("__salt"),
+        F.col("vid").alias("b_vid"),
+        F.col("q").alias("b_q"),
     )
     dups = (
-        a.join(b, "cluster")
+        # pin BOTH sides: AQE may convert the salted join to
+        # broadcast at runtime, and then it is the STREAMED side's
+        # coalesced exchange that serializes the distance CPU —
+        # with both inputs user-repartitioned, whichever side ends
+        # up streamed keeps the configured width.
+        a.repartition(n_part, "cluster", "__salt")
+        .join(
+            b.repartition(n_part, "cluster", "__salt"),
+            ["cluster", "__salt"],
+        )
         .filter(F.col("a_vid") < F.col("b_vid"))
         .withColumn(
             "d",

@@ -358,11 +358,11 @@ def retrieval_eval(
     WindowGroupLimit per-partition heaps) for the ideal-DCG
     prefix and one broadcast-sized graded join against the runs.
     Nothing here rescans a corpus."""
+    from pac_data_pipeline_spark.session import local_table
+
     spark = runs.sparkSession
     disc = F.broadcast(
-        spark.createDataFrame(
-            ndcg_discount_micro(k), "pos int, disc_micro bigint"
-        )
+        local_table(spark, ndcg_discount_micro(k), "pos int, disc_micro bigint")
     )
     rel = qrels.select(
         "query_id",
@@ -631,7 +631,10 @@ def cosine_topk_ivf(
         "centroid_id", _nearest_centroid("e_vec", centers)
     )
 
-    centers_df = embeddings.sparkSession.createDataFrame(
+    from pac_data_pipeline_spark.session import local_table
+
+    centers_df = local_table(
+        embeddings.sparkSession,
         [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
         "centroid_id int, c_vec array<double>",
     )

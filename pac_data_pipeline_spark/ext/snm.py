@@ -99,7 +99,9 @@ def global_rank(
         offsets.append((row["__pid"], acc))
         acc += row["count"]
     spark = df.sparkSession
-    off = spark.createDataFrame(offsets or [(0, 0)], "__pid long, __off long")
+    from pac_data_pipeline_spark.session import local_table
+
+    off = local_table(spark, offsets or [(0, 0)], "__pid long, __off long")
     return (
         ranked.join(F.broadcast(off), "__pid")
         .withColumn(rank_col, F.col("__off") + F.col("__local"))

@@ -942,6 +942,34 @@ def bpe_pair_counts(vocab: DataFrame) -> DataFrame:
     return pairs.groupBy("p.l", "p.r").agg(F.sum("freq").alias("cnt"))
 
 
+def apply_bpe_merge(vocab: DataFrame, left: str, right: str) -> DataFrame:
+    """One merge round's symbol-string rewrite, entirely in the JVM:
+    leftmost non-overlapping replacement of the token-bounded
+    ``"left right"`` bigram with ``leftright`` — the exact
+    ``re.sub(r"(?<!\\S)l r(?!\\S)", ...)`` the pre-r11 Arrow
+    ``mapInPandas`` round computed, as one codegen
+    ``regexp_replace`` (guide §4.1: built-ins over Python; measured
+    round 11, the per-round Python worker round trip was the
+    dominant cost of every training round at sf0.1).
+
+    Portability of the rewrite is unchanged: ``re.escape`` emits
+    backslash escapes only for ASCII punctuation, which Java regex
+    reads identically; symbols never contain whitespace (the vocab
+    splits on it), so the ``\\S`` lookarounds see the same
+    boundaries; and both engines substitute leftmost
+    non-overlapping on the ORIGINAL string."""
+    import re as _re
+
+    pat = (
+        r"(?<!\S)" + _re.escape(left) + " " + _re.escape(right) + r"(?!\S)"
+    )
+    # Java Matcher replacement text treats \ and $ specially
+    rep = (left + right).replace("\\", "\\\\").replace("$", "\\$")
+    return vocab.select(
+        F.regexp_replace("syms", pat, rep).alias("syms"), "freq"
+    )
+
+
 def bpe_train(
     df: DataFrame,
     n_merges: int = 8,
@@ -957,9 +985,11 @@ def bpe_train(
     weighted by word frequency — exploded zip_with pairs into a
     partial-aggregated groupBy, all JVM; (2) take the argmax pair
     (1-row driver fetch, the BPE sequential dependency); (3) apply
-    the merge to the symbol sequences — vectorized pandas string
-    replace inside mapInPandas (the merge rewrite has no clean
-    JVM-expression form; Arrow batching keeps it off the row path).
+    the merge to the symbol sequences — one codegen
+    ``regexp_replace`` (:func:`apply_bpe_merge`), so a training
+    round never crosses the Python boundary at all (r11: the
+    per-round Arrow ``mapInPandas`` worker round trip was the
+    dominant per-round cost).
 
     Returns the merge table (rank, left, right, pair_count) —
     deterministic given the corpus: ties on count break
@@ -967,8 +997,6 @@ def bpe_train(
     aggregation touches the corpus; training itself runs on the
     vocab frame, which is why single-machine BPE trainers survive —
     this version just keeps the vocab distributed too."""
-    from pyspark.sql import types as T
-
     spark = df.sparkSession
     vocab = bpe_vocab(df, text_col)
 
@@ -985,28 +1013,12 @@ def bpe_train(
         left, right, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
         merges.append((rank, left, right, int(cnt)))
 
-        def apply_merge(batches, _l=left, _r=right):
-            import re
+        vocab = apply_bpe_merge(vocab, left, right).localCheckpoint()
 
-            pat = re.compile(
-                r"(?<!\S)" + re.escape(_l) + " " + re.escape(_r) + r"(?!\S)"
-            )
-            rep = _l + _r
-            for pdf in batches:
-                pdf = pdf.copy()
-                pdf["syms"] = pdf["syms"].map(lambda s: pat.sub(rep, s))
-                yield pdf
+    from pac_data_pipeline_spark.session import local_table
 
-        schema = T.StructType(
-            [
-                T.StructField("syms", T.StringType()),
-                T.StructField("freq", T.LongType()),
-            ]
-        )
-        vocab = vocab.mapInPandas(apply_merge, schema).localCheckpoint()
-
-    return spark.createDataFrame(
-        merges, "rank int, left string, right string, pair_count long"
+    return local_table(
+        spark, merges, "rank int, left string, right string, pair_count long"
     )
 
 

@@ -47,6 +47,7 @@ from typing import TYPE_CHECKING
 from pyspark.sql import DataFrame, functions as F
 
 from pac_data_pipeline_spark.ext.text import (
+    apply_bpe_merge,
     bpe_pair_counts,
     bpe_vocab,
     py_tokens,
@@ -88,12 +89,11 @@ def wordpiece_train(
     right, pair_count, score_q) — score_q the exact quantized
     likelihood quotient the argmax ran on. Deterministic given the
     corpus. Per round: pair + unit counts on the vocab frame (two
-    tiny shuffles), a 1-row argmax collect, one Arrow merge rewrite
-    — the :func:`ext.text.bpe_train` loop with a different argmax."""
+    tiny shuffles), a 1-row argmax collect, one all-JVM
+    ``regexp_replace`` merge rewrite — the
+    :func:`ext.text.bpe_train` loop with a different argmax."""
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
-    from pyspark.sql import types as T
-
     spark = df.sparkSession
     vocab = bpe_vocab(df, text_col)
 
@@ -130,29 +130,13 @@ def wordpiece_train(
             (rank, left, right, int(top[0]["cnt"]), int(top[0]["score_q"]))
         )
 
-        def apply_merge(batches, _l=left, _r=right):
-            # the bpe_train rewrite: leftmost non-overlapping
-            # lookaround-bounded substitution over the symbol string
-            import re
+        # the bpe_train rewrite, all-JVM (ext.text.apply_bpe_merge)
+        vocab = apply_bpe_merge(vocab, left, right).localCheckpoint()
 
-            pat = re.compile(
-                r"(?<!\S)" + re.escape(_l) + " " + re.escape(_r) + r"(?!\S)"
-            )
-            rep = _l + _r
-            for pdf in batches:
-                pdf = pdf.copy()
-                pdf["syms"] = pdf["syms"].map(lambda s: pat.sub(rep, s))
-                yield pdf
+    from pac_data_pipeline_spark.session import local_table
 
-        schema = T.StructType(
-            [
-                T.StructField("syms", T.StringType()),
-                T.StructField("freq", T.LongType()),
-            ]
-        )
-        vocab = vocab.mapInPandas(apply_merge, schema).localCheckpoint()
-
-    return spark.createDataFrame(
+    return local_table(
+        spark,
         merges,
         "rank int, left string, right string, pair_count long, "
         "score_q long",

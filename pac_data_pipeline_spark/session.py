@@ -104,3 +104,33 @@ def tune_session(spark: SparkSession) -> SparkSession:
     except Exception:
         pass
     return spark
+
+def local_table(spark: SparkSession, rows, schema: str):
+    """Literal dimension table that executes INSIDE the JVM.
+
+    ``spark.createDataFrame(list, schema)`` builds a *pickled Python
+    RDD* sliced into up to ``defaultParallelism`` partitions — every
+    job that touches the frame (each broadcast build, each eager
+    checkpoint, the final sink) launches one Python worker per slice
+    just to unpickle a handful of literal rows. Measured round 11:
+    32 zero-CPU tasks of ~0.2-0.4 s each, PER CONSUMING JOB, charged
+    to whichever query owns the seed/config/codebook table —
+    multi-second overhead on x_wordpiece_*, x_snm_dedup,
+    x_lsh_tuning, x_retrieval_eval and the IVF/PQ tier
+    (OPTIMIZATION_r11.md, guide §4: eliminate the Python boundary).
+
+    Routing the same rows through pandas + Arrow hands the JVM the
+    serialized Arrow batches up front: execution is a one-partition
+    JVM scan, no Python workers, identical rows and schema. At
+    production scale these tables are broadcast dimension inputs, so
+    removing a per-executor Python round trip is the same win there.
+    """
+    rows = list(rows)
+    if not rows:  # Arrow path needs >=1 row to infer pandas blocks
+        return spark.createDataFrame([], schema)
+    import pandas as pd
+
+    # the Arrow path still slices into up to defaultParallelism
+    # partitions; these are literal dim tables (dozens of rows), so
+    # one JVM task is the right shape — coalesce is shuffle-free.
+    return spark.createDataFrame(pd.DataFrame(rows), schema=schema).coalesce(1)
