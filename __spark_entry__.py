@@ -1916,7 +1916,7 @@ def q_x_kmeans(spark, sf_dir):
     rows-only by design."""
     from pac_data_pipeline_spark.ext.kmeans import kmeans_assign
 
-    return kmeans_assign(_t(spark, sf_dir, "embeddings"))
+    return kmeans_assign(_t(spark, sf_dir, "embeddings"), dim=64)
 
 
 def q_x_holt(spark, sf_dir):
@@ -1956,7 +1956,7 @@ def q_x_dedup_eval(spark, sf_dir):
     a true positive only if dup_of names the exact true source."""
     from pac_data_pipeline_spark.ext.kmeans import semantic_dedup_eval
 
-    return semantic_dedup_eval(_t(spark, sf_dir, "embeddings"))
+    return semantic_dedup_eval(_t(spark, sf_dir, "embeddings"), dim=64)
 
 
 def q_x_skew_profile(spark, sf_dir):
@@ -2145,7 +2145,7 @@ def q_x_semantic_dedup(spark, sf_dir):
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    return semantic_dedup(planted_near_dups(emb))
+    return semantic_dedup(planted_near_dups(emb), dim=64)
 
 
 def q_x_ewma(spark, sf_dir):
@@ -4983,9 +4983,11 @@ def q_x_retrieval_eval(spark, sf_dir):
     1), summed. Every metric is an exact integer (micro-unit
     discount table from ndcg_discount_micro, bigint DCG sums, ppm
     floor divisions), so the oracle replays the evaluation
-    bit-for-bit. All rank windows span top-100 legs, never the
-    corpus; the one corpus-sized frame (lexical grades) rolls up
-    through a single (query, doc) aggregate."""
+    bit-for-bit. ONE corpus tokenize serves every BM25 run and the
+    lexical grades (bm25_rank_multi, r11 — was one pass per query
+    plus a grade pass); its per-query top-100 cut is a rank window
+    that compiles to WindowGroupLimit per-partition heaps; all
+    other rank windows span top-100 legs, never the corpus."""
     from pyspark.sql import Window
 
     from pac_data_pipeline_spark.ext.similarity import (
@@ -4994,11 +4996,7 @@ def q_x_retrieval_eval(spark, sf_dir):
         retrieval_eval,
         rrf_fuse,
     )
-    from pac_data_pipeline_spark.ext.text import (
-        ascii_lower,
-        bm25_rank,
-        tokens,
-    )
+    from pac_data_pipeline_spark.ext.text import bm25_rank_multi
 
     d = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
@@ -5007,18 +5005,18 @@ def q_x_retrieval_eval(spark, sf_dir):
     dense_all = cosine_topk_bruteforce(
         emb, queries_from_corpus(emb, n=3), k=100
     ).localCheckpoint()
+    # ONE corpus tokenize serves all 3 BM25 runs AND the lexical
+    # grades (bm25_rank_multi; pre-r11 this was one bm25_rank pass
+    # per query plus a fourth tokenize for the grades — same
+    # per-query scores, rounds, cuts and tiebreaks, one pass)
+    ranked_all, matched = bm25_rank_multi(
+        d, _RETRIEVAL_QUERIES, top_k=100
+    )
+    ranked_all = ranked_all.localCheckpoint()  # 3 runs + 3 fusion legs
     runs = []
     for qid, terms in sorted(_RETRIEVAL_QUERIES.items()):
-        lex = (
-            bm25_rank(d, terms, top_k=100)
-            .withColumn(
-                "rank",
-                F.row_number().over(
-                    Window.orderBy(F.desc("score"), F.asc("doc_id"))
-                ),
-            )
-            .select("doc_id", "rank")
-            .localCheckpoint()  # consumed as a run AND a fusion leg
+        lex = ranked_all.filter(F.col("query_id") == qid).select(
+            "doc_id", "rank"
         )
         sem = dense_all.filter(F.col("query_id") == qid).select(
             F.col("vec_id").alias("doc_id"), "rank"
@@ -5046,37 +5044,14 @@ def q_x_retrieval_eval(spark, sf_dir):
 
     from pyspark.sql import DataFrame as _DF
 
-    from pac_data_pipeline_spark.session import local_table
-
     all_runs = reduce(_DF.unionByName, runs)
-    term_rows = [
-        (qid, t)
-        for qid, ts in sorted(_RETRIEVAL_QUERIES.items())
-        for t in ts
-    ]
-    tm = F.broadcast(
-        local_table(spark, term_rows, "query_id int, token string")
-    )
-    toks = (
-        d.filter(F.col("doc_id").isNotNull())
-        .select(
-            "doc_id",
-            F.explode(tokens(ascii_lower(F.col("text")))).alias("token"),
-        )
-        .filter(F.col("token") != "")
-    )
-    lexg = (
-        toks.join(tm, "token")
-        .groupBy("query_id", "doc_id")
-        .agg(F.countDistinct("token").alias("nt"))
-        .select(
-            "query_id",
-            "doc_id",
-            F.when(F.col("nt") >= 3, 2)
-            .when(F.col("nt") == 2, 1)
-            .otherwise(0)
-            .alias("lex_rel"),
-        )
+    lexg = matched.select(
+        "query_id",
+        "doc_id",
+        F.when(F.col("nt") >= 3, 2)
+        .when(F.col("nt") == 2, 1)
+        .otherwise(0)
+        .alias("lex_rel"),
     )
     semg = dense_all.filter(F.col("rank") <= 60).select(
         F.col("query_id").cast("int").alias("query_id"),

@@ -56,12 +56,86 @@ def _quantize(col):
     )
 
 
+def _centroid_frame(
+    assigned: DataFrame, dim: int | None, out_col: str
+) -> DataFrame:
+    """Per-cluster integer-ratio floor mean of the quantized member
+    vectors — THE centroid formula of the fixed-point contract, in
+    one of two physically different but value-identical forms:
+
+    * ``dim=None`` (generic): posexplode to (cluster, pos, val)
+      triples, aggregate per (cluster, pos), re-assemble per
+      cluster — handles any vector length, but multiplies the agg
+      input rows ×dim before the map-side combine and pays TWO
+      exchanges per call.
+    * ``dim=d`` (fixed-width fast path, r11): one wide aggregation —
+      per-position ``sum(element_at(q, i))`` plus the positional row
+      count ``count(size(q) >= i)`` as 2·d partial-agg columns, ONE
+      exchange of k rows, array assembled by projection (guide
+      §2.3/§2.4: aggregate before the shuffle, remove the second
+      exchange outright). Bit-identical to the generic form for any
+      corpus whose vectors are at most ``d`` long: per-position sums
+      and counts are the same integers (positions a short vector
+      lacks count via ``size(q) >= i`` exactly as posexplode rows
+      do), and trailing all-absent positions drop out via the
+      not-NULL filter just as they produce no (cluster, pos) row in
+      the generic form. Callers pass ``dim`` only where the vector
+      width is a table contract (embeddings are 64-wide; PQ
+      subspaces are ``dim/m``); anything wider than ``dim`` must
+      use the generic path.
+    """
+    if dim is None:
+        sums = (
+            assigned.select(
+                "cluster", F.posexplode("q").alias("pos", "val")
+            )
+            .groupBy("cluster", "pos")
+            .agg(
+                F.sum("val").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "cluster",
+                "pos",
+                F.floor(
+                    (2 * F.col("s") + F.col("n")).cast("double")
+                    / (2 * F.col("n")).cast("double")
+                ).alias("m"),
+            )
+        )
+        return sums.groupBy("cluster").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))), "
+                "s -> s.m)"
+            ).alias(out_col)
+        )
+    aggs = []
+    for i in range(1, dim + 1):
+        aggs.append(F.sum(F.element_at("q", i)).alias(f"__s{i}"))
+        aggs.append(
+            F.count(F.when(F.size("q") >= i, F.lit(1))).alias(f"__n{i}")
+        )
+    wide = assigned.groupBy("cluster").agg(*aggs)
+    ms = [
+        F.floor(
+            (2 * F.col(f"__s{i}") + F.col(f"__n{i}")).cast("double")
+            / (2 * F.col(f"__n{i}")).cast("double")
+        )
+        for i in range(1, dim + 1)
+    ]
+    return wide.select(
+        "cluster",
+        F.filter(F.array(*ms), lambda x: x.isNotNull()).alias(out_col),
+    )
+
+
 def _assignments(
     embeddings: DataFrame,
     id_col: str,
     vec_col: str,
     k: int,
     n_iter: int,
+    dim: int | None = None,
 ) -> DataFrame:
     """Internal: the unrolled Lloyd loop; returns
     ``(vid, q, cluster, dist)`` — final assignments still carrying
@@ -118,33 +192,10 @@ def _assignments(
 
     for _ in range(n_iter - 1):
         assigned = _assigned(centroids)
-        sums = (
-            assigned.select(
-                "cluster", F.posexplode("q").alias("pos", "val")
-            )
-            .groupBy("cluster", "pos")
-            .agg(
-                F.sum("val").alias("s"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .select(
-                "cluster",
-                "pos",
-                # round-half-up mean back to the grid: one IEEE
-                # division of two exact integers, floored — both
-                # engines agree bit for bit.
-                F.floor(
-                    (2 * F.col("s") + F.col("n")).cast("double")
-                    / (2 * F.col("n")).cast("double")
-                ).alias("m"),
-            )
-        )
-        updated = sums.groupBy("cluster").agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(pos, m))), "
-                "s -> s.m)"
-            ).alias("c_new")
-        )
+        # round-half-up mean back to the grid: one IEEE division of
+        # two exact integers, floored — both engines agree bit for
+        # bit (formula in _centroid_frame, shared with kmeans_cells)
+        updated = _centroid_frame(assigned, dim, "c_new")
         centroids = (
             centroids.join(
                 updated,
@@ -170,6 +221,7 @@ def kmeans_assign(
     vec_col: str = "embedding",
     k: int = 8,
     n_iter: int = 3,
+    dim: int | None = None,
 ) -> DataFrame:
     """Cluster the full corpus; return ``(id_col, cluster, dist)``
     — the final assignment and its exact integer squared-L2
@@ -178,10 +230,12 @@ def kmeans_assign(
     Init is the deterministic standard for reproducible runs: the
     ``k`` vectors with the smallest ids are centroids 0..k-1
     (kmeans++ would inject RNG the oracle cannot replay).
-    """
-    return _assignments(embeddings, id_col, vec_col, k, n_iter).select(
-        F.col("vid").alias(id_col), "cluster", "dist"
-    )
+    ``dim`` opts into the one-exchange fixed-width Lloyd update
+    (:func:`_centroid_frame`) where the vector width is a table
+    contract."""
+    return _assignments(
+        embeddings, id_col, vec_col, k, n_iter, dim=dim
+    ).select(F.col("vid").alias(id_col), "cluster", "dist")
 
 
 def kmeans_cells(
@@ -190,38 +244,21 @@ def kmeans_cells(
     vec_col: str = "embedding",
     k: int = 8,
     n_iter: int = 3,
+    dim: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Cluster the corpus and ALSO return the cell representatives —
     the pieces an IVF index needs: ``(assignments, cells)`` where
     assignments is ``(vid, cluster)`` and cells is ``(cluster, c)``
     with ``c`` the integer-grid centroid of the cell's MEMBERS
-    (same round-half-up integer-ratio mean as the Lloyd update, so
-    an external engine reproduces it exactly). Assignments are
-    localCheckpointed — both returned frames and any candidate join
-    reuse the one clustering run."""
+    (same round-half-up integer-ratio mean as the Lloyd update —
+    shared :func:`_centroid_frame` — so an external engine
+    reproduces it exactly). Assignments are localCheckpointed —
+    both returned frames and any candidate join reuse the one
+    clustering run."""
     assigned = _assignments(
-        embeddings, id_col, vec_col, k, n_iter
+        embeddings, id_col, vec_col, k, n_iter, dim=dim
     ).localCheckpoint()
-    cells = (
-        assigned.select("cluster", F.posexplode("q").alias("pos", "val"))
-        .groupBy("cluster", "pos")
-        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
-        .select(
-            "cluster",
-            "pos",
-            F.floor(
-                (2 * F.col("s") + F.col("n")).cast("double")
-                / (2 * F.col("n")).cast("double")
-            ).alias("m"),
-        )
-        .groupBy("cluster")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(pos, m))), "
-                "s -> s.m)"
-            ).alias("c")
-        )
-    )
+    cells = _centroid_frame(assigned, dim, "c")
     return assigned.select("vid", "cluster"), cells
 
 
@@ -232,6 +269,7 @@ def semantic_dedup(
     k: int = 8,
     n_iter: int = 3,
     threshold: int = 1000,
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., 2023): cluster the corpus, then mark
     near-duplicates WITHIN each cluster — the clustering bounds the
@@ -251,7 +289,7 @@ def semantic_dedup(
     Returns one row per vector: ``(id_col, cluster, dup_of)``.
     """
     assigned = _assignments(
-        embeddings, id_col, vec_col, k, n_iter
+        embeddings, id_col, vec_col, k, n_iter, dim=dim
     ).localCheckpoint()  # 3 consumers (both pair sides + final join)
     # The pair self-join has only k distinct keys; with bench-scale
     # k=8 the whole quadratic distance stage lands on ≤8 tasks (AQE
@@ -840,6 +878,7 @@ def semantic_dedup_eval(
     k: int = 8,
     n_iter: int = 3,
     threshold: int = 1000,
+    dim: int | None = None,
 ) -> DataFrame:
     """Dedup-quality report against the planted ground truth — the
     evaluation harness a dedup pipeline ships with (a near-dup
@@ -860,6 +899,7 @@ def semantic_dedup_eval(
         k,
         n_iter,
         threshold,
+        dim=dim,
     )
     is_clone = F.col(id_col) >= DUP_OFFSET
     truth = F.col(id_col) - DUP_OFFSET

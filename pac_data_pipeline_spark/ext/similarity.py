@@ -682,6 +682,7 @@ def cosine_topk_ivf_grid(
     n_cells: int = 8,
     n_probe: int = 2,
     n_iter: int = 3,
+    dim: int | None = 64,
 ) -> DataFrame:
     """IVF top-k with the FIXED-POINT distributed quantizer — the
     hash-exact evidence tier for the IVF plan shape, the way
@@ -706,7 +707,7 @@ def cosine_topk_ivf_grid(
     from pac_data_pipeline_spark.ext.kmeans import _quantize, kmeans_cells
 
     assigned, cells = kmeans_cells(
-        embeddings, id_col, vec_col, k=n_cells, n_iter=n_iter
+        embeddings, id_col, vec_col, k=n_cells, n_iter=n_iter, dim=dim
     )
     one_row = F.broadcast(
         cells.agg(
@@ -819,7 +820,7 @@ def cosine_topk_pq_grid(
             F.expr(f"slice({vec_col}, {lo}, {sub_len})").alias("sub"),
         )
         assigned_s, cells_s = kmeans_cells(
-            sub, id_col, "sub", k=n_codes, n_iter=n_iter
+            sub, id_col, "sub", k=n_codes, n_iter=n_iter, dim=sub_len
         )
         code_s = assigned_s.select(
             "vid", F.col("cluster").alias(f"code_{si}")
@@ -961,7 +962,7 @@ def cosine_topk_ivfadc_grid(
         )
     sub_len = dim // m
     assigned, cells = kmeans_cells(
-        embeddings, id_col, vec_col, k=n_cells, n_iter=n_iter
+        embeddings, id_col, vec_col, k=n_cells, n_iter=n_iter, dim=dim
     )
     corpus = drop_null_vectors(embeddings, vec_col).select(
         F.col(id_col).alias("vid"),
@@ -1039,7 +1040,7 @@ def cosine_topk_ivfadc_grid(
             "vid", F.expr(f"slice(r, {lo}, {sub_len})").alias("sub")
         )
         assigned_s, cells_s = kmeans_cells(
-            sub, "vid", "sub", k=n_codes, n_iter=n_iter
+            sub, "vid", "sub", k=n_codes, n_iter=n_iter, dim=sub_len
         )
         code_s = assigned_s.select(
             "vid", F.col("cluster").alias(f"code_{si}")

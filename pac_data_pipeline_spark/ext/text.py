@@ -1536,6 +1536,128 @@ def bm25_rank(
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(top_k)
 
 
+def bm25_rank_multi(
+    df: DataFrame,
+    queries: dict[int, list[str]],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """All of :func:`bm25_rank`'s per-query outputs for a SET of
+    queries from ONE corpus pass (r11; guide §2.4 remove passes
+    outright): tokenize once, aggregate one per-doc frame over the
+    UNION of query terms, and derive every query's ranking from it.
+    The per-(doc, term) BM25 contribution is query-independent —
+    idf needs only dfreq(term) and the corpus stats — so each
+    query's score is the rounded sum of ITS terms' contributions,
+    exactly the numbers :func:`bm25_rank` computes per call (same
+    formula, same round(4)-before-cut, same id tiebreak; the
+    round-before-compare convention already makes the sum
+    order-insensitive at the emitted precision).
+
+    Returns ``(ranked, matched)``:
+
+    * ``ranked`` — (query_id, doc_id, score, rank), rank ≤ top_k
+      per query via a rank-window + filter that compiles to
+      WindowGroupLimit (per-partition top-k heaps — the distributed
+      equivalent of bm25_rank's TakeOrderedAndProject, per group);
+    * ``matched`` — (query_id, doc_id, nt): how many DISTINCT terms
+      of that query the doc contains — the term-coverage count
+      retrieval graders need, free from the same per-doc frame (a
+      separate corpus tokenize before r11).
+
+    At 100 TB this turns |queries|+1 corpus tokenizations into one.
+    """
+    from pac_data_pipeline_spark.session import local_table
+
+    df = df.filter(F.col(id_col).isNotNull())
+    q_all = sorted({t for ts in queries.values() for t in ts})
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(ascii_lower(F.col(text_col)))).alias("token"),
+    ).filter(F.col("token") != "")
+    per_doc = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(
+                F.when(F.col("token") == t, 1).otherwise(0)
+            ).alias(f"__tf_{i}")
+            for i, t in enumerate(q_all)
+        ],
+    ).localCheckpoint()  # 3 consumers: stats, contributions, coverage
+    stats = df.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        F.broadcast(per_doc.agg(F.sum("dl").alias("tot_len")))
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("token"),
+                F.col(f"__tf_{i}").alias("tf"),
+            )
+            for i, t in enumerate(q_all)
+        ]
+    )
+    tf = (
+        per_doc.select(F.col(id_col), "dl", F.explode(pairs).alias("p"))
+        .select(id_col, "dl", F.col("p.token"), F.col("p.tf"))
+        .filter(F.col("tf") > 0)
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
+    qt = F.broadcast(
+        local_table(
+            df.sparkSession,
+            [(qid, t) for qid, ts in sorted(queries.items()) for t in ts],
+            "query_id int, token string",
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            "token",
+            (
+                F.log(
+                    1
+                    + (F.col("n_docs") - F.col("dfreq") + 0.5)
+                    / (F.col("dfreq") + 0.5)
+                )
+                * F.col("tf") * (k1 + 1)
+                / (
+                    F.col("tf")
+                    + k1
+                    * (
+                        1 - b
+                        + b * F.col("dl")
+                          / (F.col("tot_len") / F.col("n_docs"))
+                    )
+                )
+            ).alias("part"),
+        )
+        .join(qt, "token")
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("part"), 4).alias("score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    ranked = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", id_col, "score", "rank")
+    )
+    matched = (
+        tf.join(qt, "token")
+        .groupBy("query_id", id_col)
+        .agg(F.count(F.lit(1)).alias("nt"))
+    )
+    return ranked, matched
+
+
 def inverted_index(
     df: DataFrame,
     text_col: str = "text",
