@@ -172,7 +172,17 @@ def write_z_ordered(
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target)
-    bounds = df.agg(
+    # ONE bounded 1-row collect (2·|cols| scalars — the tokenizer
+    # argmax class of driver fetch), folded into the Z expression as
+    # literals. The pre-r11 form attached the bounds row with
+    # crossJoin(broadcast(...)): a BroadcastNestedLoopJoin that
+    # breaks whole-stage codegen for the per-row bit math AND is
+    # evaluated TWICE (repartitionByRange's range-sampling pass
+    # re-executes the child subplan) — measured 2×20 s of CPU at
+    # sf0.1 against a sub-second aggregate (guide §1.2: per-task
+    # work after the job shape is right). Literal bounds constant-
+    # fold the spans; both passes stay pure codegen scan stages.
+    brow = df.agg(
         *[
             m
             for c in cols
@@ -181,10 +191,15 @@ def write_z_ordered(
                 F.max(c).alias(f"__b_{c}_max"),
             )
         ]
-    )
-    with_z = df.crossJoin(F.broadcast(bounds)).withColumn(
-        "__z", z_order_value(cols, bits=bits)
-    )
+    ).collect()[0]
+    with_z = df
+    for c in cols:
+        for m in ("min", "max"):
+            with_z = with_z.withColumn(
+                f"__b_{c}_{m}",
+                F.lit(brow[f"__b_{c}_{m}"]),
+            )
+    with_z = with_z.withColumn("__z", z_order_value(cols, bits=bits))
     (
         with_z.repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
