@@ -1407,7 +1407,7 @@ def q_x_cosine_topk_ivf(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return cosine_topk_ivf_grid(
         emb, queries_from_corpus(emb, n=5), k=10, n_cells=8, n_probe=2,
-        n_iter=2,
+        n_iter=2, dim=64,  # the embeddings table contracts 64-wide
     )
 
 

@@ -234,10 +234,19 @@ def main() -> None:
         json.dump(result, fh, indent=1, sort_keys=True)
         fh.write("\n")
     print(json.dumps(result, separators=(",", ":")))
-    # FINAL line: a compact summary the driver can always parse.
-    # The full line above is ~8 KB and every BENCH_r*.json so far
-    # recorded "parsed": null because log capture kept only the tail
-    # of it; the per-query detail lives in bench_results.json.
+    # FINAL line: the one the driver parses. Its log capture keeps a
+    # 2000-char tail of stdout and JSON-parses the LAST line, so the
+    # full ~8 KB line above never reaches it (head-clipped), and the
+    # r10/r11 compact line carried no per-query data at all — which
+    # silently emptied the driver's per_query/scaling comparison
+    # (PERF_r11: n_common=0). Fix (declared in OPTIMIZATION_r12.md):
+    # the final line now carries REAL per-query timings, as many as
+    # fit the tail window, chosen most-expensive-first — the
+    # regression- and scaling-relevant queries, and a stable set
+    # across rounds and core counts. Values are the same 3-decimal
+    # numbers as the full line; nothing is re-measured. The complete
+    # set still lives in the full line above and bench_results.json.
+    budget = 1900  # driver tail is 2000 chars; leave margin
     compact = {
         "metric": "total_query_wall_clock",
         "value": result["value"],
@@ -245,8 +254,19 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_failures": len(failures),
-        "queries": {"detail": "see bench_results.json"},
+        "queries_omitted": 0,
+        "queries": {},
     }
+    by_cost = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+    for name, sec in by_cost:
+        compact["queries"][name] = sec
+        compact["queries_omitted"] = len(timings) - len(compact["queries"])
+        if len(json.dumps(compact, separators=(",", ":"))) > budget:
+            del compact["queries"][name]
+            compact["queries_omitted"] = len(timings) - len(
+                compact["queries"]
+            )
+            break
     print(json.dumps(compact, separators=(",", ":")))
 
 

@@ -82,7 +82,13 @@ def _centroid_frame(
       the generic form. Callers pass ``dim`` only where the vector
       width is a table contract (embeddings are 64-wide; PQ
       subspaces are ``dim/m``); anything wider than ``dim`` must
-      use the generic path.
+      use the generic path. One theoretical-only divergence: a
+      position where EVERY member with that position holds NULL
+      (while a longer member exists) yields a NULL array ELEMENT in
+      the generic form but is dropped by this path's not-NULL
+      filter — not constructible from the quantized corpus (the
+      quantizer maps non-null floats to non-null BIGINTs), and the
+      fuzz clones are green; recorded for completeness.
     """
     if dim is None:
         sums = (
@@ -111,7 +117,14 @@ def _centroid_frame(
         )
     aggs = []
     for i in range(1, dim + 1):
-        aggs.append(F.sum(F.element_at("q", i)).alias(f"__s{i}"))
+        # try_element_at, NOT element_at: under Spark 4's default
+        # ANSI mode element_at THROWS on out-of-bounds positions,
+        # so a vector shorter than dim would fail the job instead
+        # of degrading to NULL like the generic path; try_element_at
+        # returns NULL out-of-bounds in both ANSI and non-ANSI modes
+        aggs.append(
+            F.sum(F.try_element_at("q", F.lit(i))).alias(f"__s{i}")
+        )
         aggs.append(
             F.count(F.when(F.size("q") >= i, F.lit(1))).alias(f"__n{i}")
         )
@@ -307,7 +320,16 @@ def semantic_dedup(
     n_part = int(
         embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
-    s_salt = max(1, -(-2 * n_part // max(k, 1)))  # ceil(2·P / k)
+    # ceil(2·P / k), CAPPED at 64: the salt exists to widen the
+    # pair stage past the k-key limit, and each unit of S replicates
+    # the b-side once — at production partition counts with a
+    # misconfigured small k, uncapped S reaches the hundreds and the
+    # replication costs more than the width buys (64 × k tasks
+    # already saturates any executor pool this stage can use; the
+    # documented SemDeDup regime, k ≫ cores, drives S to 1 anyway).
+    # Any S is result-identical: a lives in one salt bucket, b
+    # visits all S, every cluster-mate pair meets exactly once.
+    s_salt = min(max(1, -(-2 * n_part // max(k, 1))), 64)
     a = assigned.select(
         "cluster",
         F.pmod(F.xxhash64("vid"), F.lit(s_salt)).alias("__salt"),

@@ -682,7 +682,7 @@ def cosine_topk_ivf_grid(
     n_cells: int = 8,
     n_probe: int = 2,
     n_iter: int = 3,
-    dim: int | None = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF top-k with the FIXED-POINT distributed quantizer — the
     hash-exact evidence tier for the IVF plan shape, the way
@@ -703,7 +703,13 @@ def cosine_topk_ivf_grid(
     assignment, O(k·dim·partitions) update shuffles), cells
     aggregate to ``n_cells`` rows and broadcast; the probe join is
     corpus ⨝ broadcast(query probes) on the cell id — identical to
-    the production IVF's candidate plan."""
+    the production IVF's candidate plan.
+
+    ``dim`` defaults to None (the any-width generic Lloyd update);
+    callers whose embedding table CONTRACTS a fixed width opt into
+    the one-exchange fixed-width update by passing it explicitly —
+    a default of 64 would silently truncate wider embeddings'
+    centroid updates (try_element_at stays in-bounds, no error)."""
     from pac_data_pipeline_spark.ext.kmeans import _quantize, kmeans_cells
 
     assigned, cells = kmeans_cells(

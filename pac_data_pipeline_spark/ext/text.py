@@ -1608,7 +1608,16 @@ def bm25_rank_multi(
     qt = F.broadcast(
         local_table(
             df.sparkSession,
-            [(qid, t) for qid, ts in sorted(queries.items()) for t in ts],
+            # per-query dedup (sorted(set(..))) keeps multi and
+            # single-query paths value-identical even for a query
+            # list carrying a duplicated term: bm25_rank dedups via
+            # sorted(set(query_terms)); without it a duplicate here
+            # would double-count both the score sum and matched nt
+            [
+                (qid, t)
+                for qid, ts in sorted(queries.items())
+                for t in sorted(set(ts))
+            ],
             "query_id int, token string",
         )
     )

@@ -311,9 +311,13 @@ def theta_sketch_setops(
     # collision behavior, but md5 now runs once per DISTINCT value
     # instead of once per occurrence — at sf0.1 that is ~70× fewer
     # md5 evaluations for the 3-gram corpus halves (~20 s of hash
-    # CPU measured r11, guide §1.2 per-task work). The value
-    # distinct is map-side combinable on the same exchange the hash
-    # distinct paid before, so shuffle count is unchanged.
+    # CPU measured r11, guide §1.2 per-task work). Cost: the value
+    # distinct and the hash distinct group on DIFFERENT keys, so
+    # this pays one extra hash-keyed exchange (of already-distinct
+    # 8-byte fractions) where one was paid before — accepted for
+    # the md5 CPU saving; the hash distinct stays because dropping
+    # it would change results under an md5 collision, which the
+    # sketch contract treats as deduped.
     ua = (
         a.filter(F.col(value_col).isNotNull())
         .select(F.col(value_col).alias("__v"))

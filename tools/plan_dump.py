@@ -1,9 +1,9 @@
-"""Dump `.explain("formatted")` for named queries to plans/r11/.
+"""Dump `.explain("formatted")` for named queries to plans/<round>/.
 
     python tools/plan_dump.py --suffix before query [query ...]
 
-Writes plans/r11/<query>_<suffix>.txt at sf0.1 (the bench scale) so
-plan-shape claims in OPTIMIZATION_r11.md are auditable offline.
+Writes plans/<round>/<query>_<suffix>.txt at sf0.1 (the bench scale)
+so plan-shape claims in OPTIMIZATION_r*.md are auditable offline.
 Queries whose builders eagerly execute (localCheckpoint chains) are
 still fine: the dump captures the final returned frame's plan.
 """
@@ -25,12 +25,13 @@ def main() -> None:
     ap.add_argument("queries", nargs="+")
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--suffix", default="before")
+    ap.add_argument("--round", default="r12")
     args = ap.parse_args()
 
     outdir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r11",
+        args.round,
     )
     os.makedirs(outdir, exist_ok=True)
     spark = get_spark(app_name="plan_dump")
