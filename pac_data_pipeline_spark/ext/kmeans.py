@@ -57,7 +57,10 @@ def _quantize(col):
 
 
 def _centroid_frame(
-    assigned: DataFrame, dim: int | None, out_col: str
+    assigned: DataFrame,
+    dim: int | None,
+    out_col: str,
+    keys: tuple[str, ...] = ("cluster",),
 ) -> DataFrame:
     """Per-cluster integer-ratio floor mean of the quantized member
     vectors — THE centroid formula of the fixed-point contract, in
@@ -89,19 +92,25 @@ def _centroid_frame(
       filter — not constructible from the quantized corpus (the
       quantizer maps non-null floats to non-null BIGINTs), and the
       fuzz clones are green; recorded for completeness.
+
+    ``keys`` are the grouping columns — ``("cluster",)`` for a
+    single Lloyd chain, ``("gid", "cluster")`` for the grouped
+    per-subspace trainer (:func:`_pq_train_grouped`); the per-group
+    arithmetic is identical either way.
     """
+    ks = list(keys)
     if dim is None:
         sums = (
             assigned.select(
-                "cluster", F.posexplode("q").alias("pos", "val")
+                *ks, F.posexplode("q").alias("pos", "val")
             )
-            .groupBy("cluster", "pos")
+            .groupBy(*ks, "pos")
             .agg(
                 F.sum("val").alias("s"),
                 F.count(F.lit(1)).alias("n"),
             )
             .select(
-                "cluster",
+                *ks,
                 "pos",
                 F.floor(
                     (2 * F.col("s") + F.col("n")).cast("double")
@@ -109,7 +118,7 @@ def _centroid_frame(
                 ).alias("m"),
             )
         )
-        return sums.groupBy("cluster").agg(
+        return sums.groupBy(*ks).agg(
             F.expr(
                 "transform(array_sort(collect_list(struct(pos, m))), "
                 "s -> s.m)"
@@ -128,7 +137,7 @@ def _centroid_frame(
         aggs.append(
             F.count(F.when(F.size("q") >= i, F.lit(1))).alias(f"__n{i}")
         )
-    wide = assigned.groupBy("cluster").agg(*aggs)
+    wide = assigned.groupBy(*ks).agg(*aggs)
     ms = [
         F.floor(
             (2 * F.col(f"__s{i}") + F.col(f"__n{i}")).cast("double")
@@ -137,9 +146,92 @@ def _centroid_frame(
         for i in range(1, dim + 1)
     ]
     return wide.select(
-        "cluster",
+        *ks,
         F.filter(F.array(*ms), lambda x: x.isNotNull()).alias(out_col),
     )
+
+
+def _argmin_assign(frame: DataFrame, cents: DataFrame) -> DataFrame:
+    """Scan-side nearest-centroid assignment: ``frame``'s columns
+    (which must include the quantized vector ``q``) plus
+    ``(cluster, dist)`` from one argmin fold over the broadcast
+    k-row centroid table. Each distance is computed ONCE
+    (transform), then an argmin fold; strict ``<`` keeps the
+    smallest cid on ties (the array is cid-sorted). Distances are
+    exact BIGINTs — the assignment is a pure deterministic function
+    of (q, centroid table), so any frame carrying the same ``q``
+    recomputes the identical cluster with zero shuffle."""
+    one_row = F.broadcast(
+        cents.agg(
+            F.array_sort(F.collect_list(F.struct("cid", "c"))).alias(
+                "cs"
+            )
+        )
+    )
+    return (
+        frame.crossJoin(one_row)
+        .select(
+            *[F.col(c) for c in frame.columns],
+            F.expr(
+                "aggregate("
+                "transform(cs, s -> struct("
+                "aggregate(zip_with(q, s.c, (a, b) -> (a-b)*(a-b)), "
+                "          0L, (x, y) -> x + y) AS d, s.cid AS c)), "
+                "struct(CAST(NULL AS BIGINT) AS d, CAST(NULL AS INT) AS c), "
+                "(acc, e) -> CASE WHEN acc.d IS NULL OR e.d < acc.d "
+                "THEN e ELSE acc END)"
+            ).alias("best"),
+        )
+        .select(
+            *[F.col(c) for c in frame.columns],
+            F.col("best.c").alias("cluster"),
+            F.col("best.d").alias("dist"),
+        )
+    )
+
+
+def _lloyd_centroids(
+    vecs: DataFrame, k: int, n_iter: int, dim: int | None
+) -> DataFrame:
+    """The unrolled Lloyd loop over a (vid, q) frame (checkpointed
+    by the caller — it is consumed once per iteration plus the
+    init): deterministic min-id init, ``n_iter - 1`` assign/update
+    rounds, returns the FINAL k-row centroid table ``(cid, c)``.
+    Exposed separately from :func:`_assignments` (r12) so callers
+    that attach payload columns (IVF candidate scoring) can
+    recompute the final assignment scan-side via
+    :func:`_argmin_assign` instead of joining the corpus by vid."""
+    centroids = (
+        vecs.orderBy("vid")
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("vid")) - 1).alias("cid"),
+            F.col("q").alias("c"),
+        )
+    )
+    for _ in range(n_iter - 1):
+        assigned = _argmin_assign(vecs.select("vid", "q"), centroids)
+        # round-half-up mean back to the grid: one IEEE division of
+        # two exact integers, floored — both engines agree bit for
+        # bit (formula in _centroid_frame, shared with kmeans_cells)
+        updated = _centroid_frame(assigned, dim, "c_new")
+        centroids = (
+            centroids.join(
+                updated,
+                centroids.cid == updated.cluster,
+                "left",
+            )
+            .select(
+                "cid",
+                F.coalesce("c_new", "c").alias("c"),
+            )
+            # centroids feed the next iteration twice (assignment
+            # broadcast + empty-cluster carry join): materialize the
+            # k-row table per iteration or the plan doubles per
+            # Lloyd step.
+            .localCheckpoint()
+        )
+    return centroids
 
 
 def _assignments(
@@ -164,68 +256,9 @@ def _assignments(
         )
         .localCheckpoint()  # 2 + n_iter consumers; cut the re-scan
     )
-    centroids = (
-        vecs.orderBy("vid")
-        .limit(k)
-        .select(
-            (F.row_number().over(Window.orderBy("vid")) - 1).alias("cid"),
-            F.col("q").alias("c"),
-        )
+    return _argmin_assign(
+        vecs, _lloyd_centroids(vecs, k, n_iter, dim)
     )
-
-    def _assigned(cents: DataFrame) -> DataFrame:
-        one_row = F.broadcast(
-            cents.agg(
-                F.array_sort(
-                    F.collect_list(F.struct("cid", "c"))
-                ).alias("cs")
-            )
-        )
-        # each distance computed ONCE (transform), then an argmin
-        # fold; strict < keeps the smallest cid on ties (array is
-        # cid-sorted). Distances are exact BIGINTs.
-        return vecs.crossJoin(one_row).select(
-            "vid",
-            "q",
-            F.expr(
-                "aggregate("
-                "transform(cs, s -> struct("
-                "aggregate(zip_with(q, s.c, (a, b) -> (a-b)*(a-b)), "
-                "          0L, (x, y) -> x + y) AS d, s.cid AS c)), "
-                "struct(CAST(NULL AS BIGINT) AS d, CAST(NULL AS INT) AS c), "
-                "(acc, e) -> CASE WHEN acc.d IS NULL OR e.d < acc.d "
-                "THEN e ELSE acc END)"
-            ).alias("best"),
-        ).select(
-            "vid",
-            "q",
-            F.col("best.c").alias("cluster"),
-            F.col("best.d").alias("dist"),
-        )
-
-    for _ in range(n_iter - 1):
-        assigned = _assigned(centroids)
-        # round-half-up mean back to the grid: one IEEE division of
-        # two exact integers, floored — both engines agree bit for
-        # bit (formula in _centroid_frame, shared with kmeans_cells)
-        updated = _centroid_frame(assigned, dim, "c_new")
-        centroids = (
-            centroids.join(
-                updated,
-                centroids.cid == updated.cluster,
-                "left",
-            )
-            .select(
-                "cid",
-                F.coalesce("c_new", "c").alias("c"),
-            )
-            # centroids feed the next iteration twice (assignment
-            # broadcast + empty-cluster carry join): materialize the
-            # k-row table per iteration or the plan doubles per
-            # Lloyd step.
-            .localCheckpoint()
-        )
-    return _assigned(centroids)
 
 
 def kmeans_assign(
@@ -273,6 +306,171 @@ def kmeans_cells(
     ).localCheckpoint()
     cells = _centroid_frame(assigned, dim, "c")
     return assigned.select("vid", "cluster"), cells
+
+
+def _pq_train_grouped(
+    vecs: DataFrame,
+    m: int,
+    sub_len: int,
+    k: int,
+    n_iter: int,
+) -> tuple[DataFrame, DataFrame]:
+    """All ``m`` per-subspace fixed-point codebooks trained as ONE
+    ``(gid, cluster)``-keyed Lloyd chain over the full-width
+    quantized corpus — value-identical to ``m`` independent
+    :func:`kmeans_cells` runs over the subspace slices, at 1/m of
+    the jobs, checkpoints, and corpus passes (guide §2.4: the m
+    chains shared every scan and every exchange boundary; keying
+    the aggregation by (subspace, cluster) lets one exchange carry
+    them all, and the per-row argmin for every subspace rides one
+    scan of the corpus instead of m).
+
+    Value-identity, per subspace ``si``: quantization commutes with
+    slicing (elementwise), so ``slice(q, lo, sub_len)`` equals the
+    per-subspace frame's quantized vector; init is the k smallest
+    vids (the same k rows for every subspace — the null filters are
+    width-independent); each row's argmin folds over ONLY its
+    subspace's centroids in cid order (array_sort on (gid, cid)
+    keeps cid ascending within a gid, so strict-< tie-breaking is
+    unchanged); the centroid update is the shared
+    :func:`_centroid_frame` integer-ratio floor mean grouped by
+    (gid, cluster); empty clusters carry the previous centroid via
+    the same left join, per (gid, cid).
+
+    ``vecs`` carries ``(vid, q [, carry-through cols])`` with ``q``
+    the FULL-width quantized vector, already null-filtered and
+    cheap to re-read (checkpointed, or a projection of a checkpoint)
+    — it is consumed ``n_iter + 1`` times. Returns ``(codes,
+    cells)``: codes = vecs' columns plus ``code_0..code_{m-1}``
+    (localCheckpointed; one row per vid with every subspace's
+    assignment — no per-subspace self-join), cells = (gid, cluster,
+    c) integer member centroids."""
+    if m * sub_len <= 0:
+        raise ValueError(f"need positive m·sub_len, got {m}·{sub_len}")
+
+    def _slice(si: int) -> str:
+        return f"slice(q, {si * sub_len + 1}, {sub_len})"
+
+    def _sub_rows(src: DataFrame, cluster_of) -> DataFrame:
+        """(gid, cluster, q) rows for the update/cells aggregation —
+        the explode feeds the keyed aggregate directly (map-side
+        combine applies after the generate; nothing is
+        materialized)."""
+        return src.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(si).alias("gid"),
+                            cluster_of(si).alias("cluster"),
+                            F.expr(_slice(si)).alias("q"),
+                        )
+                        for si in range(m)
+                    ]
+                )
+            ).alias("e")
+        ).select("e.gid", "e.cluster", F.col("e.q").alias("q"))
+
+    # deterministic init, shared across subspaces: the k smallest
+    # vids' slices are every subspace's centroids 0..k-1 (identical
+    # to each per-subspace chain's orderBy(vid).limit(k) — vid sets
+    # match because the null filters don't depend on the slice)
+    cents = (
+        vecs.orderBy("vid")
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("vid")) - 1).alias(
+                "cid"
+            ),
+            "q",
+        )
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(si).alias("gid"),
+                            F.col("cid"),
+                            F.expr(_slice(si)).alias("c"),
+                        )
+                        for si in range(m)
+                    ]
+                )
+            ).alias("e")
+        )
+        .select("e.gid", "e.cid", F.col("e.c").alias("c"))
+    )
+
+    def _best(si: int) -> F.Column:
+        # the _assignments argmin fold, over this subspace's slice
+        # and ONLY this subspace's centroids (cid-ascending after
+        # the (gid, cid) array_sort; strict < keeps the smaller cid)
+        return F.expr(
+            f"aggregate("
+            f"transform(filter(cs, s -> s.gid = {si}), s -> struct("
+            f"aggregate(zip_with({_slice(si)}, s.c, "
+            f"(a, b) -> (a-b)*(a-b)), 0L, (x, y) -> x + y) AS d, "
+            f"s.cid AS c)), "
+            f"struct(CAST(NULL AS BIGINT) AS d, CAST(NULL AS INT) AS c), "
+            f"(acc, e) -> CASE WHEN acc.d IS NULL OR e.d < acc.d "
+            f"THEN e ELSE acc END)"
+        )
+
+    def _assigned(cs_frame: DataFrame) -> DataFrame:
+        one_row = F.broadcast(
+            cs_frame.agg(
+                F.array_sort(
+                    F.collect_list(F.struct("gid", "cid", "c"))
+                ).alias("cs")
+            )
+        )
+        return vecs.crossJoin(one_row).select(
+            *[F.col(c) for c in vecs.columns],
+            *[_best(si).alias(f"__b{si}") for si in range(m)],
+        )
+
+    for _ in range(n_iter - 1):
+        assigned = _assigned(cents)
+        updated = _centroid_frame(
+            _sub_rows(assigned, lambda si: F.col(f"__b{si}.c")),
+            sub_len,
+            "c_new",
+            keys=("gid", "cluster"),
+        )
+        cents = (
+            cents.alias("o")
+            .join(
+                updated.alias("n"),
+                (F.col("o.gid") == F.col("n.gid"))
+                & (F.col("o.cid") == F.col("n.cluster")),
+                "left",
+            )
+            .select(
+                F.col("o.gid").alias("gid"),
+                F.col("o.cid").alias("cid"),
+                F.coalesce(F.col("n.c_new"), F.col("o.c")).alias("c"),
+            )
+            # m·k rows feed the next assignment broadcast AND the
+            # carry join: materialize per iteration or the plan
+            # doubles per Lloyd step (same discipline as
+            # _assignments)
+            .localCheckpoint()
+        )
+    codes = (
+        _assigned(cents)
+        .select(
+            *[F.col(c) for c in vecs.columns],
+            *[F.col(f"__b{si}.c").alias(f"code_{si}") for si in range(m)],
+        )
+        .localCheckpoint()  # cells aggregate + every downstream join
+    )
+    cells = _centroid_frame(
+        _sub_rows(codes, lambda si: F.col(f"code_{si}")),
+        sub_len,
+        "c",
+        keys=("gid", "cluster"),
+    )
+    return codes, cells
 
 
 def semantic_dedup(

@@ -710,11 +710,40 @@ def cosine_topk_ivf_grid(
     the one-exchange fixed-width update by passing it explicitly —
     a default of 64 would silently truncate wider embeddings'
     centroid updates (try_element_at stays in-bounds, no error)."""
-    from pac_data_pipeline_spark.ext.kmeans import _quantize, kmeans_cells
-
-    assigned, cells = kmeans_cells(
-        embeddings, id_col, vec_col, k=n_cells, n_iter=n_iter, dim=dim
+    from pac_data_pipeline_spark.ext.kmeans import (
+        _argmin_assign,
+        _centroid_frame,
+        _lloyd_centroids,
+        _quantize,
     )
+
+    # r12: the candidate stage recomputes the final assignment
+    # SCAN-SIDE (argmin vs the broadcast final centroid table — a
+    # pure deterministic function of the quantized vector, so it
+    # reproduces the training assignment bit-for-bit) on a corpus
+    # scan that carries the float vector for scoring. This deletes
+    # the old assigned-by-vid corpus join: the float vectors reach
+    # the probe join without ever crossing an exchange (guide §2.4;
+    # §8 — attach the payload without re-shuffling it).
+    vecs = (
+        embeddings.filter(
+            F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+        )
+        .select(F.col(id_col).alias("vid"), _quantize(vec_col).alias("q"))
+        .localCheckpoint()  # n_iter Lloyd passes + init
+    )
+    cents = _lloyd_centroids(vecs, n_cells, n_iter, dim)
+    assigned = _argmin_assign(
+        embeddings.filter(
+            F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+        ).select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("e_vec"),
+            _quantize(vec_col).alias("q"),
+        ),
+        cents,
+    ).localCheckpoint()  # cells aggregate + the probe-scored join
+    cells = _centroid_frame(assigned, dim, "c")
     one_row = F.broadcast(
         cells.agg(
             F.array_sort(
@@ -746,20 +775,13 @@ def cosine_topk_ivf_grid(
         .filter(F.col("__r") <= n_probe)
         .select("query_id", "q_vec", F.col("e.cid").alias("cluster"))
     )
-    corpus = drop_null_vectors(embeddings, vec_col).select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("e_vec")
-    )
-    scored = (
-        assigned.join(corpus, "vid")
-        .join(F.broadcast(probes), "cluster")
-        .select(
-            "query_id",
-            F.col("vid").alias(id_col),
-            (
-                _dot("e_vec", "q_vec")
-                / F.nullif(_norm("e_vec") * _norm("q_vec"), F.lit(0.0))
-            ).alias("cosine"),
-        )
+    scored = assigned.join(F.broadcast(probes), "cluster").select(
+        "query_id",
+        F.col("vid").alias(id_col),
+        (
+            _dot("e_vec", "q_vec")
+            / F.nullif(_norm("e_vec") * _norm("q_vec"), F.lit(0.0))
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
@@ -801,12 +823,17 @@ def cosine_topk_pq_grid(
     variant proves the encode/LUT/ADC/shortlist/rerank machinery
     differentially.
 
-    Scale shape: ``m`` clustering runs (each scan-side assignment +
-    O(codes·dim) update shuffles), per-query LUTs are |Q|·n_codes
-    rows and broadcast; the ADC scan touches only the m-column
-    codes table (the 100 TB I/O story of PQ) and reranks
+    Scale shape: ONE (subspace, cluster)-keyed clustering run trains
+    every codebook (scan-side assignment for all m subspaces per
+    corpus pass + one O(m·codes·sub_len) update exchange per
+    iteration — r12, was m independent chains); per-query LUTs are
+    |Q|·n_codes rows and broadcast; the ADC scan touches only the
+    m-column codes table (the 100 TB I/O story of PQ) and reranks
     ``shortlist`` float rows per query."""
-    from pac_data_pipeline_spark.ext.kmeans import _quantize, kmeans_cells
+    from pac_data_pipeline_spark.ext.kmeans import (
+        _pq_train_grouped,
+        _quantize,
+    )
 
     if dim % m:
         raise ValueError(
@@ -817,30 +844,32 @@ def cosine_topk_pq_grid(
     q = queries.filter(F.col("q_vec").isNotNull()).select(
         "query_id", "q_vec"
     )
-    codes = None
+    # quantize the FULL vector once (the elementwise quantizer
+    # commutes with slicing, so slice(q) is each subspace's quantized
+    # vector bit-for-bit) and train all m codebooks as one grouped
+    # Lloyd chain — m corpus scans per pass collapse to one
+    vecs = (
+        embeddings.filter(
+            F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+        )
+        .select(F.col(id_col).alias("vid"), _quantize(vec_col).alias("q"))
+        .localCheckpoint()  # n_iter+1 trainer passes
+    )
+    codes, cells = _pq_train_grouped(vecs, m, sub_len, n_codes, n_iter)
+    one_row = F.broadcast(
+        cells.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "gid", F.col("cluster").alias("cid"), F.col("c")
+                    )
+                )
+            ).alias("cs")
+        )
+    )
     luts = []
     for si in range(m):
         lo = si * sub_len + 1
-        sub = embeddings.select(
-            F.col(id_col),
-            F.expr(f"slice({vec_col}, {lo}, {sub_len})").alias("sub"),
-        )
-        assigned_s, cells_s = kmeans_cells(
-            sub, id_col, "sub", k=n_codes, n_iter=n_iter, dim=sub_len
-        )
-        code_s = assigned_s.select(
-            "vid", F.col("cluster").alias(f"code_{si}")
-        )
-        codes = code_s if codes is None else codes.join(code_s, "vid")
-        one_row = F.broadcast(
-            cells_s.agg(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(F.col("cluster").alias("cid"), F.col("c"))
-                    )
-                ).alias("cs")
-            )
-        )
         qsub = q.select(
             "query_id",
             F.expr(f"slice(q_vec, {lo}, {sub_len})").alias("sub"),
@@ -851,7 +880,8 @@ def cosine_topk_pq_grid(
                 "query_id",
                 F.explode(
                     F.expr(
-                        "transform(cs, s -> struct(s.cid AS cid, "
+                        f"transform(filter(cs, s -> s.gid = {si}), "
+                        "s -> struct(s.cid AS cid, "
                         "aggregate(zip_with(qq, s.c, "
                         "(a, b) -> (a-b)*(a-b)), 0L, "
                         "(x, y) -> x + y) AS d))"
@@ -864,7 +894,11 @@ def cosine_topk_pq_grid(
                 F.col("e.d").alias(f"d_{si}"),
             )
         )
-    adc = codes.join(F.broadcast(luts[0]), "code_0")
+    # project q away before the ADC joins — the shortlist exchange
+    # should carry (vid, codes), not the 64-long quantized payload
+    adc = codes.select(
+        "vid", *[f"code_{si}" for si in range(m)]
+    ).join(F.broadcast(luts[0]), "code_0")
     for si in range(1, m):
         adc = adc.join(F.broadcast(luts[si]), ["query_id", f"code_{si}"])
     adc_d = None
@@ -883,8 +917,11 @@ def cosine_topk_pq_grid(
     corpus = drop_null_vectors(embeddings, vec_col).select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("e_vec")
     )
+    # |Q|·shortlist rows broadcast against the corpus scan: the
+    # rerank fetches its float vectors with one scan-side broadcast
+    # join instead of shuffling the corpus by vid
     scored = (
-        short.join(corpus, "vid")
+        corpus.join(F.broadcast(short), "vid")
         .join(F.broadcast(q), "query_id")
         .select(
             "query_id",
@@ -948,17 +985,22 @@ def cosine_topk_ivfadc_grid(
     (:func:`cosine_topk_ivf`, :func:`cosine_topk_pq`) remain the
     production quantizer-training defaults.
 
-    Scale shape: one coarse clustering + ``m`` residual clusterings
-    (each scan-side assignment, O(codes·dim·partitions) update
-    shuffles); cells and codebooks broadcast as 1-row tables; LUTs
+    Scale shape: one coarse clustering + ONE grouped residual
+    clustering training every subspace codebook (scan-side
+    assignment for all m subspaces per corpus pass, one
+    O(m·codes·sub_len·partitions) update exchange per iteration —
+    r12, was m independent chains); cells and codebooks broadcast
+    as 1-row tables; LUTs
     are |Q|·n_probe·n_codes rows and broadcast; the candidate scan
     touches only probed cells' code rows (inverted-list pruning ×
     m-column I/O), and only ``shortlist`` float vectors per query
     are ever reranked."""
     from pac_data_pipeline_spark.ext.kmeans import (
         KMEANS_SCALE,
+        _assignments,
+        _centroid_frame,
+        _pq_train_grouped,
         _quantize,
-        kmeans_cells,
     )
 
     if dim % m:
@@ -967,34 +1009,34 @@ def cosine_topk_ivfadc_grid(
             "would silently drop out of the encoding"
         )
     sub_len = dim // m
-    assigned, cells = kmeans_cells(
+    # the coarse assignment frame ALREADY carries the quantized
+    # vector (r12): take (vid, q, cluster) straight from the Lloyd
+    # chain instead of kmeans_cells + a vid-keyed corpus re-join —
+    # that join shuffled the whole corpus by vid (both sides) and
+    # dragged the raw float vectors through the resid checkpoint
+    # for the benefit of a |Q|·shortlist-row rerank (guide §2.4/§8:
+    # decide with small rows; attach payloads without a shuffle).
+    assigned = _assignments(
         embeddings, id_col, vec_col, k=n_cells, n_iter=n_iter, dim=dim
-    )
-    corpus = drop_null_vectors(embeddings, vec_col).select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("e_vec"),
-        _quantize(vec_col).alias("q"),
-    )
+    ).localCheckpoint()  # cells aggregate + residual projection
+    cells = _centroid_frame(assigned, dim, "c")
     # residual = quantized vector − its cell's integer centroid:
-    # exact BIGINT subtraction. Consumed by m codebook trainings +
-    # the candidate join — materialize or every consumer re-derives
-    # the coarse clustering (the round-5 multi-consumer lesson).
+    # exact BIGINT subtraction. Consumed by the grouped codebook
+    # training + the rerank's vid lookup — materialize or every
+    # consumer re-derives the coarse clustering (the round-5
+    # multi-consumer lesson).
     resid = (
-        assigned.join(corpus, "vid")
-        .join(
+        assigned.join(
             F.broadcast(cells.select(F.col("cluster"), F.col("c"))),
             "cluster",
         )
         .select(
             "vid",
             "cluster",
-            "e_vec",
             F.expr("zip_with(q, c, (a, b) -> a - b)").alias("r"),
         )
         .localCheckpoint()
     )
-    codes = None
-    luts = []
     # query side: probe the n_probe nearest cells by exact BIGINT
     # grid distance (ties → smaller cell id), carrying each probed
     # cell's centroid so the query residual is computable per cell.
@@ -1040,40 +1082,43 @@ def cosine_topk_ivfadc_grid(
         )
         .localCheckpoint()  # m LUT builds + the candidate join
     )
+    # train all m residual codebooks as ONE (subspace, cluster)-keyed
+    # Lloyd chain (r12; was m independent kmeans_cells runs): the
+    # residual re-quantizes ×SCALE exactly on the integer grid, the
+    # elementwise quantizer commutes with slicing, and `cluster`
+    # rides through as a carry column so the candidate stage attaches
+    # probes by cell id alone — the former vid-keyed codes join (a
+    # full corpus exchange) is gone.
+    rvecs = resid.select("vid", "cluster", _quantize("r").alias("q"))
+    codes, rcells = _pq_train_grouped(rvecs, m, sub_len, n_codes, n_iter)
+    one_row_books = F.broadcast(
+        rcells.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "gid", F.col("cluster").alias("cid"), F.col("c")
+                    )
+                )
+            ).alias("cs")
+        )
+    )
+    luts = []
     for si in range(m):
         lo = si * sub_len + 1
-        sub = resid.select(
-            "vid", F.expr(f"slice(r, {lo}, {sub_len})").alias("sub")
-        )
-        assigned_s, cells_s = kmeans_cells(
-            sub, "vid", "sub", k=n_codes, n_iter=n_iter, dim=sub_len
-        )
-        code_s = assigned_s.select(
-            "vid", F.col("cluster").alias(f"code_{si}")
-        )
-        codes = code_s if codes is None else codes.join(code_s, "vid")
-        one_row = F.broadcast(
-            cells_s.agg(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(F.col("cluster").alias("cid"), F.col("c"))
-                    )
-                ).alias("cs")
-            )
-        )
         luts.append(
             probes.select(
                 "query_id",
                 "cluster",
                 F.expr(f"slice(qr, {lo}, {sub_len})").alias("qsub"),
             )
-            .crossJoin(one_row)
+            .crossJoin(one_row_books)
             .select(
                 "query_id",
                 "cluster",
                 F.explode(
                     F.expr(
-                        "transform(cs, s -> struct(s.cid AS cid, "
+                        f"transform(filter(cs, s -> s.gid = {si}), "
+                        "s -> struct(s.cid AS cid, "
                         "aggregate(zip_with(qsub, s.c, "
                         "(a, b) -> (a-b)*(a-b)), 0L, "
                         "(x, y) -> x + y) AS d))"
@@ -1089,11 +1134,9 @@ def cosine_topk_ivfadc_grid(
         )
     # candidates: only rows in probed cells (inverted-list pruning),
     # scored from their m code columns via the broadcast LUTs.
-    cand = (
-        resid.select("vid", "cluster")
-        .join(F.broadcast(probes.select("query_id", "cluster")), "cluster")
-        .join(codes, "vid")
-    )
+    cand = codes.select(
+        "vid", "cluster", *[f"code_{si}" for si in range(m)]
+    ).join(F.broadcast(probes.select("query_id", "cluster")), "cluster")
     adc = cand.join(
         F.broadcast(luts[0]), ["query_id", "cluster", "code_0"]
     )
@@ -1114,8 +1157,14 @@ def cosine_topk_ivfadc_grid(
         .filter(F.col("__r") <= shortlist)
         .select("query_id", "vid")
     )
+    # rerank: |Q|·shortlist rows broadcast against the corpus scan —
+    # the float vectors are fetched by ONE scan-side broadcast join,
+    # never shuffled (they used to ride the resid checkpoint)
+    corpus = drop_null_vectors(embeddings, vec_col).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("e_vec")
+    )
     scored = (
-        short.join(resid.select("vid", "e_vec"), "vid")
+        corpus.join(F.broadcast(short), "vid")
         .join(F.broadcast(q.select("query_id", "q_vec")), "query_id")
         .select(
             "query_id",
