@@ -1805,43 +1805,54 @@ def lsh_tuning_table(
             < int(sample_fraction * n_buckets)
         )
 
-    # ONE md5 pass over the corpus shingles feeds BOTH the OPH
-    # signature (identical algebra to minhash_signature(portable))
-    # and the verify-side hashed shingle sets — building them
-    # independently paid the shingle-hash pass twice (measured ~3 s
-    # each at sf0.1; the corpus-scan/multi-consumer discipline one
-    # level down, applied to compute instead of I/O).
-    sh = F.expr(_char_gram_sql(text_col, shingle_k))
-    hashed = (
+    # ONE scan-side pass builds the per-doc hashed shingle SET, and
+    # both the OPH signature and the verify sides derive from it —
+    # r12, was: explode every shingle OCCURRENCE, md5 each one, then
+    # TWO corpus-shingle aggregation passes (min-per-bucket and
+    # collect_set) over the ~3.5k-occurrence-per-doc exploded frame.
+    # Sets are ~5× smaller than occurrence lists here (measured ~700
+    # distinct of ~3.5k grams/doc at sf0.1), min-per-bucket over the
+    # SET equals min over the multiset, and collect_set already
+    # discarded multiplicity — so deduping per doc BEFORE md5 is
+    # value-identical and deletes ~80% of the md5 CPU plus two full
+    # exploded-frame exchanges/aggregations (guide §1.2 per-task
+    # work + §2.4 remove shuffles outright; stage evidence in
+    # OPTIMIZATION_r12.md). The inner array_distinct dedupes gram
+    # STRINGS (saving hashes); the outer one dedupes the hash values
+    # themselves, preserving exact set semantics under any md5
+    # collision. Docs with NULL ids are dropped up front: the
+    # candidate join's id_a < id_b can never be true against a NULL
+    # id, so they contribute no pairs on either engine.
+    gram = _char_gram_sql(text_col, shingle_k)
+    h60 = "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"
+    sets = (
         ensure_parallelism(df)
-        .select(F.col(id_col), F.explode(sh).alias("__s"))
-        .filter(F.col("__s").isNotNull())
-        .select(F.col(id_col), portable_hash60(F.col("__s")).alias("h"))
-        .localCheckpoint()  # 2 consumers: signature + shingle sets
+        .filter(F.col(id_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.expr(
+                f"array_distinct(transform(array_distinct("
+                f"filter({gram}, x -> x IS NOT NULL)), s -> {h60}))"
+            ).alias("__sh"),
+        )
+        .filter(F.size("__sh") > 0)
+        .localCheckpoint()  # sigs derivation + both verify sides
     )
-    mins = hashed.withColumn(
-        "b", F.pmod("h", F.lit(num_hashes))
-    ).groupBy(id_col, "b").agg(F.min("h").alias("mh"))
-    assembled = mins.groupBy(id_col).agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("b", "mh"))
-        ).alias("__m"),
-        F.min("mh").alias("__gmin"),
-    )
-    sigs = assembled.select(
+    # OPH signature straight from the set: per bucket b, the min
+    # hash routed to b (hash mod n), densified with the global min —
+    # identical algebra to minhash_signature(portable), evaluated as
+    # a scan-side HOF over the ~700-element set instead of a
+    # corpus-shingle groupBy.
+    sigs = sets.select(
         F.col(id_col),
         F.expr(
-            f"transform(sequence(0, {num_hashes - 1}),"
-            f" i -> coalesce(__m[CAST(i AS BIGINT)], __gmin))"
+            f"transform(sequence(0, {num_hashes - 1}), b -> "
+            f"coalesce(array_min(filter(__sh, "
+            f"h -> pmod(h, {num_hashes}) = CAST(b AS BIGINT))), "
+            f"array_min(__sh)))"
         ).alias("minhash"),
-    ).localCheckpoint()
-    shingle_sets = (
-        hashed.filter(F.col(id_col).isNotNull())
-        .groupBy(id_col)
-        .agg(F.collect_set("h").alias("__sh"))
-        .select(F.col(id_col).alias("__id"), "__sh")
-        .localCheckpoint()  # both verify sides read it
-    )
+    ).localCheckpoint()  # one banding per config reads it
+    shingle_sets = sets.select(F.col(id_col).alias("__id"), "__sh")
     per_config = []
     for bands, rows in configs:
         cand = lsh_candidate_pairs(
