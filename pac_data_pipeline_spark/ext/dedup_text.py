@@ -609,32 +609,52 @@ def connected_components_star(
             F.col(id_col).alias("component_id"),
         )
     for _ in range(max_iter):
-        # large-star: symmetrize, then per node u attach every
-        # strictly-larger neighbor to m = min(N(u) ∪ {u}).
+        # Each star phase is ONE groupBy(collect_set) + a scan-side
+        # explode of the rewired edges (r12): the neighbor set, its
+        # min, and the emitted edges all come out of a single
+        # exchange per phase — was groupBy(min) + join + distinct
+        # per phase (~6 exchanges/round, now 3; per-round results
+        # identical, argued inline). collect_set dedupes, so the
+        # pre-distincts go too.
+        #
+        # large-star: per node u attach every strictly-larger
+        # neighbor to m = min(N(u) ∪ {u}). Emitted (v, m) always has
+        # m ≤ u < v — already oriented big→small and never
+        # reflexive, so the old greatest/least re-orientation and
+        # u ≠ v filter are no-ops here.
         sym = cur.union(
             cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).distinct()
-        mins = (
-            sym.groupBy("u")
-            .agg(F.min("v").alias("mv"))
-            .select("u", F.least("mv", F.col("u")).alias("m"))
         )
         large = (
-            sym.join(mins, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
+            sym.groupBy("u")
+            .agg(F.collect_set("v").alias("ns"))
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(filter(ns, v -> v > u), "
+                        "v -> struct(v AS u, "
+                        "least(u, array_min(ns)) AS v))"
+                    )
+                ).alias("e")
+            )
+            .select("e.u", "e.v")
         )
-        # small-star: orient big→small, attach N(u) ∪ {u} to min(N(u))
-        directed = large.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        ).distinct()
-        smins = directed.groupBy("u").agg(F.min("v").alias("m"))
+        # small-star over the big→small edges: attach N(u) ∪ {u} to
+        # m = min(N(u)) (all neighbors are < u here, so min(N(u)) =
+        # min(N(u) ∪ {u})); the neighbor equal to m drops via u ≠ v
+        # exactly as the old join form did.
         small = (
-            directed.join(smins, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .unionByName(smins.select("u", F.col("m").alias("v")))
+            large.groupBy("u")
+            .agg(F.collect_set("v").alias("ns"))
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(concat(ns, array(u)), "
+                        "v -> struct(v AS u, array_min(ns) AS v))"
+                    )
+                ).alias("e")
+            )
+            .select("e.u", "e.v")
             .filter(F.col("u") != F.col("v"))
             .distinct()
             .localCheckpoint()

@@ -192,16 +192,28 @@ def fuzzy_join_banded(
     LSH in `ext.dedup_text`. The id inequality keeps each unordered
     pair once.
     """
+    # Pin the band join's width (both sides, user-specified
+    # repartition AQE will not coalesce): the band frames are a few
+    # MB of names but the join OUTPUT pays a Levenshtein DP per
+    # candidate pair — the small-bytes/heavy-CPU corner AQE's
+    # byte-driven coalescing serializes onto 1-2 tasks (measured
+    # r12: the x_entity_resolution edge stage ran 2.4 s CPU on 2 of
+    # 32 cores; guide §2.5). Same discipline as
+    # ext.dedup_text.pin_join_parallelism, inlined to keep the
+    # operators layer free of ext imports.
+    n_part = int(
+        left.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     lhs = left.select(
         F.col(id_col).alias("id_a"),
         F.col(text_col).alias("text_a"),
         F.substring(text_col, 1, band_len).alias("__band"),
-    )
+    ).repartition(n_part, "__band")
     rhs = right.select(
         F.col(id_col).alias("id_b"),
         F.col(text_col).alias("text_b"),
         F.substring(text_col, 1, band_len).alias("__band"),
-    )
+    ).repartition(n_part, "__band")
     return (
         lhs.join(rhs, "__band")
         .filter(F.col("id_a") < F.col("id_b"))
