@@ -1458,11 +1458,16 @@ def edit_distance_join(
     )
     sa = strings.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
     sb = strings.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
-    dist = F.levenshtein("s_a", "s_b")
+    # thresholded DP (r12): the 3-arg form early-exits once the
+    # distance provably exceeds k — O(len·k) per candidate instead
+    # of O(len²) — and returns the EXACT distance for every pair it
+    # accepts, so the emitted rows are value-identical (the fuzzy
+    # band join already used this form; guide §1.2 per-task work).
+    dist = F.levenshtein("s_a", "s_b", k)
     return (
         cand.join(sa.hint("shuffle_hash"), "id_a")
         .join(sb.hint("shuffle_hash"), "id_b")
-        .filter(dist <= k)
+        .filter(dist >= 0)
         .select("id_a", "id_b", dist.cast("int").alias("dist"))
     )
 

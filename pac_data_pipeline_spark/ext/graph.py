@@ -170,7 +170,15 @@ def hits(
     the edge construction per consumer; the pagerank lesson); per
     iteration one shuffle per direction (groupBy dst, groupBy src)
     plus two 1-row L1-total broadcasts (whitelisted tiny-build
-    pattern)."""
+    pattern). Intermediate score frames stay SPARSE (r12): a node
+    absent from a mass aggregate scored exactly 0.0 in the old
+    dense form, and a 0.0 term changes no downstream sum (masses
+    are non-negative, so no -0.0 corner) and no L1 total — so the
+    per-phase nodes crossJoin + left-join densification is deferred
+    to ONE final left join, deleting two exchanges and a broadcast
+    rebuild per phase (guide §2.4). Zero-mass corner kept exact:
+    the normalized score coalesces to 0.0 inside the sparse frame,
+    exactly as the dense form's outer coalesce did."""
     if n_iter < 1:
         # n_iter=0 would leave auth unbound and crash the final
         # join (the pagerank fixture contract)
@@ -202,20 +210,15 @@ def hits(
         ta = F.broadcast(
             raw_a.agg(F.round(F.sum("__a"), 12).alias("__ta"))
         )
-        auth = (
-            nodes.crossJoin(ta)
-            .join(raw_a, F.col(id_col) == F.col("dst"), "left")
-            .select(
-                id_col,
+        auth = raw_a.crossJoin(ta).select(
+            F.col("dst").alias(id_col),
+            F.coalesce(
                 F.round(
-                    F.coalesce(F.col("__a"), F.lit(0.0))
-                    / F.nullif(F.col("__ta"), F.lit(0.0)),
+                    F.col("__a") / F.nullif(F.col("__ta"), F.lit(0.0)),
                     12,
-                ).alias("auth"),
-            )
-            .select(
-                id_col, F.coalesce("auth", F.lit(0.0)).alias("auth")
-            )
+                ),
+                F.lit(0.0),
+            ).alias("auth"),
         )
         raw_h = (
             edges.join(
@@ -232,26 +235,25 @@ def hits(
         th = F.broadcast(
             raw_h.agg(F.round(F.sum("__hh"), 12).alias("__th"))
         )
-        hub = (
-            nodes.crossJoin(th)
-            .join(raw_h, F.col(id_col) == F.col("src"), "left")
-            .select(
-                id_col,
+        hub = raw_h.crossJoin(th).select(
+            F.col("src").alias(id_col),
+            F.coalesce(
                 F.round(
-                    F.coalesce(F.col("__hh"), F.lit(0.0))
-                    / F.nullif(F.col("__th"), F.lit(0.0)),
+                    F.col("__hh") / F.nullif(F.col("__th"), F.lit(0.0)),
                     12,
-                ).alias("hub"),
-            )
-            .select(id_col, F.coalesce("hub", F.lit(0.0)).alias("hub"))
+                ),
+                F.lit(0.0),
+            ).alias("hub"),
         )
     return (
-        nodes.join(hub, id_col)
-        .join(auth, id_col)
+        nodes.join(hub, id_col, "left")
+        .join(auth, id_col, "left")
         .select(
             id_col,
-            F.round("hub", digits).alias("hub"),
-            F.round("auth", digits).alias("auth"),
+            F.round(F.coalesce("hub", F.lit(0.0)), digits).alias("hub"),
+            F.round(F.coalesce("auth", F.lit(0.0)), digits).alias(
+                "auth"
+            ),
         )
     )
 
