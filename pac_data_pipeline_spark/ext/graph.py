@@ -51,48 +51,96 @@ def pagerank(
     standard simplification when, as in our fixtures, every node
     has out-degree ≥ 1); vertices with no in-edges keep the
     teleport term (1−d)/N via the left join.
+
+    Iteration frames stay SPARSE (r12, the hits() lesson): a node
+    absent from a round's contribution aggregate has the CONSTANT
+    rank round((1−d)/N, 12) (its d·Σ term is exactly +0.0, which
+    changes no double), so the per-iteration nodes-crossJoin-N +
+    left-join densification collapses to a coalesce default inside
+    the next iteration's edge join, and iteration 1's join
+    disappears entirely (r0 = round(1/N, 12), the same constant for
+    every src). Out-degree and N are folded onto the edge list ONCE
+    before the loop — one broadcast instead of one per iteration
+    (guide §2.4). Per-edge values and the per-partition order the
+    aggregate consumes them in are unchanged (broadcast joins
+    stream the checkpointed edge side in storage order), so the
+    float trajectory is bit-identical to the dense form.
     """
     # the edge list feeds every iteration (plus the out-degree agg);
     # without materialization Catalyst INLINES the caller's edge
     # construction into each consumer — the synthetic 5-way-union
     # fixture ballooned to 100+ FileScans at 3 iterations. Cut the
     # lineage once; executor-local blocks, no CacheManager entry.
-    # The NODE list is a multi-consumer too (the count, the initial
-    # ranks, and one left join per iteration): un-materialized it
-    # cost n_iter+2 full column scans of the corpus (8 FileScans at
-    # 3 iterations) — same fix, |V| ids once.
+    # The NODE list is a multi-consumer too (the count, the final
+    # densify join): un-materialized it cost multiple full column
+    # scans of the corpus — same fix, |V| ids once.
     edges = edges.localCheckpoint()
     nodes = nodes.select(id_col).localCheckpoint()
     n_row = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("__n")))
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__od"))
-    ranks = nodes.crossJoin(n_row).select(
-        id_col, F.round(F.lit(1.0) / F.col("__n"), 12).alias("rank")
-    )
-    for _ in range(n_iter):
-        contrib = (
-            edges.join(
-                ranks.select(
-                    F.col(id_col).alias("src"), F.col("rank").alias("__r")
-                ),
-                "src",
-            )
-            .join(outdeg, "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("__r") / F.col("__od")).alias("__in"))
+    # restrict to srcs that are real nodes (the dense form's inner
+    # join with node-covering ranks did exactly this), fold __od and
+    # __n onto each edge. Left LAZY on purpose: its inputs are the
+    # checkpointed edges/nodes, so re-inlining per iteration costs
+    # only cheap RDD scans while ReuseExchange dedupes the identical
+    # outdeg/n_row broadcast subtrees across all iterations — a
+    # checkpoint here ADDED jobs (measured 21→23).
+    ew = (
+        edges.join(
+            nodes.select(F.col(id_col).alias("src")), "src"
         )
-        ranks = (
-            nodes.crossJoin(n_row)
-            .join(contrib, F.col(id_col) == F.col("dst"), "left")
+        .join(outdeg, "src")
+        .crossJoin(n_row)
+    )
+    # contrib-absent rank for iterations ≥ 2: the dense form's
+    # round((1-d)/N + d·0.0, 12) — adding d·0.0 to a positive
+    # double is exact, so this IS the absent-node constant.
+    r_def = F.round(F.lit(1.0 - damping) / F.col("__n"), 12)
+    ranks_s = None  # sparse (src, __r): only contrib-reached nodes
+    for i in range(n_iter):
+        if i == 0:
+            joined = ew.select(
+                "dst",
+                "__od",
+                "__n",
+                F.round(F.lit(1.0) / F.col("__n"), 12).alias("__r"),
+            )
+        else:
+            joined = ew.join(ranks_s, "src", "left").select(
+                "dst",
+                "__od",
+                "__n",
+                F.coalesce(F.col("__r"), r_def).alias("__r"),
+            )
+        ranks_s = (
+            joined.groupBy("dst")
+            .agg(
+                F.sum(F.col("__r") / F.col("__od")).alias("__in"),
+                F.first("__n").alias("__n"),
+            )
             .select(
-                id_col,
+                F.col("dst").alias("src"),
                 F.round(
                     (1.0 - damping) / F.col("__n")
-                    + damping * F.coalesce(F.col("__in"), F.lit(0.0)),
+                    + damping * F.col("__in"),
                     12,
-                ).alias("rank"),
+                ).alias("__r"),
             )
         )
-    return ranks.select(id_col, F.round("rank", digits).alias("rank"))
+    return (
+        nodes.crossJoin(n_row)
+        .join(
+            ranks_s.select(F.col("src").alias(id_col), "__r"),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            F.round(F.coalesce(F.col("__r"), r_def), digits).alias(
+                "rank"
+            ),
+        )
+    )
 
 
 def pagerank_fixture_sql(
@@ -586,46 +634,105 @@ def personalized_pagerank(
     map-side-combinable sum per iteration, seed count on a 1-row
     broadcast, edges materialized once. Non-seed vertices with no
     in-edges correctly settle at rank 0 (they are unreachable from
-    the seed set)."""
+    the seed set).
+
+    Iteration frames stay SPARSE (r12, the pagerank()/hits()
+    lesson): a node absent from a round's contribution aggregate
+    has rank round((1−d)·s/Ns, 12) where s = [id % seed_mod == 0]
+    is computable FROM THE ID ITSELF — so the per-iteration
+    densify join collapses to a coalesce default evaluated
+    scan-side on the edge's src, and iteration 1's ranks join
+    (r0 = round(s/Ns, 12)) disappears the same way. Out-degree,
+    the seed flag of each src, and the seed count are folded onto
+    the edge list once before the loop (guide §2.4). Per-edge
+    values and aggregate consumption order are unchanged, so the
+    float trajectory is bit-identical to the dense form."""
     edges = edges.localCheckpoint()
     is_seed = (F.col(id_col) % seed_mod == 0).cast("int")
-    # seeded (id, flag) feeds the seed count, the initial ranks, and
-    # every iteration's left join — materialize once (the pagerank
-    # node-list fix; 8 corpus FileScans at 3 iterations before)
+    # seeded (id, flag) feeds the seed count and the final densify
+    # join — materialize once (the pagerank node-list fix)
     seeded = nodes.select(id_col, is_seed.alias("__s")).localCheckpoint()
     n_row = F.broadcast(
         seeded.agg(F.sum("__s").cast("double").alias("__ns"))
     )
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__od"))
-    base = seeded.crossJoin(n_row)
-    ranks = base.select(
-        id_col,
-        F.round(F.col("__s") / F.col("__ns"), 12).alias("rank"),
+    # restrict to srcs that are real nodes (the dense form's inner
+    # join did this), fold __od / src seed flag / __ns onto each
+    # edge. Lazy on purpose — see pagerank(): ReuseExchange dedupes
+    # the identical broadcast subtrees across iterations and a
+    # checkpoint here only added jobs.
+    ew = (
+        edges.join(
+            seeded.select(
+                F.col(id_col).alias("src"), F.col("__s").alias("__ss")
+            ),
+            "src",
+        )
+        .join(outdeg, "src")
+        .crossJoin(n_row)
     )
-    for _ in range(n_iter):
-        contrib = (
-            edges.join(
-                ranks.select(
-                    F.col(id_col).alias("src"), F.col("rank").alias("__r")
-                ),
-                "src",
+    # contrib-absent rank for iterations ≥ 2 (d·0.0 adds exactly
+    # nothing; 0.0·(1-d)/Ns stays +0.0 for non-seeds, so the
+    # hand-computed "settles at exactly 0.0" contract holds)
+    r_def_edge = F.round(
+        F.lit(1.0 - damping) * F.col("__ss") / F.col("__ns"), 12
+    )
+    ranks_s = None
+    for i in range(n_iter):
+        if i == 0:
+            joined = ew.select(
+                "dst",
+                "__od",
+                "__ns",
+                F.round(F.col("__ss") / F.col("__ns"), 12).alias("__r"),
             )
-            .join(outdeg, "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("__r") / F.col("__od")).alias("__in"))
-        )
-        ranks = (
-            base.join(contrib, F.col(id_col) == F.col("dst"), "left")
+        else:
+            joined = ew.join(ranks_s, "src", "left").select(
+                "dst",
+                "__od",
+                "__ns",
+                F.coalesce(F.col("__r"), r_def_edge).alias("__r"),
+            )
+        ranks_s = (
+            joined.groupBy("dst")
+            .agg(
+                F.sum(F.col("__r") / F.col("__od")).alias("__in"),
+                F.first("__ns").alias("__ns"),
+            )
             .select(
-                id_col,
+                F.col("dst").alias("src"),
                 F.round(
-                    (1.0 - damping) * F.col("__s") / F.col("__ns")
-                    + damping * F.coalesce(F.col("__in"), F.lit(0.0)),
+                    (1.0 - damping)
+                    * (F.col("dst") % seed_mod == 0).cast("int")
+                    / F.col("__ns")
+                    + damping * F.col("__in"),
                     12,
-                ).alias("rank"),
+                ).alias("__r"),
             )
         )
-    return ranks.select(id_col, F.round("rank", digits).alias("rank"))
+    return (
+        seeded.crossJoin(n_row)
+        .join(
+            ranks_s.select(F.col("src").alias(id_col), "__r"),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            F.round(
+                F.coalesce(
+                    F.col("__r"),
+                    F.round(
+                        F.lit(1.0 - damping)
+                        * F.col("__s")
+                        / F.col("__ns"),
+                        12,
+                    ),
+                ),
+                digits,
+            ).alias("rank"),
+        )
+    )
 
 
 def personalized_pagerank_fixture_sql(

@@ -21,24 +21,24 @@ every score an exact BIGINT — no float enters the argmax, so an
 external SQL engine replays the selection hash-exactly
 (``mmr_fixture_sql``).
 
-Scale shape (the k-means/pagerank discipline — no driver loop
-decisions, no unbounded collect):
+Scale shape (the k-means/pagerank discipline — no unbounded
+collect):
 - quantized candidates with their query distance are computed ONCE
   and ``localCheckpoint``-ed; the corpus is never re-shuffled.
-- each greedy round is scan-side: the selected set (≤ k rows of
-  (vid, q)) aggregates into ONE row and rides a broadcast; the
-  min-distance-to-selected is a whole-stage-codegen HOF fold; the
-  round's winner is a single ``max_by`` global aggregate with
-  map-side partials (one row per partition crosses the wire).
-- k rounds unroll into one lazy plan = k scans of the cached
-  candidate table — the inherent sequentiality of GREEDY selection
-  (each pick conditions the next); at 100 TB each scan is
+- each greedy round is ONE scan-side job: the selected set rides
+  as codegen literals, the min-distance-to-selected is a
+  ``least``-of-HOF-distances fold, and the round's winner is a
+  single ``max_by`` global aggregate with map-side partials (one
+  row per partition crosses the wire), whose 1-row result — ≤
+  dim+3 scalars — is collected to the driver and folded into the
+  next round's expression. Greedy selection is inherently
+  sequential (each pick conditions the next), so the k round
+  barriers are unavoidable; the bounded per-round collect
+  (k·(dim+3) scalars total, the write_z_ordered class) replaces
+  the prior selected-frame threading that cost two extra jobs per
+  round while shipping the same rows through the driver as a
+  broadcast anyway. At 100 TB each round's scan stays
   embarrassingly parallel and shuffle-free.
-
-The per-round ``localCheckpoint`` on the (≤ k)-row selected table is
-the multi-consumer guard: without it Catalyst re-inlines the whole
-prior-round subplan into both consumers per round and the plan
-doubles per pick (the round-5 110-FileScan triangle lesson).
 
 Reference scope: the reference has no similarity surface at all
 (its pipeline stops at per-key sums, ``pac_data_processor.py:69``);
@@ -110,62 +110,70 @@ def mmr_select(
         )
         .localCheckpoint()  # k consumers; corpus never rescans
     )
-    selected = (
-        cand.agg(
-            F.expr("min_by(struct(vid, q, rel_d), struct(rel_d, vid))")
-            .alias("p")
-        )
-        .select(
-            F.lit(1).alias("sel_rank"),
-            F.col("p.vid").alias("vid"),
-            F.col("p.q").alias("q"),
-            F.col("p.rel_d").alias("rel_d"),
-            F.lit(None).cast("bigint").alias("div_d"),
-        )
-        .localCheckpoint()
-    )
-    for t in range(2, k + 1):
-        sel_row = F.broadcast(
-            selected.agg(
-                F.collect_list(F.struct("vid", "q")).alias("sl")
-            )
-        )
-        pick = (
-            cand.crossJoin(sel_row)
-            .filter(F.expr("NOT exists(sl, s -> s.vid = vid)"))
-            .select(
-                "vid",
-                "q",
-                "rel_d",
+    # Each greedy round is ONE global aggregate job whose winner —
+    # a single (vid, q, rel_d, div_d) row, ≤ dim+3 scalars — is
+    # collected to the driver and folded into the next round's
+    # expression as literals (r12; the write_z_ordered bounded-
+    # collect class: total driver traffic k·(dim+3) scalars for a
+    # human-scale selection size k). The previous shape kept the
+    # selected set in a checkpointed frame instead, which cost two
+    # extra jobs per round (the ≤k-row collect_list broadcast and
+    # the union checkpoint — measured 37 jobs for 1.3 s of task
+    # time); the broadcast already shipped the same rows through
+    # the driver, so nothing new crosses it. Scores, tie-breaks
+    # (max of (w_div·div_d − w_rel·rel_d, −vid)) and the min-
+    # distance fold (least ≡ the NULL-skipping CASE fold over
+    # exact BIGINTs) are expression-identical, so the pick
+    # trajectory is bit-identical to the frame-threaded form.
+    def _arr(qv: list) -> str:
+        return "array(" + ",".join(f"{int(v)}L" for v in qv) + ")"
+
+    picks: list[tuple] = []
+    sel_qs: list[list] = []
+    for t in range(1, k + 1):
+        if t == 1:
+            p = cand.agg(
                 F.expr(
-                    "aggregate(transform(sl, s -> "
-                    + _DIST.format(a="q", b="s.q")
-                    + "), CAST(NULL AS BIGINT), (acc, d) -> "
-                    "CASE WHEN acc IS NULL OR d < acc THEN d "
-                    "ELSE acc END)"
-                ).alias("div_d"),
-            )
-            .agg(
-                F.expr(
-                    f"max_by(struct(vid, q, rel_d, div_d), "
-                    f"struct({w_div}L * div_d - {w_rel}L * rel_d, -vid))"
+                    "min_by(struct(vid, q, rel_d), struct(rel_d, vid))"
                 ).alias("p")
+            ).select("p.*")
+        else:
+            dists = [
+                F.expr(_DIST.format(a="q", b=_arr(qv))) for qv in sel_qs
+            ]
+            div = F.least(*dists) if len(dists) > 1 else dists[0]
+            p = (
+                cand.filter(
+                    ~F.col("vid").isin([v for _, v, _r, _d in picks])
+                )
+                .select("vid", "q", "rel_d", div.alias("div_d"))
+                .agg(
+                    F.expr(
+                        f"max_by(struct(vid, q, rel_d, div_d), "
+                        f"struct({w_div}L * div_d - {w_rel}L * rel_d, "
+                        f"-vid))"
+                    ).alias("p")
+                )
+                .select("p.*")
             )
-            .select(
-                F.lit(t).alias("sel_rank"),
-                F.col("p.vid").alias("vid"),
-                F.col("p.q").alias("q"),
-                F.col("p.rel_d").alias("rel_d"),
-                F.col("p.div_d").alias("div_d"),
-            )
+        row = p.collect()[0]
+        # agg over an exhausted candidate set (empty corpus, or
+        # k > n) yields an all-NULL row — stop: the output carries
+        # exactly min(k, n) picks, the same set the SQL mirror's
+        # LIMIT-over-empty produces.
+        if row.vid is None:
+            break
+        picks.append(
+            (t, row.vid, row.rel_d, None if t == 1 else row.div_d)
         )
-        selected = selected.unionByName(pick).localCheckpoint()
-    # a global agg over an exhausted candidate set (empty corpus, or
-    # k > n) yields one all-NULL row per remaining round — drop the
-    # phantoms so the output carries exactly min(k, n) picks, the
-    # same set the SQL mirror's LIMIT-over-empty produces.
-    return selected.filter(F.col("vid").isNotNull()).select(
-        "sel_rank", "vid", "rel_d", "div_d"
+        sel_qs.append(list(row.q))
+    from pac_data_pipeline_spark.session import local_table
+
+    vid_t = cand.schema["vid"].dataType.simpleString()
+    return local_table(
+        cand.sparkSession,
+        picks,
+        f"sel_rank int, vid {vid_t}, rel_d long, div_d long",
     )
 
 

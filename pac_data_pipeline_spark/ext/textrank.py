@@ -92,6 +92,17 @@ def textrank_keywords(
     """Top-``top_k`` keywords by integer fixed-point weighted
     PageRank over the co-occurrence graph; ties break on the token.
     Output: (token, score) with score in pico-units."""
+    # Iteration frames stay SPARSE (r12, the pagerank lesson —
+    # exact here, not merely float-safe, because the chain is
+    # integer fixed-point): a token absent from a round's push
+    # aggregate has the CONSTANT rank 15·S div (100·n) (its 85·Σ
+    # term is 85·0 div 100 = 0), so the per-iteration
+    # nodes-crossJoin-left-join densification collapses to a
+    # coalesce default in the next join, and iteration 1's ranks
+    # join disappears (r0 = S div n, constant). Out-weight and n
+    # fold onto the edge list ONCE (guide §2.4). The symmetric edge
+    # construction makes every node a dst, so the defaults never
+    # even fire on real vocabulary graphs — kept for exactness.
     edges = cooccurrence_edges(df, text_col).localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("token")).distinct()
@@ -99,34 +110,52 @@ def textrank_keywords(
     )
     n_row = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("__n")))
     outw = edges.groupBy("src").agg(F.sum("w").alias("__ow"))
-    ranks = nodes.crossJoin(n_row).select(
-        "token", F.expr(f"CAST({_SCALE} AS BIGINT) div __n").alias("r")
-    )
-    for _ in range(n_iter):
-        contrib = (
-            edges.join(
-                ranks.select(
-                    F.col("token").alias("src"), F.col("r").alias("__r")
-                ),
-                "src",
+    # nodes ≡ distinct srcs, so no node-restriction semi-join is
+    # needed here (pagerank needs one; every edge src is a node by
+    # construction).
+    ew = edges.join(outw, "src").crossJoin(n_row)
+    r0 = f"CAST({_SCALE} AS BIGINT) div __n"
+    r_def = f"CAST(15 * {_SCALE} AS BIGINT) div (100 * __n)"
+    ranks_s = None
+    for i in range(n_iter):
+        if i == 0:
+            joined = ew.select(
+                "dst", "w", "__ow", "__n", F.expr(r0).alias("__r")
             )
-            .join(outw, "src")
-            .groupBy("dst")
-            .agg(F.sum(F.expr("(__r * w) div __ow")).alias("__in"))
-        )
-        ranks = (
-            nodes.crossJoin(n_row)
-            .join(contrib, F.col("token") == F.col("dst"), "left")
+        else:
+            joined = ew.join(ranks_s, "src", "left").select(
+                "dst",
+                "w",
+                "__ow",
+                "__n",
+                F.expr(f"coalesce(__r, {r_def})").alias("__r"),
+            )
+        ranks_s = (
+            joined.groupBy("dst")
+            .agg(
+                F.sum(F.expr("(__r * w) div __ow")).alias("__in"),
+                F.first("__n").alias("__n"),
+            )
             .select(
-                "token",
+                F.col("dst").alias("src"),
                 F.expr(
                     f"CAST(15 * {_SCALE} AS BIGINT) div (100 * __n) "
-                    f"+ (85 * coalesce(__in, 0L)) div 100"
-                ).alias("r"),
+                    f"+ (85 * __in) div 100"
+                ).alias("__r"),
             )
         )
     return (
-        ranks.select("token", F.col("r").cast("long").alias("score"))
+        nodes.crossJoin(n_row)
+        .join(
+            ranks_s.select(F.col("src").alias("token"), "__r"), "token",
+            "left",
+        )
+        .select(
+            "token",
+            F.expr(f"coalesce(__r, {r_def})")
+            .cast("long")
+            .alias("score"),
+        )
         .orderBy(F.desc("score"), "token")
         .limit(top_k)
     )
